@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's Parquet corpus (TESTDATA.md / FIXTURES.md §B).
+  *
+  * At 100 TB these would be partitioned tables behind the catalog; the
+  * access pattern (predicate pushdown + column pruning via plain
+  * `spark.read.parquet`) is identical.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Reference-shaped vector view over `embeddings` (SURVEY §1.4):
+    * `(id, namespace, values, label)` where namespace is derived from the
+    * label — the Spark analogue of the per-namespace dict at
+    * `storage_engine_in_memory.py:12`. On a partitioned table the
+    * `namespace` predicate becomes partition pruning.
+    */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").select(
+      col("vec_id").as("id"),
+      concat(lit("ns_"), col("label") % 4).as("namespace"),
+      col("embedding").as("values"),
+      col("label"))
+
+  /** Matching DuckDB-side view of [[vectors]], spliced into oracle SQL. */
+  val vectorsSql: String =
+    "SELECT vec_id AS id, 'ns_' || (label % 4) AS namespace, " +
+      "embedding AS values, label FROM embeddings"
+}
