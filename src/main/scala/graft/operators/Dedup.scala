@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operator family over the `documents` table — the
+  * training-data-pipeline extension of the reference's vector near-dup idea
+  * (SURVEY §2.11 Q15, north-star dedup).
+  *
+  * Four detectors, all shuffle-lean and designed for the 100 TB shape:
+  *
+  *  - exact: hash-groupBy on a canonical text digest (one shuffle on a
+  *    32-char key; at scale this is the classic map-side-combinable
+  *    fingerprint count).
+  *  - n-gram Jaccard: explode distinct 3-shingles → self-join on shingle →
+  *    count common / sizes. Shuffles rows keyed by shingle, never ships
+  *    full documents; skewed (stop-)shingles would be salted or
+  *    frequency-capped at scale.
+  *  - MinHash + LSH: 64-slot signatures (single groupBy agg over exploded
+  *    shingle hashes), 16 bands × 4 rows banded into bucket keys; only
+  *    bucket-colliding pairs are candidates, then an exact-Jaccard verify
+  *    pass over candidates only. This is the sub-quadratic path: candidate
+  *    count ≈ true-dup count, not n².
+  *  - SimHash: 60-bit frequency-weighted fingerprint (one groupBy over
+  *    exploded token hashes), candidates via 4×15-bit chunk equality
+  *    (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verify by
+  *    `bit_count(xor) ≤ 3`.
+  *
+  * Determinism: md5-derived hashes and a seeded permutation family make
+  * signatures identical across runs and engines, so the LSH paths verify
+  * against the same exact oracles as the brute-force paths.
+  */
+object Dedup {
+
+  private val JaccT = 0.5
+  private val ShingleN = 3
+  private val NumPerm = 64
+  private val Bands = 16
+  private val RowsPerBand = NumPerm / Bands
+  private val HammingT = 3
+  private val SimhashBits = 60
+  private val ChunkBits = 15
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+
+  /** (doc_id, shingle) — exploded distinct 3-gram shingles. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      explode(shingles(tokens(col("text")), ShingleN)).as("shingle"))
+
+  // ---- Q16: exact dedup — canonical-text digest groups ----------------
+
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("h"))
+
+  val q16Sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+      |       count(*) AS n_copies, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  // ---- shared exact-Jaccard verify kernel -----------------------------
+
+  /** Exact Jaccard over the given candidate pair set (or all i<j pairs when
+    * candidates is None). */
+  private def jaccard(spark: SparkSession, dir: String,
+                      candidates: Option[DataFrame]): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val common = candidates match {
+      case None =>
+        a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      case Some(cand) =>
+        // verify pass touches only candidate pairs' shingles
+        cand.join(a, Seq("id_a"))
+          .join(b, Seq("id_b", "shingle"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+    }
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4))
+      .where(col("jaccard") >= JaccT)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+
+  /** Oracle: brute-force 3-shingle Jaccard in DuckDB (positions zipped via
+    * generate_subscripts; shingles deduped like array_distinct). */
+  val jaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |         round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+       |  FROM com
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $JaccT
+       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+
+  // ---- Q17: brute-force n-gram Jaccard near-dup pairs -----------------
+
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    jaccard(spark, dir, None)
+
+  // ---- Q18: MinHash + LSH banding + exact verify ----------------------
+
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).withColumn("h", hash32(col("shingle")))
+    val params = minhashParams(NumPerm)
+    val slotAggs = params.zipWithIndex.map { case ((a, b), i) =>
+      minhashSlot(col("h"), a, b).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(slotAggs.head, slotAggs.tail: _*)
+    val bandCols = (0 until Bands).map { bd =>
+      struct(
+        lit(bd).as("band"),
+        md5(concat_ws("_",
+          (0 until RowsPerBand).map(r => col(s"m${bd * RowsPerBand + r}")): _*)).as("sig"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val x = banded.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+    val y = banded.select(col("doc_id").as("id_b"), col("band"), col("sig"))
+    val cand = x.join(y, Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    jaccard(spark, dir, Some(cand))
+  }
+
+  // ---- Q19: SimHash + chunk-banded hamming candidates -----------------
+
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitAggs = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until SimhashBits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), fp.as("fp"))
+  }
+
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val fps = fingerprints(spark, dir)
+    val chunkCols = (0 until SimhashBits / ChunkBits).map { ck =>
+      struct(
+        lit(ck).as("chunk"),
+        shiftright(col("fp"), ck * ChunkBits)
+          .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
+    }
+    val chunked = fps
+      .select(col("doc_id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("doc_id"), col("fp"), col("c.chunk").as("chunk"), col("c.cv").as("cv"))
+    val x = chunked.select(col("doc_id").as("id_a"), col("fp").as("fa"), col("chunk"), col("cv"))
+    val y = chunked.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("chunk"), col("cv"))
+    x.join(y, Seq("chunk", "cv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(fa ^ fb)").cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HammingT)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+  }
+
+  val q19Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+       |bits AS (
+       |  SELECT doc_id, g.b AS b,
+       |         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, generate_series(0, ${SimhashBits - 1}) AS g(b)
+       |  GROUP BY doc_id, g.b),
+       |fp AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       bit_count(xor(a.fp, b.fp))::INT AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingT
+       |ORDER BY hamming, id_a, id_b""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_dedup_exact" -> (q16 _),
+    "q17_dedup_ngram_jaccard" -> (q17 _),
+    "q18_dedup_minhash_lsh" -> (q18 _),
+    "q19_dedup_simhash" -> (q19 _))
+
+  val oracles: Map[String, String] = Map(
+    "q16_dedup_exact" -> q16Sql,
+    "q17_dedup_ngram_jaccard" -> jaccardSql,
+    // the LSH path must land on exactly the brute-force answer (verify
+    // stage re-checks candidates with exact Jaccard at the same threshold)
+    "q18_dedup_minhash_lsh" -> jaccardSql,
+    "q19_dedup_simhash" -> q19Sql)
+}

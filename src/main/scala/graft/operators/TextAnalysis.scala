@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r4, r4Sql}
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operator family over `documents` — language ID, quality
+  * scoring, token counting, document fingerprinting (north-star text
+  * pipeline ops). Everything is per-row arithmetic + one optional groupBy:
+  * embarrassingly parallel, no shuffle except the final small aggregates,
+  * so the 100 TB shape is a straight map over the corpus.
+  */
+object TextAnalysis {
+
+  // marker/stopword lists shared verbatim with the oracle SQL
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"))
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+
+  private def withToks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).withColumn("toks", tokens(col("text")))
+
+  // ---- Q20: language ID via marker-word overlap -----------------------
+  // n-gram/stopword heuristic: score each language by distinct-token
+  // overlap with its marker list; argmax with alphabetical tie-break.
+  // Reported as a per-language distribution joined against the labeled
+  // `lang` column (n_match = how often the heuristic agrees).
+
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val d = withToks(spark, dir).withColumn("dtoks", array_distinct(col("toks")))
+    val scoredD = Markers.foldLeft(d) { case (acc, (lang, words)) =>
+      acc.withColumn(s"s_$lang",
+        expr(s"size(array_intersect(dtoks, array(${words.map(w => s"'$w'").mkString(",")})))"))
+    }
+    val pred = when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
+    scoredD.withColumn("pred_lang", pred)
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_lang") === col("lang"), 1).otherwise(0)).as("n_match"))
+      .orderBy(col("pred_lang"))
+  }
+
+  val q20Sql: String = {
+    val scores = Markers.map { case (lang, words) =>
+      s"len(list_intersect(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')), ${sqlList(words)}))::INT AS s_$lang"
+    }.mkString(",\n       ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |       $scores
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |              WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |              WHEN s_es >= s_fr THEN 'es'
+       |              ELSE 'fr' END AS pred_lang
+       |  FROM s)
+       |SELECT pred_lang, count(*) AS n,
+       |       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END)::BIGINT AS n_match
+       |FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  // ---- Q21: quality scoring -------------------------------------------
+  // length / stopword-ratio / mean-token-length composite, the standard
+  // pre-training quality gate shape.
+
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = StopEn.map(w => s"'$w'").mkString(",")
+    withToks(spark, dir)
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("avg_tok_len_raw", col("sum_len").cast("double") / col("n_tok"))
+      .withColumn("stop_ratio_raw", col("stop_hits").cast("double") / col("n_tok"))
+      .withColumn("quality", r4(
+        lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
+          + lit(0.3) * (lit(1.0) - col("stop_ratio_raw"))
+          + lit(0.3) * least(lit(1.0), col("avg_tok_len_raw") / 8.0)))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_chars"),
+        r4(col("avg_tok_len_raw")).as("avg_tok_len"),
+        r4(col("stop_ratio_raw")).as("stop_ratio"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q21Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars,
+       |         len(toks)::INT AS n_tok,
+       |         len(list_filter(toks, x -> list_contains(${sqlList(StopEn)}, x)))::DOUBLE
+       |           / len(toks) AS stop_ratio_raw,
+       |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |           / len(toks) AS avg_tok_len_raw
+       |  FROM t)
+       |SELECT doc_id, n_tok, n_chars,
+       |       ${r4Sql("avg_tok_len_raw")} AS avg_tok_len,
+       |       ${r4Sql("stop_ratio_raw")} AS stop_ratio,
+       |       ${r4Sql("0.4 * least(1.0, n_tok / 100.0)" +
+                  " + 0.3 * (1.0 - stop_ratio_raw)" +
+                  " + 0.3 * least(1.0, avg_tok_len_raw / 8.0)")} AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- Q22: corpus token frequency ------------------------------------
+
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+
+  val q22Sql: String =
+    """SELECT tok, count(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |      FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok""".stripMargin
+
+  // ---- Q23: document fingerprint --------------------------------------
+  // Canonical-token-sequence digest: whitespace/case-insensitive identity,
+  // the cheap first stage of any dedup cascade.
+
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("toks"))).as("fingerprint"),
+        size(col("toks")).as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  val q23Sql: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
+      |       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_lang_id" -> (q20 _),
+    "q21_text_quality" -> (q21 _),
+    "q22_token_freq" -> (q22 _),
+    "q23_fingerprint" -> (q23 _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_lang_id" -> q20Sql,
+    "q21_text_quality" -> q21Sql,
+    "q22_token_freq" -> q22Sql,
+    "q23_fingerprint" -> q23Sql)
+}
