@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r4, r4Sql}
+import graft.sources.Tables
+
+/** Event-stream operators over the `events` table: top-n per group,
+  * gap-based sessionization, tumbling-window aggregation, and JSON props
+  * extraction. The tumbling-window query is the batch twin of the
+  * Structured Streaming job in `graft.streaming` (same grouping, same
+  * results once the stream is drained) — batch/stream parity is the Spark
+  * way to test streaming semantics.
+  *
+  * Timestamp convention: the parquet stores nanosecond timestamps; both
+  * Spark and DuckDB truncate to microseconds on read, so all comparisons
+  * and bucket keys are computed in epoch-µs longs (never raw timestamps in
+  * the output — µs longs hash identically everywhere).
+  */
+object EventOps {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  // ---- Q27: top-3 events by value per event type ----------------------
+
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("user_id"), r4(col("value")).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val q27Sql: String =
+    s"""SELECT event_type, rank, event_id, user_id, ${r4Sql("value")} AS value
+       |FROM (
+       |  SELECT event_type, event_id, user_id, value,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY value DESC, event_id) AS rank
+       |  FROM events)
+       |WHERE rank <= 3
+       |ORDER BY event_type, rank""".stripMargin
+
+  // ---- Q28: gap-based sessionization (30-min inactivity) --------------
+  // Per user: lag over (ts, event_id), a new session starts when the gap
+  // exceeds 30 min. One shuffle on user_id; the window sort is per-user.
+
+  private val GapUs = 30L * 60 * 1000000
+
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("brk")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q28Sql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id,
+       |         CASE WHEN prev_us IS NULL OR ts_us - prev_us > $GapUs
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM x)
+       |SELECT user_id, count(*) AS n_events, sum(brk)::BIGINT AS n_sessions
+       |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- Q29: tumbling 1-hour window aggregation ------------------------
+  // Batch twin of the streaming job (streaming/EventStream.scala).
+
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("bucket_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("bucket_us"), col("event_type"))
+
+  val q29Sql: String =
+    s"""SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+       |       count(*) AS n, ${r4Sql("sum(value)")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY bucket_us, event_type""".stripMargin
+
+  // ---- Q30: JSON props extraction -------------------------------------
+
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r4(avg(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"),
+        min(col("k")).as("min_k"))
+      .orderBy(col("event_type"))
+
+  val q30Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |       ${r4Sql("avg(json_extract_string(props, '$.k')::INT)")} AS avg_k,
+       |       max(json_extract_string(props, '$$.k')::INT) AS max_k,
+       |       min(json_extract_string(props, '$$.k')::INT) AS min_k
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_top_per_type" -> (q27 _),
+    "q28_sessionize" -> (q28 _),
+    "q29_event_window" -> (q29 _),
+    "q30_props_json" -> (q30 _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_top_per_type" -> q27Sql,
+    "q28_sessionize" -> q28Sql,
+    "q29_event_window" -> q29Sql,
+    "q30_props_json" -> q30Sql)
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r4, r4Sql}
+import graft.sources.Tables
+
+/** Relational sanity set over the TPC-H-ish tables (SURVEY §2.11 Q16):
+  * scan-heavy aggregation, multi-way join with dimension broadcast, and
+  * window top-n — the three plan shapes that dominate warehouse workloads.
+  *
+  * Scale notes:
+  *  - q24 is a pure scan+hash-agg: partial aggregation (map-side combine)
+  *    means the shuffle carries ≤ |groups| rows per partition, independent
+  *    of input size. Filter and the 7-column projection push into the
+  *    parquet scan.
+  *  - q25 joins fact→dims: nation/region are broadcast explicitly; customer
+  *    and orders stay hash joins keyed on their join columns (at 100 TB the
+  *    orders⋈lineitem join is the big shuffle — bucketing both on orderkey
+  *    would eliminate it; AQE handles skew).
+  *  - q26 is a windowed top-n: a single shuffle on the partition key, then
+  *    a per-partition sort bounded by rank ≤ 3 (Spark pushes the limit into
+  *    the window sort via rank-limit pushdown in recent versions).
+  */
+object Relational {
+
+  // ---- Q24: pricing summary (TPC-H Q1 shape) --------------------------
+
+  private val ShipCutoff = "1998-09-02"
+
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(ShipCutoff).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q24Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       ${r4Sql("sum(l_quantity)")} AS sum_qty,
+       |       ${r4Sql("sum(l_extendedprice)")} AS sum_base_price,
+       |       ${r4Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+       |       ${r4Sql("avg(l_quantity)")} AS avg_qty,
+       |       ${r4Sql("avg(l_discount)")} AS avg_disc,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$ShipCutoff'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- Q25: revenue by nation (join pipeline) -------------------------
+
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val o = Tables.table(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.table(spark, dir, "customer")
+    val n = Tables.table(spark, dir, "nation")
+    val r = Tables.table(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q25Sql: String =
+    s"""SELECT r_name, n_name,
+       |       ${r4Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+       |       count(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ---- Q26: top-3 orders per market segment (window top-n) ------------
+
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    val c = Tables.table(spark, dir, "customer")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
+        r4(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  val q26Sql: String =
+    s"""SELECT c_mktsegment, rank, o_orderkey, ${r4Sql("o_totalprice")} AS totalprice
+       |FROM (
+       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+       |         row_number() OVER (PARTITION BY c_mktsegment
+       |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+       |  FROM orders JOIN customer ON o_custkey = c_custkey)
+       |WHERE rank <= 3
+       |ORDER BY c_mktsegment, rank""".stripMargin
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_pricing_summary" -> (q24 _),
+    "q25_revenue_by_nation" -> (q25 _),
+    "q26_top_per_segment" -> (q26 _))
+
+  val oracles: Map[String, String] = Map(
+    "q24_pricing_summary" -> q24Sql,
+    "q25_revenue_by_nation" -> q25Sql,
+    "q26_top_per_segment" -> q26Sql)
+}
