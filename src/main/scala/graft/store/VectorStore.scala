@@ -1,0 +1,216 @@
+package graft.store
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.model.{SearchHit, StorageInfo, VectorRecord}
+
+/** The reference's full API surface (`QueryProcessor` + `StorageEngine` +
+  * `Index`, SURVEY §2.1–2.3) as one Spark-native serving facade over an
+  * in-memory `Dataset[VectorRecord]`.
+  *
+  * Semantics contract (file:line into /root/reference):
+  *  - insert/upsertMany mint server-side UUIDs — callers can never supply
+  *    an id (`implementations/vector.py:13`), so "upsert" is insert-many.
+  *  - values are coerced to float32 (`vector.py:14`).
+  *  - namespaces appear implicitly on first write and vanish with their
+  *    last vector (`storage_engine_in_memory.py:12,49-50`) — emergent
+  *    here, since the namespace list is always derived from live rows.
+  *  - delete returns the ids actually removed
+  *    (`query_processor.py:51-62`); reads see deletes immediately via the
+  *    anti-join model, with no index rebuild and no analogue of the
+  *    reference's cross-namespace rebuild wipe bug (`index.py:136-143`).
+  *  - search in an unknown namespace returns empty, never errors
+  *    (`index.py:98-99`); k is clamped by LIMIT semantics
+  *    (`index.py:103-107`); metric is a per-query parameter (the cleaned-up
+  *    superset of the reference's space/metric quirk, SURVEY §2.4 D4).
+  *  - scores: "l2" = squared L2 ascending, "cosine" = similarity
+  *    descending (`index.py:125-127`), "ip" = 1−⟨a,b⟩ ascending.
+  *
+  * Scale shape: mutations are request-sized unions (batched by the caller,
+  * exactly like the reference's single `add_items` call); searches are
+  * scan → codegen'd distance → `TakeOrderedAndProject`. The durable
+  * 100 TB variant of this class is a parquet table partitioned by
+  * namespace plus a deletes table — identical plans, different source.
+  * `compact()` is the rebuild analogue: it truncates the union/anti-join
+  * lineage (`localCheckpoint`) the way the reference's rebuild re-packs
+  * its HNSW graph (`index.py:131-162`), but per-store, not data-losing.
+  */
+class VectorStore(val spark: SparkSession) {
+
+  import spark.implicits._
+
+  private var live: Dataset[VectorRecord] =
+    spark.emptyDataset[VectorRecord]
+  private var mutationsSinceCompact = 0
+
+  /** Auto-truncate lineage every N mutations so a long-lived store doesn't
+    * accrete an unbounded union/anti-join plan (the serving analogue of the
+    * reference's deleted-ratio rebuild trigger, `index.py:85-89`). */
+  private val CompactEvery = 64
+
+  private def commit(next: Dataset[VectorRecord]): Unit = {
+    mutationsSinceCompact += 1
+    live =
+      if (mutationsSinceCompact >= CompactEvery) {
+        mutationsSinceCompact = 0
+        next.localCheckpoint(eager = true)
+      } else next
+  }
+
+  // ---- writes (W1, W2) -----------------------------------------------
+
+  def insert(values: Seq[Float], metadata: Map[String, String] = Map.empty,
+             namespace: String = "default"): String =
+    upsertMany(Seq((values, metadata)), namespace).head
+
+  def upsertMany(vs: Seq[(Seq[Float], Map[String, String])],
+                 namespace: String): Seq[String] = {
+    val recs = vs.map { case (values, md) =>
+      VectorRecord(UUID.randomUUID().toString, namespace, values.toArray, md)
+    }
+    commit(live.union(recs.toDS()))
+    recs.map(_.id)
+  }
+
+  // ---- reads (S1, S2, S5) --------------------------------------------
+
+  def read(id: String, namespace: String): Option[VectorRecord] =
+    live.filter(col("namespace") === namespace && col("id") === id)
+      .collect().headOption
+
+  /** Positional batch read: result(i) corresponds to ids(i), None for
+    * misses — `storage_engine_in_memory.py:42-44`. One scan, not N. */
+  def readBatch(ids: Seq[String], namespace: String): Seq[Option[VectorRecord]] = {
+    val found = live
+      .filter(col("namespace") === namespace && col("id").isInCollection(ids))
+      .collect().map(r => r.id -> r).toMap
+    ids.map(found.get)
+  }
+
+  /** Scans all namespaces, like `storage_engine_in_memory.py:54-55`. */
+  def exists(id: String): Boolean =
+    !live.filter(col("id") === id).isEmpty
+
+  // ---- deletes (W3–W6) -----------------------------------------------
+
+  /** Returns the ids actually deleted (`query_processor.py:51-62`). */
+  def delete(ids: Seq[String], namespace: String): Seq[String] = {
+    val present = live
+      .filter(col("namespace") === namespace && col("id").isInCollection(ids))
+      .select("id").as[String].collect().toSeq
+    if (present.nonEmpty) {
+      commit(live.filter(!(col("namespace") === namespace &&
+        col("id").isInCollection(present))))
+    }
+    present
+  }
+
+  def deleteNamespace(namespace: String): Boolean = {
+    val had = live.filter(col("namespace") === namespace).limit(1).count() > 0
+    if (had) commit(live.filter(col("namespace") =!= namespace))
+    had
+  }
+
+  def clear(): Unit = {
+    live = spark.emptyDataset[VectorRecord]
+    mutationsSinceCompact = 0
+  }
+
+  /** Materialize current state and truncate lineage (rebuild analogue). */
+  def compact(): Unit = {
+    live = live.localCheckpoint(eager = true)
+    mutationsSinceCompact = 0
+  }
+
+  // ---- namespace / storage introspection (S4, A1–A4) ------------------
+
+  def listNamespaces(): Seq[String] =
+    live.select("namespace").distinct().as[String].collect().sorted.toSeq
+
+  def namespaceCount(namespace: String): Long =
+    live.filter(col("namespace") === namespace).count()
+
+  def totalCount(): Long = live.count()
+
+  /** Namespace dump (`query_processor.py:67-76`). */
+  def dumpNamespace(namespace: String): Seq[VectorRecord] =
+    live.filter(col("namespace") === namespace).collect().toSeq
+
+  def info(): StorageInfo = {
+    val perNs = live.groupBy(col("namespace"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("values")).cast("long") * 4L +
+          aggregate(map_values(col("metadata")), lit(0L),
+            (acc, v) => acc + length(v).cast("long"))).as("bytes"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    StorageInfo(
+      storageType = "spark-in-memory",
+      totalVectors = perNs.map(_._2).sum,
+      namespaces = perNs.map(t => t._1 -> t._2).toMap,
+      estBytes = perNs.map(_._3).sum)
+  }
+
+  // ---- search (K1–K5, Q11–Q14) ---------------------------------------
+
+  private def litVec(q: Seq[Float]) =
+    array(q.map(v => lit(v)): _*).cast("array<float>")
+
+  private def metadataPredicate(filter: Map[String, String]) =
+    filter.foldLeft(lit(true)) { case (acc, (k, v)) =>
+      acc && col("metadata").getItem(k) === v
+    }
+
+  /** Scored frame for a query vector — the shared plan under every search
+    * variant. The distance runs in whole-stage codegen; top-k goes through
+    * TakeOrderedAndProject. */
+  private def scored(query: Seq[Float], metric: String, namespace: String,
+                     filter: Map[String, String]): DataFrame = {
+    val qv = litVec(query)
+    val base = live
+      .filter(col("namespace") === namespace && metadataPredicate(filter))
+    val score = metric match {
+      case "l2"     => l2sq(col("values"), qv)
+      case "cosine" => cosineSim(col("values"), qv)
+      case "ip"     => ipDist(col("values"), qv)
+      case other    => throw new IllegalArgumentException(
+        s"unknown metric '$other' (expected l2 | cosine | ip)")
+    }
+    base.withColumn("score", score)
+  }
+
+  private def collectHits(df: DataFrame): Seq[SearchHit] =
+    df.select(col("id"), col("score"), col("values"), col("metadata"))
+      .as[SearchHit].collect().toSeq
+
+  private def ranked(df: DataFrame, metric: String): DataFrame =
+    if (metric == "cosine") df.orderBy(col("score").desc, col("id"))
+    else df.orderBy(col("score"), col("id"))
+
+  /** Top-k similarity search (`query_processor.py:26-49`). */
+  def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
+                  namespace: String = "default",
+                  filter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
+    collectHits(ranked(scored(query, metric, namespace, filter), metric).limit(k))
+  }
+
+  /** Range search: all vectors with distance ≤ r (README.md:216). */
+  def rangeSearch(query: Seq[Float], r: Double, metric: String = "l2",
+                  namespace: String = "default",
+                  filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    collectHits(ranked(scored(query, metric, namespace, filter), metric)
+      .where(col("score") <= r))
+
+  /** Similarity-threshold search: cosine sim ≥ t, descending
+    * (`examples/api_client.py:50-63`). */
+  def thresholdSearch(query: Seq[Float], t: Double,
+                      namespace: String = "default",
+                      filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    collectHits(ranked(scored(query, "cosine", namespace, filter), "cosine")
+      .where(col("score") >= t))
+}

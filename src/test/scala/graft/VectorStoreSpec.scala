@@ -1,0 +1,218 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.VectorStore
+
+/** Mirrors the reference's storage-engine and query-processor suites
+  * (SURVEY §5; fixtures from FIXTURES.md §A):
+  * tests/test_storage_engine_in_memory.py + tests/test_query_processor.py.
+  */
+class VectorStoreSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def newStore = new VectorStore(spark)
+
+  // crudTriple fixture (test_storage_engine_in_memory.py:17-20)
+  private val crud = Seq(
+    (Seq(1f, 2f, 3f), Map("type" -> "a", "category" -> "x")),
+    (Seq(4f, 5f, 6f), Map("type" -> "b", "category" -> "x")),
+    (Seq(7f, 8f, 9f), Map("type" -> "c", "category" -> "y")))
+
+  test("insert + read roundtrip preserves values and metadata") {
+    val s = newStore
+    val id = s.insert(Seq(1.5f, -2.5f, 3f), Map("label" -> "A"), "ns1")
+    val got = s.read(id, "ns1")
+    assert(got.isDefined)
+    assert(got.get.values.toSeq == Seq(1.5f, -2.5f, 3f))
+    assert(got.get.metadata == Map("label" -> "A"))
+    assert(got.get.namespace == "ns1")
+  }
+
+  test("read missing id or namespace returns None (S1)") {
+    val s = newStore
+    s.insert(Seq(1f, 2f), Map.empty, "ns1")
+    assert(s.read("nope", "ns1").isEmpty)
+    assert(s.read("nope", "no_ns").isEmpty)
+  }
+
+  test("batch read is positional and order-preserving with misses (S2)") {
+    val s = newStore
+    val ids = s.upsertMany(crud, "ns1")
+    val got = s.readBatch(Seq(ids(2), "missing", ids(0), ids(2)), "ns1")
+    assert(got.length == 4)
+    assert(got(0).get.values.toSeq == Seq(7f, 8f, 9f))
+    assert(got(1).isEmpty)
+    assert(got(2).get.values.toSeq == Seq(1f, 2f, 3f))
+    assert(got(3).get.id == ids(2))
+  }
+
+  test("upsert_many is insert-many: new server-side ids every call (W2)") {
+    val s = newStore
+    val first = s.upsertMany(crud, "ns1")
+    val second = s.upsertMany(crud, "ns1")
+    assert(first.toSet.intersect(second.toSet).isEmpty)
+    assert(s.totalCount() == 6)
+  }
+
+  test("delete reports only ids actually present (W3)") {
+    val s = newStore
+    val ids = s.upsertMany(crud, "ns1")
+    val deleted = s.delete(Seq(ids(0), "ghost", ids(1)), "ns1")
+    assert(deleted.toSet == Set(ids(0), ids(1)))
+    assert(s.totalCount() == 1)
+    assert(s.read(ids(0), "ns1").isEmpty)
+  }
+
+  test("namespace auto-GC when last vector deleted (W6, test :99-106)") {
+    val s = newStore
+    val id = s.insert(Seq(1f), Map.empty, "fleeting")
+    s.insert(Seq(2f), Map.empty, "stable")
+    assert(s.listNamespaces() == Seq("fleeting", "stable"))
+    s.delete(Seq(id), "fleeting")
+    assert(s.listNamespaces() == Seq("stable"))
+  }
+
+  test("deleteNamespace drops whole namespace; clear wipes store (W4, W5)") {
+    val s = newStore
+    s.upsertMany(crud, "a")
+    s.upsertMany(crud, "b")
+    assert(s.deleteNamespace("a"))
+    assert(!s.deleteNamespace("a"))
+    assert(s.listNamespaces() == Seq("b"))
+    s.clear()
+    assert(s.totalCount() == 0)
+  }
+
+  test("exists scans all namespaces (S5)") {
+    val s = newStore
+    val id = s.insert(Seq(1f, 2f), Map.empty, "deep_ns")
+    assert(s.exists(id))
+    assert(!s.exists("nope"))
+  }
+
+  test("values are coerced to float32 (vector.py:14)") {
+    val s = newStore
+    // 0.1 is not representable; storing as Float must truncate to float32
+    val id = s.insert(Seq(0.1000000001f, 0.2f), Map.empty, "ns")
+    val got = s.read(id, "ns").get
+    assert(got.values(0) == 0.1f)
+  }
+
+  test("cosine search ordering matches an independent oracle (test_query_processor.py:108-119)") {
+    val rnd = new Random(42)
+    val s = newStore
+    val vecs = Seq.fill(100)(Seq.fill(10)(rnd.nextFloat()))
+    val ids = s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "ns")
+    val query = Seq.fill(10)(rnd.nextFloat())
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val oracle = ids.zip(vecs).map { case (id, v) => (id, cos(v, query)) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(10)
+
+    val hits = s.findSimilar(query, k = 10, metric = "cosine", namespace = "ns")
+    assert(hits.map(_.id) == oracle.map(_._1))
+    hits.zip(oracle).foreach { case (h, (_, sc)) =>
+      assert(math.abs(h.score - sc) < 1e-9)
+    }
+  }
+
+  test("l2 metric returns squared euclidean ascending (D1)") {
+    val s = newStore
+    s.insert(Seq(0f, 0f), Map("who" -> "origin"), "ns")
+    s.insert(Seq(3f, 4f), Map("who" -> "far"), "ns")
+    val hits = s.findSimilar(Seq(0f, 0f), k = 2, metric = "l2", namespace = "ns")
+    assert(hits.head.metadata("who") == "origin")
+    assert(hits.head.score == 0.0)
+    assert(hits(1).score == 25.0) // squared, NOT 5.0
+  }
+
+  test("k > collection size returns all, never errors (K2, test :122-131)") {
+    val s = newStore
+    s.upsertMany(crud, "ns")
+    assert(s.findSimilar(Seq(1f, 2f, 3f), k = 1000, namespace = "ns").length == 3)
+  }
+
+  test("search in unknown namespace returns empty (index.py:98-99)") {
+    val s = newStore
+    s.upsertMany(crud, "ns")
+    assert(s.findSimilar(Seq(1f, 2f, 3f), k = 5, namespace = "ghost").isEmpty)
+  }
+
+  test("namespace isolation: same query, disjoint results (test_query_processor.py:70-85)") {
+    val s = newStore
+    s.upsertMany(Seq((Seq(1f, 0f), Map("side" -> "alpha"))), "alpha")
+    s.upsertMany(Seq((Seq(1f, 0f), Map("side" -> "beta"))), "beta")
+    val a = s.findSimilar(Seq(1f, 0f), k = 10, namespace = "alpha")
+    val b = s.findSimilar(Seq(1f, 0f), k = 10, namespace = "beta")
+    assert(a.length == 1 && a.head.metadata("side") == "alpha")
+    assert(b.length == 1 && b.head.metadata("side") == "beta")
+  }
+
+  test("delete-then-search excludes deleted ids (W3+K4, test :88-105)") {
+    val s = newStore
+    val ids = s.upsertMany(crud, "ns")
+    s.delete(Seq(ids(0)), "ns")
+    val hits = s.findSimilar(Seq(1f, 2f, 3f), k = 10, metric = "l2", namespace = "ns")
+    assert(!hits.map(_.id).contains(ids(0)))
+    assert(hits.length == 2)
+  }
+
+  test("hybrid search: conjunctive metadata filter ∧ KNN (Q13/Q14)") {
+    val s = newStore
+    s.upsertMany(crud, "ns")
+    val hits = s.findSimilar(Seq(1f, 2f, 3f), k = 10, metric = "l2",
+      namespace = "ns", filter = Map("category" -> "x", "type" -> "b"))
+    assert(hits.length == 1)
+    assert(hits.head.values.toSeq == Seq(4f, 5f, 6f))
+  }
+
+  test("range and threshold search (Q11/Q12)") {
+    val s = newStore
+    s.insert(Seq(1f, 0f), Map.empty, "ns")
+    s.insert(Seq(0.9f, 0.1f), Map.empty, "ns")
+    s.insert(Seq(-1f, 0f), Map.empty, "ns")
+    val inRange = s.rangeSearch(Seq(1f, 0f), r = 0.5, metric = "l2", namespace = "ns")
+    assert(inRange.length == 2)
+    val aboveT = s.thresholdSearch(Seq(1f, 0f), t = 0.9, namespace = "ns")
+    assert(aboveT.length == 2)
+    assert(aboveT.map(_.score).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("storage info aggregates counts and bytes (A4)") {
+    val s = newStore
+    s.upsertMany(crud, "a")
+    s.insert(Seq(1f, 2f), Map.empty, "b")
+    val info = s.info()
+    assert(info.totalVectors == 4)
+    assert(info.namespaces == Map("a" -> 3, "b" -> 1))
+    assert(info.estBytes >= 4 * (3 * 3 + 2)) // at least the float payload
+    assert(info.storageType == "spark-in-memory")
+  }
+
+  test("vector equality: identical payload, different ids → unequal (test :192-200)") {
+    import graft.model.VectorRecord
+    val v1 = VectorRecord("id1", "ns", Array(1f, 2f), Map("k" -> "v"))
+    val v2 = VectorRecord("id2", "ns", Array(1f, 2f), Map("k" -> "v"))
+    val v3 = VectorRecord("id1", "ns", Array(1f, 2f), Map("k" -> "v"))
+    assert(v1 != v2)
+    assert(v1 == v3)
+  }
+
+  test("many small mutations stay correct across auto-compaction") {
+    val s = newStore
+    val ids = (1 to 70).map(i => s.insert(Seq(i.toFloat), Map("i" -> i.toString), "ns"))
+    assert(s.totalCount() == 70)
+    assert(s.read(ids.head, "ns").isDefined)
+    val deleted = s.delete(ids.take(10), "ns")
+    assert(deleted.length == 10)
+    assert(s.totalCount() == 60)
+  }
+}
