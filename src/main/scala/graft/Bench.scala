@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/datasource paths once so the first measured
+    // query isn't charged ~3s of session initialization.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

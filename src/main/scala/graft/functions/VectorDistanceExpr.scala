@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen distance kernel — the perf upgrade over the
+  * `zip_with`+`aggregate` composition (SURVEY §4/§7: "custom codegen
+  * `Expression` only as perf upgrade").
+  *
+  * The composed form materializes an intermediate array per row pair and
+  * walks it through the higher-order-function interpreter; this Expression
+  * generates a single fused loop over the two `ArrayData` buffers inside
+  * whole-stage codegen — no allocation, no virtual calls in the hot loop.
+  * On the 2k×2k sf0.1 pairwise-cosine join this is the difference between
+  * an allocation-bound and a FLOP-bound inner loop.
+  *
+  * Accumulation order and widening (float32 element → double accumulate,
+  * ascending index) are IDENTICAL to VectorFunctions' composed kernels, so
+  * results are bit-identical and the DuckDB oracles transfer unchanged.
+  *
+  * Metrics: "l2sq" (squared Euclidean — hnswlib 'l2', no sqrt), "cos"
+  * (cosine similarity), "dot" (inner product; ip distance = 1 − dot).
+  */
+case class VectorDistance(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression {
+
+  require(VectorDistance.Metrics.contains(metric),
+    s"unknown metric '$metric' (expected ${VectorDistance.Metrics.mkString(" | ")})")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = s"vec_$metric"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    metric match {
+      case "l2sq" =>
+        var acc = 0.0
+        while (i < n) {
+          val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      case "dot" =>
+        var acc = 0.0
+        while (i < n) {
+          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+        }
+        acc
+      case "cos" =>
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+          d += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val header =
+        s"""int $n = $a.numElements() < $b.numElements()
+           |    ? $a.numElements() : $b.numElements();""".stripMargin
+      metric match {
+        case "l2sq" =>
+          val acc = ctx.freshName("acc")
+          val d = ctx.freshName("d")
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+             |  $acc += $d * $d;
+             |}
+             |${ev.value} = $acc;""".stripMargin
+        case "dot" =>
+          val acc = ctx.freshName("acc")
+          s"""$header
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+             |}
+             |${ev.value} = $acc;""".stripMargin
+        case "cos" =>
+          val d = ctx.freshName("d")
+          val na = ctx.freshName("na")
+          val nb = ctx.freshName("nb")
+          val xv = ctx.freshName("xv")
+          val yv = ctx.freshName("yv")
+          s"""$header
+             |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $xv = (double) $a.getFloat($i);
+             |  double $yv = (double) $b.getFloat($i);
+             |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+             |}
+             |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+      }
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorDistance {
+
+  val Metrics: Set[String] = Set("l2sq", "dot", "cos")
+
+  private def make(metric: String)(a: Column, b: Column): Column =
+    CatalystBridge.column(VectorDistance(
+      CatalystBridge.expression(a), CatalystBridge.expression(b), metric))
+
+  def l2sq(a: Column, b: Column): Column = make("l2sq")(a, b)
+  def dot(a: Column, b: Column): Column = make("dot")(a, b)
+  def cosineSim(a: Column, b: Column): Column = make("cos")(a, b)
+
+  /** SQL registration: `vec_l2sq(a,b)`, `vec_dot(a,b)`, `vec_cos(a,b)` —
+    * the engine's scalar-function surface for `spark.sql(...)` users. */
+  def register(spark: SparkSession): Unit =
+    Metrics.foreach { m =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"vec_$m", exprs => VectorDistance(exprs(0), exprs(1), m), "builtin")
+    }
+}

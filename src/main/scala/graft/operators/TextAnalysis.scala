@@ -40,7 +40,11 @@ object TextAnalysis {
   // `lang` column (n_match = how often the heuristic agrees).
 
   def q20(spark: SparkSession, dir: String): DataFrame = {
-    val d = withToks(spark, dir).withColumn("dtoks", array_distinct(col("toks")))
+    // materialize the tokenization once — the four per-language score
+    // columns would otherwise each re-run the regex scan
+    val d = withToks(spark, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(col("toks")).as("dtoks"))
+      .localCheckpoint(true)
     val scoredD = Markers.foldLeft(d) { case (acc, (lang, words)) =>
       acc.withColumn(s"s_$lang",
         expr(s"size(array_intersect(dtoks, array(${words.map(w => s"'$w'").mkString(",")})))"))

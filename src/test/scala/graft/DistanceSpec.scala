@@ -64,6 +64,23 @@ class DistanceSpec extends AnyFunSuite {
     self.foreach { case (_, c, _) => assert(math.abs(c - 1.0) < 1e-12) }
   }
 
+  test("codegen kernels are bit-identical to the composed built-in forms") {
+    val pairs = Gen.listOfN(60, vecPair).sample.get
+      .filter { case (a, b) => a.exists(_ != 0f) && b.exists(_ != 0f) }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        (l2sq(col("a").cast("array<float>"), col("b").cast("array<float>")) -
+          l2sqComposed(col("a").cast("array<float>"), col("b").cast("array<float>"))).as("dl2"),
+        (cosineSim(col("a").cast("array<float>"), col("b").cast("array<float>")) -
+          cosineSimComposed(col("a").cast("array<float>"), col("b").cast("array<float>"))).as("dcos"),
+        (dot(col("a").cast("array<float>"), col("b").cast("array<float>")) -
+          dotComposed(col("a").cast("array<float>"), col("b").cast("array<float>"))).as("ddot"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    }
+  }
+
   test("ip distance is 1 - dot") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(0.5f, -1f, 2f))).toDF("a", "b")
     val r = df.select(
