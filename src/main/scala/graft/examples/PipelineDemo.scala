@@ -1,0 +1,37 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Drives the streaming and multimodal paths end-to-end on sf0.001.
+  * Run: `sbt 'runMain graft.examples.PipelineDemo'`. */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val q = EventStream.startToMemory(spark, dir, "demo_hourly")
+    q.processAllAvailable()
+    val windows = spark.table("demo_hourly").orderBy("bucket_us", "event_type")
+    println(s"[pipeline] streaming drained: ${windows.count()} hourly windows; first 3:")
+    windows.limit(3).collect().foreach(r => println(s"[pipeline]   $r"))
+    println(s"[pipeline] stream progress: batches=${q.recentProgress.length}, " +
+      s"rows=${q.recentProgress.map(_.numInputRows).sum}")
+    q.stop()
+
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val feats = Multimodal.extractFeatures(media)
+    println(s"[pipeline] media records: ${media.count()}, features: ${feats.count()}")
+    Multimodal.featureSummary(spark, dir).collect()
+      .foreach(r => println(s"[pipeline]   kind=$r"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, VectorSearch}
+import graft.sources.Tables
+
+/** Physical-plan audit: pins the plan shapes the 100 TB design depends on
+  * (SURVEY §4). If a refactor silently degrades top-k into a global sort,
+  * drops a broadcast, or stops pushing filters into the parquet scan,
+  * these fail before any benchmark notices.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("KNN top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(VectorSearch.q01(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("query-vector join is a broadcast, the corpus side never shuffles") {
+    val p = plan(VectorSearch.q01(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(600))
+  }
+
+  test("metadata filter pushes into the parquet scan") {
+    val p = plan(Tables.table(spark, dir, "embeddings")
+      .where(org.apache.spark.sql.functions.col("label") === 3))
+    assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]"),
+      p.take(900))
+  }
+
+  test("scan prunes columns: 2-column projection reads a 2-column schema") {
+    val p = plan(Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      p.take(900))
+  }
+
+  test("dimension joins in the revenue rollup broadcast the small sides") {
+    val p = plan(Relational.q25(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+  }
+
+  test("pricing summary uses partial aggregation (map-side combine)") {
+    val p = plan(Relational.q24(spark, dir))
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p.take(900))
+  }
+
+  test("distance kernel runs inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.table(spark, dir, "embeddings")
+    val p = plan(e.select(
+      graft.functions.VectorFunctions.cosineSim(col("embedding"), col("embedding"))
+        .as("s")))
+    // `*(n)` prefixes mark whole-stage-codegen stages in plan toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("vec_cos")),
+      p.take(600))
+  }
+}

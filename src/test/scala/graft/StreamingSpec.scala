@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventOps
+import graft.streaming.EventStream
+
+/** Batch/stream parity: draining the streaming job over the same files
+  * must reproduce EventOps.q29 exactly — the Spark-native way to pin
+  * streaming semantics to an oracle-checked batch query. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly windows equal the batch q29 answer after drain") {
+    val q = EventStream.startToMemory(spark, dir, "stream_hourly")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hourly").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventOps.q29(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
