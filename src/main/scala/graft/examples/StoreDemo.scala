@@ -58,6 +58,18 @@ object StoreDemo {
 
     val info = store.info()
     println(s"[demo] info: total=${info.totalVectors} namespaces=${info.namespaces} bytes=${info.estBytes}")
+
+    // durable form: persist the embeddings corpus partitioned by namespace,
+    // read it back with a namespace predicate (pruned to one partition dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString
+    graft.sources.VectorParquet.write(
+      graft.sources.Tables.vectors(spark, "/root/testdata/sf0.001"), tmp)
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    println(s"[demo] durable layout: ${dirs.mkString(", ")}")
+    val pruned = graft.sources.VectorParquet.read(spark, tmp)
+      .where(org.apache.spark.sql.functions.col("namespace") === "ns_2")
+    println(s"[demo] pruned read ns_2: ${pruned.count()} rows; plan prunes: " +
+      pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(namespace"))
     spark.stop()
   }
 }

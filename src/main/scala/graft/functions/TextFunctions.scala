@@ -17,8 +17,14 @@ object TextFunctions {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Lowercased word tokens `[a-z0-9]+` (the BPE-ish regex tokenizer). */
-  def tokens(c: Column): Column =
+  /** Lowercased word tokens — semantics of
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`, executed by the
+    * single-pass [[Tokenize]] expression (the regex scan dominated every
+    * text query; TextFunctionsSpec pins byte-equivalence). */
+  def tokens(c: Column): Column = Tokenize(c)
+
+  /** The regex form tokens() is specified against. */
+  def tokensRegex(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   /** Distinct word n-gram shingles of a token array. Guards short docs

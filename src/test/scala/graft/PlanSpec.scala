@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p.take(900))
   }
 
+  test("namespace predicate on the durable store is partition pruning, not a row filter") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vp").toString
+    Tables.vectors(spark, dir).write.mode("overwrite")
+      .partitionBy("namespace").parquet(tmp)
+    val p = plan(graft.sources.VectorParquet.read(spark, tmp)
+      .where(col("namespace") === "ns_1"))
+    assert(p.contains("PartitionFilters: [isnotnull(namespace"), p.take(900))
+    assert(p.contains("(namespace") && p.contains("= ns_1"), p.take(900))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
