@@ -131,11 +131,72 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- IVF: k-means coarse quantizer + nprobe (the second scale path) --
+  // The inverted-file layout: vectors are bucketed by nearest centroid;
+  // a query probes only its nProbe closest cells and reranks exactly.
+  // At 100 TB the cell id becomes the partition/bucket column, so a
+  // search touches nProbe/nCells of the data. MLlib KMeans (seeded)
+  // plays the role of the coarse quantizer; training is a sample-sized
+  // job, assignment is one linear pass.
+
+  private val NumCells = 16
+  private val NumProbe = 4
+  private val KmeansSeed = 42L
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("fv", array_to_vector(col("embedding")))
+      .localCheckpoint(true)
+    val model = new KMeans()
+      .setK(NumCells).setSeed(KmeansSeed).setFeaturesCol("fv")
+      .setMaxIter(5).setInitMode("random") // coarse quantizer: cheap training is fine
+      .fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+
+    // probe list per query: nProbe nearest centroids (driver-side — the
+    // query batch and the centroid table are both request-sized)
+    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val queries = queryFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var k = 0
+          while (k < qv.length) {
+            val diff = qv(k).toDouble - c(k).toDouble; d += diff * diff; k += 1
+          }
+          (i, d)
+        }
+        .sortBy(_._2).take(NumProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("qid", "cell")
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
+      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_ann_brute_topk" -> (q31 _),
-    "q32_ann_lsh_topk" -> (q32 _))
+    "q32_ann_lsh_topk" -> (q32 _),
+    "q33_ann_ivf_topk" -> (ivfTopK _))
 
   /** q32 is approximate by design → no SQL oracle (rows-only check);
     * AnnSpec asserts its recall against q31. */

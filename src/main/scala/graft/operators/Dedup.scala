@@ -203,18 +203,15 @@ object Dedup {
   // ---- Q19: SimHash + chunk-banded hamming candidates -----------------
 
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    // token hashes stay md5-derived (hash60) — the q19 oracle recomputes
+    // the identical simhash from md5 bits in SQL. The 60 signed bit
+    // counters collapse into one SimhashAgg buffer (vs 60 sum(CASE…)
+    // columns), still map-side combinable.
+    docs(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", hash60(col("tok")))
-    val bitAggs = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$b")
-    }
-    val sums = toks.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val fp = (0 until SimhashBits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), fp.as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAgg.simhash(col("h"), SimhashBits).as("fp"))
   }
 
   def q19(spark: SparkSession, dir: String): DataFrame = {
