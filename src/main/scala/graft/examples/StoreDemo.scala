@@ -59,6 +59,11 @@ object StoreDemo {
     val info = store.info()
     println(s"[demo] info: total=${info.totalVectors} namespaces=${info.namespaces} bytes=${info.estBytes}")
 
+    // explain: the documented-but-unimplemented reference surface, made real
+    val explain = store.explainSearch(Seq(1f, 0f, 0f), k = 2, namespace = "demo")
+    println("[demo] explain (first 2 lines): " +
+      explain.linesIterator.filter(_.nonEmpty).take(2).mkString(" | "))
+
     // durable form: persist the embeddings corpus partitioned by namespace,
     // read it back with a namespace predicate (pruned to one partition dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_store").toString

@@ -213,4 +213,14 @@ class VectorStore(val spark: SparkSession) {
                       filter: Map[String, String] = Map.empty): Seq[SearchHit] =
     collectHits(ranked(scored(query, "cosine", namespace, filter), "cosine")
       .where(col("score") >= t))
+
+  /** The reference documents an `explain_query` surface but never
+    * implements it (`README.md:303-318`); on Spark it is real — the
+    * Catalyst physical plan for the search this store would run. */
+  def explainSearch(query: Seq[Float], k: Int = 10, metric: String = "cosine",
+                    namespace: String = "default",
+                    filter: Map[String, String] = Map.empty): String =
+    ranked(scored(query, metric, namespace, filter), metric).limit(k)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }

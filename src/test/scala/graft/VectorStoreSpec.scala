@@ -197,6 +197,14 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(info.storageType == "spark-in-memory")
   }
 
+  test("explainSearch surfaces the physical plan (README.md:303-318 made real)") {
+    val s = newStore
+    s.upsertMany(crud, "ns")
+    val plan = s.explainSearch(Seq(1f, 2f, 3f), k = 2, namespace = "ns")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("Physical Plan"))
+  }
+
   test("vector equality: identical payload, different ids → unequal (test :192-200)") {
     import graft.model.VectorRecord
     val v1 = VectorRecord("id1", "ns", Array(1f, 2f), Map("k" -> "v"))
