@@ -77,7 +77,7 @@ object Ann {
        |  SELECT qid, id, score,
        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
        |  FROM s)
-       |SELECT qid, rank, id, score FROM r WHERE rank <= $K
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
   // ---- Q32: LSH-bucketed ANN (approximate, measured by AnnSpec) -------

@@ -38,7 +38,7 @@ object EventOps {
   }
 
   val q27Sql: String =
-    s"""SELECT event_type, rank, event_id, user_id, ${r4Sql("value")} AS value
+    s"""SELECT event_type, rank::INT AS rank, event_id, user_id, ${r4Sql("value")} AS value
        |FROM (
        |  SELECT event_type, event_id, user_id, value,
        |         row_number() OVER (PARTITION BY event_type

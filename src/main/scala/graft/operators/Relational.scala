@@ -107,7 +107,7 @@ object Relational {
   }
 
   val q26Sql: String =
-    s"""SELECT c_mktsegment, rank, o_orderkey, ${r4Sql("o_totalprice")} AS totalprice
+    s"""SELECT c_mktsegment, rank::INT AS rank, o_orderkey, ${r4Sql("o_totalprice")} AS totalprice
        |FROM (
        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
        |         row_number() OVER (PARTITION BY c_mktsegment

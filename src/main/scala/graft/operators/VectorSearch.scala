@@ -184,7 +184,7 @@ object VectorSearch {
     s"""WITH $vecsCte, s AS (
        |  SELECT namespace, id, round(${cosSql("values", "qv")}, 4) AS score
        |  FROM v, q)
-       |SELECT namespace, rank, id, score FROM (
+       |SELECT namespace, rank::INT AS rank, id, score FROM (
        |  SELECT namespace, id, score,
        |         row_number() OVER (PARTITION BY namespace ORDER BY score DESC, id) AS rank
        |  FROM s)

@@ -37,6 +37,9 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_fail = 0
+    norm = {"int64": "BIGINT", "int32": "INTEGER", "double": "DOUBLE",
+            "string": "VARCHAR", "large_string": "VARCHAR", "float": "FLOAT",
+            "bool": "BOOLEAN"}
     for name in sorted(oracle):
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
@@ -44,6 +47,22 @@ def main() -> int:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
+        # strict type parity: pandas canonicalization below would mask
+        # e.g. INT32-vs-BIGINT drift (row_number differs across engines)
+        try:
+            import glob as _glob
+            import pyarrow.parquet as _pq
+            pf = _glob.glob(f"{out_dir}/{name}/*.parquet")
+            sschema = {f.name: str(f.type) for f in _pq.ParquetFile(pf[0]).schema_arrow}
+            dd = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracle[name]}) LIMIT 0").df()
+            dschema = dict(zip(dd.column_name, dd.column_type))
+            for c, t in sschema.items():
+                if norm.get(t, t) != dschema.get(c, "MISSING"):
+                    print(f"WARN {name}: type drift on {c}: spark={t} "
+                          f"oracle={dschema.get(c)}")
+        except Exception:
+            pass
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
