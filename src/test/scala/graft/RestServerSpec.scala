@@ -1,0 +1,108 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serving.RestServer
+import graft.store.VectorStore
+
+/** Drives the REST facade over real HTTP — the reference's example-client
+  * flow (`examples/api_client.py`) replayed against the Spark engine. */
+class RestServerSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val mapper = new ObjectMapper()
+  private val client = HttpClient.newHttpClient()
+
+  private def withServer(f: (String, RestServer) => Unit): Unit = {
+    val server = new RestServer(new VectorStore(spark))
+    server.start()
+    try f(s"http://127.0.0.1:${server.boundPort}", server)
+    finally server.stop()
+  }
+
+  private def send(method: String, url: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = (method match {
+      case "GET" => b.GET()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }).header("Content-Type", "application/json").build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("full reference client flow over HTTP") {
+    withServer { (base, _) =>
+      // health before any data
+      val (hc, hb) = send("GET", s"$base/health")
+      assert(hc == 200 && mapper.readTree(hb).get("status").asText() == "ok")
+
+      // insert one + batch
+      val (ic, ib) = send("POST", s"$base/vectors?namespace=demo",
+        """{"values": [1.0, 0.0], "metadata": {"label": "x"}}""")
+      assert(ic == 200)
+      val id1 = mapper.readTree(ib).get("id").asText()
+      val (bc, bb) = send("PUT", s"$base/vectors/batch?namespace=demo",
+        """{"vectors": [{"values": [0.0, 1.0], "metadata": {"label": "y"}},
+          |             {"values": [0.9, 0.1]}]}""".stripMargin)
+      assert(bc == 200 && mapper.readTree(bb).get("count").asInt() == 2)
+
+      // search
+      val (sc, sb) = send("POST", s"$base/search?namespace=demo",
+        """{"query": [1.0, 0.05], "top_k": 2, "metric": "cosine"}""")
+      assert(sc == 200)
+      val results = mapper.readTree(sb).get("results")
+      assert(results.size() == 2)
+      assert(results.get(0).get("metadata").get("label").asText() == "x")
+      assert(results.get(0).get("score").asDouble() >
+        results.get(1).get("score").asDouble())
+
+      // namespaces + storage info
+      val (nc, nb) = send("GET", s"$base/namespaces")
+      assert(nc == 200 && mapper.readTree(nb).get("namespaces").get("demo").asLong() == 3)
+      val (stc, stb) = send("GET", s"$base/storage/info")
+      assert(stc == 200 && mapper.readTree(stb).get("total_vectors").asLong() == 3)
+
+      // namespace dump
+      val (dc, db) = send("GET", s"$base/namespaces/demo/vectors")
+      assert(dc == 200 && mapper.readTree(db).get("vectors").size() == 3)
+
+      // delete (one real + one ghost) then search excludes it
+      val (delc, delb) = send("DELETE", s"$base/vectors?namespace=demo",
+        s"""{"ids": ["$id1", "ghost"]}""")
+      assert(delc == 200)
+      assert(mapper.readTree(delb).get("deleted").size() == 1)
+      val (sc2, sb2) = send("POST", s"$base/search?namespace=demo",
+        """{"query": [1.0, 0.05], "top_k": 10}""")
+      assert(sc2 == 200)
+      val after = mapper.readTree(sb2).get("results")
+      assert(after.size() == 2)
+      (0 until after.size()).foreach(i =>
+        assert(after.get(i).get("id").asText() != id1))
+    }
+  }
+
+  test("validation mirrors the reference: bad inputs get 4xx, not 500") {
+    withServer { (base, _) =>
+      // empty delete list → 400 (rest_api.py:216-221)
+      assert(send("DELETE", s"$base/vectors", """{"ids": []}""")._1 == 400)
+      // top_k out of [1,1000] → 422 (rest_api.py:24)
+      assert(send("POST", s"$base/search",
+        """{"query": [1.0], "top_k": 5000}""")._1 == 422)
+      // unknown metric → 422
+      assert(send("POST", s"$base/search",
+        """{"query": [1.0], "metric": "chebyshev"}""")._1 == 422)
+      // malformed JSON → 400
+      assert(send("POST", s"$base/search", """{"query": [1.0""")._1 == 400)
+      // wrong method → 405
+      assert(send("GET", s"$base/search")._1 == 405)
+      // search in unknown namespace → 200 empty, never errors (index.py:98-99)
+      val (c, b) = send("POST", s"$base/search?namespace=ghost",
+        """{"query": [1.0]}""")
+      assert(c == 200 && mapper.readTree(b).get("results").size() == 0)
+    }
+  }
+}
