@@ -27,6 +27,21 @@ object PipelineDemo {
       s"rows=${q.recentProgress.map(_.numInputRows).sum}")
     q.stop()
 
+    // skew + durable-store maintenance
+    import org.apache.spark.sql.functions.col
+    val hot = graft.operators.Skew
+      .saltedCount(graft.sources.Tables.table(spark, dir, "lineitem"),
+        col("l_returnflag"), salts = 8)
+      .orderBy(col("key")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    println(s"[pipeline] salted per-flag counts: $hot")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pd").toString
+    graft.sources.VectorParquet.write(graft.sources.Tables.vectors(spark, dir), tmp)
+    val tomb = graft.sources.VectorParquet.read(spark, tmp)
+      .where(col("id") % 3 === 0).select("id")
+    val left = graft.sources.VectorParquet.compact(spark, tmp, tomb)
+    println(s"[pipeline] compaction left $left rows after deleting id%3==0")
+
     val media = Multimodal.syntheticMedia(spark, dir)
     val feats = Multimodal.extractFeatures(media)
     println(s"[pipeline] media records: ${media.count()}, features: ${feats.count()}")

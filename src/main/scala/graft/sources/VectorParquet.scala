@@ -31,4 +31,18 @@ object VectorParquet {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compaction: rewrite the store minus tombstoned ids — the durable
+    * analogue of the reference's threshold-triggered index rebuild
+    * (`index.py:85-89` + `query_processor.py:58-61`), but scoped to the
+    * namespaces that actually have deletes and without the reference's
+    * cross-namespace wipe bug. Returns rows remaining. */
+  def compact(spark: SparkSession, path: String, deletes: DataFrame): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    val live = read(spark, path)
+      .join(broadcast(deletes.select("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true) // materialize before overwriting the source
+    write(live, path)
+    live.count()
+  }
 }

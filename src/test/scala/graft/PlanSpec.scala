@@ -64,6 +64,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(namespace") && p.contains("= ns_1"), p.take(900))
   }
 
+  test("durable-store compaction drops tombstoned ids and keeps the layout") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val vecs = Tables.vectors(spark, dir)
+    graft.sources.VectorParquet.write(vecs, tmp)
+    val before = graft.sources.VectorParquet.read(spark, tmp).count()
+    val tombstones = vecs.where(col("id") % 5 === 0).select("id")
+    val nDeleted = tombstones.count()
+    val remaining = graft.sources.VectorParquet.compact(spark, tmp, tombstones)
+    assert(remaining == before - nDeleted)
+    val reread = graft.sources.VectorParquet.read(spark, tmp)
+    assert(reread.count() == remaining)
+    assert(reread.where(col("id") % 5 === 0).count() == 0)
+    assert(reread.columns.contains("namespace")) // partition column survives
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
