@@ -46,26 +46,42 @@ case class TokenShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val bs = input.asInstanceOf[UTF8String].getBytes
-    // pass 1: token FNV-1a hashes
+    // pass 1: token FNV-1a hashes. Tokenization matches Tokenize.scala
+    // exactly, including the two Unicode chars that lowercase into the
+    // ASCII class (U+212A → 'k' continues a token; U+0130 → 'i' then a
+    // forced break from its combining dot).
     val tokenHashes = mutable.ArrayBuffer.empty[Long]
     var i = 0
     var h = TokenShingleHashes.FnvOffset
     var inTok = false
+    def endToken(): Unit = if (inTok) {
+      tokenHashes += h
+      h = TokenShingleHashes.FnvOffset
+      inTok = false
+    }
     while (i < bs.length) {
       var b = bs(i)
       if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
-      val isTok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      if (isTok) {
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
         h = (h ^ (b & 0xffL)) * TokenShingleHashes.FnvPrime
         inTok = true
-      } else if (inTok) {
-        tokenHashes += h
-        h = TokenShingleHashes.FnvOffset
-        inTok = false
+        i += 1
+      } else if (b == 0xE2.toByte && i + 2 < bs.length &&
+                 bs(i + 1) == 0x84.toByte && bs(i + 2) == 0xAA.toByte) {
+        h = (h ^ ('k' & 0xffL)) * TokenShingleHashes.FnvPrime
+        inTok = true
+        i += 3
+      } else if (b == 0xC4.toByte && i + 1 < bs.length && bs(i + 1) == 0xB0.toByte) {
+        h = (h ^ ('i' & 0xffL)) * TokenShingleHashes.FnvPrime
+        inTok = true
+        endToken()
+        i += 2
+      } else {
+        endToken()
+        i += 1
       }
-      i += 1
     }
-    if (inTok) tokenHashes += h
+    endToken()
     // pass 2: mix n consecutive token hashes per shingle, dedup
     val out = mutable.LinkedHashSet.empty[Long]
     var s = 0

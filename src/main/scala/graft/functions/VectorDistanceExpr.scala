@@ -73,7 +73,10 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
           val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
           d += xv * yv; na += xv * xv; nb += yv * yv; i += 1
         }
-        d / (math.sqrt(na) * math.sqrt(nb))
+        // zero vector → similarity 0, never NaN (NaN sorts above every
+        // real score in Spark DESC and would hijack top-k)
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 0.0 else d / den
     }
   }
 
@@ -109,6 +112,7 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
           val nb = ctx.freshName("nb")
           val xv = ctx.freshName("xv")
           val yv = ctx.freshName("yv")
+          val den = ctx.freshName("den")
           s"""$header
              |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
@@ -116,7 +120,8 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
              |  double $yv = (double) $b.getFloat($i);
              |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
              |}
-             |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));""".stripMargin
+             |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+             |${ev.value} = $den == 0.0 ? 0.0 : $d / $den;""".stripMargin
       }
     })
 

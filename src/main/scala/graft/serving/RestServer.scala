@@ -66,6 +66,16 @@ class RestServer(store: VectorStore, port: Int = 0) {
   private def readJson(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
+  /** Fetch a required field or fail with the 422 path (mirrors Pydantic's
+    * field-required validation, rest_api.py models) — a bare `get` would
+    * NPE into a 500. */
+  private def required(n: JsonNode, field: String): JsonNode = {
+    val v = n.get(field)
+    if (v == null || v.isNull)
+      throw new IllegalArgumentException(s"field '$field' is required")
+    v
+  }
+
   private def floats(n: JsonNode): Seq[Float] =
     n.elements().asScala.map(_.floatValue()).toSeq
 
@@ -100,8 +110,8 @@ class RestServer(store: VectorStore, port: Int = 0) {
     ex.getRequestMethod match {
       case "PUT" =>
         val ns = queryParam(ex, "namespace", "default")
-        val vs = readJson(ex).get("vectors").elements().asScala.toSeq
-          .map(v => (floats(v.get("values")), metadataOf(v)))
+        val vs = required(readJson(ex), "vectors").elements().asScala.toSeq
+          .map(v => (floats(required(v, "values")), metadataOf(v)))
         val ids = store.upsertMany(vs, ns)
         val o = mapper.createObjectNode()
         val arr = o.putArray("ids")
@@ -117,13 +127,13 @@ class RestServer(store: VectorStore, port: Int = 0) {
     ex.getRequestMethod match {
       case "POST" =>
         val body = readJson(ex)
-        val id = store.insert(floats(body.get("values")), metadataOf(body), ns)
+        val id = store.insert(floats(required(body, "values")), metadataOf(body), ns)
         val o = mapper.createObjectNode()
         o.put("id", id)
         o.put("namespace", ns)
         respond(ex, 200, o)
       case "DELETE" =>
-        val ids = readJson(ex).get("ids").elements().asScala.map(_.asText()).toSeq
+        val ids = required(readJson(ex), "ids").elements().asScala.map(_.asText()).toSeq
         if (ids.isEmpty) error(ex, 400, "ids must be non-empty") // rest_api.py:216-221
         else {
           val deleted = store.delete(ids, ns)
@@ -144,7 +154,7 @@ class RestServer(store: VectorStore, port: Int = 0) {
         val body = readJson(ex)
         val k = Option(body.get("top_k")).map(_.asInt()).getOrElse(10)
         val metric = Option(body.get("metric")).map(_.asText()).getOrElse("cosine")
-        val hits = store.findSimilar(floats(body.get("query")), k, metric, ns)
+        val hits = store.findSimilar(floats(required(body, "query")), k, metric, ns)
         val o = mapper.createObjectNode()
         val arr = o.putArray("results")
         hits.foreach(h => arr.add(hitJson(h)))
@@ -158,7 +168,9 @@ class RestServer(store: VectorStore, port: Int = 0) {
     if (path == "/namespaces" || path == "/namespaces/") {
       val o = mapper.createObjectNode()
       val counts = o.putObject("namespaces")
-      store.listNamespaces().foreach(ns => counts.put(ns, store.namespaceCount(ns)))
+      // one groupBy job via info(), not listNamespaces + N counts
+      store.info().namespaces.toSeq.sortBy(_._1)
+        .foreach { case (ns, n) => counts.put(ns, n) }
       respond(ex, 200, o)
     } else path.split("/").toList match {
       case _ :: "namespaces" :: ns :: "vectors" :: Nil =>
@@ -197,7 +209,7 @@ class RestServer(store: VectorStore, port: Int = 0) {
   })
 
   server.createContext("/log-level", ex => handle(ex) {
-    val level = readJson(ex).get("level").asText()
+    val level = required(readJson(ex), "level").asText()
     store.spark.sparkContext.setLogLevel(level.toUpperCase)
     val o = mapper.createObjectNode()
     o.put("level", level.toUpperCase)

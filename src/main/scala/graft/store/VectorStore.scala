@@ -199,12 +199,19 @@ class VectorStore(val spark: SparkSession) {
     collectHits(ranked(scored(query, metric, namespace, filter), metric).limit(k))
   }
 
-  /** Range search: all vectors with distance ≤ r (README.md:216). */
+  /** Range search: all vectors with DISTANCE ≤ r (README.md:216). For the
+    * cosine metric the stored score is a *similarity*, so the distance
+    * predicate is `1 − sim ≤ r` (hnswlib's cosine distance) — filtering
+    * `score ≤ r` there would return the farthest vectors. */
   def rangeSearch(query: Seq[Float], r: Double, metric: String = "l2",
                   namespace: String = "default",
-                  filter: Map[String, String] = Map.empty): Seq[SearchHit] =
-    collectHits(ranked(scored(query, metric, namespace, filter), metric)
-      .where(col("score") <= r))
+                  filter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+    val s = scored(query, metric, namespace, filter)
+    val inRange =
+      if (metric == "cosine") s.where(lit(1.0) - col("score") <= r)
+      else s.where(col("score") <= r)
+    collectHits(ranked(inRange, metric))
+  }
 
   /** Similarity-threshold search: cosine sim ≥ t, descending
     * (`examples/api_client.py:50-63`). */

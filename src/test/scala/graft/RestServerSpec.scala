@@ -97,6 +97,11 @@ class RestServerSpec extends AnyFunSuite {
         """{"query": [1.0], "metric": "chebyshev"}""")._1 == 422)
       // malformed JSON → 400
       assert(send("POST", s"$base/search", """{"query": [1.0""")._1 == 400)
+      // missing required fields → 422 like Pydantic, never a 500 NPE
+      assert(send("POST", s"$base/search", "{}")._1 == 422)
+      assert(send("POST", s"$base/vectors", "{}")._1 == 422)
+      assert(send("DELETE", s"$base/vectors", "{}")._1 == 422)
+      assert(send("PUT", s"$base/vectors/batch", "{}")._1 == 422)
       // wrong method → 405
       assert(send("GET", s"$base/search")._1 == 405)
       // search in unknown namespace → 200 empty, never errors (index.py:98-99)

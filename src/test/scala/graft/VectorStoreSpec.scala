@@ -181,6 +181,10 @@ class VectorStoreSpec extends AnyFunSuite {
     s.insert(Seq(-1f, 0f), Map.empty, "ns")
     val inRange = s.rangeSearch(Seq(1f, 0f), r = 0.5, metric = "l2", namespace = "ns")
     assert(inRange.length == 2)
+    // cosine range = 1 - sim <= r: the NEAR vectors, not the far ones
+    val cosRange = s.rangeSearch(Seq(1f, 0f), r = 0.1, metric = "cosine", namespace = "ns")
+    assert(cosRange.length == 2)
+    assert(cosRange.forall(_.score >= 0.9))
     val aboveT = s.thresholdSearch(Seq(1f, 0f), t = 0.9, namespace = "ns")
     assert(aboveT.length == 2)
     assert(aboveT.map(_.score).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
