@@ -38,4 +38,23 @@ class TextFunctionsSpec extends AnyFunSuite {
         s"mismatch on input: '$input'")
     }
   }
+
+  test("Tokenize equals the regex on ScalaCheck-fuzzed strings (ascii + unicode)") {
+    import org.scalacheck.Gen
+    val charPool = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', ',', '.', '!', '-', '_'),
+      1 -> Gen.oneOf('é', 'ß', 'Å', 'İ', 'K', '中', '☃'))
+    val strGen = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, charPool))
+    val samples = Gen.listOfN(300, strGen).sample.get
+    val rows = samples.toDF("t")
+      .select(
+        TextFunctions.tokens(col("t")).as("fused"),
+        TextFunctions.tokensRegex(col("t")).as("regex"))
+      .collect()
+    samples.zip(rows).foreach { case (input, r) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch on fuzzed input: '$input'")
+    }
+  }
 }
