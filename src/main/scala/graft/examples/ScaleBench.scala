@@ -50,17 +50,12 @@ object ScaleBench {
   }
 
   private def lshPairs(e: DataFrame, simT: Double): Long = {
-    val sigStructs = planes.zipWithIndex.map { case (ps, bIdx) =>
-      struct(lit(bIdx).as("band"),
-        ps.zipWithIndex.map { case (p, i) =>
-          val pc = array(p.map(lit): _*).cast("array<float>")
-          when(dot(col("embedding"), pc) > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _).as("bucket"))
-    }
+    val planesSeq: Seq[Seq[Seq[Float]]] =
+      planes.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
     val banded = e
-      .withColumn("bs", explode(array(sigStructs: _*)))
-      .select(col("vec_id"), col("embedding"), col("bs.band").as("band"),
-        col("bs.bucket").as("bucket"))
+      .withColumn("sig_arr", graft.functions.LshSignature(col("embedding"), planesSeq))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("sig_arr")).as(Seq("band", "bucket")))
       .localCheckpoint(true)
     val x = banded.select(col("vec_id").as("ia"), col("embedding").as("va"),
       col("band"), col("bucket"))

@@ -90,22 +90,16 @@ object Ann {
       Array.fill(Dim)(rnd.nextGaussian().toFloat)))
   }
 
-  /** Packed sign-bit signature of `vec` against one band's hyperplanes. */
-  private def bandSig(vec: Column, planes: IndexedSeq[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*).cast("array<float>")
-      when(dot(vec, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (row..., band, bucket) — one row per band per input row. */
+  /** (row..., band, bucket) — one row per band per input row. All band
+    * signatures come from one fused LshSignature pass (the composed
+    * one-Column-per-plane form re-read the vector 64×); posexplode turns
+    * the signature array into (band index, bucket) rows. */
   private def withBandSigs(df: DataFrame, vec: Column): DataFrame = {
-    val sigStructs = hyperplanes.zipWithIndex.map { case (planes, b) =>
-      struct(lit(b).as("band"), bandSig(vec, planes).as("bucket"))
-    }
-    df.withColumn("bs", explode(array(sigStructs: _*)))
-      .withColumn("band", col("bs.band"))
-      .withColumn("bucket", col("bs.bucket"))
-      .drop("bs")
+    val planesSeq: Seq[Seq[Seq[Float]]] =
+      hyperplanes.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
+    df.withColumn("sig_arr", graft.functions.LshSignature(vec, planesSeq))
+      .select(col("*"), posexplode(col("sig_arr")).as(Seq("band", "bucket")))
+      .drop("sig_arr")
   }
 
   def q32(spark: SparkSession, dir: String): DataFrame = {
