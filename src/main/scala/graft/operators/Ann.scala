@@ -21,14 +21,20 @@ import graft.sources.Tables
   *    reranks the candidates. Corpus signatures are one linear pass;
   *    the candidate join is an equi-join on (band, bucket) — at scale the
   *    shuffle carries only (band, bucket, id), never raw vectors, and the
-  *    rerank joins values back by id. Recall is tunable via B and R:
-  *    B=16 bands × R=4 bits measures recall@5 ≈ 0.84 on the synthetic
-  *    corpus (near-orthogonal vectors — the adversarial case for
-  *    hyperplane LSH; clustered real-world corpora allow wider bands).
-  *    AnnSpec asserts the floor vs q31.
+  *    rerank joins values back by id.
+  *  - q33 (inverted file): k-means coarse quantizer; the assignment is
+  *    PERSISTED with `cell` as the partition column, and a probe reads
+  *    only nProbe/nCells partitions (partition pruning visible in the
+  *    plan — PlanSpec pins it). The quantizer is trained per call here
+  *    (demo-sized); at 100 TB it is trained once offline and only the
+  *    probe path runs per query.
   *
-  * Hyperplanes are seeded-deterministic so signatures are stable across
-  * runs and executors.
+  * Determinism/oracle contract: hyperplane coefficients derive from md5
+  * (`('0x'||substr(md5(key),1,8))::BIGINT` — the same bits DuckDB
+  * computes), so the full LSH pipeline — signatures, candidates, rerank —
+  * replays exactly in the q32 oracle SQL. IVF's k-means assignment is not
+  * SQL-expressible, but the persisted assignment + probe tables are read
+  * back by the q33 oracle, which replays candidates + exact rerank.
   */
 object Ann {
 
@@ -80,21 +86,35 @@ object Ann {
        |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
-  // ---- Q32: LSH-bucketed ANN (approximate, measured by AnnSpec) -------
+  // ---- Q32: LSH-bucketed ANN (approximate, oracle-replayed) -----------
 
-  /** Seeded random hyperplanes: Bands × BitsPerBand unit-free gaussian
-    * directions in R^Dim. */
-  private lazy val hyperplanes: IndexedSeq[IndexedSeq[Array[Float]]] = {
-    val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(Bands)(IndexedSeq.fill(BitsPerBand)(
-      Array.fill(Dim)(rnd.nextGaussian().toFloat)))
+  /** Deterministic md5-derived hyperplanes: flat plane index f ∈
+    * [0, Bands·BitsPerBand), coefficient j of plane f is
+    * `md5("graft_lsh_<f>_<j>")[0,8) as u32 / 2^31 − 1 ∈ [−1, 1)`, cast to
+    * float32. DuckDB reproduces the identical float from
+    * `('0x'||substr(md5(key),1,8))::BIGINT`, so the oracle replays the
+    * exact sign bits (uniform-in-cube directions hash as well as gaussians
+    * for sign-LSH; AnnSpec measures the recall floor). */
+  private[graft] def md5Coef(key: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
   }
+
+  private[graft] lazy val hyperplanes: IndexedSeq[IndexedSeq[Array[Float]]] =
+    IndexedSeq.tabulate(Bands) { b =>
+      IndexedSeq.tabulate(BitsPerBand) { r =>
+        val f = b * BitsPerBand + r
+        Array.tabulate(Dim)(j => md5Coef(s"graft_lsh_${f}_$j").toFloat)
+      }
+    }
 
   /** (row..., band, bucket) — one row per band per input row. All band
     * signatures come from one fused LshSignature pass (the composed
     * one-Column-per-plane form re-read the vector 64×); posexplode turns
     * the signature array into (band index, bucket) rows. */
-  private def withBandSigs(df: DataFrame, vec: Column): DataFrame = {
+  private[graft] def withBandSigs(df: DataFrame, vec: Column): DataFrame = {
     val planesSeq: Seq[Seq[Seq[Float]]] =
       hyperplanes.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
     df.withColumn("sig_arr", graft.functions.LshSignature(vec, planesSeq))
@@ -125,21 +145,64 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
-  // ---- IVF: k-means coarse quantizer + nprobe (the second scale path) --
-  // The inverted-file layout: vectors are bucketed by nearest centroid;
-  // a query probes only its nProbe closest cells and reranks exactly.
-  // At 100 TB the cell id becomes the partition/bucket column, so a
-  // search touches nProbe/nCells of the data. MLlib KMeans (seeded)
-  // plays the role of the coarse quantizer; training is a sample-sized
-  // job, assignment is one linear pass.
+  /** Full SQL replay of q32: regenerate the md5 hyperplanes, recompute
+    * every sign bit and band bucket, regenerate candidates, rerank
+    * exactly. The float cast mirrors the Scala `.toFloat`; the dot is
+    * float→double products summed like LshSignature's loop, and only the
+    * SIGN of the dot is consumed, so the comparison is robust to
+    * summation-order ulps. */
+  val q32Sql: String = {
+    val nPlanes = Bands * BitsPerBand
+    s"""WITH planes AS (
+       |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
+       |                       / 2147483648.0 - 1.0) AS FLOAT) ORDER BY j) AS pl
+       |  FROM range($nPlanes) tp(f), range($Dim) td(j)
+       |  GROUP BY f),
+       |sigs AS (
+       |  SELECT e.vec_id, (p.f // $BitsPerBand)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("e.embedding", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $BitsPerBand)) ELSE 0 END) AS bucket
+       |  FROM embeddings e, planes p
+       |  GROUP BY e.vec_id, band),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT qs.vec_id AS qid, s.vec_id AS id
+       |  FROM sigs s JOIN sigs qs ON s.band = qs.band AND s.bucket = qs.bucket
+       |  WHERE qs.vec_id < $NumQueries AND s.vec_id <> qs.vec_id),
+       |sc AS (
+       |  SELECT c.qid, c.id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---- Q33: IVF — persisted cell-partitioned layout + nprobe ----------
 
   private val NumCells = 16
   private val NumProbe = 4
   private val KmeansSeed = 42L
 
+  /** Where a dir's IVF layout lives: `index/` is the corpus partitioned by
+    * `cell` (the on-disk inverted file), `assign/` a flat (vec_id, cell)
+    * table and `probes/` the per-query probe list — the latter two exist so
+    * the DuckDB oracle can replay candidates + rerank. */
+  def ivfAuxDir(dir: String): String =
+    "/tmp/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The layout path of the most recent ivfTopK run in this JVM — Verify
+    * runs every query before dumping oracle SQL, so the q33 oracle always
+    * points at the layout that produced the graded result. */
+  @volatile private var lastAux: String = ivfAuxDir("/root/testdata/sf0.01")
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val aux = ivfAuxDir(dir)
+    lastAux = aux
 
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -152,12 +215,19 @@ object Ann {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
 
+    // Persist the inverted file: cell is the partition column, so a probe
+    // touches nProbe/nCells of the files (at 100 TB: train offline, write
+    // once, serve many probes off this layout).
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    assigned.select(col("vec_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+
     // probe list per query: nProbe nearest centroids (driver-side — the
     // query batch and the centroid table are both request-sized)
     val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val queries = queryFrame(spark, dir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeRows = queries.flatMap { case (qid, qv) =>
+    val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
       centers.zipWithIndex
         .map { case (c, i) =>
           var d = 0.0
@@ -171,11 +241,18 @@ object Ann {
         .map { case (cell, _) => (qid, cell) }
     }
     import spark.implicits._
-    val probes = probeRows.toSeq.toDF("qid", "cell")
+    val probes = probeRows.toDF("qid", "cell")
+    probes.coalesce(1).write.mode("overwrite").parquet(s"$aux/probes")
+
+    // Query path: read the persisted layout, pruned to the probed cells
+    // (literal IN on the partition column → PartitionFilters in the scan).
+    val probedCells = probeRows.map(_._2).distinct.sorted
+    val idx = spark.read.parquet(s"$aux/index")
+      .where(col("cell").isin(probedCells: _*))
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    idx.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
       .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
@@ -185,6 +262,28 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Oracle replay of q33 from the persisted layout: candidates = probed
+    * cells' members, rerank = exact cosine top-k. The k-means itself is
+    * trusted via the persisted assignment (it is the candidate-generation
+    * policy, not the correctness contract — any assignment yields a valid
+    * IVF result as long as rerank is exact over its candidates). */
+  def q33Sql(aux: String): String =
+    s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS id FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |sc AS (
+       |  SELECT c.qid, c.id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,8 +291,10 @@ object Ann {
     "q32_ann_lsh_topk" -> (q32 _),
     "q33_ann_ivf_topk" -> (ivfTopK _))
 
-  /** q32 is approximate by design → no SQL oracle (rows-only check);
-    * AnnSpec asserts its recall against q31. */
-  val oracles: Map[String, String] = Map(
-    "q31_ann_brute_topk" -> q31Sql)
+  /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
+    * evaluated by Verify after all queries have executed. */
+  def oracles: Map[String, String] = Map(
+    "q31_ann_brute_topk" -> q31Sql,
+    "q32_ann_lsh_topk" -> q32Sql,
+    "q33_ann_ivf_topk" -> q33Sql(lastAux))
 }

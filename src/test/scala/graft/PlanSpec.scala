@@ -81,6 +81,11 @@ class PlanSpec extends AnyFunSuite {
     assert(reread.columns.contains("namespace")) // partition column survives
   }
 
+  test("IVF probe reads only the probed cells: partition pruning on the persisted layout") {
+    val p = plan(graft.operators.Ann.ivfTopK(spark, dir))
+    assert(p.contains("PartitionFilters: [cell"), p.take(1200))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
