@@ -4,19 +4,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32]
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/datasource paths once so the first measured
     // query isn't charged ~3s of session initialization.
     spark.range(1000).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Measure a full-result materialization (noop sink), not count():
+    // count() lets Catalyst prune the top-level projection, under-charging
+    // queries whose cost is in the output columns.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

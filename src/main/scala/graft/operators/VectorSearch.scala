@@ -317,14 +317,48 @@ object VectorSearch {
 
   private val dupT = 0.35
 
+  /** Above this corpus size the exact all-pairs broadcast theta-join is a
+    * scale-killer (O(n²) BNLJ with the whole corpus as build side — it
+    * would OOM executors long before 100 TB); the banded-LSH candidate
+    * path takes over. */
+  private[graft] val ExactPairLimit = 100000L
+
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    val a = vecs(spark, dir).select(col("id").as("id_a"), col("values").as("va"))
-    val b = vecs(spark, dir).select(col("id").as("id_b"), col("values").as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("score", round(cosineSim(col("va"), col("vb")), 4))
-      .where(col("score") >= dupT)
+    val v = vecs(spark, dir)
+    nearDupPairs(v, v.count(), dupT)
+  }
+
+  /** Pairwise near-duplicates (cosine ≥ t, id_a < id_b). Exact all-pairs
+    * below [[ExactPairLimit]]; above it, banded-LSH candidate generation
+    * (Ann's md5-derived hyperplanes, 16 bands × 4 bits) + exact verify over
+    * candidates only — sub-quadratic, and the candidate shuffle carries
+    * (band, bucket, id), never raw vectors. PlanSpec asserts the big-input
+    * plan has no BroadcastNestedLoopJoin; AnnSpec measures banded recall
+    * against the exact pairs. */
+  def nearDupPairs(v: DataFrame, n: Long, t: Double): DataFrame = {
+    val ranked = (scored: DataFrame) => scored
+      .where(col("score") >= t)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
+    if (n <= ExactPairLimit) {
+      val a = v.select(col("id").as("id_a"), col("values").as("va"))
+      val b = v.select(col("id").as("id_b"), col("values").as("vb"))
+      ranked(a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("score", round(cosineSim(col("va"), col("vb")), 4)))
+    } else {
+      val sigs = Ann.withBandSigs(v.select(col("id"), col("values")), col("values"))
+        .select(col("id"), col("band"), col("bucket"))
+      val cand = sigs.as("x")
+        .join(sigs.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      ranked(cand
+        .join(v.select(col("id").as("id_a"), col("values").as("va")), Seq("id_a"))
+        .join(v.select(col("id").as("id_b"), col("values").as("vb")), Seq("id_b"))
+        .withColumn("score", round(cosineSim(col("va"), col("vb")), 4)))
+    }
   }
 
   val q15Sql: String =
@@ -334,6 +368,22 @@ object VectorSearch {
        |  FROM v a JOIN v b ON a.id < b.id)
        |SELECT id_a, id_b, score FROM p WHERE score >= $dupT
        |ORDER BY score DESC, id_a, id_b""".stripMargin
+
+  // ---- Q39: exact KNN, inner-product distance asc (index.py:18 'ip') --
+  // Closes the D3 gap: the only metric of the reference's three hnswlib
+  // spaces that had no oracle-checked query.
+
+  def q39(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir, "ip", Some("ns_1"))
+      .select(col("id"), col("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(10)
+
+  val q39Sql: String =
+    s"""WITH $vecsCte
+       |SELECT id, round(1.0 - ${dotSql("values", "qv")}, 4) AS score
+       |FROM v, q WHERE namespace = 'ns_1'
+       |ORDER BY score, id LIMIT 10""".stripMargin
 
   // ---- registry ------------------------------------------------------
 
@@ -352,7 +402,8 @@ object VectorSearch {
     "q12_threshold_search" -> (q12 _),
     "q13_metadata_filter" -> (q13 _),
     "q14_hybrid_search" -> (q14 _),
-    "q15_neardup_embedding" -> (q15 _))
+    "q15_neardup_embedding" -> (q15 _),
+    "q39_knn_ip" -> (q39 _))
 
   val oracles: Map[String, String] = Map(
     "q01_knn_l2" -> q01Sql,
@@ -369,5 +420,6 @@ object VectorSearch {
     "q12_threshold_search" -> q12Sql,
     "q13_metadata_filter" -> q13Sql,
     "q14_hybrid_search" -> q14Sql,
-    "q15_neardup_embedding" -> q15Sql)
+    "q15_neardup_embedding" -> q15Sql,
+    "q39_knn_ip" -> q39Sql)
 }

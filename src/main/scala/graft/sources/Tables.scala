@@ -18,19 +18,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session confs this library's sources depend on. Apply at session
+    * build ([[https://spark.apache.org SparkSession.builder]].config) —
+    * loaders never mutate a live session's conf (a mid-query `conf.set`
+    * races concurrent readers of other sources). */
+  val requiredConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
   /** `events` with its nanosecond timestamp column normalized to a
     * microsecond TIMESTAMP. Spark 4 refuses TIMESTAMP(NANOS) parquet
     * columns (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf is
-    * on; reading nanos as long and truncating to µs reproduces exactly
-    * what DuckDB does when it loads the same file. `ts div 1000` keeps the
-    * arithmetic in longs — a double round-trip would lose precision at
-    * 1.7e18 ns epochs.
+    * on — set [[requiredConfs]] at session build. Reading nanos as long
+    * and truncating to µs reproduces exactly what DuckDB does when it
+    * loads the same file. `ts div 1000` keeps the arithmetic in longs — a
+    * double round-trip would lose precision at 1.7e18 ns epochs.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Reference-shaped vector view over `embeddings` (SURVEY §1.4):
     * `(id, namespace, values, label)` where namespace is derived from the

@@ -33,6 +33,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("banded near-dup path finds the exact pairs (recall >= 0.8, no false positives)") {
+    import org.apache.spark.sql.functions.col
+    val v = graft.sources.Tables.vectors(spark, dir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))
+    val exact = graft.operators.VectorSearch.nearDupPairs(v, 1L, 0.35)
+      .collect().map(key).toSet
+    val banded = graft.operators.VectorSearch.nearDupPairs(v, Long.MaxValue, 0.35)
+      .collect().map(key).toSet
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact), "banded path fabricated a pair below threshold")
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    info(f"banded near-dup recall = $recall%.2f (${banded.size}/${exact.size})")
+    assert(recall >= 0.8, s"banded near-dup recall too low: $recall")
+  }
+
   test("LSH candidates are a strict subset of the corpus (no fabricated ids)") {
     val ids = Ann.q32(spark, dir).select("id").collect().map(_.getLong(0)).toSet
     val corpus = graft.sources.Tables.table(spark, dir, "embeddings")

@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
     assert(reread.columns.contains("namespace")) // partition column survives
   }
 
+  test("near-dup above the size gate plans banded LSH, never a broadcast nested loop") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(0, 150000).toDF("id")
+      .withColumn("values",
+        expr("transform(sequence(0, 7), j -> cast(id % 13 + j AS float))"))
+    val p = plan(VectorSearch.nearDupPairs(big, 150000L, 0.9))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    val small = plan(VectorSearch.nearDupPairs(big, 100L, 0.9))
+    assert(small.contains("BroadcastNestedLoopJoin"), small.take(1200))
+  }
+
   test("IVF probe reads only the probed cells: partition pruning on the persisted layout") {
     val p = plan(graft.operators.Ann.ivfTopK(spark, dir))
     assert(p.contains("PartitionFilters: [cell"), p.take(1200))
