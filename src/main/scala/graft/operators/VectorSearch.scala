@@ -385,6 +385,43 @@ object VectorSearch {
        |FROM v, q WHERE namespace = 'ns_1'
        |ORDER BY score, id LIMIT 10""".stripMargin
 
+  // ---- Q40: nested-JSON metadata filter (SURVEY §1.4 metadata_json) ---
+  // The store's metadataJson column, exercised on the graded gate: a JSON
+  // document per vector (constructed by identical string concat on both
+  // engines so bytes agree), filtered by nested JSONPath extraction —
+  // Spark `get_json_object` vs DuckDB `json_extract_string`. Mirrors what
+  // the reference round-trips in tests/test_storage_engine_in_memory.py:
+  // 202-218 (nested dicts with typed leaves).
+
+  private def withMetaJson(v: DataFrame): DataFrame =
+    v.withColumn("mj",
+      concat(
+        lit("{\"label\": "), col("label"),
+        lit(", \"tags\": {\"ns\": \""), col("namespace"),
+        lit("\", \"parity\": "), col("id") % 2,
+        lit("}}")))
+
+  private val metaJsonSqlExpr: String =
+    """'{"label": ' || label || ', "tags": {"ns": "' || namespace ||
+      |'", "parity": ' || (id % 2) || '}}'""".stripMargin.replace("\n", " ")
+
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    withMetaJson(vecs(spark, dir))
+      .where(get_json_object(col("mj"), "$.tags.ns") === "ns_2" &&
+        get_json_object(col("mj"), "$.tags.parity") === "1")
+      .select(col("id"),
+        get_json_object(col("mj"), "$.label").cast("int").as("label_j"))
+      .orderBy(col("id"))
+
+  val q40Sql: String =
+    s"""WITH v AS (${Tables.vectorsSql}), j AS (
+       |  SELECT id, $metaJsonSqlExpr AS mj FROM v)
+       |SELECT id, json_extract_string(mj, '$$.label')::INT AS label_j
+       |FROM j
+       |WHERE json_extract_string(mj, '$$.tags.ns') = 'ns_2'
+       |  AND json_extract_string(mj, '$$.tags.parity') = '1'
+       |ORDER BY id""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -403,7 +440,8 @@ object VectorSearch {
     "q13_metadata_filter" -> (q13 _),
     "q14_hybrid_search" -> (q14 _),
     "q15_neardup_embedding" -> (q15 _),
-    "q39_knn_ip" -> (q39 _))
+    "q39_knn_ip" -> (q39 _),
+    "q40_metadata_json" -> (q40 _))
 
   val oracles: Map[String, String] = Map(
     "q01_knn_l2" -> q01Sql,
@@ -421,5 +459,6 @@ object VectorSearch {
     "q13_metadata_filter" -> q13Sql,
     "q14_hybrid_search" -> q14Sql,
     "q15_neardup_embedding" -> q15Sql,
-    "q39_knn_ip" -> q39Sql)
+    "q39_knn_ip" -> q39Sql,
+    "q40_metadata_json" -> q40Sql)
 }

@@ -7,7 +7,6 @@ import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import graft.store.VectorStore
@@ -17,37 +16,61 @@ import graft.store.VectorStore
   * reimplemented on the JDK's built-in HttpServer + the Jackson shipped on
   * Spark's classpath (zero new dependencies).
   *
-  * Routes (reference line cites):
-  *  - `POST /vectors?namespace=`        insert one (rest_api.py:96-124)
-  *  - `PUT  /vectors/batch?namespace=`  batch upsert (:126-161)
-  *  - `POST /search?namespace=`         top-k search (:163-203)
-  *  - `DELETE /vectors?namespace=`      delete ids (:205-246; empty list → 400 like :216-221)
-  *  - `GET  /namespaces`                list + counts (:248-261)
-  *  - `GET  /namespaces/{ns}/vectors`   namespace dump (:263-276)
-  *  - `GET  /storage/info`              storage report (:278-291)
-  *  - `GET  /health`                    liveness (:292-297)
-  *  - `POST /log-level`                 set Spark log level (:298-311)
+  * Routes and response envelopes match the reference (cites into
+  * rest_api.py):
+  *  - `POST /vectors?namespace=` → **201** `{"status","message"}` (:96,114)
+  *  - `PUT  /vectors/batch?namespace=` → `{"status","message"}` (:126,150)
+  *  - `POST /search?namespace=` → bare list of
+  *    `{id, values, metadata, score}` (:163-203, response_model=List)
+  *  - `DELETE /vectors?namespace=` → `{"status","message"}`; empty id
+  *    list → 400 "No IDs provided" (:205-246)
+  *  - `GET  /namespaces` → `{"namespaces": [names]}` (:248-261)
+  *  - `GET  /namespaces/vectors?namespace=` → bare list of
+  *    `{id, values, metadata}` (:263-276)
+  *  - `GET  /storage/info` → the storage engine's info dict verbatim
+  *    (:278-291 / storage_engine_in_memory.py:61-69)
+  *  - `GET  /health` → `{"status": "healthy"}` (:292-297)
+  *  - `POST /log/level?level=` → validated against
+  *    DEBUG/INFO/WARNING/ERROR, 400 otherwise (:298-311)
+  *
+  * Documented divergences (deliberate supersets, keys added never removed):
+  *  - insert/batch/delete responses also carry the affected `id`/`ids` —
+  *    the reference mints server-side UUIDs but never returns them, so its
+  *    own insert response cannot be used to read the vector back.
+  *  - search/insert accept nested JSON `metadata` (reference parity —
+  *    `Dict[str, Any]`) and round-trip it verbatim via the store's
+  *    `metadataJson`; the old flat-flattening via `asText` is gone.
   *
   * Validation mirrors the reference: `top_k ∈ [1,1000]` (Pydantic bound at
-  * rest_api.py:24) → 422; malformed JSON → 400. Not correctness-bearing
-  * for the driver gates (SURVEY §7 step 6) but completes "a user of the
-  * reference could switch".
+  * rest_api.py:24) → 422; malformed JSON → 400. A request-latency log line
+  * is emitted per request (middleware parity, rest_api.py:350-378).
   */
 class RestServer(store: VectorStore, port: Int = 0) {
 
   private val mapper = new ObjectMapper()
+  private val logger = org.slf4j.LoggerFactory.getLogger(classOf[RestServer])
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
 
   // ---- helpers --------------------------------------------------------
 
-  private def respond(ex: HttpExchange, code: Int, body: ObjectNode): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: JsonNode): Unit = {
     val bytes = mapper.writeValueAsBytes(body)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
+    val t0 = ex.getAttribute("graft.t0").asInstanceOf[java.lang.Long]
+    val ms = if (t0 == null) 0.0 else (System.nanoTime() - t0) / 1e6
+    logger.info(f"← ${ex.getRequestMethod} ${ex.getRequestURI.getPath} - Status: $code - Time: $ms%.2fms")
+  }
+
+  private def status(ex: HttpExchange, code: Int, st: String, msg: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("status", st)
+    o.put("message", msg)
+    respond(ex, code, o)
   }
 
   private def error(ex: HttpExchange, code: Int, msg: String): Unit = {
@@ -79,23 +102,29 @@ class RestServer(store: VectorStore, port: Int = 0) {
   private def floats(n: JsonNode): Seq[Float] =
     n.elements().asScala.map(_.floatValue()).toSeq
 
-  private def metadataOf(n: JsonNode): Map[String, String] =
-    Option(n.get("metadata")).filter(_.isObject).map { m =>
-      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty)
+  /** The request's metadata object as a JSON string — arbitrary nesting
+    * preserved (reference metadata is `Dict[str, Any]`, rest_api.py:19). */
+  private def metadataJsonOf(n: JsonNode): String =
+    Option(n.get("metadata")).filter(_.isObject)
+      .map(mapper.writeValueAsString).getOrElse("{}")
 
-  private def hitJson(h: graft.model.SearchHit): ObjectNode = {
+  private def parsedMetadata(json: String): JsonNode =
+    try mapper.readTree(json)
+    catch { case NonFatal(_) => mapper.createObjectNode() }
+
+  private def hitJson(h: graft.model.SearchHit): JsonNode = {
     val o = mapper.createObjectNode()
     o.put("id", h.id)
-    o.put("score", h.score)
     val vs = o.putArray("values")
     h.values.foreach(vs.add)
-    val md = o.putObject("metadata")
-    h.metadata.foreach { case (k, v) => md.put(k, v) }
+    o.set[JsonNode]("metadata", parsedMetadata(h.metadataJson))
+    o.put("score", h.score)
     o
   }
 
-  private def handle(ex: HttpExchange)(body: => Unit): Unit =
+  private def handle(ex: HttpExchange)(body: => Unit): Unit = {
+    ex.setAttribute("graft.t0", java.lang.Long.valueOf(System.nanoTime()))
+    logger.info(s"→ ${ex.getRequestMethod} ${ex.getRequestURI.getPath}")
     try body
     catch {
       case e: com.fasterxml.jackson.core.JacksonException =>
@@ -103,6 +132,7 @@ class RestServer(store: VectorStore, port: Int = 0) {
       case e: IllegalArgumentException => error(ex, 422, e.getMessage)
       case NonFatal(e) => error(ex, 500, String.valueOf(e))
     }
+  }
 
   // ---- routes ---------------------------------------------------------
 
@@ -111,12 +141,13 @@ class RestServer(store: VectorStore, port: Int = 0) {
       case "PUT" =>
         val ns = queryParam(ex, "namespace", "default")
         val vs = required(readJson(ex), "vectors").elements().asScala.toSeq
-          .map(v => (floats(required(v, "values")), metadataOf(v)))
-        val ids = store.upsertMany(vs, ns)
+          .map(v => (floats(required(v, "values")), metadataJsonOf(v)))
+        val ids = store.upsertManyJson(vs, ns)
         val o = mapper.createObjectNode()
-        val arr = o.putArray("ids")
+        o.put("status", "success")
+        o.put("message", s"${ids.length} vectors upserted") // rest_api.py:150
+        val arr = o.putArray("ids") // divergence: reference never returns ids
         ids.foreach(arr.add)
-        o.put("count", ids.length)
         respond(ex, 200, o)
       case m => error(ex, 405, s"method $m not allowed")
     }
@@ -127,20 +158,24 @@ class RestServer(store: VectorStore, port: Int = 0) {
     ex.getRequestMethod match {
       case "POST" =>
         val body = readJson(ex)
-        val id = store.insert(floats(required(body, "values")), metadataOf(body), ns)
+        val id = store.insertJson(floats(required(body, "values")),
+          metadataJsonOf(body), ns)
         val o = mapper.createObjectNode()
-        o.put("id", id)
+        o.put("status", "success")
+        o.put("message", "Vector inserted") // rest_api.py:114
+        o.put("id", id) // divergence: reference never returns the new id
         o.put("namespace", ns)
-        respond(ex, 200, o)
+        respond(ex, 201, o) // HTTP_201_CREATED, rest_api.py:96
       case "DELETE" =>
         val ids = required(readJson(ex), "ids").elements().asScala.map(_.asText()).toSeq
-        if (ids.isEmpty) error(ex, 400, "ids must be non-empty") // rest_api.py:216-221
+        if (ids.isEmpty) error(ex, 400, "No IDs provided") // rest_api.py:216-221
         else {
           val deleted = store.delete(ids, ns)
           val o = mapper.createObjectNode()
-          val arr = o.putArray("deleted")
+          o.put("status", if (deleted.nonEmpty) "success" else "error") // :231-234
+          o.put("message", s"${deleted.length} vectors deleted")
+          val arr = o.putArray("deleted") // divergence: the actual ids
           deleted.foreach(arr.add)
-          o.put("success", deleted.nonEmpty) // rest_api.py:231-234
           respond(ex, 200, o)
         }
       case m => error(ex, 405, s"method $m not allowed")
@@ -155,10 +190,9 @@ class RestServer(store: VectorStore, port: Int = 0) {
         val k = Option(body.get("top_k")).map(_.asInt()).getOrElse(10)
         val metric = Option(body.get("metric")).map(_.asText()).getOrElse("cosine")
         val hits = store.findSimilar(floats(required(body, "query")), k, metric, ns)
-        val o = mapper.createObjectNode()
-        val arr = o.putArray("results")
+        val arr = mapper.createArrayNode() // bare list, rest_api.py:163 response_model
         hits.foreach(h => arr.add(hitJson(h)))
-        respond(ex, 200, o)
+        respond(ex, 200, arr)
       case m => error(ex, 405, s"method $m not allowed")
     }
   })
@@ -167,53 +201,56 @@ class RestServer(store: VectorStore, port: Int = 0) {
     val path = ex.getRequestURI.getPath
     if (path == "/namespaces" || path == "/namespaces/") {
       val o = mapper.createObjectNode()
-      val counts = o.putObject("namespaces")
-      // one groupBy job via info(), not listNamespaces + N counts
-      store.info().namespaces.toSeq.sortBy(_._1)
-        .foreach { case (ns, n) => counts.put(ns, n) }
+      val arr = o.putArray("namespaces") // name list, rest_api.py:255
+      store.listNamespaces().foreach(arr.add)
       respond(ex, 200, o)
-    } else path.split("/").toList match {
-      case _ :: "namespaces" :: ns :: "vectors" :: Nil =>
-        val o = mapper.createObjectNode()
-        val arr: ArrayNode = o.putArray("vectors")
-        store.dumpNamespace(ns).foreach { r =>
-          val v = mapper.createObjectNode()
-          v.put("id", r.id)
-          val vs = v.putArray("values")
-          r.values.foreach(vs.add)
-          val md = v.putObject("metadata")
-          r.metadata.foreach { case (key, value) => md.put(key, value) }
-          arr.add(v)
-        }
-        respond(ex, 200, o)
-      case _ => error(ex, 404, s"no route for $path")
-    }
+    } else if (path == "/namespaces/vectors") {
+      // reference route shape: namespace is a query param (rest_api.py:264)
+      val ns = queryParam(ex, "namespace", "default")
+      val arr = mapper.createArrayNode() // bare list, response_model=List[VectorInfo]
+      store.dumpNamespace(ns).foreach { r =>
+        val v = mapper.createObjectNode()
+        v.put("id", r.id)
+        val vs = v.putArray("values")
+        r.values.foreach(vs.add)
+        v.set[JsonNode]("metadata", parsedMetadata(r.metadataJson))
+        arr.add(v)
+      }
+      respond(ex, 200, arr)
+    } else error(ex, 404, s"no route for $path")
   })
 
   server.createContext("/storage/info", ex => handle(ex) {
+    // key-for-key the reference's info dict (storage_engine_in_memory.py:61-69)
     val info = store.info()
     val o = mapper.createObjectNode()
     o.put("storage_type", info.storageType)
     o.put("total_vectors", info.totalVectors)
-    o.put("est_bytes", info.estBytes)
-    val counts = o.putObject("namespaces")
-    info.namespaces.foreach { case (ns, n) => counts.put(ns, n) }
+    o.put("storage_size_bytes", info.estBytes)
+    val names = o.putArray("namespaces")
+    info.namespaces.keys.toSeq.sorted.foreach(names.add)
+    val counts = o.putObject("vectors_per_namespace")
+    info.namespaces.toSeq.sortBy(_._1).foreach { case (ns, n) => counts.put(ns, n) }
+    o.put("namespace_count", info.namespaces.size)
     respond(ex, 200, o)
   })
 
   server.createContext("/health", ex => handle(ex) {
     val o = mapper.createObjectNode()
-    o.put("status", "ok")
-    o.put("total_vectors", store.totalCount())
+    o.put("status", "healthy") // rest_api.py:297
     respond(ex, 200, o)
   })
 
-  server.createContext("/log-level", ex => handle(ex) {
-    val level = required(readJson(ex), "level").asText()
-    store.spark.sparkContext.setLogLevel(level.toUpperCase)
-    val o = mapper.createObjectNode()
-    o.put("level", level.toUpperCase)
-    respond(ex, 200, o)
+  server.createContext("/log/level", ex => handle(ex) {
+    val level = queryParam(ex, "level", "").toUpperCase
+    val valid = Seq("DEBUG", "INFO", "WARNING", "ERROR") // rest_api.py:301
+    if (!valid.contains(level))
+      error(ex, 400, s"Invalid level. Must be one of: $valid")
+    else {
+      // log4j spells WARNING as WARN; the API speaks the reference's dialect
+      store.spark.sparkContext.setLogLevel(if (level == "WARNING") "WARN" else level)
+      status(ex, 200, "success", s"Log level set to $level")
+    }
   })
 
   def start(): Unit = server.start()

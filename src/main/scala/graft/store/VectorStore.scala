@@ -61,6 +61,31 @@ class VectorStore(val spark: SparkSession) {
       } else next
   }
 
+  // ---- metadata JSON plumbing (SURVEY §1.4) ---------------------------
+  // The reference's metadata is an arbitrary dict (vector.py:15). Full
+  // fidelity lives in `metadataJson`; the flat `metadata` map carries the
+  // top-level scalar keys for cheap column-predicate filtering.
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def flatToJson(md: Map[String, String]): String = {
+    val o = mapper.createObjectNode()
+    md.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    mapper.writeValueAsString(o)
+  }
+
+  /** Top-level scalar fields of a JSON object as the filterable flat map
+    * (nested objects/arrays/null stay only in the JSON). */
+  private def jsonToFlat(json: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(json)
+    if (node == null || !node.isObject) Map.empty
+    else node.properties().asScala
+      .filter(e => e.getValue.isValueNode && !e.getValue.isNull)
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
   // ---- writes (W1, W2) -----------------------------------------------
 
   def insert(values: Seq[Float], metadata: Map[String, String] = Map.empty,
@@ -70,10 +95,44 @@ class VectorStore(val spark: SparkSession) {
   def upsertMany(vs: Seq[(Seq[Float], Map[String, String])],
                  namespace: String): Seq[String] = {
     val recs = vs.map { case (values, md) =>
-      VectorRecord(UUID.randomUUID().toString, namespace, values.toArray, md)
+      VectorRecord(UUID.randomUUID().toString, namespace, values.toArray, md,
+        flatToJson(md))
     }
     commit(live.union(recs.toDS()))
     recs.map(_.id)
+  }
+
+  /** Insert with arbitrary (possibly nested) JSON metadata — the parity
+    * path for the reference's `Dict[str, Any]` metadata. The JSON is
+    * stored verbatim for round-trip; its top-level scalars are also lifted
+    * into the flat map so equality filters keep working. */
+  def insertJson(values: Seq[Float], metadataJson: String,
+                 namespace: String = "default"): String =
+    upsertManyJson(Seq((values, metadataJson)), namespace).head
+
+  def upsertManyJson(vs: Seq[(Seq[Float], String)],
+                     namespace: String): Seq[String] = {
+    val recs = vs.map { case (values, json) =>
+      VectorRecord(UUID.randomUUID().toString, namespace, values.toArray,
+        jsonToFlat(json), json)
+    }
+    commit(live.union(recs.toDS()))
+    recs.map(_.id)
+  }
+
+  /** True upsert: overwrite-or-insert at a caller-supplied id in ONE
+    * commit (the write surface the reference's commented-out overwrite
+    * test intends, `tests/test_storage_engine_in_memory.py:46-57`). */
+  def upsert(id: String, values: Seq[Float],
+             metadata: Map[String, String] = Map.empty,
+             namespace: String = "default",
+             metadataJson: String = null): Unit = {
+    val json = Option(metadataJson).getOrElse(flatToJson(metadata))
+    val flat = if (metadataJson == null) metadata else jsonToFlat(json)
+    val rec = VectorRecord(id, namespace, values.toArray, flat, json)
+    commit(live
+      .filter(!(col("namespace") === namespace && col("id") === id))
+      .union(Seq(rec).toDS()))
   }
 
   // ---- reads (S1, S2, S5) --------------------------------------------
@@ -165,14 +224,24 @@ class VectorStore(val spark: SparkSession) {
       acc && col("metadata").getItem(k) === v
     }
 
+  /** Nested-metadata predicate: keys are JSONPaths (`$.a.b`), matched as
+    * strings against `get_json_object` extraction — the Spark analogue of
+    * filtering the reference's nested metadata dicts. */
+  private def jsonPredicate(filter: Map[String, String]) =
+    filter.foldLeft(lit(true)) { case (acc, (path, v)) =>
+      acc && get_json_object(col("metadataJson"), path) === v
+    }
+
   /** Scored frame for a query vector — the shared plan under every search
     * variant. The distance runs in whole-stage codegen; top-k goes through
     * TakeOrderedAndProject. */
   private def scored(query: Seq[Float], metric: String, namespace: String,
-                     filter: Map[String, String]): DataFrame = {
+                     filter: Map[String, String],
+                     jsonFilter: Map[String, String] = Map.empty): DataFrame = {
     val qv = litVec(query)
     val base = live
-      .filter(col("namespace") === namespace && metadataPredicate(filter))
+      .filter(col("namespace") === namespace && metadataPredicate(filter) &&
+        jsonPredicate(jsonFilter))
     val score = metric match {
       case "l2"     => l2sq(col("values"), qv)
       case "cosine" => cosineSim(col("values"), qv)
@@ -184,7 +253,8 @@ class VectorStore(val spark: SparkSession) {
   }
 
   private def collectHits(df: DataFrame): Seq[SearchHit] =
-    df.select(col("id"), col("score"), col("values"), col("metadata"))
+    df.select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
       .as[SearchHit].collect().toSeq
 
   private def ranked(df: DataFrame, metric: String): DataFrame =
@@ -194,9 +264,12 @@ class VectorStore(val spark: SparkSession) {
   /** Top-k similarity search (`query_processor.py:26-49`). */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
-                  filter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+                  filter: Map[String, String] = Map.empty,
+                  jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
-    collectHits(ranked(scored(query, metric, namespace, filter), metric).limit(k))
+    collectHits(
+      ranked(scored(query, metric, namespace, filter, jsonFilter), metric)
+        .limit(k))
   }
 
   /** Range search: all vectors with DISTANCE ≤ r (README.md:216). For the

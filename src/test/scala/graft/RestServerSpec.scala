@@ -34,54 +34,95 @@ class RestServerSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
-  test("full reference client flow over HTTP") {
+  test("full reference client flow over HTTP, reference envelopes") {
     withServer { (base, _) =>
-      // health before any data
+      // health before any data (rest_api.py:297)
       val (hc, hb) = send("GET", s"$base/health")
-      assert(hc == 200 && mapper.readTree(hb).get("status").asText() == "ok")
+      assert(hc == 200 && mapper.readTree(hb).get("status").asText() == "healthy")
 
-      // insert one + batch
+      // insert one (201 + status/message envelope, rest_api.py:96,114) + batch
       val (ic, ib) = send("POST", s"$base/vectors?namespace=demo",
         """{"values": [1.0, 0.0], "metadata": {"label": "x"}}""")
-      assert(ic == 200)
+      assert(ic == 201)
+      assert(mapper.readTree(ib).get("status").asText() == "success")
+      assert(mapper.readTree(ib).get("message").asText() == "Vector inserted")
       val id1 = mapper.readTree(ib).get("id").asText()
       val (bc, bb) = send("PUT", s"$base/vectors/batch?namespace=demo",
         """{"vectors": [{"values": [0.0, 1.0], "metadata": {"label": "y"}},
           |             {"values": [0.9, 0.1]}]}""".stripMargin)
-      assert(bc == 200 && mapper.readTree(bb).get("count").asInt() == 2)
+      assert(bc == 200)
+      assert(mapper.readTree(bb).get("message").asText() == "2 vectors upserted")
+      assert(mapper.readTree(bb).get("ids").size() == 2)
 
-      // search
+      // search returns a BARE list (rest_api.py:163 response_model)
       val (sc, sb) = send("POST", s"$base/search?namespace=demo",
         """{"query": [1.0, 0.05], "top_k": 2, "metric": "cosine"}""")
       assert(sc == 200)
-      val results = mapper.readTree(sb).get("results")
-      assert(results.size() == 2)
+      val results = mapper.readTree(sb)
+      assert(results.isArray && results.size() == 2)
       assert(results.get(0).get("metadata").get("label").asText() == "x")
       assert(results.get(0).get("score").asDouble() >
         results.get(1).get("score").asDouble())
 
-      // namespaces + storage info
+      // namespaces is a name list (rest_api.py:255); info is the engine dict
       val (nc, nb) = send("GET", s"$base/namespaces")
-      assert(nc == 200 && mapper.readTree(nb).get("namespaces").get("demo").asLong() == 3)
+      assert(nc == 200)
+      val nsArr = mapper.readTree(nb).get("namespaces")
+      assert(nsArr.isArray && nsArr.get(0).asText() == "demo")
       val (stc, stb) = send("GET", s"$base/storage/info")
       assert(stc == 200 && mapper.readTree(stb).get("total_vectors").asLong() == 3)
+      assert(mapper.readTree(stb).get("vectors_per_namespace").get("demo").asLong() == 3)
+      assert(mapper.readTree(stb).get("namespace_count").asInt() == 1)
 
-      // namespace dump
-      val (dc, db) = send("GET", s"$base/namespaces/demo/vectors")
-      assert(dc == 200 && mapper.readTree(db).get("vectors").size() == 3)
+      // namespace dump: reference route + bare list (rest_api.py:263-276)
+      val (dc, db) = send("GET", s"$base/namespaces/vectors?namespace=demo")
+      assert(dc == 200 && mapper.readTree(db).isArray && mapper.readTree(db).size() == 3)
 
       // delete (one real + one ghost) then search excludes it
       val (delc, delb) = send("DELETE", s"$base/vectors?namespace=demo",
         s"""{"ids": ["$id1", "ghost"]}""")
       assert(delc == 200)
-      assert(mapper.readTree(delb).get("deleted").size() == 1)
+      assert(mapper.readTree(delb).get("status").asText() == "success")
+      assert(mapper.readTree(delb).get("message").asText() == "1 vectors deleted")
       val (sc2, sb2) = send("POST", s"$base/search?namespace=demo",
         """{"query": [1.0, 0.05], "top_k": 10}""")
       assert(sc2 == 200)
-      val after = mapper.readTree(sb2).get("results")
+      val after = mapper.readTree(sb2)
       assert(after.size() == 2)
       (0 until after.size()).foreach(i =>
         assert(after.get(i).get("id").asText() != id1))
+
+      // log level: query param, validated (rest_api.py:298-311)
+      val (lc, lb) = send("POST", s"$base/log/level?level=warning")
+      assert(lc == 200 && mapper.readTree(lb).get("message").asText() == "Log level set to WARNING")
+      assert(send("POST", s"$base/log/level?level=verbose")._1 == 400)
+      send("POST", s"$base/log/level?level=warn") // restore is a 400; reset via valid
+      send("POST", s"$base/log/level?level=error")
+    }
+  }
+
+  test("nested JSON metadata round-trips verbatim over HTTP (ref test :202-218)") {
+    withServer { (base, _) =>
+      val nested =
+        """{"string": "value", "number": 42, "list": [1, 2, 3],
+          | "dict": {"nested": "data"}, "none": null}""".stripMargin
+      val (ic, _) = send("POST", s"$base/vectors?namespace=nj",
+        s"""{"values": [1.0, 0.0], "metadata": $nested}""")
+      assert(ic == 201)
+
+      val (dc, db) = send("GET", s"$base/namespaces/vectors?namespace=nj")
+      assert(dc == 200)
+      val md = mapper.readTree(db).get(0).get("metadata")
+      assert(md == mapper.readTree(nested)) // structural equality, nesting intact
+      assert(md.get("dict").get("nested").asText() == "data")
+      assert(md.get("list").size() == 3 && md.get("list").get(2).asInt() == 3)
+      assert(md.get("number").asInt() == 42)
+      assert(md.get("none").isNull)
+
+      val (sc, sb) = send("POST", s"$base/search?namespace=nj",
+        """{"query": [1.0, 0.0], "top_k": 1}""")
+      assert(sc == 200)
+      assert(mapper.readTree(sb).get(0).get("metadata") == mapper.readTree(nested))
     }
   }
 
@@ -104,10 +145,10 @@ class RestServerSpec extends AnyFunSuite {
       assert(send("PUT", s"$base/vectors/batch", "{}")._1 == 422)
       // wrong method → 405
       assert(send("GET", s"$base/search")._1 == 405)
-      // search in unknown namespace → 200 empty, never errors (index.py:98-99)
+      // search in unknown namespace → 200 empty list, never errors (index.py:98-99)
       val (c, b) = send("POST", s"$base/search?namespace=ghost",
         """{"query": [1.0]}""")
-      assert(c == 200 && mapper.readTree(b).get("results").size() == 0)
+      assert(c == 200 && mapper.readTree(b).isArray && mapper.readTree(b).size() == 0)
     }
   }
 }

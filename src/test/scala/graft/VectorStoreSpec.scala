@@ -218,6 +218,54 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(v1 == v3)
   }
 
+  test("nested JSON metadata round-trips: dicts, lists, ints, None (ref test :202-218)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val s = newStore
+    val complex =
+      """{"string": "value", "number": 42, "list": [1, 2, 3],
+        | "dict": {"nested": "data"}, "none": null}""".stripMargin
+    val id = s.insertJson(Seq(1f, 2f), complex, "test_ns")
+    val got = s.read(id, "test_ns").get
+    // full fidelity through the JSON column (structural, not string, equality)
+    assert(mapper.readTree(got.metadataJson) == mapper.readTree(complex))
+    // top-level scalars are lifted into the filterable flat map
+    assert(got.metadata == Map("string" -> "value", "number" -> "42"))
+  }
+
+  test("jsonFilter searches nested metadata via JSONPath") {
+    val s = newStore
+    s.insertJson(Seq(1f, 0f), """{"tags": {"env": "prod", "tier": 1}}""", "ns")
+    s.insertJson(Seq(0.9f, 0.1f), """{"tags": {"env": "dev", "tier": 1}}""", "ns")
+    s.insertJson(Seq(0f, 1f), """{"tags": {"env": "prod", "tier": 2}}""", "ns")
+    val prod = s.findSimilar(Seq(1f, 0f), k = 10, namespace = "ns",
+      jsonFilter = Map("$.tags.env" -> "prod"))
+    assert(prod.length == 2)
+    val prodT1 = s.findSimilar(Seq(1f, 0f), k = 10, namespace = "ns",
+      jsonFilter = Map("$.tags.env" -> "prod", "$.tags.tier" -> "1"))
+    assert(prodT1.length == 1)
+    assert(prodT1.head.values.toSeq == Seq(1f, 0f))
+  }
+
+  test("upsert overwrites in place at a caller id (ref's intended overwrite, test :46-57)") {
+    val s = newStore
+    s.upsert("fixed-id", Seq(1f, 0f), Map("v" -> "1"), "ns")
+    assert(s.read("fixed-id", "ns").get.metadata("v") == "1")
+    s.upsert("fixed-id", Seq(0f, 1f), Map("v" -> "2"), "ns")
+    assert(s.totalCount() == 1) // replaced, not duplicated
+    val got = s.read("fixed-id", "ns").get
+    assert(got.values.toSeq == Seq(0f, 1f))
+    assert(got.metadata("v") == "2")
+    // upsert with nested json metadata
+    s.upsert("fixed-id", Seq(1f, 1f), namespace = "ns",
+      metadataJson = """{"a": {"b": 7}}""")
+    val got2 = s.read("fixed-id", "ns").get
+    assert(s.totalCount() == 1)
+    assert(got2.metadata.isEmpty) // no top-level scalars to lift
+    val hits = s.findSimilar(Seq(1f, 1f), k = 1, namespace = "ns",
+      jsonFilter = Map("$.a.b" -> "7"))
+    assert(hits.length == 1 && hits.head.id == "fixed-id")
+  }
+
   test("many small mutations stay correct across auto-compaction") {
     val s = newStore
     val ids = (1 to 70).map(i => s.insert(Seq(i.toFloat), Map("i" -> i.toString), "ns"))
