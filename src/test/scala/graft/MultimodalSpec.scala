@@ -12,9 +12,54 @@ class MultimodalSpec extends AnyFunSuite {
   test("binary payload round-trips through the media schema") {
     val m = Multimodal.syntheticMedia(spark, dir)
     val first = m.filter(_.media_id == 0).collect().head
-    assert(new String(first.payload, "UTF-8").nonEmpty)
+    assert(first.payload.nonEmpty)
     assert(Set("image", "audio", "video").contains(first.kind))
     assert(first.meta.contains("source") && first.meta.contains("lang"))
+  }
+
+  test("image features come from a REAL PNG decode (javax.imageio)") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, dir))
+      .filter(_.kind == "image").collect()
+    assert(feats.nonEmpty)
+    // every image payload sniffs as png and decodes to the known-answer dims
+    feats.foreach { f =>
+      assert(f.format == "png", s"media ${f.media_id} sniffed as ${f.format}")
+      val expW = 16 * (1 + (f.media_id % 8)).toInt
+      val expH = 16 * (1 + ((f.media_id / 8) % 6)).toInt
+      assert(f.width == expW && f.height == expH,
+        s"media ${f.media_id}: got ${f.width}x${f.height}, want ${expW}x$expH")
+      assert(math.abs(f.aspect - expW.toDouble / expH) < 1e-12)
+    }
+  }
+
+  test("audio features come from a REAL WAV parse (javax.sound.sampled)") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, dir))
+      .filter(_.kind == "audio").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.format == "wav")
+      assert(f.sample_rate == 8000)
+      val expSamples = 800 + (f.media_id % 5).toInt * 400
+      assert(math.abs(f.duration_ms - expSamples * 1000.0 / 8000) < 1e-9,
+        s"media ${f.media_id}: duration ${f.duration_ms}")
+    }
+  }
+
+  test("video features are the documented stub; entropy is real for all kinds") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, dir))
+      .collect()
+    val video = feats.filter(_.kind == "video")
+    assert(video.nonEmpty)
+    video.foreach { f =>
+      assert(f.format == "unknown") // text bytes: nothing to decode with
+      assert(f.width >= 160 && f.height >= 120)
+    }
+    feats.foreach(f => assert(f.entropy > 0 && f.entropy <= 8.0))
+    // encoded media should look denser than plain text
+    val avgImg = feats.filter(_.kind == "image").map(_.entropy).sum /
+      feats.count(_.kind == "image")
+    val avgVid = video.map(_.entropy).sum / video.length
+    assert(avgImg > avgVid, f"png entropy $avgImg%.2f <= text entropy $avgVid%.2f")
   }
 
   test("feature extraction is deterministic, typed, and narrow") {
@@ -22,7 +67,6 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(f => f.width >= 160 && f.height >= 120 && f.aspect > 0))
     assert(f1.forall(f => f.n_bytes > 0))
     // narrow: partition count is preserved through mapPartitions
     assert(Multimodal.extractFeatures(media).rdd.getNumPartitions ==
