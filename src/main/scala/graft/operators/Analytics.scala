@@ -33,7 +33,7 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("doc_id"), col("term"), r4(col("tfidf_raw")).as("tfidf"))
-      .orderBy(col("doc_id"))
+      .transform(df => Out.ordered(df)(col("doc_id")))
   }
 
   val q34Sql: String =

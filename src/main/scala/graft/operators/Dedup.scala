@@ -63,11 +63,12 @@ object Dedup {
   // ---- Q16: exact dedup — canonical-text digest groups ----------------
 
   def q16(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-      .orderBy(col("h"))
+    Out.ordered(
+      docs(spark, dir)
+        .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))(
+      col("h"))
 
   val q16Sql: String =
     """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,

@@ -103,7 +103,7 @@ object TextAnalysis {
         r4(col("avg_tok_len_raw")).as("avg_tok_len"),
         r4(col("stop_ratio_raw")).as("stop_ratio"),
         col("quality"))
-      .orderBy(col("doc_id"))
+      .transform(df => Out.ordered(df)(col("doc_id")))
   }
 
   val q21Sql: String =
@@ -147,11 +147,11 @@ object TextAnalysis {
   // the cheap first stage of any dedup cascade.
 
   def q23(spark: SparkSession, dir: String): DataFrame =
-    withToks(spark, dir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", col("toks"))).as("fingerprint"),
-        size(col("toks")).as("n_tok"))
-      .orderBy(col("doc_id"))
+    Out.ordered(
+      withToks(spark, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("toks"))).as("fingerprint"),
+          size(col("toks")).as("n_tok")))(col("doc_id"))
 
   val q23Sql: String =
     """SELECT doc_id,

@@ -255,10 +255,10 @@ object VectorSearch {
   private val rangeR = 1.8
 
   def q11(spark: SparkSession, dir: String): DataFrame =
-    scored(spark, dir, "l2", Some("ns_1"))
-      .where(col("score") <= rangeR)
-      .select(col("id"), col("score"))
-      .orderBy(col("score"), col("id"))
+    Out.ordered(
+      scored(spark, dir, "l2", Some("ns_1"))
+        .where(col("score") <= rangeR)
+        .select(col("id"), col("score")))(col("score"), col("id"))
 
   val q11Sql: String =
     s"""WITH $vecsCte, s AS (
@@ -271,10 +271,11 @@ object VectorSearch {
   private val simT = 0.25
 
   def q12(spark: SparkSession, dir: String): DataFrame =
-    scored(spark, dir, "cosine", None)
-      .where(col("score") >= simT)
-      .select(col("id"), col("namespace"), col("score"))
-      .orderBy(col("score").desc, col("id"))
+    Out.ordered(
+      scored(spark, dir, "cosine", None)
+        .where(col("score") >= simT)
+        .select(col("id"), col("namespace"), col("score")))(
+      col("score").desc, col("id"))
 
   val q12Sql: String =
     s"""WITH $vecsCte, s AS (
@@ -286,10 +287,10 @@ object VectorSearch {
   // ---- Q13: metadata filter — conjunctive equality (api_client.py:65-74)
 
   def q13(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir)
-      .where(col("label") === 3 && col("namespace") === "ns_3")
-      .select(col("id"), col("namespace"), col("label"))
-      .orderBy(col("id"))
+    Out.ordered(
+      vecs(spark, dir)
+        .where(col("label") === 3 && col("namespace") === "ns_3")
+        .select(col("id"), col("namespace"), col("label")))(col("id"))
 
   val q13Sql: String =
     s"""WITH v AS (${Tables.vectorsSql})
@@ -336,10 +337,10 @@ object VectorSearch {
     * plan has no BroadcastNestedLoopJoin; AnnSpec measures banded recall
     * against the exact pairs. */
   def nearDupPairs(v: DataFrame, n: Long, t: Double): DataFrame = {
-    val ranked = (scored: DataFrame) => scored
+    val ranked = (scored: DataFrame) => Out.ordered(scored
       .where(col("score") >= t)
-      .select(col("id_a"), col("id_b"), col("score"))
-      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("score")))(
+      col("score").desc, col("id_a"), col("id_b"))
     if (n <= ExactPairLimit) {
       val a = v.select(col("id").as("id_a"), col("values").as("va"))
       val b = v.select(col("id").as("id_b"), col("values").as("vb"))
@@ -411,7 +412,7 @@ object VectorSearch {
         get_json_object(col("mj"), "$.tags.parity") === "1")
       .select(col("id"),
         get_json_object(col("mj"), "$.label").cast("int").as("label_j"))
-      .orderBy(col("id"))
+      .transform(df => Out.ordered(df)(col("id")))
 
   val q40Sql: String =
     s"""WITH v AS (${Tables.vectorsSql}), j AS (
