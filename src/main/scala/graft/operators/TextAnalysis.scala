@@ -159,17 +159,115 @@ object TextAnalysis {
       |       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- Q41: deterministic stratified train/val/test split -------------
+  // Hash-bucket sharding, not RNG sampling: split(doc) is a pure function
+  // of the id, so the assignment is reproducible across runs, stable under
+  // appends, and needs no driver-side state — the only split mechanism
+  // that works at 100 TB. 80/10/10 via md5 bucket, reported per stratum.
+
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+
+  def q41(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket", splitBucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("split"))
+
+  val q41Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n, min(doc_id) AS first_doc
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  // ---- Q42: composed training-set materialization ---------------------
+  // The full pre-training funnel in one declarative plan: exact dedup
+  // (keep lowest doc_id per canonical-text digest) → quality gate (q21's
+  // composite ≥ 0.6) → train shard only (q41's hash split) → per-language
+  // corpus stats. Every stage is a map or a map-side-combinable agg; the
+  // only shuffles are the dedup groupBy and the final small agg — the
+  // shape survives 100 TB unchanged.
+
+  private val QualityFloor = 0.6
+
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val d = withToks(spark, dir)
+      .withColumn("h", md5(normText(col("text"))))
+    val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val stopArr = StopEn.map(w => s"'$w'").mkString(",")
+    d.join(keepers, Seq("h", "doc_id")) // dedup: keeper rows only
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))")
+          .cast("double") / col("n_tok"))
+      .withColumn("avg_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+          .cast("double") / col("n_tok"))
+      .withColumn("quality", r4(
+        lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
+          + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(lit(1.0), col("avg_len") / 8.0)))
+      .where(col("quality") >= QualityFloor && splitBucket < 80)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("total_tokens"),
+        r4(avg(col("quality"))).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val q42Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |k AS (SELECT h, min(doc_id) AS doc_id FROM t GROUP BY h),
+       |m AS (
+       |  SELECT t.doc_id, t.lang, len(t.toks)::INT AS n_tok,
+       |         len(list_filter(t.toks, x -> list_contains(${sqlList(StopEn)}, x)))::DOUBLE
+       |           / len(t.toks) AS stop_ratio,
+       |         list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE
+       |           / len(t.toks) AS avg_len
+       |  FROM t JOIN k ON k.h = t.h AND k.doc_id = t.doc_id),
+       |q AS (
+       |  SELECT doc_id, lang, n_tok,
+       |         ${r4Sql("0.4 * least(1.0, n_tok / 100.0)" +
+                    " + 0.3 * (1.0 - stop_ratio)" +
+                    " + 0.3 * least(1.0, avg_len / 8.0)")} AS quality
+       |  FROM m)
+       |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       |       ${r4Sql("avg(quality)")} AS avg_quality
+       |FROM q
+       |WHERE quality >= $QualityFloor
+       |  AND ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 < 80
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
-    "q23_fingerprint" -> (q23 _))
+    "q23_fingerprint" -> (q23 _),
+    "q41_stratified_split" -> (q41 _),
+    "q42_training_set" -> (q42 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,
-    "q23_fingerprint" -> q23Sql)
+    "q23_fingerprint" -> q23Sql,
+    "q41_stratified_split" -> q41Sql,
+    "q42_training_set" -> q42Sql)
 }
