@@ -1,11 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.functions.Det.r4
+
+/** Per-user session accumulator carried across micro-batches (top-level:
+  * encoder codegen needs public classes). */
+final case class SessionState(lastTsUs: Long, nEvents: Long, nSessions: Long)
+
+/** Streaming output row — same shape as the batch q28 report. */
+final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+/** Projected input event for the stateful sessionizer. */
+final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
 
 /** Structured Streaming over the `events` table (SURVEY §7 step 7): the
   * streaming twin of EventOps.q29 — identical grouping, so draining the
@@ -30,9 +40,9 @@ object EventStream {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet with the same µs-timestamp
-    * normalization as the batch loader. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * normalization as the batch loader (requires Tables.requiredConfs at
+    * session build — loaders never mutate a live session's conf). */
+  def source(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       // the streaming file source wants a directory; glob down to the
@@ -40,7 +50,6 @@ object EventStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-hour windowed counts + value sums per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
@@ -59,6 +68,54 @@ object EventStream {
     hourlyAgg(source(spark, dir))
       .writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ---------------
+
+  private val GapUs = 30L * 60 * 1000000 // shared 30-min gap with EventOps.q28
+
+  /** Gap-based sessionization as arbitrary streaming state
+    * (`flatMapGroupsWithState` over `groupByKey(user_id)`) — the custom-
+    * state operator family the tumbling-window job can't express. Each
+    * micro-batch folds its (ts, event_id)-sorted events into the carried
+    * `SessionState`; a session break is a gap > 30 min against the last
+    * seen timestamp. Emits the running per-user totals in Update mode.
+    *
+    * Correctness contract: equals the batch q28 window/lag plan when
+    * micro-batches arrive in per-user timestamp order (single finite file
+    * → single batch in the parity spec). At 100 TB the same operator runs
+    * over Kafka with event-time ordering per key and checkpointed state —
+    * state is O(1) per user (three longs), so the state store stays tiny
+    * regardless of corpus size.
+    */
+  def sessionCounts(events: DataFrame): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val isBreak = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
+            st = SessionState(e.ts_us, st.nEvents + 1,
+              st.nSessions + (if (isBreak) 1 else 0))
+          }
+          state.update(st)
+          Iterator.single(UserSessions(uid, st.nEvents, st.nSessions))
+      }
+  }
+
+  def startSessionsToMemory(spark: SparkSession, dir: String,
+                            queryName: String): StreamingQuery =
+    sessionCounts(source(spark, dir))
+      .writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(queryName)
       .start()
