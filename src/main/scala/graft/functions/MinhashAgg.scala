@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** All MinHash signature slots as ONE typed imperative aggregate.
+  *
+  * Replaces the 64-separate-`min((a·h+b) % p)`-columns formulation: that
+  * plan keeps 64 independent agg buffers and re-evaluates one projection
+  * per slot per row; this buffer is a single `Array[Long](numPerm)` of
+  * running minima updated in a tight loop (one multiply+mod per slot, no
+  * per-slot expression overhead), merged associatively across partitions
+  * (map-side partial aggregation intact), finalized to `array<bigint>`.
+  *
+  * Slot semantics are identical to [[TextFunctions.minhashSlot]]:
+  * `m_i = min((a_i·h + b_i) mod p)` with the same (a, b) family, so the
+  * banded-LSH candidates are unchanged — the same pattern that fused
+  * LshSignature (the per-Column form was the dominant cost, not the
+  * algorithm).
+  */
+case class MinhashAgg(
+    child: Expression,
+    params: Seq[(Long, Long)],
+    p: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(params.nonEmpty, "at least one permutation required")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint hash input, got ${child.dataType.sql}")
+
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(params.length)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < buf.length) {
+        val x = (as(i) * h + bs(i)) % p
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(params.length)(bb.getLong())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = s"minhash_${params.length}"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinhashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinhashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MinhashAgg {
+  /** Aggregate Column: the full `array<bigint>` signature under groupBy. */
+  def minhash(h: Column, params: Seq[(Long, Long)], p: Long): Column =
+    CatalystBridge.column(
+      MinhashAgg(CatalystBridge.expression(h), params, p).toAggregateExpression())
+}

@@ -181,16 +181,18 @@ object Dedup {
     val sh = shingleSets(spark, dir)
       .withColumn("h32", pmod(col("h"), lit(4294967296L)))
       .localCheckpoint(true)
-    val params = minhashParams(NumPerm)
-    val slotAggs = params.zipWithIndex.map { case ((a, b), i) =>
-      minhashSlot(col("h32"), a, b).as(s"m$i")
-    }
-    val sig = sh.groupBy(col("doc_id")).agg(slotAggs.head, slotAggs.tail: _*)
+    // all 64 slots in ONE aggregate buffer (MinhashAgg) — identical slot
+    // values to the per-column min((a·h+b)%p) form, without 64 independent
+    // agg expressions per row
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinhashAgg
+        .minhash(col("h32"), minhashParams(NumPerm), MinhashP).as("ms"))
     val bandCols = (0 until Bands).map { bd =>
       struct(
         lit(bd).as("band"),
         md5(concat_ws("_",
-          (0 until RowsPerBand).map(r => col(s"m${bd * RowsPerBand + r}")): _*)).as("sig"))
+          (0 until RowsPerBand).map(r =>
+            element_at(col("ms"), bd * RowsPerBand + r + 1)): _*)).as("sig"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))

@@ -21,6 +21,26 @@ class DedupSpec extends AnyFunSuite {
     assert(direct == prefixed)
   }
 
+  test("fused MinhashAgg signature equals the per-column min((a*h+b)%p) form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val sh = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TokenShingleHashes(col("text"), 3)).as("h"))
+      .withColumn("h32", pmod(col("h"), lit(4294967296L)))
+    val params = minhashParams(8)
+    val fused = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinhashAgg.minhash(col("h32"), params, MinhashP).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val slotAggs = params.zipWithIndex.map { case ((a, b), i) =>
+      minhashSlot(col("h32"), a, b).as(s"m$i")
+    }
+    val columnar = sh.groupBy(col("doc_id")).agg(slotAggs.head, slotAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    assert(fused.nonEmpty)
+    assert(fused == columnar)
+  }
+
   test("minhash-LSH + verify lands on exactly the brute-force pair set") {
     val brute = Dedup.q17(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
