@@ -202,8 +202,13 @@ object TextAnalysis {
   private val QualityFloor = 0.6
 
   def q42(spark: SparkSession, dir: String): DataFrame = {
+    // tokenized+digested frame feeds BOTH the keeper agg and the join back
+    // — materialize once or the regex scan runs twice (the 100 TB
+    // analogue: persist the canonical table before self-referencing joins)
     val d = withToks(spark, dir)
       .withColumn("h", md5(normText(col("text"))))
+      .select(col("doc_id"), col("lang"), col("h"), col("toks"))
+      .localCheckpoint(true)
     val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val stopArr = StopEn.map(w => s"'$w'").mkString(",")
     d.join(keepers, Seq("h", "doc_id")) // dedup: keeper rows only
