@@ -21,10 +21,12 @@ object Analytics {
     val docs = Tables.table(spark, dir, "documents")
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(true)
+    // tf is distinct-by-construction on (doc_id, term), so document
+    // frequency derives from the (much smaller) tf frame — one pass over
+    // the exploded tokens instead of two
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.count()
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_raw").desc, col("term"))
