@@ -1,6 +1,5 @@
 package graft.examples
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorDistance, VectorFunctions}
@@ -13,13 +12,7 @@ import graft.sources.Tables
 object KernelBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-kernel-bench")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(8, "graft-kernel-bench")
 
     val e = Tables.table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
@@ -42,7 +35,7 @@ object KernelBench {
     }
     val maxDiff = pairs.select(max(abs(
       VectorFunctions.cosineSimComposed(col("va"), col("vb")) -
-        VectorDistance.cosineSim(col("va"), col("vb"))))).head.getDouble(0)
+        VectorDistance.cosineSim(col("va"), col("vb"))))).head().getDouble(0)
     println(s"[kernel] max |composed - codegen| = $maxDiff")
     spark.stop()
   }

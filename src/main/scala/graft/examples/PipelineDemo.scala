@@ -1,6 +1,5 @@
 package graft.examples
 
-import org.apache.spark.sql.SparkSession
 
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
@@ -10,13 +9,7 @@ import graft.streaming.EventStream
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-pipeline-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(4, "graft-pipeline-demo")
 
     val q = EventStream.startToMemory(spark, dir, "demo_hourly")
     q.processAllAvailable()

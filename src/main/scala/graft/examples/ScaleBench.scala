@@ -70,10 +70,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(16, "graft-scale-bench")
     spark.range(10).count()
     for (copies <- Seq(2, 4, 8); simT <- Thresholds) {
       val e = corpus(spark, copies)

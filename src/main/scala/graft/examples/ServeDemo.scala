@@ -1,12 +1,9 @@
 package graft.examples
-import org.apache.spark.sql.SparkSession
 import graft.serving.RestServer
 import graft.store.VectorStore
 object ServeDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(4, "graft-serve-demo")
     val store = new VectorStore(spark)
     val server = new RestServer(store, 18432)
     server.start()

@@ -1,6 +1,5 @@
 package graft.examples
 
-import org.apache.spark.sql.SparkSession
 
 import graft.store.VectorStore
 
@@ -9,13 +8,7 @@ import graft.store.VectorStore
   * engine's public API. Run: `sbt 'runMain graft.examples.StoreDemo'`. */
 object StoreDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-store-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(4, "graft-store-demo")
 
     val store = new VectorStore(spark)
 

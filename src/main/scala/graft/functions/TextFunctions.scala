@@ -36,6 +36,21 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Composite document-quality score (the q21 contract, reused verbatim
+    * by q42's training-set gate): 0.4·min(1, n_tok/100) +
+    * 0.3·(1 − stop_ratio) + 0.3·min(1, avg_tok_len/8). One definition on
+    * each engine so the two queries can never drift apart. */
+  def qualityScore(nTok: Column, stopRatio: Column, avgLen: Column): Column =
+    lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(lit(1.0), avgLen / 8.0)
+
+  /** DuckDB text of [[qualityScore]] over the given SQL expressions. */
+  def qualityScoreSql(nTok: String, stopRatio: String, avgLen: String): String =
+    s"0.4 * least(1.0, $nTok / 100.0)" +
+      s" + 0.3 * (1.0 - $stopRatio)" +
+      s" + 0.3 * least(1.0, $avgLen / 8.0)"
+
   /** 32-bit token hash: first 8 md5 hex digits as a long in [0, 2^32). */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

@@ -35,7 +35,8 @@ object Analytics {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("doc_id"), col("term"), r4(col("tfidf_raw")).as("tfidf"))
-      .transform(df => Out.ordered(df)(col("doc_id")))
+      // per-document output (corpus-sized at 100 TB) → parallel range sort
+      .orderBy(col("doc_id"))
   }
 
   val q34Sql: String =

@@ -195,7 +195,13 @@ object Ann {
 
   /** The layout path of the most recent ivfTopK run in this JVM — Verify
     * runs every query before dumping oracle SQL, so the q33 oracle always
-    * points at the layout that produced the graded result. */
+    * points at the layout that produced the graded result.
+    *
+    * Assumptions (by design of the Verify flow, documented rather than
+    * defended in code): oracles are dumped after queries run, one sf dir
+    * per JVM at a time, and no two processes grade the same sf dir
+    * concurrently (paths are per-dir, so cross-sf runs never collide;
+    * same-dir writers would clobber each other's layout mid-read). */
   @volatile private var lastAux: String = ivfAuxDir("/root/testdata/sf0.01")
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {

@@ -62,13 +62,15 @@ object Dedup {
 
   // ---- Q16: exact dedup — canonical-text digest groups ----------------
 
+  // output is one row per distinct digest (corpus-sized at 100 TB), so it
+  // keeps the parallel range sort — the resample cost is bounded by the
+  // agg's shuffle, and Out.ordered's single partition would bottleneck
   def q16(spark: SparkSession, dir: String): DataFrame =
-    Out.ordered(
-      docs(spark, dir)
-        .select(col("doc_id"), md5(normText(col("text"))).as("h"))
-        .groupBy(col("h"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))(
-      col("h"))
+    docs(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("h"))
 
   val q16Sql: String =
     """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,

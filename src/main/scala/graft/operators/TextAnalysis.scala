@@ -94,16 +94,15 @@ object TextAnalysis {
         expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
       .withColumn("avg_tok_len_raw", col("sum_len").cast("double") / col("n_tok"))
       .withColumn("stop_ratio_raw", col("stop_hits").cast("double") / col("n_tok"))
-      .withColumn("quality", r4(
-        lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
-          + lit(0.3) * (lit(1.0) - col("stop_ratio_raw"))
-          + lit(0.3) * least(lit(1.0), col("avg_tok_len_raw") / 8.0)))
+      .withColumn("quality", r4(qualityScore(
+        col("n_tok"), col("stop_ratio_raw"), col("avg_tok_len_raw"))))
       .select(
         col("doc_id"), col("n_tok"), col("n_chars"),
         r4(col("avg_tok_len_raw")).as("avg_tok_len"),
         r4(col("stop_ratio_raw")).as("stop_ratio"),
         col("quality"))
-      .transform(df => Out.ordered(df)(col("doc_id")))
+      // per-document output (corpus-sized at 100 TB) → parallel range sort
+      .orderBy(col("doc_id"))
   }
 
   val q21Sql: String =
@@ -122,9 +121,7 @@ object TextAnalysis {
        |SELECT doc_id, n_tok, n_chars,
        |       ${r4Sql("avg_tok_len_raw")} AS avg_tok_len,
        |       ${r4Sql("stop_ratio_raw")} AS stop_ratio,
-       |       ${r4Sql("0.4 * least(1.0, n_tok / 100.0)" +
-                  " + 0.3 * (1.0 - stop_ratio_raw)" +
-                  " + 0.3 * least(1.0, avg_tok_len_raw / 8.0)")} AS quality
+       |       ${r4Sql(qualityScoreSql("n_tok", "stop_ratio_raw", "avg_tok_len_raw"))} AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---- Q22: corpus token frequency ------------------------------------
@@ -147,11 +144,12 @@ object TextAnalysis {
   // the cheap first stage of any dedup cascade.
 
   def q23(spark: SparkSession, dir: String): DataFrame =
-    Out.ordered(
-      withToks(spark, dir)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", col("toks"))).as("fingerprint"),
-          size(col("toks")).as("n_tok")))(col("doc_id"))
+    withToks(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("toks"))).as("fingerprint"),
+        size(col("toks")).as("n_tok"))
+      // per-document output (corpus-sized at 100 TB) → parallel range sort
+      .orderBy(col("doc_id"))
 
   val q23Sql: String =
     """SELECT doc_id,
@@ -219,10 +217,8 @@ object TextAnalysis {
       .withColumn("avg_len",
         expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
           .cast("double") / col("n_tok"))
-      .withColumn("quality", r4(
-        lit(0.4) * least(lit(1.0), col("n_tok").cast("double") / 100.0)
-          + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-          + lit(0.3) * least(lit(1.0), col("avg_len") / 8.0)))
+      .withColumn("quality", r4(qualityScore(
+        col("n_tok"), col("stop_ratio"), col("avg_len"))))
       .where(col("quality") >= QualityFloor && splitBucket < 80)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -247,9 +243,7 @@ object TextAnalysis {
        |  FROM t JOIN k ON k.h = t.h AND k.doc_id = t.doc_id),
        |q AS (
        |  SELECT doc_id, lang, n_tok,
-       |         ${r4Sql("0.4 * least(1.0, n_tok / 100.0)" +
-                    " + 0.3 * (1.0 - stop_ratio)" +
-                    " + 0.3 * least(1.0, avg_len / 8.0)")} AS quality
+       |         ${r4Sql(qualityScoreSql("n_tok", "stop_ratio", "avg_len"))} AS quality
        |  FROM m)
        |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
        |       ${r4Sql("avg(quality)")} AS avg_quality

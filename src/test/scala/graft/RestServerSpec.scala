@@ -138,6 +138,11 @@ class RestServerSpec extends AnyFunSuite {
         """{"query": [1.0], "metric": "chebyshev"}""")._1 == 422)
       // malformed JSON → 400
       assert(send("POST", s"$base/search", """{"query": [1.0""")._1 == 400)
+      // non-object metadata → 422 (Dict[str, Any] parity), never silent {}
+      assert(send("POST", s"$base/vectors",
+        """{"values": [1.0], "metadata": [1, 2, 3]}""")._1 == 422)
+      assert(send("POST", s"$base/vectors",
+        """{"values": [1.0], "metadata": "prod"}""")._1 == 422)
       // missing required fields → 422 like Pydantic, never a 500 NPE
       assert(send("POST", s"$base/search", "{}")._1 == 422)
       assert(send("POST", s"$base/vectors", "{}")._1 == 422)
