@@ -33,6 +33,16 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IVF probe serves repeatedly off one persisted layout (build once, probe many)") {
+    val aux = Ann.buildIvfIndex(spark, dir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))
+    val p1 = Ann.ivfProbe(spark, dir, aux).collect().map(key).toSeq
+    val p2 = Ann.ivfProbe(spark, dir, aux).collect().map(key).toSeq
+    assert(p1.nonEmpty && p1 == p2)
+  }
+
   test("banded near-dup path finds the exact pairs (recall >= 0.8, no false positives)") {
     import org.apache.spark.sql.functions.col
     val v = graft.sources.Tables.vectors(spark, dir)
