@@ -97,6 +97,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [cell"), p.take(1200))
   }
 
+  test("bucketed tables co-locate the orders-lineitem join: no shuffle on either side") {
+    import org.apache.spark.sql.functions.col
+    // the recurring-workload shape SCALING.md argues for: bucket both
+    // fact tables on the join key once at write time, and the join needs
+    // no exchange at read time
+    Tables.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucketed")
+    Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("ord_bucketed")
+    val j = spark.table("li_bucketed").hint("merge")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val p = plan(j)
+    assert(p.contains("SortMergeJoin"), p.take(900))
+    assert(!p.contains("Exchange"), p.take(900))
+    // same join over the raw (unbucketed) parquet DOES shuffle both sides
+    val raw = Tables.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .hint("merge")
+      .join(Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(plan(raw).contains("Exchange"), plan(raw).take(900))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
