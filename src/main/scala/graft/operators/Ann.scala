@@ -242,9 +242,13 @@ object Ann {
   /** PROBE phase: rank the persisted centroids per query (driver-side —
     * both tables are request-sized), read only the probed partitions of
     * the inverted file (partition pruning pinned by PlanSpec), rerank
-    * exactly. Writes the probe list next to the layout so the oracle can
-    * replay the candidate set. */
-  def ivfProbe(spark: SparkSession, dir: String, aux: String): DataFrame = {
+    * exactly. `persistProbes` additionally writes the probe list next to
+    * the layout so the SQL oracle can replay the candidate set — only the
+    * graded q33 path sets it; serving probes must not (a per-request
+    * overwrite of a shared file would race concurrent probes and add a
+    * write to the query hot path). */
+  def ivfProbe(spark: SparkSession, dir: String, aux: String,
+               persistProbes: Boolean = false): DataFrame = {
     val centers = spark.read.parquet(s"$aux/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
@@ -265,7 +269,8 @@ object Ann {
     }
     import spark.implicits._
     val probes = probeRows.toDF("qid", "cell")
-    probes.coalesce(1).write.mode("overwrite").parquet(s"$aux/probes")
+    if (persistProbes)
+      probes.coalesce(1).write.mode("overwrite").parquet(s"$aux/probes")
 
     val probedCells = probeRows.map(_._2).distinct.sorted
     val idx = spark.read.parquet(s"$aux/index")
@@ -289,7 +294,7 @@ object Ann {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val aux = buildIvfIndex(spark, dir)
     lastAux = aux
-    ivfProbe(spark, dir, aux)
+    ivfProbe(spark, dir, aux, persistProbes = true)
   }
 
   /** Oracle replay of q33 from the persisted layout: candidates = probed

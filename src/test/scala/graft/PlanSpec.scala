@@ -106,18 +106,24 @@ class PlanSpec extends AnyFunSuite {
       .write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_bucketed")
     Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("ord_bucketed")
-    val j = spark.table("li_bucketed").hint("merge")
-      .join(spark.table("ord_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
-    val p = plan(j)
-    assert(p.contains("SortMergeJoin"), p.take(900))
-    assert(!p.contains("Exchange"), p.take(900))
-    // same join over the raw (unbucketed) parquet DOES shuffle both sides
-    val raw = Tables.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
-      .hint("merge")
-      .join(Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
-        col("l_orderkey") === col("o_orderkey"))
-    assert(plan(raw).contains("Exchange"), plan(raw).take(900))
+    try {
+      val j = spark.table("li_bucketed").hint("merge")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(900))
+      assert(!p.contains("Exchange"), p.take(900))
+      // same join over the raw (unbucketed) parquet DOES shuffle both sides
+      val raw = Tables.table(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .hint("merge")
+        .join(Tables.table(spark, dir, "orders").select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      val pRaw = plan(raw)
+      assert(pRaw.contains("Exchange"), pRaw.take(900))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
   }
 
   test("distance kernel runs inside whole-stage codegen") {

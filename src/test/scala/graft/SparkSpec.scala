@@ -10,8 +10,10 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // under target/ so `sbt clean` reclaims it (a fresh /tmp dir per
+      // run would strand a table copy per test invocation)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+        new java.io.File("target/graft_wh").getAbsolutePath)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
