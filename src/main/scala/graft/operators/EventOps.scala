@@ -120,17 +120,58 @@ object EventOps {
        |       min(json_extract_string(props, '$$.k')::INT) AS min_k
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- Q43: as-of join — click → most recent view ---------------------
+  // The event-time point-in-time lookup (attribution / feature-at-time
+  // shape). Spark has no ASOF JOIN operator; the idiomatic composition is
+  // a running `last(…, ignoreNulls)` over a RANGE frame on the UNIONED
+  // event stream — one shuffle on user_id, one per-user sort, no join at
+  // all. The frame is `[unbounded, current row]` over the ts ORDER, so a
+  // view sharing the click's exact timestamp is matched (inclusive ≤ — the
+  // same tie rule as DuckDB's native ASOF JOIN, which is the oracle).
+  // At 100 TB this beats the naive range-join formulation outright: the
+  // window never materializes candidate pairs.
+
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("view_ts",
+        last(when(col("event_type") === "view", col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("view_ts")).as("n_matched"),
+        r4(avg((col("ts_us") - col("view_ts")) / lit(1e6))).as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val q43Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |           WHERE event_type = 'click'),
+       |v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+       |      WHERE event_type = 'view')
+       |SELECT c.user_id, count(*) AS n_clicks, count(v.ts_us) AS n_matched,
+       |       ${r4Sql("avg((c.ts_us - v.ts_us) / 1e6)")} AS avg_gap_s
+       |FROM c ASOF LEFT JOIN v
+       |  ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_top_per_type" -> (q27 _),
     "q28_sessionize" -> (q28 _),
     "q29_event_window" -> (q29 _),
-    "q30_props_json" -> (q30 _))
+    "q30_props_json" -> (q30 _),
+    "q43_asof_join" -> (q43 _))
 
   val oracles: Map[String, String] = Map(
     "q27_top_per_type" -> q27Sql,
     "q28_sessionize" -> q28Sql,
     "q29_event_window" -> q29Sql,
-    "q30_props_json" -> q30Sql)
+    "q30_props_json" -> q30Sql,
+    "q43_asof_join" -> q43Sql)
 }
