@@ -187,6 +187,15 @@ class RestServer(store: VectorStore, port: Int = 0) {
     }
   })
 
+  /** Optional string-map field (`filter` / `json_filter`) → Map. */
+  private def stringMapOf(n: JsonNode, field: String): Map[String, String] = {
+    val m = n.get(field)
+    if (m == null || m.isNull) Map.empty
+    else if (m.isObject)
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    else throw new IllegalArgumentException(s"$field must be a JSON object")
+  }
+
   server.createContext("/search", ex => handle(ex) {
     ex.getRequestMethod match {
       case "POST" =>
@@ -194,7 +203,11 @@ class RestServer(store: VectorStore, port: Int = 0) {
         val body = readJson(ex)
         val k = Option(body.get("top_k")).map(_.asInt()).getOrElse(10)
         val metric = Option(body.get("metric")).map(_.asText()).getOrElse("cosine")
-        val hits = store.findSimilar(floats(required(body, "query")), k, metric, ns)
+        // superset of the reference request model: optional `filter`
+        // (top-level equality) and `json_filter` (JSONPath → value) expose
+        // the hybrid-search surface (README.md:294-299) over HTTP
+        val hits = store.findSimilar(floats(required(body, "query")), k, metric,
+          ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
         val arr = mapper.createArrayNode() // bare list, rest_api.py:163 response_model
         hits.foreach(h => arr.add(hitJson(h)))
         respond(ex, 200, arr)

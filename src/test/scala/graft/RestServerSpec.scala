@@ -126,6 +126,31 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid search over HTTP: flat filter and nested json_filter") {
+    withServer { (base, _) =>
+      send("POST", s"$base/vectors?namespace=h",
+        """{"values": [1.0, 0.0], "metadata": {"cat": "a", "tags": {"env": "prod"}}}""")
+      send("POST", s"$base/vectors?namespace=h",
+        """{"values": [0.99, 0.1], "metadata": {"cat": "b", "tags": {"env": "prod"}}}""")
+      send("POST", s"$base/vectors?namespace=h",
+        """{"values": [0.98, 0.2], "metadata": {"cat": "a", "tags": {"env": "dev"}}}""")
+
+      val (fc, fb) = send("POST", s"$base/search?namespace=h",
+        """{"query": [1.0, 0.0], "filter": {"cat": "a"}}""")
+      assert(fc == 200 && mapper.readTree(fb).size() == 2)
+      val (jc, jb) = send("POST", s"$base/search?namespace=h",
+        """{"query": [1.0, 0.0], "filter": {"cat": "a"},
+          | "json_filter": {"$.tags.env": "prod"}}""".stripMargin)
+      assert(jc == 200)
+      val hits = mapper.readTree(jb)
+      assert(hits.size() == 1)
+      assert(hits.get(0).get("metadata").get("tags").get("env").asText() == "prod")
+      // non-object filter → 422
+      assert(send("POST", s"$base/search?namespace=h",
+        """{"query": [1.0], "filter": "cat"}""")._1 == 422)
+    }
+  }
+
   test("validation mirrors the reference: bad inputs get 4xx, not 500") {
     withServer { (base, _) =>
       // empty delete list → 400 (rest_api.py:216-221)
