@@ -252,6 +252,34 @@ object TextAnalysis {
        |  AND ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 < 80
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- Q44: token counting — whitespace vs BPE-ish subword regex ------
+  // The two token counts an LLM-data pipeline actually tracks: whitespace
+  // words (corpus size accounting) and subword-ish units (letter runs /
+  // digit runs / single punctuation — the shape of a BPE pre-tokenizer),
+  // plus their ratio ("fertility", tokens-per-word — the standard
+  // tokenizer-efficiency metric). Pure per-row regex work: narrow,
+  // shuffle-free, embarrassingly parallel at 100 TB.
+
+  private val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_ws", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(lower(col("text")), lit(BpeRegex), lit(0))))
+      .select(col("doc_id"), col("n_ws"), col("n_bpe"),
+        r4(col("n_bpe").cast("double") / col("n_ws")).as("fertility"))
+      // per-document output (corpus-sized at 100 TB) → parallel range sort
+      .orderBy(col("doc_id"))
+
+  val q44Sql: String =
+    s"""SELECT doc_id,
+       |       len(string_split_regex(trim(text), '\\s+'))::INT AS n_ws,
+       |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe,
+       |       ${r4Sql("len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::DOUBLE" +
+            " / len(string_split_regex(trim(text), '\\s+'))")} AS fertility
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,7 +288,8 @@ object TextAnalysis {
     "q22_token_freq" -> (q22 _),
     "q23_fingerprint" -> (q23 _),
     "q41_stratified_split" -> (q41 _),
-    "q42_training_set" -> (q42 _))
+    "q42_training_set" -> (q42 _),
+    "q44_token_count_bpe" -> (q44 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -268,5 +297,6 @@ object TextAnalysis {
     "q22_token_freq" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
     "q41_stratified_split" -> q41Sql,
-    "q42_training_set" -> q42Sql)
+    "q42_training_set" -> q42Sql,
+    "q44_token_count_bpe" -> q44Sql)
 }
