@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.CatalystBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * the call site), so signatures stay stable across runs and executors.
   */
 case class LshSignature(child: Expression, planes: Seq[Seq[Seq[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -65,6 +65,43 @@ case class LshSignature(child: Expression, planes: Seq[Seq[Seq[Float]]])
     }
     new GenericArrayData(out)
   }
+
+  /** Same loop inside whole-stage codegen: the plane matrix rides along as
+    * a reference object; sign bits and accumulation order are identical to
+    * [[nullSafeEval]] (LshSignatureSpec pins bit-equality). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val matRef = ctx.addReferenceObj("lshPlanes", mat, "float[][][]")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val lim = ctx.freshName("lim")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      s"""int $n = $input.numElements();
+         |float[] $v = new float[$n];
+         |for (int $k = 0; $k < $n; $k++) { $v[$k] = $input.getFloat($k); }
+         |long[] $out = new long[$matRef.length];
+         |for (int $b = 0; $b < $matRef.length; $b++) {
+         |  long $sig = 0L;
+         |  for (int $r = 0; $r < $matRef[$b].length; $r++) {
+         |    float[] $p = $matRef[$b][$r];
+         |    int $lim = $n < $p.length ? $n : $p.length;
+         |    double $acc = 0.0;
+         |    for (int $k = 0; $k < $lim; $k++) {
+         |      $acc += (double) $v[$k] * (double) $p[$k];
+         |    }
+         |    if ($acc > 0) $sig |= (1L << $r);
+         |  }
+         |  $out[$b] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
