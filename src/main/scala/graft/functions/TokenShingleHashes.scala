@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.CatalystBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * matters (64-bit space vs ~1e5 shingles ≈ 1e-9).
   */
 case class TokenShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -101,6 +101,18 @@ case class TokenShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Public bridge for the generated code (nullSafeEval is protected). */
+  def evalUtf8(input: Any): Any = nullSafeEval(input)
+
+  /** Not CodegenFallback: see Tokenize.doGenCode — the bridge avoids the
+    * per-row InternalRow materialization fallback requires. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("shingler", this,
+        classOf[TokenShingleHashes].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalUtf8($input);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

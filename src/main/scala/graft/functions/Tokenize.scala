@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.CatalystBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * single branch-predictable byte loop.
   */
 case class Tokenize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -60,6 +60,20 @@ case class Tokenize(child: Expression)
     flush()
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Public bridge for the generated code (nullSafeEval is protected). */
+  def evalUtf8(input: Any): Any = nullSafeEval(input)
+
+  /** Not CodegenFallback: fallback would force the surrounding
+    * whole-stage pipeline to materialize an InternalRow per input just to
+    * call eval(row). This bridge passes the already-computed child value
+    * straight to the Scala kernel — one virtual call, no row
+    * construction, pipeline stays fused. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("tokenizer", this, classOf[Tokenize].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalUtf8($input);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
