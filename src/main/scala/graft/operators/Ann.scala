@@ -102,21 +102,34 @@ object Ann {
     java.lang.Long.parseLong(hex, 16) / 2147483648.0 - 1.0
   }
 
-  private[graft] lazy val hyperplanes: IndexedSeq[IndexedSeq[Array[Float]]] =
-    IndexedSeq.tabulate(Bands) { b =>
-      IndexedSeq.tabulate(BitsPerBand) { r =>
-        val f = b * BitsPerBand + r
-        Array.tabulate(Dim)(j => md5Coef(s"graft_lsh_${f}_$j").toFloat)
-      }
-    }
+  /** Planes for an arbitrary vector dimension (memoized): signatures over
+    * d-dim vectors must use d coefficients per plane — truncating a wider
+    * vector to a 64-dim plane would silently hash only its head. Keys are
+    * the same md5 family, so hyperplanesFor(64) is exactly the q32 oracle's
+    * plane set. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[Array[Float]]]]()
+
+  private[graft] def hyperplanesFor(dim: Int): IndexedSeq[IndexedSeq[Array[Float]]] =
+    planeCache.computeIfAbsent(dim, d =>
+      IndexedSeq.tabulate(Bands) { b =>
+        IndexedSeq.tabulate(BitsPerBand) { r =>
+          val f = b * BitsPerBand + r
+          Array.tabulate(d)(j => md5Coef(s"graft_lsh_${f}_$j").toFloat)
+        }
+      })
+
+  private[graft] def hyperplanes: IndexedSeq[IndexedSeq[Array[Float]]] =
+    hyperplanesFor(Dim)
 
   /** (row..., band, bucket) — one row per band per input row. All band
     * signatures come from one fused LshSignature pass (the composed
     * one-Column-per-plane form re-read the vector 64×); posexplode turns
     * the signature array into (band index, bucket) rows. */
-  private[graft] def withBandSigs(df: DataFrame, vec: Column): DataFrame = {
+  private[graft] def withBandSigs(df: DataFrame, vec: Column,
+                                  dim: Int = Dim): DataFrame = {
     val planesSeq: Seq[Seq[Seq[Float]]] =
-      hyperplanes.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
+      hyperplanesFor(dim).map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
     df.withColumn("sig_arr", graft.functions.LshSignature(vec, planesSeq))
       .select(col("*"), posexplode(col("sig_arr")).as(Seq("band", "bucket")))
       .drop("sig_arr")
@@ -195,14 +208,18 @@ object Ann {
 
   /** The layout path of the most recent ivfTopK run in this JVM — Verify
     * runs every query before dumping oracle SQL, so the q33 oracle always
-    * points at the layout that produced the graded result.
+    * points at the layout that produced the graded result. None until
+    * ivfTopK has actually run: emitting a default path instead would let
+    * the oracle silently replay a STALE layout from a previous process
+    * when q33 itself never executed (wrong-but-green is worse than the
+    * honest rows-only check the driver falls back to).
     *
     * Assumptions (by design of the Verify flow, documented rather than
     * defended in code): oracles are dumped after queries run, one sf dir
     * per JVM at a time, and no two processes grade the same sf dir
     * concurrently (paths are per-dir, so cross-sf runs never collide;
     * same-dir writers would clobber each other's layout mid-read). */
-  @volatile private var lastAux: String = ivfAuxDir("/root/testdata/sf0.01")
+  @volatile private var lastAux: Option[String] = None
 
   /** BUILD phase: train the coarse quantizer and persist the inverted
     * file — `index/` partitioned by `cell`, `centroids/` for probe-time
@@ -293,7 +310,7 @@ object Ann {
     * request). */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val aux = buildIvfIndex(spark, dir)
-    lastAux = aux
+    lastAux = Some(aux)
     ivfProbe(spark, dir, aux, persistProbes = true)
   }
 
@@ -327,9 +344,11 @@ object Ann {
     "q33_ann_ivf_topk" -> (ivfTopK _))
 
   /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
-    * evaluated by Verify after all queries have executed. */
+    * evaluated by Verify after all queries have executed. If ivfTopK never
+    * ran in this JVM, q33 gets no oracle (honest rows-only check) rather
+    * than one pointing at a stale layout. */
   def oracles: Map[String, String] = Map(
     "q31_ann_brute_topk" -> q31Sql,
-    "q32_ann_lsh_topk" -> q32Sql,
-    "q33_ann_ivf_topk" -> q33Sql(lastAux))
+    "q32_ann_lsh_topk" -> q32Sql) ++
+    lastAux.map(aux => "q33_ann_ivf_topk" -> q33Sql(aux))
 }

@@ -326,6 +326,9 @@ object VectorSearch {
 
   def q15(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
+    // the gate needs a corpus size: one parquet-footer count job at plan
+    // construction (cheap — metadata only, no row scan). Callers that
+    // already know the size pass it to nearDupPairs directly.
     nearDupPairs(v, v.count(), dupT)
   }
 
@@ -343,18 +346,21 @@ object VectorSearch {
     * corpus). The exact SQL oracle (q15Sql) applies only below the gate —
     * every graded sf is far below it; a corpus large enough to flip the
     * gate is also far too large for any exact all-pairs oracle to run. */
-  def nearDupPairs(v: DataFrame, n: Long, t: Double): DataFrame = {
-    val ranked = (scored: DataFrame) => Out.ordered(scored
+  def nearDupPairs(v: DataFrame, n: Long, t: Double, dim: Int = 64): DataFrame = {
+    val filtered = (scored: DataFrame) => scored
       .where(col("score") >= t)
-      .select(col("id_a"), col("id_b"), col("score")))(
-      col("score").desc, col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("score"))
     if (n <= ExactPairLimit) {
       val a = v.select(col("id").as("id_a"), col("values").as("va"))
       val b = v.select(col("id").as("id_b"), col("values").as("vb"))
-      ranked(a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("score", round(cosineSim(col("va"), col("vb")), 4)))
+      // small corpus → report-sized result: single-partition deterministic
+      // order without the range-sampling double execution
+      Out.ordered(filtered(a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("score", round(cosineSim(col("va"), col("vb")), 4))))(
+        col("score").desc, col("id_a"), col("id_b"))
     } else {
-      val sigs = Ann.withBandSigs(v.select(col("id"), col("values")), col("values"))
+      val sigs = Ann.withBandSigs(v.select(col("id"), col("values")),
+        col("values"), dim)
         .select(col("id"), col("band"), col("bucket"))
       val cand = sigs.as("x")
         .join(sigs.as("y"),
@@ -362,10 +368,13 @@ object VectorSearch {
             col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
-      ranked(cand
+      // corpus-scale result: parallel range sort (a single-partition sort
+      // here would re-create the bottleneck the gate removes)
+      filtered(cand
         .join(v.select(col("id").as("id_a"), col("values").as("va")), Seq("id_a"))
         .join(v.select(col("id").as("id_b"), col("values").as("vb")), Seq("id_b"))
         .withColumn("score", round(cosineSim(col("va"), col("vb")), 4)))
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
     }
   }
 

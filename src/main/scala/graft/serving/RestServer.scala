@@ -260,14 +260,20 @@ class RestServer(store: VectorStore, port: Int = 0) {
   })
 
   server.createContext("/log/level", ex => handle(ex) {
-    val level = queryParam(ex, "level", "").toUpperCase
-    val valid = Seq("DEBUG", "INFO", "WARNING", "ERROR") // rest_api.py:301
-    if (!valid.contains(level))
-      error(ex, 400, s"Invalid level. Must be one of: $valid")
-    else {
-      // log4j spells WARNING as WARN; the API speaks the reference's dialect
-      store.spark.sparkContext.setLogLevel(if (level == "WARNING") "WARN" else level)
-      status(ex, 200, "success", s"Log level set to $level")
+    ex.getRequestMethod match {
+      case "POST" => // POST-only like the reference (rest_api.py:298) —
+        // a stray GET must never mutate global logging
+        val level = queryParam(ex, "level", "").toUpperCase
+        val valid = Seq("DEBUG", "INFO", "WARNING", "ERROR") // rest_api.py:301
+        if (!valid.contains(level))
+          error(ex, 400,
+            s"Invalid level. Must be one of: ${valid.mkString("[", ", ", "]")}")
+        else {
+          // log4j spells WARNING as WARN; the API speaks the reference's dialect
+          store.spark.sparkContext.setLogLevel(if (level == "WARNING") "WARN" else level)
+          status(ex, 200, "success", s"Log level set to $level")
+        }
+      case m => error(ex, 405, s"method $m not allowed")
     }
   })
 
