@@ -173,8 +173,9 @@ class RestServerSpec extends AnyFunSuite {
       assert(send("POST", s"$base/vectors", "{}")._1 == 422)
       assert(send("DELETE", s"$base/vectors", "{}")._1 == 422)
       assert(send("PUT", s"$base/vectors/batch", "{}")._1 == 422)
-      // wrong method → 405
+      // wrong method → 405; a GET must never mutate the log level
       assert(send("GET", s"$base/search")._1 == 405)
+      assert(send("GET", s"$base/log/level?level=DEBUG")._1 == 405)
       // search in unknown namespace → 200 empty list, never errors (index.py:98-99)
       val (c, b) = send("POST", s"$base/search?namespace=ghost",
         """{"query": [1.0]}""")
