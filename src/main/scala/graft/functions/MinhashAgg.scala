@@ -44,30 +44,43 @@ case class MinhashAgg(
   @transient private lazy val as: Array[Long] = params.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(params.length)(Long.MaxValue)
+  // Buffer layout: params.length running minima + one trailing seen-flag
+  // slot (0 = no non-null input yet). A group whose hashes are all NULL
+  // finalizes to a NULL signature — matching the per-column
+  // min((a·h+b)%p) form this aggregate replaced, where every slot (and so
+  // the concat'd band key) came out NULL — instead of Long.MaxValue
+  // sentinels that would silently form a shared "empty" LSH bucket.
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = Array.fill(params.length + 1)(Long.MaxValue)
+    buf(params.length) = 0L
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var i = 0
-      while (i < buf.length) {
+      while (i < params.length) {
         val x = (as(i) * h + bs(i)) % p
         if (x < buf(i)) buf(i) = x
         i += 1
       }
+      buf(params.length) = 1L
     }
     buf
   }
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    while (i < params.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1(params.length) = b1(params.length) | b2(params.length)
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(params.length) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf, params.length))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * buf.length)
@@ -77,11 +90,11 @@ case class MinhashAgg(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(params.length)(bb.getLong())
+    Array.fill(params.length + 1)(bb.getLong())
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = s"minhash_${params.length}"
 

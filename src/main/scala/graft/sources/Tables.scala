@@ -33,9 +33,17 @@ object Tables {
     * loads the same file. `ts div 1000` keeps the arithmetic in longs — a
     * double round-trip would lose precision at 1.7e18 ns epochs.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Sessions built by GraftSession already carry requiredConfs;
+    // getOrCreate ignores builder confs when a session pre-exists, so for
+    // foreign sessions set the missing key once here (guarded: no write —
+    // and no race with concurrent readers — when it is already correct).
+    requiredConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Reference-shaped vector view over `embeddings` (SURVEY §1.4):
     * `(id, namespace, values, label)` where namespace is derived from the

@@ -41,6 +41,22 @@ class DedupSpec extends AnyFunSuite {
     assert(fused == columnar)
   }
 
+  test("MinhashAgg finalizes all-null groups to NULL, matching the columnar form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Some(7L)), (1L, None), // group with one real hash
+      (2L, None), (2L, None)      // group whose hashes are all NULL
+    ).toDF("g", "h32")
+    val params = minhashParams(4)
+    val rows = mixed.groupBy(col("g"))
+      .agg(graft.functions.MinhashAgg.minhash(col("h32"), params, MinhashP).as("ms"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isDefined, "non-null group keeps its signature")
+    assert(rows(2L).isEmpty, "all-null group must yield NULL, not sentinel slots")
+  }
+
   test("minhash-LSH + verify lands on exactly the brute-force pair set") {
     val brute = Dedup.q17(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
