@@ -241,36 +241,91 @@ object Ann {
     * same-dir writers would clobber each other's layout mid-read). */
   @volatile private var lastAux: Option[String] = None
 
+  /** Quantizer training reads at most this many vectors onto the driver.
+    * A coarse quantizer needs only a representative sample — the standard
+    * 100 TB recipe is sample → small k-means → broadcast centroids — and
+    * 64k × 64 floats is ~16 MB of driver memory. */
+  private val QuantizerSampleMax = 65536L
+
+  /** Seeded Lloyd's over a driver-side sample: init = NumCells distinct
+    * seeded picks, `iters` assign/recompute rounds, empty cells keep their
+    * previous centroid. Deterministic for a given corpus (the sample is a
+    * fixed modulus filter, not a random split), so the persisted layout is
+    * reproducible run to run. */
+  private[graft] def lloyds(sample: Array[Array[Float]], k: Int, iters: Int,
+                            seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = sample.length
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    val init = rnd.shuffle((0 until n).toVector).take(math.min(k, n))
+    var centers = init.map(i => sample(i).map(_.toDouble)).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Long](centers.length)
+      var i = 0
+      while (i < n) {
+        val v = sample(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          val ct = centers(c)
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { val d = v(j) - ct(j); acc += d * d; j += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(centers.length) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centers.map(_.map(_.toFloat))
+  }
+
   /** BUILD phase: train the coarse quantizer and persist the inverted
     * file — `index/` partitioned by `cell`, `centroids/` for probe-time
     * cell ranking, `assign/` (flat) for the SQL oracle. At 100 TB this
-    * runs offline, once; only [[ivfProbe]] runs per query. Returns the
-    * layout dir. */
+    * runs offline, once; only [[ivfProbe]] runs per query.
+    *
+    * Shape: a bounded deterministic sample trains Lloyd's on the driver
+    * (a coarse quantizer never needs the full corpus), then assignment is
+    * one narrow codegen'd pass ([[graft.functions.NearestCell]] — the
+    * centroid matrix rides inside the expression, no join, no shuffle)
+    * feeding the partitioned write. The flat `assign/` oracle table is
+    * derived by reading the just-written index back (two small columns)
+    * rather than re-running the scan+assign. Returns the layout dir. */
   def buildIvfIndex(spark: SparkSession, dir: String): String = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val aux = ivfAuxDir(dir)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
-    val e = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("fv", array_to_vector(col("embedding")))
-      .localCheckpoint(true)
-    val model = new KMeans()
-      .setK(NumCells).setSeed(KmeansSeed).setFeaturesCol("fv")
-      .setMaxIter(5).setInitMode("random") // coarse quantizer: cheap training is fine
-      .fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val total = e.count() // zero-column count: row-group metadata only
+    val keepMod = math.max(1L, (total + QuantizerSampleMax - 1) / QuantizerSampleMax)
+    val sample = e.where(col("vec_id") % keepMod === 0)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centers = lloyds(sample, NumCells, iters = 5, seed = KmeansSeed)
+    val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
 
     // cell is the partition column, so a probe touches nProbe/nCells of
     // the files on disk
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
-    assigned.select(col("vec_id"), col("cell"))
+    e.withColumn("cell", graft.functions.NearestCell(col("embedding"), centerSeqs))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    spark.read.parquet(s"$aux/index")
+      .select(col("vec_id"), col("cell"))
       .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
 
     import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    centerSeqs.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$aux/centroids")
     aux

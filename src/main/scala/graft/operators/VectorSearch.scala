@@ -358,12 +358,22 @@ object VectorSearch {
       .where(col("score") >= t)
       .select(col("id_a"), col("id_b"), col("score"))
     if (n <= ExactPairLimit) {
+      // Hoist the norms: ‖x‖ is computed once per ROW (sqrt(dot(x,x)) —
+      // the identical ascending-index double accumulation the fused cos
+      // kernel runs per PAIR), so the O(n²) inner loop pays one dot pass
+      // instead of three accumulators + two sqrts. Bit-identical scores:
+      // same sums, same sqrt, same multiply/divide, same zero-vector
+      // guard as VectorDistance("cos") — DistanceSpec pins it.
       val a = v.select(col("id").as("id_a"), col("values").as("va"))
+        .withColumn("norm_a", l2norm(col("va")))
       val b = v.select(col("id").as("id_b"), col("values").as("vb"))
+        .withColumn("norm_b", l2norm(col("vb")))
+      val den = col("norm_a") * col("norm_b")
+      val cos = when(den === 0.0, 0.0).otherwise(dot(col("va"), col("vb")) / den)
       // small corpus → report-sized result: single-partition deterministic
       // order without the range-sampling double execution
       Out.ordered(filtered(a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("score", round(cosineSim(col("va"), col("vb")), 4))))(
+        .withColumn("score", round(cos, 4))))(
         col("score").desc, col("id_a"), col("id_b"))
     } else {
       val sigs = Ann.withBandSigs(v.select(col("id"), col("values")),

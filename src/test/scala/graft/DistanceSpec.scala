@@ -81,6 +81,22 @@ class DistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("hoisted-norm cosine (dot/(|a||b|)) is bit-identical to the fused kernel") {
+    // q15's exact all-pairs path computes per-row norms once and a dot per
+    // pair; the score must be the same DOUBLE the fused cos kernel yields,
+    // zero vectors included (both sides guard den==0 -> 0.0).
+    val pairs = Gen.listOfN(60, vecPair).sample.get ++
+      Seq((List.fill(8)(0f), List.fill(8)(1f)), (List.fill(8)(0f), List.fill(8)(0f)))
+    val a = col("a").cast("array<float>")
+    val b = col("b").cast("array<float>")
+    val den = l2norm(a) * l2norm(b)
+    val hoisted = when(den === 0.0, 0.0).otherwise(dot(a, b) / den)
+    val rows = pairs.toDF("a", "b")
+      .select((hoisted - cosineSim(a, b)).as("diff"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == 0.0))
+  }
+
   test("ip distance is 1 - dot") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(0.5f, -1f, 2f))).toDF("a", "b")
     val r = df.select(
