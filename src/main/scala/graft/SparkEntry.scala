@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, Dedup, EventOps, Relational, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Dedup, EventOps, Relational, StoreOps, TextAnalysis, VectorSearch}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorSearch.queries ++ Dedup.queries ++ TextAnalysis.queries ++
-      Relational.queries ++ EventOps.queries ++ Ann.queries ++ Analytics.queries
+      Relational.queries ++ EventOps.queries ++ Ann.queries ++
+      Analytics.queries ++ StoreOps.queries ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     VectorSearch.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Relational.oracles ++ EventOps.oracles ++ Ann.oracles ++ Analytics.oracles
+      Relational.oracles ++ EventOps.oracles ++ Ann.oracles ++
+      Analytics.oracles ++ StoreOps.oracles ++ EventStream.oracles
 }

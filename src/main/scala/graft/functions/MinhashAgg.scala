@@ -47,9 +47,12 @@ case class MinhashAgg(
   // Buffer layout: params.length running minima + one trailing seen-flag
   // slot (0 = no non-null input yet). A group whose hashes are all NULL
   // finalizes to a NULL signature — matching the per-column
-  // min((a·h+b)%p) form this aggregate replaced, where every slot (and so
-  // the concat'd band key) came out NULL — instead of Long.MaxValue
-  // sentinels that would silently form a shared "empty" LSH bucket.
+  // min((a·h+b)%p) form this aggregate replaced, where every slot came
+  // out NULL. NOTE the NULL signature does NOT make the band key NULL
+  // downstream: q18 builds keys with concat_ws, which SKIPS NULLs, so all
+  // empty docs would share the md5('') bucket — Dedup.q18 therefore
+  // filters NULL signatures before banding (and the exact-verify pass
+  // would reject the spurious pairs regardless).
   override def createAggregationBuffer(): Array[Long] = {
     val buf = Array.fill(params.length + 1)(Long.MaxValue)
     buf(params.length) = 0L

@@ -18,10 +18,11 @@ final case class MediaRecord(
     meta: Map[String, String])
 
 /** Decoded/extracted features for one media payload. `format` is sniffed
-  * from magic bytes; width/height come from a REAL image decode
+  * from magic bytes; image width/height come from a REAL image decode
   * (javax.imageio), sample_rate/duration_ms from a REAL WAV parse
-  * (javax.sound.sampled). Video has no JDK codec → dimensions stay a
-  * clearly-marked deterministic stub. */
+  * (javax.sound.sampled), video width/height/duration from a REAL MP4
+  * container-metadata parse (pure-JVM ISO BMFF box walk — frame decode
+  * would need an external codec, container metadata does not). */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -42,8 +43,9 @@ final case class MediaFeatures(
   * Pandas-UDF/`mapInPandas` stage: one iterator per partition, so decoder
   * setup (codec contexts, model weights) amortizes across rows exactly
   * like a Pandas batch. Image and audio decoding are REAL (the JDK ships
-  * PNG/JPEG and WAV codecs); only video decode is stubbed, because no
-  * video codec exists in the JDK or this container.
+  * PNG/JPEG and WAV codecs); video METADATA is real too (ISO BMFF box
+  * walk over the MP4 container) — only per-frame pixel decode would need
+  * an external codec, and nothing here claims to do it.
   */
 object Multimodal {
 
@@ -113,13 +115,73 @@ object Multimodal {
     crc
   }
 
-  /** STUB — video only. No video codec exists in the JDK or this
-    * container, so video dimensions derive deterministically from the
-    * checksum. A real deployment replaces ONLY this function (javacv /
-    * ffmpeg behind the same signature). */
-  def decodeVideoStub(payload: Array[Byte]): (Int, Int) = {
-    val crc = checksum(payload)
-    (160 + (math.abs(crc) % 8 * 80).toInt, 120 + (math.abs(crc >> 16) % 6 * 90).toInt)
+  /** REAL MP4 container-metadata parse — a pure-JVM ISO BMFF box walk, no
+    * codec needed (and none exists in the JDK): `moov/mvhd` yields
+    * timescale + duration, `moov/trak/tkhd` yields track width/height
+    * (16.16 fixed point; the video track is the one with non-zero dims —
+    * audio tracks carry zeros, so `max` across tracks picks it). Frame
+    * DECODING would still need ffmpeg/javacv; container metadata is the
+    * part a JVM can do honestly, and it is what a pipeline filters on
+    * (resolution/duration gates) before paying for decode.
+    *
+    * Returns (width, height, durationMs), or None for anything that is
+    * not a parseable MP4. */
+  def decodeMp4Meta(p: Array[Byte]): Option[(Int, Int, Double)] = {
+    def u32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def boxType(off: Int): String =
+      new String(p, off + 4, 4, "US-ASCII")
+
+    // walk the sibling boxes in [start, end), returning (type, payloadStart,
+    // payloadEnd) triples; malformed sizes end the walk rather than throw
+    def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size0 = u32(off)
+          val tpe = boxType(off)
+          val (payloadStart, boxEnd) =
+            if (size0 == 1L && off + 16 <= end) (off + 16L, off + u64(off + 8))
+            else if (size0 == 0L) (off + 8L, end.toLong) // box runs to EOF
+            else (off + 8L, off + size0)
+          val clampedEnd = math.min(boxEnd, end.toLong).toInt
+          val ps = math.min(payloadStart, end.toLong).toInt
+          off = if (clampedEnd > off) clampedEnd else end // no progress → stop
+          (tpe, ps, clampedEnd)
+        }
+      }
+
+    try {
+      val moov = boxes(0, p.length).collectFirst { case ("moov", s, e) => (s, e) }
+      moov.flatMap { case (ms, me) =>
+        var timescale = 0L
+        var duration = 0L
+        var w = 0
+        var h = 0
+        boxes(ms, me).foreach {
+          case ("mvhd", s, e) if e - s >= 20 =>
+            val v = p(s) & 0xff
+            if (v == 1 && e - s >= 28) { timescale = u32(s + 20); duration = u64(s + 24) }
+            else { timescale = u32(s + 12); duration = u32(s + 16) }
+          case ("trak", s, e) =>
+            boxes(s, e).foreach {
+              case ("tkhd", ts, te) if te - ts >= 8 =>
+                // width/height are the LAST 8 bytes of tkhd in both versions
+                val tw = (u32(te - 8) >> 16).toInt
+                val th = (u32(te - 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (w > 0 && h > 0 && timescale > 0)
+          Some((w, h, duration * 1000.0 / timescale))
+        else None
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
   }
 
   // ---- deterministic payload synthesis (real encodings) ---------------
@@ -166,11 +228,60 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic minimal MP4: `ftyp` + `moov(mvhd + trak(tkhd))` with
+    * spec-compliant v0 box layouts — enough container for the metadata
+    * walk to parse real width/height/duration (there is no JDK video
+    * ENCODER either; a container writer needs only big-endian puts). */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val w = 160 + (id % 8).toInt * 80
+    val h = 120 + ((id / 8) % 6).toInt * 90
+    val timescale = 1000
+    val duration = 2000 + (id % 10).toInt * 500
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      buf.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("iso2".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 payload is 100 bytes
+      b.putInt(0)                               // version + flags
+        .putInt(0).putInt(0)                    // creation, modification
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      b.position(b.position() + 10)             // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)                      // identity matrix
+      b.position(b.position() + 24)             // pre_defined
+      b.putInt(2)                               // next_track_ID
+      b.array()
+    })
+    val tkhd = box("tkhd", {
+      val b = java.nio.ByteBuffer.allocate(84)  // v0 payload is 84 bytes
+      b.putInt(0x000007)                        // version 0, flags: enabled
+        .putInt(0).putInt(0)                    // creation, modification
+        .putInt(1)                              // track_ID
+        .putInt(0)                              // reserved
+        .putInt(duration)
+      b.position(b.position() + 8)              // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, rsvd
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)                      // identity matrix
+      b.putInt(w << 16).putInt(h << 16)         // 16.16 fixed point
+      b.array()
+    })
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
   /** Synthesize a media table from the documents corpus. Image rows carry
-    * REAL PNG bytes, audio rows REAL WAV bytes (both deterministic from
-    * the id); video rows carry opaque utf-8 bytes (no JDK video codec to
-    * encode with — the honest analogue of a payload the pipeline cannot
-    * decode). */
+    * REAL PNG bytes, audio rows REAL WAV bytes, video rows REAL MP4
+    * containers (all deterministic from the id), so every kind exercises
+    * its real parser. */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.table(spark, dir, "documents")
@@ -185,15 +296,17 @@ object Multimodal {
         m.kind match {
           case "image" => m.copy(payload = syntheticPng(m.media_id))
           case "audio" => m.copy(payload = syntheticWav(m.media_id))
-          case _ => m
+          case _ => m.copy(payload = syntheticMp4(m.media_id))
         }
       })
   }
 
   /** Feature extraction over partition iterators (the mapInPandas-shaped
-    * stage). Narrow transformation: no shuffle, scales with input. Image
-    * and audio features come from real decodes; video from the marked
-    * stub. */
+    * stage). Narrow transformation: no shuffle, scales with input. Every
+    * kind runs a real parser: imageio for images, sampled-audio for WAV,
+    * the ISO BMFF box walk for MP4 containers — undecodable payloads
+    * yield zeroed features rather than errors (the filter-then-decode
+    * contract of a training pipeline). */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -202,14 +315,17 @@ object Multimodal {
         val fmt = sniffFormat(m.payload)
         val crc = checksum(m.payload)
         val ent = byteEntropy(m.payload)
+        val mp4 = if (m.kind == "video") decodeMp4Meta(m.payload) else None
         val (w, h) = m.kind match {
           case "image" => decodeImage(m.payload).getOrElse((0, 0))
-          case "video" => decodeVideoStub(m.payload)
+          case "video" => mp4.map(t => (t._1, t._2)).getOrElse((0, 0))
           case _ => (0, 0)
         }
-        val (rate, durMs) =
-          if (m.kind == "audio") decodeWav(m.payload).getOrElse((0, 0.0))
-          else (0, 0.0)
+        val (rate, durMs) = m.kind match {
+          case "audio" => decodeWav(m.payload).getOrElse((0, 0.0))
+          case "video" => (0, mp4.map(_._3).getOrElse(0.0))
+          case _ => (0, 0.0)
+        }
         MediaFeatures(m.media_id, m.kind, m.payload.length, crc, fmt, w, h,
           if (h > 0) w.toDouble / h else 0.0, rate, durMs, ent)
       }

@@ -186,9 +186,15 @@ object Dedup {
     // all 64 slots in ONE aggregate buffer (MinhashAgg) — identical slot
     // values to the per-column min((a·h+b)%p) form, without 64 independent
     // agg expressions per row
+    // Drop NULL signatures (docs with an empty shingle set) before
+    // banding: concat_ws skips NULLs, so they would all collide into one
+    // md5('') bucket — a quadratic surface of spurious candidates at
+    // scale. An empty doc cannot be a near-duplicate of anything under
+    // shingle Jaccard anyway.
     val sig = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinhashAgg
         .minhash(col("h32"), minhashParams(NumPerm), MinhashP).as("ms"))
+      .where(col("ms").isNotNull)
     val bandCols = (0 until Bands).map { bd =>
       struct(
         lit(bd).as("band"),

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+import graft.sources.Tables
+import graft.store.VectorStore
+
+/** q45: the MUTATION surface behind the correctness gate. Every other
+  * graded query reads static parquet; this one executes the live
+  * [[VectorStore]] facade end-to-end — bulk load, overwrite-by-id,
+  * delete-with-report, then a top-k search over the mutated state — the
+  * flows the reference's richest tests exercise
+  * (`tests/test_storage_engine_in_memory.py:46-106`,
+  * `tests/test_query_processor.py:88-105`). The script is deterministic
+  * (caller-supplied ids, vectors taken from the embeddings table), so a
+  * DuckDB oracle can replay the same mutations relationally and the
+  * driver's hash compare grades the whole facade, not a static filter.
+  */
+object StoreOps {
+
+  private val LoadN = 200L        // ids "0".."199" hydrate the store
+  private val UpsertId = "7"      // overwritten with vec 400's embedding
+  private val UpsertSrc = 400L
+  private val DeleteIds = Seq("3", "5")
+  private val QueryId = 1L
+  private val K = 10
+  private val Ns = "q45"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = new VectorStore(spark)
+
+    // 1. bulk load: one commit, ids are the vec_ids as strings
+    store.loadFrame(
+      e.where(col("vec_id") < LoadN)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values")),
+      Ns)
+
+    // 2. overwrite-by-id: id "7" takes vec 400's embedding (one commit)
+    val newVals = e.where(col("vec_id") === UpsertSrc)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    store.upsert(UpsertId, newVals, namespace = Ns)
+
+    // 3. delete with per-id report — the report itself is asserted here
+    val deleted = store.delete(DeleteIds, Ns)
+    require(deleted.sorted == DeleteIds.sorted,
+      s"delete reported $deleted, expected $DeleteIds")
+
+    // 4. top-k over the mutated state (ranked on the RAW score; the
+    // deterministic 4-digit rounding applies to the reported column only)
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilar(qv, k = K, metric = "cosine", namespace = Ns)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Relational replay of the same mutation script: load WHERE vec_id <
+    * 200, drop the deleted AND the overwritten id, re-insert the
+    * overwritten id with its new vector, rank by raw cosine (tie-break on
+    * the string id, as the store does), round for the report. */
+  val q45Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $LoadN),
+       |upd AS (
+       |  SELECT id, v FROM base
+       |  WHERE id NOT IN (${(DeleteIds :+ UpsertId).map("'" + _ + "'").mkString(", ")})
+       |  UNION ALL
+       |  SELECT '$UpsertId' AS id,
+       |         (SELECT embedding FROM embeddings WHERE vec_id = $UpsertSrc) AS v),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (SELECT u.id, ${cosSql("u.v", "q.qv")} AS raw FROM upd u, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q45_store_mutations" -> (q45 _))
+
+  val oracles: Map[String, String] =
+    Map("q45_store_mutations" -> q45Sql)
+}

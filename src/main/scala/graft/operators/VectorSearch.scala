@@ -364,6 +364,11 @@ object VectorSearch {
       // instead of three accumulators + two sqrts. Bit-identical scores:
       // same sums, same sqrt, same multiply/divide, same zero-vector
       // guard as VectorDistance("cos") — DistanceSpec pins it.
+      // PRECONDITION: equal-length vectors. The fused kernel truncates
+      // dot AND norms to min(len_a, len_b); hoisted norms cover the full
+      // vectors, so scores DIVERGE for mismatched lengths (DistanceSpec
+      // pins that divergence explicitly). Fine here: every `vectors` view
+      // row shares the corpus dim.
       val a = v.select(col("id").as("id_a"), col("values").as("va"))
         .withColumn("norm_a", l2norm(col("va")))
       val b = v.select(col("id").as("id_b"), col("values").as("vb"))

@@ -205,9 +205,13 @@ class RestServer(store: VectorStore, port: Int = 0) {
         val metric = Option(body.get("metric")).map(_.asText()).getOrElse("cosine")
         // superset of the reference request model: optional `filter`
         // (top-level equality) and `json_filter` (JSONPath → value) expose
-        // the hybrid-search surface (README.md:294-299) over HTTP
+        // the hybrid-search surface (README.md:294-299) over HTTP;
+        // optional `approx` routes through the store-attached LSH index
+        // (the reference's index-backed read path, index.py:91-129)
+        val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val hits = store.findSimilar(floats(required(body, "query")), k, metric,
-          ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+          ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
+          approx = approx)
         val arr = mapper.createArrayNode() // bare list, rest_api.py:163 response_model
         hits.foreach(h => arr.add(hitJson(h)))
         respond(ex, 200, arr)

@@ -19,9 +19,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Session confs this library's sources depend on. Apply at session
-    * build ([[https://spark.apache.org SparkSession.builder]].config) —
-    * loaders never mutate a live session's conf (a mid-query `conf.set`
-    * races concurrent readers of other sources). */
+    * build ([[https://spark.apache.org SparkSession.builder]].config —
+    * `GraftSession.local` does). For sessions built elsewhere,
+    * [[events]] performs a GUARDED adoption: it sets a missing/incorrect
+    * key once, on first use. The guard means an already-correct session
+    * is never written to; a foreign session whose first `events` read
+    * races another query can still observe the one-time set — build with
+    * the confs up front to avoid even that window. */
   val requiredConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 

@@ -47,6 +47,12 @@ class VectorStore(val spark: SparkSession) {
     spark.emptyDataset[VectorRecord]
   private var mutationsSinceCompact = 0
 
+  /** Bumped on every mutation; the approx-search signature cache is valid
+    * only for the epoch it was built in (the store-side analogue of the
+    * reference's index rebuild-on-write, `index.py:131-162` — except
+    * rebuilds here are lazy and only the LSH signatures, never the data). */
+  @volatile private var epoch = 0L
+
   /** Auto-truncate lineage every N mutations so a long-lived store doesn't
     * accrete an unbounded union/anti-join plan (the serving analogue of the
     * reference's deleted-ratio rebuild trigger, `index.py:85-89`). */
@@ -54,6 +60,7 @@ class VectorStore(val spark: SparkSession) {
 
   private def commit(next: Dataset[VectorRecord]): Unit = {
     mutationsSinceCompact += 1
+    epoch += 1
     live =
       if (mutationsSinceCompact >= CompactEvery) {
         mutationsSinceCompact = 0
@@ -120,6 +127,23 @@ class VectorStore(val spark: SparkSession) {
     recs.map(_.id)
   }
 
+  /** Bulk import with caller-supplied ids — the ingestion surface a large
+    * deployment uses to hydrate a store from an existing table in ONE
+    * commit (the reference's closest analogue is a batched `add_items`
+    * call, `index.py:60-79`; here the frame never touches the driver).
+    * `df` must have columns `id: string` and `values: array<float>`;
+    * metadata columns default to empty. */
+  def loadFrame(df: DataFrame, namespace: String): Unit = {
+    val recs = df
+      .select(col("id").cast("string").as("id"),
+        lit(namespace).as("namespace"),
+        col("values").cast("array<float>").as("values"),
+        typedLit(Map.empty[String, String]).as("metadata"),
+        lit("{}").as("metadataJson"))
+      .as[VectorRecord]
+    commit(live.union(recs))
+  }
+
   /** True upsert: overwrite-or-insert at a caller-supplied id in ONE
     * commit (the write surface the reference's commented-out overwrite
     * test intends, `tests/test_storage_engine_in_memory.py:46-57`). */
@@ -141,12 +165,31 @@ class VectorStore(val spark: SparkSession) {
     live.filter(col("namespace") === namespace && col("id") === id)
       .collect().headOption
 
+  /** Above this many ids, `isInCollection` stops being the right plan: the
+    * predicate expression grows with the batch (codegen size, analysis
+    * time), while a broadcast hash join keeps the plan constant-size and
+    * ships the id set once per executor. The REST contract caps batches at
+    * 1000, so serving always takes the literal path; bulk/offline callers
+    * cross into the join form. */
+  private val InListMax = 1000
+
+  /** The requested id set as a broadcast join side. Distinct because join
+    * semantics would duplicate rows for duplicated ids (the literal
+    * `isInCollection` path is naturally set-shaped). */
+  private def idFrame(ids: Seq[String]): DataFrame =
+    ids.distinct.toDF("__rid")
+
   /** Positional batch read: result(i) corresponds to ids(i), None for
-    * misses — `storage_engine_in_memory.py:42-44`. One scan, not N. */
+    * misses — `storage_engine_in_memory.py:42-44`. One scan, not N; above
+    * [[InListMax]] the id list becomes a broadcast semi-join instead of a
+    * literal predicate. */
   def readBatch(ids: Seq[String], namespace: String): Seq[Option[VectorRecord]] = {
-    val found = live
-      .filter(col("namespace") === namespace && col("id").isInCollection(ids))
-      .collect().map(r => r.id -> r).toMap
+    val inNs = live.filter(col("namespace") === namespace)
+    val matched =
+      if (ids.size <= InListMax) inNs.filter(col("id").isInCollection(ids))
+      else inNs.join(broadcast(idFrame(ids)), col("id") === col("__rid"),
+        "left_semi").as[VectorRecord]
+    val found = matched.collect().map(r => r.id -> r).toMap
     ids.map(found.get)
   }
 
@@ -156,16 +199,33 @@ class VectorStore(val spark: SparkSession) {
 
   // ---- deletes (W3–W6) -----------------------------------------------
 
-  /** Returns the ids actually deleted (`query_processor.py:51-62`). */
+  /** Returns the ids actually deleted (`query_processor.py:51-62`). Above
+    * [[InListMax]] both the presence probe and the removal switch from
+    * literal `isInCollection` predicates to broadcast semi/anti joins —
+    * same results, constant-size plan for bulk id sets. */
   def delete(ids: Seq[String], namespace: String): Seq[String] = {
-    val present = live
-      .filter(col("namespace") === namespace && col("id").isInCollection(ids))
-      .select("id").as[String].collect().toSeq
-    if (present.nonEmpty) {
-      commit(live.filter(!(col("namespace") === namespace &&
-        col("id").isInCollection(present))))
+    if (ids.size <= InListMax) {
+      val present = live
+        .filter(col("namespace") === namespace && col("id").isInCollection(ids))
+        .select("id").as[String].collect().toSeq
+      if (present.nonEmpty) {
+        commit(live.filter(!(col("namespace") === namespace &&
+          col("id").isInCollection(present))))
+      }
+      present
+    } else {
+      val del = idFrame(ids)
+      val present = live.filter(col("namespace") === namespace)
+        .join(broadcast(del), col("id") === col("__rid"), "left_semi")
+        .select("id").as[String].collect().toSeq
+      if (present.nonEmpty) {
+        commit(live.join(
+          broadcast(del.withColumn("__rns", lit(namespace))),
+          col("id") === col("__rid") && col("namespace") === col("__rns"),
+          "left_anti").as[VectorRecord])
+      }
+      present
     }
-    present
   }
 
   def deleteNamespace(namespace: String): Boolean = {
@@ -177,9 +237,11 @@ class VectorStore(val spark: SparkSession) {
   def clear(): Unit = {
     live = spark.emptyDataset[VectorRecord]
     mutationsSinceCompact = 0
+    epoch += 1
   }
 
-  /** Materialize current state and truncate lineage (rebuild analogue). */
+  /** Materialize current state and truncate lineage (rebuild analogue).
+    * Contents are unchanged, so the signature cache stays valid. */
   def compact(): Unit = {
     live = live.localCheckpoint(eager = true)
     mutationsSinceCompact = 0
@@ -232,16 +294,12 @@ class VectorStore(val spark: SparkSession) {
       acc && get_json_object(col("metadataJson"), path) === v
     }
 
-  /** Scored frame for a query vector — the shared plan under every search
-    * variant. The distance runs in whole-stage codegen; top-k goes through
-    * TakeOrderedAndProject. */
-  private def scored(query: Seq[Float], metric: String, namespace: String,
-                     filter: Map[String, String],
-                     jsonFilter: Map[String, String] = Map.empty): DataFrame = {
+  /** Score an already-filtered frame — the shared tail under both the
+    * exact and the approx search paths. The distance runs in whole-stage
+    * codegen; top-k goes through TakeOrderedAndProject. */
+  private def scoredFrom(base: DataFrame, query: Seq[Float],
+                         metric: String): DataFrame = {
     val qv = litVec(query)
-    val base = live
-      .filter(col("namespace") === namespace && metadataPredicate(filter) &&
-        jsonPredicate(jsonFilter))
     val score = metric match {
       case "l2"     => l2sq(col("values"), qv)
       case "cosine" => cosineSim(col("values"), qv)
@@ -250,6 +308,63 @@ class VectorStore(val spark: SparkSession) {
         s"unknown metric '$other' (expected l2 | cosine | ip)")
     }
     base.withColumn("score", score)
+  }
+
+  private def filteredLive(namespace: String, filter: Map[String, String],
+                           jsonFilter: Map[String, String]): DataFrame =
+    live.filter(col("namespace") === namespace && metadataPredicate(filter) &&
+      jsonPredicate(jsonFilter)).toDF()
+
+  /** Scored frame for a query vector over the full namespace scan. */
+  private def scored(query: Seq[Float], metric: String, namespace: String,
+                     filter: Map[String, String],
+                     jsonFilter: Map[String, String] = Map.empty): DataFrame =
+    scoredFrom(filteredLive(namespace, filter, jsonFilter), query, metric)
+
+  // ---- store-attached ANN index (the reference's index-backed read path,
+  // query_processor.py:26-49 → index.py:91-129) -------------------------
+
+  /** Cached LSH band signatures over one namespace's live rows — the
+    * store-attached index. Key = (epoch, namespace, dim): any mutation
+    * bumps the epoch and lazily invalidates it (the reference rebuilds its
+    * HNSW graph on writes, `index.py:131-162`; here only the signatures
+    * rebuild, on the next approx search). `localCheckpoint` materializes
+    * the signature pass so repeated approx searches pay it once. */
+  @volatile private var sigCache: Option[(Long, String, Int, DataFrame)] = None
+
+  private def indexSigs(namespace: String, dim: Int): DataFrame =
+    synchronized {
+      sigCache match {
+        case Some((e, ns, d, df))
+            if e == epoch && ns == namespace && d == dim => df
+        case _ =>
+          val df = graft.operators.Ann.withBandSigs(
+            live.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF(),
+            col("values"), dim)
+            .select(col("id"), col("band"), col("bucket"))
+            .localCheckpoint(eager = true)
+          sigCache = Some((epoch, namespace, dim, df))
+          df
+      }
+    }
+
+  /** Candidate rows for an approx cosine search: live rows sharing at
+    * least one LSH band bucket with the query. The query's buckets are
+    * computed on the driver (no Spark job — `Ann.bandBuckets` runs the
+    * identical kernel), so the candidate scan is one predicate over the
+    * cached signature frame + a semi-join back to the data. */
+  private def approxCandidates(query: Seq[Float], namespace: String,
+                               filter: Map[String, String],
+                               jsonFilter: Map[String, String]): DataFrame = {
+    val qBuckets = graft.operators.Ann.bandBuckets(query.toArray)
+    val bucketPred = qBuckets
+      .map { case (b, sig) => col("band") === b && col("bucket") === sig }
+      .reduce(_ || _)
+    val candIds = indexSigs(namespace, query.length)
+      .where(bucketPred).select(col("id").as("__cid")).distinct()
+    filteredLive(namespace, filter, jsonFilter)
+      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
   }
 
   private def collectHits(df: DataFrame): Seq[SearchHit] =
@@ -261,15 +376,34 @@ class VectorStore(val spark: SparkSession) {
     if (metric == "cosine") df.orderBy(col("score").desc, col("id"))
     else df.orderBy(col("score"), col("id"))
 
-  /** Top-k similarity search (`query_processor.py:26-49`). */
+  /** Top-k similarity search (`query_processor.py:26-49`).
+    *
+    * `approx = false` (default) is the exact scan — unchanged semantics.
+    * `approx = true` routes through the store-attached LSH index: candidate
+    * generation over cached band signatures, then EXACT rerank of the
+    * candidates — the index-backed read path the reference serves every
+    * query from (`index.py:91-129`), with the same contract as any ANN
+    * index: perfect precision on returned scores, recall set by the
+    * banding (VectorStoreSpec measures the floor). Cosine only — the
+    * sign-LSH family hashes angular similarity; an l2/ip request must use
+    * the exact path (matching hnswlib, where the index is built for one
+    * space). Vectors in the namespace must share the query's
+    * dimensionality, as in the reference's fixed-dim index. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
-                  jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+                  jsonFilter: Map[String, String] = Map.empty,
+                  approx: Boolean = false): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
-    collectHits(
-      ranked(scored(query, metric, namespace, filter, jsonFilter), metric)
-        .limit(k))
+    val base =
+      if (!approx) scored(query, metric, namespace, filter, jsonFilter)
+      else {
+        require(metric == "cosine",
+          s"approx search is sign-LSH (cosine) only, got metric '$metric'")
+        scoredFrom(approxCandidates(query, namespace, filter, jsonFilter),
+          query, metric)
+      }
+    collectHits(ranked(base, metric).limit(k))
   }
 
   /** Range search: all vectors with DISTANCE ≤ r (README.md:216). For the

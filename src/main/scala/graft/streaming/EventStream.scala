@@ -119,4 +119,30 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  // ---- q46: the streaming path behind the correctness gate -------------
+
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q46: drain the file-source STREAM over `events` through the
+    * tumbling-window aggregation and return the sink table. The plan that
+    * computes these rows is a genuine streaming query (readStream →
+    * watermark → windowed agg → memory sink, complete mode); the finite
+    * corpus makes it terminate, and the result must hash-match the batch
+    * q29 oracle — the batch/stream parity StreamingSpec asserts in-JVM,
+    * now pinned by the external DuckDB gate as well. Each invocation gets
+    * a fresh sink name so repeated runs (bench medians) never collide. */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_q46_sink_" + sinkCounter.incrementAndGet()
+    val q = startToMemory(spark, dir, name)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy(col("bucket_us"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q46_stream_event_window" -> (q46 _))
+
+  /** Same oracle text as batch q29 — that equality IS the parity claim. */
+  val oracles: Map[String, String] =
+    Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql)
 }

@@ -43,6 +43,31 @@ class AnnSpec extends AnyFunSuite {
     assert(p1.nonEmpty && p1 == p2)
   }
 
+  test("ivfTopK builds the layout once per dir in one JVM; repeat calls are probe-only") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("id")))
+    val r1 = Ann.ivfTopK(spark, dir).collect().map(key).toSeq
+    val builds = Ann.buildCount.get()
+    val r2 = Ann.ivfTopK(spark, dir).collect().map(key).toSeq
+    assert(Ann.buildCount.get() == builds,
+      "second ivfTopK call rebuilt the index instead of probing the cached layout")
+    assert(r1.nonEmpty && r1 == r2)
+  }
+
+  test("IVF layout root honors spark.graft.ivf.dir (cluster-safe base dir)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_conf_test_")
+      .toString
+    spark.conf.set(Ann.IvfDirConf, base)
+    try {
+      val aux = Ann.buildIvfIndex(spark, dir)
+      assert(aux.startsWith(base), s"layout $aux not under configured $base")
+      assert(new java.io.File(s"$aux/index").exists())
+      val probed = Ann.ivfProbe(spark, dir, aux).collect()
+      assert(probed.nonEmpty)
+    } finally spark.conf.unset(Ann.IvfDirConf)
+  }
+
   test("banded near-dup path finds the exact pairs (recall >= 0.8, no false positives)") {
     import org.apache.spark.sql.functions.col
     val v = graft.sources.Tables.vectors(spark, dir)

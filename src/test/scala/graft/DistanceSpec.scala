@@ -97,6 +97,27 @@ class DistanceSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) == 0.0))
   }
 
+  test("hoisted-norm cosine DIVERGES from the fused kernel on mismatched lengths (equal-length precondition)") {
+    // The fused kernel truncates dot AND norms to min(len_a, len_b); the
+    // hoisted form norms the FULL vectors. The generators above only emit
+    // equal lengths, so without this pin the 'bit-identical' claim would
+    // be latent-false off the fixed-dim corpus — this makes the
+    // divergence (and so the documented precondition at the q15 exact
+    // path) explicit.
+    val a = col("a").cast("array<float>")
+    val b = col("b").cast("array<float>")
+    val den = l2norm(a) * l2norm(b)
+    val hoisted = when(den === 0.0, 0.0).otherwise(dot(a, b) / den)
+    val r = Seq((Seq(1f, 2f, 3f, 4f), Seq(1f, 2f)))
+      .toDF("a", "b")
+      .select(cosineSim(a, b).as("fused"), hoisted.as("hoist"))
+      .head
+    // fused = cos of the 2-dim prefixes = 1.0 up to sqrt rounding
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    // hoisted norms the full 4-dim vector -> strictly smaller
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) > 0.1)
+  }
+
   test("ip distance is 1 - dot") {
     val df = Seq((Seq(1f, 2f, 3f), Seq(0.5f, -1f, 2f))).toDF("a", "b")
     val r = df.select(

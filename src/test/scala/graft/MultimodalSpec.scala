@@ -45,21 +45,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("video features are the documented stub; entropy is real for all kinds") {
+  test("video features come from a REAL MP4 container parse (ISO BMFF box walk)") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, dir))
       .collect()
     val video = feats.filter(_.kind == "video")
     assert(video.nonEmpty)
     video.foreach { f =>
-      assert(f.format == "unknown") // text bytes: nothing to decode with
-      assert(f.width >= 160 && f.height >= 120)
+      assert(f.format == "mp4", s"media ${f.media_id} sniffed as ${f.format}")
+      val expW = 160 + (f.media_id % 8).toInt * 80
+      val expH = 120 + ((f.media_id / 8) % 6).toInt * 90
+      assert(f.width == expW && f.height == expH,
+        s"media ${f.media_id}: got ${f.width}x${f.height}, want ${expW}x$expH")
+      // mvhd timescale is 1000, so duration_ms equals the raw duration
+      val expDur = (2000 + (f.media_id % 10).toInt * 500).toDouble
+      assert(math.abs(f.duration_ms - expDur) < 1e-9,
+        s"media ${f.media_id}: duration ${f.duration_ms}, want $expDur")
     }
     feats.foreach(f => assert(f.entropy > 0 && f.entropy <= 8.0))
-    // encoded media should look denser than plain text
-    val avgImg = feats.filter(_.kind == "image").map(_.entropy).sum /
-      feats.count(_.kind == "image")
-    val avgVid = video.map(_.entropy).sum / video.length
-    assert(avgImg > avgVid, f"png entropy $avgImg%.2f <= text entropy $avgVid%.2f")
+  }
+
+  test("mp4 parse rejects non-video bytes instead of fabricating dims") {
+    assert(Multimodal.decodeMp4Meta("not a video at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Multimodal.syntheticPng(1)).isEmpty)
+    // known-answer sanity on a well-formed container
+    assert(Multimodal.decodeMp4Meta(Multimodal.syntheticMp4(3))
+      .contains((160 + 3 * 80, 120, 3500.0)))
   }
 
   test("feature extraction is deterministic, typed, and narrow") {
