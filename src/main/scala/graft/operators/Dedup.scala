@@ -82,12 +82,21 @@ object Dedup {
   /** Exact Jaccard over the given candidate pair set (or all i<j pairs when
     * candidates is None). */
   private def jaccard(spark: SparkSession, dir: String,
-                      candidates: Option[DataFrame]): DataFrame = {
+                      candidates: Option[DataFrame]): DataFrame =
     // The postings frame feeds three plan branches (sizes, left, right);
     // without materialization Spark recomputes the regex+shingling scan
     // per branch — that recomputation, not the join, dominated the bench.
     // (The 100 TB analogue: persist the postings table before the join.)
-    val sh = shingleSets(spark, dir).localCheckpoint(true)
+    jaccardFrom(shingleSets(spark, dir).localCheckpoint(true), candidates)
+
+  /** Same, over an ALREADY-MATERIALIZED postings frame. Callers that have
+    * checkpointed the postings for their own candidate generation (q18's
+    * minhash pass, the prefix-filter variant) pass it here — re-deriving
+    * it from the raw table would pay the tokenize+shingle scan and a
+    * second materialization per run (measured: that double checkpoint,
+    * not the verify join, was q18's dominant cost). */
+  private def jaccardFrom(sh: DataFrame,
+                          candidates: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("id_a"), col("h"))
     val b = sh.select(col("doc_id").as("id_b"), col("h"))
@@ -172,17 +181,19 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    jaccard(spark, dir, Some(cand))
+    jaccardFrom(sh, Some(cand))
   }
 
 
   // ---- Q18: MinHash + LSH banding + exact verify ----------------------
 
   def q18(spark: SparkSession, dir: String): DataFrame = {
+    // ONE materialized postings frame serves both the minhash pass and the
+    // exact-verify tail (via jaccardFrom) — the h32 projection is derived,
+    // not re-scanned
+    val sh0 = shingleSets(spark, dir).localCheckpoint(true)
     // minhash permutations operate on the low 32 bits of the shingle hash
-    val sh = shingleSets(spark, dir)
-      .withColumn("h32", pmod(col("h"), lit(4294967296L)))
-      .localCheckpoint(true)
+    val sh = sh0.withColumn("h32", pmod(col("h"), lit(4294967296L)))
     // all 64 slots in ONE aggregate buffer (MinhashAgg) — identical slot
     // values to the per-column min((a·h+b)%p) form, without 64 independent
     // agg expressions per row
@@ -212,7 +223,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    jaccard(spark, dir, Some(cand))
+    jaccardFrom(sh0, Some(cand))
   }
 
   // ---- Q19: SimHash + chunk-banded hamming candidates -----------------
