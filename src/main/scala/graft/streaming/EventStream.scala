@@ -139,10 +139,30 @@ object EventStream {
     spark.table(name).orderBy(col("bucket_us"), col("event_type"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q46_stream_event_window" -> (q46 _))
+  /** q47: the STATEFUL streaming operator behind the gate — gap-based
+    * sessionization via `flatMapGroupsWithState`, drained over the finite
+    * `events` corpus and reduced to each user's final state. Counters are
+    * monotone across micro-batches, so `max` per user is the final
+    * emission regardless of how the file source batches the input. Must
+    * hash-match the batch q28 window/lag oracle. */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val name = "graft_q47_sink_" + sinkCounter.incrementAndGet()
+    val q = startSessionsToMemory(spark, dir, name)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
 
-  /** Same oracle text as batch q29 — that equality IS the parity claim. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q46_stream_event_window" -> (q46 _),
+      "q47_stream_sessionize" -> (q47 _))
+
+  /** Same oracle texts as the batch twins — that equality IS the parity
+    * claim. */
   val oracles: Map[String, String] =
-    Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql)
+    Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
+      "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql)
 }
