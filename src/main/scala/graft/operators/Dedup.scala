@@ -188,24 +188,29 @@ object Dedup {
   // ---- Q18: MinHash + LSH banding + exact verify ----------------------
 
   def q18(spark: SparkSession, dir: String): DataFrame = {
-    // ONE materialized postings frame serves both the minhash pass and the
-    // exact-verify tail (via jaccardFrom) — the h32 projection is derived,
-    // not re-scanned
-    val sh0 = shingleSets(spark, dir).localCheckpoint(true)
-    // minhash permutations operate on the low 32 bits of the shingle hash
-    val sh = sh0.withColumn("h32", pmod(col("h"), lit(4294967296L)))
-    // all 64 slots in ONE aggregate buffer (MinhashAgg) — identical slot
-    // values to the per-column min((a·h+b)%p) form, without 64 independent
-    // agg expressions per row
-    // Drop NULL signatures (docs with an empty shingle set) before
-    // banding: concat_ws skips NULLs, so they would all collide into one
-    // md5('') bucket — a quadratic surface of spurious candidates at
-    // scale. An empty doc cannot be a near-duplicate of anything under
-    // shingle Jaccard anyway.
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(graft.functions.MinhashAgg
-        .minhash(col("h32"), minhashParams(NumPerm), MinhashP).as("ms"))
-      .where(col("ms").isNotNull)
+    // ONE tokenize+shingle pass materializes the per-doc hash ARRAYS;
+    // both downstream shapes derive from it: the exploded postings for
+    // the exact-verify tail, and the signatures as a NARROW map
+    // (MinhashArray) — no explode, no shuffle, no object-hash aggregation
+    // for signature generation. The aggregate form (MinhashAgg under
+    // groupBy over exploded hashes) computes identical slots but paid
+    // ~3 s of plan machinery at sf0.1 for work the per-row loop does in
+    // milliseconds; at 100 TB the narrow shape also wins structurally —
+    // signatures never touch a shuffle, only (doc, band, bucket) does.
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TokenShingleHashes(col("text"), ShingleN).as("hs"))
+      .localCheckpoint(eager = true)
+    val sh0 = base.select(col("doc_id"), explode(col("hs")).as("h"))
+    // Drop empty signatures (docs with no shingles) before banding:
+    // concat_ws would fold their band keys into one shared md5 bucket — a
+    // quadratic surface of spurious candidates at scale. An empty doc
+    // cannot be a near-duplicate of anything under shingle Jaccard anyway.
+    val sig = base
+      .select(col("doc_id"),
+        graft.functions.MinhashArray(col("hs"), minhashParams(NumPerm),
+          MinhashP).as("ms"))
+      .where(size(col("ms")) > 0)
     val bandCols = (0 until Bands).map { bd =>
       struct(
         lit(bd).as("band"),

@@ -57,6 +57,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(2L).isEmpty, "all-null group must yield NULL, not sentinel slots")
   }
 
+  test("narrow MinhashArray equals the MinhashAgg aggregate slot-for-slot") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val params = minhashParams(64)
+    val docsDf = graft.sources.Tables.table(spark, dir, "documents")
+    val narrow = docsDf
+      .select(col("doc_id"),
+        graft.functions.MinhashArray(
+          graft.functions.TokenShingleHashes(col("text"), 3), params, MinhashP).as("ms"))
+      .where(size(col("ms")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val agg = docsDf
+      .select(col("doc_id"),
+        explode(graft.functions.TokenShingleHashes(col("text"), 3)).as("h"))
+      .withColumn("h32", pmod(col("h"), lit(4294967296L)))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinhashAgg.minhash(col("h32"), params, MinhashP).as("ms"))
+      .where(col("ms").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(narrow.nonEmpty)
+    assert(narrow == agg)
+    // empty-input behavior: empty array out (callers filter on size)
+    import spark.implicits._
+    val empty = Seq("x", "").toDF("text")
+      .select(graft.functions.MinhashArray(
+        graft.functions.TokenShingleHashes(col("text"), 3), params, MinhashP).as("ms"))
+      .collect().map(_.getSeq[Long](0))
+    assert(empty.forall(_.isEmpty), "sub-shingle docs must yield empty signatures")
+  }
+
   test("minhash-LSH + verify lands on exactly the brute-force pair set") {
     val brute = Dedup.q17(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
