@@ -358,27 +358,36 @@ object VectorSearch {
       .where(col("score") >= t)
       .select(col("id_a"), col("id_b"), col("score"))
     if (n <= ExactPairLimit) {
-      // Hoist the norms: ‖x‖ is computed once per ROW (sqrt(dot(x,x)) —
-      // the identical ascending-index double accumulation the fused cos
-      // kernel runs per PAIR), so the O(n²) inner loop pays one dot pass
-      // instead of three accumulators + two sqrts. Bit-identical scores:
-      // same sums, same sqrt, same multiply/divide, same zero-vector
-      // guard as VectorDistance("cos") — DistanceSpec pins it.
-      // PRECONDITION: equal-length vectors. The fused kernel truncates
-      // dot AND norms to min(len_a, len_b); hoisted norms cover the full
-      // vectors, so scores DIVERGE for mismatched lengths (DistanceSpec
-      // pins that divergence explicitly). Fine here: every `vectors` view
-      // row shares the corpus dim.
-      val a = v.select(col("id").as("id_a"), col("values").as("va"))
-        .withColumn("norm_a", l2norm(col("va")))
-      val b = v.select(col("id").as("id_b"), col("values").as("vb"))
-        .withColumn("norm_b", l2norm(col("vb")))
-      val den = col("norm_a") * col("norm_b")
-      val cos = when(den === 0.0, 0.0).otherwise(dot(col("va"), col("vb")) / den)
+      // ONE corpus scan with the (gate-bounded, ≤ ~26 MB) corpus matrix
+      // riding inside a codegen expression — replaces the broadcast
+      // theta-join, whose nested-loop row assembly cost ~1.2 µs/pair vs
+      // the ~30 ns fused kernel (measured: examples/NearDupBench; the
+      // join form spent seconds of machinery on 2M pairs regardless of
+      // kernel shape). Scores are bit-identical to the hoisted-norm join
+      // form (same ascending-index double sums, hoisted full-vector
+      // norms, den==0 guard — DistanceSpec pins hoisted ≡ fused for
+      // equal-length vectors, the corpus invariant); CosNeighbors emits
+      // with slack below the threshold and the exact `round(,4) >= t`
+      // filter stays in Columns, so boundary semantics and oracle hash
+      // parity are unchanged.
+      // PRECONDITION: equal-length vectors (fused kernel truncates to
+      // min length, hoisted norms don't — divergence pinned explicitly
+      // by DistanceSpec). Fine here: every `vectors` view row shares the
+      // corpus dim.
+      val rows = v.select(col("id"), col("values")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val ids = rows.map(_._1)
+      val mat = rows.map(_._2)
+      val pairs = v
+        .select(col("id").as("id_a"),
+          explode(graft.functions.CosNeighbors(col("id"), col("values"),
+            ids, mat, t)).as("p"))
+        .select(col("id_a"), col("p.id_b").as("id_b"),
+          round(col("p.score"), 4).as("score"))
       // small corpus → report-sized result: single-partition deterministic
       // order without the range-sampling double execution
-      Out.ordered(filtered(a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("score", round(cos, 4))))(
+      Out.ordered(filtered(pairs))(
         col("score").desc, col("id_a"), col("id_b"))
     } else {
       val sigs = Ann.withBandSigs(v.select(col("id"), col("values")),

@@ -88,8 +88,13 @@ class PlanSpec extends AnyFunSuite {
         expr("transform(sequence(0, 7), j -> cast(id % 13 + j AS float))"))
     val p = plan(VectorSearch.nearDupPairs(big, 150000L, 0.9))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    val small = plan(VectorSearch.nearDupPairs(big, 100L, 0.9))
-    assert(small.contains("BroadcastNestedLoopJoin"), small.take(1200))
+    // below the gate: ONE scan through the CosNeighbors kernel — no join
+    // of any kind (the broadcast-theta-join form paid ~1.2 µs/pair of
+    // nested-loop row assembly; see examples/NearDupBench)
+    val small = plan(VectorSearch.nearDupPairs(big.limit(200).localCheckpoint(),
+      100L, 0.9))
+    assert(small.contains("cos_neighbors"), small.take(1200))
+    assert(!small.contains("Join"), small.take(1200))
   }
 
   test("IVF probe reads only the probed cells: partition pruning on the persisted layout") {
