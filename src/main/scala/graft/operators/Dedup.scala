@@ -234,15 +234,19 @@ object Dedup {
   // ---- Q19: SimHash + chunk-banded hamming candidates -----------------
 
   private def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // token hashes stay md5-derived (hash60) — the q19 oracle recomputes
-    // the identical simhash from md5 bits in SQL. The 60 signed bit
-    // counters collapse into one SimhashAgg buffer (vs 60 sum(CASE…)
-    // columns), still map-side combinable.
+    // Token hashes stay md5-derived — the q19 oracle recomputes the
+    // identical simhash from md5 bits in SQL. Fingerprinting is a NARROW
+    // per-row kernel (SimhashArray folds md5 + bit counting + majority
+    // packing over the token array) — no explode, no shuffle, no
+    // aggregation; the SimhashAgg groupBy form computes the identical
+    // fingerprint (DedupSpec pins it) but pays the same plan machinery
+    // MinhashArray retired for q18. Docs with no tokens produced no rows
+    // under the aggregate shape; the size filter preserves that.
     docs(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SimhashAgg.simhash(col("h"), SimhashBits).as("fp"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimhashArray(col("toks"), SimhashBits).as("fp"))
   }
 
   def q19(spark: SparkSession, dir: String): DataFrame = {

@@ -87,6 +87,32 @@ class DedupSpec extends AnyFunSuite {
     assert(empty.forall(_.isEmpty), "sub-shingle docs must yield empty signatures")
   }
 
+  test("narrow SimhashArray equals the SimhashAgg aggregate fingerprint-for-fingerprint") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docsDf = graft.sources.Tables.table(spark, dir, "documents")
+    val narrow = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimhashArray(col("toks"), 60).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = docsDf
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimhashAgg.simhash(col("h"), 60).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow.nonEmpty)
+    assert(narrow == agg)
+    // the empty-array sentinel sits outside the 60-bit fingerprint budget
+    import spark.implicits._
+    val s = Seq(Seq.empty[String]).toDF("toks")
+      .select(graft.functions.SimhashArray(col("toks"), 60))
+      .head.getLong(0)
+    assert(s == (1L << 62))
+  }
+
   test("minhash-LSH + verify lands on exactly the brute-force pair set") {
     val brute = Dedup.q17(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
