@@ -43,7 +43,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       once(fn) // warm: codegen, file listing, broadcast build — not billed
       val samples = Seq.fill(runs)(once(fn)).sorted
-      name -> samples(samples.length / 2) // median
+      // true median: average the middle pair for even run counts
+      // (samples(n/2) alone would report the SLOWER of the two middles)
+      val median =
+        if (samples.length % 2 == 1) samples(samples.length / 2)
+        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -45,25 +45,7 @@ case class LshSignature(child: Expression, planes: Seq[Seq[Seq[Float]]])
     val v = new Array[Float](n)
     var i = 0
     while (i < n) { v(i) = arr.getFloat(i); i += 1 }
-    val out = new Array[Long](mat.length)
-    var b = 0
-    while (b < mat.length) {
-      val band = mat(b)
-      var sig = 0L
-      var r = 0
-      while (r < band.length) {
-        val p = band(r)
-        val lim = math.min(n, p.length)
-        var acc = 0.0
-        var k = 0
-        while (k < lim) { acc += v(k).toDouble * p(k).toDouble; k += 1 }
-        if (acc > 0) sig |= (1L << r)
-        r += 1
-      }
-      out(b) = sig
-      b += 1
-    }
-    new GenericArrayData(out)
+    new GenericArrayData(LshSignature.signature(v, mat))
   }
 
   /** Same loop inside whole-stage codegen: the plane matrix rides along as
@@ -111,4 +93,33 @@ object LshSignature {
   def apply(vec: Column, planes: Seq[Seq[Seq[Float]]]): Column =
     CatalystBridge.column(
       LshSignature(CatalystBridge.expression(vec), planes))
+
+  /** THE scalar kernel: band signatures of one vector against a plane
+    * matrix — the single definition executed by the expression's
+    * interpreted eval AND by driver-side callers (`Ann.bandBuckets`, the
+    * store's approx query path), so corpus-side and query-side
+    * signatures cannot drift apart by edit. The codegen path emits the
+    * same loop in Java; LshSignatureSpec pins interpreted ≡ codegen
+    * bit-equality, which transitively pins this kernel too. */
+  def signature(v: Array[Float], mat: Array[Array[Array[Float]]]): Array[Long] = {
+    val out = new Array[Long](mat.length)
+    var b = 0
+    while (b < mat.length) {
+      val band = mat(b)
+      var sig = 0L
+      var r = 0
+      while (r < band.length) {
+        val p = band(r)
+        val lim = math.min(v.length, p.length)
+        var acc = 0.0
+        var k = 0
+        while (k < lim) { acc += v(k).toDouble * p(k).toDouble; k += 1 }
+        if (acc > 0) sig |= (1L << r)
+        r += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    out
+  }
 }

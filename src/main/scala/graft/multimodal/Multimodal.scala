@@ -164,8 +164,10 @@ object Multimodal {
         boxes(ms, me).foreach {
           case ("mvhd", s, e) if e - s >= 20 =>
             val v = p(s) & 0xff
-            if (v == 1 && e - s >= 28) { timescale = u32(s + 20); duration = u64(s + 24) }
-            else { timescale = u32(s + 12); duration = u32(s + 16) }
+            // v1 reads u64 at s+24 → needs 32 payload bytes; a truncated
+            // v1 box must not read the next box's header as its duration
+            if (v == 1 && e - s >= 32) { timescale = u32(s + 20); duration = u64(s + 24) }
+            else if (v == 0) { timescale = u32(s + 12); duration = u32(s + 16) }
           case ("trak", s, e) =>
             boxes(s, e).foreach {
               case ("tkhd", ts, te) if te - ts >= 8 =>

@@ -123,30 +123,17 @@ object Ann {
     hyperplanesFor(Dim)
 
   /** Driver-side band signature of ONE vector: the (band, bucket) pairs
-    * the distributed [[graft.functions.LshSignature]] kernel would emit
-    * for it — same plane family, same float→double accumulation in
-    * ascending index order, same `> 0` sign rule, same
-    * `min(vectorLen, planeLen)` truncation — so a query hashed here lands
-    * in exactly the buckets its corpus-side neighbors were banded into.
-    * Used by the serving store to derive a query's probe buckets without
-    * running a Spark job per request. */
+    * the distributed [[graft.functions.LshSignature]] expression emits
+    * for corpus rows, computed by THE SAME kernel
+    * ([[graft.functions.LshSignature.signature]] — one definition, no
+    * twin loop to drift), so a query hashed here lands in exactly the
+    * buckets its corpus-side neighbors were banded into. Used by the
+    * serving store to derive a query's probe buckets without running a
+    * Spark job per request. */
   private[graft] def bandBuckets(v: Array[Float]): Seq[(Int, Long)] = {
-    val planes = hyperplanesFor(v.length)
-    planes.indices.map { b =>
-      val band = planes(b)
-      var sig = 0L
-      var r = 0
-      while (r < band.length) {
-        val p = band(r)
-        val lim = math.min(v.length, p.length)
-        var acc = 0.0
-        var k = 0
-        while (k < lim) { acc += v(k).toDouble * p(k).toDouble; k += 1 }
-        if (acc > 0) sig |= (1L << r)
-        r += 1
-      }
-      (b, sig)
-    }
+    val mat = hyperplanesFor(v.length).map(_.toArray).toArray
+    graft.functions.LshSignature.signature(v, mat).toSeq.zipWithIndex
+      .map { case (sig, b) => (b, sig) }
   }
 
   /** (row..., band, bucket) — one row per band per input row. All band

@@ -202,15 +202,20 @@ object Dedup {
         graft.functions.TokenShingleHashes(col("text"), ShingleN).as("hs"))
       .localCheckpoint(eager = true)
     val sh0 = base.select(col("doc_id"), explode(col("hs")).as("h"))
-    // Drop empty signatures (docs with no shingles) before banding:
-    // concat_ws would fold their band keys into one shared md5 bucket — a
-    // quadratic surface of spurious candidates at scale. An empty doc
-    // cannot be a near-duplicate of anything under shingle Jaccard anyway.
+    // Drop shingle-less docs BEFORE the kernel, and filter on the
+    // materialized `hs` column, not the `ms` alias: a post-projection
+    // `size(ms) > 0` filter gets alias-substituted below the Project by
+    // PushPredicateThroughNonJoin, evaluating the 64-permutation kernel
+    // TWICE per row. `ms` is empty iff `hs` is empty, so the predicates
+    // are equivalent — and empty docs must not reach banding (concat_ws
+    // would fold their band keys into one shared md5 bucket, a quadratic
+    // surface of spurious candidates at scale; an empty doc cannot be a
+    // near-duplicate of anything under shingle Jaccard anyway).
     val sig = base
+      .where(size(col("hs")) > 0)
       .select(col("doc_id"),
         graft.functions.MinhashArray(col("hs"), minhashParams(NumPerm),
           MinhashP).as("ms"))
-      .where(size(col("ms")) > 0)
     val bandCols = (0 until Bands).map { bd =>
       struct(
         lit(bd).as("band"),
@@ -242,6 +247,12 @@ object Dedup {
     // fingerprint (DedupSpec pins it) but pays the same plan machinery
     // MinhashArray retired for q18. Docs with no tokens produced no rows
     // under the aggregate shape; the size filter preserves that.
+    // KNOWN DUPLICATION: alias substitution inlines Tokenize into the
+    // pushed `size > 0` predicate, so tokenization runs twice per row.
+    // Deliberate trade: Tokenize is the cheap single-pass scan, the
+    // SimhashArray kernel (md5 per token) runs ONCE in the projection —
+    // the alternative (filtering on the kernel output or its sentinel)
+    // would duplicate the expensive kernel instead.
     docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)

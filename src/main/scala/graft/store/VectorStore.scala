@@ -58,9 +58,9 @@ class VectorStore(val spark: SparkSession) {
     * reference's deleted-ratio rebuild trigger, `index.py:85-89`). */
   private val CompactEvery = 64
 
-  private def commit(next: Dataset[VectorRecord]): Unit = {
+  private def commit(next: Dataset[VectorRecord]): Unit = synchronized {
     mutationsSinceCompact += 1
-    epoch += 1
+    epoch += 1 // guarded by synchronized: += on a @volatile is not atomic
     live =
       if (mutationsSinceCompact >= CompactEvery) {
         mutationsSinceCompact = 0
@@ -131,8 +131,11 @@ class VectorStore(val spark: SparkSession) {
     * deployment uses to hydrate a store from an existing table in ONE
     * commit (the reference's closest analogue is a batched `add_items`
     * call, `index.py:60-79`; here the frame never touches the driver).
-    * `df` must have columns `id: string` and `values: array<float>`;
-    * metadata columns default to empty. */
+    * `df` must have columns `id: string` and `values: array<float>` with
+    * UNIQUE ids; metadata columns default to empty. Upsert semantics like
+    * [[upsert]]: existing rows at the incoming (namespace, id) keys are
+    * replaced, never duplicated (the anti-join drops them in the same
+    * commit). */
   def loadFrame(df: DataFrame, namespace: String): Unit = {
     val recs = df
       .select(col("id").cast("string").as("id"),
@@ -141,7 +144,11 @@ class VectorStore(val spark: SparkSession) {
         typedLit(Map.empty[String, String]).as("metadata"),
         lit("{}").as("metadataJson"))
       .as[VectorRecord]
-    commit(live.union(recs))
+    val survivors = live.join(
+      recs.select(col("id").as("__lid")).withColumn("__lns", lit(namespace)),
+      col("id") === col("__lid") && col("namespace") === col("__lns"),
+      "left_anti").as[VectorRecord]
+    commit(survivors.union(recs))
   }
 
   /** True upsert: overwrite-or-insert at a caller-supplied id in ONE
@@ -338,13 +345,19 @@ class VectorStore(val spark: SparkSession) {
         case Some((e, ns, d, df))
             if e == epoch && ns == namespace && d == dim => df
         case _ =>
+          // Capture the epoch BEFORE reading `live`: a mutation that
+          // lands mid-build bumps the epoch past `e`, so the entry built
+          // from the pre-mutation rows is already stale when stored and
+          // the next search rebuilds. Stamping with a post-build epoch
+          // read would mark pre-mutation signatures as current forever.
+          val e = epoch
           val df = graft.operators.Ann.withBandSigs(
             live.filter(col("namespace") === namespace)
               .select(col("id"), col("values")).toDF(),
             col("values"), dim)
             .select(col("id"), col("band"), col("bucket"))
             .localCheckpoint(eager = true)
-          sigCache = Some((epoch, namespace, dim, df))
+          sigCache = Some((e, namespace, dim, df))
           df
       }
     }

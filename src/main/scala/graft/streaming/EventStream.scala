@@ -122,7 +122,19 @@ object EventStream {
 
   // ---- q46: the streaming path behind the correctness gate -------------
 
-  private val sinkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** One fixed sink name per graded query, dropped before each restart:
+    * per-invocation unique names would leak a full result copy + stopped
+    * query registration into the driver catalog on every run (bench runs
+    * each query 4×; its unpersist hygiene clears RDD blocks, not temp
+    * views). Consequence: invocations of the same graded query are
+    * serialized — the Verify/Bench contract, not a serving path. */
+  private def drainToTable(spark: SparkSession, name: String,
+                           start: => StreamingQuery): DataFrame = {
+    spark.catalog.dropTempView(name) // idempotent; frees the prior run
+    val q = start
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 
   /** q46: drain the file-source STREAM over `events` through the
     * tumbling-window aggregation and return the sink table. The plan that
@@ -130,14 +142,11 @@ object EventStream {
     * watermark → windowed agg → memory sink, complete mode); the finite
     * corpus makes it terminate, and the result must hash-match the batch
     * q29 oracle — the batch/stream parity StreamingSpec asserts in-JVM,
-    * now pinned by the external DuckDB gate as well. Each invocation gets
-    * a fresh sink name so repeated runs (bench medians) never collide. */
-  def q46(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_q46_sink_" + sinkCounter.incrementAndGet()
-    val q = startToMemory(spark, dir, name)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy(col("bucket_us"), col("event_type"))
-  }
+    * now pinned by the external DuckDB gate as well. */
+  def q46(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q46_sink",
+      startToMemory(spark, dir, "graft_q46_sink"))
+      .orderBy(col("bucket_us"), col("event_type"))
 
   /** q47: the STATEFUL streaming operator behind the gate — gap-based
     * sessionization via `flatMapGroupsWithState`, drained over the finite
@@ -145,16 +154,13 @@ object EventStream {
     * monotone across micro-batches, so `max` per user is the final
     * emission regardless of how the file source batches the input. Must
     * hash-match the batch q28 window/lag oracle. */
-  def q47(spark: SparkSession, dir: String): DataFrame = {
-    val name = "graft_q47_sink_" + sinkCounter.incrementAndGet()
-    val q = startSessionsToMemory(spark, dir, name)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q47_sink",
+      startSessionsToMemory(spark, dir, "graft_q47_sink"))
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_sessions")).as("n_sessions"))
       .orderBy(col("user_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),

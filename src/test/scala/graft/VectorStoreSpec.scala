@@ -328,6 +328,14 @@ class VectorStoreSpec extends AnyFunSuite {
       (0 until 30).map(i => (s"v$i", Seq(i.toFloat, 1f))).toDF("id", "values"),
       "bulk")
     assert(s.read("v5", "bulk").get.values.toSeq == Seq(5f, 1f))
+    // loadFrame is an UPSERT like upsert(id, ...): re-loading overlapping
+    // ids replaces rows, never duplicates them
+    s.loadFrame(
+      (0 until 5).map(i => (s"v$i", Seq(i.toFloat, 2f))).toDF("id", "values"),
+      "bulk")
+    assert(s.namespaceCount("bulk") == 30)
+    assert(s.read("v3", "bulk").get.values.toSeq == Seq(3f, 2f))
+    assert(s.read("v7", "bulk").get.values.toSeq == Seq(7f, 1f))
 
     // 10k-id positional read (duplicates + misses) → broadcast semi-join path
     val bigIds = (0 until 10000).map(i => s"v${i % 60}")
@@ -336,7 +344,8 @@ class VectorStoreSpec extends AnyFunSuite {
     got.zip(bigIds).foreach { case (o, id) =>
       val n = id.drop(1).toInt
       assert(o.isDefined == (n < 30), s"positional miss/hit wrong for $id")
-      o.foreach(r => assert(r.id == id && r.values.toSeq == Seq(n.toFloat, 1f)))
+      val marker = if (n < 5) 2f else 1f // v0-v4 were re-loaded above
+      o.foreach(r => assert(r.id == id && r.values.toSeq == Seq(n.toFloat, marker)))
     }
 
     // 10k-id delete → broadcast anti-join path; report = the distinct present set
