@@ -49,6 +49,18 @@ object ScaleBench {
       .count()
   }
 
+  /** The engine's ACTUAL below-gate exact shape since round 5: one scan
+    * through the CosNeighbors kernel (matrix rides the plan). */
+  private def kernelPairs(e: DataFrame, simT: Double): Long = {
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    e.select(col("vec_id").as("ia"),
+        explode(graft.functions.CosNeighbors(col("vec_id"), col("embedding"),
+          rows.map(_._1), rows.map(_._2), simT)).as("p"))
+      .where(col("p.score") >= simT)
+      .count()
+  }
+
   private def lshPairs(e: DataFrame, simT: Double): Long = {
     val planesSeq: Seq[Seq[Seq[Float]]] =
       planes.map(_.map(_.toSeq: Seq[Float]).toSeq).toSeq
@@ -81,10 +93,12 @@ object ScaleBench {
         (r, (System.nanoTime() - t0) / 1e9)
       }
       val (exactN, exactS) = t(exactPairs(e, simT))
+      val (kernN, kernS) = t(kernelPairs(e, simT))
       val (lshN, lshS) = t(lshPairs(e, simT))
       val recall = if (exactN == 0) 1.0 else lshN.toDouble / exactN
-      println(f"[scale] n=$n%6d t=$simT%.2f exact=${exactS}%7.2fs ($exactN%9d pairs)  " +
-        f"lsh=${lshS}%7.2fs ($lshN%9d pairs, recall=$recall%.3f)")
+      println(f"[scale] n=$n%6d t=$simT%.2f exactJoin=${exactS}%7.2fs ($exactN%9d)  " +
+        f"kernel=${kernS}%7.2fs ($kernN%9d)  " +
+        f"lsh=${lshS}%7.2fs ($lshN%9d, recall=$recall%.3f)")
     }
     spark.stop()
   }
