@@ -36,6 +36,14 @@ final case class MediaFeatures(
     duration_ms: Double,
     entropy: Double)
 
+/** One sampled frame of a video payload: container-level byte extent
+  * features (top-level: encoder codegen needs public classes). */
+final case class FrameSample(
+    media_id: Long,
+    frame_idx: Int,
+    n_bytes: Int,
+    checksum: Long)
+
 /** Multimodal-column plumbing (north-star requirement): binary payload
   * columns, partition-iterator batch processing, typed feature extraction.
   *
@@ -126,33 +134,41 @@ object Multimodal {
     *
     * Returns (width, height, durationMs), or None for anything that is
     * not a parseable MP4. */
+  /** Walk the sibling ISO BMFF boxes of `p` in [start, end), yielding
+    * (type, payloadStart, payloadEnd) triples; malformed sizes end the
+    * walk rather than throw. Shared by the metadata and sample-table
+    * parsers. */
+  private[multimodal] def mp4Boxes(p: Array[Byte], start: Int,
+                                   end: Int): Iterator[(String, Int, Int)] = {
+    def u32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    new Iterator[(String, Int, Int)] {
+      private var off = start
+      def hasNext: Boolean = off + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size0 = u32(off)
+        val tpe = new String(p, off + 4, 4, "US-ASCII")
+        val (payloadStart, boxEnd) =
+          if (size0 == 1L && off + 16 <= end)
+            (off + 16L, off + ((u32(off + 8) << 32) | u32(off + 12)))
+          else if (size0 == 0L) (off + 8L, end.toLong) // box runs to EOF
+          else (off + 8L, off + size0)
+        val clampedEnd = math.min(boxEnd, end.toLong).toInt
+        val ps = math.min(payloadStart, end.toLong).toInt
+        off = if (clampedEnd > off) clampedEnd else end // no progress → stop
+        (tpe, ps, clampedEnd)
+      }
+    }
+  }
+
   def decodeMp4Meta(p: Array[Byte]): Option[(Int, Int, Double)] = {
     def u32(off: Int): Long =
       ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
         ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
-    def boxType(off: Int): String =
-      new String(p, off + 4, 4, "US-ASCII")
-
-    // walk the sibling boxes in [start, end), returning (type, payloadStart,
-    // payloadEnd) triples; malformed sizes end the walk rather than throw
     def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var off = start
-        def hasNext: Boolean = off + 8 <= end
-        def next(): (String, Int, Int) = {
-          val size0 = u32(off)
-          val tpe = boxType(off)
-          val (payloadStart, boxEnd) =
-            if (size0 == 1L && off + 16 <= end) (off + 16L, off + u64(off + 8))
-            else if (size0 == 0L) (off + 8L, end.toLong) // box runs to EOF
-            else (off + 8L, off + size0)
-          val clampedEnd = math.min(boxEnd, end.toLong).toInt
-          val ps = math.min(payloadStart, end.toLong).toInt
-          off = if (clampedEnd > off) clampedEnd else end // no progress → stop
-          (tpe, ps, clampedEnd)
-        }
-      }
+      mp4Boxes(p, start, end)
 
     try {
       val moov = boxes(0, p.length).collectFirst { case ("moov", s, e) => (s, e) }
@@ -230,20 +246,28 @@ object Multimodal {
     buf.array()
   }
 
-  /** Deterministic minimal MP4: `ftyp` + `moov(mvhd + trak(tkhd))` with
-    * spec-compliant v0 box layouts — enough container for the metadata
-    * walk to parse real width/height/duration (there is no JDK video
-    * ENCODER either; a container writer needs only big-endian puts). */
+  /** Box building block shared by the synthetic writers. */
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+    buf.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    buf.array()
+  }
+
+  /** Deterministic minimal MP4: `ftyp` + `moov(mvhd + trak(tkhd +
+    * mdia(minf(stbl(stsz + stco)))))` + `mdat`, spec-compliant v0 box
+    * layouts — enough container for the metadata walk to parse real
+    * width/height/duration AND for the sample-table walk to locate real
+    * frame payloads (there is no JDK video ENCODER either; a container
+    * writer needs only big-endian puts). Not player-grade (no stsd/stts
+    * codec info), but every byte the parsers read is where the spec says
+    * it is. Frame i has size `24 + ((id + i) % 5) * 8` and
+    * deterministic contents; all frames live in one chunk at the mdat
+    * payload offset. */
   def syntheticMp4(id: Long): Array[Byte] = {
     val w = 160 + (id % 8).toInt * 80
     val h = 120 + ((id / 8) % 6).toInt * 90
     val timescale = 1000
     val duration = 2000 + (id % 10).toInt * 500
-    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
-      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
-      buf.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
-      buf.array()
-    }
     val ftyp = box("ftyp", {
       val b = java.nio.ByteBuffer.allocate(16)
       b.put("isom".getBytes("US-ASCII")).putInt(512)
@@ -277,7 +301,112 @@ object Multimodal {
       b.putInt(w << 16).putInt(h << 16)         // 16.16 fixed point
       b.array()
     })
-    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    // frame payloads: deterministic sizes and contents
+    val nFrames = 4 + (id % 4).toInt
+    val frames = (0 until nFrames).map { i =>
+      val sz = 24 + ((id + i) % 5).toInt * 8
+      Array.tabulate[Byte](sz)(k => (((id * 131) + i * 17 + k) & 0xff).toByte)
+    }
+    val mdatPayload = frames.reduce(_ ++ _)
+    def stbl(chunkOffset: Int): Array[Byte] = {
+      val stsz = box("stsz", {
+        val b = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+        b.putInt(0).putInt(0).putInt(nFrames)   // ver/flags, size=0→table, count
+        frames.foreach(f => b.putInt(f.length))
+        b.array()
+      })
+      val stco = box("stco", {
+        val b = java.nio.ByteBuffer.allocate(12)
+        b.putInt(0).putInt(1).putInt(chunkOffset) // ver/flags, 1 chunk, offset
+        b.array()
+      })
+      box("stbl", stsz ++ stco)
+    }
+    def moov(chunkOffset: Int): Array[Byte] =
+      box("moov", mvhd ++
+        box("trak", tkhd ++ box("mdia", box("minf", stbl(chunkOffset)))))
+    // stco holds a FILE offset, which depends on moov's own length —
+    // build once at 0 to measure, then rebuild with the real offset
+    val moovLen = moov(0).length
+    val mdatPayloadOffset = ftyp.length + moovLen + 8
+    ftyp ++ moov(mdatPayloadOffset) ++ box("mdat", mdatPayload)
+  }
+
+  /** Sample table of the first track: per-frame sizes + the first chunk's
+    * file offset, from `stbl/stsz` + `stbl/stco`. Assumes the
+    * single-chunk, consecutive-samples layout (the shape syntheticMp4
+    * writes and the common shape of simple progressive files); a
+    * multi-chunk file would need stsc interleaving on top. */
+  def mp4SampleTable(p: Array[Byte]): Option[(Array[Int], Long)] = {
+    def u32(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def descend(start: Int, end: Int, path: List[String]): Option[(Int, Int)] =
+      path match {
+        case Nil => Some((start, end))
+        case head :: rest =>
+          mp4Boxes(p, start, end).collectFirst { case (`head`, s, e) => (s, e) }
+            .flatMap { case (s, e) => descend(s, e, rest) }
+      }
+    try {
+      descend(0, p.length, List("moov", "trak", "mdia", "minf", "stbl"))
+        .flatMap { case (ss, se) =>
+          val boxesIn = mp4Boxes(p, ss, se).toSeq
+          for {
+            (_, zs, ze) <- boxesIn.find(_._1 == "stsz")
+            (_, cs, ce) <- boxesIn.find(_._1 == "stco")
+            if ze - zs >= 12 && ce - cs >= 12 && u32(cs + 4) >= 1
+            n = u32(zs + 8).toInt
+            if n >= 0 && zs + 12 + 4L * n <= ze
+          } yield {
+            val uniform = u32(zs + 4)
+            val sizes =
+              if (uniform != 0) Array.fill(n)(uniform.toInt)
+              else Array.tabulate(n)(i => u32(zs + 12 + 4 * i).toInt)
+            (sizes, u32(cs + 8))
+          }
+        }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Container-level frame sampling — the "sample every k-th frame"
+    * stage of a video pipeline, REAL with no codec: the sample table
+    * gives each frame's byte extent, so sampling is pure slicing. A
+    * decoder plugs in downstream of these payload slices. Returns
+    * (frameIndex, frameBytes) for frames 0, every, 2·every, … */
+  def sampleFrames(p: Array[Byte], every: Int): Seq[(Int, Array[Byte])] = {
+    require(every >= 1, s"sampling stride must be >= 1, got $every")
+    mp4SampleTable(p).toSeq.flatMap { case (sizes, chunkOffset) =>
+      val offsets = sizes.scanLeft(chunkOffset)(_ + _)
+      sizes.indices.by(every).flatMap { i =>
+        val start = offsets(i)
+        val end = start + sizes(i)
+        if (end <= p.length) Some(i -> java.util.Arrays.copyOfRange(
+          p, start.toInt, end.toInt))
+        else None
+      }
+    }
+  }
+
+  /** REAL image resize via the JDK (decode → Graphics2D bilinear scale →
+    * PNG re-encode) — the resize stage of a training-data pipeline, no
+    * external deps. None for undecodable payloads. */
+  def resizeImage(p: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w >= 1 && h >= 1, s"target dims must be positive, got ${w}x$h")
+    try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(p))).map { src =>
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    } catch { case _: Exception => None }
   }
 
   /** Synthesize a media table from the documents corpus. Image rows carry
@@ -332,6 +461,35 @@ object Multimodal {
           if (h > 0) w.toDouble / h else 0.0, rate, durMs, ent)
       }
     }
+  }
+
+  /** Resize stage over the media table (north-star "resize"): image rows
+    * are decoded, bilinear-scaled and re-encoded at (w, h); undecodable
+    * or non-image rows pass through untouched (filter-then-transform,
+    * never fail the batch). Narrow — no shuffle, scales with input. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int,
+                   h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind == "image")
+        resizeImage(m.payload, w, h).map(p => m.copy(payload = p)).getOrElse(m)
+      else m
+    })
+  }
+
+  /** Frame-sampling stage over the media table (north-star
+    * "frame-sample"): video rows explode into every k-th frame's
+    * container-level payload features. Real sample-table slicing, no
+    * codec — a decoder consumes these payload slices downstream. Narrow
+    * per-partition flatMap. */
+  def frameSamples(media: Dataset[MediaRecord],
+                   every: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.filter(_.kind == "video").flatMap { m =>
+      sampleFrames(m.payload, every).map { case (i, bytes) =>
+        FrameSample(m.media_id, i, bytes.length, checksum(bytes))
+      }
+    })
   }
 
   /** Example downstream use: per-kind feature aggregate over the extracted

@@ -64,6 +64,51 @@ class MultimodalSpec extends AnyFunSuite {
     feats.foreach(f => assert(f.entropy > 0 && f.entropy <= 8.0))
   }
 
+  test("frame sampling slices REAL sample-table extents (container-level, no codec)") {
+    val id = 6L
+    val p = Multimodal.syntheticMp4(id)
+    val nFrames = 4 + (id % 4).toInt
+    val all = Multimodal.sampleFrames(p, every = 1)
+    assert(all.map(_._1) == (0 until nFrames))
+    all.foreach { case (i, bytes) =>
+      val expSize = 24 + ((id + i) % 5).toInt * 8
+      assert(bytes.length == expSize, s"frame $i size ${bytes.length} != $expSize")
+      // contents are the known-answer generator bytes, byte-for-byte
+      val exp = Array.tabulate[Byte](expSize)(k => (((id * 131) + i * 17 + k) & 0xff).toByte)
+      assert(bytes.sameElements(exp), s"frame $i payload mismatch")
+    }
+    // stride sampling takes frames 0, 2, 4, ...
+    assert(Multimodal.sampleFrames(p, every = 2).map(_._1) ==
+      (0 until nFrames by 2))
+    // non-mp4 payloads sample nothing rather than erroring
+    assert(Multimodal.sampleFrames(Multimodal.syntheticPng(1), 1).isEmpty)
+    // the Dataset stage explodes video rows only
+    val fs = Multimodal.frameSamples(Multimodal.syntheticMedia(spark, dir), 2)
+      .collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(_.n_bytes >= 24))
+  }
+
+  test("image resize is a REAL decode->scale->re-encode (north-star resize stage)") {
+    val resized = Multimodal.resizeImage(Multimodal.syntheticPng(5), 40, 24)
+    assert(resized.isDefined)
+    assert(Multimodal.sniffFormat(resized.get) == "png")
+    assert(Multimodal.decodeImage(resized.get).contains((40, 24)))
+    // undecodable input -> None, never an exception
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 8, 8).isEmpty)
+    // the Dataset stage resizes images and passes other kinds through
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val out = Multimodal.resizeImages(media, 32, 32).collect()
+    out.filter(_.kind == "image").foreach { m =>
+      assert(Multimodal.decodeImage(m.payload).contains((32, 32)))
+    }
+    val vidIn = media.filter(_.kind == "video").collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    out.filter(_.kind == "video").foreach { m =>
+      assert(m.payload.toSeq == vidIn(m.media_id), "non-image payload mutated")
+    }
+  }
+
   test("mp4 parse rejects non-video bytes instead of fabricating dims") {
     assert(Multimodal.decodeMp4Meta("not a video at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
