@@ -45,16 +45,18 @@ case class SimhashArray(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = s"simhash_array_$bits"
 
-  /** Empty/all-null token arrays have no majority to take; callers must
+  /** Empty/all-null token arrays have no majority to take; callers MUST
     * filter them out (as the aggregate shape did implicitly — a doc with
     * no tokens produced no rows, so no fingerprint). Throwing here would
-    * poison whole-stage codegen; returning 0 would silently pair all
-    * empty docs at hamming 0. The contract: filter `size(toks) > 0`
-    * upstream; this kernel then never sees an empty array. For
-    * defense-in-depth an empty input returns [[EmptySentinel]], which no
-    * real fingerprint can equal (bit 62 is outside the 60-bit budget) —
-    * chunked candidate keys derived from it never collide with real
-    * ones. */
+    * poison whole-stage codegen; returning 0 would make empty docs
+    * bit-identical to a legitimately-all-negative-majority fingerprint.
+    * An empty input therefore returns [[EmptySentinel]], whose only
+    * guarantee is being DISTINGUISHABLE from every real fingerprint
+    * (bit 62 is outside the 60-bit budget). It is NOT a banding
+    * safeguard: chunk keys mask bits 0..59, where the sentinel is all
+    * zeros, so unfiltered empty docs would still collide into the
+    * zero-chunk buckets and pair with each other at hamming 0 — the
+    * upstream `size(toks) > 0` filter is the real (and only) guard. */
   val EmptySentinel: Long = 1L << 62
 
   def evalTokens(arr: ArrayData): Long = {

@@ -134,15 +134,19 @@ object Multimodal {
     *
     * Returns (width, height, durationMs), or None for anything that is
     * not a parseable MP4. */
+  /** Big-endian u32 read — the one byte-reader all the ISO BMFF parsers
+    * share (bounds/sign fixes happen in exactly one place). */
+  private[multimodal] def beU32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
   /** Walk the sibling ISO BMFF boxes of `p` in [start, end), yielding
     * (type, payloadStart, payloadEnd) triples; malformed sizes end the
     * walk rather than throw. Shared by the metadata and sample-table
     * parsers. */
   private[multimodal] def mp4Boxes(p: Array[Byte], start: Int,
                                    end: Int): Iterator[(String, Int, Int)] = {
-    def u32(off: Int): Long =
-      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
-        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def u32(off: Int): Long = beU32(p, off)
     new Iterator[(String, Int, Int)] {
       private var off = start
       def hasNext: Boolean = off + 8 <= end
@@ -163,9 +167,7 @@ object Multimodal {
   }
 
   def decodeMp4Meta(p: Array[Byte]): Option[(Int, Int, Double)] = {
-    def u32(off: Int): Long =
-      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
-        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def u32(off: Int): Long = beU32(p, off)
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
       mp4Boxes(p, start, end)
@@ -338,9 +340,7 @@ object Multimodal {
     * writes and the common shape of simple progressive files); a
     * multi-chunk file would need stsc interleaving on top. */
   def mp4SampleTable(p: Array[Byte]): Option[(Array[Int], Long)] = {
-    def u32(off: Int): Long =
-      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
-        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def u32(off: Int): Long = beU32(p, off)
     def descend(start: Int, end: Int, path: List[String]): Option[(Int, Int)] =
       path match {
         case Nil => Some((start, end))
@@ -356,15 +356,20 @@ object Multimodal {
             (_, zs, ze) <- boxesIn.find(_._1 == "stsz")
             (_, cs, ce) <- boxesIn.find(_._1 == "stco")
             if ze - zs >= 12 && ce - cs >= 12 && u32(cs + 4) >= 1
+            uniform = u32(zs + 4)
             n = u32(zs + 8).toInt
-            if n >= 0 && zs + 12 + 4L * n <= ze
-          } yield {
-            val uniform = u32(zs + 4)
-            val sizes =
-              if (uniform != 0) Array.fill(n)(uniform.toInt)
-              else Array.tabulate(n)(i => u32(zs + 12 + 4 * i).toInt)
-            (sizes, u32(cs + 8))
-          }
+            // the per-entry table exists ONLY when sample_size == 0; a
+            // uniform-size stsz carries no table and must not be held to
+            // the table-length bound
+            if n >= 0 && (uniform != 0 || zs + 12 + 4L * n <= ze)
+            // frame sizes are payload lengths: reject u32 values that
+            // wrap negative in an Int (adversarial/corrupt tables) so
+            // downstream slicing can trust them
+            if uniform <= Int.MaxValue
+            sizes = if (uniform != 0) Array.fill(n)(uniform.toInt)
+                    else Array.tabulate(n)(i => u32(zs + 12 + 4 * i).toInt)
+            if sizes.forall(_ >= 0)
+          } yield (sizes, u32(cs + 8))
         }
     } catch { case _: IndexOutOfBoundsException => None }
   }
@@ -381,8 +386,10 @@ object Multimodal {
       sizes.indices.by(every).flatMap { i =>
         val start = offsets(i)
         val end = start + sizes(i)
-        if (end <= p.length) Some(i -> java.util.Arrays.copyOfRange(
-          p, start.toInt, end.toInt))
+        // both bounds checked: a lying chunk offset must skip the frame,
+        // never throw (mp4SampleTable already rejects negative sizes)
+        if (start >= 0 && end <= p.length)
+          Some(i -> java.util.Arrays.copyOfRange(p, start.toInt, end.toInt))
         else None
       }
     }

@@ -241,15 +241,17 @@ class VectorStore(val spark: SparkSession) {
     had
   }
 
-  def clear(): Unit = {
+  def clear(): Unit = synchronized {
     live = spark.emptyDataset[VectorRecord]
     mutationsSinceCompact = 0
     epoch += 1
   }
 
   /** Materialize current state and truncate lineage (rebuild analogue).
-    * Contents are unchanged, so the signature cache stays valid. */
-  def compact(): Unit = {
+    * Contents are unchanged, so the signature cache stays valid. Holds
+    * the store lock so a racing commit can't be overwritten by a
+    * pre-commit checkpoint of `live`. */
+  def compact(): Unit = synchronized {
     live = live.localCheckpoint(eager = true)
     mutationsSinceCompact = 0
   }
@@ -335,32 +337,49 @@ class VectorStore(val spark: SparkSession) {
     * store-attached index. Key = (epoch, namespace, dim): any mutation
     * bumps the epoch and lazily invalidates it (the reference rebuilds its
     * HNSW graph on writes, `index.py:131-162`; here only the signatures
-    * rebuild, on the next approx search). `localCheckpoint` materializes
-    * the signature pass so repeated approx searches pay it once. */
+    * rebuild, on the next approx search). The frame is `persist()`ed and
+    * eagerly materialized so repeated approx searches pay the signature
+    * pass once, and explicitly unpersisted when replaced so rebuild
+    * epochs don't leak pinned blocks. */
   @volatile private var sigCache: Option[(Long, String, Int, DataFrame)] = None
 
-  private def indexSigs(namespace: String, dim: Int): DataFrame =
-    synchronized {
-      sigCache match {
-        case Some((e, ns, d, df))
-            if e == epoch && ns == namespace && d == dim => df
-        case _ =>
-          // Capture the epoch BEFORE reading `live`: a mutation that
-          // lands mid-build bumps the epoch past `e`, so the entry built
-          // from the pre-mutation rows is already stale when stored and
-          // the next search rebuilds. Stamping with a post-build epoch
-          // read would mark pre-mutation signatures as current forever.
-          val e = epoch
-          val df = graft.operators.Ann.withBandSigs(
-            live.filter(col("namespace") === namespace)
-              .select(col("id"), col("values")).toDF(),
-            col("values"), dim)
-            .select(col("id"), col("band"), col("bucket"))
-            .localCheckpoint(eager = true)
-          sigCache = Some((e, namespace, dim, df))
-          df
-      }
+  private def indexSigs(namespace: String, dim: Int): DataFrame = {
+    sigCache match {
+      case Some((e, ns, d, df))
+          if e == epoch && ns == namespace && d == dim => df
+      case _ =>
+        // Snapshot (epoch, live) under the lock, but run the build — a
+        // full Spark job — OUTSIDE it: holding the store monitor across
+        // the signature pass would stall every concurrent write for the
+        // build's duration. Stamping the PRE-build epoch keeps the race
+        // harmless: a mutation landing mid-build bumps the live epoch
+        // past `e`, so the entry is already stale when stored and the
+        // next search rebuilds. (Stamping a post-build read would mark
+        // pre-mutation signatures as current forever.)
+        val (e, snapshot) = synchronized { (epoch, live) }
+        val df = graft.operators.Ann.withBandSigs(
+          snapshot.filter(col("namespace") === namespace)
+            .select(col("id"), col("values")).toDF(),
+          col("values"), dim)
+          .select(col("id"), col("band"), col("bucket"))
+          .persist()
+        df.count() // materialize the signature pass once, eagerly
+        synchronized {
+          sigCache match {
+            case Some((e2, ns2, d2, df2))
+                if e2 == epoch && ns2 == namespace && d2 == dim =>
+              df.unpersist(blocking = false) // lost the race to a fresher build
+              df2
+            case old =>
+              // replacing an entry frees its pinned signature blocks —
+              // otherwise every rebuild epoch leaks a cached frame
+              old.foreach(_._4.unpersist(blocking = false))
+              sigCache = Some((e, namespace, dim, df))
+              df
+          }
+        }
     }
+  }
 
   /** Candidate rows for an approx cosine search: live rows sharing at
     * least one LSH band bucket with the query. The query's buckets are
