@@ -90,9 +90,88 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q48: the store's INDEX-BACKED read path behind the gate ---------
+
+  private val ApproxN = 300L
+  private val ApproxNs = "q48"
+  private val ApproxBands = 16
+  private val ApproxBits = 4
+  private val ApproxDim = 64
+
+  /** q48: `findSimilar(approx = true)` end-to-end through the LIVE store —
+    * bulk load, store-attached LSH signature index, driver-side query
+    * bucketing, candidate semi-join, exact rerank — hash-matched against
+    * a FULL SQL replay of the same pipeline (md5-derived hyperplanes →
+    * sign bits → band buckets → bucket-sharing candidates → cosine
+    * rerank). This upgrades the facade's ANN wiring from spec-verified
+    * (recall floor) to oracle-verified (exact candidate set + scores).
+    * Query = vec 1's embedding, which is itself loaded — the reference
+    * returns self-hits too, so rank 1 is the query at sim 1.0. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = new VectorStore(spark)
+    store.loadFrame(
+      e.where(col("vec_id") < ApproxN)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values")),
+      ApproxNs)
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilar(qv, k = K, metric = "cosine",
+      namespace = ApproxNs, approx = true)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the store's whole approx pipeline. Plane coefficients,
+    * sign bits and band buckets replay exactly as in the q32 oracle (the
+    * store uses the same md5 family via Ann.hyperplanesFor); candidates
+    * are rows sharing ANY band bucket with the query; rerank is exact
+    * cosine on the RAW score with the store's string-id tie-break. */
+  val q48Sql: String = {
+    val nPlanes = ApproxBands * ApproxBits
+    s"""WITH planes AS (
+       |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
+       |                       / 2147483648.0 - 1.0) AS FLOAT) ORDER BY j) AS pl
+       |  FROM range($nPlanes) tp(f), range($ApproxDim) td(j)
+       |  GROUP BY f),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $ApproxN),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sigs AS (
+       |  SELECT b.id, (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("b.v", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM base b, planes p GROUP BY b.id, band),
+       |qsig AS (
+       |  SELECT (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("q.qv", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM q, planes p GROUP BY band),
+       |cand AS (
+       |  SELECT DISTINCT s.id FROM sigs s
+       |  JOIN qsig ON s.band = qsig.band AND s.bucket = qsig.bucket),
+       |sc AS (
+       |  SELECT c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q45_store_mutations" -> (q45 _))
+    Map("q45_store_mutations" -> (q45 _),
+      "q48_store_approx_search" -> (q48 _))
 
   val oracles: Map[String, String] =
-    Map("q45_store_mutations" -> q45Sql)
+    Map("q45_store_mutations" -> q45Sql,
+      "q48_store_approx_search" -> q48Sql)
 }
