@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew-mitigation primitives (SCALING.md): two-phase salted aggregation
   * and a salted broadcast-side explosion for joins against skewed keys.
@@ -46,4 +48,32 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("long"))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")
   }
+
+  // ---- q49: salted aggregation behind the correctness gate -------------
+
+  /** q49: the two-phase salted aggregation over lineitem's 3-value
+    * `l_returnflag` — maximal skew: every row is one of three hot keys,
+    * exactly the regime the salt exists for. The contract is that
+    * salting changes the SCHEDULE, never the ANSWER, so the oracle is
+    * the plain one-phase SQL aggregate. `l_quantity` is integral, so the
+    * re-associated double sums are exact and hash-identical. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+    val sums = saltedSum(li, col("l_returnflag"), col("l_quantity"), salts = 16)
+    val counts = saltedCount(li, col("l_returnflag"), salts = 16)
+    sums.join(counts, Seq("key"))
+      .select(col("key"), col("sum").as("sum_qty"), col("count").as("n"))
+      .orderBy(col("key"))
+  }
+
+  val q49Sql: String =
+    """SELECT l_returnflag AS key, sum(l_quantity) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q49_salted_agg" -> (q49 _))
+
+  val oracles: Map[String, String] =
+    Map("q49_salted_agg" -> q49Sql)
 }

@@ -167,11 +167,53 @@ object StoreOps {
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
   }
 
+  // ---- q50: the DURABLE store lifecycle behind the gate ----------------
+
+  /** Process-private root for q50's throwaway layouts (one subdir per
+    * invocation — the write/compact cycle IS the thing under test, so
+    * repeat runs must not reuse a previous layout). Unlike the IVF aux
+    * dirs, nothing external reads these after the JVM exits. */
+  private lazy val durableRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_q50_")
+  private val durableRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q50: the durable store path end-to-end — write the namespace-
+    * partitioned parquet layout, tombstone `id % 7 == 0`, compact (the
+    * anti-join rewrite that replaces the reference's index rebuild,
+    * `query_processor.py:58-61` / `index.py:131-162`), then aggregate a
+    * namespace-pruned read-back. The oracle replays the same delete
+    * relationally over the source table, so a row lost or duplicated
+    * anywhere in write → compact → partitioned read breaks the hash. */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val path = durableRoot.resolve(
+      durableRuns.incrementAndGet().toString).toString
+    val v = Tables.vectors(spark, dir)
+    graft.sources.VectorParquet.write(v, path)
+    val deletes = Tables.vectors(spark, dir)
+      .where(col("id") % 7 === 0).select(col("id"))
+    graft.sources.VectorParquet.compact(spark, path, deletes)
+    graft.sources.VectorParquet.read(spark, path)
+      .groupBy(col("namespace"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("id")).cast("long").as("id_sum"),
+        sum(col("label")).cast("long").as("label_sum"))
+      .orderBy(col("namespace"))
+  }
+
+  val q50Sql: String =
+    s"""WITH v AS (${Tables.vectorsSql})
+       |SELECT namespace, count(*) AS n, sum(id)::BIGINT AS id_sum,
+       |       sum(label)::BIGINT AS label_sum
+       |FROM v WHERE id % 7 <> 0
+       |GROUP BY 1 ORDER BY namespace""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
-      "q48_store_approx_search" -> (q48 _))
+      "q48_store_approx_search" -> (q48 _),
+      "q50_durable_compact" -> (q50 _))
 
   val oracles: Map[String, String] =
     Map("q45_store_mutations" -> q45Sql,
-      "q48_store_approx_search" -> q48Sql)
+      "q48_store_approx_search" -> q48Sql,
+      "q50_durable_compact" -> q50Sql)
 }
