@@ -40,9 +40,12 @@ object Ann {
 
   private val NumQueries = 5
   private val K = 5
-  private val Bands = 16
-  private val BitsPerBand = 4
-  private val Dim = 64
+  // private[graft]: the store's approx path and its q48 oracle derive
+  // their plane family from THESE values — a hard copy elsewhere would
+  // silently diverge on retune
+  private[graft] val Bands = 16
+  private[graft] val BitsPerBand = 4
+  private[graft] val Dim = 64
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")

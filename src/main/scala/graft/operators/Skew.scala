@@ -35,6 +35,20 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("__partial")).as("count"))
 
+  /** Both aggregates in ONE two-phase pass — the shape q49 actually
+    * runs. A separate saltedSum + saltedCount + join would scan and
+    * shuffle the fact table twice AND drop NULL group keys (inner join
+    * on key is null-unsafe); a single grouped pass has neither
+    * problem. */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+                     salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("__salt"))
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col("key"))
+      .agg(sum(col("__psum")).as("sum"),
+        sum(col("__pcnt")).cast("long").as("count"))
+
   /** Salted join for a skewed fact side: fact rows get a random salt in
     * [0, salts); the (small) dimension side is exploded `salts`× so every
     * (key, salt) bucket finds its match. Exact join semantics, `salts`×
@@ -57,14 +71,11 @@ object Skew {
     * salting changes the SCHEDULE, never the ANSWER, so the oracle is
     * the plain one-phase SQL aggregate. `l_quantity` is integral, so the
     * re-associated double sums are exact and hash-identical. */
-  def q49(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.table(spark, dir, "lineitem")
-    val sums = saltedSum(li, col("l_returnflag"), col("l_quantity"), salts = 16)
-    val counts = saltedCount(li, col("l_returnflag"), salts = 16)
-    sums.join(counts, Seq("key"))
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(Tables.table(spark, dir, "lineitem"),
+      col("l_returnflag"), col("l_quantity"), salts = 16)
       .select(col("key"), col("sum").as("sum_qty"), col("count").as("n"))
       .orderBy(col("key"))
-  }
 
   val q49Sql: String =
     """SELECT l_returnflag AS key, sum(l_quantity) AS sum_qty,

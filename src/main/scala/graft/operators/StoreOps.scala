@@ -94,9 +94,12 @@ object StoreOps {
 
   private val ApproxN = 300L
   private val ApproxNs = "q48"
-  private val ApproxBands = 16
-  private val ApproxBits = 4
-  private val ApproxDim = 64
+  // the store's index hashes with Ann's plane family — the oracle MUST
+  // derive from the same constants, never a hard copy (a retune of
+  // Ann's banding would otherwise silently split engine and oracle)
+  private val ApproxBands = Ann.Bands
+  private val ApproxBits = Ann.BitsPerBand
+  private val ApproxDim = Ann.Dim
 
   /** q48: `findSimilar(approx = true)` end-to-end through the LIVE store —
     * bulk load, store-attached LSH signature index, driver-side query
@@ -169,12 +172,19 @@ object StoreOps {
 
   // ---- q50: the DURABLE store lifecycle behind the gate ----------------
 
-  /** Process-private root for q50's throwaway layouts (one subdir per
-    * invocation — the write/compact cycle IS the thing under test, so
-    * repeat runs must not reuse a previous layout). Unlike the IVF aux
-    * dirs, nothing external reads these after the JVM exits. */
-  private lazy val durableRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft_q50_")
+  /** Conf key for q50's layout root — same contract as
+    * [[Ann.IvfDirConf]]: on a cluster it MUST point at a shared
+    * filesystem, because executors write the partitioned layout and the
+    * driver-side compact/read-back must see every fragment. Local/test
+    * runs can leave it unset (process-private temp root). */
+  val DurableDirConf = "spark.graft.durable.dir"
+
+  /** Process-private fallback root for q50's throwaway layouts (one
+    * subdir per invocation — the write/compact cycle IS the thing under
+    * test, so repeat runs must not reuse a previous layout). Unlike the
+    * IVF aux dirs, nothing external reads these after the JVM exits. */
+  private lazy val durableRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_q50_").toString
   private val durableRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q50: the durable store path end-to-end — write the namespace-
@@ -185,12 +195,11 @@ object StoreOps {
     * relationally over the source table, so a row lost or duplicated
     * anywhere in write → compact → partitioned read breaks the hash. */
   def q50(spark: SparkSession, dir: String): DataFrame = {
-    val path = durableRoot.resolve(
-      durableRuns.incrementAndGet().toString).toString
+    val path = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/" + durableRuns.incrementAndGet()
     val v = Tables.vectors(spark, dir)
     graft.sources.VectorParquet.write(v, path)
-    val deletes = Tables.vectors(spark, dir)
-      .where(col("id") % 7 === 0).select(col("id"))
+    val deletes = v.where(col("id") % 7 === 0).select(col("id"))
     graft.sources.VectorParquet.compact(spark, path, deletes)
     graft.sources.VectorParquet.read(spark, path)
       .groupBy(col("namespace"))
