@@ -4,8 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Library-blessed local session builder: one place that applies
   * [[graft.sources.Tables.requiredConfs]] (e.g. nanosAsLong for the
-  * events source) so no entry point can forget it — loaders themselves
-  * never mutate a live session's conf.
+  * events source) so no entry point can forget it. Sessions built here
+  * are never conf-mutated by the loaders; a FOREIGN session missing a
+  * required conf is adopted on first use via
+  * [[graft.sources.Tables.adoptRequiredConfs]] (a guarded one-time set —
+  * see its scaladoc for the race window that building through this
+  * object avoids entirely).
   */
 object GraftSession {
   def local(cores: Int, appName: String): SparkSession = {

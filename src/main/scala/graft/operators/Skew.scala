@@ -82,9 +82,38 @@ object Skew {
       |       count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---- q52: salted join behind the correctness gate --------------------
+
+  /** q52: [[saltedJoin]] of the lineitem fact against the supplier dim
+    * (the smallest keyed dim — the dim ≪ fact regime the primitive is
+    * for), aggregated to a per-supplier report so the hash grades join
+    * MULTIPLICITY, not just membership: a row dropped or duplicated by
+    * the salt explode/strip changes some supplier's count. The contract
+    * is q49's — salting changes the SCHEDULE, never the ANSWER — so the
+    * oracle is the plain unsalted SQL join. `l_quantity` is integral:
+    * re-associated double sums stay exact. */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val dim = Tables.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    saltedJoin(fact, dim, "suppkey", salts = 8)
+      .groupBy(col("suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("suppkey"))
+  }
+
+  val q52Sql: String =
+    """SELECT s.s_suppkey AS suppkey, s.s_name AS s_name,
+      |       count(*) AS n, sum(l.l_quantity) AS sum_qty
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2 ORDER BY suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q49_salted_agg" -> (q49 _))
+    Map("q49_salted_agg" -> (q49 _),
+      "q52_salted_join" -> (q52 _))
 
   val oracles: Map[String, String] =
-    Map("q49_salted_agg" -> q49Sql)
+    Map("q49_salted_agg" -> q49Sql,
+      "q52_salted_join" -> q52Sql)
 }

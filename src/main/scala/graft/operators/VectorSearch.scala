@@ -318,11 +318,19 @@ object VectorSearch {
 
   private val dupT = 0.35
 
-  /** Above this corpus size the exact all-pairs broadcast theta-join is a
-    * scale-killer (O(n²) BNLJ with the whole corpus as build side — it
-    * would OOM executors long before 100 TB); the banded-LSH candidate
-    * path takes over. */
-  private[graft] val ExactPairLimit = 100000L
+  /** Byte budget for the exact all-pairs path's corpus matrix
+    * (rows × dim × 4 bytes of float32): ~32 MiB of driver collect + task
+    * binary riding inside the CosNeighbors kernel. A BYTE bound, not a
+    * row bound — a row gate admits a 1024-dim corpus at ~400 MB where a
+    * 64-dim one is ~26 MB. Above it the O(n²) pair scan is a
+    * scale-killer anyway (it would saturate executors long before
+    * 100 TB); the banded-LSH candidate path takes over. */
+  private[graft] val ExactPairMaxBytes = 32L << 20
+
+  /** Row form of [[ExactPairMaxBytes]] at a given dimensionality (safe
+    * against n = Long.MaxValue sentinels — no n×dim multiply). */
+  private[graft] def exactPairRowLimit(dim: Int): Long =
+    ExactPairMaxBytes / (math.max(1, dim).toLong * 4L)
 
   /** Corpus sizes by sf dir, so repeated q15 invocations pay the gate's
     * count job once per JVM. */
@@ -340,7 +348,7 @@ object VectorSearch {
   }
 
   /** Pairwise near-duplicates (cosine ≥ t, id_a < id_b). Exact all-pairs
-    * below [[ExactPairLimit]]; above it, banded-LSH candidate generation
+    * while the corpus matrix fits [[ExactPairMaxBytes]]; above it, banded-LSH candidate generation
     * (Ann's md5-derived hyperplanes, 16 bands × 4 bits) + exact verify over
     * candidates only — sub-quadratic, and the candidate shuffle carries
     * (band, bucket, id), never raw vectors. PlanSpec asserts the big-input
@@ -357,8 +365,8 @@ object VectorSearch {
     val filtered = (scored: DataFrame) => scored
       .where(col("score") >= t)
       .select(col("id_a"), col("id_b"), col("score"))
-    if (n <= ExactPairLimit) {
-      // ONE corpus scan with the (gate-bounded, ≤ ~26 MB) corpus matrix
+    if (n <= exactPairRowLimit(dim)) {
+      // ONE corpus scan with the (gate-bounded, ≤ 32 MiB) corpus matrix
       // riding inside a codegen expression — replaces the broadcast
       // theta-join, whose nested-loop row assembly cost ~1.2 µs/pair vs
       // the ~30 ns fused kernel (measured: examples/NearDupBench; the

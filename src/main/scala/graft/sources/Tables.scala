@@ -21,13 +21,27 @@ object Tables {
   /** Session confs this library's sources depend on. Apply at session
     * build ([[https://spark.apache.org SparkSession.builder]].config —
     * `GraftSession.local` does). For sessions built elsewhere,
-    * [[events]] performs a GUARDED adoption: it sets a missing/incorrect
-    * key once, on first use. The guard means an already-correct session
-    * is never written to; a foreign session whose first `events` read
-    * races another query can still observe the one-time set — build with
-    * the confs up front to avoid even that window. */
+    * [[events]] calls [[adoptRequiredConfs]]: a GUARDED one-time set of
+    * any missing/incorrect key. The guard means an already-correct
+    * session is never written to; a foreign session whose first `events`
+    * read races another query can still observe the one-time set (and
+    * the conf stays set afterwards) — build with the confs up front to
+    * avoid even that window. */
   val requiredConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Session adoption: set any [[requiredConfs]] key the session is
+    * missing (or carries with the wrong value). Idempotent, and a no-op
+    * on sessions built via `GraftSession` — the conf writes happen only
+    * on a foreign session's first use, which is the documented trade-off:
+    * a concurrent reader on that session can observe the one-time set,
+    * and the conf is deliberately NOT restored (the sources need it for
+    * every subsequent read). Call this once at adoption time to keep the
+    * write out of the read path entirely. */
+  def adoptRequiredConfs(spark: SparkSession): Unit =
+    requiredConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
 
   /** `events` with its nanosecond timestamp column normalized to a
     * microsecond TIMESTAMP. Spark 4 refuses TIMESTAMP(NANOS) parquet
@@ -39,12 +53,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Sessions built by GraftSession already carry requiredConfs;
-    // getOrCreate ignores builder confs when a session pre-exists, so for
-    // foreign sessions set the missing key once here (guarded: no write —
-    // and no race with concurrent readers — when it is already correct).
-    requiredConfs.foreach { case (k, v) =>
-      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
-    }
+    // getOrCreate ignores builder confs when a session pre-exists, so
+    // foreign sessions are adopted on first use (guarded: no write — and
+    // no race with concurrent readers — when already correct).
+    adoptRequiredConfs(spark)
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

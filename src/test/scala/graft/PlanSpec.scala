@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(namespace") && p.contains("= ns_1"), p.take(900))
   }
 
+  test("q51 durable-store KNN: partition-pruned scan + TakeOrderedAndProject end-to-end") {
+    // the graded 100 TB serving shape: the namespace predicate must reach
+    // the COMPACTED layout as partition pruning, and top-k must stay a
+    // per-partition heap, not a global sort
+    val p = plan(graft.operators.StoreOps.q51(spark, dir))
+    assert(p.contains("PartitionFilters: [isnotnull(namespace"), p.take(1500))
+    assert(p.contains("= ns_1"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("durable-store compaction drops tombstoned ids and keeps the layout") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -95,6 +105,23 @@ class PlanSpec extends AnyFunSuite {
       100L, 0.9))
     assert(small.contains("cos_neighbors"), small.take(1200))
     assert(!small.contains("Join"), small.take(1200))
+  }
+
+  test("near-dup gate is byte-based: the same row count flips path with dimensionality") {
+    import org.apache.spark.sql.functions._
+    // claimed n = 20k rows: ×8 dims ×4 B = 640 KiB (exact kernel), but
+    // ×1024 dims ×4 B = 80 MiB (banded LSH) — a row-count gate would have
+    // admitted the 80 MiB matrix into the driver collect + task binary
+    val n = 20000L
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("values",
+        expr("transform(sequence(0, 7), j -> cast(id % 13 + j AS float))"))
+      .localCheckpoint()
+    val narrow = plan(VectorSearch.nearDupPairs(df, n, 0.9, dim = 8))
+    assert(narrow.contains("cos_neighbors"), narrow.take(1200))
+    val wide = plan(VectorSearch.nearDupPairs(df, n, 0.9, dim = 1024))
+    assert(!wide.contains("cos_neighbors"), wide.take(1200))
+    assert(!wide.contains("BroadcastNestedLoopJoin"), wide.take(1200))
   }
 
   test("IVF probe reads only the probed cells: partition pruning on the persisted layout") {
