@@ -80,6 +80,23 @@ object Bench {
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
 
+    // Global warm sweep: run every query once, uncounted, before any
+    // timed pass. The per-query warm run absorbs per-PLAN costs (codegen,
+    // file listing, broadcast builds), but C2 JIT of the shared Spark
+    // machinery keeps compiling through the first several queries of a
+    // cold JVM — the first r6 two-pass run showed pass-1 medians on the
+    // earliest-iterated queries up to 2.4× their pass-2 values while
+    // late queries agreed within noise. One uncounted sweep moves that
+    // JVM-global cost out of pass 1, so the reported deviation measures
+    // the engine, not the JIT. Per-query hygiene as in timed passes;
+    // steady-state caches dropped here heal on the query's own warm run.
+    def warmSweep(): Unit =
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val pre = persistedIds()
+        once(name, fn)
+        dropNewSince(pre)
+      }
+
     def benchPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val preWarm = persistedIds()
@@ -102,6 +119,7 @@ object Bench {
         name -> median(samples)
       }
 
+    warmSweep()
     val allPasses: Seq[Seq[(String, Double)]] = (1 to passes).map(_ => benchPass())
     val pass1 = allPasses.head
 
@@ -118,13 +136,18 @@ object Bench {
     }
     val (devQ, devPct) =
       if (devs.isEmpty) ("", 0.0) else devs.maxBy(_._2)
+    // totals are the cross-round comparable; per-query max-dev is noisy
+    // for sub-second queries (3-run medians on a contended 32-thread box)
+    val totalDevPct =
+      if (totals.size < 2 || totals.min <= 0) 0.0
+      else (totals.max - totals.min) / totals.min * 100.0
 
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val extra =
       if (passes < 2) ""
-      else s""","queries_pass2":${fmtQueries(allPasses(1))},"pass_totals":[${totals.mkString(",")}],"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ""""
+      else s""","queries_pass2":${fmtQueries(allPasses(1))},"pass_totals":[${totals.mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ""""
     println(s"""{"metric":"total","value":${totals.head},"unit":"sec","queries":${fmtQueries(pass1)},"errors":$errJson$extra,"sf":"$sfDir","runs_per_query":$runs,"passes":$passes,"stat":"median"}""")
     spark.stop()
   }

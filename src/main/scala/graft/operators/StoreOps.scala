@@ -317,16 +317,20 @@ object StoreOps {
 
   private val SearchTombMod = 5
 
-  private def durableSearchLayout(spark: SparkSession, dir: String): String =
-    searchLayouts.computeIfAbsent(dir, d => {
-      val path = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-        "/search_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val v = Tables.vectors(spark, d)
-      graft.sources.VectorParquet.write(v, path)
-      graft.sources.VectorParquet.compact(spark, path,
+  private def durableSearchLayout(spark: SparkSession, dir: String): String = {
+    // keyed by the RESOLVED path (like Ann.layoutCache): a mid-JVM change
+    // of the layout-root conf gets its own build instead of silently
+    // serving a layout under the old root
+    val path = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/search_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    searchLayouts.computeIfAbsent(path, p => {
+      val v = Tables.vectors(spark, dir)
+      graft.sources.VectorParquet.write(v, p)
+      graft.sources.VectorParquet.compact(spark, p,
         v.where(col("id") % SearchTombMod === 0).select(col("id")))
-      path
+      p
     })
+  }
 
   /** q51: namespace-scoped KNN reading the COMPACTED durable store — the
     * plan every 100 TB serving query runs (`query_processor.py:26-49`

@@ -206,12 +206,15 @@ class RestServer(store: VectorStore, port: Int = 0) {
         // superset of the reference request model: optional `filter`
         // (top-level equality) and `json_filter` (JSONPath → value) expose
         // the hybrid-search surface (README.md:294-299) over HTTP;
-        // optional `approx` routes through the store-attached LSH index
-        // (the reference's index-backed read path, index.py:91-129)
+        // optional `approx` routes through a store-attached index (the
+        // reference's index-backed read path, index.py:91-129); optional
+        // `index` picks which one — "lsh" (default, cached signatures)
+        // or "ivf" (persisted inverted file)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
+        val index = Option(body.get("index")).map(_.asText()).getOrElse("lsh")
         val hits = store.findSimilar(floats(required(body, "query")), k, metric,
           ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
-          approx = approx)
+          approx = approx, index = index)
         val arr = mapper.createArrayNode() // bare list, rest_api.py:163 response_model
         hits.foreach(h => arr.add(hitJson(h)))
         respond(ex, 200, arr)

@@ -254,7 +254,7 @@ class VectorStore(val spark: SparkSession) {
   }
 
   def deleteNamespace(namespace: String): Boolean = {
-    val had = live.filter(col("namespace") === namespace).limit(1).count() > 0
+    val had = !live.filter(col("namespace") === namespace).isEmpty
     if (had) commit(_.filter(col("namespace") =!= namespace))
     had
   }

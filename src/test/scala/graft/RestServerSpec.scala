@@ -179,6 +179,32 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("search with index=ivf serves from the persisted inverted file over HTTP") {
+    withServer { (base, _) =>
+      val vecs = (0 until 12).map { i =>
+        val anchor = if (i < 6) Seq(1.0, 0.1, 0.0, 0.2) else Seq(0.0, 1.0, 0.3, 0.0)
+        anchor.map(_ + i * 0.001)
+      }
+      vecs.foreach { v =>
+        assert(send("POST", s"$base/vectors?namespace=ivx",
+          s"""{"values": [${v.mkString(", ")}]}""")._1 == 201)
+      }
+      val (c, b) = send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "top_k": 3, "approx": true, "index": "ivf"}""")
+      assert(c == 200)
+      val hits = mapper.readTree(b)
+      assert(hits.isArray && hits.size() > 0 && hits.size() <= 3)
+      (0 until hits.size()).foreach { i =>
+        assert(hits.get(i).get("score").asDouble() <= 1.0 + 1e-9)
+        if (i > 0) assert(hits.get(i).get("score").asDouble() <=
+          hits.get(i - 1).get("score").asDouble())
+      }
+      // an unknown index name is a client error, not a 500
+      assert(send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "approx": true, "index": "hnsw"}""")._1 == 422)
+    }
+  }
+
   test("validation mirrors the reference: bad inputs get 4xx, not 500") {
     withServer { (base, _) =>
       // empty delete list → 400 (rest_api.py:216-221)
