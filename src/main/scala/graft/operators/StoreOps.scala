@@ -364,12 +364,87 @@ object StoreOps {
        |WHERE namespace = 'ns_1' AND id % $SearchTombMod <> 0
        |ORDER BY score DESC, id LIMIT 10""".stripMargin
 
+  // ---- q54: the DURABLE facade end-to-end behind the gate --------------
+
+  private val FacadeN = 250L
+  private val FacadeNs = "q54"
+  private val FacadeDelMod = 9
+
+  /** One durable facade per sf dir per JVM — the load/delete script runs
+    * once (an ingestion job), repeat invocations pay only the
+    * partition-pruned search, like q51. The per-process token keeps a
+    * shared conf root (cluster grading) from re-appending onto a
+    * previous process's layout — the append-only facade would otherwise
+    * double every row. */
+  private lazy val facadeToken: String =
+    ProcessHandle.current().pid().toString + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private val q54Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+
+  /** q54: [[graft.store.DurableVectorStore]] end-to-end — append-only
+    * load, tombstone delete (with the per-id report asserted), then a
+    * top-k cosine search whose plan reads the partitioned layout with the
+    * tombstone anti-join. Complements q51 (which grades the raw
+    * layout+compaction plumbing): this grades the FACADE a user actually
+    * calls at 100 TB, including the seq-stamped LSM read semantics. The
+    * script is deterministic, so the oracle replays load-minus-deletes
+    * relationally. */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q54Stores.computeIfAbsent(dir, d => {
+      val root = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+        "/facade_" + facadeToken + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < FacadeN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        FacadeNs)
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, FacadeNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilar(qv, k = K, metric = "cosine",
+      namespace = FacadeNs)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Relational replay: load WHERE vec_id < N minus the deleted ids,
+    * raw-score cosine rank with the store's string-id tie-break, rounded
+    * report — the q45 oracle shape over the durable facade's script. */
+  val q54Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw FROM base b, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
       "q50_durable_compact" -> (q50 _),
       "q51_durable_search" -> (q51 _),
-      "q53_store_ivf_search" -> (q53 _))
+      "q53_store_ivf_search" -> (q53 _),
+      "q54_durable_facade" -> (q54 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -380,6 +455,7 @@ object StoreOps {
     Map("q45_store_mutations" -> q45Sql,
       "q48_store_approx_search" -> q48Sql,
       "q50_durable_compact" -> q50Sql,
-      "q51_durable_search" -> q51Sql) ++
+      "q51_durable_search" -> q51Sql,
+      "q54_durable_facade" -> q54Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux))
 }

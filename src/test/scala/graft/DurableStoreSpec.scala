@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{DurableVectorStore, VectorStore}
+
+/** The durable facade must be semantically interchangeable with the
+  * in-memory [[VectorStore]] on the read path (the 100 TB deployment
+  * swaps the source, not the semantics), plus the LSM behaviors the
+  * in-memory store doesn't have: seq-stamped tombstones, resurrection by
+  * re-add, and compaction that folds the tombstone log without changing
+  * the live set.
+  */
+class DurableStoreSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dvs_").toString
+
+  private def frame(rows: Seq[(String, Seq[Float])]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("id", "values")
+  }
+
+  private val vecs: Seq[(String, Seq[Float])] =
+    (0 until 30).map(i => (s"v$i", Seq(i.toFloat, (i % 7).toFloat, 1f)))
+
+  test("durable search matches the in-memory store on identical data") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "par")
+    val m = new VectorStore(spark)
+    m.loadFrame(frame(vecs), "par")
+    val q = Seq(3f, 2f, 1f)
+    for (metric <- Seq("l2", "cosine", "ip")) {
+      val a = d.findSimilar(q, k = 8, metric = metric, namespace = "par")
+        .map(h => (h.id, h.score))
+      val b = m.findSimilar(q, k = 8, metric = metric, namespace = "par")
+        .map(h => (h.id, h.score))
+      assert(a == b, s"durable/in-memory divergence on metric $metric")
+    }
+  }
+
+  test("tombstone delete reports live ids and hides rows; re-add resurrects") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "ns")
+    assert(d.totalCount() == 30)
+    // report includes only live ids, even for a mixed batch
+    val rep = d.delete(Seq("v3", "v5", "nope"), "ns")
+    assert(rep.sorted == Seq("v3", "v5"))
+    assert(d.totalCount() == 28)
+    assert(!d.findSimilar(Seq(3f, 3f, 1f), k = 30, namespace = "ns")
+      .map(_.id).contains("v3"))
+    // deleting an already-dead id reports nothing, breaks nothing
+    assert(d.delete(Seq("v3"), "ns").isEmpty)
+    // LSM resurrection: a later append with a higher seq outranks the
+    // tombstone without any rewrite
+    d.loadFrame(frame(Seq(("v3", Seq(99f, 0f, 1f)))), "ns")
+    assert(d.totalCount() == 29)
+    val back = d.findSimilar(Seq(99f, 0f, 1f), k = 1, metric = "l2", namespace = "ns")
+    assert(back.head.id == "v3" && back.head.values.toSeq == Seq(99f, 0f, 1f))
+  }
+
+  test("namespaces are partition-pruned and isolated; compaction preserves the live set") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs.take(20)), "a")
+    d.loadFrame(frame(vecs.drop(20)), "b")
+    d.delete(Seq("v1", "v21"), "a") // v21 lives in b → only v1 reported
+    assert(d.listNamespaces() == Seq("a", "b"))
+
+    // pruning: the namespace predicate reaches the scan as a partition
+    // filter, never a row filter over the whole store
+    val plan = d.live().filter(col("namespace") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(namespace"), plan.take(1200))
+
+    val before = d.findSimilar(Seq(5f, 5f, 1f), k = 50, namespace = "a")
+      .map(h => (h.id, h.score))
+    val remaining = d.compact()
+    assert(remaining == d.totalCount())
+    val after = d.findSimilar(Seq(5f, 5f, 1f), k = 50, namespace = "a")
+      .map(h => (h.id, h.score))
+    assert(after == before, "compaction changed the live search results")
+    // namespace b untouched by a's deletes
+    assert(d.findSimilar(Seq(5f, 5f, 1f), k = 50, namespace = "b").size == 10)
+    // post-compaction deletes still work (fresh tombstone log)
+    assert(d.delete(Seq("v0"), "a") == Seq("v0"))
+    assert(!d.findSimilar(Seq(0f, 0f, 1f), k = 50, namespace = "a")
+      .map(_.id).contains("v0"))
+  }
+}
