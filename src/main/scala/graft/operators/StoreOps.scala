@@ -228,7 +228,7 @@ object StoreOps {
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val hits = store.findSimilarIvfGraded(qv, k = K, namespace = IvfNs)
-    lastIvfAux = store.ivfLayoutDir
+    lastIvfAux = store.ivfLayoutDir(IvfNs, qv.length)
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
@@ -382,6 +382,7 @@ object StoreOps {
 
   private val q54Stores =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q54Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q54: [[graft.store.DurableVectorStore]] end-to-end — append-only
     * load, tombstone delete (with the per-id report asserted), then a
@@ -394,12 +395,18 @@ object StoreOps {
   def q54(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.table(spark, dir, "embeddings")
-    val store = q54Stores.computeIfAbsent(dir, d => {
-      val root = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-        "/facade_" + facadeToken + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // keyed by the RESOLVED base (conf root included) like q51's layout
+    // cache; the attempt counter gives a FRESH subdir per build attempt —
+    // a build that fails mid-script (after its appends) must not be
+    // retried onto the same append-only layout, where the re-run's rows
+    // would double every score
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/facade_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val store = q54Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q54Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
       s.loadFrame(
-        Tables.table(spark, d, "embeddings")
+        Tables.table(spark, dir, "embeddings")
           .where(col("vec_id") < FacadeN)
           .select(col("vec_id").cast("string").as("id"),
             col("embedding").as("values")),

@@ -327,10 +327,19 @@ object VectorSearch {
     * 100 TB); the banded-LSH candidate path takes over. */
   private[graft] val ExactPairMaxBytes = 32L << 20
 
-  /** Row form of [[ExactPairMaxBytes]] at a given dimensionality (safe
-    * against n = Long.MaxValue sentinels — no n×dim multiply). */
+  /** Absolute row ceiling regardless of dimensionality: the byte gate
+    * bounds MEMORY, but the exact path's COMPUTE is O(n²) pairs — at
+    * dim 8 the 32 MiB budget alone would admit 1M rows (~5·10¹¹ pairs,
+    * ~110× the work the old 100k-row gate capped). 2¹⁷ rows ≈ 8.6·10⁹
+    * pairs keeps the kernel in the same compute envelope the old gate
+    * defined at dim 64. */
+  private[graft] val ExactPairMaxRows = 131072L
+
+  /** Row form of the gate at a given dimensionality: the tighter of the
+    * byte bound and the pair-compute bound (safe against
+    * n = Long.MaxValue sentinels — no n×dim multiply). */
   private[graft] def exactPairRowLimit(dim: Int): Long =
-    ExactPairMaxBytes / (math.max(1, dim).toLong * 4L)
+    math.min(ExactPairMaxRows, ExactPairMaxBytes / (math.max(1, dim).toLong * 4L))
 
   /** Corpus sizes by sf dir, so repeated q15 invocations pay the gate's
     * count job once per JVM. */

@@ -212,6 +212,11 @@ class RestServer(store: VectorStore, port: Int = 0) {
         // or "ivf" (persisted inverted file)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val index = Option(body.get("index")).map(_.asText()).getOrElse("lsh")
+        // validate the index name even when approx is false: a typo'd
+        // index on an exact search should 422, not silently run exact
+        if (index != "lsh" && index != "ivf")
+          throw new IllegalArgumentException(
+            s"unknown approx index '$index' (expected 'lsh' or 'ivf')")
         val hits = store.findSimilar(floats(required(body, "query")), k, metric,
           ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
           approx = approx, index = index)

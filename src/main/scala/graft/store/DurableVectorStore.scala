@@ -47,7 +47,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def dataPath = s"$path/data"
   private def delPath = s"$path/deletes"
 
-  private def exists(p: String): Boolean = new java.io.File(p).exists()
+  /** Hadoop-FS existence probe, NOT java.io.File: the documented cluster
+    * contract is a shared filesystem, and an hdfs://- or s3a://-rooted
+    * path must resolve through the same FileSystem the writes go to. */
+  private def exists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 
   /** Seeded once from the layout (max over two small long columns —
     * parquet answers this from footer statistics), then monotonic
@@ -68,25 +74,54 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   /** Bulk append with caller-supplied ids — the ingestion surface.
     * `df` needs `id` (castable to string) and `values: array<float>`
-    * columns. One commit stamp per call; re-adding a previously deleted
-    * id resurrects it (the new seq outranks the tombstone). */
-  def loadFrame(df: DataFrame, namespace: String): Unit =
-    df.select(col("id").cast("string").as("id"),
-        col("values").cast("array<float>").as("values"),
-        typedLit(Map.empty[String, String]).as("metadata"),
-        lit("{}").as("metadataJson"),
-        lit(nextSeq()).as("seq"),
-        lit(namespace).as("namespace"))
+    * columns. UPSERT semantics, matching [[VectorStore.loadFrame]]:
+    * ids already live in the namespace are SHADOWED, not duplicated —
+    * before the data append, one tombstone append covers exactly the
+    * overlap (computed by a semi-join probe, so the tombstone batch is
+    * overlap-sized: empty for the common disjoint load, never a copy of
+    * the whole id set). The incoming rows' higher seq then outranks
+    * those tombstones like any re-add. Re-adding a previously deleted id
+    * resurrects it the same way. */
+  def loadFrame(df: DataFrame, namespace: String): Unit = {
+    val incoming = df.select(col("id").cast("string").as("id"),
+      col("values").cast("array<float>").as("values"))
+    if (exists(dataPath)) {
+      val shadowSeq = nextSeq()
+      live().filter(col("namespace") === namespace)
+        .join(incoming.select(col("id").as("__iid")),
+          col("id") === col("__iid"), "left_semi")
+        .select(col("id"),
+          lit(namespace).as("namespace"),
+          lit(shadowSeq).as("seq"))
+        .write.mode("append").parquet(delPath)
+    }
+    incoming
+      .withColumn("metadata", typedLit(Map.empty[String, String]))
+      .withColumn("metadataJson", lit("{}"))
+      .withColumn("seq", lit(nextSeq()))
+      .withColumn("namespace", lit(namespace))
       .write.mode("append").partitionBy("namespace").parquet(dataPath)
+  }
 
   /** Tombstone-append delete. Returns the ids that were actually live
     * (report semantics of `query_processor.py:51-62`); the tombstones
     * are written regardless — a dead tombstone is harmless and saves the
     * read-verify-write round trip at scale. */
+  /** Above this many ids the presence probe switches from a literal
+    * `isInCollection` predicate to a broadcast semi-join — same
+    * constant-plan-size rationale as [[VectorStore]]'s bulk forms. */
+  private val InListMax = 1000
+
   def delete(ids: Seq[String], namespace: String): Seq[String] = {
-    val present = live()
-      .filter(col("namespace") === namespace && col("id").isInCollection(ids))
-      .select("id").as[String].collect().toSeq
+    val inNs = live().filter(col("namespace") === namespace)
+    val present =
+      if (ids.size <= InListMax)
+        inNs.filter(col("id").isInCollection(ids))
+          .select("id").as[String].collect().toSeq
+      else
+        inNs.join(broadcast(ids.distinct.toDF("__did")),
+            col("id") === col("__did"), "left_semi")
+          .select("id").as[String].collect().toSeq
     ids.distinct.toDF("id")
       .withColumn("namespace", lit(namespace))
       .withColumn("seq", lit(nextSeq()))

@@ -43,7 +43,12 @@ class VectorStore(val spark: SparkSession) {
 
   import spark.implicits._
 
-  private var live: Dataset[VectorRecord] =
+  /** Volatile: committed under the store monitor, but exact searches and
+    * delete probes read it with no lock — without the volatile there is
+    * no happens-before edge and a reader thread could legally see a
+    * stale reference forever (the approx path is safe either way: it
+    * snapshots (epoch, live) under the lock). */
+  @volatile private var live: Dataset[VectorRecord] =
     spark.emptyDataset[VectorRecord]
   private var mutationsSinceCompact = 0
 
@@ -436,61 +441,72 @@ class VectorStore(val spark: SparkSession) {
       .map(_ + "/store_" + processToken)
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_store_ivf_").toString)
 
-  /** Cached store-attached IVF layout: (epoch, namespace, dim) →
-    * (layout dir, centroids). Same lifecycle as [[sigCache]]: any
-    * mutation bumps the epoch and lazily invalidates; the build — a full
-    * Spark job writing the cell-partitioned inverted file — runs OUTSIDE
-    * the store lock with the PRE-build epoch stamped, so a mutation
-    * landing mid-build leaves the entry already-stale (see
+  /** Cached store-attached IVF layouts: (namespace, dim) → (stamped
+    * epoch, layout dir, centroids). A MAP, not a single slot — serving
+    * that alternates IVF searches across namespaces must not rebuild the
+    * layout per request (each build is a count + sample collect +
+    * Lloyd's + two parquet jobs, the exact work the index exists to
+    * amortize). Same lifecycle as [[sigCache]] otherwise: any mutation
+    * bumps the epoch and lazily invalidates every entry; builds run
+    * OUTSIDE the store lock with the PRE-build epoch stamped, so a
+    * mutation landing mid-build leaves the entry already-stale (see
     * [[indexSigs]] for the race argument). Superseded layout directories
     * are left on disk: a concurrent probe may still be streaming them,
     * and the leak is bounded (one small layout per rebuild epoch,
     * epoch-suffixed paths never collide). */
-  @volatile private var ivfCache: Option[(Long, String, Int, String, Array[Array[Float]])] = None
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String, Array[Array[Float]])]()
+
+  /** Serializes IVF layout BUILDS (not probes, not other index kinds):
+    * two same-key cache misses racing would both `mode("overwrite")` the
+    * SAME epoch-suffixed aux directory — and unlike the sigCache race,
+    * the loser's work is a destructive disk write, not a discardable
+    * frame. Double-checked inside the lock so the loser reuses the
+    * winner's layout instead of rebuilding. */
+  private val ivfBuildLock = new Object
 
   private def ivfLayout(namespace: String, dim: Int): (String, Array[Array[Float]]) = {
-    ivfCache match {
-      case Some((e, ns, d, aux, cs))
-          if e == epoch && ns == namespace && d == dim => (aux, cs)
-      case _ =>
-        val (e, snapshot) = synchronized { (epoch, live) }
-        val rows = snapshot.filter(col("namespace") === namespace)
-          .select(col("id"), col("values")).toDF()
-        val total = rows.count()
-        require(total > 0,
-          s"cannot build an IVF index over empty namespace '$namespace'")
-        // bounded quantizer sample by id HASH (robust to any id scheme —
-        // the ids here are caller-minted strings), same recipe as
-        // Ann.buildIvfIndex: sample → small Lloyd's → assignment pass
-        val keepMod = math.max(1L, (total + IvfSampleMax - 1) / IvfSampleMax)
-        val hashed = rows.where(pmod(xxhash64(col("id")), lit(keepMod)) === 0)
-          .select(col("values")).limit(IvfSampleMax).collect()
-          .map(_.getSeq[Float](0).toArray)
-        val sample =
-          if (hashed.nonEmpty) hashed
-          else rows.select(col("values")).limit(IvfSampleMax).collect()
-            .map(_.getSeq[Float](0).toArray)
-        val centers = graft.operators.Ann.lloyds(sample, IvfCells, iters = 5,
-          seed = IvfSeed)
-        val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
-        val aux = ivfRoot + "/" +
-          namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
-        rows.withColumn("cell",
-            graft.functions.NearestCell(col("values"), centerSeqs))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
-        // flat (id, cell) table so an external oracle can replay the
-        // candidate policy (mirrors Ann.buildIvfIndex's assign/)
-        spark.read.parquet(s"$aux/index").select(col("id"), col("cell"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
-        synchronized {
-          ivfCache match {
-            case Some((e2, ns2, d2, aux2, c2))
-                if e2 == epoch && ns2 == namespace && d2 == dim => (aux2, c2)
-            case _ =>
-              ivfCache = Some((e, namespace, dim, aux, centers))
-              (aux, centers)
-          }
+    val key = (namespace, dim)
+    Option(ivfCache.get(key)) match {
+      case Some((e, aux, cs)) if e == epoch => (aux, cs)
+      case _ => ivfBuildLock.synchronized {
+        Option(ivfCache.get(key)) match {
+          case Some((e, aux, cs)) if e == epoch => (aux, cs) // raced: reuse
+          case _ =>
+            val (e, snapshot) = synchronized { (epoch, live) }
+            val rows = snapshot.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF()
+            val total = rows.count()
+            require(total > 0,
+              s"cannot build an IVF index over empty namespace '$namespace'")
+            // bounded quantizer sample by id HASH (robust to any id
+            // scheme — the ids here are caller-minted strings), same
+            // recipe as Ann.buildIvfIndex: sample → small Lloyd's →
+            // assignment pass
+            val keepMod = math.max(1L, (total + IvfSampleMax - 1) / IvfSampleMax)
+            val hashed = rows.where(pmod(xxhash64(col("id")), lit(keepMod)) === 0)
+              .select(col("values")).limit(IvfSampleMax).collect()
+              .map(_.getSeq[Float](0).toArray)
+            val sample =
+              if (hashed.nonEmpty) hashed
+              else rows.select(col("values")).limit(IvfSampleMax).collect()
+                .map(_.getSeq[Float](0).toArray)
+            val centers = graft.operators.Ann.lloyds(sample, IvfCells, iters = 5,
+              seed = IvfSeed)
+            val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
+            val aux = ivfRoot + "/" +
+              namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+            rows.withColumn("cell",
+                graft.functions.NearestCell(col("values"), centerSeqs))
+              .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+            // flat (id, cell) table so an external oracle can replay the
+            // candidate policy (mirrors Ann.buildIvfIndex's assign/)
+            spark.read.parquet(s"$aux/index").select(col("id"), col("cell"))
+              .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+            ivfCache.put(key, (e, aux, centers))
+            (aux, centers)
         }
+      }
     }
   }
 
@@ -539,10 +555,11 @@ class VectorStore(val spark: SparkSession) {
       .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
   }
 
-  /** The layout dir the store-attached IVF index currently serves from
-    * (None until an IVF search has run) — lets a grading harness point an
-    * external oracle at `assign/` + `probes/`. */
-  private[graft] def ivfLayoutDir: Option[String] = ivfCache.map(_._4)
+  /** The layout dir the store-attached IVF index serves (namespace, dim)
+    * from (None until an IVF search has built one) — lets a grading
+    * harness point an external oracle at `assign/` + `probes/`. */
+  private[graft] def ivfLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(ivfCache.get((namespace, dim))).map(_._2)
 
   /** Candidate rows for an approx cosine search: live rows sharing at
     * least one LSH band bucket with the query. The query's buckets are

@@ -61,6 +61,13 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(d.totalCount() == 29)
     val back = d.findSimilar(Seq(99f, 0f, 1f), k = 1, metric = "l2", namespace = "ns")
     assert(back.head.id == "v3" && back.head.values.toSeq == Seq(99f, 0f, 1f))
+    // UPSERT on reload: re-loading a LIVE id shadows the old row — count
+    // unchanged, one row per id, the new values win (VectorStore parity)
+    d.loadFrame(frame(Seq(("v4", Seq(77f, 0f, 1f)))), "ns")
+    assert(d.totalCount() == 29)
+    assert(d.live().filter(col("id") === "v4").count() == 1)
+    val v4 = d.findSimilar(Seq(77f, 0f, 1f), k = 1, metric = "l2", namespace = "ns")
+    assert(v4.head.id == "v4" && v4.head.values.toSeq == Seq(77f, 0f, 1f))
   }
 
   test("namespaces are partition-pruned and isolated; compaction preserves the live set") {

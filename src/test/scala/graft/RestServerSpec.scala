@@ -199,9 +199,12 @@ class RestServerSpec extends AnyFunSuite {
         if (i > 0) assert(hits.get(i).get("score").asDouble() <=
           hits.get(i - 1).get("score").asDouble())
       }
-      // an unknown index name is a client error, not a 500
+      // an unknown index name is a client error, not a 500 — and it is
+      // rejected even WITHOUT approx (a typo must not silently run exact)
       assert(send("POST", s"$base/search?namespace=ivx",
         """{"query": [1.0, 0.1, 0.0, 0.2], "approx": true, "index": "hnsw"}""")._1 == 422)
+      assert(send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "index": "hnsw"}""")._1 == 422)
     }
   }
 

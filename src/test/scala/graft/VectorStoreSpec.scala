@@ -342,7 +342,7 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(exactBefore.map(h => (h.id, h.score)) ==
       exactAfter.map(h => (h.id, h.score)))
     // the persisted layout exists and carries the oracle-replay tables
-    val aux = s.ivfLayoutDir.get
+    val aux = s.ivfLayoutDir("ivf", 16).get
     assert(new java.io.File(s"$aux/index").exists())
     assert(new java.io.File(s"$aux/assign").exists())
     // a mutation invalidates the layout on the NEXT search
