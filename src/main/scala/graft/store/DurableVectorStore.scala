@@ -175,6 +175,30 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .as[SearchHit].collect().toSeq
   }
 
+  /** Point read (S1 on the durable path): partition-pruned single-row
+    * lookup. */
+  def read(id: String, namespace: String): Option[graft.model.VectorRecord] =
+    live().filter(col("namespace") === namespace && col("id") === id)
+      .select(col("id"), col("namespace"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[graft.model.VectorRecord].collect().headOption
+
+  /** Positional batch read (S2): result(i) corresponds to ids(i), None
+    * for misses — one pruned scan, not N; broadcast semi-join above
+    * [[InListMax]] like [[delete]]. */
+  def readBatch(ids: Seq[String], namespace: String): Seq[Option[graft.model.VectorRecord]] = {
+    val inNs = live().filter(col("namespace") === namespace)
+    val matched =
+      if (ids.size <= InListMax) inNs.filter(col("id").isInCollection(ids))
+      else inNs.join(broadcast(ids.distinct.toDF("__rid")),
+        col("id") === col("__rid"), "left_semi")
+    val found = matched
+      .select(col("id"), col("namespace"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[graft.model.VectorRecord].collect().map(r => r.id -> r).toMap
+    ids.map(found.get)
+  }
+
   def totalCount(): Long = live().count()
 
   def listNamespaces(): Seq[String] =

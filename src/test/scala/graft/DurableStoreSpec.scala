@@ -70,6 +70,23 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(v4.head.id == "v4" && v4.head.values.toSeq == Seq(77f, 0f, 1f))
   }
 
+  test("point and batch reads: positional, order-preserving, misses as None (S1/S2 parity)") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "rd")
+    assert(d.read("v7", "rd").get.values.toSeq == Seq(7f, 0f, 1f))
+    assert(d.read("v7", "other").isEmpty)
+    assert(d.read("nope", "rd").isEmpty)
+    val got = d.readBatch(Seq("v2", "missing", "v0", "v2"), "rd")
+    assert(got.length == 4)
+    assert(got(0).get.id == "v2" && got(1).isEmpty && got(2).get.id == "v0")
+    assert(got(3).get.id == "v2")
+    // a tombstoned id reads as a miss
+    d.delete(Seq("v2"), "rd")
+    assert(d.read("v2", "rd").isEmpty)
+    assert(d.readBatch(Seq("v2", "v0"), "rd").map(_.map(_.id)) ==
+      Seq(None, Some("v0")))
+  }
+
   test("namespaces are partition-pruned and isolated; compaction preserves the live set") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs.take(20)), "a")
