@@ -55,8 +55,12 @@ object Bench {
     // Measure a full-result materialization (noop sink), not count():
     // count() lets Catalyst prune the top-level projection, under-charging
     // queries whose cost is in the output columns.
+    // `record = false` for WARM runs (sweep + per-query): a transient
+    // warm-only failure must not flag a query whose every timed run
+    // succeeded — `errors` documents timed samples that were discarded.
     def once(name: String,
-             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+             record: Boolean = true): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -65,7 +69,7 @@ object Bench {
         case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
             .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
-          errors.getOrElseUpdate(name, msg)
+          if (record) errors.getOrElseUpdate(name, msg)
           None
       }
     }
@@ -93,14 +97,14 @@ object Bench {
     def warmSweep(): Unit =
       SparkEntry.queries.foreach { case (name, fn) =>
         val pre = persistedIds()
-        once(name, fn)
+        once(name, fn, record = false)
         dropNewSince(pre)
       }
 
     def benchPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val preWarm = persistedIds()
-        once(name, fn) // warm: codegen, file listing, index build — not billed
+        once(name, fn, record = false) // warm: codegen, file listing, index build — not billed
         val postWarm = persistedIds()
         val samples = (1 to runs).flatMap { _ =>
           val r = once(name, fn)
@@ -128,8 +132,17 @@ object Bench {
 
     val totals = allPasses.map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
 
-    // worst per-query spread across passes, ignoring errored (-1) samples
-    val devs = pass1.map(_._1).flatMap { name =>
+    // queries that produced a valid median in EVERY pass — deviation math
+    // must compare like with like (a query erroring in one pass would
+    // otherwise read as a huge "deviation" that is really a set mismatch)
+    val commonNames = pass1.map(_._1).filter { name =>
+      allPasses.forall(_.exists { case (n, v) => n == name && v >= 0 })
+    }.toSet
+    val commonTotals = allPasses.map(
+      _.collect { case (n, v) if commonNames(n) => v }.sum)
+
+    // worst per-query spread across passes, over the common subset only
+    val devs = pass1.map(_._1).filter(commonNames).flatMap { name =>
       val vs = allPasses.flatMap(_.collectFirst { case (`name`, v) if v >= 0 => v })
       if (vs.size < 2) None
       else Some(name -> ((vs.max - vs.min) / math.max(vs.min, 0.01) * 100.0))
@@ -139,8 +152,8 @@ object Bench {
     // totals are the cross-round comparable; per-query max-dev is noisy
     // for sub-second queries (3-run medians on a contended 32-thread box)
     val totalDevPct =
-      if (totals.size < 2 || totals.min <= 0) 0.0
-      else (totals.max - totals.min) / totals.min * 100.0
+      if (commonTotals.size < 2 || commonTotals.min <= 0) 0.0
+      else (commonTotals.max - commonTotals.min) / commonTotals.min * 100.0
 
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

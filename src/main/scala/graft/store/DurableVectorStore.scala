@@ -2,10 +2,10 @@ package graft.store
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.functions.VectorFunctions._
 import graft.model.SearchHit
 
 /** The durable, cluster-scale variant of [[VectorStore]] — the store the
@@ -15,6 +15,8 @@ import graft.model.SearchHit
   * with the same read semantics (`query_processor.py:26-49` always reads
   * from the store; `storage_engine_in_memory.py:39-44`'s per-namespace
   * dict lookup becomes partition PRUNING on the `namespace` directory).
+  * Scoring, ranking, and tie-breaks come from the SAME [[Scoring]]
+  * helper the in-memory facade uses, so the two stores cannot drift.
   *
   * Layout under `path`:
   *  - `data/` — namespace-partitioned parquet of
@@ -32,6 +34,18 @@ import graft.model.SearchHit
   * (`index.py:131-162`), because at scale rewriting the store per delete
   * is the thing that cannot happen.
   *
+  * Reads use the layout's FIXED schema explicitly, never inference — a
+  * never-loaded or compacted-to-empty store reads as EMPTY (read/delete
+  * return misses/empty reports exactly like the in-memory facade), not
+  * as a schema-inference error.
+  *
+  * Crash/visibility contract: every mutation is one or two parquet
+  * appends. [[loadFrame]]'s upsert writes the DATA first and the shadow
+  * tombstones second (with a seq BELOW the data's), so a failure or a
+  * concurrent read between the two appends observes a transient
+  * DUPLICATE of a re-loaded id — never its absence, never loss; re-running
+  * the load (or any later upsert of the id) resolves the duplicate.
+  *
   * Cluster contract (same as `spark.graft.ivf.dir`): `path` must be a
   * shared filesystem — executors write the partitioned appends, any
   * driver may read them back. Single-writer per store at a time: the seq
@@ -47,6 +61,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def dataPath = s"$path/data"
   private def delPath = s"$path/deletes"
 
+  /** Fixed layout schemas — reads never infer, so empty layouts (fresh
+    * store, compacted-to-empty partitioned write that leaves only
+    * _SUCCESS) read as zero rows instead of failing inference. */
+  private val dataSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("values", ArrayType(FloatType)),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("metadataJson", StringType),
+    StructField("seq", LongType),
+    StructField("namespace", StringType)))
+
+  private val delSchema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("namespace", StringType),
+    StructField("seq", LongType)))
+
   /** Hadoop-FS existence probe, NOT java.io.File: the documented cluster
     * contract is a shared filesystem, and an hdfs://- or s3a://-rooted
     * path must resolve through the same FileSystem the writes go to. */
@@ -55,17 +85,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
+  private def readOrEmpty(p: String, schema: StructType): DataFrame =
+    if (!exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(p)
+
   /** Seeded once from the layout (max over two small long columns —
     * parquet answers this from footer statistics), then monotonic
     * in-process. */
   private lazy val seq: AtomicLong = {
-    def maxSeq(p: String): Long =
-      if (!exists(p)) 0L
-      else spark.read.parquet(p).agg(max(col("seq"))).head() match {
+    def maxSeq(p: String, schema: StructType): Long =
+      readOrEmpty(p, schema).agg(max(col("seq"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    new AtomicLong(math.max(maxSeq(dataPath), maxSeq(delPath)))
+    new AtomicLong(math.max(maxSeq(dataPath, dataSchema),
+      maxSeq(delPath, delSchema)))
   }
 
   private def nextSeq(): Long = seq.incrementAndGet()
@@ -75,47 +110,50 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   /** Bulk append with caller-supplied ids — the ingestion surface.
     * `df` needs `id` (castable to string) and `values: array<float>`
     * columns. UPSERT semantics, matching [[VectorStore.loadFrame]]:
-    * ids already live in the namespace are SHADOWED, not duplicated —
-    * before the data append, one tombstone append covers exactly the
-    * overlap (computed by a semi-join probe, so the tombstone batch is
-    * overlap-sized: empty for the common disjoint load, never a copy of
-    * the whole id set). The incoming rows' higher seq then outranks
-    * those tombstones like any re-add. Re-adding a previously deleted id
-    * resurrects it the same way. */
+    * ids already live in the namespace are SHADOWED, not duplicated — a
+    * tombstone append covers exactly the pre-load overlap (computed by a
+    * semi-join probe and materialized BEFORE the data lands, so the
+    * batch is overlap-sized: empty for the common disjoint load).
+    * Ordering is data-append first, shadow-tombstones second, with the
+    * tombstone seq BELOW the data seq: the new rows outrank the shadows
+    * like any re-add, and a failure between the appends leaves a
+    * transient duplicate, never a loss (see class doc). Re-adding a
+    * previously deleted id resurrects it the same way. */
   def loadFrame(df: DataFrame, namespace: String): Unit = {
     val incoming = df.select(col("id").cast("string").as("id"),
       col("values").cast("array<float>").as("values"))
-    if (exists(dataPath)) {
-      val shadowSeq = nextSeq()
-      live().filter(col("namespace") === namespace)
-        .join(incoming.select(col("id").as("__iid")),
-          col("id") === col("__iid"), "left_semi")
-        .select(col("id"),
-          lit(namespace).as("namespace"),
-          lit(shadowSeq).as("seq"))
-        .write.mode("append").parquet(delPath)
-    }
+    val shadowSeq = nextSeq()
+    val dataSeq = nextSeq() // > shadowSeq: incoming rows survive the shadows
+    // overlap snapshot from the PRE-append live set, pinned before the
+    // data append makes the incoming ids live too
+    val shadows = live().filter(col("namespace") === namespace)
+      .join(incoming.select(col("id").as("__iid")),
+        col("id") === col("__iid"), "left_semi")
+      .select(col("id"),
+        lit(namespace).as("namespace"),
+        lit(shadowSeq).as("seq"))
+      .localCheckpoint(true)
     incoming
       .withColumn("metadata", typedLit(Map.empty[String, String]))
       .withColumn("metadataJson", lit("{}"))
-      .withColumn("seq", lit(nextSeq()))
+      .withColumn("seq", lit(dataSeq))
       .withColumn("namespace", lit(namespace))
       .write.mode("append").partitionBy("namespace").parquet(dataPath)
+    if (!shadows.isEmpty)
+      shadows.write.mode("append").parquet(delPath)
   }
 
   /** Tombstone-append delete. Returns the ids that were actually live
     * (report semantics of `query_processor.py:51-62`); the tombstones
     * are written regardless — a dead tombstone is harmless and saves the
-    * read-verify-write round trip at scale. */
-  /** Above this many ids the presence probe switches from a literal
-    * `isInCollection` predicate to a broadcast semi-join — same
-    * constant-plan-size rationale as [[VectorStore]]'s bulk forms. */
-  private val InListMax = 1000
-
+    * read-verify-write round trip at scale. The presence probe switches
+    * from a literal `isInCollection` predicate to a broadcast semi-join
+    * above [[Scoring.InListMax]] ids, like the in-memory store's bulk
+    * forms. */
   def delete(ids: Seq[String], namespace: String): Seq[String] = {
     val inNs = live().filter(col("namespace") === namespace)
     val present =
-      if (ids.size <= InListMax)
+      if (ids.size <= Scoring.InListMax)
         inNs.filter(col("id").isInCollection(ids))
           .select("id").as[String].collect().toSeq
       else
@@ -133,50 +171,38 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   /** Live rows: data minus newer tombstones. The tombstone side is
     * deletes-sized and broadcast; the data side is never shuffled. On a
-    * freshly-compacted (or never-deleted) store this is a plain scan. */
+    * freshly-compacted (or never-deleted) store this is a plain scan; a
+    * never-loaded store is simply empty. */
   def live(): DataFrame = {
-    require(exists(dataPath), s"no durable store at $path")
-    val d = spark.read.parquet(dataPath)
-    if (!exists(delPath)) d
-    else {
-      val t = spark.read.parquet(delPath)
-        .select(col("id").as("__tid"), col("namespace").as("__tns"),
-          col("seq").as("__tseq"))
-      d.join(broadcast(t),
-        col("id") === col("__tid") && col("namespace") === col("__tns") &&
-          col("__tseq") > col("seq"),
-        "left_anti")
-    }
+    val d = readOrEmpty(dataPath, dataSchema)
+    val t = readOrEmpty(delPath, delSchema)
+      .select(col("id").as("__tid"), col("namespace").as("__tns"),
+        col("seq").as("__tseq"))
+    d.join(broadcast(t),
+      col("id") === col("__tid") && col("namespace") === col("__tns") &&
+        col("__tseq") > col("seq"),
+      "left_anti")
   }
 
   /** Top-k search over the durable layout — the q01/q02 plan reading
     * parquet: namespace partition pruning → codegen'd distance →
-    * `TakeOrderedAndProject`. Same metric/tie-break contract as
-    * [[VectorStore.findSimilar]]: ranked on the RAW score (callers round
-    * for reports), ties broken by string id ascending. */
+    * `TakeOrderedAndProject`. Metric dispatch, raw-score ranking, and
+    * the string-id tie-break are [[Scoring]]'s — identical to
+    * [[VectorStore.findSimilar]] by construction. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default"): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    val qv = array(query.map(v => lit(v)): _*).cast("array<float>")
     val base = live().filter(col("namespace") === namespace)
-    val score = metric match {
-      case "l2"     => l2sq(col("values"), qv)
-      case "cosine" => cosineSim(col("values"), qv)
-      case "ip"     => ipDist(col("values"), qv)
-      case other    => throw new IllegalArgumentException(s"unknown metric '$other'")
-    }
-    val scored = base.withColumn("score", score)
-    val ranked =
-      if (metric == "cosine") scored.orderBy(col("score").desc, col("id"))
-      else scored.orderBy(col("score"), col("id"))
-    ranked.limit(k)
+    val scored = base.withColumn("score",
+      Scoring.score(metric, col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, metric).limit(k)
       .select(col("id"), col("score"), col("values"), col("metadata"),
         col("metadataJson"))
       .as[SearchHit].collect().toSeq
   }
 
   /** Point read (S1 on the durable path): partition-pruned single-row
-    * lookup. */
+    * lookup; None on a miss or a never-loaded store. */
   def read(id: String, namespace: String): Option[graft.model.VectorRecord] =
     live().filter(col("namespace") === namespace && col("id") === id)
       .select(col("id"), col("namespace"), col("values"), col("metadata"),
@@ -185,11 +211,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   /** Positional batch read (S2): result(i) corresponds to ids(i), None
     * for misses — one pruned scan, not N; broadcast semi-join above
-    * [[InListMax]] like [[delete]]. */
+    * [[Scoring.InListMax]] like [[delete]]. */
   def readBatch(ids: Seq[String], namespace: String): Seq[Option[graft.model.VectorRecord]] = {
     val inNs = live().filter(col("namespace") === namespace)
     val matched =
-      if (ids.size <= InListMax) inNs.filter(col("id").isInCollection(ids))
+      if (ids.size <= Scoring.InListMax) inNs.filter(col("id").isInCollection(ids))
       else inNs.join(broadcast(ids.distinct.toDF("__rid")),
         col("id") === col("__rid"), "left_semi")
     val found = matched
@@ -209,8 +235,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   /** Fold the tombstone log into the data: rewrite live rows, clear
     * deletes. The offline job a deployment schedules (the rebuild
     * analogue of `index.py:131-162`); readers before/after see the same
-    * live set, they just stop paying the anti-join. Returns rows
-    * remaining. */
+    * live set, they just stop paying the anti-join. Compacting to an
+    * EMPTY live set is fine — subsequent reads see zero rows (the fixed
+    * read schema never infers from the fileless partitioned overwrite).
+    * Returns rows remaining. */
   def compact(): Long = {
     val kept = live().localCheckpoint(true)
     kept.write.mode("overwrite").partitionBy("namespace").parquet(dataPath)

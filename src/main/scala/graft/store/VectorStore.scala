@@ -196,7 +196,7 @@ class VectorStore(val spark: SparkSession) {
     * ships the id set once per executor. The REST contract caps batches at
     * 1000, so serving always takes the literal path; bulk/offline callers
     * cross into the join form. */
-  private val InListMax = 1000
+  private val InListMax = Scoring.InListMax
 
   /** The requested id set as a broadcast join side. Distinct because join
     * semantics would duplicate rows for duplicated ids (the literal
@@ -310,8 +310,7 @@ class VectorStore(val spark: SparkSession) {
 
   // ---- search (K1–K5, Q11–Q14) ---------------------------------------
 
-  private def litVec(q: Seq[Float]) =
-    array(q.map(v => lit(v)): _*).cast("array<float>")
+  private def litVec(q: Seq[Float]) = Scoring.litVec(q)
 
   private def metadataPredicate(filter: Map[String, String]) =
     filter.foldLeft(lit(true)) { case (acc, (k, v)) =>
@@ -330,17 +329,9 @@ class VectorStore(val spark: SparkSession) {
     * exact and the approx search paths. The distance runs in whole-stage
     * codegen; top-k goes through TakeOrderedAndProject. */
   private def scoredFrom(base: DataFrame, query: Seq[Float],
-                         metric: String): DataFrame = {
-    val qv = litVec(query)
-    val score = metric match {
-      case "l2"     => l2sq(col("values"), qv)
-      case "cosine" => cosineSim(col("values"), qv)
-      case "ip"     => ipDist(col("values"), qv)
-      case other    => throw new IllegalArgumentException(
-        s"unknown metric '$other' (expected l2 | cosine | ip)")
-    }
-    base.withColumn("score", score)
-  }
+                         metric: String): DataFrame =
+    base.withColumn("score",
+      Scoring.score(metric, col("values"), litVec(query)))
 
   private def filteredLive(namespace: String, filter: Map[String, String],
                            jsonFilter: Map[String, String]): DataFrame =
@@ -457,19 +448,22 @@ class VectorStore(val spark: SparkSession) {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String, Array[Array[Float]])]()
 
-  /** Serializes IVF layout BUILDS (not probes, not other index kinds):
-    * two same-key cache misses racing would both `mode("overwrite")` the
-    * SAME epoch-suffixed aux directory — and unlike the sigCache race,
-    * the loser's work is a destructive disk write, not a discardable
-    * frame. Double-checked inside the lock so the loser reuses the
-    * winner's layout instead of rebuilding. */
-  private val ivfBuildLock = new Object
+  /** Serializes IVF layout BUILDS per (namespace, dim) key: two same-key
+    * cache misses racing would both `mode("overwrite")` the SAME
+    * epoch-suffixed aux directory — and unlike the sigCache race, the
+    * loser's work is a destructive disk write, not a discardable frame.
+    * Striped by key (different keys write disjoint directories), so a
+    * first search on namespace B never stalls behind namespace A's
+    * build. Double-checked inside the lock so a same-key loser reuses
+    * the winner's layout instead of rebuilding. */
+  private val ivfBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
 
   private def ivfLayout(namespace: String, dim: Int): (String, Array[Array[Float]]) = {
     val key = (namespace, dim)
     Option(ivfCache.get(key)) match {
       case Some((e, aux, cs)) if e == epoch => (aux, cs)
-      case _ => ivfBuildLock.synchronized {
+      case _ => ivfBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
         Option(ivfCache.get(key)) match {
           case Some((e, aux, cs)) if e == epoch => (aux, cs) // raced: reuse
           case _ =>
@@ -585,8 +579,7 @@ class VectorStore(val spark: SparkSession) {
       .as[SearchHit].collect().toSeq
 
   private def ranked(df: DataFrame, metric: String): DataFrame =
-    if (metric == "cosine") df.orderBy(col("score").desc, col("id"))
-    else df.orderBy(col("score"), col("id"))
+    Scoring.ranked(df, metric)
 
   /** Top-k similarity search (`query_processor.py:26-49`).
     *
