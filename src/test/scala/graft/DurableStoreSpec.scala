@@ -70,6 +70,29 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(v4.head.id == "v4" && v4.head.values.toSeq == Seq(77f, 0f, 1f))
   }
 
+  test("never-loaded and compacted-to-empty stores read as empty, never as errors") {
+    val d = new DurableVectorStore(spark, tmp())
+    // fresh store: every read-path call answers like the in-memory
+    // facade's empty store — no schema-inference or missing-path throws
+    assert(d.totalCount() == 0)
+    assert(d.read("x", "ns").isEmpty)
+    assert(d.readBatch(Seq("x", "y"), "ns") == Seq(None, None))
+    assert(d.findSimilar(Seq(1f, 2f, 3f), k = 5, namespace = "ns").isEmpty)
+    assert(d.delete(Seq("x"), "ns").isEmpty)
+    assert(d.listNamespaces().isEmpty)
+    // load → delete all → compact: the partitioned overwrite of an empty
+    // live set leaves a fileless data/ dir, which must read as zero rows
+    d.loadFrame(frame(vecs.take(3)), "ns")
+    assert(d.totalCount() == 3)
+    assert(d.delete(Seq("v0", "v1", "v2"), "ns").sorted == Seq("v0", "v1", "v2"))
+    assert(d.compact() == 0)
+    assert(d.totalCount() == 0)
+    assert(d.findSimilar(Seq(1f, 2f, 3f), k = 5, namespace = "ns").isEmpty)
+    // ...and the store stays writable afterwards
+    d.loadFrame(frame(vecs.take(2)), "ns")
+    assert(d.totalCount() == 2)
+  }
+
   test("point and batch reads: positional, order-preserving, misses as None (S1/S2 parity)") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs), "rd")
