@@ -116,15 +116,71 @@ object Relational {
        |WHERE rank <= 3
        |ORDER BY c_mktsegment, rank""".stripMargin
 
+  // ---- q55: bucketed co-located join behind the correctness gate ------
+
+  private val Buckets = 8
+
+  /** Catalog names + external locations for the bucketed tables, one set
+    * per sf dir per JVM (built once by the first q55 invocation — the
+    * offline "bucket the recurring join's fact tables at write time"
+    * job SCALING.md argues for). External paths keep the warehouse out
+    * of the process's cwd; sanitized dir names keep concurrent sf dirs
+    * from colliding in the shared session catalog. */
+  private lazy val bucketRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketed.computeIfAbsent(dir, d => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val li = s"graft_li_b$tag"
+      val ord = s"graft_ord_b$tag"
+      Tables.table(spark, d, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(Buckets, "l_orderkey")
+        .option("path", s"$bucketRoot/$li").saveAsTable(li)
+      Tables.table(spark, d, "orders").select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(Buckets, "o_orderkey")
+        .option("path", s"$bucketRoot/$ord").saveAsTable(ord)
+      (li, ord)
+    })
+
+  /** q55: the co-located join family behind the gate. Both fact tables
+    * are bucketed on the join key at write time, so the sort-merge join
+    * AND the per-order aggregation ride the bucket distribution with
+    * ZERO hash exchanges — at 100 TB this is the difference between
+    * shuffling the two largest tables per run and shuffling nothing
+    * (PlanSpec pins the exchange-free shape; the only exchange in the
+    * plan is the terminal range sort). The contract is q49/q52's:
+    * bucketing changes the SCHEDULE, never the ANSWER, so the oracle is
+    * the plain unbucketed SQL join. `merge` hint pins SMJ so AQE can't
+    * swap in a broadcast and hide the co-location. */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedTables(spark, dir)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey").as("okey"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("okey"))
+  }
+
+  val q55Sql: String =
+    """SELECT o.o_orderkey AS okey, o.o_totalprice AS o_totalprice,
+      |       sum(l.l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2 ORDER BY okey""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_pricing_summary" -> (q24 _),
     "q25_revenue_by_nation" -> (q25 _),
-    "q26_top_per_segment" -> (q26 _))
+    "q26_top_per_segment" -> (q26 _),
+    "q55_bucketed_join" -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q24_pricing_summary" -> q24Sql,
     "q25_revenue_by_nation" -> q25Sql,
-    "q26_top_per_segment" -> q26Sql)
+    "q26_top_per_segment" -> q26Sql,
+    "q55_bucketed_join" -> q55Sql)
 }

@@ -158,6 +158,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 bucketed join: zero hash exchanges — join and agg ride the bucket distribution") {
+    val p = plan(Relational.q55(spark, dir))
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+    // the per-order agg's clustering requirement is satisfied by the
+    // bucket distribution too; the ONLY exchange left is the terminal
+    // range sort
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
