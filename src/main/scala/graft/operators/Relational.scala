@@ -133,7 +133,13 @@ object Relational {
 
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     bucketed.computeIfAbsent(dir, d => {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      // sanitization is lossy ('/a/sf0.1' and '/a/sf0_1' collide), so the
+      // tag carries a hash of the RAW dir: distinct dirs never share a
+      // catalog name or an external path
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
       val li = s"graft_li_b$tag"
       val ord = s"graft_ord_b$tag"
       Tables.table(spark, d, "lineitem").select("l_orderkey", "l_quantity")

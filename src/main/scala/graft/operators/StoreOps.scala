@@ -320,9 +320,11 @@ object StoreOps {
   private def durableSearchLayout(spark: SparkSession, dir: String): String = {
     // keyed by the RESOLVED path (like Ann.layoutCache): a mid-JVM change
     // of the layout-root conf gets its own build instead of silently
-    // serving a layout under the old root
+    // serving a layout under the old root. The per-process token keeps
+    // concurrent processes sharing one conf root from overwriting each
+    // other's layout mid-read (same hazard Ann.ivfAuxDir tokens against).
     val path = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/search_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/search_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     searchLayouts.computeIfAbsent(path, p => {
       val v = Tables.vectors(spark, dir)
       graft.sources.VectorParquet.write(v, p)

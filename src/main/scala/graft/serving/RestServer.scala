@@ -211,7 +211,8 @@ class RestServer(store: VectorStore, port: Int = 0) {
         // `index` picks which one — "lsh" (default, cached signatures)
         // or "ivf" (persisted inverted file)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
-        val index = Option(body.get("index")).map(_.asText()).getOrElse("lsh")
+        val index = Option(body.get("index")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("lsh") // explicit JSON null = unset
         // validate the index name even when approx is false: a typo'd
         // index on an exact search should 422, not silently run exact
         if (index != "lsh" && index != "ivf")

@@ -51,8 +51,13 @@ import graft.model.SearchHit
   * driver may read them back. Single-writer per store at a time: the seq
   * counter serializes commits in ONE process; multi-writer deployments
   * put a commit log (or a table format) in front, which is out of scope
-  * here and documented rather than half-built. Reads are always safe —
-  * they see whatever appends have landed.
+  * here and documented rather than half-built. Reads are always safe
+  * against APPENDS — they see whatever has landed. [[compact]] is the
+  * one non-append operation: it REWRITES `data/`, so it belongs in a
+  * maintenance window — a scan in flight across the rewrite can fail on
+  * the replaced files (deployments needing lock-free compaction put a
+  * snapshot-isolating table format underneath; plain parquet has no
+  * MVCC and this class does not pretend otherwise).
   */
 class DurableVectorStore(val spark: SparkSession, val path: String) {
 

@@ -413,7 +413,6 @@ class VectorStore(val spark: SparkSession) {
     * 16-cell coarse quantizer keeps every cell broadcast-sized. */
   private val IvfCells = 16
   private val IvfProbe = 4
-  private val IvfSampleMax = 65536
   private val IvfSeed = 42L
 
   private val processToken: String =
@@ -459,62 +458,39 @@ class VectorStore(val spark: SparkSession) {
   private val ivfBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
 
-  private def ivfLayout(namespace: String, dim: Int): (String, Array[Array[Float]]) = {
+  /** None when the namespace has no live rows: an IVF search over an
+    * empty namespace must answer empty, exactly like the exact and lsh
+    * paths — never error on which index KIND the caller picked. */
+  private def ivfLayout(namespace: String, dim: Int): Option[(String, Array[Array[Float]])] = {
     val key = (namespace, dim)
     Option(ivfCache.get(key)) match {
-      case Some((e, aux, cs)) if e == epoch => (aux, cs)
+      case Some((e, aux, cs)) if e == epoch => Some((aux, cs))
       case _ => ivfBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
         Option(ivfCache.get(key)) match {
-          case Some((e, aux, cs)) if e == epoch => (aux, cs) // raced: reuse
+          case Some((e, aux, cs)) if e == epoch => Some((aux, cs)) // raced: reuse
           case _ =>
             val (e, snapshot) = synchronized { (epoch, live) }
             val rows = snapshot.filter(col("namespace") === namespace)
               .select(col("id"), col("values")).toDF()
             val total = rows.count()
-            require(total > 0,
-              s"cannot build an IVF index over empty namespace '$namespace'")
-            // bounded quantizer sample by id HASH (robust to any id
-            // scheme — the ids here are caller-minted strings), same
-            // recipe as Ann.buildIvfIndex: sample → small Lloyd's →
-            // assignment pass
-            val keepMod = math.max(1L, (total + IvfSampleMax - 1) / IvfSampleMax)
-            val hashed = rows.where(pmod(xxhash64(col("id")), lit(keepMod)) === 0)
-              .select(col("values")).limit(IvfSampleMax).collect()
-              .map(_.getSeq[Float](0).toArray)
-            val sample =
-              if (hashed.nonEmpty) hashed
-              else rows.select(col("values")).limit(IvfSampleMax).collect()
-                .map(_.getSeq[Float](0).toArray)
-            val centers = graft.operators.Ann.lloyds(sample, IvfCells, iters = 5,
-              seed = IvfSeed)
-            val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
-            val aux = ivfRoot + "/" +
-              namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
-            rows.withColumn("cell",
-                graft.functions.NearestCell(col("values"), centerSeqs))
-              .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
-            // flat (id, cell) table so an external oracle can replay the
-            // candidate policy (mirrors Ann.buildIvfIndex's assign/)
-            spark.read.parquet(s"$aux/index").select(col("id"), col("cell"))
-              .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
-            ivfCache.put(key, (e, aux, centers))
-            (aux, centers)
+            if (total == 0) None // emptiness is not cached: the next write bumps the epoch anyway
+            else {
+              // the ONE build recipe, shared with the offline q33 path
+              // (Ann.buildIvfIndex) so the policy cannot drift between
+              // the two graded consumers
+              val centers = graft.operators.Ann.trainQuantizer(
+                rows, "id", "values", total, IvfCells, IvfSeed)
+              val aux = ivfRoot + "/" +
+                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+              graft.operators.Ann.writeInvertedFile(rows, "id", "values",
+                centers, aux)
+              ivfCache.put(key, (e, aux, centers))
+              Some((aux, centers))
+            }
         }
       }
     }
   }
-
-  /** Probe-cell ranking for one query — driver-side, like the offline
-    * path's [[graft.operators.Ann.ivfProbe]]: both tables are
-    * request-sized, so no Spark job per request. */
-  private def probeCells(query: Seq[Float], centers: Array[Array[Float]]): Seq[Int] =
-    centers.zipWithIndex.map { case (c, i) =>
-      var d = 0.0
-      var j = 0
-      val n = math.min(query.length, c.length)
-      while (j < n) { val diff = query(j).toDouble - c(j).toDouble; d += diff * diff; j += 1 }
-      (i, d)
-    }.sortBy(_._2).take(IvfProbe).map(_._1).toSeq
 
   /** (stamped epoch, pinned?) of the current signature-cache entry — spec
     * hook for ConcurrencySpec's convergence/no-leak assertions. */
@@ -534,20 +510,23 @@ class VectorStore(val spark: SparkSession) {
   private def ivfCandidates(query: Seq[Float], namespace: String,
                             filter: Map[String, String],
                             jsonFilter: Map[String, String],
-                            persistProbes: Boolean = false): DataFrame = {
-    val (aux, centers) = ivfLayout(namespace, query.length)
-    val probed = probeCells(query, centers)
-    if (persistProbes) {
-      import spark.implicits._
-      probed.toDF("cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"$aux/probes")
+                            persistProbes: Boolean = false): DataFrame =
+    ivfLayout(namespace, query.length) match {
+      case None => // empty namespace: empty candidates, like the lsh path
+        filteredLive(namespace, filter, jsonFilter).limit(0)
+      case Some((aux, centers)) =>
+        val probed = graft.operators.Ann.rankCells(query.toArray, centers, IvfProbe)
+        if (persistProbes) {
+          import spark.implicits._
+          probed.toDF("cell").coalesce(1)
+            .write.mode("overwrite").parquet(s"$aux/probes")
+        }
+        val candIds = spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probed: _*))
+          .select(col("id").as("__cid")).distinct()
+        filteredLive(namespace, filter, jsonFilter)
+          .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
     }
-    val candIds = spark.read.parquet(s"$aux/index")
-      .where(col("cell").isin(probed: _*))
-      .select(col("id").as("__cid")).distinct()
-    filteredLive(namespace, filter, jsonFilter)
-      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
-  }
 
   /** The layout dir the store-attached IVF index serves (namespace, dim)
     * from (None until an IVF search has built one) — lets a grading

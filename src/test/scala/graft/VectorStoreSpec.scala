@@ -356,6 +356,10 @@ class VectorStoreSpec extends AnyFunSuite {
       s.findSimilar(query, k = 1, namespace = "ivf", approx = true,
         index = "hnsw")
     }
+    // an EMPTY namespace answers empty through the ivf route, exactly
+    // like the exact and lsh paths — never an error for picking ivf
+    assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
+      approx = true, index = "ivf").isEmpty)
   }
 
   // ---- bulk id batches: broadcast-join forms (VERDICT r3/r4 item 8) ----
