@@ -23,10 +23,10 @@ object PipelineDemo {
     // skew + durable-store maintenance
     import org.apache.spark.sql.functions.col
     val hot = graft.operators.Skew
-      .saltedCount(graft.sources.Tables.table(spark, dir, "lineitem"),
-        col("l_returnflag"), salts = 8)
+      .saltedSumCount(graft.sources.Tables.table(spark, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), salts = 8)
       .orderBy(col("key")).collect()
-      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      .map(r => s"${r.getString(0)}=${r.getAs[Long]("count")}").mkString(", ")
     println(s"[pipeline] salted per-flag counts: $hot")
     val tmp = java.nio.file.Files.createTempDirectory("graft_pd").toString
     graft.sources.VectorParquet.write(graft.sources.Tables.vectors(spark, dir), tmp)

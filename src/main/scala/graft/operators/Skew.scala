@@ -17,29 +17,12 @@ object Skew {
 
   /** Two-phase aggregation: `groupBy(key, salt) → partial` then
     * `groupBy(key) → final`. The hot key's rows spread over `salts`
-    * tasks in phase 1; phase 2 combines `salts` rows per key. Works for
-    * any algebraic aggregate supplied as (partial, combine) pairs; the
-    * common count/sum forms are wrapped below. */
-  def saltedSum(df: DataFrame, key: Column, value: Column,
-                salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
-      .groupBy(key.as("key"), col("__salt"))
-      .agg(sum(value).as("__partial"))
-      .groupBy(col("key"))
-      .agg(sum(col("__partial")).as("sum"))
-
-  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
-      .groupBy(key.as("key"), col("__salt"))
-      .agg(count(lit(1)).as("__partial"))
-      .groupBy(col("key"))
-      .agg(sum(col("__partial")).as("count"))
-
-  /** Both aggregates in ONE two-phase pass — the shape q49 actually
-    * runs. A separate saltedSum + saltedCount + join would scan and
-    * shuffle the fact table twice AND drop NULL group keys (inner join
-    * on key is null-unsafe); a single grouped pass has neither
-    * problem. */
+    * tasks in phase 1; phase 2 combines `salts` rows per key. Sum and
+    * count come out of ONE pass — separate salted-sum and salted-count
+    * calls joined on key would scan and shuffle the fact table twice
+    * AND drop NULL group keys (inner join on key is null-unsafe); a
+    * single grouped pass has neither problem, and a caller wanting only
+    * one of the two just drops the other column. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      salts: Int): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))

@@ -341,19 +341,32 @@ object VectorSearch {
   private[graft] def exactPairRowLimit(dim: Int): Long =
     math.min(ExactPairMaxRows, ExactPairMaxBytes / (math.max(1, dim).toLong * 4L))
 
-  /** Corpus sizes by sf dir, so repeated q15 invocations pay the gate's
-    * count job once per JVM. */
-  private val corpusSize = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Corpus (size, dim) by sf dir, so repeated q15 invocations pay the
+    * gate's count job and the one-row dim probe once per JVM. The dim is
+    * MEASURED, not assumed: the byte gate (rows × dim × 4 B) is only a
+    * real bound if it sees the actual dimensionality — a 1024-dim corpus
+    * routed through a hardcoded dim-64 gate would be admitted at 16× its
+    * true footprint. */
+  private val corpusShape =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
 
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    // The gate needs a corpus size. Count the RAW embeddings parquet —
+    // The gate needs the corpus shape. Count the RAW embeddings parquet —
     // a zero-column count job whose row counts come from parquet row-group
     // metadata — not the derived vectors view, whose projection (namespace
     // concat etc.) Spark would evaluate per row. vecs() is a pure
     // projection of embeddings, so the counts are equal by construction.
-    val n = corpusSize.computeIfAbsent(dir,
-      d => Tables.table(spark, d, "embeddings").count())
-    nearDupPairs(vecs(spark, dir), n, dupT)
+    // The dim probe reads ONE row (every corpus row shares the dim — the
+    // equal-length precondition nearDupPairs already documents).
+    val (n, dim) = corpusShape.computeIfAbsent(dir, d => {
+      val e = Tables.table(spark, d, "embeddings")
+      val total = e.count()
+      val d0 =
+        if (total == 0) 1 // empty corpus: gate outcome is irrelevant
+        else e.select(size(col("embedding"))).head().getInt(0)
+      (total, d0)
+    })
+    nearDupPairs(vecs(spark, dir), n, dupT, dim)
   }
 
   /** Pairwise near-duplicates (cosine ≥ t, id_a < id_b). Exact all-pairs

@@ -102,14 +102,17 @@ class ConcurrencySpec extends AnyFunSuite {
     val (stamped, pinned) = s.sigCacheState.get
     assert(stamped == s.currentEpoch, "sigCache did not converge to the final epoch")
     assert(pinned, "converged signature frame is not persisted")
-    // 4. racing rebuilds unpersisted what they replaced (async, so allow
-    //    the non-blocking unpersists a moment to land; slack of 2 covers
-    //    this store's live frame + sig frame — dozens of leaked rebuild
-    //    epochs would blow straight through it)
-    Thread.sleep(1000)
-    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
-    assert(persistedAfter - persistedBefore <= 2,
-      s"pinned blocks grew $persistedBefore -> $persistedAfter: rebuild epochs are leaking")
+    // 4. racing rebuilds unpersisted what they replaced (async — POLL for
+    //    the non-blocking unpersists to land rather than a fixed sleep,
+    //    which flaked on contended boxes even when the store was
+    //    leak-free; slack of 2 covers this store's live frame + sig
+    //    frame — dozens of leaked rebuild epochs would blow straight
+    //    through it)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leaked(): Int = spark.sparkContext.getPersistentRDDs.size - persistedBefore
+    while (leaked() > 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked() <= 2,
+      s"pinned blocks grew $persistedBefore -> ${persistedBefore + leaked()}: rebuild epochs are leaking")
   }
 
   test("a mutation landing mid-build invalidates the racing index build (stamp-order pin)") {

@@ -19,24 +19,33 @@ class SkewSpec extends AnyFunSuite {
       (col("id") % 1000).cast("double").as("v"))
     .localCheckpoint(true)
 
-  test("saltedCount equals direct groupBy count on skewed data") {
-    val direct = skewed.groupBy(col("k")).agg(count(lit(1)).as("count"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val salted = Skew.saltedCount(skewed, col("k"), salts = 16)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    assert(salted == direct)
-    assert(direct("hot") == 90000)
+  test("saltedSumCount equals direct groupBy sum+count on skewed data") {
+    val direct = skewed.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(skewed, col("k"), col("v"), salts = 16)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    assert(salted.view.mapValues(_._2).toMap == direct.view.mapValues(_._2).toMap)
+    assert(direct("hot")._2 == 90000)
+    salted.foreach { case (k, (s, _)) =>
+      assert(math.abs(s - direct(k)._1) <= 1e-6 * math.max(1.0, math.abs(direct(k)._1)))
+    }
   }
 
-  test("saltedSum equals direct groupBy sum") {
-    val direct = skewed.groupBy(col("k")).agg(sum(col("v")).as("s"))
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    val salted = Skew.saltedSum(skewed, col("k"), col("v"), salts = 16)
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+  test("saltedSumCount keeps NULL group keys (the join-based form dropped them)") {
+    val withNulls = spark.range(1000)
+      .select(
+        when(col("id") % 5 === 0, lit(null)).otherwise(lit("hot")).as("k"),
+        col("id").cast("double").as("v"))
+    val direct = withNulls.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(withNulls, col("k"), col("v"), salts = 8)
+      .collect().map(r => (Option(r.getString(0)), (r.getDouble(1), r.getLong(2)))).toMap
     assert(salted.keySet == direct.keySet)
-    salted.foreach { case (k, s) =>
-      assert(math.abs(s - direct(k)) <= 1e-6 * math.max(1.0, math.abs(direct(k))))
-    }
+    assert(salted.contains(None), "NULL group key must survive salting")
+    assert(salted(None)._2 == direct(None)._2)
   }
 
   test("saltedJoin equals direct join on a skewed fact side") {
