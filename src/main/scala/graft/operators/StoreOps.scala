@@ -447,13 +447,95 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q56: compaction UNDER LOAD through the durable facade -----------
+
+  private val ReaddMod = 2 * FacadeDelMod // resurrect every other deleted id
+
+  private val q56Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q56Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q56: the durable facade's full LSM cycle behind the gate — load →
+    * tombstone delete → RE-ADD half the deleted ids (resurrection: the
+    * re-add's seq outranks the tombstone, no rewrite) → [[graft.store.DurableVectorStore.compact]]
+    * (asserted to fold the log to EMPTY and to keep exactly the expected
+    * live count) → top-k search over the REWRITTEN layout. q54 grades
+    * the pre-compaction read path (data ⋈ tombstones); this grades that
+    * compaction changes the PLAN (scan-only, no anti-join) but never the
+    * ANSWER — a resurrected row lost in the fold, a tombstoned row
+    * leaked back in, or a row duplicated by the rewrite all break the
+    * hash. The durable analogue of q50's cycle, through the FACADE. */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/compact_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val store = q56Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q56Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(
+        e.where(col("vec_id") < FacadeN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        FacadeNs)
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, FacadeNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      // resurrect every other deleted id with its original embedding
+      s.loadFrame(
+        e.where(col("vec_id") < FacadeN && col("vec_id") % ReaddMod === 0)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        FacadeNs)
+      val remaining = s.compact()
+      val expectedLive = (0L until FacadeN)
+        .count(i => i % FacadeDelMod != 0 || i % ReaddMod == 0)
+      require(remaining == expectedLive,
+        s"compact kept $remaining rows, expected $expectedLive")
+      require(s.tombstoneCount() == 0,
+        s"compaction left ${s.tombstoneCount()} tombstones in the log")
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilar(qv, k = K, metric = "cosine",
+      namespace = FacadeNs)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Relational replay of the q56 script: load minus deletes plus
+    * re-adds — i.e. keep vec_id % del ≠ 0 OR vec_id % readd = 0 — then
+    * the q54 rank/report shape. The compaction itself is invisible to
+    * the oracle (fold the log, keep the live set); that invariance is
+    * exactly what the hash grades. */
+  val q56Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $FacadeN
+       |    AND (vec_id % $FacadeDelMod <> 0 OR vec_id % $ReaddMod = 0)),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw FROM base b, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
       "q50_durable_compact" -> (q50 _),
       "q51_durable_search" -> (q51 _),
       "q53_store_ivf_search" -> (q53 _),
-      "q54_durable_facade" -> (q54 _))
+      "q54_durable_facade" -> (q54 _),
+      "q56_durable_compact_reload" -> (q56 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -465,6 +547,7 @@ object StoreOps {
       "q48_store_approx_search" -> q48Sql,
       "q50_durable_compact" -> q50Sql,
       "q51_durable_search" -> q51Sql,
-      "q54_durable_facade" -> q54Sql) ++
+      "q54_durable_facade" -> q54Sql,
+      "q56_durable_compact_reload" -> q56Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux))
 }

@@ -9,7 +9,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import graft.store.VectorStore
+import graft.store.{DurableVectorStore, VectorStore}
 
 /** Route-for-route HTTP facade over [[VectorStore]] — the reference's REST
   * surface (`/root/reference/src/mlvectordb/api/rest_api.py:96-311`)
@@ -44,8 +44,20 @@ import graft.store.VectorStore
   * Validation mirrors the reference: `top_k ∈ [1,1000]` (Pydantic bound at
   * rest_api.py:24) → 422; malformed JSON → 400. A request-latency log line
   * is emitted per request (middleware parity, rest_api.py:350-378).
-  */
-class RestServer(store: VectorStore, port: Int = 0) {
+  *
+  * Durable mount (read-only): a [[DurableVectorStore]] passed as `durable`
+  * exposes the 100 TB layout on the READ routes — `POST /search` with
+  * `"durable": true` runs the partition-pruned top-k over the compacted
+  * parquet layout (the q51 plan, over HTTP), and `GET
+  * /namespaces?durable=true` lists its live namespaces. Writes stay on
+  * the store's own API: the durable facade is single-writer-per-process
+  * (its class doc), so exposing mutation routes would invite exactly the
+  * multi-writer pattern the contract forbids. Requesting `durable` with
+  * no mount, or with `approx`/`filter` (index caches and the flat
+  * metadata filter are in-memory-store features), is a 422, never a
+  * silent fallback to the other store. */
+class RestServer(store: VectorStore, port: Int = 0,
+                 durable: Option[DurableVectorStore] = None) {
 
   private val mapper = new ObjectMapper()
   private val logger = org.slf4j.LoggerFactory.getLogger(classOf[RestServer])
@@ -218,9 +230,24 @@ class RestServer(store: VectorStore, port: Int = 0) {
         if (index != "lsh" && index != "ivf")
           throw new IllegalArgumentException(
             s"unknown approx index '$index' (expected 'lsh' or 'ivf')")
-        val hits = store.findSimilar(floats(required(body, "query")), k, metric,
-          ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
-          approx = approx, index = index)
+        // optional `durable` routes the search to the mounted durable
+        // store (read-only; see class doc) — the q51 partition-pruned
+        // plan over HTTP
+        val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
+        val hits =
+          if (wantDurable) {
+            val d = durable.getOrElse(throw new IllegalArgumentException(
+              "no durable store mounted on this server"))
+            if (approx) throw new IllegalArgumentException(
+              "durable search is the exact partition-pruned scan; approx indexes are in-memory-store features")
+            if (stringMapOf(body, "filter").nonEmpty ||
+                stringMapOf(body, "json_filter").nonEmpty)
+              throw new IllegalArgumentException(
+                "durable search does not support metadata filters")
+            d.findSimilar(floats(required(body, "query")), k, metric, ns)
+          } else store.findSimilar(floats(required(body, "query")), k, metric,
+            ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
+            approx = approx, index = index)
         val arr = mapper.createArrayNode() // bare list, rest_api.py:163 response_model
         hits.foreach(h => arr.add(hitJson(h)))
         respond(ex, 200, arr)
@@ -231,9 +258,14 @@ class RestServer(store: VectorStore, port: Int = 0) {
   server.createContext("/namespaces", ex => handle(ex) {
     val path = ex.getRequestURI.getPath
     if (path == "/namespaces" || path == "/namespaces/") {
+      val names =
+        if (queryParam(ex, "durable", "false") == "true")
+          durable.getOrElse(throw new IllegalArgumentException(
+            "no durable store mounted on this server")).listNamespaces()
+        else store.listNamespaces()
       val o = mapper.createObjectNode()
       val arr = o.putArray("namespaces") // name list, rest_api.py:255
-      store.listNamespaces().foreach(arr.add)
+      names.foreach(arr.add)
       respond(ex, 200, o)
     } else if (path == "/namespaces/vectors") {
       // reference route shape: namespace is a query param (rest_api.py:264)

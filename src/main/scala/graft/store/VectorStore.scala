@@ -407,12 +407,14 @@ class VectorStore(val spark: SparkSession) {
 
   // ---- store-attached IVF index (persisted inverted file) -------------
 
-  /** Cells/probe fan-out for the store-attached IVF index — same regime
-    * as the offline [[graft.operators.Ann]] layout (16 cells, probe 4):
-    * serving namespaces are the reference's 10k-vector envelope, where a
-    * 16-cell coarse quantizer keeps every cell broadcast-sized. */
-  private val IvfCells = 16
-  private val IvfProbe = 4
+  /** Cells/probe fan-out for the store-attached IVF index: sized per
+    * (namespace, dim) BUILD from the namespace's live row count via the
+    * shared [[graft.operators.Ann.ivfCellsFor]] policy (cells ≈ √n,
+    * probe ≈ 2√cells — the scanned fraction shrinks as the namespace
+    * grows; see the policy's scaladoc for the r6 fixed-16/4 history).
+    * The probe count is derived from the CACHED layout's centroid count
+    * at probe time, so probes always match the geometry of the layout
+    * they scan, including a layout built at a different namespace size. */
   private val IvfSeed = 42L
 
   private val processToken: String =
@@ -479,7 +481,8 @@ class VectorStore(val spark: SparkSession) {
               // (Ann.buildIvfIndex) so the policy cannot drift between
               // the two graded consumers
               val centers = graft.operators.Ann.trainQuantizer(
-                rows, "id", "values", total, IvfCells, IvfSeed)
+                rows, "id", "values", total,
+                graft.operators.Ann.ivfCellsFor(total), IvfSeed)
               val aux = ivfRoot + "/" +
                 namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
               graft.operators.Ann.writeInvertedFile(rows, "id", "values",
@@ -515,7 +518,8 @@ class VectorStore(val spark: SparkSession) {
       case None => // empty namespace: empty candidates, like the lsh path
         filteredLive(namespace, filter, jsonFilter).limit(0)
       case Some((aux, centers)) =>
-        val probed = graft.operators.Ann.rankCells(query.toArray, centers, IvfProbe)
+        val probed = graft.operators.Ann.rankCells(query.toArray, centers,
+          graft.operators.Ann.ivfProbeFor(centers.length))
         if (persistProbes) {
           import spark.implicits._
           probed.toDF("cell").coalesce(1)
@@ -533,6 +537,11 @@ class VectorStore(val spark: SparkSession) {
     * harness point an external oracle at `assign/` + `probes/`. */
   private[graft] def ivfLayoutDir(namespace: String, dim: Int): Option[String] =
     Option(ivfCache.get((namespace, dim))).map(_._2)
+
+  /** Cell count of the cached (namespace, dim) layout — spec hook for the
+    * geometry-scales-with-namespace-size assertion. */
+  private[graft] def ivfCellCount(namespace: String, dim: Int): Option[Int] =
+    Option(ivfCache.get((namespace, dim))).map(_._3.length)
 
   /** Candidate rows for an approx cosine search: live rows sharing at
     * least one LSH band bucket with the query. The query's buckets are
@@ -581,7 +590,8 @@ class VectorStore(val spark: SparkSession) {
     *  - "lsh" (default): cached band signatures — no disk, rebuilds
     *    lazily per epoch; right for hot, mutating namespaces.
     *  - "ivf": the persisted cell-partitioned inverted file — a probe
-    *    reads `IvfProbe/IvfCells` of the layout partitions off disk;
+    *    reads probe/cells (≈ 2/√cells, shrinking with namespace size —
+    *    [[graft.operators.Ann.ivfCellsFor]]) of the layout partitions;
     *    right for large, mostly-static namespaces where even the
     *    signature pass over every row is too much per-epoch work. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",

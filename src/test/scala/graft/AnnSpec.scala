@@ -23,6 +23,20 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("IVF sizing policy: cells ≈ √n clamped to [16, 4096]; scanned fraction shrinks with scale") {
+    import graft.operators.Ann.{ivfCellsFor, ivfProbeFor}
+    assert(ivfCellsFor(0) == 16 && ivfCellsFor(100) == 16) // clamp floor
+    assert(ivfCellsFor(10000) == 100)
+    assert(ivfCellsFor(1000000) == 1000)
+    assert(ivfCellsFor(Long.MaxValue) == 4096) // clamp ceiling
+    assert(ivfProbeFor(16) == 8 && ivfProbeFor(100) == 20 && ivfProbeFor(4096) == 128)
+    assert(ivfProbeFor(2) == 2, "probe must never exceed the cell count")
+    // the fixed r6 geometry scanned 1/4 of ANY namespace; the policy's
+    // fraction must shrink as the corpus grows
+    def frac(cells: Int) = ivfProbeFor(cells).toDouble / cells
+    assert(frac(100) < frac(16) && frac(1000) < frac(100) && frac(4096) < frac(1000))
+  }
+
   test("IVF ANN recall@5 vs brute force is at least 0.5") {
     val exact = Ann.q31(spark, dir).collect()
       .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet

@@ -70,6 +70,55 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(v4.head.id == "v4" && v4.head.values.toSeq == Seq(77f, 0f, 1f))
   }
 
+  test("tombstone log past the broadcast gate: live() switches to a shuffled-hash anti-join, semantics unchanged") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "gate")
+    assert(d.delete(Seq("v0", "v1", "v2"), "gate").sorted == Seq("v0", "v1", "v2"))
+    assert(d.tombstoneCount() == 3)
+    // under the gate: the deletes-sized log rides a broadcast
+    val under = d.live().queryExecution.sparkPlan.toString
+    assert(under.contains("Broadcast"), s"under-gate plan lost the broadcast:\n${under.take(1500)}")
+    spark.conf.set(d.TombBroadcastMaxRowsConf, "2")
+    try {
+      // past the gate: no broadcast of the log (driver-memory ceiling),
+      // shuffled-hash anti-join instead (no sort of the huge data side)
+      val over = d.live().queryExecution.sparkPlan.toString
+      assert(!over.contains("Broadcast"), s"past-gate plan still broadcasts the log:\n${over.take(1500)}")
+      assert(over.contains("ShuffledHashJoin"), s"expected a shuffled-hash anti-join:\n${over.take(1500)}")
+      // the plan changed, the answers must not
+      val ids = d.findSimilar(Seq(3f, 2f, 1f), k = 30, namespace = "gate").map(_.id).toSet
+      assert(!ids.contains("v0") && ids.contains("v5"))
+      assert(d.totalCount() == vecs.size - 3)
+      // deleting absent ids appends nothing: the log cannot grow with
+      // entries that can never kill a row
+      assert(d.delete(Seq("ghost1", "ghost2"), "gate").isEmpty)
+      assert(d.tombstoneCount() == 3)
+    } finally spark.conf.unset(d.TombBroadcastMaxRowsConf)
+    // compaction folds the log and returns reads to the broadcast regime
+    d.compact()
+    assert(d.tombstoneCount() == 0)
+  }
+
+  test("delete -> re-add -> compact: resurrection survives the fold, log empties") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "res")
+    d.delete(Seq("v1", "v2"), "res")
+    // resurrect v2 with NEW values (seq outranks the tombstone)
+    d.loadFrame(frame(Seq(("v2", Seq(9f, 9f, 9f)))), "res")
+    def liveIds() = d.findSimilar(Seq(1f, 1f, 1f), k = 100, namespace = "res")
+      .map(_.id).toSet
+    assert(!liveIds().contains("v1") && liveIds().contains("v2"))
+    assert(d.tombstoneCount() == 2)
+    val remaining = d.compact()
+    assert(remaining == vecs.size - 1, s"compact kept $remaining rows")
+    assert(d.tombstoneCount() == 0, "compaction left tombstones in the log")
+    val after = liveIds()
+    assert(!after.contains("v1"), "compaction resurrected a deleted id")
+    assert(after.contains("v2"), "compaction lost a re-added id")
+    assert(d.read("v2", "res").get.values.toSeq == Seq(9f, 9f, 9f),
+      "compaction served the pre-resurrection values")
+  }
+
   test("never-loaded and compacted-to-empty stores read as empty, never as errors") {
     val d = new DurableVectorStore(spark, tmp())
     // fresh store: every read-path call answers like the in-memory

@@ -208,6 +208,56 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("durable mount serves read routes: /search durable=true runs the partition-pruned layout plan") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_dvs_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    d.loadFrame(
+      Seq(("a", Seq(1f, 0f)), ("b", Seq(0.9f, 0.1f)), ("c", Seq(0f, 1f)))
+        .toDF("id", "values"),
+      "dns")
+    d.delete(Seq("c"), "dns")
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // durable search over HTTP: exact cosine over the live LSM view
+      val (sc, sb) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true}""")
+      assert(sc == 200, sb)
+      val hits = mapper.readTree(sb)
+      assert(hits.size() == 2, s"expected the 2 live rows, got $sb")
+      assert(hits.get(0).get("id").asText() == "a")
+      assert((0 until hits.size()).map(hits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable search served a tombstoned row")
+      // the durable namespace listing is the mounted store's, not the in-memory one's
+      val (nc, nb) = send("GET", s"$base/namespaces?durable=true")
+      assert(nc == 200 && nb.contains("dns"))
+      val (n2c, n2b) = send("GET", s"$base/namespaces")
+      assert(n2c == 200 && !n2b.contains("dns"))
+      // approx + durable is a contract violation, not a silent fallback
+      val (ac, _) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "durable": true, "approx": true}""")
+      assert(ac == 422)
+      // filters are in-memory-store features
+      val (fc, _) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "durable": true, "filter": {"k": "v"}}""")
+      assert(fc == 422)
+    } finally server.stop()
+  }
+
+  test("durable=true without a mounted durable store is a 422, never a silent fallback") {
+    withServer { (base, _) =>
+      val (sc, sb) = send("POST", s"$base/search",
+        """{"query": [1.0, 0.0], "durable": true}""")
+      assert(sc == 422, sb)
+      assert(sb.contains("no durable store mounted"))
+      val (nc, _) = send("GET", s"$base/namespaces?durable=true")
+      assert(nc == 422)
+    }
+  }
+
   test("validation mirrors the reference: bad inputs get 4xx, not 500") {
     withServer { (base, _) =>
       // empty delete list → 400 (rest_api.py:216-221)

@@ -362,6 +362,33 @@ class VectorStoreSpec extends AnyFunSuite {
       approx = true, index = "ivf").isEmpty)
   }
 
+  test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
+    val s = newStore
+    val dim = 16
+    // 200 rows → clamped floor (16 cells); 2400 rows → ceil(√2400) = 49
+    val small = clusteredVectors(nClusters = 20, perCluster = 10, dim = dim, seed = 3)
+    val large = clusteredVectors(nClusters = 40, perCluster = 60, dim = dim, seed = 5)
+    s.upsertMany(small.map(v => (v, Map.empty[String, String])), "geo_small")
+    s.upsertMany(large.map(v => (v, Map.empty[String, String])), "geo_large")
+    def recallIn(ns: String, vecs: Seq[Seq[Float]]): Double = {
+      val query = vecs.head.map(_ + 0.01f)
+      val exact = s.findSimilar(query, k = 10, namespace = ns).map(_.id).toSet
+      val ivf = s.findSimilar(query, k = 10, namespace = ns,
+        approx = true, index = "ivf").map(_.id).toSet
+      exact.intersect(ivf).size / 10.0
+    }
+    val rSmall = recallIn("geo_small", small)
+    val rLarge = recallIn("geo_large", large)
+    val cSmall = s.ivfCellCount("geo_small", dim).get
+    val cLarge = s.ivfCellCount("geo_large", dim).get
+    info(f"cells small=$cSmall large=$cLarge; recall small=$rSmall%.2f large=$rLarge%.2f")
+    assert(cSmall == graft.operators.Ann.ivfCellsFor(small.size.toLong))
+    assert(cLarge == graft.operators.Ann.ivfCellsFor(large.size.toLong))
+    assert(cLarge > cSmall, "cell count did not scale with namespace size")
+    assert(rSmall >= 0.7, s"IVF recall floor broken at the small size: $rSmall")
+    assert(rLarge >= 0.7, s"IVF recall floor broken at the large size: $rLarge")
+  }
+
   // ---- bulk id batches: broadcast-join forms (VERDICT r3/r4 item 8) ----
 
   test("bulk readBatch/delete above the in-list threshold match literal-form semantics") {
