@@ -135,6 +135,14 @@ object Bench {
         dropNewSince(pre)
       }
 
+    // per-query sample counts actually taken, per pass — the fast-runs
+    // trigger is a hard cutoff at the 1 s median, so a query near the
+    // boundary can flip between `runs`- and `fastRuns`-sample medians
+    // across rounds on unchanged code; recording the counts lets
+    // cross-round deviation analysis see the flip instead of misreading
+    // its variance change as the engine
+    val sampleCounts = scala.collection.mutable.LinkedHashMap[String, List[Int]]()
+
     def benchPass(): Seq[(String, Double)] =
       selected.toSeq.map { case (name, fn) =>
         val preWarm = persistedIds()
@@ -159,6 +167,8 @@ object Bench {
           if (base.nonEmpty && median(base) < FastThresholdSec && fastRuns > runs)
             base ++ (1 to (fastRuns - runs)).flatMap(_ => sample())
           else base
+        sampleCounts.updateWith(name)(prev =>
+          Some(prev.getOrElse(Nil) :+ samples.size))
         // warm-run leftovers go when the query is done (steady-state
         // caches that were unpersisted here heal on their next use)
         dropNewSince(preWarm)
@@ -211,9 +221,18 @@ object Bench {
     val extra =
       if (passes < 2) ""
       else s""","pass_totals":[${totals.mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ""""
+    // a SPARK_GRAFT_BENCH_ONLY run is an adjudication subset, not a suite
+    // run — stamp the selection so its total can never silently be
+    // compared round-over-round against full-suite totals
+    val onlyJson =
+      if (only.isEmpty) ""
+      else s""","subset":true,"only":[${only.map("\"" + _ + "\"").mkString(",")}]"""
+    val samplesJson = sampleCounts
+      .map { case (k, ns) => "\"" + k + "\":[" + ns.mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // value = LAST pass total (steady-state); queries = cross-pass min
     // per query — both documented as THE comparable in the scaladoc
-    println(s"""{"metric":"total","value":${totals.last},"unit":"sec","queries":${fmtQueries(minQueries)},"errors":$errJson,$passJson$extra,"sf":"$sfDir","runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"stat":"value=last-pass total (steady state); queries=cross-pass min of per-query medians"}""")
+    println(s"""{"metric":"total","value":${totals.last},"unit":"sec","queries":${fmtQueries(minQueries)},"errors":$errJson,$passJson$extra$onlyJson,"samples":$samplesJson,"sf":"$sfDir","runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"stat":"value=last-pass total (steady state); queries=cross-pass min of per-query medians"}""")
     spark.stop()
   }
 }

@@ -101,6 +101,19 @@ class RestServer(store: VectorStore, port: Int = 0,
   private def readJson(ex: HttpExchange): JsonNode =
     mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
+  /** Strict boolean query param: case-insensitive `true`/`false`, 422 on
+    * anything else. `?durable=TRUE` must not parse as false and silently
+    * serve the OTHER store — the class doc promises no silent fallback,
+    * and the POST-body flag (Jackson `asBoolean`) already accepts
+    * case-variant booleans, so the two flag spellings stay consistent. */
+  private def boolParam(ex: HttpExchange, key: String, default: Boolean): Boolean =
+    queryParam(ex, key, default.toString).toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"query param '$key' must be true or false (got '$other')")
+    }
+
   /** Fetch a required field or fail with the 422 path (mirrors Pydantic's
     * field-required validation, rest_api.py models) — a bare `get` would
     * NPE into a 500. */
@@ -259,7 +272,7 @@ class RestServer(store: VectorStore, port: Int = 0,
     val path = ex.getRequestURI.getPath
     if (path == "/namespaces" || path == "/namespaces/") {
       val names =
-        if (queryParam(ex, "durable", "false") == "true")
+        if (boolParam(ex, "durable", default = false))
           durable.getOrElse(throw new IllegalArgumentException(
             "no durable store mounted on this server")).listNamespaces()
         else store.listNamespaces()

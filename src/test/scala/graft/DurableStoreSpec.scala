@@ -99,6 +99,35 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(d.tombstoneCount() == 0)
   }
 
+  test("a reader process re-seeds its tombstone count and crosses the gate the writer grew past") {
+    val root = tmp()
+    val writer = new DurableVectorStore(spark, root)
+    writer.loadFrame(frame(vecs), "rs")
+    // reader opens while the log is EMPTY: its open-time count is 0
+    val reader = new DurableVectorStore(spark, root)
+    assert(reader.tombstoneCount() == 0)
+    spark.conf.set(reader.TombBroadcastMaxRowsConf, "2")
+    spark.conf.set(reader.TombRefreshMsConf, "1")
+    try {
+      // the WRITER grows the log past the reader's gate
+      writer.delete(Seq("v0", "v1", "v2", "v3"), "rs")
+      Thread.sleep(10) // let the reader's refresh interval elapse
+      // without the re-seed the reader would keep its stale 0 forever and
+      // broadcast an unbounded log — the failure the gate exists to stop
+      assert(reader.tombstoneCount() == 4,
+        "reader never re-seeded its tombstone count from the footer")
+      val plan = reader.live().queryExecution.sparkPlan.toString
+      assert(!plan.contains("Broadcast"),
+        s"stale reader still broadcasts the over-gate log:\n${plan.take(1500)}")
+      // and the refreshed read path serves the writer's deletes
+      val ids = reader.findSimilar(Seq(3f, 2f, 1f), k = 30, namespace = "rs").map(_.id).toSet
+      assert(!ids.contains("v0") && ids.contains("v5"))
+    } finally {
+      spark.conf.unset(reader.TombBroadcastMaxRowsConf)
+      spark.conf.unset(reader.TombRefreshMsConf)
+    }
+  }
+
   test("delete -> re-add -> compact: resurrection survives the fold, log empties") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs), "res")

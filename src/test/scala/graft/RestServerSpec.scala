@@ -236,6 +236,12 @@ class RestServerSpec extends AnyFunSuite {
       assert(nc == 200 && nb.contains("dns"))
       val (n2c, n2b) = send("GET", s"$base/namespaces")
       assert(n2c == 200 && !n2b.contains("dns"))
+      // query-param flag is case-insensitive (the body flag already is) …
+      val (ncc, ncb) = send("GET", s"$base/namespaces?durable=TRUE")
+      assert(ncc == 200 && ncb.contains("dns"),
+        "?durable=TRUE silently fell back to the in-memory store")
+      // … and anything that isn't a boolean is a 422, not a silent false
+      assert(send("GET", s"$base/namespaces?durable=1")._1 == 422)
       // approx + durable is a contract violation, not a silent fallback
       val (ac, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true}""")
