@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness machine-parses the LAST line of stdout; sbt's
+// default LoggedOutput prefixes forked-run output with "[info] ", which
+// breaks a starts-with-'{' JSON parse. Pass program output through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

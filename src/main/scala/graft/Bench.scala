@@ -53,6 +53,16 @@ package graft
   *  - `SPARK_GRAFT_BENCH_ONLY` (comma-separated names/substrings) runs a
   *    subset — the adjudication instrument for single-query regression
   *    calls (warm sweep still covers the subset only).
+  *
+  * Round-8 additions:
+  *  - THE STDOUT LINE FITS THE HARNESS TAIL: the driver keeps only the
+  *    last ~2 KB of output, and the r6/r7 line (full-precision values +
+  *    `queries_passN` + `samples` inline) overflowed it, so the driver's
+  *    machine-parse of the line failed every round. The stdout line now
+  *    carries millisecond-rounded values and the headline fields only;
+  *    the full-precision per-pass data, sample counts, and errors move to
+  *    an AUDIT FILE (`SPARK_GRAFT_BENCH_AUDIT`, default
+  *    `target/bench_audit.json`) whose path the line references.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -179,8 +189,12 @@ object Bench {
     val allPasses: Seq[Seq[(String, Double)]] = (1 to passes).map(_ => benchPass())
     val names = allPasses.head.map(_._1)
 
-    def fmtQueries(qs: Seq[(String, Double)]): String =
-      qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the stdout line is size-budgeted (driver tail window); 1 ms
+    // resolution is far below the demonstrated run-to-run noise floor
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def fmtQueries(qs: Seq[(String, Double)], round: Boolean = false): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + (if (round) r3(v) else v) }
+        .mkString("{", ",", "}")
 
     val totals = allPasses.map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
 
@@ -220,7 +234,7 @@ object Bench {
       .mkString(",")
     val extra =
       if (passes < 2) ""
-      else s""","pass_totals":[${totals.mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ""""
+      else s""","pass_totals":[${totals.map(r3).mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ""""
     // a SPARK_GRAFT_BENCH_ONLY run is an adjudication subset, not a suite
     // run — stamp the selection so its total can never silently be
     // compared round-over-round against full-suite totals
@@ -230,9 +244,24 @@ object Bench {
     val samplesJson = sampleCounts
       .map { case (k, ns) => "\"" + k + "\":[" + ns.mkString(",") + "]" }
       .mkString("{", ",", "}")
+
+    // Full-precision per-pass data, sample counts, and errors go to the
+    // audit file — inline they overflowed the harness's ~2 KB stdout tail
+    // and broke its machine-parse of the headline line (r6/r7).
+    val auditPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_AUDIT", "target/bench_audit.json")
+    val auditJson =
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"samples":$samplesJson,"errors":$errJson}"""
+    try {
+      val p = java.nio.file.Paths.get(auditPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, auditJson.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"audit write failed: $e") }
+
     // value = LAST pass total (steady-state); queries = cross-pass min
-    // per query — both documented as THE comparable in the scaladoc
-    println(s"""{"metric":"total","value":${totals.last},"unit":"sec","queries":${fmtQueries(minQueries)},"errors":$errJson,$passJson$extra$onlyJson,"samples":$samplesJson,"sf":"$sfDir","runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"stat":"value=last-pass total (steady state); queries=cross-pass min of per-query medians"}""")
+    // per query — both documented as THE comparable in the scaladoc.
+    // Errors stay inline (they must be impossible to miss); when empty
+    // they cost 2 bytes.
+    println(s"""{"metric":"total","value":${r3(totals.last)},"unit":"sec","queries":${fmtQueries(minQueries, round = true)},"errors":$errJson$extra$onlyJson,"sf":"$sfDir","runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"audit":"$auditPath","stat":"value=last pass; queries=cross-pass min"}""")
     spark.stop()
   }
 }
