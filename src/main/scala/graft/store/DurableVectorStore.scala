@@ -48,16 +48,24 @@ import graft.model.SearchHit
   *
   * Cluster contract (same as `spark.graft.ivf.dir`): `path` must be a
   * shared filesystem — executors write the partitioned appends, any
-  * driver may read them back. Single-writer per store at a time: the seq
-  * counter serializes commits in ONE process; multi-writer deployments
-  * put a commit log (or a table format) in front, which is out of scope
-  * here and documented rather than half-built. Reads are always safe
-  * against APPENDS — they see whatever has landed. [[compact]] is the
-  * one non-append operation: it REWRITES `data/`, so it belongs in a
-  * maintenance window — a scan in flight across the rewrite can fail on
-  * the replaced files (deployments needing lock-free compaction put a
-  * snapshot-isolating table format underneath; plain parquet has no
-  * MVCC and this class does not pretend otherwise).
+  * driver may read them back. APPENDS are multi-process safe: commit
+  * stamps are claimed through `commits/`, a marker directory where each
+  * seq is an atomically-created empty file (open(O_CREAT|O_EXCL) on
+  * local filesystems, `FileSystem.create(overwrite=false)` elsewhere —
+  * atomic on HDFS; object stores without atomic create need a table
+  * format and are outside this contract). Two writer processes can
+  * therefore interleave loads and deletes without ever minting the same
+  * seq — without this, both seed the same counter from the layout max
+  * and a delete in one process mints a stamp that does NOT outrank data
+  * committed concurrently by the other, which silently fails to kill
+  * the row (tombstones only kill at strictly higher seq). Reads are
+  * always safe against appends — they see whatever has landed.
+  * [[compact]] remains the one non-append operation: it REWRITES
+  * `data/`, so it belongs in a maintenance window — a scan or append in
+  * flight across the rewrite can fail or be folded away (deployments
+  * needing lock-free compaction put a snapshot-isolating table format
+  * underneath; plain parquet has no MVCC and this class does not
+  * pretend otherwise).
   */
 class DurableVectorStore(val spark: SparkSession, val path: String) {
 
@@ -65,6 +73,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   private def dataPath = s"$path/data"
   private def delPath = s"$path/deletes"
+  private def commitsPath = s"$path/commits"
 
   /** Fixed layout schemas — reads never infer, so empty layouts (fresh
     * store, compacted-to-empty partitioned write that leaves only
@@ -95,20 +104,78 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema).parquet(p)
 
-  /** Seeded once from the layout (max over two small long columns —
-    * parquet answers this from footer statistics), then monotonic
-    * in-process. */
+  private def hadoopFs(p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomically claim commit marker `s` — true iff THIS caller created
+    * it. On `file:` schemes this is `java.io.File.createNewFile`
+    * (open(O_CREAT|O_EXCL), POSIX-atomic); RawLocalFileSystem's
+    * `create(overwrite=false)` is a check-then-create TOCTOU and must
+    * not be trusted for mutual exclusion. Elsewhere it is
+    * `FileSystem.create(overwrite=false)`, atomic on HDFS (namenode
+    * lease). The marker is an empty file named by the zero-padded seq. */
+  private def tryClaim(s: Long): Boolean = {
+    val marker = f"$commitsPath/$s%020d"
+    val hp = new org.apache.hadoop.fs.Path(marker)
+    val fs = hadoopFs(commitsPath)
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(marker.stripPrefix("file:"))
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else {
+      try { fs.create(hp, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => // parent missing
+          fs.mkdirs(hp.getParent)
+          try { fs.create(hp, false).close(); true }
+          catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    }
+  }
+
+  /** Highest seq any process has claimed in `commits/` (0 if none) — one
+    * directory listing; called only on open and on claim contention. */
+  private def maxMarker(): Long = {
+    val fs = hadoopFs(commitsPath)
+    val hp = new org.apache.hadoop.fs.Path(commitsPath)
+    if (!fs.exists(hp)) 0L
+    else fs.listStatus(hp).iterator.map { st =>
+      scala.util.Try(st.getPath.getName.toLong).getOrElse(0L)
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** This process's view of the highest allocated seq. Seeded once from
+    * max(claimed markers, layout stamps — parquet answers the latter from
+    * footer statistics); advanced by [[nextSeq]]'s claims and bumped past
+    * other processes' claims on contention. */
   private lazy val seq: AtomicLong = {
     def maxSeq(p: String, schema: StructType): Long =
       readOrEmpty(p, schema).agg(max(col("seq"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    new AtomicLong(math.max(maxSeq(dataPath, dataSchema),
-      maxSeq(delPath, delSchema)))
+    new AtomicLong(math.max(maxMarker(),
+      math.max(maxSeq(dataPath, dataSchema), maxSeq(delPath, delSchema))))
   }
 
-  private def nextSeq(): Long = seq.incrementAndGet()
+  /** Allocate the next commit stamp: claim candidate seqs through the
+    * `commits/` marker directory until one atomic create succeeds. The
+    * in-process AtomicLong keeps same-process threads off each other's
+    * candidates (one FS create per commit, no listing); a cross-process
+    * collision re-lists the markers and jumps past the visible max. One
+    * tiny empty file per commit is the entire log — bounded by the
+    * mutation count between compactions and GC'd by [[compact]]. */
+  private def nextSeq(): Long = {
+    var candidate = seq.incrementAndGet()
+    while (!tryClaim(candidate)) {
+      val m = maxMarker()
+      seq.getAndUpdate(cur => math.max(cur, m))
+      candidate = seq.incrementAndGet()
+    }
+    candidate
+  }
 
   /** Tombstone rows this process believes are in the log: seeded from a
     * footer-only parquet count on first use, advanced by this store's
@@ -350,6 +417,27 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     tombRows.set(0L) // log folded: reads return to the broadcast regime
     lastTombRefresh.set(System.currentTimeMillis()) // a pre-compact footer
     // count must not land over the reset; full interval before next refresh
+    gcMarkers()
     kept.count()
+  }
+
+  /** GC the commit markers, keeping only the highest: a fresh process
+    * opening after the GC still seeds at ≥ every claimed stamp, and
+    * claims only ever go UPWARD from there, so deleting a lower marker
+    * (even one held by an in-flight commit) can never let its seq be
+    * re-minted. Runs inside [[compact]]'s maintenance window; the marker
+    * count it folds is one empty file per commit since the last compact. */
+  private def gcMarkers(): Unit = {
+    val fs = hadoopFs(commitsPath)
+    val hp = new org.apache.hadoop.fs.Path(commitsPath)
+    if (fs.exists(hp)) {
+      val markers = fs.listStatus(hp)
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption
+          .map(_ -> st.getPath))
+      if (markers.length > 1) {
+        val keep = markers.maxBy(_._1)._1
+        markers.foreach { case (s, p) => if (s != keep) fs.delete(p, false) }
+      }
+    }
   }
 }

@@ -215,4 +215,38 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(!d.findSimilar(Seq(0f, 0f, 1f), k = 50, namespace = "a")
       .map(_.id).contains("v0"))
   }
+
+  test("two writer processes interleave appends without minting colliding commit stamps") {
+    // Two store INSTANCES over one root stand in for two writer
+    // processes: each has its own seq counter, exactly like two JVMs.
+    // Without the commits/ marker claims this scenario silently LOSES a
+    // delete — a's counter (still at its own last commit) mints a stamp
+    // that does not outrank the data b committed after a's last write,
+    // and the tombstone kills nothing while the delete REPORT still
+    // names the id.
+    val root = tmp()
+    val a = new DurableVectorStore(spark, root)
+    val b = new DurableVectorStore(spark, root)
+    a.loadFrame(frame(Seq(("a1", Seq(1f, 0f, 0f)))), "ns") // a claims stamps
+    b.loadFrame(frame(Seq(("b1", Seq(0f, 1f, 0f)))), "ns") // b claims PAST a's
+    val rep = a.delete(Seq("b1"), "ns") // a must claim past b's data stamp
+    assert(rep == Seq("b1"))
+    for (s <- Seq(a, b)) {
+      assert(s.read("b1", "ns").isEmpty,
+        "delete from one writer failed to kill a row committed by the other")
+      assert(s.read("a1", "ns").nonEmpty)
+      assert(s.totalCount() == 1)
+    }
+    // interleaved upserts of the SAME id: the later claim wins on both views
+    a.loadFrame(frame(Seq(("x", Seq(1f, 1f, 0f)))), "ns")
+    b.loadFrame(frame(Seq(("x", Seq(2f, 2f, 0f)))), "ns")
+    for (s <- Seq(a, b))
+      assert(s.read("x", "ns").map(_.values.toSeq) == Some(Seq(2f, 2f, 0f)))
+    // compaction GC keeps only the top marker; a THIRD process seeds past
+    // every claimed stamp and its delete still outranks everything
+    a.compact()
+    val c = new DurableVectorStore(spark, root)
+    assert(c.delete(Seq("x"), "ns") == Seq("x"))
+    for (s <- Seq(a, b, c)) assert(s.read("x", "ns").isEmpty)
+  }
 }
