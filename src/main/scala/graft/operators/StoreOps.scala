@@ -528,6 +528,76 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q57: STREAMING ingest into the durable facade -------------------
+
+  private val IngestN = 220L
+  private val IngestNs = "q57"
+  private val IngestDelMod = 11
+
+  private val q57Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q57Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q57: the durable store's write path as a STREAM behind the gate —
+    * `readStream` file source over the embeddings parquet →
+    * `foreachBatch` → [[graft.store.DurableVectorStore.loadFrame]]
+    * (each micro-batch one seq-stamped commit, drained with
+    * AvailableNow), then a tombstone delete and the partition-pruned
+    * top-k over what the STREAM committed. q46/q47 grade streaming
+    * reads; this grades streaming WRITES — a row dropped, duplicated,
+    * or double-committed anywhere in source→batch→append breaks the
+    * hash. The script is deterministic (the stream drains a fixed
+    * filter of a static table), so the oracle replays load-minus-
+    * deletes relationally, exactly like q54. */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/ingest_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val store = q57Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q57Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      val batches = graft.streaming.VectorIngest.ingest(
+        spark, dir, graft.streaming.VectorIngest.EmbeddingsSchema,
+        "embeddings.parquet",
+        src => src.where(col("vec_id") < IngestN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        s, IngestNs, root + "/_checkpoint")
+      require(batches >= 1, "the ingest stream committed no batches")
+      val expect = (0L until IngestN).filter(_ % IngestDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, IngestNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilar(qv, k = K, metric = "cosine",
+      namespace = IngestNs)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Relational replay of the q57 script — what the stream ingested
+    * minus the deleted slice, ranked and rounded like q54's oracle. */
+  val q57Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $IngestN AND vec_id % $IngestDelMod <> 0),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw FROM base b, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -535,7 +605,8 @@ object StoreOps {
       "q51_durable_search" -> (q51 _),
       "q53_store_ivf_search" -> (q53 _),
       "q54_durable_facade" -> (q54 _),
-      "q56_durable_compact_reload" -> (q56 _))
+      "q56_durable_compact_reload" -> (q56 _),
+      "q57_stream_ingest_durable" -> (q57 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -548,6 +619,7 @@ object StoreOps {
       "q50_durable_compact" -> q50Sql,
       "q51_durable_search" -> q51Sql,
       "q54_durable_facade" -> q54Sql,
-      "q56_durable_compact_reload" -> q56Sql) ++
+      "q56_durable_compact_reload" -> q56Sql,
+      "q57_stream_ingest_durable" -> q57Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux))
 }
