@@ -369,17 +369,25 @@ object Ann {
     * counted. */
   private[graft] def trainQuantizer(rows: DataFrame, idCol: String,
                                     vecCol: String, total: Long, cells: Int,
-                                    seed: Long): Array[Array[Float]] = {
+                                    seed: Long): Array[Array[Float]] =
+    lloyds(sampleVectors(rows, idCol, vecCol, total), cells, iters = 5,
+      seed = seed)
+
+  /** The bounded deterministic training sample behind [[trainQuantizer]],
+    * exposed so other quantizer families ([[Pq]]'s per-subspace
+    * codebooks) draw from the SAME sampling policy instead of growing a
+    * twin. */
+  private[graft] def sampleVectors(rows: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   total: Long): Array[Array[Float]] = {
     require(total > 0, "cannot train a quantizer over an empty corpus")
     val keepMod = math.max(1L, (total + QuantizerSampleMax - 1) / QuantizerSampleMax)
     val hashed = rows.where(pmod(xxhash64(col(idCol)), lit(keepMod)) === 0)
       .select(col(vecCol)).limit(QuantizerSampleMax.toInt).collect()
       .map(_.getSeq[Float](0).toArray)
-    val sample =
-      if (hashed.nonEmpty) hashed
-      else rows.select(col(vecCol)).limit(QuantizerSampleMax.toInt).collect()
-        .map(_.getSeq[Float](0).toArray)
-    lloyds(sample, cells, iters = 5, seed = seed)
+    if (hashed.nonEmpty) hashed
+    else rows.select(col(vecCol)).limit(QuantizerSampleMax.toInt).collect()
+      .map(_.getSeq[Float](0).toArray)
   }
 
   /** Persist the inverted file for `rows` under `aux`: `index/`

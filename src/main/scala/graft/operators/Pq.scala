@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosineSim
+import graft.sources.Tables
+
+/** Product quantization — the memory-compression ANN family (q58),
+  * complementing LSH (q32/q48: hash buckets) and IVF (q33/q53: coarse
+  * partitioning). PQ attacks a different axis: the BYTES each candidate
+  * costs. The corpus is L2-normalized, split into `SubSpaces` contiguous
+  * subvectors, and each subvector is quantized to its nearest codebook
+  * centroid — 64-dim float32 (256 B) becomes `SubSpaces` small codes
+  * (8 B at 8×16): a 32× smaller scan footprint, which at 100 TB is the
+  * difference between an ADC sweep reading 3 TB and reading 100 TB.
+  * (Reference context: hnswlib keeps full float vectors in RAM,
+  * `index.py:36-38` — at its 10k envelope that is fine; PQ is what the
+  * same read path does when the namespace no longer fits.)
+  *
+  * Query shape (asymmetric distance computation, ADC): the query is NOT
+  * quantized — per subspace, the squared-L2 distance from the query's
+  * subvector to every centroid is tabulated driver-side (`SubSpaces ×
+  * CodesPerSub` doubles, request-sized), and each row's approximate
+  * distance is `Σ_m lut[m][codes[m]]` — a table lookup per subspace over
+  * the codes column, no float vectors touched. On unit vectors squared
+  * L2 is `2 − 2·cos`, so ascending ADC is descending cosine. Top
+  * `CandN` candidates by (rounded ADC, id) then get an EXACT cosine
+  * rerank over their full vectors — the same candidates-are-policy /
+  * rerank-is-contract split as IVF.
+  *
+  * Determinism/oracle contract (the q33 pattern): the codebook, the
+  * encoded corpus (flat (vec_id, sub, code) form), and the per-query
+  * LUT are PERSISTED parquet; the DuckDB oracle replays candidates from
+  * those tables (join codes⋈lut, sum, cut) and reranks exactly. The ADC
+  * sum is 8 identical doubles on both sides — summation-order ulps
+  * (~1e-16 relative) sit nine orders of magnitude under the 1e-6
+  * rounding the cut uses, the q32 margin argument.
+  */
+object Pq {
+
+  private val NumQueries = 5
+  private val K = 5
+  private[graft] val SubSpaces = 8
+  private[graft] val CodesPerSub = 16
+  private val CandN = 50
+  private val PqSeed = 1337L
+
+  /** Conf key for the PQ layout root — the [[Ann.IvfDirConf]] cluster
+    * contract: shared filesystem on real deployments, process-private
+    * temp fallback locally. */
+  val PqDirConf = "spark.graft.pq.dir"
+
+  private lazy val privateRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_pq_").toString
+
+  private val processToken: String =
+    ProcessHandle.current().pid().toString + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  def pqAuxDir(spark: SparkSession, dir: String): String =
+    spark.conf.getOption(PqDirConf).getOrElse(privateRoot) +
+      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  @volatile private var lastAux: Option[String] = None
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** L2-normalize in double (the exact arithmetic [[graft.functions.PqEncode]]
+    * uses), zero vectors passed through. */
+  private def normalized(v: Array[Float]): Array[Double] = {
+    val d = v.map(_.toDouble)
+    val sq = d.foldLeft(0.0)((a, x) => a + x * x)
+    if (sq > 0) { val inv = 1.0 / math.sqrt(sq); d.map(_ * inv) } else d
+  }
+
+  /** Subvector `m` of a normalized vector, zero-padded past the end. */
+  private def subVec(v: Array[Double], m: Int, subDim: Int): Array[Float] =
+    Array.tabulate(subDim)(j =>
+      if (m * subDim + j < v.length) v(m * subDim + j).toFloat else 0f)
+
+  /** BUILD: train per-subspace codebooks on the shared bounded sample
+    * ([[Ann.sampleVectors]] — one sampling policy across quantizer
+    * families), encode the corpus in one narrow [[graft.functions.PqEncode]]
+    * pass, and persist the layout: `codebook/` (sub, code, centroid),
+    * `codes/` (vec_id, codes array<int>) — the compressed scan table —
+    * and `codes_flat/` (vec_id, sub, code), derived by reading `codes/`
+    * back, for the SQL oracle. At 100 TB this runs offline once; only
+    * [[pqProbe]] runs per query. Returns the layout dir. */
+  def buildPqIndex(spark: SparkSession, dir: String): String = {
+    buildCount.incrementAndGet()
+    val aux = pqAuxDir(spark, dir)
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val total = e.count()
+    require(total > 0, s"cannot build a PQ index over an empty corpus ($dir)")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val subDim = (dim + SubSpaces - 1) / SubSpaces
+
+    val sample = Ann.sampleVectors(e, "vec_id", "embedding", total)
+      .map(normalized)
+    val codebook: Seq[Seq[Seq[Float]]] = (0 until SubSpaces).map { m =>
+      Ann.lloyds(sample.map(subVec(_, m, subDim)), CodesPerSub, iters = 5,
+        seed = PqSeed + m).map(_.toSeq).toSeq
+    }
+
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (ct, k) => (m, k, ct) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/codebook")
+
+    e.withColumn("codes", graft.functions.PqEncode(col("embedding"), codebook))
+      .select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$aux/codes")
+
+    spark.read.parquet(s"$aux/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
+    aux
+  }
+
+  /** PROBE: tabulate the per-query ADC LUT driver-side from the persisted
+    * codebook, sweep the codes table (table lookup + 8-term sum per row,
+    * never a float vector), cut to `CandN` candidates on (rounded ADC,
+    * id), exact-cosine rerank. `persistLut` writes `lut/` next to the
+    * layout for the oracle — only the graded path sets it. */
+  def pqProbe(spark: SparkSession, dir: String, aux: String,
+              persistLut: Boolean = false): DataFrame = {
+    val cbRows = spark.read.parquet(s"$aux/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val codebook: Array[Array[Array[Float]]] =
+      cbRows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
+        .map(_.toArray).toArray
+    val subDim = codebook(0)(0).length
+
+    val queries = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // lut(qid)(m)(k) = ‖qn_m − centroid_{m,k}‖² in double
+    val luts: Seq[(Long, Seq[Seq[Double]])] = queries.toSeq.map { case (qid, qv) =>
+      val qn = normalized(qv)
+      val lut = (0 until SubSpaces).map { m =>
+        val qs = subVec(qn, m, subDim)
+        codebook(m).toSeq.map { ct =>
+          var acc = 0.0
+          var j = 0
+          while (j < subDim) {
+            val d = qs(j).toDouble - ct(j).toDouble
+            acc += d * d
+            j += 1
+          }
+          acc
+        }
+      }
+      (qid, lut)
+    }
+
+    import spark.implicits._
+    if (persistLut)
+      luts.flatMap { case (qid, lut) =>
+        lut.zipWithIndex.flatMap { case (ks, m) =>
+          ks.zipWithIndex.map { case (d, k) => (qid, m, k, d) }
+        }
+      }.toDF("qid", "sub", "code", "d")
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/lut")
+
+    val codes = spark.read.parquet(s"$aux/codes")
+    val cand = luts.map { case (qid, lut) =>
+      // the LUT rides as a SQL literal: full-precision doubles round-trip
+      // through java.lang.Double.toString
+      val lutSql = lut.map(ks =>
+        "array(" + ks.map(d => s"${d}D").mkString(", ") + ")")
+        .mkString("array(", ", ", ")")
+      codes.where(col("vec_id") =!= qid)
+        .withColumn("adc", expr(
+          s"round(aggregate(zip_with(codes, $lutSql, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)"))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(CandN)
+        .select(lit(qid).as("qid"), col("vec_id"))
+    }.reduce(_ unionAll _)
+
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qf = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qf), Seq("qid"))
+      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q58 = cached build + probe (the q33 lifecycle: build once per JVM,
+    * probe per invocation — bench repeats measure the ADC sweep, not the
+    * training). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val aux = layoutCache.computeIfAbsent(pqAuxDir(spark, dir),
+      _ => buildPqIndex(spark, dir))
+    lastAux = Some(aux)
+    pqProbe(spark, dir, aux, persistLut = true)
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Oracle replay from the persisted layout: ADC = codes⋈lut summed and
+    * rounded, candidates = top-CandN per query on (ADC, id), rerank =
+    * exact cosine — the candidate policy is the layout, the contract is
+    * the rerank, exactly q33's relationship to its k-means. */
+  def q58Sql(aux: String): String =
+    s"""WITH lut AS (SELECT qid, sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
+       |cf AS (SELECT vec_id, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY l.qid, c.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS cr
+       |    FROM adc WHERE vec_id <> qid) WHERE cr <= $CandN),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |sc AS (
+       |  SELECT c.qid, c.vec_id AS id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_ann_pq_topk" -> (pqTopK _))
+
+  /** Like q33's oracle: only emitted after pqTopK actually ran in this
+    * JVM, so it can never point at a stale layout. */
+  def oracles: Map[String, String] =
+    lastAux.map(aux => "q58_ann_pq_topk" -> q58Sql(aux)).toMap
+}

@@ -47,6 +47,29 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN recall@5 vs brute force is at least 0.5; codes are SubSpaces small ints") {
+    import graft.operators.Pq
+    val exact = Ann.q31(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val approx = Pq.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.2f (${exact.intersect(approx).size}/${exact.size})")
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // the compression claim is structural: every row encodes to exactly
+    // SubSpaces codes, each within [0, CodesPerSub)
+    val aux = Pq.pqAuxDir(spark, dir)
+    val codes = spark.read.parquet(s"$aux/codes").collect()
+      .map(_.getSeq[Int](1))
+    assert(codes.nonEmpty)
+    assert(codes.forall(c => c.length == Pq.SubSpaces &&
+      c.forall(k => k >= 0 && k < Pq.CodesPerSub)))
+    // build once per JVM: a second pqTopK must not retrain
+    val builds = Pq.buildCount.get()
+    Pq.pqTopK(spark, dir)
+    assert(Pq.buildCount.get() == builds, "repeat pqTopK retrained the codebook")
+  }
+
   test("IVF probe serves repeatedly off one persisted layout (build once, probe many)") {
     val aux = Ann.buildIvfIndex(spark, dir)
     val key = (r: org.apache.spark.sql.Row) =>
