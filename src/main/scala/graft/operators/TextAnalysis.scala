@@ -280,6 +280,97 @@ object TextAnalysis {
             " / len(string_split_regex(trim(text), '\\s+'))")} AS fertility
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- Q59: Gopher-style quality rules --------------------------------
+  // The rule-based document gate from the Gopher/MassiveText recipe (Rae
+  // et al. 2021, §A1.1 — public): word-count bounds, mean-word-length
+  // band, symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+  // word fraction, minimum stopword hits. Each rule is per-row arithmetic
+  // over one whitespace split + one line split — a narrow, shuffle-free
+  // corpus map at 100 TB (the gate typically drops ~half of raw web text
+  // before any model-based scoring). Thresholds are the published ones
+  // except the word-count floor (30 here — the synthetic docs cap at 99
+  // words, and a gate nothing can fail would grade nothing).
+
+  private val GopherMinWords = 30
+  private val GopherMaxWords = 100000
+
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("words", expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("mean_word_len_raw",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").cast("double")
+          / col("n_words"))
+      .withColumn("alpha_frac_raw",
+        expr("size(filter(words, w -> w rlike '[A-Za-z]'))").cast("double")
+          / col("n_words"))
+      .withColumn("sym_ratio_raw",
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          expr("(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', ''))) div 3"))
+          .cast("double") / col("n_words"))
+      .withColumn("bullet_frac_raw",
+        expr("size(filter(lines, l -> l rlike '^\\\\s*[-*]'))").cast("double")
+          / size(col("lines")))
+      .withColumn("ellipsis_frac_raw",
+        expr("size(filter(lines, l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$'))").cast("double")
+          / size(col("lines")))
+      .withColumn("n_stop",
+        expr(s"size(array_intersect(array_distinct(transform(words, w -> lower(w))), array(${StopEn.map(w => s"'$w'").mkString(",")})))"))
+      .withColumn("pass",
+        col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_word_len_raw").between(3.0, 10.0) &&
+          col("sym_ratio_raw") <= 0.1 &&
+          col("bullet_frac_raw") <= 0.9 &&
+          col("ellipsis_frac_raw") <= 0.3 &&
+          col("alpha_frac_raw") >= 0.8 &&
+          col("n_stop") >= 2)
+      .select(col("doc_id"), col("n_words"),
+        r4(col("mean_word_len_raw")).as("mean_word_len"),
+        r4(col("alpha_frac_raw")).as("alpha_frac"),
+        r4(col("sym_ratio_raw")).as("sym_ratio"),
+        r4(col("bullet_frac_raw")).as("bullet_frac"),
+        r4(col("ellipsis_frac_raw")).as("ellipsis_frac"),
+        col("n_stop"), col("pass"))
+      // per-document output (corpus-sized at 100 TB) → parallel range sort
+      .orderBy(col("doc_id"))
+
+  /** The ratio arithmetic is int/int division on both sides — exact in
+    * double, so the raw-threshold comparisons in `pass` cannot drift
+    * between engines; r4 on the reported columns matches q21's contract. */
+  val q59Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(words)::INT AS n_words,
+       |         list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) AS mean_word_len_raw,
+       |         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words) AS alpha_frac_raw,
+       |         ((length(text) - length(replace(text, '#', ''))) +
+       |          (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / len(words) AS sym_ratio_raw,
+       |         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))::DOUBLE / len(lines) AS bullet_frac_raw,
+       |         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))::DOUBLE / len(lines) AS ellipsis_frac_raw,
+       |         len(list_intersect(list_distinct(list_transform(words, x -> lower(x))), ${sqlList(StopEn)}))::INT AS n_stop
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |       ${r4Sql("mean_word_len_raw")} AS mean_word_len,
+       |       ${r4Sql("alpha_frac_raw")} AS alpha_frac,
+       |       ${r4Sql("sym_ratio_raw")} AS sym_ratio,
+       |       ${r4Sql("bullet_frac_raw")} AS bullet_frac,
+       |       ${r4Sql("ellipsis_frac_raw")} AS ellipsis_frac,
+       |       n_stop,
+       |       (n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |        AND mean_word_len_raw BETWEEN 3.0 AND 10.0
+       |        AND sym_ratio_raw <= 0.1
+       |        AND bullet_frac_raw <= 0.9
+       |        AND ellipsis_frac_raw <= 0.3
+       |        AND alpha_frac_raw >= 0.8
+       |        AND n_stop >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,7 +380,8 @@ object TextAnalysis {
     "q23_fingerprint" -> (q23 _),
     "q41_stratified_split" -> (q41 _),
     "q42_training_set" -> (q42 _),
-    "q44_token_count_bpe" -> (q44 _))
+    "q44_token_count_bpe" -> (q44 _),
+    "q59_gopher_rules" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -298,5 +390,6 @@ object TextAnalysis {
     "q23_fingerprint" -> q23Sql,
     "q41_stratified_split" -> q41Sql,
     "q42_training_set" -> q42Sql,
-    "q44_token_count_bpe" -> q44Sql)
+    "q44_token_count_bpe" -> q44Sql,
+    "q59_gopher_rules" -> q59Sql)
 }
