@@ -38,8 +38,10 @@ import graft.sources.Tables
   */
 object Ann {
 
-  private val NumQueries = 5
-  private val K = 5
+  // shared query contract of the whole ANN family (q31–q33, q58, q60):
+  // the first NumQueries vectors probe, top-K per query reports
+  private[graft] val NumQueries = 5
+  private[graft] val K = 5
   // private[graft]: the store's approx path and its q48 oracle derive
   // their plane family from THESE values — a hard copy elsewhere would
   // silently diverge on retune
@@ -50,7 +52,7 @@ object Ann {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
 
-  private def queryFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def queryFrame(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -505,11 +507,18 @@ object Ann {
     * only the probe, exactly like a deployment that calls buildIvfIndex
     * offline once and ivfProbe per request. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val aux = layoutCache.computeIfAbsent(ivfAuxDir(spark, dir),
-      _ => buildIvfIndex(spark, dir))
+    val aux = ensureLayout(spark, dir)
     lastAux = Some(aux)
     ivfProbe(spark, dir, aux, persistProbes = true)
   }
+
+  /** Build-or-reuse the persisted layout for `dir` (q33's cache) WITHOUT
+    * running a probe — composition consumers ([[IvfPq]]) need the
+    * centroids/index/assign tables, not the graded query's side
+    * effects. */
+  private[graft] def ensureLayout(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(ivfAuxDir(spark, dir),
+      _ => buildIvfIndex(spark, dir))
 
   /** Oracle replay of q33 from the persisted layout: candidates = probed
     * cells' members, rerank = exact cosine top-k. The k-means itself is

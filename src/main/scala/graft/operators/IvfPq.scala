@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVFADC — the composition of the engine's two persisted ANN layouts
+  * (q60), and the architecture every billion-vector deployment actually
+  * runs (FAISS's IVFPQ): the IVF coarse quantizer bounds WHICH rows a
+  * query reads (probe ≈ 2/√cells of the corpus, partition-pruned), and
+  * PQ bounds the BYTES each of those rows costs (8 codes, not 256 B of
+  * floats). Multiplied out at 100 TB with 4096 cells: a probe reads
+  * ~3.1 % of a 3 TB code table ≈ 100 GB — against the 100 TB the exact
+  * scan reads, three orders of magnitude less I/O before the exact
+  * rerank touches a few dozen full vectors.
+  *
+  * Layout (`index/` = (vec_id, codes) PARTITIONED BY cell — the
+  * inverted file stores codes, not vectors): built once by joining the
+  * IVF assignment ([[Ann.ensureLayout]]) with the PQ codes
+  * ([[Pq.ensureLayout]]) — a one-off build-time join of two
+  * narrow tables, never a query-time one. A probe is: rank centroids
+  * driver-side (request-sized), scan ONLY the probed cell partitions,
+  * ADC-sweep their codes ([[Pq.adcExpr]]), cut `Pq.CandN` candidates on
+  * (rounded ADC, id), exact-rerank ([[Pq.rerank]]).
+  *
+  * Oracle contract: probes, the flat cell assignment, the flat codes,
+  * and the per-query LUTs are all persisted parquet; the DuckDB oracle
+  * replays candidates = (probed cells' members, ADC-summed, cut) +
+  * exact rerank — the q33/q58 pattern composed. The two quantizers
+  * disagree on normalization by design (IVF cells partition RAW space,
+  * PQ codes normalized space for the cosine proxy); both are candidate
+  * POLICY, replayed from disk, never recomputed by the oracle.
+  */
+object IvfPq {
+
+  /** Conf key for the IVFADC layout root — the [[Ann.IvfDirConf]]
+    * cluster contract. */
+  val IvfPqDirConf = "spark.graft.ivfpq.dir"
+
+  private lazy val privateRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+
+  private val processToken: String =
+    ProcessHandle.current().pid().toString + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  def auxDir(spark: SparkSession, dir: String): String =
+    spark.conf.getOption(IvfPqDirConf).getOrElse(privateRoot) +
+      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  @volatile private var lastAux: Option[(String, String)] = None
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** BUILD: ensure both source layouts, then join IVF's (vec_id, cell)
+    * with PQ's (vec_id, codes) into the cell-partitioned code table,
+    * plus the flat `assign/` replay copy derived by reading the index
+    * back. Returns the layout dir. */
+  def buildLayout(spark: SparkSession, dir: String): String = {
+    buildCount.incrementAndGet()
+    val aux = auxDir(spark, dir)
+    val ivfAux = Ann.ensureLayout(spark, dir)
+    val pqAux = Pq.ensureLayout(spark, dir)
+    val assign = spark.read.parquet(s"$ivfAux/assign")
+    val codes = spark.read.parquet(s"$pqAux/codes")
+    assign.join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    spark.read.parquet(s"$aux/index")
+      .select(col("vec_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+    aux
+  }
+
+  /** PROBE: centroid ranking and ADC tables are driver-side
+    * (request-sized); the corpus-side work is a partition-pruned scan
+    * of the probed cells' CODES — the only distributed cost — then the
+    * exact rerank of `Pq.CandN` ids. */
+  def probe(spark: SparkSession, dir: String, aux: String,
+            persistAux: Boolean = false): DataFrame = {
+    val ivfAux = Ann.ensureLayout(spark, dir)
+    val pqAux = Pq.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$ivfAux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val nProbe = Ann.ivfProbeFor(centers.length)
+    val queries = Ann.queryFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
+      Ann.rankCells(qv, centers, nProbe).map(cell => (qid, cell))
+    }
+    val codebook = Pq.readCodebook(spark, pqAux)
+    val luts = Pq.queryLuts(spark, dir, codebook)
+
+    import spark.implicits._
+    if (persistAux) {
+      probeRows.toDF("qid", "cell")
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/probes")
+      Pq.writeLuts(spark, luts, s"$aux/lut")
+    }
+
+    val probesByQ = probeRows.groupBy(_._1)
+    val idx = spark.read.parquet(s"$aux/index")
+    val cand = luts.map { case (qid, lut) =>
+      val cells = probesByQ.getOrElse(qid, Seq.empty).map(_._2).distinct
+      idx.where(col("cell").isin(cells: _*) && col("vec_id") =!= qid)
+        .withColumn("adc", Pq.adcExpr(lut))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(Pq.CandN)
+        .select(lit(qid).as("qid"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    Pq.rerank(spark, dir, cand)
+  }
+
+  /** q60 = cached build + probe (build once per JVM; bench repeats
+    * measure probe + rerank, the serving path). */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val aux = layoutCache.computeIfAbsent(auxDir(spark, dir),
+      _ => buildLayout(spark, dir))
+    lastAux = Some((aux, Pq.ensureLayout(spark, dir)))
+    probe(spark, dir, aux, persistAux = true)
+  }
+
+  /** Oracle replay from the persisted layouts: candidates = members of
+    * the probed cells, ADC-summed from codes⋈lut and cut on (rounded
+    * ADC, id); rerank = exact cosine — the q33 and q58 replays
+    * composed. */
+  def q60Sql(aux: String, pqAux: String): String =
+    s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |lut AS (SELECT qid, sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
+       |cf AS (SELECT vec_id, sub, code FROM read_parquet('$pqAux/codes_flat/*.parquet')),
+       |cells AS (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT cl.qid, cl.vec_id, round(sum(l.d), 6) AS adc
+       |  FROM cells cl
+       |  JOIN cf c ON c.vec_id = cl.vec_id
+       |  JOIN lut l ON l.qid = cl.qid AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY cl.qid, cl.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS cr
+       |    FROM adc) WHERE cr <= ${Pq.CandN}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < ${Ann.NumQueries}),
+       |sc AS (
+       |  SELECT c.qid, c.vec_id AS id, round(${Pq.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= ${Ann.K}
+       |ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_ann_ivfpq_topk" -> (ivfPqTopK _))
+
+  /** Emitted only after ivfPqTopK ran in this JVM (the q33/q58 honesty
+    * contract — never a stale layout). */
+  def oracles: Map[String, String] =
+    lastAux.map { case (aux, pqAux) =>
+      "q60_ann_ivfpq_topk" -> q60Sql(aux, pqAux)
+    }.toMap
+}

@@ -40,11 +40,12 @@ import graft.sources.Tables
   */
 object Pq {
 
-  private val NumQueries = 5
-  private val K = 5
+  // query contract shared with the rest of the ANN family (Ann.scala)
+  private def NumQueries = Ann.NumQueries
+  private def K = Ann.K
   private[graft] val SubSpaces = 8
   private[graft] val CodesPerSub = 16
-  private val CandN = 50
+  private[graft] val CandN = 50
   private val PqSeed = 1337L
 
   /** Conf key for the PQ layout root — the [[Ann.IvfDirConf]] cluster
@@ -129,73 +130,81 @@ object Pq {
     * never a float vector), cut to `CandN` candidates on (rounded ADC,
     * id), exact-cosine rerank. `persistLut` writes `lut/` next to the
     * layout for the oracle — only the graded path sets it. */
-  def pqProbe(spark: SparkSession, dir: String, aux: String,
-              persistLut: Boolean = false): DataFrame = {
+  /** The persisted codebook as a `[sub][code][dim]` matrix. */
+  private[graft] def readCodebook(spark: SparkSession,
+                                  aux: String): Array[Array[Array[Float]]] = {
     val cbRows = spark.read.parquet(s"$aux/codebook").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val codebook: Array[Array[Array[Float]]] =
-      cbRows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
-        .map(_.toArray).toArray
-    val subDim = codebook(0)(0).length
+    cbRows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
+      .map(_.toArray).toArray
+  }
 
-    val queries = Tables.table(spark, dir, "embeddings")
+  /** Per-query ADC tables: lut(qid)(m)(k) = ‖qn_m − centroid_{m,k}‖² in
+    * double (query normalized with the exact PqEncode arithmetic). Shared
+    * by the flat-PQ probe and the [[IvfPq]] composition. */
+  private[graft] def queryLuts(spark: SparkSession, dir: String,
+                               codebook: Array[Array[Array[Float]]]): Seq[(Long, Seq[Seq[Double]])] = {
+    val subDim = codebook(0)(0).length
+    Tables.table(spark, dir, "embeddings")
       .where(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-
-    // lut(qid)(m)(k) = ‖qn_m − centroid_{m,k}‖² in double
-    val luts: Seq[(Long, Seq[Seq[Double]])] = queries.toSeq.map { case (qid, qv) =>
-      val qn = normalized(qv)
-      val lut = (0 until SubSpaces).map { m =>
-        val qs = subVec(qn, m, subDim)
-        codebook(m).toSeq.map { ct =>
-          var acc = 0.0
-          var j = 0
-          while (j < subDim) {
-            val d = qs(j).toDouble - ct(j).toDouble
-            acc += d * d
-            j += 1
+      .toSeq.map { case (qid, qv) =>
+        val qn = normalized(qv)
+        val lut = (0 until SubSpaces).map { m =>
+          val qs = subVec(qn, m, subDim)
+          codebook(m).toSeq.map { ct =>
+            var acc = 0.0
+            var j = 0
+            while (j < subDim) {
+              val d = qs(j).toDouble - ct(j).toDouble
+              acc += d * d
+              j += 1
+            }
+            acc
           }
-          acc
         }
+        (qid, lut)
       }
-      (qid, lut)
-    }
+  }
 
+  /** Persist the flat (qid, sub, code, d) form of [[queryLuts]] for an
+    * oracle replay. */
+  private[graft] def writeLuts(spark: SparkSession,
+                               luts: Seq[(Long, Seq[Seq[Double]])],
+                               path: String): Unit = {
     import spark.implicits._
-    if (persistLut)
-      luts.flatMap { case (qid, lut) =>
-        lut.zipWithIndex.flatMap { case (ks, m) =>
-          ks.zipWithIndex.map { case (d, k) => (qid, m, k, d) }
-        }
-      }.toDF("qid", "sub", "code", "d")
-        .coalesce(1).write.mode("overwrite").parquet(s"$aux/lut")
+    luts.flatMap { case (qid, lut) =>
+      lut.zipWithIndex.flatMap { case (ks, m) =>
+        ks.zipWithIndex.map { case (d, k) => (qid, m, k, d) }
+      }
+    }.toDF("qid", "sub", "code", "d")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 
-    val codes = spark.read.parquet(s"$aux/codes")
-    val cand = luts.map { case (qid, lut) =>
-      // the LUT rides as a SQL literal: full-precision doubles round-trip
-      // through java.lang.Double.toString
-      val lutSql = lut.map(ks =>
-        "array(" + ks.map(d => s"${d}D").mkString(", ") + ")")
-        .mkString("array(", ", ", ")")
-      codes.where(col("vec_id") =!= qid)
-        .withColumn("adc", expr(
-          s"round(aggregate(zip_with(codes, $lutSql, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)"))
-        .orderBy(col("adc"), col("vec_id"))
-        .limit(CandN)
-        .select(lit(qid).as("qid"), col("vec_id"))
-    }.reduce(_ unionAll _)
+  /** The ADC column over a `codes` array for one query's LUT: the LUT
+    * rides as a SQL literal (full-precision doubles round-trip through
+    * java.lang.Double.toString), each subspace's code indexes its row,
+    * the 8-term sum rounds to 1e-6 for a drift-free candidate cut. */
+  private[graft] def adcExpr(lut: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val lutSql = lut.map(ks =>
+      "array(" + ks.map(d => s"${d}D").mkString(", ") + ")")
+      .mkString("array(", ", ", ")")
+    expr(s"round(aggregate(zip_with(codes, $lutSql, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)")
+  }
 
+  /** Rerank `cand` (qid, vec_id) exactly: join full vectors back for the
+    * candidates only, exact cosine, top-K per query with the family's
+    * (score desc, id) tie-break. Shared by PQ and [[IvfPq]]. */
+  private[graft] def rerank(spark: SparkSession, dir: String,
+                            cand: DataFrame): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val qf = Tables.table(spark, dir, "embeddings")
-      .where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vec_id"))
     cand
       .join(emb, Seq("vec_id"))
-      .join(broadcast(qf), Seq("qid"))
+      .join(broadcast(Ann.queryFrame(spark, dir)), Seq("qid"))
       .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
@@ -203,19 +212,41 @@ object Pq {
       .orderBy(col("qid"), col("rank"))
   }
 
+  def pqProbe(spark: SparkSession, dir: String, aux: String,
+              persistLut: Boolean = false): DataFrame = {
+    val codebook = readCodebook(spark, aux)
+    val luts = queryLuts(spark, dir, codebook)
+    if (persistLut) writeLuts(spark, luts, s"$aux/lut")
+
+    val codes = spark.read.parquet(s"$aux/codes")
+    val cand = luts.map { case (qid, lut) =>
+      codes.where(col("vec_id") =!= qid)
+        .withColumn("adc", adcExpr(lut))
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(CandN)
+        .select(lit(qid).as("qid"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    rerank(spark, dir, cand)
+  }
+
   /** q58 = cached build + probe (the q33 lifecycle: build once per JVM,
     * probe per invocation — bench repeats measure the ADC sweep, not the
     * training). */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val aux = layoutCache.computeIfAbsent(pqAuxDir(spark, dir),
-      _ => buildPqIndex(spark, dir))
+    val aux = ensureLayout(spark, dir)
     lastAux = Some(aux)
     pqProbe(spark, dir, aux, persistLut = true)
   }
 
+  /** Build-or-reuse the persisted PQ layout for `dir` (the q58 cache)
+    * without probe side effects — the [[IvfPq]] composition's entry. */
+  private[graft] def ensureLayout(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(pqAuxDir(spark, dir),
+      _ => buildPqIndex(spark, dir))
+
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Oracle replay from the persisted layout: ADC = codes⋈lut summed and

@@ -70,6 +70,22 @@ class AnnSpec extends AnyFunSuite {
     assert(Pq.buildCount.get() == builds, "repeat pqTopK retrained the codebook")
   }
 
+  test("IVFADC (IVF cells x PQ codes) recall@5 vs brute force is at least 0.4") {
+    import graft.operators.IvfPq
+    val exact = Ann.q31(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val approx = IvfPq.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    // two approximations stack (cells cut the candidate set, codes rank
+    // it), so the floor sits under both parents' — measured well above
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IVFADC recall@5 = $recall%.2f (${exact.intersect(approx).size}/${exact.size})")
+    assert(recall >= 0.4, s"IVFADC recall too low: $recall")
+    val builds = IvfPq.buildCount.get()
+    IvfPq.ivfPqTopK(spark, dir)
+    assert(IvfPq.buildCount.get() == builds, "repeat ivfPqTopK rebuilt the layout")
+  }
+
   test("IVF probe serves repeatedly off one persisted layout (build once, probe many)") {
     val aux = Ann.buildIvfIndex(spark, dir)
     val key = (r: org.apache.spark.sql.Row) =>

@@ -129,6 +129,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [cell"), p.take(1200))
   }
 
+  test("IVFADC probe is cell-pruned over the CODES table: no embedding column in the swept scan") {
+    val p = plan(graft.operators.IvfPq.ivfPqTopK(spark, dir))
+    assert(p.contains("PartitionFilters: [cell"), p.take(1200))
+    // the ADC sweep reads (vec_id, codes) — the full-vector column may
+    // appear only in the rerank's scan of the embeddings TABLE, never in
+    // a scan of the ivfpq layout
+    val layoutScans = p.linesIterator.filter(_.contains("graft_ivfpq")).toSeq
+    assert(layoutScans.nonEmpty, p.take(1200))
+    assert(!layoutScans.exists(_.contains("embedding")),
+      layoutScans.mkString("\n").take(1200))
+  }
+
   test("bucketed tables co-locate the orders-lineitem join: no shuffle on either side") {
     import org.apache.spark.sql.functions.col
     // the recurring-workload shape SCALING.md argues for: bucket both
