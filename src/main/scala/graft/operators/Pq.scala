@@ -92,6 +92,38 @@ object Pq {
     * and `codes_flat/` (vec_id, sub, code), derived by reading `codes/`
     * back, for the SQL oracle. At 100 TB this runs offline once; only
     * [[pqProbe]] runs per query. Returns the layout dir. */
+  /** ONE codebook-training recipe, shared by the offline path
+    * ([[buildPqIndex]]) and the store-attached index
+    * ([[graft.store.VectorStore]]): Ann's bounded deterministic sample,
+    * normalized, sliced per subspace, seeded Lloyd's each — the
+    * trainQuantizer relationship, per subspace. */
+  private[graft] def trainCodebooks(rows: DataFrame, idCol: String,
+                                    vecCol: String, total: Long,
+                                    dim: Int): Seq[Seq[Seq[Float]]] = {
+    val subDim = (dim + SubSpaces - 1) / SubSpaces
+    val sample = Ann.sampleVectors(rows, idCol, vecCol, total).map(normalized)
+    (0 until SubSpaces).map { m =>
+      Ann.lloyds(sample.map(subVec(_, m, subDim)), CodesPerSub, iters = 5,
+        seed = PqSeed + m).map(_.toSeq).toSeq
+    }
+  }
+
+  /** Encode `rows` and persist the code tables under `aux`: `codes/`
+    * (idCol, codes array<int>) — the compressed scan table — and
+    * `codes_flat/` (idCol, sub, code) for SQL oracles, derived by
+    * reading `codes/` back. Shared by both graded consumers. */
+  private[graft] def writeCodes(rows: DataFrame, idCol: String,
+                                vecCol: String,
+                                codebook: Seq[Seq[Seq[Float]]],
+                                aux: String): Unit = {
+    rows.withColumn("codes", graft.functions.PqEncode(col(vecCol), codebook))
+      .select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(s"$aux/codes")
+    rows.sparkSession.read.parquet(s"$aux/codes")
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
+  }
+
   def buildPqIndex(spark: SparkSession, dir: String): String = {
     buildCount.incrementAndGet()
     val aux = pqAuxDir(spark, dir)
@@ -100,14 +132,7 @@ object Pq {
     val total = e.count()
     require(total > 0, s"cannot build a PQ index over an empty corpus ($dir)")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val subDim = (dim + SubSpaces - 1) / SubSpaces
-
-    val sample = Ann.sampleVectors(e, "vec_id", "embedding", total)
-      .map(normalized)
-    val codebook: Seq[Seq[Seq[Float]]] = (0 until SubSpaces).map { m =>
-      Ann.lloyds(sample.map(subVec(_, m, subDim)), CodesPerSub, iters = 5,
-        seed = PqSeed + m).map(_.toSeq).toSeq
-    }
+    val codebook = trainCodebooks(e, "vec_id", "embedding", total, dim)
 
     import spark.implicits._
     codebook.zipWithIndex.flatMap { case (cb, m) =>
@@ -115,13 +140,7 @@ object Pq {
     }.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$aux/codebook")
 
-    e.withColumn("codes", graft.functions.PqEncode(col("embedding"), codebook))
-      .select(col("vec_id"), col("codes"))
-      .write.mode("overwrite").parquet(s"$aux/codes")
-
-    spark.read.parquet(s"$aux/codes")
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
+    writeCodes(e, "vec_id", "embedding", codebook, aux)
     aux
   }
 
@@ -142,31 +161,36 @@ object Pq {
   /** Per-query ADC tables: lut(qid)(m)(k) = ‖qn_m − centroid_{m,k}‖² in
     * double (query normalized with the exact PqEncode arithmetic). Shared
     * by the flat-PQ probe and the [[IvfPq]] composition. */
-  private[graft] def queryLuts(spark: SparkSession, dir: String,
-                               codebook: Array[Array[Array[Float]]]): Seq[(Long, Seq[Seq[Double]])] = {
+  /** ADC table for ONE query: lut(m)(k) = ‖qn_m − centroid_{m,k}‖² in
+    * double (query normalized with the exact PqEncode arithmetic) —
+    * request-sized, driver-side, no Spark job. Shared by the offline
+    * probes and the store-attached index. */
+  private[graft] def lutFor(qv: Array[Float],
+                            codebook: Array[Array[Array[Float]]]): Seq[Seq[Double]] = {
     val subDim = codebook(0)(0).length
+    val qn = normalized(qv)
+    (0 until codebook.length).map { m =>
+      val qs = subVec(qn, m, subDim)
+      codebook(m).toSeq.map { ct =>
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) {
+          val d = qs(j).toDouble - ct(j).toDouble
+          acc += d * d
+          j += 1
+        }
+        acc
+      }
+    }
+  }
+
+  private[graft] def queryLuts(spark: SparkSession, dir: String,
+                               codebook: Array[Array[Array[Float]]]): Seq[(Long, Seq[Seq[Double]])] =
     Tables.table(spark, dir, "embeddings")
       .where(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq.map { case (qid, qv) =>
-        val qn = normalized(qv)
-        val lut = (0 until SubSpaces).map { m =>
-          val qs = subVec(qn, m, subDim)
-          codebook(m).toSeq.map { ct =>
-            var acc = 0.0
-            var j = 0
-            while (j < subDim) {
-              val d = qs(j).toDouble - ct(j).toDouble
-              acc += d * d
-              j += 1
-            }
-            acc
-          }
-        }
-        (qid, lut)
-      }
-  }
+      .toSeq.map { case (qid, qv) => (qid, lutFor(qv, codebook)) }
 
   /** Persist the flat (qid, sub, code, d) form of [[queryLuts]] for an
     * oracle replay. */

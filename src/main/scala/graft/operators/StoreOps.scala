@@ -528,6 +528,83 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q61: the store's PQ read path behind the gate -------------------
+
+  private val PqNs = "q61"
+
+  /** One loaded q61 store per sf dir per JVM — the [[q53Stores]]
+    * rationale: the bulk load and the PQ layout build (epoch-cached
+    * inside the store) run once; repeat invocations pay the ADC sweep +
+    * rerank, the serving steady state. */
+  private val q61Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Layout dir of the most recent q61 run — its oracle replays the
+    * persisted `codes_flat/` ⋈ `lut/` ADC policy ([[lastIvfAux]]
+    * contract: None until q61 actually executed). */
+  @volatile private var lastPqAux: Option[String] = None
+
+  /** q61: `findSimilar(approx = true, index = "pq")` end-to-end through
+    * the LIVE store — bulk load, store-attached compressed code table
+    * (built once per epoch by the shared Pq recipe), one ADC sweep cut
+    * to candidates, exact rerank — hash-matched against a SQL replay of
+    * the persisted codes⋈LUT policy. Completes the serving-index triad
+    * behind the gate: q48 (LSH signatures), q53 (IVF inverted file),
+    * q61 (PQ codes). */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q61Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < ApproxN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        PqNs)
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilarPqGraded(qv, k = K, namespace = PqNs)
+    lastPqAux = store.pqLayoutDir(PqNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the store's PQ read path from the persisted layout:
+    * ADC = codes_flat ⋈ lut summed and rounded, candidates = top-CandN
+    * on (ADC, string id), rerank = exact cosine with the store's
+    * tie-break — the candidate policy is the layout, the contract is
+    * the rerank (the q53/q58 relationship). */
+  def q61Sql(aux: String): String =
+    s"""WITH lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
+       |cf AS (SELECT id, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY c.id),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $ApproxN),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q57: STREAMING ingest into the durable facade -------------------
 
   private val IngestN = 220L
@@ -606,7 +683,8 @@ object StoreOps {
       "q53_store_ivf_search" -> (q53 _),
       "q54_durable_facade" -> (q54 _),
       "q56_durable_compact_reload" -> (q56 _),
-      "q57_stream_ingest_durable" -> (q57 _))
+      "q57_stream_ingest_durable" -> (q57 _),
+      "q61_store_pq_search" -> (q61 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -621,5 +699,6 @@ object StoreOps {
       "q54_durable_facade" -> q54Sql,
       "q56_durable_compact_reload" -> q56Sql,
       "q57_stream_ingest_durable" -> q57Sql) ++
-      lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux))
+      lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
+      lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux))
 }

@@ -233,16 +233,16 @@ class RestServer(store: VectorStore, port: Int = 0,
         // the hybrid-search surface (README.md:294-299) over HTTP;
         // optional `approx` routes through a store-attached index (the
         // reference's index-backed read path, index.py:91-129); optional
-        // `index` picks which one — "lsh" (default, cached signatures)
-        // or "ivf" (persisted inverted file)
+        // `index` picks which one — "lsh" (default, cached signatures),
+        // "ivf" (persisted inverted file), or "pq" (compressed codes)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val index = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("lsh") // explicit JSON null = unset
         // validate the index name even when approx is false: a typo'd
         // index on an exact search should 422, not silently run exact
-        if (index != "lsh" && index != "ivf")
+        if (index != "lsh" && index != "ivf" && index != "pq")
           throw new IllegalArgumentException(
-            s"unknown approx index '$index' (expected 'lsh' or 'ivf')")
+            s"unknown approx index '$index' (expected 'lsh', 'ivf' or 'pq')")
         // optional `durable` routes the search to the mounted durable
         // store (read-only; see class doc) — the q51 partition-pruned
         // plan over HTTP

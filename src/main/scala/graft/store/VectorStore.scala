@@ -538,6 +538,93 @@ class VectorStore(val spark: SparkSession) {
   private[graft] def ivfLayoutDir(namespace: String, dim: Int): Option[String] =
     Option(ivfCache.get((namespace, dim))).map(_._2)
 
+  // ---- store-attached PQ index (compressed codes table) ---------------
+
+  /** Layout root for this store's PQ code tables — the [[ivfRoot]]
+    * contract (shared FS when `spark.graft.pq.dir` is set, mkdtemp
+    * fallback locally, per-process token against clobbering). */
+  private lazy val pqRoot: String =
+    spark.conf.getOption(graft.operators.Pq.PqDirConf)
+      .map(_ + "/store_" + processToken)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_store_pq_").toString)
+
+  /** Cached store-attached PQ layouts: (namespace, dim) → (stamped
+    * epoch, layout dir, codebook). Same lifecycle and race arguments as
+    * [[ivfCache]]: builds outside the lock with the PRE-build epoch
+    * stamped, superseded layouts left on disk (bounded, epoch-suffixed),
+    * build serialization striped per key. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String, Array[Array[Array[Float]]])]()
+
+  private val pqBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** None when the namespace has no live rows — a PQ search over an
+    * empty namespace answers empty, like every other index kind. */
+  private def pqLayout(namespace: String, dim: Int): Option[(String, Array[Array[Array[Float]]])] = {
+    val key = (namespace, dim)
+    Option(pqCache.get(key)) match {
+      case Some((e, aux, cb)) if e == epoch => Some((aux, cb))
+      case _ => pqBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        Option(pqCache.get(key)) match {
+          case Some((e, aux, cb)) if e == epoch => Some((aux, cb)) // raced: reuse
+          case _ =>
+            val (e, snapshot) = synchronized { (epoch, live) }
+            val rows = snapshot.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF()
+            val total = rows.count()
+            if (total == 0) None
+            else {
+              // the ONE build recipe, shared with the offline q58 path
+              // (Pq.buildPqIndex) so the policy cannot drift
+              val codebookSeq = graft.operators.Pq.trainCodebooks(
+                rows, "id", "values", total, dim)
+              val aux = pqRoot + "/" +
+                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+              graft.operators.Pq.writeCodes(rows, "id", "values",
+                codebookSeq, aux)
+              val cb = codebookSeq.map(_.map(_.toArray).toArray).toArray
+              pqCache.put(key, (e, aux, cb))
+              Some((aux, cb))
+            }
+        }
+      }
+    }
+  }
+
+  /** Candidates via the store-attached PQ index: one ADC sweep of the
+    * compressed codes table (a table-lookup sum per row — at scale it
+    * reads ~32× fewer bytes than a vector scan), cut to
+    * [[graft.operators.Pq.CandN]] on (rounded ADC, id), semi-joined back
+    * to the live rows — the layout PROPOSES candidates, the live store
+    * decides what exists, exactly like the IVF path. `persistLut` writes
+    * the query's ADC table next to the layout for oracle replay — graded
+    * paths only. */
+  private def pqCandidates(query: Seq[Float], namespace: String,
+                           filter: Map[String, String],
+                           jsonFilter: Map[String, String],
+                           persistLut: Boolean = false): DataFrame =
+    pqLayout(namespace, query.length) match {
+      case None =>
+        filteredLive(namespace, filter, jsonFilter).limit(0)
+      case Some((aux, cb)) =>
+        val lut = graft.operators.Pq.lutFor(query.toArray, cb)
+        if (persistLut)
+          graft.operators.Pq.writeLuts(spark, Seq((0L, lut)), s"$aux/lut")
+        val candIds = spark.read.parquet(s"$aux/codes")
+          .withColumn("adc", graft.operators.Pq.adcExpr(lut))
+          .orderBy(col("adc"), col("id"))
+          .limit(graft.operators.Pq.CandN)
+          .select(col("id").as("__cid"))
+        filteredLive(namespace, filter, jsonFilter)
+          .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+    }
+
+  /** The layout dir the store-attached PQ index serves (namespace, dim)
+    * from — oracle hook, like [[ivfLayoutDir]]. */
+  private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(pqCache.get((namespace, dim))).map(_._2)
+
   /** Cell count of the cached (namespace, dim) layout — spec hook for the
     * geometry-scales-with-namespace-size assertion. */
   private[graft] def ivfCellCount(namespace: String, dim: Int): Option[Int] =
@@ -609,9 +696,10 @@ class VectorStore(val spark: SparkSession) {
         val cands = index match {
           case "lsh" => approxCandidates(query, namespace, filter, jsonFilter)
           case "ivf" => ivfCandidates(query, namespace, filter, jsonFilter)
+          case "pq" => pqCandidates(query, namespace, filter, jsonFilter)
           case other =>
             throw new IllegalArgumentException(
-              s"unknown approx index '$other' (expected 'lsh' or 'ivf')")
+              s"unknown approx index '$other' (expected 'lsh', 'ivf' or 'pq')")
         }
         scoredFrom(cands, query, metric)
       }
@@ -628,6 +716,17 @@ class VectorStore(val spark: SparkSession) {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     val cands = ivfCandidates(query, namespace, Map.empty, Map.empty,
       persistProbes = true)
+    collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
+  }
+
+  /** The q61 grading entry — `findSimilar(approx=true, index="pq")` with
+    * the query's ADC table persisted next to the layout for oracle
+    * replay (the [[findSimilarIvfGraded]] relationship). */
+  private[graft] def findSimilarPqGraded(query: Seq[Float], k: Int,
+                                         namespace: String): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    val cands = pqCandidates(query, namespace, Map.empty, Map.empty,
+      persistLut = true)
     collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
   }
 

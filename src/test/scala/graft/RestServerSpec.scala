@@ -199,6 +199,12 @@ class RestServerSpec extends AnyFunSuite {
         if (i > 0) assert(hits.get(i).get("score").asDouble() <=
           hits.get(i - 1).get("score").asDouble())
       }
+      // the PQ code-table index serves over the same route
+      val (cp, bp) = send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "top_k": 3, "approx": true, "index": "pq"}""")
+      assert(cp == 200)
+      val pqHits = mapper.readTree(bp)
+      assert(pqHits.isArray && pqHits.size() > 0 && pqHits.size() <= 3)
       // an unknown index name is a client error, not a 500 — and it is
       // rejected even WITHOUT approx (a typo must not silently run exact)
       assert(send("POST", s"$base/search?namespace=ivx",

@@ -362,6 +362,39 @@ class VectorStoreSpec extends AnyFunSuite {
       approx = true, index = "ivf").isEmpty)
   }
 
+  test("approx search via the PQ code table: recall floor, exact rerank, lazy invalidation") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 20, perCluster = 10, dim = 16, seed = 23)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "pq")
+    val query = vecs.head.map(_ + 0.01f)
+
+    val exact = s.findSimilar(query, k = 10, namespace = "pq")
+    val pq = s.findSimilar(query, k = 10, namespace = "pq", approx = true,
+      index = "pq")
+    assert(pq.nonEmpty)
+    val recall = exact.map(_.id).toSet.intersect(pq.map(_.id).toSet).size / 10.0
+    info(f"store PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.7, s"store-attached PQ recall too low: $recall")
+    // exact rerank: every PQ hit carries its true cosine score
+    val exactScores = s.findSimilar(query, k = 1000, namespace = "pq")
+      .map(h => h.id -> h.score).toMap
+    pq.foreach(h => assert(h.score == exactScores(h.id),
+      s"PQ score for ${h.id} diverged from the exact kernel"))
+    // the persisted layout carries the oracle-replay tables
+    val aux = s.pqLayoutDir("pq", 16).get
+    assert(new java.io.File(s"$aux/codes").exists())
+    assert(new java.io.File(s"$aux/codes_flat").exists())
+    // a mutation invalidates the layout on the NEXT search
+    val victim = pq.head.id
+    assert(s.delete(Seq(victim), "pq") == Seq(victim))
+    val after = s.findSimilar(query, k = 10, namespace = "pq",
+      approx = true, index = "pq")
+    assert(!after.map(_.id).contains(victim), "PQ search served a deleted id")
+    // an EMPTY namespace answers empty through the pq route
+    assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
+      approx = true, index = "pq").isEmpty)
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
