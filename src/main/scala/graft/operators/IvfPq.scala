@@ -77,13 +77,20 @@ object IvfPq {
     * (request-sized); the corpus-side work is a partition-pruned scan
     * of the probed cells' CODES — the only distributed cost — then the
     * exact rerank of `Pq.CandN` ids. */
+  /** Centroids cached per IVF layout dir — same immutability argument as
+    * [[Pq.readCodebook]]'s cache: no Spark job per probe for ~KBs of
+    * request-independent metadata. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
   def probe(spark: SparkSession, dir: String, aux: String,
             persistAux: Boolean = false): DataFrame = {
     val ivfAux = Ann.ensureLayout(spark, dir)
     val pqAux = Pq.ensureLayout(spark, dir)
-    val centers = spark.read.parquet(s"$ivfAux/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centers = centroidCache.computeIfAbsent(ivfAux, a =>
+      spark.read.parquet(s"$a/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2))
     val nProbe = Ann.ivfProbeFor(centers.length)
     val queries = Ann.queryFrame(spark, dir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -100,16 +107,25 @@ object IvfPq {
       Pq.writeLuts(spark, luts, s"$aux/lut")
     }
 
-    val probesByQ = probeRows.groupBy(_._1)
-    val idx = spark.read.parquet(s"$aux/index")
-    val cand = luts.map { case (qid, lut) =>
-      val cells = probesByQ.getOrElse(qid, Seq.empty).map(_._2).distinct
-      idx.where(col("cell").isin(cells: _*) && col("vec_id") =!= qid)
-        .withColumn("adc", Pq.adcExpr(lut))
-        .orderBy(col("adc"), col("vec_id"))
-        .limit(Pq.CandN)
-        .select(lit(qid).as("qid"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    // one stable plan for the whole query batch: the union of probed
+    // cells prunes partitions (a literal, so pruning stays static), the
+    // broadcast (qid, cell) frame scopes rows to each query's own cells,
+    // and the broadcast (qid, lut) frame carries the ADC tables as a
+    // COLUMN — no per-query literals, so codegen compiles once and the
+    // cache serves every later probe (see Pq.adcCol)
+    val allCells = probeRows.map(_._2).distinct.sorted
+    val probesDf = probeRows.toDF("qid", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val cand = spark.read.parquet(s"$aux/index")
+      .where(col("cell").isin(allCells: _*))
+      .join(broadcast(probesDf), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(Pq.lutFrame(spark, luts)), Seq("qid"))
+      .withColumn("adc", Pq.adcCol)
+      .withColumn("__cr", row_number().over(w))
+      .where(col("__cr") <= Pq.CandN)
+      .select(col("qid"), col("vec_id"))
     Pq.rerank(spark, dir, cand)
   }
 

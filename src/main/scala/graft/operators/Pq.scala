@@ -149,14 +149,23 @@ object Pq {
     * never a float vector), cut to `CandN` candidates on (rounded ADC,
     * id), exact-cosine rerank. `persistLut` writes `lut/` next to the
     * layout for the oracle — only the graded path sets it. */
-  /** The persisted codebook as a `[sub][code][dim]` matrix. */
+  /** The persisted codebook as a `[sub][code][dim]` matrix, cached per
+    * layout dir: layouts are immutable within a JVM (the per-process aux
+    * dirs build once via [[ensureLayout]]; store layouts are
+    * epoch-suffixed fresh dirs), so a probe never re-reads ~8 KB of
+    * centroids as a Spark job per request — the difference between a
+    * serving read path and a cold replay. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
+
   private[graft] def readCodebook(spark: SparkSession,
-                                  aux: String): Array[Array[Array[Float]]] = {
-    val cbRows = spark.read.parquet(s"$aux/codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    cbRows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
-      .map(_.toArray).toArray
-  }
+                                  aux: String): Array[Array[Array[Float]]] =
+    codebookCache.computeIfAbsent(aux, a => {
+      val cbRows = spark.read.parquet(s"$a/codebook").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      cbRows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2).map(_._3))
+        .map(_.toArray).toArray
+    })
 
   /** Per-query ADC tables: lut(qid)(m)(k) = ‖qn_m − centroid_{m,k}‖² in
     * double (query normalized with the exact PqEncode arithmetic). Shared
@@ -206,15 +215,22 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** The ADC column over a `codes` array for one query's LUT: the LUT
-    * rides as a SQL literal (full-precision doubles round-trip through
-    * java.lang.Double.toString), each subspace's code indexes its row,
-    * the 8-term sum rounds to 1e-6 for a drift-free candidate cut. */
-  private[graft] def adcExpr(lut: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
-    val lutSql = lut.map(ks =>
-      "array(" + ks.map(d => s"${d}D").mkString(", ") + ")")
-      .mkString("array(", ", ", ")")
-    expr(s"round(aggregate(zip_with(codes, $lutSql, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)")
+  /** The ADC column: `codes` (array<int>) indexed into a `lut` COLUMN
+    * (array<array<double>>), 8-term sum rounded to 1e-6 for a drift-free
+    * candidate cut. The LUT arrives as a broadcast-joined column, NOT a
+    * baked-in literal: a literal LUT makes every query's plan textually
+    * unique, so whole-stage codegen recompiles per request (~100 ms,
+    * measured dominating the sub-second probes) — with a column the plan
+    * is identical across queries and the codegen cache hits. */
+  private[graft] def adcCol: org.apache.spark.sql.Column =
+    expr("round(aggregate(zip_with(codes, lut, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)")
+
+  /** One-row-per-query (qid, lut) frame for the broadcast side of the
+    * ADC sweep. */
+  private[graft] def lutFrame(spark: SparkSession,
+                              luts: Seq[(Long, Seq[Seq[Double]])]): DataFrame = {
+    import spark.implicits._
+    luts.toDF("qid", "lut")
   }
 
   /** Rerank `cand` (qid, vec_id) exactly: join full vectors back for the
@@ -243,13 +259,15 @@ object Pq {
     if (persistLut) writeLuts(spark, luts, s"$aux/lut")
 
     val codes = spark.read.parquet(s"$aux/codes")
-    val cand = luts.map { case (qid, lut) =>
-      codes.where(col("vec_id") =!= qid)
-        .withColumn("adc", adcExpr(lut))
-        .orderBy(col("adc"), col("vec_id"))
-        .limit(CandN)
-        .select(lit(qid).as("qid"), col("vec_id"))
-    }.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    val cand = codes
+      .crossJoin(broadcast(lutFrame(spark, luts)))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcCol)
+      .withColumn("__cr", row_number().over(w))
+      .where(col("__cr") <= CandN)
+      .select(col("qid"), col("vec_id"))
     rerank(spark, dir, cand)
   }
 

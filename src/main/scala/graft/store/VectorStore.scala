@@ -611,8 +611,13 @@ class VectorStore(val spark: SparkSession) {
         val lut = graft.operators.Pq.lutFor(query.toArray, cb)
         if (persistLut)
           graft.operators.Pq.writeLuts(spark, Seq((0L, lut)), s"$aux/lut")
+        // the LUT rides as a broadcast 1-row frame, not a literal: every
+        // request's plan is then textually identical and whole-stage
+        // codegen compiles the sweep ONCE per JVM (Pq.adcCol)
         val candIds = spark.read.parquet(s"$aux/codes")
-          .withColumn("adc", graft.operators.Pq.adcExpr(lut))
+          .crossJoin(broadcast(
+            graft.operators.Pq.lutFrame(spark, Seq((0L, lut))).select(col("lut"))))
+          .withColumn("adc", graft.operators.Pq.adcCol)
           .orderBy(col("adc"), col("id"))
           .limit(graft.operators.Pq.CandN)
           .select(col("id").as("__cid"))
