@@ -371,6 +371,118 @@ object TextAnalysis {
        |        AND n_stop >= 2) AS pass
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- Q62: Gopher repetition rules (within-document) -----------------
+  // The other half of the Gopher gate (q59 = structural rules): a
+  // document whose content is mostly REPEATED text is boilerplate or
+  // spam regardless of its structure. Two standard signals: the
+  // distinct-token fraction (low = the same words over and over) and
+  // the fraction of tokens covered by the single most frequent bigram
+  // (high = a repeated phrase dominates). Thresholds sit at the
+  // corpus-discriminating points (uniq ≥ 0.4, median 0.46; top-bigram
+  // ≤ 0.1, median 0.066). One tokenize + one bigram count per row —
+  // per-doc group-bys, partial-aggregated, no cross-doc shuffle of
+  // anything but (doc_id, stat) rows at 100 TB.
+
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val t = withToks(spark, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+    val bigramMax = t.where(col("n_tok") > 1)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("mx"))
+    t.join(bigramMax, Seq("doc_id"), "left")
+      .withColumn("uniq_frac_raw",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+      .withColumn("top_bigram_frac_raw",
+        coalesce(lit(2.0) * col("mx") / col("n_tok"), lit(0.0)))
+      .withColumn("pass",
+        col("uniq_frac_raw") >= 0.4 && col("top_bigram_frac_raw") <= 0.1)
+      .select(col("doc_id"), col("n_tok"),
+        r4(col("uniq_frac_raw")).as("uniq_frac"),
+        r4(col("top_bigram_frac_raw")).as("top_bigram_frac"),
+        col("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** int/int (and 2.0·int/int) arithmetic — exact in double on both
+    * engines, so the raw-threshold pass cannot drift (the q59
+    * argument). */
+  val q62Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(list_zip(toks, toks[2:]), p -> p[1] || ' ' || p[2])) AS bg
+       |  FROM t WHERE len(toks) > 1),
+       |mx AS (
+       |  SELECT doc_id, max(c) AS mx
+       |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT t.doc_id, len(t.toks)::INT AS n_tok,
+       |         len(list_distinct(t.toks))::DOUBLE / len(t.toks) AS uniq_frac_raw,
+       |         coalesce(2.0 * mx.mx / len(t.toks), 0.0) AS top_bigram_frac_raw
+       |  FROM t LEFT JOIN mx ON mx.doc_id = t.doc_id)
+       |SELECT doc_id, n_tok,
+       |       ${r4Sql("uniq_frac_raw")} AS uniq_frac,
+       |       ${r4Sql("top_bigram_frac_raw")} AS top_bigram_frac,
+       |       (uniq_frac_raw >= 0.4 AND top_bigram_frac_raw <= 0.1) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- Q63: decontamination — n-gram overlap vs a benchmark set -------
+  // The eval-leakage gate every training pipeline runs before a model
+  // sees the data: flag corpus documents sharing any W-token n-gram
+  // with a benchmark/test set. Here the "benchmark" is the first 10
+  // documents (deterministic, self-contained); W = 4 marks 23/490 docs
+  // at sf0.01. 100 TB shape: the benchmark gram set is MBs → broadcast;
+  // the corpus side is one narrow tokenize+gram scan, partial-aggregated
+  // per doc — the join never shuffles corpus text.
+
+  private val DecontamW = 4
+  private val BenchDocs = 10
+
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val grams = withToks(spark, dir)
+      .where(size(col("toks")) >= DecontamW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${DecontamW - 1}), i -> concat_ws(' ', slice(toks, i, $DecontamW)))"))
+        .as("gram"))
+    val bench = grams.where(col("doc_id") < BenchDocs)
+      .select(col("gram")).distinct()
+    val hits = grams.where(col("doc_id") >= BenchDocs)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).cast("int").as("ns"))
+    docs(spark, dir).where(col("doc_id") >= BenchDocs)
+      .select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("ns"), lit(0)))
+      .withColumn("contaminated", col("n_shared") >= 1)
+      .select(col("doc_id"), col("n_shared"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q63Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - ${DecontamW - 2}),
+       |                i -> list_aggregate(toks[i:i+${DecontamW - 1}], 'string_agg', ' '))) AS gram
+       |  FROM t WHERE len(toks) >= $DecontamW),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchDocs),
+       |h AS (
+       |  SELECT g.doc_id, count(DISTINCT g.gram)::INT AS ns
+       |  FROM g JOIN bench USING (gram) WHERE g.doc_id >= $BenchDocs
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(h.ns, 0)::INT AS n_shared,
+       |       coalesce(h.ns, 0) >= 1 AS contaminated
+       |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $BenchDocs ORDER BY d.doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,7 +493,9 @@ object TextAnalysis {
     "q41_stratified_split" -> (q41 _),
     "q42_training_set" -> (q42 _),
     "q44_token_count_bpe" -> (q44 _),
-    "q59_gopher_rules" -> (q59 _))
+    "q59_gopher_rules" -> (q59 _),
+    "q62_repetition_rules" -> (q62 _),
+    "q63_decontaminate" -> (q63 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -391,5 +505,7 @@ object TextAnalysis {
     "q41_stratified_split" -> q41Sql,
     "q42_training_set" -> q42Sql,
     "q44_token_count_bpe" -> q44Sql,
-    "q59_gopher_rules" -> q59Sql)
+    "q59_gopher_rules" -> q59Sql,
+    "q62_repetition_rules" -> q62Sql,
+    "q63_decontaminate" -> q63Sql)
 }
