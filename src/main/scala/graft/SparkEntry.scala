@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, Dedup, EventOps, IvfPq, Pq, Relational, Skew, StoreOps, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Dedup, EventOps, IvfPq, Pq, Relational, Retrieval, Skew, StoreOps, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,7 +19,8 @@ object SparkEntry {
     VectorSearch.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Relational.queries ++ EventOps.queries ++ Ann.queries ++
       Pq.queries ++ IvfPq.queries ++ Analytics.queries ++
-      StoreOps.queries ++ EventStream.queries ++ Skew.queries
+      StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
+      Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     VectorSearch.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Relational.oracles ++ EventOps.oracles ++ Ann.oracles ++
       Pq.oracles ++ IvfPq.oracles ++ Analytics.oracles ++
-      StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles
+      StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
+      Retrieval.oracles
 }

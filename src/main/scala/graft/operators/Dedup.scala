@@ -124,7 +124,14 @@ object Dedup {
   /** Oracle: brute-force 3-shingle Jaccard in DuckDB (positions zipped via
     * generate_subscripts; shingles deduped like array_distinct). */
   val jaccardSql: String =
-    s"""WITH toks AS (
+    s"""WITH $jaccardCtes
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $JaccT
+       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+
+  /** The CTE chain shared by the pairwise oracle (q17/q18) and the
+    * cluster oracle (q64), which extends it with a recursive closure. */
+  private def jaccardCtes: String =
+    s"""toks AS (
        |  SELECT doc_id,
        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
@@ -144,9 +151,7 @@ object Dedup {
        |         ${graft.functions.Det.r4Sql("c::DOUBLE / (sa.n + sb.n - c)")} AS jaccard
        |  FROM com
        |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b)
-       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $JaccT
-       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+       |  JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
 
   // ---- Q17: exact n-gram Jaccard near-dup pairs -----------------------
   // Direct postings self-join. Measured on this corpus the posting lists
@@ -187,7 +192,13 @@ object Dedup {
 
   // ---- Q18: MinHash + LSH banding + exact verify ----------------------
 
-  def q18(spark: SparkSession, dir: String): DataFrame = {
+  def q18(spark: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(spark, dir)
+
+  /** Verified near-dup pairs (id_a < id_b, jaccard ≥ [[JaccT]]) via the
+    * LSH candidate path — the sub-quadratic generator feeding both q18
+    * (the pair report) and q64 (cluster resolution). */
+  private def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     // ONE tokenize+shingle pass materializes the per-doc hash ARRAYS;
     // both downstream shapes derive from it: the exploded postings for
     // the exact-verify tail, and the signatures as a NARROW map
@@ -304,13 +315,103 @@ object Dedup {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $HammingT
        |ORDER BY hamming, id_a, id_b""".stripMargin
 
+  // ---- Q64: duplicate-cluster resolution (connected components) -------
+  //
+  // Pairwise reports (q17/q18) leave the operative question open: WHICH
+  // rows to drop. Keep-one-per-group needs the transitive closure of the
+  // pair relation — A~B and B~C must land A,B,C in one cluster even when
+  // A,C never collide directly. Clusters come from iterative min-label
+  // propagation over the VERIFIED pair list: every node starts labeled
+  // with its own id; each round a node takes the min of its label and its
+  // neighbors'; a round that changes nothing is the fixpoint.
+  //
+  // 100 TB shape: the iteration runs over the EDGE LIST (verified dup
+  // pairs), not the corpus — duplicates are the exception, so this is
+  // orders of magnitude smaller than the input. Each round is one shuffle
+  // of that edge list keyed by node id, and near-dup clusters are dense
+  // (LSH collides most member pairs directly) so the diameter — and the
+  // round count — stays small. For adversarial long-chain graphs the
+  // O(log n)-round alternation (large-star/small-star, Kiveris et al.) is
+  // the same join primitives re-ordered; the plain form is kept for plan
+  // clarity since text-dup components are shallow in practice.
+
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshVerifiedPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true)
+    // undirected relation: labels must flow both ways across a pair
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(eager = true)
+    // labels only ever DECREASE, so Σlbl strictly decreases until the
+    // fixpoint — convergence is one scalar agg per round, not a
+    // prev-vs-next join
+    def lblSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("lbl"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
+      val incoming = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      // eager checkpoint materializes `next` BEFORE the old labels are
+      // unpersisted, and caps lineage growth across rounds
+      val next = labels
+        .join(incoming, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val out = labels
+      .groupBy(col("lbl").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .as("members"))
+      // cluster list is dup-group-sized at 100 TB (still large) → keep
+      // the parallel range sort, not Out.ordered's single partition
+      .orderBy(col("cluster"))
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Oracle: same closure as a recursive CTE — reach(doc, lbl) floods
+    * every label through the undirected edge set (UNION dedups, so the
+    * recursion terminates), then min per node reproduces the fixpoint. */
+  val q64Sql: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $JaccT),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
+       |lab AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id)
+       |SELECT cluster, count(*) AS n_docs,
+       |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+       |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_dedup_exact" -> (q16 _),
     "q17_dedup_ngram_jaccard" -> (q17 _),
     "q18_dedup_minhash_lsh" -> (q18 _),
-    "q19_dedup_simhash" -> (q19 _))
+    "q19_dedup_simhash" -> (q19 _),
+    "q64_dedup_clusters" -> (q64 _))
 
   val oracles: Map[String, String] = Map(
     "q16_dedup_exact" -> q16Sql,
@@ -318,5 +419,6 @@ object Dedup {
     // the LSH path must land on exactly the brute-force answer (verify
     // stage re-checks candidates with exact Jaccard at the same threshold)
     "q18_dedup_minhash_lsh" -> jaccardSql,
-    "q19_dedup_simhash" -> q19Sql)
+    "q19_dedup_simhash" -> q19Sql,
+    "q64_dedup_clusters" -> q64Sql)
 }

@@ -485,6 +485,71 @@ object TextAnalysis {
 
   // ---- registry -------------------------------------------------------
 
+  // ---- Q68: domain-weighted mixture sampling --------------------------
+  // Data MIXING, the step after filtering/dedup in a pre-training
+  // pipeline: resample the corpus toward a target domain composition
+  // (here per-lang weights) under a global budget. Sampling is hash-gated
+  // like q41's split — keep(doc) ⟺ u(doc_id) < rate(lang), a pure
+  // function of the row — so the sample is reproducible across runs,
+  // stable under appends, and needs no RNG state; at 100 TB this is a
+  // single scan with a broadcast rate table (one row per domain) and a
+  // small per-domain agg. Domains whose corpus share falls below their
+  // target weight saturate at rate 1 (can't upsample by filtering —
+  // reported, not papered over: n_kept ≈ n_docs marks the shortfall).
+
+  private val MixWeights = Seq(
+    "de" -> 0.15, "en" -> 0.5, "es" -> 0.1, "fr" -> 0.15, "zh" -> 0.1)
+  private val MixBudget = 0.6 // target sample size as a corpus fraction
+
+  private def mixU: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("mix_"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val n = d.count().toDouble
+    val wCase = MixWeights.tail.foldLeft(
+      when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, lit(w))
+    }.otherwise(lit(0.0))
+    val rates = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        least(lit(1.0), wCase * lit(MixBudget) * lit(n) / col("n_docs")))
+    val kept = d.withColumn("u", mixU)
+      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+      .where(col("u") < col("rate"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        r4(col("rate")).as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  val q68Sql: String = {
+    val caseSql = MixWeights
+      .map { case (l, w) => s"WHEN '$l' THEN ($w)::DOUBLE" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |r AS (
+       |  SELECT lang, n_docs,
+       |         least(1.0::DOUBLE,
+       |               ($caseSql) * ($MixBudget)::DOUBLE * n.n / n_docs) AS rate
+       |  FROM c, n),
+       |u AS (
+       |  SELECT lang,
+       |         ('0x' || substr(md5('mix_' || doc_id), 1, 8))::BIGINT
+       |           / (4294967296.0)::DOUBLE AS u
+       |  FROM documents),
+       |k AS (
+       |  SELECT u.lang, count(*) AS n_kept
+       |  FROM u JOIN r USING (lang) WHERE u.u < r.rate GROUP BY 1)
+       |SELECT lang, n_docs, coalesce(n_kept, 0) AS n_kept,
+       |       ${r4Sql("rate")} AS rate
+       |FROM r LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
@@ -495,7 +560,8 @@ object TextAnalysis {
     "q44_token_count_bpe" -> (q44 _),
     "q59_gopher_rules" -> (q59 _),
     "q62_repetition_rules" -> (q62 _),
-    "q63_decontaminate" -> (q63 _))
+    "q63_decontaminate" -> (q63 _),
+    "q68_domain_mixture" -> (q68 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -507,5 +573,6 @@ object TextAnalysis {
     "q44_token_count_bpe" -> q44Sql,
     "q59_gopher_rules" -> q59Sql,
     "q62_repetition_rules" -> q62Sql,
-    "q63_decontaminate" -> q63Sql)
+    "q63_decontaminate" -> q63Sql,
+    "q68_domain_mixture" -> q68Sql)
 }

@@ -162,13 +162,55 @@ object EventStream {
         max(col("n_sessions")).as("n_sessions"))
       .orderBy(col("user_id"))
 
+  // ---- q67: streaming dedup (dropDuplicatesWithinWatermark) -----------
+
+  /** Watermarked streaming dedup on (user_id, event_type) — the
+    * at-least-once ingestion guard for a streaming pipeline: re-delivered
+    * keys are dropped while they are inside the watermark horizon, and
+    * state holds one entry per key seen within that horizon, so it AGES
+    * OUT (plain streaming dropDuplicates keeps every key forever — the
+    * unbounded-state shape this operator exists to replace at scale).
+    * Emits first-seen rows in append mode. */
+  def startDedupToMemory(spark: SparkSession, dir: String,
+                         queryName: String): StreamingQuery =
+    source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** q67: drain the watermarked streaming dedup and report the KEY SET —
+    * the invariant the operator must preserve. Which physical row
+    * represents a key, and whether a key re-emits after its horizon
+    * expires, are both allowed to vary (that is the bounded-state trade);
+    * the key set is not: it must equal the batch DISTINCT exactly, so the
+    * drained sink is reduced to distinct keys before comparing. The
+    * within-horizon single-emission guarantee is pinned separately by
+    * StreamingSpec (a key duplicated inside one micro-batch lands in the
+    * sink once). */
+  def q67(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q67_sink",
+      startDedupToMemory(spark, dir, "graft_q67_sink"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val q67Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
-      "q47_stream_sessionize" -> (q47 _))
+      "q47_stream_sessionize" -> (q47 _),
+      "q67_stream_dedup" -> (q67 _))
 
-  /** Same oracle texts as the batch twins — that equality IS the parity
-    * claim. */
+  /** q46/q47 reuse the batch twins' oracle texts — that equality IS the
+    * parity claim. */
   val oracles: Map[String, String] =
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
-      "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql)
+      "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
+      "q67_stream_dedup" -> q67Sql)
 }

@@ -44,10 +44,15 @@ class ConcurrencySpec extends AnyFunSuite {
     s.upsertMany(randVectors(200, dim, seed = 3).map(v => (v, Map.empty[String, String])), "race")
     val query = Seq.tabulate(dim)(i => 0.1f * (i + 1))
 
+    // sized for coverage, not load: 32 racing commits and 9 racing
+    // searches exercise every interleaving class the invariants name;
+    // the earlier 48/15 shape bought no extra coverage and pushed the
+    // wall-clock (cold-JIT rebuild per observed epoch ≈ seconds each)
+    // against the liveness deadline on slow boxes
     val writers = 4
-    val perWriter = 12
+    val perWriter = 8
     val searchers = 3
-    val searchRounds = 5
+    val searchRounds = 3
     val pool = Executors.newFixedThreadPool(writers + searchers)
     val start = new CountDownLatch(1)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -82,8 +87,13 @@ class ConcurrencySpec extends AnyFunSuite {
       })
     }
     start.countDown()
-    (writerTasks ++ searchTasks).foreach(_.get(300, TimeUnit.SECONDS))
-    pool.shutdown()
+    // liveness deadline, not a perf bar: generous so a cold-JIT run on a
+    // contended box cannot time out a correct store. On expiry, cancel
+    // the racing threads before the next test runs — leaked racers
+    // submitting into a shutting-down context was how one timeout
+    // cascaded into executor-pool-terminated noise across the suite.
+    try (writerTasks ++ searchTasks).foreach(_.get(900, TimeUnit.SECONDS))
+    finally { pool.shutdownNow(); pool.awaitTermination(30, TimeUnit.SECONDS) }
     assert(errs.isEmpty, s"concurrent ops threw: ${errs.peek()}")
 
     // 1. no lost commits: every upsert id landed exactly once

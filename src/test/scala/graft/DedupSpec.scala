@@ -120,4 +120,36 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute == lsh)
   }
+
+  test("q64 clusters are exactly the connected components of the pair set") {
+    val pairs = Dedup.q18(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // independent driver-side union-find (union by min root), so the
+    // distributed label propagation is checked against a different
+    // algorithm, not against itself
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.map(x => (find(x), x))
+      .groupBy(_._1).map { case (root, xs) => root -> xs.map(_._2).toSet }
+    val got = Dedup.q64(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSet)
+    }
+    assert(got.map(_._1).toSet == expected.keySet) // one row per component, keyed by min id
+    got.foreach { case (cluster, nDocs, members) =>
+      assert(members == expected(cluster))
+      assert(nDocs == members.size)
+      assert(cluster == members.min)
+      assert(nDocs >= 2) // only docs appearing in some pair are clustered
+    }
+  }
 }

@@ -84,4 +84,41 @@ class StreamingSpec extends AnyFunSuite {
       store, "ing", s"$root/_checkpoint2")
     assert(store.totalCount() == 30, "replayed batch duplicated rows")
   }
+
+  test("watermarked streaming dedup emits a within-horizon duplicate key once") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // events-shaped input with every key duplicated inside one file (=
+    // one micro-batch): (uid, type) pairs appear 2–3× within minutes of
+    // each other, all far inside the 1-hour horizon
+    val baseNs = 1704067200L * 1000000000L
+    val rows = Seq(
+      (1L, baseNs, 1L, "click", 1.0, "{}"),
+      (2L, baseNs + 60L * 1000000000L, 1L, "click", 2.0, "{}"),
+      (3L, baseNs + 120L * 1000000000L, 1L, "view", 3.0, "{}"),
+      (4L, baseNs + 180L * 1000000000L, 2L, "click", 4.0, "{}"),
+      (5L, baseNs + 240L * 1000000000L, 2L, "click", 5.0, "{}"),
+      (6L, baseNs + 300L * 1000000000L, 1L, "click", 6.0, "{}"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_dd_stage_")
+      .toString + "/out"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(stage)
+    // EventStream.source globs for a FILE named events.parquet inside the
+    // dir — relocate the single part file under that name
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd_").toString
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = EventStream.startDedupToMemory(spark, dir, "stream_dd_test")
+    try {
+      q.processAllAvailable()
+      val sunk = spark.table("stream_dd_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toList
+      // exactly one emission per key — not merely distinct-after-the-fact
+      assert(sunk.size == 3, s"duplicate keys re-emitted: $sunk")
+      assert(sunk.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
 }
