@@ -335,7 +335,12 @@ object Dedup {
   // the same join primitives re-ordered; the plain form is kept for plan
   // clarity since text-dup components are shallow in practice.
 
-  def q64(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lbl) for every doc appearing in some verified pair, lbl =
+    * min doc_id of its component — the label-propagation loop shared by
+    * q64 (cluster report) and q69 (canonical-corpus materialization).
+    * Returned frame is localCheckpoint-pinned; callers own the last
+    * reference. */
+  private def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshVerifiedPairs(spark, dir)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = true)
@@ -371,7 +376,14 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = next
     }
-    val out = labels
+    pairs.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val labels = components(spark, dir)
+    labels
       .groupBy(col("lbl").as("cluster"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -380,16 +392,14 @@ object Dedup {
       // cluster list is dup-group-sized at 100 TB (still large) → keep
       // the parallel range sort, not Out.ordered's single partition
       .orderBy(col("cluster"))
-    pairs.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
   }
 
-  /** Oracle: same closure as a recursive CTE — reach(doc, lbl) floods
-    * every label through the undirected edge set (UNION dedups, so the
-    * recursion terminates), then min per node reproduces the fixpoint. */
-  val q64Sql: String =
-    s"""WITH RECURSIVE $jaccardCtes,
+  /** Closure CTE chain shared by the q64 and q69 oracles: reach(doc, lbl)
+    * floods every label through the undirected edge set (UNION dedups, so
+    * the recursion terminates), then min per node reproduces the
+    * fixpoint. Must head a `WITH RECURSIVE`. */
+  private def closureCtes: String =
+    s"""$jaccardCtes,
        |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $JaccT),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -399,10 +409,67 @@ object Dedup {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst),
-       |lab AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id)
+       |lab AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
+
+  val q64Sql: String =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT cluster, count(*) AS n_docs,
        |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ---- Q69: canonical corpus (exact dedup ∘ cluster resolution) -------
+  //
+  // The dedup ENDGAME a pipeline actually ships: drop exact-duplicate
+  // non-keepers (q16's digest groups, keep min id) AND near-duplicate
+  // cluster non-minima (q64's components, keep the cluster's min id),
+  // report what survives per language. Both drop sets are
+  // exception-sized; the corpus is touched by one digest scan and one
+  // anti-join — at 100 TB the anti-join broadcasts or shuffles the DROP
+  // LIST, never re-shuffles the corpus by anything but its own key.
+
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      md5(normText(col("text"))).as("h"))
+    val exKeep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val exDrop = d.join(exKeep, Seq("h"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"))
+    val labels = components(spark, dir)
+    val nearDrop = labels
+      .where(col("doc_id") =!= col("lbl"))
+      .select(col("doc_id"))
+    val drops = exDrop.union(nearDrop).distinct()
+    val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val kept = d.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    // labels stays pinned: the returned plan reads it (a localCheckpoint's
+    // blocks are the only copy — unpersisting here would break execution)
+    tot.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val q69Sql: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |exh AS (
+       |  SELECT doc_id, lang,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+       |  FROM documents),
+       |exk AS (SELECT h, min(doc_id) AS keeper FROM exh GROUP BY h),
+       |exdrop AS (
+       |  SELECT exh.doc_id FROM exh JOIN exk USING (h)
+       |  WHERE exh.doc_id <> exk.keeper),
+       |neardrop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster),
+       |drops AS (SELECT doc_id FROM exdrop UNION SELECT doc_id FROM neardrop),
+       |tot AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |keep AS (
+       |  SELECT lang, count(*) AS n_kept FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops) GROUP BY lang)
+       |SELECT lang, n_docs, coalesce(n_kept, 0) AS n_kept,
+       |       n_docs - coalesce(n_kept, 0) AS n_dropped
+       |FROM tot LEFT JOIN keep USING (lang) ORDER BY lang""".stripMargin
 
   // ---- registry -------------------------------------------------------
 
@@ -411,7 +478,8 @@ object Dedup {
     "q17_dedup_ngram_jaccard" -> (q17 _),
     "q18_dedup_minhash_lsh" -> (q18 _),
     "q19_dedup_simhash" -> (q19 _),
-    "q64_dedup_clusters" -> (q64 _))
+    "q64_dedup_clusters" -> (q64 _),
+    "q69_dedup_canonical" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q16_dedup_exact" -> q16Sql,
@@ -420,5 +488,6 @@ object Dedup {
     // stage re-checks candidates with exact Jaccard at the same threshold)
     "q18_dedup_minhash_lsh" -> jaccardSql,
     "q19_dedup_simhash" -> q19Sql,
-    "q64_dedup_clusters" -> q64Sql)
+    "q64_dedup_clusters" -> q64Sql,
+    "q69_dedup_canonical" -> q69Sql)
 }

@@ -179,6 +179,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
   }
 
+  test("BM25 top-k cuts with TakeOrderedAndProject, never a global sort of scores") {
+    val p = plan(graft.operators.Retrieval.q65(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the window that numbers the final ranks must sit ABOVE the cut (a
+    // list-sized input), which TakeOrderedAndProject guarantees here; a
+    // global Sort under the Window would mean the corpus was sorted
+    val sortFirst = p.indexOf("TakeOrderedAndProject")
+    val window = p.indexOf("Window")
+    assert(window >= 0 && window < sortFirst,
+      s"rank window should consume the top-k cut, not precede it\n${p.take(800)}")
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
