@@ -24,4 +24,19 @@ object Det {
 
   def r4Sql(e: String): String =
     s"(floor(($e) * 10000.0 + 0.5) / 10000.0)"
+
+  // DuckDB-side vector scoring, the ONE copy every ANN/store/retrieval
+  // oracle delegates to — the cast/shape must match the Spark kernels'
+  // float32-elements-accumulated-in-double contract, and a drift here
+  // would skew every oracle the same way (caught) rather than one pair
+  // at a time (missed).
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+
+  def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+
+  def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 }

@@ -73,9 +73,9 @@ object Ann {
   }
 
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    graft.functions.Det.dotSql(a, b)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    graft.functions.Det.cosSql(a, b)
 
   val q31Sql: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -286,10 +286,8 @@ object Pq {
     layoutCache.computeIfAbsent(pqAuxDir(spark, dir),
       _ => buildPqIndex(spark, dir))
 
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
   private[graft] def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    graft.functions.Det.cosSql(a, b)
 
   /** Oracle replay from the persisted layout: ADC = codes⋈lut summed and
     * rounded, candidates = top-CandN per query on (ADC, id), rerank =

@@ -164,10 +164,8 @@ object Retrieval {
       .limit(TopK)
   }
 
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    graft.functions.Det.cosSql(a, b)
 
   val q66Sql: String =
     s"""WITH $bm25Ctes,

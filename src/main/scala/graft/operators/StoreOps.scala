@@ -29,9 +29,9 @@ object StoreOps {
   private val Ns = "q45"
 
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    graft.functions.Det.dotSql(a, b)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    graft.functions.Det.cosSql(a, b)
 
   def q45(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

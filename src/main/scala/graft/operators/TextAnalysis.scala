@@ -414,9 +414,14 @@ object TextAnalysis {
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
        |  FROM documents),
        |b AS (
-       |  SELECT doc_id,
-       |         unnest(list_transform(list_zip(toks, toks[2:]), p -> p[1] || ' ' || p[2])) AS bg
-       |  FROM t WHERE len(toks) > 1),
+       |  -- list_zip NULL-pads to the longer list, so the final (tok,
+       |  -- NULL) pair concatenates to a NULL bg; drop it here rather
+       |  -- than rely on max(c) never seeing its count-1 group
+       |  SELECT doc_id, bg FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(list_zip(toks, toks[2:]), p -> p[1] || ' ' || p[2])) AS bg
+       |    FROM t WHERE len(toks) > 1)
+       |  WHERE bg IS NOT NULL),
        |mx AS (
        |  SELECT doc_id, max(c) AS mx
        |  FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)

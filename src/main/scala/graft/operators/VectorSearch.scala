@@ -57,12 +57,14 @@ object VectorSearch {
 
   // ---- shared oracle-SQL pieces -------------------------------------
 
+  // delegate to the single canonical copy in Det — five parallel copies
+  // of this helper drifted-by-one would skew exactly one oracle pair
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    graft.functions.Det.dotSql(a, b)
   private def l2sqSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    graft.functions.Det.l2sqSql(a, b)
   private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+    graft.functions.Det.cosSql(a, b)
 
   private val vecsCte =
     s"v AS (${Tables.vectorsSql}), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"

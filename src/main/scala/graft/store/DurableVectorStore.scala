@@ -213,7 +213,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       val now = System.currentTimeMillis()
       val last = lastTombRefresh.get()
       if (now - last >= interval && lastTombRefresh.compareAndSet(last, now))
-        tombRows.set(readOrEmpty(delPath, delSchema).count())
+        // opportunistic bookkeeping must never fail a READ: a transient
+        // FS error here keeps the cached count (corrected next interval)
+        // instead of throwing out of live()/findSimilar
+        try tombRows.set(readOrEmpty(delPath, delSchema).count())
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     tombRows.get()
   }

@@ -191,7 +191,16 @@ object EventStream {
     * drained sink is reduced to distinct keys before comparing. The
     * within-horizon single-emission guarantee is pinned separately by
     * StreamingSpec (a key duplicated inside one micro-batch lands in the
-    * sink once). */
+    * sink once).
+    *
+    * Key-set-equals-DISTINCT additionally assumes no key's rows arrive
+    * ONLY in a batch whose event times sit behind an already-advanced
+    * watermark — dropDuplicatesWithinWatermark drops such late rows
+    * outright, which is its contract, not a bug. The single-file fixture
+    * drains as one micro-batch, so the assumption holds here by
+    * construction (the q47 single-batch caveat, stated rather than
+    * assumed); a multi-file deployment keys the same guarantee to its
+    * watermark delay covering the source's disorder. */
   def q67(spark: SparkSession, dir: String): DataFrame =
     drainToTable(spark, "graft_q67_sink",
       startDedupToMemory(spark, dir, "graft_q67_sink"))
