@@ -211,15 +211,54 @@ object EventStream {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- q70: stream-static enrichment join ------------------------------
+
+  /** The remaining core streaming operator class: a STREAM joined to a
+    * STATIC dimension (event stream ⋈ customer on user_id = c_custkey),
+    * then aggregated per market segment. The static side is a plain
+    * batch DataFrame — Spark re-plans it per micro-batch and, being
+    * dimension-sized, it broadcasts: the stream side never shuffles for
+    * the join, which is exactly the 100 TB shape (the alternative,
+    * shuffling the stream by join key every batch, is the plan this
+    * operator exists to avoid). */
+  def startEnrichedToMemory(spark: SparkSession, dir: String,
+                            queryName: String): StreamingQuery =
+    source(spark, dir)
+      .join(graft.sources.Tables.table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** q70: drain the stream-static join + segment aggregation; must
+    * hash-match the batch join in DuckDB. */
+  def q70(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q70_sink",
+      startEnrichedToMemory(spark, dir, "graft_q70_sink"))
+      .orderBy(col("c_mktsegment"))
+
+  val q70Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |       ${graft.functions.Det.r4Sql("sum(value)")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q47_stream_sessionize" -> (q47 _),
-      "q67_stream_dedup" -> (q67 _))
+      "q67_stream_dedup" -> (q67 _),
+      "q70_stream_static_join" -> (q70 _))
 
   /** q46/q47 reuse the batch twins' oracle texts — that equality IS the
     * parity claim. */
   val oracles: Map[String, String] =
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
-      "q67_stream_dedup" -> q67Sql)
+      "q67_stream_dedup" -> q67Sql,
+      "q70_stream_static_join" -> q70Sql)
 }
