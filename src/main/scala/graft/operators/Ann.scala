@@ -259,38 +259,17 @@ object Ann {
     * at 100×" failure. Local/test runs can leave it unset. */
   val IvfDirConf = "spark.graft.ivf.dir"
 
-  /** Per-process token in the layout path: concurrent processes grading
-    * the same sf dir (or sharing one cluster-wide layout root) must not
-    * clobber each other's layout mid-read. Consumers never reconstruct the
-    * path — it flows through the buildIvfIndex return value / [[lastAux]]
-    * into the oracle SQL. */
-  private val processToken: String =
-    ProcessHandle.current().pid().toString + "_" +
-      java.util.UUID.randomUUID().toString.take(8)
-
-  /** Fallback layout root when [[IvfDirConf]] is unset: a mkdtemp-style
-    * private directory (0700, unpredictable name — not a fixed
-    * world-writable `/tmp/graft_ivf` parent that a hostile symlink could
-    * pre-claim on a shared host). Correct for local mode only — hence the
-    * conf for clusters.
-    *
-    * Deliberately NOT removed by a shutdown hook: the q33 oracle is an
-    * EXTERNAL DuckDB process that replays `assign/` + `probes/` after
-    * this JVM exits, so exit-time cleanup would grade q33 against a
-    * deleted path. The leak is bounded (one small layout per process
-    * under the system temp dir, reaped by normal tmp cleanup). */
-  private lazy val privateRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+  /** The [[LayoutRoot]] cluster contract (shared root via conf, private
+    * temp fallback, per-process token, no exit-time cleanup — the q33
+    * oracle replays `assign/` + `probes/` from an external process). */
+  private val root = new LayoutRoot(IvfDirConf, "graft_ivf_")
 
   /** Where a dir's IVF layout lives for THIS process: `index/` is the
     * corpus partitioned by `cell` (the on-disk inverted file), `assign/` a
     * flat (vec_id, cell) table and `probes/` the per-query probe list — the
-    * latter two exist so the DuckDB oracle can replay candidates + rerank.
-    * Root = `spark.graft.ivf.dir` if set (cluster deployments), else the
-    * process-private temp root. */
+    * latter two exist so the DuckDB oracle can replay candidates + rerank. */
   def ivfAuxDir(spark: SparkSession, dir: String): String =
-    spark.conf.getOption(IvfDirConf).getOrElse(privateRoot) +
-      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    root.auxDir(spark, dir)
 
   /** The layout path of the most recent ivfTopK run in this JVM — Verify
     * runs every query before dumping oracle SQL, so the q33 oracle always

@@ -36,16 +36,10 @@ object IvfPq {
     * cluster contract. */
   val IvfPqDirConf = "spark.graft.ivfpq.dir"
 
-  private lazy val privateRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
-
-  private val processToken: String =
-    ProcessHandle.current().pid().toString + "_" +
-      java.util.UUID.randomUUID().toString.take(8)
+  private val root = new LayoutRoot(IvfPqDirConf, "graft_ivfpq_")
 
   def auxDir(spark: SparkSession, dir: String): String =
-    spark.conf.getOption(IvfPqDirConf).getOrElse(privateRoot) +
-      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    root.auxDir(spark, dir)
 
   @volatile private var lastAux: Option[(String, String)] = None
 

@@ -53,16 +53,10 @@ object Pq {
     * temp fallback locally. */
   val PqDirConf = "spark.graft.pq.dir"
 
-  private lazy val privateRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_pq_").toString
-
-  private val processToken: String =
-    ProcessHandle.current().pid().toString + "_" +
-      java.util.UUID.randomUUID().toString.take(8)
+  private val root = new LayoutRoot(PqDirConf, "graft_pq_")
 
   def pqAuxDir(spark: SparkSession, dir: String): String =
-    spark.conf.getOption(PqDirConf).getOrElse(privateRoot) +
-      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    root.auxDir(spark, dir)
 
   @volatile private var lastAux: Option[String] = None
 
