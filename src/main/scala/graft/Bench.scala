@@ -62,7 +62,11 @@ package graft
   *    carries millisecond-rounded values and the headline fields only;
   *    the full-precision per-pass data, sample counts, and errors move to
   *    an AUDIT FILE (`SPARK_GRAFT_BENCH_AUDIT`, default
-  *    `target/bench_audit.json`) whose path the line references.
+  *    `target/bench_audit.json`) whose path the line references. At 70
+  *    queries the line brushes the window again, so field order doubles
+  *    as truncation policy: per-query entries first (cheapest-first,
+  *    clippable), headline fields (errors/deviations/value/sf) last,
+  *    where a tail-window clip can never eat them.
   *  - SLOW-TAIL DEVIATION: `slow_dev_pct` is `max_dev_pct` restricted to
   *    queries whose comparable is ≥ 0.5 s. The all-queries number is
   *    dominated by the sub-300 ms tail, where one GC pause (~0.1 s
@@ -277,8 +281,15 @@ object Bench {
     // they cost 2 bytes.
     // run config (runs/fast_runs/passes) + the stat note live in the
     // audit file — static fields, and the line's byte budget goes to the
-    // 59-and-growing per-query entries
-    println(s"""{"metric":"total","value":${r3(totals.last)},"unit":"sec","queries":${fmtQueries(minQueries, round = true)},"errors":$errJson$extra$onlyJson,"sf":"$sfDir","audit":"$auditPath"}""")
+    // 59-and-growing per-query entries.
+    // FIELD ORDER IS TRUNCATION POLICY, not style: the harness keeps the
+    // TAIL of stdout (~2 KB), and at 70 queries the line brushes that
+    // limit. Per-query entries go FIRST, sorted cheapest-first, so if the
+    // window ever clips the line it eats sub-second entries; the
+    // headline fields (errors, deviations, value, sf) sit at the END
+    // where they can never be lost. JSON object key order is meaningless
+    // to parsers, so a fitting line is unchanged semantically.
+    println(s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals.last)},"unit":"sec","sf":"$sfDir","audit":"$auditPath"}""")
     spark.stop()
   }
 }
