@@ -492,6 +492,56 @@ object Dedup {
        |       n_docs - coalesce(n_kept, 0) AS n_dropped
        |FROM tot LEFT JOIN keep USING (lang) ORDER BY lang""".stripMargin
 
+  // ---- Q71: incremental dedup (new batch vs existing corpus) ----------
+  //
+  // The continuous-ingestion shape q17/q18 don't cover: dedup-AGAINST,
+  // not dedup-within. An arriving batch must be checked against the
+  // already-ingested corpus without re-running the corpus×corpus
+  // self-join — the postings join here is corpus-side × BATCH-side, so
+  // per-ingest work scales with the batch (times posting-list overlap),
+  // not with the square of the archive. At 100 TB the corpus postings
+  // are the standing index this join probes; the batch side is the only
+  // thing that changes per run. The split point is derived from the data
+  // (last ~fifth of the id range plays the arriving batch) so the query
+  // is scale-free across sf dirs.
+
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir).localCheckpoint(eager = true)
+    val maxId = docs(spark, dir).agg(max(col("doc_id"))).head.getLong(0)
+    val split = maxId * 4 / 5
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val corpus = sh.where(col("doc_id") < split)
+      .select(col("doc_id").as("corpus_id"), col("h"))
+    val batch = sh.where(col("doc_id") >= split)
+      .select(col("doc_id").as("batch_id"), col("h"))
+    corpus.join(batch, Seq("h"))
+      .groupBy(col("corpus_id"), col("batch_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("na")),
+        Seq("corpus_id"))
+      .join(sizes.select(col("doc_id").as("batch_id"), col("n").as("nb")),
+        Seq("batch_id"))
+      .withColumn("jaccard",
+        graft.functions.Det.r4(
+          col("c").cast("double") / (col("na") + col("nb") - col("c"))))
+      .where(col("jaccard") >= JaccT)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("corpus_id"), col("batch_id"))
+  }
+
+  /** Oracle: the full pairwise CTE filtered to cross-split pairs —
+    * id_a < id_b always, so (corpus, batch) pairs are exactly the jac
+    * rows with id_a below the split and id_b at-or-above it. The split
+    * is the same integer-division expression both engines evaluate
+    * exactly. */
+  val q71Sql: String =
+    s"""WITH $jaccardCtes,
+       |sp AS (SELECT max(doc_id) * 4 / 5 AS split FROM documents)
+       |SELECT id_a AS corpus_id, id_b AS batch_id, jaccard
+       |FROM jac, sp
+       |WHERE jaccard >= $JaccT AND id_a < split AND id_b >= split
+       |ORDER BY jaccard DESC, corpus_id, batch_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -500,7 +550,8 @@ object Dedup {
     "q18_dedup_minhash_lsh" -> (q18 _),
     "q19_dedup_simhash" -> (q19 _),
     "q64_dedup_clusters" -> (q64 _),
-    "q69_dedup_canonical" -> (q69 _))
+    "q69_dedup_canonical" -> (q69 _),
+    "q71_dedup_incremental" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
     "q16_dedup_exact" -> q16Sql,
@@ -510,5 +561,6 @@ object Dedup {
     "q18_dedup_minhash_lsh" -> jaccardSql,
     "q19_dedup_simhash" -> q19Sql,
     "q64_dedup_clusters" -> q64Sql,
-    "q69_dedup_canonical" -> q69Sql)
+    "q69_dedup_canonical" -> q69Sql,
+    "q71_dedup_incremental" -> q71Sql)
 }
