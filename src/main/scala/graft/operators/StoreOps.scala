@@ -675,6 +675,103 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q72: TIME TRAVEL through the durable facade ---------------------
+
+  private val AsOfN = 200L      // ids "0".."199" hydrate batch A
+  private val AsOfNs = "q72"
+  private val AsOfMod = 5       // i%5==0 overwritten by batch B,
+  private val AsOfDelRem = 1    // i%5==1 deleted after batch B
+  private val AsOfShift = 200L  // overwrite source: embedding(i + 200)
+
+  private val q72Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long, Long)]()
+  private val q72Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q72: SNAPSHOT reads over the seq-stamped layout — load batch A,
+    * capture stamp, overwrite a fifth of the ids and delete another
+    * fifth, capture again, then run the SAME top-k at both stamps via
+    * [[graft.store.DurableVectorStore.findSimilarAsOf]]. The 'a' rows
+    * must rank pure batch A (the overwrites and deletes invisible); the
+    * 'b' rows must equal the live read (asserted in-script). Grades the
+    * reproducibility primitive a 100 TB pipeline leans on: record
+    * `currentSeq()` at job start, re-run any retrieval bit-identically
+    * while ingestion keeps appending — no copy, no lock, two pushed-down
+    * seq bounds. Oracle replays both states relationally. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/asof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val (store, snapA, snapB) = q72Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q72Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(
+        e.where(col("vec_id") < AsOfN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        AsOfNs)
+      val a = s.currentSeq()
+      // batch B: shifted-source upsert — id i (i%5==0) takes embedding
+      // (i+200); 200%5==0 keeps the source predicate aligned with the id
+      s.loadFrame(
+        e.where(col("vec_id") >= AsOfShift &&
+            col("vec_id") < AsOfShift + AsOfN &&
+            col("vec_id") % AsOfMod === 0)
+          .select((col("vec_id") - AsOfShift).cast("string").as("id"),
+            col("embedding").as("values")),
+        AsOfNs)
+      val dels = (0L until AsOfN).filter(_ % AsOfMod == AsOfDelRem)
+        .map(_.toString)
+      val deleted = s.delete(dels, AsOfNs)
+      require(deleted.sorted == dels.sorted,
+        s"as-of delete reported ${deleted.length} ids, expected ${dels.length}")
+      (s, a, s.currentSeq())
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    def ranked(snap: String, asOf: Long): Seq[(String, Int, String, Double)] =
+      store.findSimilarAsOf(qv, asOf, k = K, metric = "cosine",
+          namespace = AsOfNs)
+        .zipWithIndex.map { case (h, i) => (snap, i + 1, h.id, h.score) }
+    val atB = ranked("b", snapB)
+    // the latest snapshot IS the present: any drift between the as-of
+    // path and the live read is a bug this gate must catch, not grade
+    val liveNow = store.findSimilar(qv, k = K, metric = "cosine",
+      namespace = AsOfNs)
+    require(atB.map(t => (t._3, t._4)) == liveNow.map(h => (h.id, h.score)),
+      "as-of at the latest stamp diverged from the live read")
+    (ranked("a", snapA) ++ atB)
+      .toDF("snap", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("snap", "rank")
+  }
+
+  /** Relational replay of both snapshots: state 'a' is the plain batch-A
+    * load; state 'b' applies the shifted-source overwrite and drops the
+    * deleted residue class — each ranked like q54's oracle. */
+  val q72Sql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |a AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $AsOfN),
+       |b AS (
+       |  SELECT e.vec_id::VARCHAR AS id,
+       |         CASE WHEN e.vec_id % $AsOfMod = 0 THEN o.embedding
+       |              ELSE e.embedding END AS v
+       |  FROM embeddings e
+       |  LEFT JOIN embeddings o ON o.vec_id = e.vec_id + $AsOfShift
+       |  WHERE e.vec_id < $AsOfN AND e.vec_id % $AsOfMod <> $AsOfDelRem),
+       |sa AS (SELECT id, ${cosSql("a.v", "q.qv")} AS raw FROM a, q),
+       |sb AS (SELECT id, ${cosSql("b.v", "q.qv")} AS raw FROM b, q),
+       |ra AS (SELECT 'a' AS snap, id, raw,
+       |              row_number() OVER (ORDER BY raw DESC, id) AS rank FROM sa),
+       |rb AS (SELECT 'b' AS snap, id, raw,
+       |              row_number() OVER (ORDER BY raw DESC, id) AS rank FROM sb),
+       |u AS (SELECT * FROM ra WHERE rank <= $K
+       |      UNION ALL SELECT * FROM rb WHERE rank <= $K)
+       |SELECT snap, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM u ORDER BY snap, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -684,7 +781,8 @@ object StoreOps {
       "q54_durable_facade" -> (q54 _),
       "q56_durable_compact_reload" -> (q56 _),
       "q57_stream_ingest_durable" -> (q57 _),
-      "q61_store_pq_search" -> (q61 _))
+      "q61_store_pq_search" -> (q61 _),
+      "q72_durable_asof" -> (q72 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -698,7 +796,8 @@ object StoreOps {
       "q51_durable_search" -> q51Sql,
       "q54_durable_facade" -> q54Sql,
       "q56_durable_compact_reload" -> q56Sql,
-      "q57_stream_ingest_durable" -> q57Sql) ++
+      "q57_stream_ingest_durable" -> q57Sql,
+      "q72_durable_asof" -> q72Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux))
 }

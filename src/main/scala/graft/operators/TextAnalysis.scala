@@ -488,6 +488,48 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
        |WHERE d.doc_id >= $BenchDocs ORDER BY d.doc_id""".stripMargin
 
+  // ---- Q73: overlapping chunking for embedding ingestion --------------
+  //
+  // The transform between a document corpus and an embedding/vector-store
+  // pipeline: fixed token windows (W=32) with stride S=24 (8-token
+  // overlap so no boundary sentence is ever split across chunks without
+  // a covering window). Per-row generate: the only row-count change is
+  // the explode, there is NO shuffle — at 100 TB this is a straight map
+  // whose output feeds loadFrame/embedding batches partition-locally.
+  // Chunks are reported as (doc_id, chunk_idx, n_tok, md5), which pins
+  // the exact token content without shipping the text twice.
+
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    withToks(spark, dir)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .where(col("n") >= 1) // tokenless docs chunk to nothing, not to error
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkS))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        slice(col("toks"), col("col") + 1, lit(ChunkW)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("sig"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q73Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+       |c0 AS (
+       |  SELECT doc_id, toks, unnest(range(0, n, $ChunkS)) AS start FROM s),
+       |c AS (
+       |  SELECT doc_id, (start // $ChunkS)::INT AS chunk_idx,
+       |         list_slice(toks, start + 1, start + $ChunkW) AS chunk
+       |  FROM c0)
+       |SELECT doc_id, chunk_idx, len(chunk)::INT AS n_tok,
+       |       md5(array_to_string(chunk, ' ')) AS sig
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -566,7 +608,8 @@ object TextAnalysis {
     "q59_gopher_rules" -> (q59 _),
     "q62_repetition_rules" -> (q62 _),
     "q63_decontaminate" -> (q63 _),
-    "q68_domain_mixture" -> (q68 _))
+    "q68_domain_mixture" -> (q68 _),
+    "q73_chunking" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -579,5 +622,6 @@ object TextAnalysis {
     "q59_gopher_rules" -> q59Sql,
     "q62_repetition_rules" -> q62Sql,
     "q63_decontaminate" -> q63Sql,
-    "q68_domain_mixture" -> q68Sql)
+    "q68_domain_mixture" -> q68Sql,
+    "q73_chunking" -> q73Sql)
 }

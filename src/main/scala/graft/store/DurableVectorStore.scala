@@ -338,19 +338,45 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * to fold a ~100 M-row log would be strictly worse. On a
     * freshly-compacted (or never-deleted) store this is a plain scan; a
     * never-loaded store is simply empty. */
-  def live(): DataFrame = {
-    val d = readOrEmpty(dataPath, dataSchema)
-    val t = readOrEmpty(delPath, delSchema)
-      .select(col("id").as("__tid"), col("namespace").as("__tns"),
-        col("seq").as("__tseq"))
+  def live(): DataFrame =
+    minusTombstones(readOrEmpty(dataPath, dataSchema),
+      readOrEmpty(delPath, delSchema))
+
+  /** The kill step shared by [[live]] and [[liveAsOf]]: data minus
+    * newer tombstones, with the broadcast/shuffle regime gate. */
+  private def minusTombstones(d: DataFrame, t: DataFrame): DataFrame = {
+    val tt = t.select(col("id").as("__tid"), col("namespace").as("__tns"),
+      col("seq").as("__tseq"))
     val side =
-      if (tombRowsCurrent() <= tombBroadcastMaxRows) broadcast(t)
-      else t.hint("shuffle_hash")
+      if (tombRowsCurrent() <= tombBroadcastMaxRows) broadcast(tt)
+      else tt.hint("shuffle_hash")
     d.join(side,
       col("id") === col("__tid") && col("namespace") === col("__tns") &&
         col("__tseq") > col("seq"),
       "left_anti")
   }
+
+  /** The highest commit stamp this process has observed — the snapshot
+    * token for [[liveAsOf]]/[[findSimilarAsOf]]. Monotone within a
+    * process; capturing it between mutations brackets exactly the
+    * commits applied so far. */
+  def currentSeq(): Long = seq.get()
+
+  /** Snapshot read: the live set as of commit stamp `asOf` — data rows
+    * stamped ≤ asOf minus tombstones stamped in (row.seq, asOf]. Every
+    * commit (append, shadow, tombstone) carries its own stamp, so the
+    * layout IS the history and time travel is two pushed-down filters —
+    * `seq` is a plain parquet column, so both bounds prune row groups
+    * from footer stats before any row is read; the anti-join keeps
+    * [[live]]'s broadcast/shuffle regime. Exact for snapshots taken
+    * at-or-after the last [[compact]]: compaction folds history
+    * (shadowed and tombstoned rows are physically dropped), so an older
+    * snapshot degrades to the folded view — the standard LSM/VACUUM
+    * retention horizon, documented rather than hidden. */
+  def liveAsOf(asOf: Long): DataFrame =
+    minusTombstones(
+      readOrEmpty(dataPath, dataSchema).filter(col("seq") <= asOf),
+      readOrEmpty(delPath, delSchema).filter(col("seq") <= asOf))
 
   /** Top-k search over the durable layout — the q01/q02 plan reading
     * parquet: namespace partition pruning → codegen'd distance →
@@ -358,9 +384,23 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the string-id tie-break are [[Scoring]]'s — identical to
     * [[VectorStore.findSimilar]] by construction. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
-                  namespace: String = "default"): Seq[SearchHit] = {
+                  namespace: String = "default"): Seq[SearchHit] =
+    searchOver(live(), query, k, metric, namespace)
+
+  /** [[findSimilar]] against the [[liveAsOf]] snapshot at `asOf` — the
+    * same plan with two extra pushed-down seq bounds. A reproducibility
+    * primitive, not just a debugging one: a 100 TB training pipeline that
+    * records `currentSeq()` at job start can re-run any retrieval
+    * bit-identically while ingestion keeps appending. */
+  def findSimilarAsOf(query: Seq[Float], asOf: Long, k: Int = 10,
+                      metric: String = "cosine",
+                      namespace: String = "default"): Seq[SearchHit] =
+    searchOver(liveAsOf(asOf), query, k, metric, namespace)
+
+  private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
+                         metric: String, namespace: String): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    val base = live().filter(col("namespace") === namespace)
+    val base = liveSet.filter(col("namespace") === namespace)
     val scored = base.withColumn("score",
       Scoring.score(metric, col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, metric).limit(k)

@@ -249,4 +249,30 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(c.delete(Seq("x"), "ns") == Seq("x"))
     for (s <- Seq(a, b, c)) assert(s.read("x", "ns").isEmpty)
   }
+
+  test("as-of reads see exactly the state at the captured stamp") {
+    val d = new DurableVectorStore(spark, tmp())
+    val q = Seq(3f, 2f, 1f)
+    d.loadFrame(frame(vecs), "ns")
+    val snapA = d.currentSeq()
+    val atA = d.findSimilar(q, k = 30, namespace = "ns").map(h => (h.id, h.score))
+    // mutate: overwrite v1, delete v2, add a new id
+    d.loadFrame(frame(Seq(("v1", Seq(50f, 50f, 1f)), ("new", Seq(3f, 2f, 1f)))), "ns")
+    assert(d.delete(Seq("v2"), "ns") == Seq("v2"))
+    val snapB = d.currentSeq()
+    // the A snapshot replays the pre-mutation ranking bit-identically
+    assert(d.findSimilarAsOf(q, snapA, k = 30, namespace = "ns")
+      .map(h => (h.id, h.score)) == atA)
+    // liveAsOf(A) row set = original ids; v1 still has its OLD vector
+    val asOfA = d.liveAsOf(snapA).filter(col("namespace") === "ns")
+    assert(asOfA.count() == 30)
+    assert(asOfA.filter(col("id") === "v1").select("values")
+      .collect()(0).getSeq[Float](0) == Seq(1f, 1f, 1f))
+    // the B snapshot equals the live read
+    assert(d.findSimilarAsOf(q, snapB, k = 30, namespace = "ns")
+      .map(h => (h.id, h.score)) ==
+      d.findSimilar(q, k = 30, namespace = "ns").map(h => (h.id, h.score)))
+    // a stamp from BEFORE any commit sees an empty store
+    assert(d.liveAsOf(0L).count() == 0)
+  }
 }
