@@ -502,6 +502,52 @@ object VectorSearch {
        |  AND json_extract_string(mj, '$$.tags.parity') = '1'
        |ORDER BY id""".stripMargin
 
+  // ---- Q74: BATCHED multi-query KNN -----------------------------------
+  //
+  // The serving-batch shape q01/q02 don't cover: Q query vectors
+  // answered by ONE corpus scan. The queries broadcast (Q × dim floats —
+  // kilobytes), every corpus partition scores all Q locally, and the
+  // per-query top-k cut runs inside [[graft.functions.TopKAgg]]'s
+  // bounded heap with map-side partial aggregation — the exchange
+  // carries partitions × Q × k heap entries, never the corpus × Q scored
+  // frame a row_number window would shuffle. At 100 TB this is the
+  // difference between a k-row-per-partition merge and re-shuffling the
+  // whole corpus once per query batch.
+
+  private val BatchQ = 4
+
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < BatchQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    vecs(spark, dir).where(col("namespace") === "ns_1")
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        cosineSim(col("values"), col("qv")).as("raw"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("raw"), col("id"), 10,
+        descending = true).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), graft.functions.Det.r4(col("col.score")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The window formulation the aggregate replaces — correct at any
+    * scale in DuckDB's single-node world, so it IS the oracle. */
+  val q74Sql: String =
+    s"""WITH v AS (${Tables.vectorsSql}),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQ),
+       |sc AS (SELECT qs.qid, v.id, ${cosSql("v.values", "qs.qv")} AS raw
+       |       FROM v, qs WHERE v.namespace = 'ns_1'),
+       |r AS (SELECT qid, id, raw,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY raw DESC, id) AS rank
+       |      FROM sc)
+       |SELECT qid, rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +567,8 @@ object VectorSearch {
     "q14_hybrid_search" -> (q14 _),
     "q15_neardup_embedding" -> (q15 _),
     "q39_knn_ip" -> (q39 _),
-    "q40_metadata_json" -> (q40 _))
+    "q40_metadata_json" -> (q40 _),
+    "q74_knn_batch" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q01_knn_l2" -> q01Sql,
@@ -540,5 +587,6 @@ object VectorSearch {
     "q14_hybrid_search" -> q14Sql,
     "q15_neardup_embedding" -> q15Sql,
     "q39_knn_ip" -> q39Sql,
-    "q40_metadata_json" -> q40Sql)
+    "q40_metadata_json" -> q40Sql,
+    "q74_knn_batch" -> q74Sql)
 }
