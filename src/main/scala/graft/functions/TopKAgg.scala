@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.CatalystBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-group top-k as ONE bounded-heap typed imperative aggregate.
   *
@@ -28,7 +29,9 @@ import org.apache.spark.sql.types._
   * ascending otherwise (l2 distance); ties broken by ascending id — the
   * same total order as [[graft.store.Scoring.ranked]], so a batched
   * search returns exactly what k independent single-query searches
-  * would. Finalizes to `array<struct<id bigint, score double>>`
+  * would. Ids are `bigint` (the analytics tables) or `string` (the
+  * store facades — UTF8 binary order, identical to Spark's and DuckDB's
+  * string sort). Finalizes to `array<struct<id, score double>>`
   * better-first; NULL score or id rows are ignored (an all-NULL group
   * finalizes to an empty array).
   */
@@ -43,21 +46,30 @@ case class TopKAgg(
 
   require(k >= 1 && k <= 100000, "k must be in [1, 100000]")
 
+  private def stringIds: Boolean = id.dataType == StringType
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
+    if (score.dataType == DoubleType &&
+        (id.dataType == LongType || id.dataType == StringType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (double score, bigint id), got " +
+      s"$prettyName requires (double score, bigint|string id), got " +
         s"(${score.dataType.sql}, ${id.dataType.sql})")
 
   override def createAggregationBuffer(): TopKAgg.Buf =
-    new TopKAgg.Buf(k, descending)
+    new TopKAgg.Buf(k, descending, stringIds)
 
   override def update(buf: TopKAgg.Buf, input: InternalRow): TopKAgg.Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      // UTF8Strings from a columnar scan alias reusable buffers — copy
+      // before the value outlives this row
+      val iv: AnyRef =
+        if (stringIds) i.asInstanceOf[UTF8String].clone()
+        else i.asInstanceOf[AnyRef]
+      buf.offer(s.asInstanceOf[Double], iv)
+    }
     buf
   }
 
@@ -74,30 +86,59 @@ case class TopKAgg(
     })
   }
 
-  override def serialize(buf: TopKAgg.Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
-    bb.putInt(buf.size)
-    var j = 0
-    while (j < buf.size) {
-      bb.putDouble(buf.scores(j)); bb.putLong(buf.ids(j)); j += 1
+  override def serialize(buf: TopKAgg.Buf): Array[Byte] =
+    if (!stringIds) {
+      val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      var j = 0
+      while (j < buf.size) {
+        bb.putDouble(buf.scores(j))
+        bb.putLong(buf.ids(j).asInstanceOf[java.lang.Long].longValue)
+        j += 1
+      }
+      bb.array()
+    } else {
+      val byteArrs = (0 until buf.size)
+        .map(j => buf.ids(j).asInstanceOf[UTF8String].getBytes)
+      val bb = ByteBuffer.allocate(
+        4 + byteArrs.map(12 + _.length).sum)
+      bb.putInt(buf.size)
+      var j = 0
+      while (j < buf.size) {
+        bb.putDouble(buf.scores(j))
+        bb.putInt(byteArrs(j).length)
+        bb.put(byteArrs(j))
+        j += 1
+      }
+      bb.array()
     }
-    bb.array()
-  }
 
   override def deserialize(bytes: Array[Byte]): TopKAgg.Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val buf = new TopKAgg.Buf(k, descending)
+    val buf = new TopKAgg.Buf(k, descending, stringIds)
     var j = 0
     // entries re-offered, not memcpy'd: the heap shape is rebuilt, the
     // kept SET is identical (n ≤ k by construction)
-    while (j < n) { buf.offer(bb.getDouble(), bb.getLong()); j += 1 }
+    while (j < n) {
+      val s = bb.getDouble()
+      val iv: AnyRef =
+        if (!stringIds) java.lang.Long.valueOf(bb.getLong())
+        else {
+          val len = bb.getInt()
+          val arr = new Array[Byte](len)
+          bb.get(arr)
+          UTF8String.fromBytes(arr)
+        }
+      buf.offer(s, iv)
+      j += 1
+    }
     buf
   }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField("id", id.dataType, nullable = false),
       StructField("score", DoubleType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = false
@@ -117,22 +158,27 @@ object TopKAgg {
 
   /** k-slot binary heap, root = worst kept element under the (score,
     * id-tiebreak) total order. `offer` is O(log k) once full and a
-    * no-op when the candidate ranks below the root. */
-  final class Buf(k: Int, desc: Boolean) {
+    * no-op when the candidate ranks below the root. Ids are boxed Longs
+    * or (already-copied) UTF8Strings per `str`. */
+  final class Buf(k: Int, desc: Boolean, str: Boolean) {
     val scores = new Array[Double](k)
-    val ids = new Array[Long](k)
+    val ids = new Array[AnyRef](k)
     var size = 0
 
+    private def tieWorse(a: AnyRef, b: AnyRef): Boolean =
+      if (str) a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) > 0
+      else a.asInstanceOf[java.lang.Long].longValue > b.asInstanceOf[java.lang.Long].longValue
+
     /** (s1, i1) ranks strictly BELOW (s2, i2). */
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      if (s1 != s2) { if (desc) s1 < s2 else s1 > s2 } else i1 > i2
+    private def worse(s1: Double, i1: AnyRef, s2: Double, i2: AnyRef): Boolean =
+      if (s1 != s2) { if (desc) s1 < s2 else s1 > s2 } else tieWorse(i1, i2)
 
     private def swap(a: Int, b: Int): Unit = {
       val s = scores(a); scores(a) = scores(b); scores(b) = s
       val i = ids(a); ids(a) = ids(b); ids(b) = i
     }
 
-    def offer(s: Double, i: Long): Unit =
+    def offer(s: Double, i: AnyRef): Unit =
       if (size < k) {
         scores(size) = s; ids(size) = i; size += 1
         var j = size - 1

@@ -772,6 +772,61 @@ object StoreOps {
        |SELECT snap, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM u ORDER BY snap, rank""".stripMargin
 
+  // ---- q75: BATCHED search through the facade --------------------------
+
+  private val BatchNs = "q75"
+  private val BatchN = 200L
+  private val BatchQn = 4
+
+  /** q75: [[VectorStore.findSimilarBatch]] behind the gate — Q=4 query
+    * vectors answered by ONE namespace scan (bounded-heap per-query
+    * top-k, map-side combined; see q74 for the plan thesis). Positional
+    * parity with the single-query path is asserted in-script; the oracle
+    * replays the batch as a window over the cross product. */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = new VectorStore(spark)
+    store.loadFrame(
+      e.where(col("vec_id") < BatchN)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values")),
+      BatchNs)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatch(qs, k = K, metric = "cosine",
+      namespace = BatchNs)
+    // the batch must be indistinguishable from Q sequential searches
+    qs.indices.foreach { i =>
+      val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+        namespace = BatchNs).map(h => (h.id, h.score))
+      require(res(i).map(h => (h.id, h.score)) == single,
+        s"batch result $i diverged from the single-query search")
+    }
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  val q75Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |sc AS (SELECT qs.qid, b.id, ${cosSql("b.v", "qs.qv")} AS raw
+       |       FROM base b, qs),
+       |r AS (SELECT qid, id, raw,
+       |             row_number() OVER (PARTITION BY qid
+       |                                ORDER BY raw DESC, id) AS rank
+       |      FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -782,7 +837,8 @@ object StoreOps {
       "q56_durable_compact_reload" -> (q56 _),
       "q57_stream_ingest_durable" -> (q57 _),
       "q61_store_pq_search" -> (q61 _),
-      "q72_durable_asof" -> (q72 _))
+      "q72_durable_asof" -> (q72 _),
+      "q75_store_batch_search" -> (q75 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -797,7 +853,8 @@ object StoreOps {
       "q54_durable_facade" -> q54Sql,
       "q56_durable_compact_reload" -> q56Sql,
       "q57_stream_ingest_durable" -> q57Sql,
-      "q72_durable_asof" -> q72Sql) ++
+      "q72_durable_asof" -> q72Sql,
+      "q75_store_batch_search" -> q75Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux))
 }

@@ -268,6 +268,47 @@ class RestServer(store: VectorStore, port: Int = 0,
     }
   })
 
+  server.createContext("/search/batch", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val ns = queryParam(ex, "namespace", "default")
+        val body = readJson(ex)
+        val k = Option(body.get("top_k")).map(_.asInt()).getOrElse(10)
+        val metric = Option(body.get("metric")).map(_.asText()).getOrElse("cosine")
+        val qNode = required(body, "queries")
+        if (!qNode.isArray || qNode.isEmpty)
+          throw new IllegalArgumentException(
+            "queries must be a non-empty array of vectors")
+        val qs = qNode.elements().asScala.map(floats).toSeq
+        // one scan answers the whole batch (Scoring.batchSearch); approx
+        // batches are refused rather than silently looped — a caller who
+        // wants per-query index routing should issue per-query requests
+        if (Option(body.get("approx")).exists(_.asBoolean(false)))
+          throw new IllegalArgumentException(
+            "batch search is the exact one-scan path; use /search per query for approx")
+        val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
+        val results =
+          if (wantDurable) {
+            val d = durable.getOrElse(throw new IllegalArgumentException(
+              "no durable store mounted on this server"))
+            if (stringMapOf(body, "filter").nonEmpty ||
+                stringMapOf(body, "json_filter").nonEmpty)
+              throw new IllegalArgumentException(
+                "durable search does not support metadata filters")
+            d.findSimilarBatch(qs, k, metric, ns)
+          } else store.findSimilarBatch(qs, k, metric, ns,
+            stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+        val arr = mapper.createArrayNode() // positional: result i ↔ queries[i]
+        results.foreach { hits =>
+          val inner = mapper.createArrayNode()
+          hits.foreach(h => inner.add(hitJson(h)))
+          arr.add(inner)
+        }
+        respond(ex, 200, arr)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
+  })
+
   server.createContext("/namespaces", ex => handle(ex) {
     val path = ex.getRequestURI.getPath
     if (path == "/namespaces" || path == "/namespaces/") {

@@ -397,6 +397,19 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                       namespace: String = "default"): Seq[SearchHit] =
     searchOver(liveAsOf(asOf), query, k, metric, namespace)
 
+  /** Batched exact search over the durable layout: result(i) answers
+    * queries(i) — one partition-pruned scan for the whole batch via
+    * [[Scoring.batchSearch]], the same contract as
+    * [[VectorStore.findSimilarBatch]]. */
+  def findSimilarBatch(queries: Seq[Seq[Float]], k: Int = 10,
+                       metric: String = "cosine",
+                       namespace: String = "default"): Seq[Seq[SearchHit]] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    require(queries.nonEmpty, "at least one query vector required")
+    Scoring.batchSearch(live().filter(col("namespace") === namespace),
+      queries, k, metric)
+  }
+
   private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
                          metric: String, namespace: String): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")

@@ -39,4 +39,55 @@ private[store] object Scoring {
   def ranked(df: DataFrame, metric: String): DataFrame =
     if (metric == "cosine") df.orderBy(col("score").desc, col("id"))
     else df.orderBy(col("score"), col("id"))
+
+  /** Batched exact search shared by both facades: Q query vectors
+    * answered by ONE scan of `base`. The queries broadcast as a literal
+    * frame (Q × dim floats — kilobytes); the per-query top-k cut runs in
+    * [[graft.functions.TopKAgg]]'s bounded heap, whose map-side partial
+    * aggregation prunes every partition to k entries per query before
+    * the exchange — corpus × Q scored rows are never shuffled, and the
+    * corpus is never scanned per query (the win over Q sequential
+    * findSimilar calls). A second, id-pruned pass enriches the ≤ Q×k
+    * winners with their stored records. Result is positional:
+    * result(i) answers queries(i), ordered by the same (score,
+    * asc-id) contract as [[ranked]]. */
+  def batchSearch(base: DataFrame, queries: Seq[Seq[Float]], k: Int,
+                  metric: String): Seq[Seq[graft.model.SearchHit]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i, q) }
+      .toDF("__qid", "__qv")
+      .select(col("__qid"), col("__qv").cast("array<float>").as("__qv"))
+    val top: Map[Int, Seq[(String, Double)]] = base
+      .crossJoin(broadcast(qdf))
+      .select(col("__qid"), col("id"),
+        score(metric, col("values"), col("__qv")).as("__raw"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopKAgg.topk(col("__raw"), col("id"), k,
+        descending = metric == "cosine").as("top"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(t => (t.getString(0), t.getDouble(1))).toSeq)
+      .toMap
+    val wanted = top.valuesIterator.flatMap(_.map(_._1)).toSeq.distinct
+    val recs: Map[String, graft.model.VectorRecord] =
+      if (wanted.isEmpty) Map.empty
+      else {
+        val pruned =
+          if (wanted.size <= InListMax)
+            base.filter(col("id").isInCollection(wanted))
+          else base.join(broadcast(wanted.toDF("__rid")),
+            col("id") === col("__rid"), "left_semi")
+        pruned.select(col("id"), col("namespace"), col("values"),
+            col("metadata"), col("metadataJson"))
+          .as[graft.model.VectorRecord].collect().map(r => r.id -> r).toMap
+      }
+    queries.indices.map { i =>
+      top.getOrElse(i, Nil).map { case (id, s) =>
+        val r = recs(id)
+        graft.model.SearchHit(id, s, r.values, r.metadata, r.metadataJson)
+      }
+    }
+  }
 }

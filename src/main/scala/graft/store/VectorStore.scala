@@ -711,6 +711,22 @@ class VectorStore(val spark: SparkSession) {
     collectHits(ranked(base, metric).limit(k))
   }
 
+  /** Batched exact search: result(i) answers queries(i) — ONE namespace
+    * scan for the whole batch via [[Scoring.batchSearch]] (bounded-heap
+    * per-query top-k, map-side combined), instead of Q sequential
+    * [[findSimilar]] scans. Exact path only: per-query approx candidate
+    * sets don't share a scan, so an approx batch is just a loop. */
+  def findSimilarBatch(queries: Seq[Seq[Float]], k: Int = 10,
+                       metric: String = "cosine",
+                       namespace: String = "default",
+                       filter: Map[String, String] = Map.empty,
+                       jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    require(queries.nonEmpty, "at least one query vector required")
+    Scoring.batchSearch(filteredLive(namespace, filter, jsonFilter),
+      queries, k, metric)
+  }
+
   /** Graded-path variant of the IVF route: identical plan, but persists
     * the probe list next to the layout so an external oracle can replay
     * candidates (`assign/` ⋈ `probes/`) + exact rerank. Serving calls

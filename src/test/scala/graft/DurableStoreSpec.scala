@@ -275,4 +275,20 @@ class DurableStoreSpec extends AnyFunSuite {
     // a stamp from BEFORE any commit sees an empty store
     assert(d.liveAsOf(0L).count() == 0)
   }
+
+  test("batched search matches sequential searches on the durable layout") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "ns")
+    val queries = Seq(Seq(3f, 2f, 1f), Seq(20f, 1f, 1f), Seq(0f, 0f, 1f))
+    for (metric <- Seq("cosine", "l2", "ip")) {
+      val batch = d.findSimilarBatch(queries, k = 6, metric = metric,
+        namespace = "ns")
+      queries.indices.foreach { i =>
+        assert(batch(i).map(h => (h.id, h.score)) ==
+          d.findSimilar(queries(i), k = 6, metric = metric, namespace = "ns")
+            .map(h => (h.id, h.score)),
+          s"batch/single divergence at query $i metric $metric")
+      }
+    }
+  }
 }

@@ -259,6 +259,33 @@ class RestServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("batch search over HTTP: positional results, one-scan semantics") {
+    withServer { (base, _) =>
+      val (_, bb) = send("PUT", s"$base/vectors/batch?namespace=bs",
+        """{"vectors": [{"values": [1.0, 0.0]}, {"values": [0.0, 1.0]},
+          |             {"values": [0.7, 0.7]}]}""".stripMargin)
+      assert(mapper.readTree(bb).get("ids").size() == 3)
+      val (c, b) = send("POST", s"$base/search/batch?namespace=bs",
+        """{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2}""")
+      assert(c == 200)
+      val res = mapper.readTree(b)
+      assert(res.isArray && res.size() == 2, b)
+      // each inner list is that query's own ranking
+      assert(res.get(0).size() == 2 && res.get(1).size() == 2)
+      assert(res.get(0).get(0).get("score").asDouble() > 0.99)
+      assert(res.get(1).get(0).get("score").asDouble() > 0.99)
+      assert(res.get(0).get(0).get("id").asText() !=
+        res.get(1).get(0).get("id").asText())
+      // approx batches are refused, empty batches are a 422
+      val (ac, _) = send("POST", s"$base/search/batch?namespace=bs",
+        """{"queries": [[1.0, 0.0]], "approx": true}""")
+      assert(ac == 422)
+      val (ec, _) = send("POST", s"$base/search/batch?namespace=bs",
+        """{"queries": []}""")
+      assert(ec == 422)
+    }
+  }
+
   test("durable=true without a mounted durable store is a 422, never a silent fallback") {
     withServer { (base, _) =>
       val (sc, sb) = send("POST", s"$base/search",

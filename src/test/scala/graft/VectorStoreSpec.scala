@@ -458,4 +458,30 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(deleted.length == 30)
     assert(s.namespaceCount("bulk") == 0)
   }
+
+  test("batched search is indistinguishable from sequential searches") {
+    val rnd = new Random(7)
+    val s = newStore
+    val vecs = Seq.fill(80)(Seq.fill(8)(rnd.nextFloat()))
+    s.upsertMany(vecs.map(v => (v, Map("tag" -> "t"))), "ns")
+    val queries = Seq.fill(5)(Seq.fill(8)(rnd.nextFloat()))
+    for (metric <- Seq("cosine", "l2", "ip")) {
+      val batch = s.findSimilarBatch(queries, k = 7, metric = metric,
+        namespace = "ns")
+      queries.indices.foreach { i =>
+        val single = s.findSimilar(queries(i), k = 7, metric = metric,
+          namespace = "ns")
+        assert(batch(i).map(h => (h.id, h.score)) ==
+          single.map(h => (h.id, h.score)),
+          s"batch/single divergence at query $i metric $metric")
+        // enrichment carries the stored record, like the single path
+        assert(batch(i).head.metadata == Map("tag" -> "t"))
+        assert(batch(i).head.values.length == 8)
+      }
+    }
+    // filters apply to the whole batch; unknown namespace → empty per query
+    val filtered = s.findSimilarBatch(queries, k = 3, namespace = "ns",
+      filter = Map("tag" -> "nope"))
+    assert(filtered.forall(_.isEmpty) && filtered.length == queries.length)
+  }
 }
