@@ -536,7 +536,7 @@ object Dedup {
     * exactly. */
   val q71Sql: String =
     s"""WITH $jaccardCtes,
-       |sp AS (SELECT max(doc_id) * 4 / 5 AS split FROM documents)
+       |sp AS (SELECT max(doc_id) * 4 // 5 AS split FROM documents)
        |SELECT id_a AS corpus_id, id_b AS batch_id, jaccard
        |FROM jac, sp
        |WHERE jaccard >= $JaccT AND id_a < split AND id_b >= split
