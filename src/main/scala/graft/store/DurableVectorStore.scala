@@ -405,7 +405,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                        metric: String = "cosine",
                        namespace: String = "default"): Seq[Seq[SearchHit]] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    require(queries.nonEmpty, "at least one query vector required")
+    require(queries.nonEmpty && queries.size <= Scoring.InListMax,
+      s"batch size must be in [1, ${Scoring.InListMax}]")
     Scoring.batchSearch(live().filter(col("namespace") === namespace),
       queries, k, metric)
   }

@@ -722,7 +722,9 @@ class VectorStore(val spark: SparkSession) {
                        filter: Map[String, String] = Map.empty,
                        jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    require(queries.nonEmpty, "at least one query vector required")
+    require(queries.nonEmpty && queries.size <= Scoring.InListMax,
+      s"batch size must be in [1, ${Scoring.InListMax}]") // bounds the
+    // query broadcast and the Q×k driver-side result like top_k does
     Scoring.batchSearch(filteredLive(namespace, filter, jsonFilter),
       queries, k, metric)
   }
