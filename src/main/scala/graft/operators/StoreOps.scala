@@ -697,12 +697,16 @@ object StoreOps {
     * `currentSeq()` at job start, re-run any retrieval bit-identically
     * while ingestion keeps appending — no copy, no lock, two pushed-down
     * seq bounds. Oracle replays both states relationally. */
-  def q72(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The scripted two-snapshot layout shared by q72 (time travel) and
+    * q78 (CDC): load batch A (stamp `snapA`), overwrite residue class 0
+    * from shifted sources, delete residue class 1 (stamp `snapB`).
+    * Memoized per sf dir so the two graded queries see ONE history. */
+  private def asofTriple(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Long) = {
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
       "/asof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val (store, snapA, snapB) = q72Stores.computeIfAbsent(base, b => {
+    q72Stores.computeIfAbsent(base, b => {
       val root = b + "/a" + q72Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
       s.loadFrame(
@@ -727,6 +731,12 @@ object StoreOps {
         s"as-of delete reported ${deleted.length} ids, expected ${dels.length}")
       (s, a, s.currentSeq())
     })
+  }
+
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val (store, snapA, snapB) = asofTriple(spark, dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     def ranked(snap: String, asOf: Long): Seq[(String, Int, String, Double)] =
@@ -771,6 +781,46 @@ object StoreOps {
        |      UNION ALL SELECT * FROM rb WHERE rank <= $K)
        |SELECT snap, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM u ORDER BY snap, rank""".stripMargin
+
+  // ---- q78: CDC — net changes between the two q72 stamps ---------------
+
+  /** q78: [[graft.store.DurableVectorStore.changesBetween]] over the
+    * q72 script's `(snapA, snapB]` window — the incremental-consumer
+    * primitive: residue class 0 must surface as `update` carrying the
+    * shifted post-image, class 1 as `delete` with a null post-image,
+    * classes 2–4 (untouched) must NOT appear. The post-image is graded
+    * through its dot-norm (the oracle replays the same float32→double
+    * kernel), so a wrong-but-plausible values column can't sneak past
+    * the hash. In-script, the insert arm is pinned too:
+    * `changesBetween(0, snapA)` must be all-insert and batch-A-sized —
+    * the window no oracle can see because stamp 0 predates the table. */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val (store, snapA, snapB) = asofTriple(spark, dir)
+    val bootstrap = store.changesBetween(0L, snapA, AsOfNs)
+      .groupBy(col("change")).count().collect()
+    require(bootstrap.length == 1 && bootstrap(0).getString(0) == "insert" &&
+      bootstrap(0).getLong(1) == AsOfN,
+      s"bootstrap CDC window expected $AsOfN inserts, got ${bootstrap.toSeq}")
+    store.changesBetween(snapA, snapB, AsOfNs)
+      .select(col("id"), col("change"),
+        Det.r4(graft.functions.VectorFunctions.dot(col("values"), col("values")))
+          .as("vnorm"))
+      .orderBy(col("change"), col("id"))
+  }
+
+  /** Relational replay of the net diff: overwritten ids carry the
+    * shifted source's self-dot, deleted ids a null norm. */
+  val q78Sql: String =
+    s"""WITH upd AS (
+       |  SELECT e.vec_id::VARCHAR AS id, 'update' AS change,
+       |         ${Det.r4Sql(Det.dotSql("o.embedding", "o.embedding"))} AS vnorm
+       |  FROM embeddings e JOIN embeddings o ON o.vec_id = e.vec_id + $AsOfShift
+       |  WHERE e.vec_id < $AsOfN AND e.vec_id % $AsOfMod = 0),
+       |del AS (
+       |  SELECT vec_id::VARCHAR AS id, 'delete' AS change, NULL::DOUBLE AS vnorm
+       |  FROM embeddings WHERE vec_id < $AsOfN AND vec_id % $AsOfMod = $AsOfDelRem)
+       |SELECT * FROM upd UNION ALL SELECT * FROM del
+       |ORDER BY change, id""".stripMargin
 
   // ---- q75: BATCHED search through the facade --------------------------
 
@@ -838,7 +888,8 @@ object StoreOps {
       "q57_stream_ingest_durable" -> (q57 _),
       "q61_store_pq_search" -> (q61 _),
       "q72_durable_asof" -> (q72 _),
-      "q75_store_batch_search" -> (q75 _))
+      "q75_store_batch_search" -> (q75 _),
+      "q78_durable_cdc" -> (q78 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -854,7 +905,8 @@ object StoreOps {
       "q56_durable_compact_reload" -> q56Sql,
       "q57_stream_ingest_durable" -> q57Sql,
       "q72_durable_asof" -> q72Sql,
-      "q75_store_batch_search" -> q75Sql) ++
+      "q75_store_batch_search" -> q75Sql,
+      "q78_durable_cdc" -> q78Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux))
 }

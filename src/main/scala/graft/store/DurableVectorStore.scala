@@ -378,6 +378,51 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       readOrEmpty(dataPath, dataSchema).filter(col("seq") <= asOf),
       readOrEmpty(delPath, delSchema).filter(col("seq") <= asOf))
 
+  /** CDC feed: the NET per-id changes committed in the stamp interval
+    * `(fromSeq, toSeq]` for one namespace — `insert` (absent→present),
+    * `update` (present at both stamps but re-written in the window), or
+    * `delete` (present→absent); ids whose window activity nets out
+    * (created and deleted inside the window, or a tombstone that never
+    * outranked the data row) are NOT emitted. Columns:
+    * `id, change, values` (`values` is the post-image; null for deletes).
+    *
+    * Shape at 100 TB: the window appends are read with both seq bounds
+    * pushed to parquet (footer stats prune every pre-window file), the
+    * touched-id set is window-sized — a broadcast semi-join prunes the
+    * two snapshot scans down to exactly those ids before the full-outer
+    * diff, so nothing corpus-sized is ever shuffled. This is the
+    * incremental-consumer primitive the time-travel reads
+    * ([[liveAsOf]]) don't give you: downstream jobs checkpoint
+    * `currentSeq()` and process deltas instead of re-scanning.
+    * Same retention horizon as [[liveAsOf]]: exact for windows at or
+    * after the last [[compact]]. A crashed upsert's transient duplicate
+    * collapses here via a max-seq winner per id (same seq → identical
+    * content, either row serves). */
+  def changesBetween(fromSeq: Long, toSeq: Long,
+                     namespace: String = "default"): DataFrame = {
+    require(fromSeq <= toSeq, "changesBetween needs fromSeq <= toSeq")
+    def window(p: String, schema: StructType) =
+      readOrEmpty(p, schema).filter(col("namespace") === namespace &&
+        col("seq") > fromSeq && col("seq") <= toSeq)
+    val touched = window(dataPath, dataSchema).select(col("id"))
+      .union(window(delPath, delSchema).select(col("id"))).distinct()
+    def stateAt(asOf: Long, tag: String): DataFrame =
+      liveAsOf(asOf).filter(col("namespace") === namespace)
+        .join(broadcast(touched.select(col("id").as("__cid"))),
+          col("id") === col("__cid"), "left_semi")
+        .groupBy(col("id"))
+        .agg(max(col("seq")).as(s"${tag}_seq"),
+          max_by(col("values"), col("seq")).as(s"${tag}_values"))
+    stateAt(fromSeq, "prior")
+      .join(stateAt(toSeq, "fin"), Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("prior_seq").isNull && col("fin_seq").isNotNull, "insert")
+          .when(col("prior_seq").isNotNull && col("fin_seq").isNull, "delete")
+          .when(col("fin_seq") =!= col("prior_seq"), "update"))
+      .filter(col("change").isNotNull)
+      .select(col("id"), col("change"), col("fin_values").as("values"))
+  }
+
   /** Top-k search over the durable layout — the q01/q02 plan reading
     * parquet: namespace partition pruning → codegen'd distance →
     * `TakeOrderedAndProject`. Metric dispatch, raw-score ranking, and

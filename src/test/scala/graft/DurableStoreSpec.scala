@@ -291,4 +291,39 @@ class DurableStoreSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("changesBetween emits net per-id changes only") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs.take(10)), "cdc")            // v0..v9
+    val s1 = d.currentSeq()
+    d.loadFrame(frame(Seq(
+      ("v2", Seq(50f, 0f, 1f)),                         // update
+      ("v42", Seq(51f, 0f, 1f)),                        // insert
+      ("v43", Seq(52f, 0f, 1f)))), "cdc")               // insert, then deleted
+    assert(d.delete(Seq("v5", "v43"), "cdc").sorted == Seq("v43", "v5"))
+    val s2 = d.currentSeq()
+    d.loadFrame(frame(Seq(("v7", Seq(53f, 0f, 1f)))), "cdc") // after window
+    val ch = d.changesBetween(s1, s2, "cdc")
+      .select("id", "change").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // v43 was created and deleted INSIDE the window: net nothing.
+    // v7's later update is outside the window. v0/v1/... untouched.
+    assert(ch == Seq(("v2", "update"), ("v42", "insert"), ("v5", "delete")),
+      s"unexpected CDC feed: $ch")
+    // post-image carried for upserts, null for deletes
+    val img = d.changesBetween(s1, s2, "cdc")
+      .filter(col("id") === "v2").select("values").collect()(0)
+      .getSeq[Float](0)
+    assert(img == Seq(50f, 0f, 1f))
+    assert(d.changesBetween(s1, s2, "cdc").filter(col("id") === "v5")
+      .select("values").collect()(0).isNullAt(0))
+    // bootstrap window (0, s1]: everything is an insert
+    val boot = d.changesBetween(0L, s1, "cdc")
+    assert(boot.count() == 10 &&
+      boot.filter(col("change") =!= "insert").count() == 0)
+    // empty window → empty feed
+    assert(d.changesBetween(s2, s2, "cdc").count() == 0)
+    // wrong namespace → empty feed
+    assert(d.changesBetween(s1, s2, "other").count() == 0)
+  }
 }
