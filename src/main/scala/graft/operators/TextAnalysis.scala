@@ -597,6 +597,41 @@ object TextAnalysis {
        |FROM r LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
   }
 
+  // ---- Q79: deterministic uniform corpus sample -----------------------
+  // Reservoir sampling without the reservoir: rank every document by a
+  // keyed hash and keep the global n smallest — a uniform-without-
+  // replacement sample that is a PURE FUNCTION of the ids. Re-runs,
+  // retries, and different partitionings return the identical sample
+  // (RNG-based sample() does not), and it composes with q41's splits:
+  // hash keys are independent ('sample_' vs 'split_' prefixes), so
+  // sampling inside a split stays unbiased. The plan is the KNN shape —
+  // TakeOrderedAndProject keeps a 50-row heap per partition and merges
+  // heaps on the driver; no global sort, no shuffle of the corpus
+  // (pinned in PlanSpec). At 100 TB that is the only sample mechanism
+  // that neither scans twice (count-then-sample) nor drags a fraction of
+  // the corpus through an exchange.
+
+  private val SampleN = 50
+
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("skey"))
+    docs(spark, dir)
+      .withColumn("skey",
+        md5(concat(lit("sample_"), col("doc_id").cast("string"))))
+      .orderBy(col("skey")).limit(SampleN)
+      // rank: a window over the already-cut 50 rows (driver-sized)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("doc_id"), col("lang"))
+      .orderBy(col("rank"))
+  }
+
+  val q79Sql: String =
+    s"""SELECT row_number() OVER (ORDER BY skey)::INT AS rank, doc_id, lang
+       |FROM (
+       |  SELECT doc_id, lang, md5('sample_' || doc_id) AS skey
+       |  FROM documents ORDER BY skey LIMIT $SampleN)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
@@ -609,7 +644,8 @@ object TextAnalysis {
     "q62_repetition_rules" -> (q62 _),
     "q63_decontaminate" -> (q63 _),
     "q68_domain_mixture" -> (q68 _),
-    "q73_chunking" -> (q73 _))
+    "q73_chunking" -> (q73 _),
+    "q79_hash_sample" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -623,5 +659,6 @@ object TextAnalysis {
     "q62_repetition_rules" -> q62Sql,
     "q63_decontaminate" -> q63Sql,
     "q68_domain_mixture" -> q68Sql,
-    "q73_chunking" -> q73Sql)
+    "q73_chunking" -> q73Sql,
+    "q79_hash_sample" -> q79Sql)
 }

@@ -191,6 +191,14 @@ class PlanSpec extends AnyFunSuite {
       s"rank window should consume the top-k cut, not precede it\n${p.take(800)}")
   }
 
+  test("q79 hash sample cuts with TakeOrderedAndProject, no corpus shuffle") {
+    val p = plan(graft.operators.TextAnalysis.q79(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    // the only exchange allowed is the single-partition one feeding the
+    // 50-row rank window — the corpus itself must not shuffle
+    assert(!p.contains("hashpartitioning"), p.take(900))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
