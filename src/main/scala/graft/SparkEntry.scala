@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Ann, Clustering, Dedup, EventOps, IvfPq, Pq, Relational, Retrieval, Skew, Sketches, StoreOps, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Clustering, Dedup, EventOps, IvfPq, Pq, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -20,7 +20,8 @@ object SparkEntry {
       Relational.queries ++ EventOps.queries ++ Ann.queries ++
       Pq.queries ++ IvfPq.queries ++ Analytics.queries ++
       StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
-      Retrieval.queries ++ Sketches.queries ++ Clustering.queries
+      Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
+      Sq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Relational.oracles ++ EventOps.oracles ++ Ann.oracles ++
       Pq.oracles ++ IvfPq.oracles ++ Analytics.oracles ++
       StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
-      Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles
+      Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
+      Sq.oracles
 }

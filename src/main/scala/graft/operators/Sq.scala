@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det
+import graft.functions.VectorFunctions.l2sq
+import graft.sources.Tables
+
+/** Scalar quantization (SQ8) — the third compression point on the ANN
+  * memory/recall curve, between raw float32 (q31: 4 B/dim, exact) and
+  * product quantization (q58: ~1 bit/dim, coarse). Each dimension is
+  * affinely mapped to an unsigned byte against per-dim corpus min/max:
+  * 4× smaller scan footprint with near-exact recall, the quantization
+  * most serving systems reach for FIRST because it needs no codebook
+  * training — the "codebook" is 2×dim floats.
+  *
+  * Distributed shape: the stats pass is a posexplode → per-dim min/max —
+  * partial aggs collapse every partition to ≤ dim rows (the q76/q77
+  * register-matrix shape), and min/max are ORDER-INDEPENDENT, so unlike
+  * averaged statistics the quantization grid is bit-deterministic under
+  * any partitioning. The grid (dim-sized, corpus-independent) rides to
+  * executors as array literals; encoding is a narrow per-row `transform`,
+  * no shuffle. The ADC sweep is the PQ asymmetric contract: the query
+  * stays float, each row costs a fused dequantize-and-accumulate over
+  * its codes; top `CandN` by (rounded ADC, id) then get an EXACT l2
+  * rerank over the full vectors — candidates-are-policy, rerank-is-
+  * contract, metric-coherent end to end (ADC approximates the same l2sq
+  * the rerank computes, no cross-metric mixing).
+  *
+  * Determinism/oracle: min/max are exact, and the encode/dequantize
+  * formulas are plain IEEE-754 compositions written with identical
+  * association in both engines, so the oracle rebuilds the ENTIRE
+  * pipeline from the base table — no persisted layout needed (vs
+  * q33/q58 whose trained quantizers must be persisted to replay).
+  */
+object Sq {
+
+  // ANN-family query contract (Ann.scala): 5 queries, top-5, self-excluded
+  private def NumQueries = Ann.NumQueries
+  private def K = Ann.K
+  private[graft] val CandN = 50
+  private val Levels = 255.0
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    // per-dim grid: dim-sized and order-independent — safe to collect
+    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mnL = typedLit(stats.map(_.getFloat(1).toDouble).toSeq)
+    val mxL = typedLit(stats.map(_.getFloat(2).toDouble).toSeq)
+    def mn(i: org.apache.spark.sql.Column) = element_at(mnL, i + 1)
+    def sc(i: org.apache.spark.sql.Column) = element_at(mxL, i + 1) - mn(i)
+    // encode: uint8 code per dim; constant dims collapse to code 0
+    val coded = e
+      .withColumn("codes", transform(col("embedding"), (x, i) =>
+        when(sc(i) === 0.0, lit(0L)).otherwise(
+          least(lit(Levels.toLong), greatest(lit(0L),
+            floor(((x.cast("double") - mn(i)) / sc(i)) * lit(Levels) + lit(0.5)))))
+          .cast("int")))
+      // dequantized view feeds the ADC sweep; at 100 TB this column is
+      // computed on the fly from codes (the 1-byte scan), never stored
+      .withColumn("xhat", transform(col("codes"), (c, i) =>
+        mn(i) + ((c.cast("double") * sc(i)) / lit(Levels))))
+    val cand = coded.crossJoin(broadcast(Ann.queryFrame(spark, dir)))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", aggregate(
+        zip_with(col("qv"), col("xhat"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(round(col("adc"), 6), col("vec_id"))))
+      .where(col("crank") <= CandN)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score"), col("vec_id"))
+    cand
+      .withColumn("score", round(l2sq(col("embedding"), col("qv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q81Sql: String = {
+    val dim = 64
+    s"""WITH st AS (
+       |  SELECT g.i, min(embedding[g.i + 1])::DOUBLE AS mn,
+       |         max(embedding[g.i + 1])::DOUBLE AS mx
+       |  FROM embeddings, range($dim) g(i) GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |xh AS (
+       |  SELECT e.vec_id, st.i,
+       |         st.mn + (((CASE WHEN st.mx = st.mn THEN 0
+       |            ELSE least(${Levels.toLong}, greatest(0,
+       |              floor(((e.embedding[st.i + 1]::DOUBLE - st.mn)
+       |                     / (st.mx - st.mn)) * $Levels + 0.5)))::BIGINT
+       |            END) * (st.mx - st.mn)) / $Levels) AS xhat
+       |  FROM embeddings e, st),
+       |adc AS (
+       |  SELECT q.qid, x.vec_id,
+       |         sum((q.qv[x.i + 1]::DOUBLE - x.xhat) *
+       |             (q.qv[x.i + 1]::DOUBLE - x.xhat)) AS adc
+       |  FROM xh x, q WHERE x.vec_id <> q.qid GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY round(adc, 6), vec_id) AS crank
+       |    FROM adc) WHERE crank <= $CandN),
+       |r AS (
+       |  SELECT c.qid, c.vec_id,
+       |         round(${Det.l2sqSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid)
+       |SELECT qid, rank::INT AS rank, vec_id AS id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY score, vec_id) AS rank
+       |  FROM r)
+       |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_sq8_ann" -> (q81 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_sq8_ann" -> q81Sql)
+}
