@@ -159,6 +159,50 @@ object EventOps {
        |  ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ---- Q82: bin-bucketed interval join --------------------------------
+  // "Errors within ±5 min of each purchase" — the proximity join every
+  // incident/attribution analysis needs. Spark's naive plan for a pure
+  // range predicate is a nested-loop join (O(n·m) pairs evaluated); the
+  // scalable form quantizes time into window-sized bins: an error within
+  // ±W of a purchase must land in the purchase's bin or an adjacent one,
+  // so exploding the ERROR side to its 3 covering bins turns the range
+  // join into an equi-join on the bin key (+ the exact |Δt| ≤ W residual
+  // as a post-filter). The shuffle carries 3× the error rows — a
+  // constant — instead of evaluating n·m candidate pairs; each true pair
+  // matches exactly once because the purchase keeps its single home bin.
+  // PlanSpec pins the no-nested-loop shape. At 100 TB, a hot bin (error
+  // storm) is the q49/q52 salting problem — same remedy, inside the bin.
+
+  private val RangeUs = 5L * 60 * 1000000 // ±5 min
+
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).where(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"),
+        (unix_micros(col("ts")) / RangeUs).cast("long").as("bin"))
+    val err = events(spark, dir).where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bin", explode(array(
+        (col("e_us") / RangeUs).cast("long") - 1,
+        (col("e_us") / RangeUs).cast("long"),
+        (col("e_us") / RangeUs).cast("long") + 1)))
+    p.join(err,
+        p("bin") === err("bin") &&
+          abs(col("e_us") - col("p_us")) <= RangeUs,
+        "left_outer")
+      .groupBy(col("event_id"), col("p_us"))
+      .agg(count(col("err_id")).as("n_nearby"))
+      .orderBy(col("event_id"))
+  }
+
+  val q82Sql: String =
+    s"""SELECT p.event_id, epoch_us(p.ts) AS p_us, count(e.event_id) AS n_nearby
+       |FROM events p
+       |LEFT JOIN events e
+       |  ON e.event_type = 'error'
+       | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= $RangeUs
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -166,12 +210,14 @@ object EventOps {
     "q28_sessionize" -> (q28 _),
     "q29_event_window" -> (q29 _),
     "q30_props_json" -> (q30 _),
-    "q43_asof_join" -> (q43 _))
+    "q43_asof_join" -> (q43 _),
+    "q82_range_join" -> (q82 _))
 
   val oracles: Map[String, String] = Map(
     "q27_top_per_type" -> q27Sql,
     "q28_sessionize" -> q28Sql,
     "q29_event_window" -> q29Sql,
     "q30_props_json" -> q30Sql,
-    "q43_asof_join" -> q43Sql)
+    "q43_asof_join" -> q43Sql,
+    "q82_range_join" -> q82Sql)
 }

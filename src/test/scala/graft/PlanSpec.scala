@@ -199,6 +199,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p.take(900))
   }
 
+  test("q82 range join buckets to an equi-join, never a nested loop") {
+    val p = plan(graft.operators.EventOps.q82(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a pair-enumeration plan\n${p.take(1200)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
