@@ -176,17 +176,71 @@ object Relational {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1, 2 ORDER BY okey""".stripMargin
 
+  // ---- Q83: bloom-pruned semi join ------------------------------------
+
+  /** Semi join with a bloom pre-filter on the probe side — the
+    * big-fact ⋉ selective-dim shape where the win lives. The build side
+    * (assumed the SMALL side) pays one pass to fold its keys into a
+    * driver-held [[org.apache.spark.util.sketch.BloomFilter]] (~1.2 MB
+    * at 1 M keys / 1% fpp — sized by `expectedItems × ln fpp`, NOT by
+    * data volume); the probe side then drops ~(1 − selectivity) of its
+    * rows inside its own scan stage, BEFORE the exchange, via the
+    * codegen [[BloomMightContain]] probe. The exact semi join downstream
+    * removes the fpp's false positives, so the bloom changes the
+    * SCHEDULE, never the ANSWER — the q49/q52/q55 contract, which is
+    * what makes the plain semi join the oracle. At 100 TB this is the
+    * manual form of AQE's runtime filters, usable where those don't
+    * reach: non-equi residuals, pre-shuffle aggregation, or a probe
+    * side re-read many times against one build (build once, reuse the
+    * sketch). */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(build.count(), 1L)
+    val bloom = build.stat.bloomFilter(buildKey, expected, fpp)
+    probe.where(graft.functions.BloomMightContain(col(probeKey), bloom))
+      .join(build.select(col(buildKey).as("__bloom_bk")),
+        col(probeKey) === col("__bloom_bk"), "left_semi")
+  }
+
+  private[graft] val HighValue = 450000.0
+
+  /** q83: lineitems of high-value orders through [[bloomSemiJoin]] —
+    * the pre-filter prunes the fact scan (ratio pinned in PlanSpec /
+    * BloomSpec), the semi join restores exactness, the agg is 3 rows. */
+  def q83(spark: SparkSession, dir: String): DataFrame =
+    bloomSemiJoin(
+      Tables.table(spark, dir, "lineitem"), "l_orderkey",
+      Tables.table(spark, dir, "orders")
+        .where(col("o_totalprice") > HighValue)
+        .select(col("o_orderkey")),
+      "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        r4(sum(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q83Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |       ${r4Sql("sum(l_extendedprice)")} AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > $HighValue)
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_pricing_summary" -> (q24 _),
     "q25_revenue_by_nation" -> (q25 _),
     "q26_top_per_segment" -> (q26 _),
-    "q55_bucketed_join" -> (q55 _))
+    "q55_bucketed_join" -> (q55 _),
+    "q83_bloom_semijoin" -> (q83 _))
 
   val oracles: Map[String, String] = Map(
     "q24_pricing_summary" -> q24Sql,
     "q25_revenue_by_nation" -> q25Sql,
     "q26_top_per_segment" -> q26Sql,
-    "q55_bucketed_join" -> q55Sql)
+    "q55_bucketed_join" -> q55Sql,
+    "q83_bloom_semijoin" -> q83Sql)
 }
