@@ -203,6 +203,162 @@ object EventOps {
        |WHERE p.event_type = 'purchase'
        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
 
+  // ---- Q84: ordered conversion funnel ---------------------------------
+  // view → click (≤24h after first view) → purchase (≤24h after first
+  // qualifying click), per user; output is users per funnel depth. The
+  // ORDERING constraint is what separates this from three filters: a
+  // click only counts after a view, a purchase only after a qualifying
+  // click. Shape: one shuffle on user_id, one per-user sort, two stacked
+  // running-min windows over the SAME (partition, order) — the second
+  // window reuses the first's sort (no re-exchange, no re-sort; Spark
+  // sees the required distribution/ordering already satisfied). No
+  // self-joins: the naive formulation (events ⋈ events ⋈ events on
+  // user + ts ranges) is quadratic per user; the running-min form is
+  // linear and never materializes candidate pairs — the q43 as-of
+  // argument applied to sequential-pattern matching.
+
+  private val DayUs = 24L * 3600 * 1000000
+
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events(spark, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    // running first-view ts as of each row (includes the current row, so
+    // a click sharing the first view's exact ts qualifies — same tie
+    // rule on both sides)
+    val clickOk = col("event_type") === "click" &&
+      col("first_v").isNotNull && col("ts_us") <= col("first_v") + DayUs
+    val purchaseOk = col("event_type") === "purchase" &&
+      col("first_c").isNotNull && col("ts_us") <= col("first_c") + DayUs
+    e.withColumn("first_v",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("first_c", min(when(clickOk, col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("v_us"),
+        min(when(clickOk, col("ts_us"))).as("c_us"),
+        min(when(purchaseOk, col("ts_us"))).as("p_us"))
+      .select(
+        when(col("p_us").isNotNull, 3)
+          .when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1)
+          .otherwise(0).as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  val q84Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |x AS (
+       |  SELECT *,
+       |         min(CASE WHEN event_type = 'view' THEN ts_us END)
+       |           OVER w AS first_v
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |               ROWS UNBOUNDED PRECEDING)),
+       |y AS (
+       |  SELECT *,
+       |         min(CASE WHEN event_type = 'click' AND first_v IS NOT NULL
+       |                   AND ts_us <= first_v + $DayUs THEN ts_us END)
+       |           OVER w AS first_c
+       |  FROM x
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |               ROWS UNBOUNDED PRECEDING)),
+       |u AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_us,
+       |         min(CASE WHEN event_type = 'click' AND first_v IS NOT NULL
+       |                   AND ts_us <= first_v + $DayUs THEN ts_us END) AS c_us,
+       |         min(CASE WHEN event_type = 'purchase' AND first_c IS NOT NULL
+       |                   AND ts_us <= first_c + $DayUs THEN ts_us END) AS p_us
+       |  FROM y GROUP BY user_id)
+       |SELECT CASE WHEN p_us IS NOT NULL THEN 3
+       |            WHEN c_us IS NOT NULL THEN 2
+       |            WHEN v_us IS NOT NULL THEN 1
+       |            ELSE 0 END AS depth,
+       |       count(*) AS n_users
+       |FROM u GROUP BY 1 ORDER BY depth""".stripMargin
+
+  // ---- Q85: zero-filled hourly grid (gap fill / resample) --------------
+  // Hourly purchase revenue with EVERY hour present — the resample shape
+  // every time-series consumer (charting, anomaly scoring, forecasting
+  // features) needs, because "no row" and "zero" are different facts.
+  // The heavy input collapses in the FIRST aggregation; the dense grid is
+  // generated from the 1-row min/max agg via sequence+explode (never
+  // collected to the driver) and is time-range-sized — independent of
+  // data volume, so the left join is a broadcast of the grid at any SF.
+
+  private val HourUs = 3600L * 1000000
+
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir).where(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) / HourUs).cast("long").as("bucket"),
+        col("value"))
+    val agg = p.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"), r4(sum(col("value"))).as("sum_raw"))
+    val grid = p.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    grid.join(agg, Seq("bucket"), "left_outer")
+      .select((col("bucket") * HourUs).as("bucket_us"),
+        coalesce(col("n_raw"), lit(0L)).as("n"),
+        coalesce(col("sum_raw"), lit(0.0)).as("sum_value"))
+      .orderBy(col("bucket_us"))
+  }
+
+  val q85Sql: String =
+    s"""WITH p AS (
+       |  SELECT epoch_us(ts) // $HourUs AS bucket, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |a AS (
+       |  SELECT bucket, count(*) AS n, ${r4Sql("sum(value)")} AS sum_value
+       |  FROM p GROUP BY 1),
+       |g AS (
+       |  SELECT unnest(generate_series((SELECT min(bucket) FROM p),
+       |                                (SELECT max(bucket) FROM p))) AS bucket)
+       |SELECT g.bucket * $HourUs AS bucket_us,
+       |       coalesce(a.n, 0) AS n,
+       |       coalesce(a.sum_value, 0)::DOUBLE AS sum_value
+       |FROM g LEFT JOIN a USING (bucket)
+       |ORDER BY bucket_us""".stripMargin
+
+  // ---- Q86: weekly retention cohorts ----------------------------------
+  // Users bucketed by first-active week (cohort); for each (cohort,
+  // weeks-since-cohort) cell, how many of that cohort's users were active.
+  // The classic retention triangle. Shape: the raw stream reduces to
+  // DISTINCT (user, week) first — map-side-combinable and activity-sized, so
+  // the expensive part is one hash agg over the scan; cohort assignment is
+  // a user-sized self-aggregation joined back on user_id. Counting rows of
+  // the distinct frame per cell gives count(DISTINCT user) without a
+  // second distinct pass.
+
+  private val WeekUs = 7L * 24 * 3600 * 1000000
+
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val a = events(spark, dir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / WeekUs).cast("long").as("wk"))
+      .distinct()
+    val cohort = a.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    a.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
+  val q86Sql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS wk FROM events),
+       |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+       |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+       |       count(*) AS n_users
+       |FROM a JOIN c USING (user_id)
+       |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,7 +367,10 @@ object EventOps {
     "q29_event_window" -> (q29 _),
     "q30_props_json" -> (q30 _),
     "q43_asof_join" -> (q43 _),
-    "q82_range_join" -> (q82 _))
+    "q82_range_join" -> (q82 _),
+    "q84_funnel" -> (q84 _),
+    "q85_gap_fill" -> (q85 _),
+    "q86_retention" -> (q86 _))
 
   val oracles: Map[String, String] = Map(
     "q27_top_per_type" -> q27Sql,
@@ -219,5 +378,8 @@ object EventOps {
     "q29_event_window" -> q29Sql,
     "q30_props_json" -> q30Sql,
     "q43_asof_join" -> q43Sql,
-    "q82_range_join" -> q82Sql)
+    "q82_range_join" -> q82Sql,
+    "q84_funnel" -> q84Sql,
+    "q85_gap_fill" -> q85Sql,
+    "q86_retention" -> q86Sql)
 }
