@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -59,18 +58,34 @@ object Ann {
 
   // ---- Q31: brute-force batch top-k (exact, oracle-checked) -----------
 
-  def q31(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
-    embeddings(spark, dir)
-      .crossJoin(broadcast(queryFrame(spark, dir)))
-      .where(col("vec_id") =!= col("qid"))
-      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
+  /** The family's shared final cut: (qid, score, vec_id) → (qid, rank,
+    * id, score), top-`k` per query under ((score, `descending`), asc id)
+    * — the identical total order the row_number-window formulation (and
+    * every oracle) uses, but executed as the engine's own bounded-heap
+    * [[graft.functions.TopKAgg]] (the q74 thesis): map-side partials
+    * prune each partition's contribution to k rows, so the exchange
+    * carries partitions × Q × k heap entries — a window would shuffle
+    * the whole scored frame × Q before discarding anything. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
+                              descending: Boolean): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("score"), col("vec_id"), k,
+        descending).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
       .orderBy(col("qid"), col("rank"))
-  }
+
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    rankTopK(
+      embeddings(spark, dir)
+        .crossJoin(broadcast(queryFrame(spark, dir)))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
 
   private def dotSql(a: String, b: String): String =
     graft.functions.Det.dotSql(a, b)
@@ -165,16 +180,14 @@ object Ann {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
-    cand
-      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
-      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(
+      cand
+        .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
   }
 
   /** Full SQL replay of q32: regenerate the md5 hyperplanes, recompute
@@ -458,16 +471,14 @@ object Ann {
     val idx = spark.read.parquet(s"$aux/index")
       .where(col("cell").isin(probedCells: _*))
 
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
-    idx.join(broadcast(probes), Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
-      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(
+      idx.join(broadcast(probes), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
   }
 
   /** Builds executed in this JVM — lets specs assert the layout cache

@@ -109,17 +109,13 @@ object IvfPq {
     // cache serves every later probe (see Pq.adcCol)
     val allCells = probeRows.map(_._2).distinct.sorted
     val probesDf = probeRows.toDF("qid", "cell")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
-    val cand = spark.read.parquet(s"$aux/index")
+    val cand = Pq.candCut(spark.read.parquet(s"$aux/index")
       .where(col("cell").isin(allCells: _*))
       .join(broadcast(probesDf), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .join(broadcast(Pq.lutFrame(spark, luts)), Seq("qid"))
       .withColumn("adc", Pq.adcCol)
-      .withColumn("__cr", row_number().over(w))
-      .where(col("__cr") <= Pq.CandN)
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("adc"), col("vec_id")))
     Pq.rerank(spark, dir, cand)
   }
 

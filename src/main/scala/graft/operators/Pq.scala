@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.cosineSim
@@ -229,22 +228,35 @@ object Pq {
 
   /** Rerank `cand` (qid, vec_id) exactly: join full vectors back for the
     * candidates only, exact cosine, top-K per query with the family's
-    * (score desc, id) tie-break. Shared by PQ and [[IvfPq]]. */
+    * (score desc, id) tie-break — the cut itself is [[Ann.rankTopK]]'s
+    * bounded heap, so not even the candidate scores ride a window
+    * exchange. Shared by PQ and [[IvfPq]]. */
   private[graft] def rerank(spark: SparkSession, dir: String,
                             cand: DataFrame): DataFrame = {
     val emb = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score").desc, col("vec_id"))
-    cand
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(Ann.queryFrame(spark, dir)), Seq("qid"))
-      .withColumn("score", round(cosineSim(col("embedding"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    Ann.rankTopK(
+      cand
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(Ann.queryFrame(spark, dir)), Seq("qid"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
   }
+
+  /** Candidate cut shared by the flat-PQ and [[IvfPq]] probes: top-CandN
+    * per query on ASCENDING (adc, id), via the bounded-heap aggregate —
+    * the scored corpus×Q frame is pruned to CandN rows per partition
+    * map-side; a row_number window here shuffles every ADC row first
+    * (the exact plan [[graft.functions.TopKAgg]]'s scaladoc names as the
+    * non-scale form). */
+  private[graft] def candCut(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("adc"), col("vec_id"), CandN,
+        descending = false).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
 
   def pqProbe(spark: SparkSession, dir: String, aux: String,
               persistLut: Boolean = false): DataFrame = {
@@ -253,15 +265,11 @@ object Pq {
     if (persistLut) writeLuts(spark, luts, s"$aux/lut")
 
     val codes = spark.read.parquet(s"$aux/codes")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc"), col("vec_id"))
-    val cand = codes
+    val cand = candCut(codes
       .crossJoin(broadcast(lutFrame(spark, luts)))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcCol)
-      .withColumn("__cr", row_number().over(w))
-      .where(col("__cr") <= CandN)
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("adc"), col("vec_id")))
     rerank(spark, dir, cand)
   }
 

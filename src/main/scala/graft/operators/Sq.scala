@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
@@ -68,23 +67,28 @@ object Sq {
       // computed on the fly from codes (the 1-byte scan), never stored
       .withColumn("xhat", transform(col("codes"), (c, i) =>
         mn(i) + ((c.cast("double") * sc(i)) / lit(Levels))))
+    // both cuts are the bounded-heap TopKAgg in ASCENDING order (l2):
+    // map-side partials prune each partition to CandN/K rows, so neither
+    // the ADC-scored corpus×Q frame nor the candidate scores ride a
+    // row_number window's full exchange (the q74 thesis)
     val cand = coded.crossJoin(broadcast(Ann.queryFrame(spark, dir)))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("adc", aggregate(
+      .withColumn("adc", round(aggregate(
         zip_with(col("qv"), col("xhat"),
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, t) => acc + t))
-      .withColumn("crank", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(round(col("adc"), 6), col("vec_id"))))
-      .where(col("crank") <= CandN)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("score"), col("vec_id"))
-    cand
-      .withColumn("score", round(l2sq(col("embedding"), col("qv")), 4))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("id"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+        lit(0.0), (acc, t) => acc + t), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("adc"), col("vec_id"), CandN,
+        descending = false).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    Ann.rankTopK(
+      cand
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(Ann.queryFrame(spark, dir)), Seq("qid"))
+        .select(col("qid"),
+          round(l2sq(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = false)
   }
 
   val q81Sql: String = {

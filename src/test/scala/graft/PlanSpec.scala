@@ -207,6 +207,25 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(1200))
   }
 
+  test("ANN candidate cuts run on the bounded-heap aggregate: no Window in q58/q81/q31") {
+    // the r8 verdict's top item: a row_number window shuffles the whole
+    // ADC-scored corpus×Q frame before discarding anything; TopKAgg's
+    // map-side partials prune each partition to CandN rows first. Both
+    // the candidate cut AND the rerank cut must plan as partial+final
+    // ObjectHashAggregate with zero Window nodes.
+    for ((name, df) <- Seq(
+        "q58" -> graft.operators.Pq.pqTopK(spark, dir),
+        "q81" -> graft.operators.Sq.q81(spark, dir),
+        "q31" -> graft.operators.Ann.q31(spark, dir),
+        "q60" -> graft.operators.IvfPq.ivfPqTopK(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$name fell back to a window cut\n${p.take(1200)}")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name lost partial aggregation\n${p.take(1200)}")
+    }
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
