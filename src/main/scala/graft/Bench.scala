@@ -290,6 +290,12 @@ object Bench {
     // where they can never be lost. JSON object key order is meaningless
     // to parsers, so a fitting line is unchanged semantically.
     println(s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals.last)},"unit":"sec","sf":"$sfDir","audit":"$auditPath"}""")
+    // SECOND, SHORT line (r9, per advice): if the tail window clips the
+    // per-query line above, it stops being parseable JSON at all — the
+    // opening brace is gone. This headline-only line always fits inside
+    // any plausible tail window, so at least one guaranteed-valid JSON
+    // object survives for a strict parser. Per-query data: audit file.
+    println(s"""{"metric":"total","value":${r3(totals.last)},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"n_errors":${errors.size}$extra$onlyJson,"audit":"$auditPath"}""")
     spark.stop()
   }
 }

@@ -35,9 +35,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // A subset run must be self-describing: a stale SPARK_GRAFT_VERIFY_ONLY
+    // in a driver environment would silently shrink the verification
+    // surface — the "__only" marker (and the stderr warning) make a
+    // partial oracle_sql.json distinguishable from a full one.
+    val marker =
+      if (only.isEmpty) Seq.empty
+      else {
+        System.err.println(
+          s"[verify] PARTIAL RUN: SPARK_GRAFT_VERIFY_ONLY=${only.mkString(",")} " +
+            s"selected ${selected.size}/${SparkEntry.queries.size} queries")
+        Seq(s"${q("__only")}: [${only.map(q).mkString(",")}]")
+      }
+    val json = (marker ++ SparkEntry.oracleSql
       .filter { case (k, _) => selected.contains(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }).mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * string sort). Finalizes to `array<struct<id, score double>>`
   * better-first; NULL score or id rows are ignored (an all-NULL group
   * finalizes to an empty array).
+  *
+  * Precondition: ids are UNIQUE within a group. The (score, id) order is
+  * total only then — on duplicate (score, id) rows `worse` is false both
+  * ways, so WHICH physical duplicate survives is insertion-order
+  * dependent (the kept (id, score) VALUES are still deterministic, but
+  * don't feed this aggregate duplicate ids and expect a specific row's
+  * other columns back). Every in-tree caller satisfies this by
+  * construction (vec_id/doc_id keys).
   */
 case class TopKAgg(
     score: Expression,

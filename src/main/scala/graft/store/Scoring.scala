@@ -84,9 +84,14 @@ private[store] object Scoring {
           .as[graft.model.VectorRecord].collect().map(r => r.id -> r).toMap
       }
     queries.indices.map { i =>
-      top.getOrElse(i, Nil).map { case (id, s) =>
-        val r = recs(id)
-        graft.model.SearchHit(id, s, r.values, r.metadata, r.metadataJson)
+      // recs.get, not recs(...): the two collects are separate jobs, and
+      // on the durable facade a commit racing between them can remove a
+      // winner from live() — a vanished record drops from the hit list
+      // (the single-query path's one-job semantics) instead of throwing
+      // for the whole batch
+      top.getOrElse(i, Nil).flatMap { case (id, s) =>
+        recs.get(id).map(r =>
+          graft.model.SearchHit(id, s, r.values, r.metadata, r.metadataJson))
       }
     }
   }

@@ -142,14 +142,30 @@ class DedupSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (root, xs) => root -> xs.map(_._2).toSet }
     val got = Dedup.q64(spark, dir).collect().map { r =>
       (r.getLong(0), r.getLong(1),
-        r.getString(2).split(",").map(_.toLong).toSet)
+        r.getString(2).split(",").map(_.toLong).toSeq)
     }
     assert(got.map(_._1).toSet == expected.keySet) // one row per component, keyed by min id
     got.foreach { case (cluster, nDocs, members) =>
-      assert(members == expected(cluster))
-      assert(nDocs == members.size)
+      // members is the ascending-id PREFIX of the component, capped
+      assert(members ==
+        expected(cluster).toSeq.sorted.take(Dedup.MembersCap))
+      assert(nDocs == expected(cluster).size)
       assert(cluster == members.min)
       assert(nDocs >= 2) // only docs appearing in some pair are clustered
     }
+  }
+
+  test("cluster report row stays bounded on a million-member cluster") {
+    import spark.implicits._
+    // one giant component (the 100 TB boilerplate-cluster shape): the
+    // report must carry n_docs + a MembersCap sample, never a string of
+    // the full roster — the pre-cap formulation OOM'd/2GB'd exactly here
+    val labels = spark.range(0, 1000000L).toDF("doc_id")
+      .withColumn("lbl", org.apache.spark.sql.functions.lit(0L))
+    val rows = Dedup.clusterReport(labels).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 1000000L)
+    val members = rows(0).getString(2).split(",").map(_.toLong).toSeq
+    assert(members == (0L until Dedup.MembersCap.toLong))
   }
 }

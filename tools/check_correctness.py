@@ -31,6 +31,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # "__only" marks a partial (SPARK_GRAFT_VERIFY_ONLY) dump — surface it
+    only = oracle.pop("__only", None)
+    if only:
+        print(f"NOTE partial verify run (__only={only})")
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
