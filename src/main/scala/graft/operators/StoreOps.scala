@@ -877,6 +877,97 @@ object StoreOps {
        |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // ---- q87: the DURABLE store's ANN read path --------------------------
+
+  private val DAnnNs = "q87"
+  private val DAnnDeltaN = 20L
+
+  private val q87Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q87Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Layout dir + build stamp of the most recent q87 run — the oracle
+    * replays candidates from its persisted `assign/` ⋈ `probes/` plus
+    * the script-known delta ids. None until q87 has executed (the
+    * [[lastIvfAux]] honesty contract). */
+  @volatile private var lastDurableAnnAux: Option[String] = None
+
+  /** q87: the durable store's APPROX read path end-to-end — the r8
+    * verdict's "What's missing #1" (the durable facade served every KNN
+    * by exact scan, THE scale-killer at 10⁹ vectors/namespace). Script:
+    * bulk load → one approx search (builds the IVF layout, snapshotted
+    * at `builtSeq`) → tombstone deletes AND a fresh append batch (both
+    * POST-layout — the mutations a live store keeps absorbing) → graded
+    * approx search. The layout only PROPOSES candidates: deletes are
+    * killed by the live() semi-join, the appended batch arrives through
+    * the delta tail (`seq > builtSeq`), so the persisted
+    * `assign/` ⋈ `probes/` ∪ delta replay is EXACTLY the candidate set
+    * and the oracle rerank is exact cosine over load-minus-deletes —
+    * the q53 contract carried onto the durable layout. */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dann_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q87Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q87Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DAnnNs)
+      // build the layout NOW (first approx search), so the script's
+      // deletes and the delta batch below are post-layout mutations
+      s.findSimilar(qv, k = K, namespace = DAnnNs, approx = true)
+      require(s.annBuilds.get() >= 1, "q87 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DAnnNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DAnnNs)
+      s
+    })
+    val hits = store.findSimilarIvfGraded(qv, k = K, namespace = DAnnNs)
+    lastDurableAnnAux = store.annLayoutDir(DAnnNs, qv.length).map(_._1)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the durable ANN read path: candidates = (probed
+    * cells' assigned ids ∪ the script's delta batch), live set =
+    * load-minus-deletes plus the delta batch, rerank = exact cosine with
+    * the store's string-id tie-break. */
+  def q87Sql(aux: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -889,7 +980,8 @@ object StoreOps {
       "q61_store_pq_search" -> (q61 _),
       "q72_durable_asof" -> (q72 _),
       "q75_store_batch_search" -> (q75 _),
-      "q78_durable_cdc" -> (q78 _))
+      "q78_durable_cdc" -> (q78 _),
+      "q87_durable_ann" -> (q87 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -908,5 +1000,6 @@ object StoreOps {
       "q75_store_batch_search" -> q75Sql,
       "q78_durable_cdc" -> q78Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
-      lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux))
+      lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
+      lastDurableAnnAux.map(aux => "q87_durable_ann" -> q87Sql(aux))
 }

@@ -49,13 +49,15 @@ import graft.store.{DurableVectorStore, VectorStore}
   * exposes the 100 TB layout on the READ routes — `POST /search` with
   * `"durable": true` runs the partition-pruned top-k over the compacted
   * parquet layout (the q51 plan, over HTTP), and `GET
-  * /namespaces?durable=true` lists its live namespaces. Writes stay on
-  * the store's own API: the durable facade is single-writer-per-process
-  * (its class doc), so exposing mutation routes would invite exactly the
-  * multi-writer pattern the contract forbids. Requesting `durable` with
-  * no mount, or with `approx`/`filter` (index caches and the flat
-  * metadata filter are in-memory-store features), is a 422, never a
-  * silent fallback to the other store. */
+  * /namespaces?durable=true` lists its live namespaces. `"approx": true`
+  * with `"index": "ivf"` serves from the durable IVF layout (indexed
+  * main + delta tail — [[DurableVectorStore.findSimilar]]); `lsh`/`pq`
+  * stay in-memory-store features. Writes stay on the store's own API:
+  * the durable facade's compaction is single-writer (its class doc), so
+  * exposing mutation routes would invite exactly the multi-writer
+  * pattern the contract forbids. Requesting `durable` with no mount, or
+  * with `filter`/a non-ivf approx index, is a 422, never a silent
+  * fallback to the other store. */
 class RestServer(store: VectorStore, port: Int = 0,
                  durable: Option[DurableVectorStore] = None) {
 
@@ -251,13 +253,17 @@ class RestServer(store: VectorStore, port: Int = 0,
           if (wantDurable) {
             val d = durable.getOrElse(throw new IllegalArgumentException(
               "no durable store mounted on this server"))
-            if (approx) throw new IllegalArgumentException(
-              "durable search is the exact partition-pruned scan; approx indexes are in-memory-store features")
+            // the durable approx path is the IVF index (r9): lsh/pq
+            // remain in-memory-store features, and the DEFAULT index
+            // ("lsh") must not silently mean ivf — callers opt in
+            if (approx && index != "ivf") throw new IllegalArgumentException(
+              "durable approx search serves from the IVF layout; pass index:'ivf' ('lsh'/'pq' are in-memory-store features)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
-            d.findSimilar(floats(required(body, "query")), k, metric, ns)
+            d.findSimilar(floats(required(body, "query")), k, metric, ns,
+              approx = approx)
           } else store.findSimilar(floats(required(body, "query")), k, metric,
             ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
             approx = approx, index = index)

@@ -326,4 +326,44 @@ class DurableStoreSpec extends AnyFunSuite {
     // wrong namespace → empty feed
     assert(d.changesBetween(s1, s2, "other").count() == 0)
   }
+
+  test("approx search: layout proposes, live() decides — deletes killed, appends served from the delta tail, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    // 40 spread-out vectors so the IVF geometry has real cells
+    val rows = (0 until 40).map(i =>
+      (s"a$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        (i % 5).toFloat)))
+    d.loadFrame(frame(rows), "ann")
+    val q = rows(7)._2
+    // first approx search builds the layout (snapshotted at builtSeq)
+    val first = d.findSimilar(q, k = 5, namespace = "ann", approx = true)
+    assert(first.head.id == "a7") // its own vector is the best candidate
+    assert(d.annBuilds.get() == 1)
+    // POST-layout mutations: kill the current winner, append an exact
+    // duplicate of the query under a new id (not in the index)
+    assert(d.delete(Seq("a7"), "ann") == Seq("a7"))
+    d.loadFrame(frame(Seq(("zfresh", q))), "ann")
+    val hits = d.findSimilar(q, k = 5, namespace = "ann", approx = true)
+    // the deleted id is GONE (live() semi-join), the un-indexed append is
+    // FOUND at rank 1 (delta tail) — and no rebuild was paid for either
+    assert(!hits.map(_.id).contains("a7"))
+    assert(hits.head.id == "zfresh" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.annBuilds.get() == 1, "mutations must not trigger a rebuild")
+    // approx answers match the exact path wherever the probe found the
+    // true winners (top-1 parity is guaranteed here by construction)
+    val exact = d.findSimilar(q, k = 5, namespace = "ann")
+    assert(hits.head.id == exact.head.id)
+    // empty namespace: approx answers empty, and emptiness is not cached
+    assert(d.findSimilar(q, k = 5, namespace = "nothing", approx = true).isEmpty)
+    // compact folds the tail: layouts drop, next search rebuilds over the
+    // compacted data and still serves the same answer
+    d.compact()
+    val after = d.findSimilar(q, k = 5, namespace = "ann", approx = true)
+    assert(after.head.id == "zfresh")
+    assert(d.annBuilds.get() == 2, "compact() should schedule one lazy rebuild")
+    // non-cosine approx is refused loudly, never silently exact
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "ann", approx = true)
+    }
+  }
 }

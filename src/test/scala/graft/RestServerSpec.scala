@@ -248,10 +248,24 @@ class RestServerSpec extends AnyFunSuite {
         "?durable=TRUE silently fell back to the in-memory store")
       // … and anything that isn't a boolean is a 422, not a silent false
       assert(send("GET", s"$base/namespaces?durable=1")._1 == 422)
-      // approx + durable is a contract violation, not a silent fallback
+      // durable approx serves from the IVF layout (r9) — and the
+      // tombstoned row stays dead on the indexed path too
+      val (ic, ib) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "ivf"}""")
+      assert(ic == 200, ib)
+      val ihits = mapper.readTree(ib)
+      assert(ihits.get(0).get("id").asText() == "a")
+      assert((0 until ihits.size()).map(ihits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable approx search served a tombstoned row")
+      // approx + durable WITHOUT the explicit ivf selector is a contract
+      // violation, not a silent fallback (the default index is lsh, an
+      // in-memory-store feature)
       val (ac, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true}""")
       assert(ac == 422)
+      val (pc, _) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "pq"}""")
+      assert(pc == 422)
       // filters are in-memory-store features
       val (fc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "filter": {"k": "v"}}""")
