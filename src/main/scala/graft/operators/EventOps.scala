@@ -173,7 +173,9 @@ object EventOps {
   // PlanSpec pins the no-nested-loop shape. At 100 TB, a hot bin (error
   // storm) is the q49/q52 salting problem — same remedy, inside the bin.
 
-  private val RangeUs = 5L * 60 * 1000000 // ±5 min
+  // private[graft]: the streaming twin (EventStream.q88) shares the SAME
+  // window so its batch-parity claim can never drift on a retune
+  private[graft] val RangeUs = 5L * 60 * 1000000 // ±5 min
 
   def q82(spark: SparkSession, dir: String): DataFrame = {
     val p = events(spark, dir).where(col("event_type") === "purchase")

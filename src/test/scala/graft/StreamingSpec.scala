@@ -85,6 +85,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.totalCount() == 30, "replayed batch duplicated rows")
   }
 
+  test("stream-stream range join equals the batch q82 inner answer after drain") {
+    val streamed = EventStream.q88(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventOps.q82(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 > 0).toSet // inner form: purchases with >= 1 nearby error
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stream-stream join state is EVICTED once the watermark passes the range bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // two controllable streams so the watermark actually ADVANCES across
+    // micro-batches (the graded q88 drains one finite batch, where
+    // eviction never observably runs)
+    val pIn = MemoryStream[(Long, Long)]
+    val eIn = MemoryStream[(Long, Long)]
+    val binUs = 5L * 60 * 1000000
+    val p = pIn.toDF().toDF("event_id", "p_us")
+      .withColumn("p_ts", timestamp_micros(col("p_us")))
+      .withColumn("bin", (col("p_us") / binUs).cast("long")).drop("p_us")
+      .withWatermark("p_ts", "1 minute")
+    val e = eIn.toDF().toDF("err_id", "e_us")
+      .withColumn("e_ts", timestamp_micros(col("e_us")))
+      .withColumn("bin", explode(array(
+        (col("e_us") / binUs).cast("long") - 1,
+        (col("e_us") / binUs).cast("long"),
+        (col("e_us") / binUs).cast("long") + 1))).drop("e_us")
+      .withWatermark("e_ts", "1 minute")
+    val joined = p.join(e,
+      p("bin") === e("bin") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("event_id"), col("err_id"))
+    spark.catalog.dropTempView("ss_evict") // idempotent re-run hygiene
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_evict").start()
+    try {
+      val t0 = 1704067200L * 1000000L
+      val hour = 3600L * 1000000L
+      // batch 1: one close pair — joins, and both rows enter state
+      pIn.addData((1L, t0)); eIn.addData((10L, t0 + 60L * 1000000L))
+      q.processAllAvailable()
+      // batch 2: rows far in the future — advances both watermarks hours
+      // past batch 1's event times + the 5-min range bound
+      pIn.addData((2L, t0 + 10 * hour)); eIn.addData((20L, t0 + 10 * hour))
+      q.processAllAvailable()
+      // batch 3: eviction applies the advanced watermark to buffered state
+      pIn.addData((3L, t0 + 20 * hour)); eIn.addData((30L, t0 + 20 * hour))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        "watermark never evicted buffered join rows — state would grow forever")
+      // and the matched pair from batch 1 did emit
+      val pairs = spark.table("ss_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup emits a within-horizon duplicate key once") {
     import org.apache.spark.sql.functions._
     val sp = spark
