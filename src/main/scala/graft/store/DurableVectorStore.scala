@@ -18,11 +18,15 @@ import graft.model.SearchHit
   * Scoring, ranking, and tie-breaks come from the SAME [[Scoring]]
   * helper the in-memory facade uses, so the two stores cannot drift.
   *
-  * Layout under `path`:
+  * Layout under `path` (per GENERATION — gen 0 is the root, gen N ≥ 1
+  * is `gen-N/`; the `GEN` pointer file names the current one):
   *  - `data/` — namespace-partitioned parquet of
   *    (id, values, metadata, metadataJson, seq), append-only;
   *  - `deletes/` — flat parquet tombstone log of (id, namespace, seq),
-  *    append-only and deletes-sized (it never carries vectors).
+  *    append-only and deletes-sized (it never carries vectors);
+  *  - `MANIFEST` (gen ≥ 1) — the files [[compact]] folded into this
+  *    generation, which is what lets late appends to the previous
+  *    generation be re-folded instead of folded away.
   *
   * `seq` is a strictly-increasing commit stamp (seeded from the layout's
   * max on open, then an in-process counter). A row is LIVE iff no
@@ -60,20 +64,166 @@ import graft.model.SearchHit
   * committed concurrently by the other, which silently fails to kill
   * the row (tombstones only kill at strictly higher seq). Reads are
   * always safe against appends — they see whatever has landed.
-  * [[compact]] remains the one non-append operation: it REWRITES
-  * `data/`, so it belongs in a maintenance window — a scan or append in
-  * flight across the rewrite can fail or be folded away (deployments
-  * needing lock-free compaction put a snapshot-isolating table format
-  * underneath; plain parquet has no MVCC and this class does not
-  * pretend otherwise).
+  * [[compact]] is safe under concurrent readers AND writers too: it
+  * never rewrites in place — it folds the current read view into the
+  * NEXT generation directory, records what it consumed in a manifest,
+  * and flips a pointer, so in-flight scans keep streaming the files
+  * they hold and racing appends survive as unconsumed old-generation
+  * files that the next fold picks up (see [[compact]]'s contract).
+  * Concurrent compact() calls are the one excluded schedule — two
+  * folds would race the same target generation; run compaction from
+  * one maintenance job, like any LSM's major compaction.
   */
 class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   import spark.implicits._
 
-  private def dataPath = s"$path/data"
-  private def delPath = s"$path/deletes"
   private def commitsPath = s"$path/commits"
+
+  // ---- generation layout ----------------------------------------------
+  //
+  // Data and tombstones live in GENERATION directories: gen 0 is the
+  // legacy root (`data/`, `deletes/`), gen N ≥ 1 is `gen-N/{data,deletes}`.
+  // Appends go to the CURRENT generation (the `GEN` pointer file, read
+  // per append). [[compact]] folds the current read view into gen N+1,
+  // records the exact FILES it consumed in `gen-N+1/MANIFEST`, then
+  // flips the pointer — so an append racing the fold lands as a file
+  // that is either IN the listing (folded) or NOT (still readable as an
+  // unconsumed file of the old generation, re-folded by the next
+  // compact). Folding is by file identity, never by a seq horizon: a
+  // claimed-but-not-yet-visible commit cannot be folded away, which is
+  // what makes compaction safe under concurrent writers.
+
+  private def genPath(g: Int): String = if (g == 0) path else s"$path/gen-$g"
+  private def dataPathOf(g: Int): String = s"${genPath(g)}/data"
+  private def delPathOf(g: Int): String = s"${genPath(g)}/deletes"
+  private def pointerPath = s"$path/GEN"
+  private def manifestPath(g: Int): String = s"${genPath(g)}/MANIFEST"
+
+  /** Current generation: the `GEN` pointer, falling back to the highest
+    * existing gen directory when the pointer is mid-flip or absent (the
+    * fold is fully durable — data + manifest — before the flip starts,
+    * so trusting the directory is always correct). */
+  private def currentGen(): Int = {
+    val fs = hadoopFs(path)
+    val hp = new org.apache.hadoop.fs.Path(pointerPath)
+    val fromPointer =
+      if (!fs.exists(hp)) None
+      else scala.util.Try {
+        val in = fs.open(hp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }.toOption
+    fromPointer.getOrElse {
+      val root = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen-")) scala.util.Try(n.drop(4).toInt).toOption
+        else None
+      }.foldLeft(0)(math.max)
+    }
+  }
+
+  private def writePointer(g: Int): Unit = {
+    val fs = hadoopFs(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/GEN.tmp")
+    val dst = new org.apache.hadoop.fs.Path(pointerPath)
+    val out = fs.create(tmp, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    // delete+rename is not atomic, but the listing fallback in
+    // [[currentGen]] covers the missing-pointer window correctly
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  /** Committed parquet files under `p` (recursive; task-temp trees
+    * excluded). The STRINGS are the fold/manifest identity — always
+    * produced by this one helper so they compare equal across calls and
+    * processes on the same filesystem. */
+  private def listParquet(p: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hadoopFs(p)
+    if (!fs.exists(hp)) Seq.empty
+    else {
+      val it = fs.listFiles(hp, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val s = it.next().getPath.toString
+        if (s.endsWith(".parquet") && !s.contains("/_temporary/")) buf += s
+      }
+      buf.sorted.toSeq
+    }
+  }
+
+  /** Files consumed into generation `g` (empty for gen 0). Immutable
+    * once written, so cached per generation. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Set[String]]()
+
+  private def manifest(g: Int): Set[String] =
+    if (g <= 0) Set.empty
+    else manifestCache.computeIfAbsent(g, gg => {
+      val hp = new org.apache.hadoop.fs.Path(manifestPath(gg))
+      val fs = hadoopFs(path)
+      if (!fs.exists(hp)) Set.empty
+      else {
+        val in = fs.open(hp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    })
+
+  private def writeManifest(g: Int, files: Seq[String]): Unit = {
+    val fs = hadoopFs(path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(manifestPath(g)), true)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The read view at generation `c`: the current gen's directories in
+    * full, plus UNCONSUMED files (not in `c`'s manifest) of the two
+    * previous generations — the late appends the next compact will
+    * re-fold. Older generations are GC'd by [[compact]]; a single
+    * append call re-reads the pointer, so it can be at most one flip
+    * stale and always lands within this window. */
+  private def readViewFiles(c: Int): (Seq[(Int, Seq[String])], Seq[String]) = {
+    // a still-on-disk old-gen file may have been consumed by the fold
+    // into c (gen c-1 and c-2 files) OR by the earlier fold into c-1
+    // (gen c-2 files the c-1 manifest already claimed) — the union of
+    // the two newest manifests covers every fold that can have touched
+    // the retained window
+    val m = manifest(c) ++ manifest(c - 1)
+    val oldGens = (math.max(0, c - 2) until c)
+    val dataF = (c, listParquet(dataPathOf(c))) +:
+      oldGens.map(g => (g, listParquet(dataPathOf(g)).filterNot(m))).toSeq
+    val delF = listParquet(delPathOf(c)) ++
+      oldGens.flatMap(g => listParquet(delPathOf(g)).filterNot(m))
+    (dataF.filter(_._2.nonEmpty), delF)
+  }
+
+  private def emptyOf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** All visible data rows across the generation window. Per-gen reads
+    * keep their own `basePath` so the namespace partition column
+    * resolves; the current gen is one plain directory scan (partition
+    * pruning intact), old-gen unconsumed files are explicit lists. */
+  private def allData(): DataFrame = {
+    val (dataF, _) = readViewFiles(currentGen())
+    val parts = dataF.map { case (g, files) =>
+      spark.read.option("basePath", dataPathOf(g)).schema(dataSchema)
+        .parquet(files: _*)
+    }
+    if (parts.isEmpty) emptyOf(dataSchema)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  private def allDeletes(): DataFrame = {
+    val (_, delF) = readViewFiles(currentGen())
+    if (delF.isEmpty) emptyOf(delSchema)
+    else spark.read.schema(delSchema).parquet(delF: _*)
+  }
 
   /** Fixed layout schemas — reads never infer, so empty layouts (fresh
     * store, compacted-to-empty partitioned write that leaves only
@@ -90,19 +240,6 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     StructField("id", StringType),
     StructField("namespace", StringType),
     StructField("seq", LongType)))
-
-  /** Hadoop-FS existence probe, NOT java.io.File: the documented cluster
-    * contract is a shared filesystem, and an hdfs://- or s3a://-rooted
-    * path must resolve through the same FileSystem the writes go to. */
-  private def exists(p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-  }
-
-  private def readOrEmpty(p: String, schema: StructType): DataFrame =
-    if (!exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(p)
 
   private def hadoopFs(p: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(p)
@@ -151,13 +288,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * footer statistics); advanced by [[nextSeq]]'s claims and bumped past
     * other processes' claims on contention. */
   private lazy val seq: AtomicLong = {
-    def maxSeq(p: String, schema: StructType): Long =
-      readOrEmpty(p, schema).agg(max(col("seq"))).head() match {
+    def maxSeq(df: DataFrame): Long =
+      df.agg(max(col("seq"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
     new AtomicLong(math.max(maxMarker(),
-      math.max(maxSeq(dataPath, dataSchema), maxSeq(delPath, delSchema))))
+      math.max(maxSeq(allData()), maxSeq(allDeletes()))))
   }
 
   /** Allocate the next commit stamp: claim candidate seqs through the
@@ -188,7 +325,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * driver-memory failure the gate exists to prevent) — so readers cross
     * the gate within one refresh interval of the log crossing it. */
   private lazy val tombRows: AtomicLong =
-    new AtomicLong(readOrEmpty(delPath, delSchema).count())
+    new AtomicLong(allDeletes().count())
 
   /** Millis between opportunistic footer-count re-seeds of [[tombRows]] —
     * conf `spark.graft.durable.tombstoneCountRefreshMs`, default 30 s. A
@@ -216,7 +353,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         // opportunistic bookkeeping must never fail a READ: a transient
         // FS error here keeps the cached count (corrected next interval)
         // instead of throwing out of live()/findSimilar
-        try tombRows.set(readOrEmpty(delPath, delSchema).count())
+        try tombRows.set(allDeletes().count())
         catch { case scala.util.control.NonFatal(_) => () }
     }
     tombRows.get()
@@ -282,10 +419,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           .withColumn("metadataJson", lit("{}"))
           .withColumn("seq", lit(dataSeq))
           .withColumn("namespace", lit(namespace))
-          .write.mode("append").partitionBy("namespace").parquet(dataPath)
+          .write.mode("append").partitionBy("namespace")
+          .parquet(dataPathOf(currentGen()))
         val shadowCnt = shadows.count()
         if (shadowCnt > 0) {
-          shadows.write.mode("append").parquet(delPath)
+          shadows.write.mode("append").parquet(delPathOf(currentGen()))
           tombRows.addAndGet(shadowCnt)
         }
       } finally shadows.unpersist(blocking = false)
@@ -316,7 +454,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       present.toDF("id")
         .withColumn("namespace", lit(namespace))
         .withColumn("seq", lit(nextSeq()))
-        .write.mode("append").parquet(delPath)
+        .write.mode("append").parquet(delPathOf(currentGen()))
       tombRows.addAndGet(present.size)
     }
     present
@@ -339,8 +477,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * freshly-compacted (or never-deleted) store this is a plain scan; a
     * never-loaded store is simply empty. */
   def live(): DataFrame =
-    minusTombstones(readOrEmpty(dataPath, dataSchema),
-      readOrEmpty(delPath, delSchema))
+    minusTombstones(allData(), allDeletes())
 
   /** The kill step shared by [[live]] and [[liveAsOf]]: data minus
     * newer tombstones, with the broadcast/shuffle regime gate. */
@@ -375,8 +512,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * retention horizon, documented rather than hidden. */
   def liveAsOf(asOf: Long): DataFrame =
     minusTombstones(
-      readOrEmpty(dataPath, dataSchema).filter(col("seq") <= asOf),
-      readOrEmpty(delPath, delSchema).filter(col("seq") <= asOf))
+      allData().filter(col("seq") <= asOf),
+      allDeletes().filter(col("seq") <= asOf))
 
   /** CDC feed: the NET per-id changes committed in the stamp interval
     * `(fromSeq, toSeq]` for one namespace — `insert` (absent→present),
@@ -401,11 +538,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   def changesBetween(fromSeq: Long, toSeq: Long,
                      namespace: String = "default"): DataFrame = {
     require(fromSeq <= toSeq, "changesBetween needs fromSeq <= toSeq")
-    def window(p: String, schema: StructType) =
-      readOrEmpty(p, schema).filter(col("namespace") === namespace &&
+    def window(df: DataFrame) =
+      df.filter(col("namespace") === namespace &&
         col("seq") > fromSeq && col("seq") <= toSeq)
-    val touched = window(dataPath, dataSchema).select(col("id"))
-      .union(window(delPath, delSchema).select(col("id"))).distinct()
+    val touched = window(allData()).select(col("id"))
+      .union(window(allDeletes()).select(col("id"))).distinct()
     def stateAt(asOf: Long, tag: String): DataFrame =
       liveAsOf(asOf).filter(col("namespace") === namespace)
         .join(broadcast(touched.select(col("id").as("__cid"))),
@@ -648,25 +785,56 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   // ---- maintenance ----------------------------------------------------
 
-  /** Fold the tombstone log into the data: rewrite live rows, clear
-    * deletes. The offline job a deployment schedules (the rebuild
-    * analogue of `index.py:131-162`); readers before/after see the same
-    * live set, they just stop paying the anti-join. Compacting to an
-    * EMPTY live set is fine — subsequent reads see zero rows (the fixed
-    * read schema never infers from the fileless partitioned overwrite).
-    * Returns rows remaining. */
+  /** Fold the tombstone log into the data — GENERATIONALLY, so it is
+    * safe under concurrent readers and writers. The fold:
+    *
+    *  1. lists the current read view's FILES (data + tombstones);
+    *  2. computes live-from-exactly-those-files and writes it to
+    *     `gen-(N+1)/data` — old directories are never touched, so a scan
+    *     in flight keeps streaming the files it already holds;
+    *  3. records the consumed file list in `gen-(N+1)/MANIFEST`;
+    *  4. flips the `GEN` pointer;
+    *  5. GCs generations old enough that nothing can still read or
+    *     re-fold them (two flips back).
+    *
+    * An append racing the fold lands as a file either IN the step-1
+    * listing (folded now) or NOT (readable as an unconsumed old-gen file
+    * via [[readViewFiles]], folded by the NEXT compact) — by FILE
+    * identity, never a seq horizon, so a claimed-but-unwritten commit
+    * cannot be folded away. Tombstones appended during the fold likewise
+    * survive as unconsumed files and keep killing their rows. Readers
+    * see the old view or the new view, never a partial one (the pointer
+    * flip is the only switch). Compacting to an EMPTY live set is fine —
+    * the fixed read schema never infers. Returns rows remaining. */
   def compact(): Long = {
-    val kept = live().localCheckpoint(true)
-    kept.write.mode("overwrite").partitionBy("namespace").parquet(dataPath)
-    if (exists(delPath)) {
-      // overwrite with an empty frame of the same schema rather than
-      // filesystem-deleting the directory: keeps the operation a pure
-      // Spark write (works on any shared FS the layout lives on)
-      spark.emptyDataset[(String, String, Long)]
-        .toDF("id", "namespace", "seq")
-        .write.mode("overwrite").parquet(delPath)
+    val c = currentGen()
+    val (dataF, delF) = readViewFiles(c)
+    val dataIn =
+      if (dataF.isEmpty) emptyOf(dataSchema)
+      else dataF.map { case (g, files) =>
+        spark.read.option("basePath", dataPathOf(g)).schema(dataSchema)
+          .parquet(files: _*)
+      }.reduce(_.unionByName(_))
+    val delIn =
+      if (delF.isEmpty) emptyOf(delSchema)
+      else spark.read.schema(delSchema).parquet(delF: _*)
+    val kept = minusTombstones(dataIn, delIn).localCheckpoint(true)
+    val ng = c + 1
+    kept.write.mode("overwrite").partitionBy("namespace").parquet(dataPathOf(ng))
+    writeManifest(ng, dataF.flatMap(_._2) ++ delF)
+    writePointer(ng)
+    // GC generations no reader or re-fold can still reach: the read view
+    // spans two generations back, so gen ≤ ng-3 is unreachable
+    val fs = hadoopFs(path)
+    (0 to ng - 3).foreach { g =>
+      if (g == 0) {
+        fs.delete(new org.apache.hadoop.fs.Path(dataPathOf(0)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(delPathOf(0)), true)
+      } else fs.delete(new org.apache.hadoop.fs.Path(genPath(g)), true)
     }
-    tombRows.set(0L) // log folded: reads return to the broadcast regime
+    // tombstones folded; any appended DURING the fold are unconsumed
+    // old-gen files — count what the new view still sees
+    tombRows.set(allDeletes().count())
     lastTombRefresh.set(System.currentTimeMillis()) // a pre-compact footer
     // count must not land over the reset; full interval before next refresh
     // ANN layouts stay CORRECT across compaction (candidates semi-join

@@ -366,4 +366,52 @@ class DurableStoreSpec extends AnyFunSuite {
       d.findSimilar(q, k = 5, metric = "l2", namespace = "ann", approx = true)
     }
   }
+
+  test("an append interleaved with compact() is never folded away (generation re-fold)") {
+    val root = tmp()
+    val a = new DurableVectorStore(spark, root)
+    a.loadFrame(frame(vecs), "gen")           // 30 rows
+    a.delete(Seq("v1", "v2"), "gen")
+    // a second WRITER process appends while the compactor folds: under
+    // any interleaving its files land either in the fold listing (folded
+    // now) or as unconsumed old-gen files (re-folded later) — lost in
+    // neither schedule
+    val b = new DurableVectorStore(spark, root)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wrote = scala.collection.mutable.ArrayBuffer[String]()
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get() && i < 50) {
+        val id = s"w$i"
+        b.loadFrame(frame(Seq((id, Seq(100f + i, 1f, 1f)))), "gen")
+        wrote.synchronized { wrote += id }
+        i += 1
+      }
+    })
+    writer.start()
+    val remaining = a.compact()
+    stop.set(true)
+    writer.join()
+    assert(remaining >= 28, s"compact folded to $remaining rows") // >= pre-race live set
+    // EVERY interleaved append is present exactly once, deletes stayed dead
+    val ids = a.live().filter(col("namespace") === "gen")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.size == ids.distinct.size, "compaction duplicated rows")
+    val expected = vecs.map(_._1).filterNot(Set("v1", "v2")) ++ wrote
+    assert(ids.sorted == expected.sorted,
+      s"lost ${expected.toSet -- ids.toSet} / gained ${ids.toSet -- expected.toSet}")
+    // the re-fold: a second compact folds the racers' unconsumed files in
+    val after2 = a.compact()
+    assert(after2 == expected.size)
+    assert(a.live().select("id").collect().map(_.getString(0)).toSeq.sorted
+      == expected.sorted.toSeq)
+    // and a FRESH process over the flipped layout sees the same world
+    val fresh = new DurableVectorStore(spark, root)
+    assert(fresh.totalCount() == expected.size)
+    // generations GC: after enough folds the legacy root dirs are gone
+    a.compact(); a.compact()
+    assert(!new java.io.File(s"$root/data").exists(),
+      "legacy gen-0 data dir survived GC")
+    assert(fresh.totalCount() == expected.size)
+  }
 }
