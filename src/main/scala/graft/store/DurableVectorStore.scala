@@ -205,24 +205,49 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def emptyOf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  private def dirExists(p: String): Boolean =
+    hadoopFs(p).exists(new org.apache.hadoop.fs.Path(p))
+
+  /** True iff the read view at gen `c` spans any RETAINED older
+    * generation (a compacted store before GC catches up). The common
+    * regimes — never compacted (gen 0 only) and fully GC'd — answer
+    * with at most two existence probes and take the plain-directory
+    * fast path in [[allData]]/[[allDeletes]]: no driver-side file
+    * listing per read, Spark's own scan listing as before. */
+  private def hasOldGens(c: Int): Boolean =
+    (math.max(0, c - 2) until c).exists(g =>
+      dirExists(dataPathOf(g)) || dirExists(delPathOf(g)))
+
   /** All visible data rows across the generation window. Per-gen reads
     * keep their own `basePath` so the namespace partition column
     * resolves; the current gen is one plain directory scan (partition
     * pruning intact), old-gen unconsumed files are explicit lists. */
   private def allData(): DataFrame = {
-    val (dataF, _) = readViewFiles(currentGen())
-    val parts = dataF.map { case (g, files) =>
-      spark.read.option("basePath", dataPathOf(g)).schema(dataSchema)
-        .parquet(files: _*)
+    val c = currentGen()
+    if (!hasOldGens(c)) {
+      if (!dirExists(dataPathOf(c))) emptyOf(dataSchema)
+      else spark.read.schema(dataSchema).parquet(dataPathOf(c))
+    } else {
+      val (dataF, _) = readViewFiles(c)
+      val parts = dataF.map { case (g, files) =>
+        spark.read.option("basePath", dataPathOf(g)).schema(dataSchema)
+          .parquet(files: _*)
+      }
+      if (parts.isEmpty) emptyOf(dataSchema)
+      else parts.reduce(_.unionByName(_))
     }
-    if (parts.isEmpty) emptyOf(dataSchema)
-    else parts.reduce(_.unionByName(_))
   }
 
   private def allDeletes(): DataFrame = {
-    val (_, delF) = readViewFiles(currentGen())
-    if (delF.isEmpty) emptyOf(delSchema)
-    else spark.read.schema(delSchema).parquet(delF: _*)
+    val c = currentGen()
+    if (!hasOldGens(c)) {
+      if (!dirExists(delPathOf(c))) emptyOf(delSchema)
+      else spark.read.schema(delSchema).parquet(delPathOf(c))
+    } else {
+      val (_, delF) = readViewFiles(c)
+      if (delF.isEmpty) emptyOf(delSchema)
+      else spark.read.schema(delSchema).parquet(delF: _*)
+    }
   }
 
   /** Fixed layout schemas — reads never infer, so empty layouts (fresh
