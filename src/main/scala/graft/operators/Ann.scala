@@ -532,12 +532,69 @@ object Ann {
        |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- Q90: semantic near-neighbor scan (the SemDeDup shape) ----------
+  //
+  // Embedding-space dedup at corpus scale is NOT q31's few-queries-vs-
+  // corpus batch — it is EVERY vector versus every other, which no
+  // engine survives unblocked (n² pairs). The production recipe
+  // (SemDeDup, Abbas et al. 2023: cluster the embeddings, compare only
+  // within a cluster) falls out of machinery this engine already
+  // persists: the IVF cell assignment IS the clustering. The scan:
+  // join each vector's embedding onto its cell assignment ONCE (the
+  // shuffle carries n rows, each a single embedding — never a pair),
+  // self-join on the cell key (pairs materialize co-partitioned inside
+  // the join, Σ|cell|² ≈ n^1.5 with the √n geometry — sub-quadratic),
+  // exact cosine per pair, and the per-vector top-1 cut through the
+  // bounded-heap TopKAgg. The emitted (vec_id, nn_id, cos) table is
+  // what a dedup pass thresholds; cross-cell misses are the documented
+  // blocking trade, and the ASSIGNMENT is the candidate policy —
+  // persisted, so the oracle replays it rather than re-deriving it
+  // (the q33 contract).
+
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val aux = ensureLayout(spark, dir)
+    lastAux = Some(aux)
+    val withVec = spark.read.parquet(s"$aux/assign")
+      .join(embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+    val pairs = withVec
+      .select(col("cell"), col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(withVec.select(col("cell"), col("vec_id"), col("embedding").as("cv")),
+        Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"),
+        round(cosineSim(col("qv"), col("cv")), 4).as("score"),
+        col("vec_id"))
+    rankTopK(pairs, 1, descending = true)
+      .select(col("qid").as("vec_id"), col("id").as("nn_id"), col("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle replay from the persisted assignment: within-cell pairs,
+    * exact cosine, top-1 per vector on (score desc, id). */
+  def q90Sql(aux: String): String =
+    s"""WITH a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |p AS (
+       |  SELECT x.vec_id AS qid, y.vec_id AS cand,
+       |         round(${cosSql("e1.embedding", "e2.embedding")}, 4) AS score
+       |  FROM a x
+       |  JOIN a y ON y.cell = x.cell AND y.vec_id <> x.vec_id
+       |  JOIN embeddings e1 ON e1.vec_id = x.vec_id
+       |  JOIN embeddings e2 ON e2.vec_id = y.vec_id),
+       |r AS (
+       |  SELECT qid, cand, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cand) AS rn
+       |  FROM p)
+       |SELECT qid AS vec_id, cand AS nn_id, score FROM r WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_ann_brute_topk" -> (q31 _),
     "q32_ann_lsh_topk" -> (q32 _),
-    "q33_ann_ivf_topk" -> (ivfTopK _))
+    "q33_ann_ivf_topk" -> (ivfTopK _),
+    "q90_semdedup_nn" -> (q90 _))
 
   /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
     * evaluated by Verify after all queries have executed. If ivfTopK never
@@ -546,5 +603,6 @@ object Ann {
   def oracles: Map[String, String] = Map(
     "q31_ann_brute_topk" -> q31Sql,
     "q32_ann_lsh_topk" -> q32Sql) ++
-    lastAux.map(aux => "q33_ann_ivf_topk" -> q33Sql(aux))
+    lastAux.map(aux => "q33_ann_ivf_topk" -> q33Sql(aux)) ++
+    lastAux.map(aux => "q90_semdedup_nn" -> q90Sql(aux))
 }

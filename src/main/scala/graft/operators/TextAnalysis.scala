@@ -632,6 +632,60 @@ object TextAnalysis {
        |  FROM documents ORDER BY skey LIMIT $SampleN)
        |ORDER BY rank""".stripMargin
 
+  // ---- Q89: unigram log-prob quality filter (perplexity gate) ---------
+  //
+  // The CCNet-style filter: score each document by the mean log-
+  // probability of its tokens under a unigram language model — here the
+  // corpus itself (p(t) = count(t)/total). Documents dominated by rare
+  // tokens (identifiers, boilerplate noise, mojibake) score far below
+  // the prose mass and are flagged. 100 TB shape: ONE tokenize pass
+  // (checkpointed, the q65 pattern) feeds both the count agg (map-side
+  // combinable, VOCABULARY-sized result — ~1e5-1e6 rows for a natural
+  // language regardless of corpus size) and the scoring pass; the
+  // per-token prob join BROADCASTS the vocab table, so the corpus
+  // shuffles only on doc_id for the mean. Determinism: counts/totals
+  // are exact integers, each ln is within 1 ulp on both engines, the
+  // mean's error is ~1e-15 against a 1e-4 rounding — the q32 margin
+  // argument — and `keep` compares the ROUNDED score so the flag flips
+  // identically on both sides.
+
+  private[graft] val LpKeepFloor = -3.6 // in the measured gap between the
+  // prose mass (≥ -3.55 at all three SFs) and the rare-token outliers
+
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(spark, dir).select(col("doc_id"), col("toks"))
+      .localCheckpoint(eager = true)
+    val tokRows = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // one scalar, driver-side — the q65 constants pattern
+    val total = toks.agg(sum(size(col("toks")))).head().getLong(0).toDouble
+    tokRows
+      .join(broadcast(freq), Seq("tok"))
+      .withColumn("lp", log(col("n").cast("double") / lit(total)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        graft.functions.Det.r4(avg(col("lp"))).as("avg_logprob"))
+      .withColumn("keep", col("avg_logprob") >= LpKeepFloor)
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+       |tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+       |lp AS (
+       |  SELECT t.doc_id, ln(f.n / total) AS lp
+       |  FROM t JOIN f USING (tok), tot),
+       |m AS (
+       |  SELECT doc_id, count(*)::INT AS n_tok,
+       |         ${graft.functions.Det.r4Sql("avg(lp)")} AS avg_logprob
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_tok, avg_logprob,
+       |       avg_logprob >= ($LpKeepFloor)::DOUBLE AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
@@ -645,7 +699,8 @@ object TextAnalysis {
     "q63_decontaminate" -> (q63 _),
     "q68_domain_mixture" -> (q68 _),
     "q73_chunking" -> (q73 _),
-    "q79_hash_sample" -> (q79 _))
+    "q79_hash_sample" -> (q79 _),
+    "q89_unigram_logprob" -> (q89 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -660,5 +715,6 @@ object TextAnalysis {
     "q63_decontaminate" -> q63Sql,
     "q68_domain_mixture" -> q68Sql,
     "q73_chunking" -> q73Sql,
-    "q79_hash_sample" -> q79Sql)
+    "q79_hash_sample" -> q79Sql,
+    "q89_unigram_logprob" -> q89Sql)
 }

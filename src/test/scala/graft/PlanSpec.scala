@@ -232,6 +232,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 semdedup scan: cell equi-join + TopKAgg cut, never pairs via nested loop or window") {
+    val p = plan(graft.operators.Ann.q90(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"within-cell pairing degenerated to pair enumeration\n${p.take(1200)}")
+    assert(!p.contains("Window"), s"q90 top-1 cut fell back to a window\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
+  test("q89 logprob filter: vocab joins as a broadcast, corpus shuffles only for the doc mean") {
+    val p = plan(graft.operators.TextAnalysis.q89(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab-sized frequency table must broadcast, not shuffle the corpus\n${p.take(1200)}")
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
