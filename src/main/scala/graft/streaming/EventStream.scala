@@ -345,12 +345,54 @@ object EventStream {
        |WHERE p.event_type = 'purchase'
        |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
 
+  // ---- q91: hopping-window streaming aggregation -----------------------
+
+  /** The OVERLAPPING-window variant q46's tumbling job can't express:
+    * 1-hour windows hopping every 30 minutes, so each event contributes
+    * to exactly TWO windows (the smoothing shape dashboards actually
+    * plot). Same watermark-bounded state argument as q46 — at most
+    * horizon/slide live windows per key — with 2× the window rows, a
+    * constant. The oracle replays the window membership relationally:
+    * an event at `ts` belongs to the epoch-aligned starts `g` and
+    * `g − slide` where `g = ts − (ts mod slide)` (both satisfy
+    * s ≤ ts < s + 1h), which is exactly Spark's epoch-aligned hopping
+    * assignment. */
+  def startHoppingToMemory(spark: SparkSession, dir: String,
+                           queryName: String): StreamingQuery =
+    source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  def q91(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q91_sink",
+      startHoppingToMemory(spark, dir, "graft_q91_sink"))
+      .orderBy(col("bucket_us"), col("event_type"))
+
+  val q91Sql: String =
+    s"""SELECT s AS bucket_us, event_type, count(*) AS n,
+       |       ${graft.functions.Det.r4Sql("sum(value)")} AS sum_value
+       |FROM (
+       |  SELECT event_type, value, unnest([g, g - 1800000000]) AS s
+       |  FROM (SELECT event_type, value,
+       |               epoch_us(ts) - (epoch_us(ts) % 1800000000) AS g
+       |        FROM events))
+       |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
       "q70_stream_static_join" -> (q70 _),
-      "q88_stream_range_join" -> (q88 _))
+      "q88_stream_range_join" -> (q88 _),
+      "q91_stream_hopping_window" -> (q91 _))
 
   /** q46/q47 reuse the batch twins' oracle texts — that equality IS the
     * parity claim. */
@@ -359,5 +401,6 @@ object EventStream {
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q67_stream_dedup" -> q67Sql,
       "q70_stream_static_join" -> q70Sql,
-      "q88_stream_range_join" -> q88Sql)
+      "q88_stream_range_join" -> q88Sql,
+      "q91_stream_hopping_window" -> q91Sql)
 }

@@ -85,6 +85,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.totalCount() == 30, "replayed batch duplicated rows")
   }
 
+  test("hopping-window stream equals the batch epoch-aligned two-window assignment") {
+    import org.apache.spark.sql.functions._
+    val slide = 1800000000L
+    // raw events parquet carries ns longs; µs like EventStream.source
+    val us = expr("ts div 1000")
+    val g = us - (us % lit(slide))
+    val batch = graft.sources.Tables.table(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        explode(array(g, g - lit(slide))).as("bucket_us"))
+      .groupBy(col("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.r4(sum(col("value"))).as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = EventStream.q91(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream range join equals the batch q82 inner answer after drain") {
     val streamed = EventStream.q88(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
