@@ -1,0 +1,108 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.store.DurableVectorStore
+
+/** Sources the durable-ANN claims in SCALING.md with measured numbers:
+  * load a 64k×64d corpus into a [[DurableVectorStore]], then compare
+  * the EXACT read path (full partition scan + TakeOrderedAndProject)
+  * against the APPROX path (stamped IVF layout: probed-cell scan ∪
+  * delta tail, semi-joined to live) on the same queries — cold build
+  * billed separately like any index build, steady-state medians
+  * reported for both, plus the path's behavior under post-build
+  * mutations (a delete and a fresh append batch: the delete must
+  * vanish, the append must be servable with NO rebuild).
+  *
+  * At 64k rows both paths are seconds-scale and partly overhead-bound
+  * (stated, not hidden); the 100 TB argument is the SHAPE — the approx
+  * path's distributed work is the probed cells (≈ 2/√cells of the
+  * layout) plus a delta bounded by appends since the last rebuild,
+  * versus the exact path's full namespace scan.
+  * Run: `sbt 'runMain graft.examples.DurableAnnBench'`.
+  */
+object DurableAnnBench {
+
+  private val N = 65536L
+  private val Dim = 64
+  private val K = 10
+  private val Runs = 5
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "durable-ann-bench")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_dann_bench_").toString
+    val store = new DurableVectorStore(spark, root)
+
+    // deterministic synthetic corpus: smooth per-dim waves, distinct rows
+    val df = spark.range(N).select(
+      col("id").cast("string").as("id"),
+      expr(s"transform(sequence(0, ${Dim - 1}), " +
+        "j -> cast(sin(id * 0.137 + j * 1.71) + cos(id * 0.011 * (j + 1)) as float))")
+        .as("values"))
+    val (_, tLoad) = time { store.loadFrame(df, "bench") }
+
+    val queries: Seq[Seq[Float]] = df.limit(5).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+
+    // cold build: first approx search pays layout train+write once
+    val (_, tBuild) = time {
+      store.findSimilar(queries.head, k = K, namespace = "bench", approx = true)
+    }
+
+    def med(approx: Boolean): Double = median(
+      (1 to Runs).map { i =>
+        time(store.findSimilar(queries(i % queries.size), k = K,
+          namespace = "bench", approx = approx))._2
+      })
+
+    val exactMed = med(approx = false)
+    val approxMed = med(approx = true)
+
+    // recall of the approx path vs exact on the same queries
+    val recalls = queries.map { q =>
+      val e = store.findSimilar(q, K, "cosine", "bench").map(_.id).toSet
+      val a = store.findSimilar(q, K, "cosine", "bench", approx = true)
+        .map(_.id).toSet
+      a.intersect(e).size.toDouble / K
+    }
+
+    // post-build mutations served with NO rebuild: delete the self-match,
+    // append an exact duplicate of query 0 under a new id
+    val builds0 = store.annBuilds.get()
+    store.delete(Seq("0"), "bench")
+    store.loadFrame(Seq(("fresh", queries.head)).toDF("id", "values"), "bench")
+    val hits = store.findSimilar(queries.head, k = K, namespace = "bench",
+      approx = true)
+    val mutationOk = !hits.map(_.id).contains("0") && hits.head.id == "fresh"
+    val noRebuild = store.annBuilds.get() == builds0
+    val (_, tApproxAfter) = time {
+      store.findSimilar(queries.head, k = K, namespace = "bench", approx = true)
+    }
+
+    println(f"DurableAnnBench: n=$N dim=$Dim load=${tLoad}%.1fs " +
+      f"build(one-off)=${tBuild}%.1fs")
+    println(f"  exact  findSimilar median of $Runs: ${exactMed}%.3f s")
+    println(f"  approx findSimilar median of $Runs: ${approxMed}%.3f s " +
+      f"(approx/exact = ${approxMed / exactMed}%.1fx at this overhead-bound scale)")
+    println(f"  recall@$K vs exact: ${recalls.sum / recalls.size}%.2f " +
+      s"(${recalls.map(r => f"$r%.2f").mkString(",")})")
+    println(s"  post-build delete+append served correctly with no rebuild: " +
+      s"${mutationOk && noRebuild} " +
+      f"(approx after mutations: ${tApproxAfter}%.3f s)")
+    println("  caveat: at 64k rows both paths carry fixed per-query job " +
+      "overhead; the 100 TB argument is the scan-shape ratio " +
+      "(probed cells + delta vs full namespace), not this wall-clock.")
+    spark.stop()
+  }
+}

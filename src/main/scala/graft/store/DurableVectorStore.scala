@@ -723,8 +723,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       annBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
         Option(annCache.get(key)).orElse { // raced: reuse the winner's build
           val builtSeq = currentSeq()
+          // the layout carries the FULL record (not just the vector):
+          // a probe then serves hits straight from the probed cells,
+          // never re-scanning the namespace for enrichment
           val rows = liveAsOf(builtSeq).filter(col("namespace") === namespace)
-            .select(col("id"), col("values")).toDF()
+            .select(col("id"), col("values"), col("metadata"),
+              col("metadataJson")).toDF()
           val total = rows.count()
           if (total == 0) None
           else {
@@ -745,37 +749,14 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
   }
 
-  /** Candidate ids for an approx search: the INDEXED MAIN (probed cells
-    * of the inverted file, ≈ 2/√cells of the layout partitions,
-    * partition-pruned) UNIONED with the DELTA TAIL (live rows stamped
-    * after `builtSeq` — everything appended since the build, exactly
-    * scanned, delta-sized between maintenance rebuilds), semi-joined
-    * back to [[live]] so the LIVE STORE decides what exists. This is
-    * the LSM discipline applied to the index: deletes and shadows since
-    * the build are EXACT via the semi-join (a tombstoned candidate
-    * simply isn't live), appends are EXACT via the tail — including
-    * commits from OTHER processes, whose marker-claimed seqs are
-    * necessarily > builtSeq — and the only approximation anywhere is
-    * the IVF probe policy on the indexed main, same as any IVF. No
-    * rebuild is ever needed for correctness; rebuilds only fold the
-    * tail back into the index. */
-  private def annCandidates(liveNs: DataFrame, query: Seq[Float],
-                            builtSeq: Long, aux: String,
-                            centers: Array[Array[Float]],
-                            persistProbes: Boolean): DataFrame = {
-    val probed = graft.operators.Ann.rankCells(query.toArray, centers,
-      graft.operators.Ann.ivfProbeFor(centers.length))
-    if (persistProbes)
-      probed.toDF("cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"$aux/probes")
-    val indexed = spark.read.parquet(s"$aux/index")
-      .where(col("cell").isin(probed: _*))
-      .select(col("id").as("__cid"))
-    val delta = liveNs.where(col("seq") > builtSeq)
-      .select(col("id").as("__cid"))
-    liveNs.join(broadcast(indexed.union(delta).distinct()),
-      col("id") === col("__cid"), "left_semi")
-  }
+  /** The layout's inverted file, cached per aux dir: layouts are
+    * immutable once written, and a fresh `spark.read` per probe would
+    * re-list every cell partition directory on every request — measured
+    * dominating the sub-second probe (examples/DurableAnnBench). The
+    * cached frame snapshots the listing once; per-query cell predicates
+    * still prune partitions at planning. */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Graded-path variant: persists the probe list next to the layout so
     * an external oracle can replay candidates (`assign/` ⋈ `probes/` ∪
@@ -785,16 +766,54 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                                           namespace: String): Seq[SearchHit] =
     searchApprox(query, k, namespace, persistProbes = true)
 
+  /** The approx read plan — the LSM discipline applied to the index,
+    * with NOTHING namespace-sized anywhere:
+    *
+    *  - INDEXED MAIN: the probed cell partitions of the inverted file
+    *    (≈ 2/√cells of the layout, partition-pruned), which carry the
+    *    full records, minus the POST-BUILD tombstones — every layout
+    *    row is stamped ≤ builtSeq, so the kill set is exactly the
+    *    tombstones with `seq > builtSeq`: mutation-window-sized,
+    *    broadcast. (Pre-build tombstones were folded into the
+    *    `liveAsOf(builtSeq)` snapshot the layout indexed.)
+    *  - DELTA TAIL: `live()` rows stamped after the build — the seq
+    *    bound pushes to parquet footers, so only post-build files are
+    *    read; bounded by appends since the last rebuild. Commits from
+    *    OTHER processes land here too (marker-claimed seqs are
+    *    necessarily > builtSeq).
+    *
+    * A re-added id appears in both sides and resolves correctly: its
+    * shadow tombstone (seq > builtSeq) kills the layout copy, the tail
+    * carries the new row. Deletes, shadows, and appends since the
+    * build are all EXACT; the only approximation is the IVF probe
+    * policy on the indexed main — and no rebuild is ever needed for
+    * correctness, rebuilds (scheduled by [[compact]]) only fold the
+    * tail back into the index. */
   private def searchApprox(query: Seq[Float], k: Int, namespace: String,
                            persistProbes: Boolean): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     annLayout(namespace, query.length) match {
       case None => Seq.empty // empty namespace answers empty, like exact
       case Some((builtSeq, aux, centers)) =>
-        val liveNs = live().filter(col("namespace") === namespace)
-        val cands = annCandidates(liveNs, query, builtSeq, aux, centers,
-          persistProbes)
-        val scored = cands.withColumn("score",
+        val probed = graft.operators.Ann.rankCells(query.toArray, centers,
+          graft.operators.Ann.ivfProbeFor(centers.length))
+        if (persistProbes)
+          probed.toDF("cell").coalesce(1)
+            .write.mode("overwrite").parquet(s"$aux/probes")
+        val cols = Seq(col("id"), col("values"), col("metadata"),
+          col("metadataJson"))
+        val kills = allDeletes()
+          .where(col("namespace") === namespace && col("seq") > builtSeq)
+          .select(col("id").as("__kid"))
+        val main = annIndexCache
+          .computeIfAbsent(aux, a => spark.read.parquet(s"$a/index"))
+          .where(col("cell").isin(probed: _*))
+          .select(cols: _*)
+          .join(broadcast(kills), col("id") === col("__kid"), "left_anti")
+        val delta = live()
+          .filter(col("namespace") === namespace && col("seq") > builtSeq)
+          .select(cols: _*)
+        val scored = main.unionByName(delta).withColumn("score",
           Scoring.score("cosine", col("values"), Scoring.litVec(query)))
         Scoring.ranked(scored, "cosine").limit(k)
           .select(col("id"), col("score"), col("values"), col("metadata"),
@@ -867,6 +886,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     // fold the delta tail back into the index — drop them so the next
     // approx search rebuilds over the compacted layout
     annCache.clear()
+    annIndexCache.clear()
     gcMarkers()
     kept.count()
   }
