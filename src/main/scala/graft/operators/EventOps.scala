@@ -26,12 +26,25 @@ object EventOps {
 
   // ---- Q27: top-3 events by value per event type ----------------------
 
+  /** Top-3 per type through the bounded-heap [[graft.functions.TopKAgg]]
+    * instead of a `row_number` window: `event_type` is a handful of
+    * values, so a window partitioned by it sorts corpus-sized runs in
+    * ≤|types| tasks — the q26 straggler shape. The heap cut keeps only
+    * (event_id, value) pairs; `user_id` is enriched onto the ≤ 3×|types|
+    * winners by broadcasting them against one narrow (event_id, user_id)
+    * scan — the rank-preserving-enrichment pattern, never a second
+    * shuffle. Ordering ((value desc, event_id asc)) is identical to the
+    * window formulation, which remains the oracle. */
   def q27(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").desc, col("event_id"))
-    events(spark, dir)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
+    val top = events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.topk(col("value"), col("event_id"), 3,
+        descending = true).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+    events(spark, dir).select(col("event_id"), col("user_id"))
+      .join(broadcast(top), Seq("event_id"))
       .select(col("event_type"), col("rank"), col("event_id"),
         col("user_id"), r4(col("value")).as("value"))
       .orderBy(col("event_type"), col("rank"))

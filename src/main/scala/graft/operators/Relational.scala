@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.{r4, r4Sql}
@@ -93,16 +92,25 @@ object Relational {
 
   // ---- Q26: top-3 orders per market segment (window top-n) ------------
 
+  /** Top-3 per segment through the bounded-heap [[graft.functions.TopKAgg]]
+    * instead of a `row_number` window: `c_mktsegment` has FIVE values, so
+    * a window partitioned by it shuffles the whole orders⋈customer frame
+    * into ≤5 partitions and sorts a corpus-sized run in each — single-task
+    * stragglers at 100×. The aggregate's map-side partials prune every
+    * partition's contribution to 3 rows first; the exchange carries
+    * partitions × 5 × 3 heap entries. Ordering ((price desc, orderkey
+    * asc)) is identical to the window formulation, which remains the
+    * oracle. */
   def q26(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.table(spark, dir, "orders")
     val c = Tables.table(spark, dir, "customer")
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     o.join(c, col("o_custkey") === col("c_custkey"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 3)
-      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"),
-        r4(col("o_totalprice")).as("totalprice"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKAgg.topk(col("o_totalprice"), col("o_orderkey"),
+        3, descending = true).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("o_orderkey"), r4(col("col.score")).as("totalprice"))
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 

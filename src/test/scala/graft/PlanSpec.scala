@@ -232,6 +232,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q26/q27 low-cardinality-key ranks run on the bounded-heap aggregate: no Window") {
+    // r9 verdict "What's wrong" #1: row_number partitioned by
+    // c_mktsegment (5 values) / event_type (a handful) shuffles the full
+    // table into ≤5 partitions, each sorting a corpus-sized run — the
+    // straggler shape TopKAgg exists to kill. Both must plan as
+    // partial+final ObjectHashAggregate with zero Window nodes.
+    for ((name, df) <- Seq(
+        "q26" -> Relational.q26(spark, dir),
+        "q27" -> graft.operators.EventOps.q27(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"$name fell back to a window cut\n${p.take(1200)}")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$name lost partial aggregation\n${p.take(1200)}")
+    }
+  }
+
   test("q90 semdedup scan: cell equi-join + TopKAgg cut, never pairs via nested loop or window") {
     val p = plan(graft.operators.Ann.q90(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
