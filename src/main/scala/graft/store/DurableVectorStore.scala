@@ -2,7 +2,7 @@ package graft.store
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,6 +156,42 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Millis a cached OLD-generation file listing stays fresh — conf
+    * `spark.graft.durable.listingCacheMs`, default 10 s; 0 disables.
+    * While old generations are retained (the two flips after a
+    * [[compact]]), every read pays a driver-side recursive listing of
+    * their directories; the lists change only when a LATE append (an
+    * in-flight write that read the pointer pre-flip) lands, so reads may
+    * cache them briefly. Semantics: a TTL-stale listing is
+    * indistinguishable from the read having STARTED `ttl` ms earlier —
+    * reads never promised more than "sees whatever had landed when the
+    * scan listed files" — and in-process read-your-writes is unaffected
+    * because this process's appends go to the CURRENT generation, which
+    * is never served from this cache. [[compact]] and GC always list
+    * fresh (a fold must consume exactly what is on disk). */
+  val ListingCacheMsConf = "spark.graft.durable.listingCacheMs"
+  private def listingCacheMs: Long =
+    spark.conf.getOption(ListingCacheMsConf).map(_.toLong).getOrElse(10000L)
+
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
+
+  /** [[listParquet]] through the TTL cache — old-generation reads only. */
+  private def listParquetCached(p: String): Seq[String] = {
+    val ttl = listingCacheMs
+    if (ttl <= 0) listParquet(p)
+    else {
+      val now = System.currentTimeMillis()
+      Option(listingCache.get(p)) match {
+        case Some((t, files)) if now - t < ttl => files
+        case _ =>
+          val files = listParquet(p)
+          listingCache.put(p, (now, files))
+          files
+      }
+    }
+  }
+
   /** Files consumed into generation `g` (empty for gen 0). Immutable
     * once written, so cached per generation. */
   private val manifestCache =
@@ -187,7 +223,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * re-fold. Older generations are GC'd by [[compact]]; a single
     * append call re-reads the pointer, so it can be at most one flip
     * stale and always lands within this window. */
-  private def readViewFiles(c: Int): (Seq[(Int, Seq[String])], Seq[String]) = {
+  private def readViewFiles(c: Int,
+                            fresh: Boolean = false): (Seq[(Int, Seq[String])], Seq[String]) = {
     // a still-on-disk old-gen file may have been consumed by the fold
     // into c (gen c-1 and c-2 files) OR by the earlier fold into c-1
     // (gen c-2 files the c-1 manifest already claimed) — the union of
@@ -195,10 +232,15 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     // the retained window
     val m = manifest(c) ++ manifest(c - 1)
     val oldGens = (math.max(0, c - 2) until c)
+    // only the OLD generations go through the TTL listing cache — the
+    // current gen takes Spark's own scan listing in [[allData]], and a
+    // fold (`fresh`) must consume exactly what is on disk
+    def listOld(p: String): Seq[String] =
+      if (fresh) listParquet(p) else listParquetCached(p)
     val dataF = (c, listParquet(dataPathOf(c))) +:
-      oldGens.map(g => (g, listParquet(dataPathOf(g)).filterNot(m))).toSeq
+      oldGens.map(g => (g, listOld(dataPathOf(g)).filterNot(m))).toSeq
     val delF = listParquet(delPathOf(c)) ++
-      oldGens.flatMap(g => listParquet(delPathOf(g)).filterNot(m))
+      oldGens.flatMap(g => listOld(delPathOf(g)).filterNot(m))
     (dataF.filter(_._2.nonEmpty), delF)
   }
 
@@ -419,13 +461,28 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     // use could append rows whose overlapping ids were never
     // shadow-probed — a permanent duplicate no re-run resolves. The pin
     // is load-batch-sized (deployments ingest in bounded batches) and
-    // freed after the appends land.
+    // freed after the appends land. Optional `metadata` (map) /
+    // `metadataJson` (string) columns ride along when present — the REST
+    // write surface and metadata-carrying ingests use them; plain
+    // (id, values) frames keep the old empty defaults.
+    val metaCol =
+      if (df.columns.contains("metadata"))
+        col("metadata").cast("map<string,string>")
+      else typedLit(Map.empty[String, String])
+    val metaJsonCol =
+      if (df.columns.contains("metadataJson"))
+        coalesce(col("metadataJson").cast("string"), lit("{}"))
+      else lit("{}")
     val incoming = df.select(col("id").cast("string").as("id"),
-      col("values").cast("array<float>").as("values"))
+      col("values").cast("array<float>").as("values"),
+      metaCol.as("metadata"), metaJsonCol.as("metadataJson"))
       .localCheckpoint(eager = true)
     try {
       val shadowSeq = nextSeq()
       val dataSeq = nextSeq() // > shadowSeq: incoming rows survive the shadows
+      // both appends land in ONE pinned generation, checked afterwards —
+      // a fold can race the write, but the rows must still be reachable
+      val gen = currentGen()
       // overlap snapshot from the PRE-append live set, pinned before the
       // data append makes the incoming ids live too
       val shadows = live().filter(col("namespace") === namespace)
@@ -440,19 +497,39 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       // not accumulate shadow blocks until the ContextCleaner gets lucky
       try {
         incoming
-          .withColumn("metadata", typedLit(Map.empty[String, String]))
-          .withColumn("metadataJson", lit("{}"))
           .withColumn("seq", lit(dataSeq))
           .withColumn("namespace", lit(namespace))
           .write.mode("append").partitionBy("namespace")
-          .parquet(dataPathOf(currentGen()))
+          .parquet(dataPathOf(gen))
         val shadowCnt = shadows.count()
         if (shadowCnt > 0) {
-          shadows.write.mode("append").parquet(delPathOf(currentGen()))
+          shadows.write.mode("append").parquet(delPathOf(gen))
           tombRows.addAndGet(shadowCnt)
         }
       } finally shadows.unpersist(blocking = false)
+      ensureInReadWindow(gen, "loadFrame")
     } finally incoming.unpersist(blocking = false)
+  }
+
+  /** Post-append guard against the append-vs-GC race: an append writes to
+    * the generation whose pointer it read, and stays reachable while that
+    * generation is within the read window (gen ≥ current − 2 — unconsumed
+    * files are re-folded by the next [[compact]]). If compaction flipped
+    * the pointer THREE or more times during one write job, the landed
+    * generation may already be GC'd — whether the rows were folded first
+    * is unknowable from here, so the commit must not be reported as
+    * durable. Failing (rather than silently continuing) keeps the
+    * contract structural: [[loadFrame]] is an upsert and [[delete]] is
+    * idempotent, so the documented recovery is simply to re-run the
+    * mutation. In any sane deployment compaction cadence is minutes to
+    * hours and this never fires. */
+  private def ensureInReadWindow(gen: Int, op: String): Unit = {
+    val c = currentGen()
+    if (c - gen >= 3)
+      throw new IllegalStateException(
+        s"$op raced compaction past the retention window (wrote gen $gen, " +
+          s"current gen $c): the rows may have been GC'd before any fold " +
+          s"consumed them — re-run the mutation")
   }
 
   /** Tombstone-append delete. Returns the ids that were actually live
@@ -476,11 +553,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           .select("id").as[String].collect().toSeq
       ).distinct // a crashed upsert can leave a transient duplicate row
     if (present.nonEmpty) {
+      val gen = currentGen()
       present.toDF("id")
         .withColumn("namespace", lit(namespace))
         .withColumn("seq", lit(nextSeq()))
-        .write.mode("append").parquet(delPathOf(currentGen()))
+        .write.mode("append").parquet(delPathOf(gen))
       tombRows.addAndGet(present.size)
+      ensureInReadWindow(gen, "delete")
     }
     present
   }
@@ -591,19 +670,36 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the string-id tie-break are [[Scoring]]'s — identical to
     * [[VectorStore.findSimilar]] by construction.
     *
-    * `approx = true` routes through the store-attached durable IVF
-    * index ([[annLayout]]) — the read path that makes this store
-    * servable at 10⁹ vectors/namespace, where the exact scan is the
-    * scale-killer. Cosine only, like the in-memory store's indexed
-    * paths (the layout's candidate policy is angular). */
+    * `approx = true` routes through a store-attached durable index —
+    * the read path that makes this store servable at 10⁹
+    * vectors/namespace, where the exact scan is the scale-killer.
+    * `index` picks which one:
+    *  - "ivf" (default): the record-carrying inverted file
+    *    ([[annLayout]]); metrics `cosine` AND `l2` — the probe policy
+    *    ranks cells by squared L2, which is IVF's native geometry for
+    *    l2 (the reference's default space, `index.py:18`) and the
+    *    standard coarse policy for cosine. `ip` is refused: L2 cell
+    *    boundaries put no bound on an unnormalized dot product, so the
+    *    probe policy would be unprincipled — use the exact path.
+    *  - "pq": the codes-only ADC sweep over the probed cells
+    *    ([[searchPq]]) — cosine only (codes encode L2-normalized
+    *    subvectors; ascending ADC is descending cosine). */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
-                  approx: Boolean = false): Seq[SearchHit] =
+                  approx: Boolean = false,
+                  index: String = "ivf"): Seq[SearchHit] =
     if (!approx) searchOver(live(), query, k, metric, namespace)
-    else {
-      require(metric == "cosine",
-        s"approx durable search is cosine only (IVF candidates / cosine rerank), got metric '$metric'")
-      searchApprox(query, k, namespace, persistProbes = false)
+    else index match {
+      case "ivf" =>
+        require(metric == "cosine" || metric == "l2",
+          s"approx durable IVF search supports cosine|l2 (L2 cell ranking bounds neither an unnormalized ip), got metric '$metric'")
+        searchApprox(query, k, namespace, metric, persistProbes = false)
+      case "pq" =>
+        require(metric == "cosine",
+          s"durable PQ search is cosine only (normalized-subvector ADC / cosine rerank), got metric '$metric'")
+        searchPq(query, k, namespace, persistLut = false)
+      case other => throw new IllegalArgumentException(
+        s"unknown durable index '$other' (expected ivf | pq)")
     }
 
   /** [[findSimilar]] against the [[liveAsOf]] snapshot at `asOf` — the
@@ -678,37 +774,79 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   private lazy val annRoot: String =
     spark.conf.getOption(AnnDirConf).map(_ + "/durable_ann_" +
-      ProcessHandle.current().pid())
+      ProcessHandle.current().pid() + "_" +
+      DurableVectorStore.instanceIds.incrementAndGet())
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_dann_").toString)
 
-  /** (namespace, dim) → (builtSeq, layout dir, centroids). Unlike the
-    * in-memory store's epoch-invalidated caches, a durable layout stays
-    * VALID across mutations — correctness never depends on its
-    * freshness (see [[annCandidates]]) — so entries are evicted only by
-    * [[compact]] (the natural fold-the-delta maintenance point) or
-    * [[refreshAnnIndex]]. */
+  /** Ratio of post-build mutations (delta-tail data rows + post-build
+    * tombstones) to layout rows past which a probe REBUILDS the layout —
+    * the reference's staleness control loop
+    * (`implementations/index.py:18,85-89` rebuilds when deleted/total
+    * crosses 0.2, driven per query by `query_processor.py:56-61`)
+    * re-expressed for the LSM. Staleness here is the delta tail (exact-
+    * scanned per probe) plus the post-build kill set, both of which grow
+    * probe cost linearly with ingest from EVERY process until a rebuild
+    * folds them into a fresh layout. Default 0.2 — the reference's
+    * constant; ≤ 0 disables the trigger (rebuilds then happen only at
+    * [[compact]] / [[refreshAnnIndex]] / generation flips). */
+  val AnnStalenessRatioConf = "spark.graft.durable.ann.stalenessRatio"
+  private def annStalenessRatio: Double =
+    spark.conf.getOption(AnnStalenessRatioConf).map(_.toDouble).getOrElse(0.2)
+
+  /** Millis between staleness checks per (namespace, dim): the check is
+    * two footer-pruned counts (post-build data rows + tombstones) — a
+    * small metadata job that must not run on EVERY probe of a hot
+    * namespace. One probe per interval is CAS-elected to pay it.
+    * 0 checks on every probe (specs use this). */
+  val AnnStalenessCheckMsConf = "spark.graft.durable.ann.stalenessCheckMs"
+  private def annStalenessCheckMs: Long =
+    spark.conf.getOption(AnnStalenessCheckMsConf).map(_.toLong).getOrElse(10000L)
+
+  /** One durable ANN layout: the record-carrying IVF inverted file over
+    * the `liveAsOf(builtSeq)` snapshot, stamped with the GENERATION the
+    * build observed and its own row count (the staleness denominator).
+    *
+    * `builtGen` is the correctness stamp: the probe's kill set is
+    * "tombstones with seq > builtSeq", which is complete ONLY while no
+    * [[compact]] has folded such tombstones away — i.e. while
+    * `currentGen()` still equals `builtGen`. A probe that observes an
+    * advanced generation rebuilds over the compacted view instead of
+    * trusting an empty kill set; that is what makes the layout safe for
+    * a long-lived SERVING process that never runs the compacts itself
+    * (compaction may run in a separate maintenance job — the previous
+    * design cleared only the compacting process's cache, so a stale
+    * serving layout could resurrect deleted rows indefinitely). */
+  private case class AnnEntry(builtSeq: Long, builtGen: Int, aux: String,
+                              centers: Array[Array[Float]], rows: Long)
+
   private val annCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String, Array[Array[Float]])]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnEntry]()
 
   private val annBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
 
+  private val annLastStaleCheck =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), AtomicLong]()
+
   /** Layout builds paid by this store — spec hook (serving must not
-    * rebuild per request). */
+    * rebuild per request; the staleness trigger must rebuild exactly
+    * once per crossing). */
   private[graft] val annBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Layout dir serving (namespace, dim) — oracle hook, with the build
     * stamp the delta tail is anchored to. None until an approx search
     * has built one. */
   private[graft] def annLayoutDir(namespace: String, dim: Int): Option[(String, Long)] =
-    Option(annCache.get((namespace, dim))).map(e => (e._2, e._1))
+    Option(annCache.get((namespace, dim))).map(e => (e.aux, e.builtSeq))
 
   /** Drop the cached layout for (namespace, dim): the next approx search
     * rebuilds over the current live set, folding the delta tail back
-    * into the index — the periodic maintenance a deployment schedules
-    * alongside [[compact]]. */
-  def refreshAnnIndex(namespace: String, dim: Int): Unit =
+    * into the index — the on-demand form of the maintenance the
+    * staleness trigger and [[compact]] run automatically. */
+  def refreshAnnIndex(namespace: String, dim: Int): Unit = {
     annCache.remove((namespace, dim))
+    pqCache.remove((namespace, dim))
+  }
 
   /** Build-or-reuse the IVF layout for (namespace, dim). The build
     * SNAPSHOTS the store at `builtSeq = currentSeq()` and indexes
@@ -716,12 +854,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * recipe + cell-partitioned inverted file, the q33/q53 machinery), so
     * a commit racing the build lands cleanly in the delta tail instead
     * of being half-indexed. Emptiness is NOT cached — a namespace that
-    * gains rows later builds on its next approx search. */
-  private def annLayout(namespace: String, dim: Int): Option[(Long, String, Array[Array[Float]])] = {
+    * gains rows later builds on its next approx search.
+    *
+    * `stale` is an entry the caller decided to REPLACE (generation
+    * advanced, staleness ratio crossed): if the cache no longer holds
+    * it a racing thread already rebuilt — reuse the winner's build.
+    * Probes holding the old entry keep serving it (the old aux dir is
+    * never deleted in-place); the cache swap is atomic. */
+  private def annLayout(namespace: String, dim: Int,
+                        stale: Option[AnnEntry] = None): Option[AnnEntry] = {
     val key = (namespace, dim)
-    Option(annCache.get(key)).orElse {
+    def cached: Option[AnnEntry] =
+      Option(annCache.get(key)).filterNot(e => stale.exists(_.aux == e.aux))
+    cached.orElse {
       annBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-        Option(annCache.get(key)).orElse { // raced: reuse the winner's build
+        cached.orElse {
+          val builtGen = currentGen()
           val builtSeq = currentSeq()
           // the layout carries the FULL record (not just the vector):
           // a probe then serves hits straight from the probed cells,
@@ -730,17 +878,23 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             .select(col("id"), col("values"), col("metadata"),
               col("metadataJson")).toDF()
           val total = rows.count()
-          if (total == 0) None
+          if (total == 0) { annCache.remove(key); None }
           else {
             annBuilds.incrementAndGet()
             val centers = graft.operators.Ann.trainQuantizer(
               rows, "id", "values", total,
               graft.operators.Ann.ivfCellsFor(total), AnnSeed)
             val aux = annRoot + "/" +
-              namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_s${builtSeq}_d$dim"
+              namespace.replaceAll("[^A-Za-z0-9._-]", "_") +
+              s"_g${builtGen}_s${builtSeq}_d$dim"
             graft.operators.Ann.writeInvertedFile(rows, "id", "values",
               centers, aux)
-            val entry = (builtSeq, aux, centers)
+            val entry = AnnEntry(builtSeq, builtGen, aux, centers, total)
+            // evict the replaced layout's cached frames (records + codes)
+            stale.foreach { s =>
+              layoutFrameCache.keySet.removeIf(_.startsWith(s.aux))
+              pqCache.remove(key)
+            }
             annCache.put(key, entry)
             Some(entry)
           }
@@ -749,22 +903,63 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
   }
 
-  /** The layout's inverted file, cached per aux dir: layouts are
-    * immutable once written, and a fresh `spark.read` per probe would
-    * re-list every cell partition directory on every request — measured
-    * dominating the sub-second probe (examples/DurableAnnBench). The
-    * cached frame snapshots the listing once; per-query cell predicates
-    * still prune partitions at planning. */
-  private val annIndexCache =
+  /** The freshness gates applied by every indexed probe, in order:
+    *  1. GENERATION gate (correctness — see [[AnnEntry]]): an advanced
+    *     generation means post-build tombstones may have been folded
+    *     away; rebuild over the compacted view.
+    *  2. STALENESS gate (performance — [[AnnStalenessRatioConf]]): the
+    *     reference's deleted-ratio trigger; when the post-build
+    *     mutation window outgrows `ratio × layout rows`, fold it back
+    *     into a fresh layout.
+    * Either rebuild happens inline under the build lock; concurrent
+    * probes keep serving the previous entry. */
+  private def annEntryFresh(namespace: String, dim: Int): Option[AnnEntry] =
+    annLayout(namespace, dim).flatMap { e =>
+      if (e.builtGen != currentGen()) annLayout(namespace, dim, Some(e))
+      else {
+        val ratio = annStalenessRatio
+        val interval = annStalenessCheckMs
+        val clock = annLastStaleCheck.computeIfAbsent((namespace, dim),
+          _ => new AtomicLong(0L))
+        val now = System.currentTimeMillis()
+        val last = clock.get()
+        val elected = ratio > 0 &&
+          (interval <= 0 ||
+            (now - last >= interval && clock.compareAndSet(last, now)))
+        if (!elected) Some(e)
+        else {
+          val tail = allData()
+            .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
+            .count() +
+            allDeletes()
+              .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
+              .count()
+          if (tail.toDouble < ratio * e.rows.toDouble) Some(e)
+          else annLayout(namespace, dim, Some(e))
+        }
+      }
+    }
+
+  /** Immutable layout frames cached per path (aux dirs are write-once;
+    * replaced layouts get FRESH dirs): a fresh `spark.read` per probe
+    * would re-list every cell partition directory on every request —
+    * measured dominating the sub-second probe (examples/DurableAnnBench).
+    * The cached frame snapshots the listing once; per-query cell
+    * predicates still prune partitions at planning. */
+  private val layoutFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def layoutFrame(p: String): DataFrame =
+    layoutFrameCache.computeIfAbsent(p, q => spark.read.parquet(q))
 
   /** Graded-path variant: persists the probe list next to the layout so
     * an external oracle can replay candidates (`assign/` ⋈ `probes/` ∪
     * delta) + exact rerank — the q53 contract. Serving calls use
     * [[findSimilar]] (a per-request probe overwrite would race). */
   private[graft] def findSimilarIvfGraded(query: Seq[Float], k: Int,
-                                          namespace: String): Seq[SearchHit] =
-    searchApprox(query, k, namespace, persistProbes = true)
+                                          namespace: String,
+                                          metric: String = "cosine"): Seq[SearchHit] =
+    searchApprox(query, k, namespace, metric, persistProbes = true)
 
   /** The approx read plan — the LSM discipline applied to the index,
     * with NOTHING namespace-sized anywhere:
@@ -778,48 +973,219 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *    `liveAsOf(builtSeq)` snapshot the layout indexed.)
     *  - DELTA TAIL: `live()` rows stamped after the build — the seq
     *    bound pushes to parquet footers, so only post-build files are
-    *    read; bounded by appends since the last rebuild. Commits from
-    *    OTHER processes land here too (marker-claimed seqs are
-    *    necessarily > builtSeq).
+    *    read; bounded by the staleness trigger
+    *    ([[AnnStalenessRatioConf]]), which folds the tail back into a
+    *    fresh layout once it outgrows `ratio × layout rows` — probe
+    *    latency no longer degrades unboundedly between [[compact]]
+    *    calls. Commits from OTHER processes land here too
+    *    (marker-claimed seqs are necessarily > builtSeq).
     *
     * A re-added id appears in both sides and resolves correctly: its
     * shadow tombstone (seq > builtSeq) kills the layout copy, the tail
     * carries the new row. Deletes, shadows, and appends since the
     * build are all EXACT; the only approximation is the IVF probe
-    * policy on the indexed main — and no rebuild is ever needed for
-    * correctness, rebuilds (scheduled by [[compact]]) only fold the
-    * tail back into the index. */
+    * policy on the indexed main. Correctness DOES require the
+    * generation gate ([[annEntryFresh]]): a [[compact]] folds
+    * post-build tombstones away, so the kill-set rule is only complete
+    * within the generation the layout was built against — the plan is
+    * re-checked after the collect and retried if a fold raced it, with
+    * an exact-scan fallback should compaction flip faster than probes
+    * complete. */
   private def searchApprox(query: Seq[Float], k: Int, namespace: String,
-                           persistProbes: Boolean): Seq[SearchHit] = {
+                           metric: String, persistProbes: Boolean): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    annLayout(namespace, query.length) match {
-      case None => Seq.empty // empty namespace answers empty, like exact
-      case Some((builtSeq, aux, centers)) =>
-        val probed = graft.operators.Ann.rankCells(query.toArray, centers,
-          graft.operators.Ann.ivfProbeFor(centers.length))
-        if (persistProbes)
-          probed.toDF("cell").coalesce(1)
-            .write.mode("overwrite").parquet(s"$aux/probes")
-        val cols = Seq(col("id"), col("values"), col("metadata"),
-          col("metadataJson"))
-        val kills = allDeletes()
-          .where(col("namespace") === namespace && col("seq") > builtSeq)
-          .select(col("id").as("__kid"))
-        val main = annIndexCache
-          .computeIfAbsent(aux, a => spark.read.parquet(s"$a/index"))
-          .where(col("cell").isin(probed: _*))
-          .select(cols: _*)
-          .join(broadcast(kills), col("id") === col("__kid"), "left_anti")
-        val delta = live()
-          .filter(col("namespace") === namespace && col("seq") > builtSeq)
-          .select(cols: _*)
-        val scored = main.unionByName(delta).withColumn("score",
-          Scoring.score("cosine", col("values"), Scoring.litVec(query)))
-        Scoring.ranked(scored, "cosine").limit(k)
-          .select(col("id"), col("score"), col("values"), col("metadata"),
-            col("metadataJson"))
-          .as[SearchHit].collect().toSeq
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length) match {
+        case None => return Seq.empty // empty namespace answers empty, like exact
+        case Some(e) =>
+          val hits = probeIvf(query, k, namespace, metric, e, persistProbes)
+          // the plan is lazy: a compact flipping the generation between
+          // the gate and the collect could have folded tombstones out of
+          // the kill scan mid-probe — detect and retry with a fresh build
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
     }
+    searchOver(live(), query, k, metric, namespace)
+  }
+
+  private def probeIvf(query: Seq[Float], k: Int, namespace: String,
+                       metric: String, e: AnnEntry,
+                       persistProbes: Boolean): Seq[SearchHit] = {
+    val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
+      graft.operators.Ann.ivfProbeFor(e.centers.length))
+    if (persistProbes)
+      probed.toDF("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"${e.aux}/probes")
+    val cols = Seq(col("id"), col("values"), col("metadata"),
+      col("metadataJson"))
+    val main = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(probed: _*))
+      .select(cols: _*)
+      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+        col("id") === col("__kid"), "left_anti")
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+      .withColumn("score",
+        Scoring.score(metric, col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, metric).limit(k)
+      .select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[SearchHit].collect().toSeq
+  }
+
+  /** The mutation-window-sized kill set: tombstones stamped after the
+    * build (complete within the layout's generation — [[AnnEntry]]). */
+  private def postBuildKills(namespace: String, builtSeq: Long): DataFrame =
+    allDeletes()
+      .where(col("namespace") === namespace && col("seq") > builtSeq)
+      .select(col("id").as("__kid"))
+
+  /** The delta tail: live rows stamped after the build — footer-pruned
+    * (`seq` bounds reach parquet row-group stats), bounded by the
+    * staleness trigger. */
+  private def deltaTail(namespace: String, builtSeq: Long,
+                        cols: Seq[Column]): DataFrame =
+    live()
+      .filter(col("namespace") === namespace && col("seq") > builtSeq)
+      .select(cols: _*)
+
+  // ---- durable PQ (IVFADC): codes-only sweep over the probed cells ----
+
+  /** One durable PQ layout, derived FROM the [[AnnEntry]]'s persisted
+    * inverted file — the compression the r9 verdict named as the 10⁹ ×
+    * 768-dim regime's missing piece: the ADC sweep reads `codes/`
+    * (cell-partitioned (id, codes) — ~30× smaller than the records at
+    * rest), and only then are the CandN winners joined back to the
+    * probed cells' RECORDS for the exact rerank. Deriving codes from the
+    * layout itself (not a fresh snapshot) makes the two structures
+    * consistent by construction: every code row has a record row in the
+    * same cell, same `builtSeq`, so the q87 kill-set/delta-tail
+    * discipline carries over unchanged. `annAux` ties the codes to the
+    * records layout they encode — an ANN rebuild (staleness, generation,
+    * [[compact]]) orphans them and the next PQ probe re-derives. */
+  private case class PqEntry(annAux: String, aux: String,
+                             codebook: Array[Array[Array[Float]]])
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), PqEntry]()
+
+  private val pqBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** PQ code-table builds paid by this store — spec hook. */
+  private[graft] val pqBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Codes dir + records layout serving (namespace, dim) — oracle hook. */
+  private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(pqCache.get((namespace, dim))).map(_.aux)
+
+  /** Build-or-reuse the code tables for `ann`'s layout: per-subspace
+    * codebooks trained on the layout rows via the shared
+    * [[graft.operators.Pq]] recipe (one training policy across every PQ
+    * consumer), codes written cell-partitioned next to the records
+    * (`<annAux>/pq/codes`), plus the flat `codes_flat/` replay table —
+    * the q58/q61 oracle contract. */
+  private def pqLayoutFor(namespace: String, dim: Int,
+                          ann: AnnEntry): PqEntry = {
+    val key = (namespace, dim)
+    def cached: Option[PqEntry] =
+      Option(pqCache.get(key)).filter(_.annAux == ann.aux)
+    cached.getOrElse {
+      pqBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        cached.getOrElse {
+          pqBuilds.incrementAndGet()
+          val recs = layoutFrame(s"${ann.aux}/index")
+            .select(col("id"), col("values"), col("cell"))
+          val codebookSeq = graft.operators.Pq.trainCodebooks(
+            recs, "id", "values", ann.rows, dim)
+          val aux = s"${ann.aux}/pq"
+          recs.withColumn("codes",
+              graft.functions.PqEncode(col("values"), codebookSeq))
+            .select(col("id"), col("codes"), col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/codes")
+          spark.read.parquet(s"$aux/codes")
+            .select(col("id"), col("cell"),
+              posexplode(col("codes")).as(Seq("sub", "code")))
+            .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
+          val entry = PqEntry(ann.aux, aux,
+            codebookSeq.map(_.map(_.toArray).toArray).toArray)
+          pqCache.put(key, entry)
+          entry
+        }
+      }
+    }
+  }
+
+  /** Graded-path variant of the PQ probe — persists `lut/` and `probes/`
+    * next to the codes for oracle replay (the q61 contract). */
+  private[graft] def findSimilarPqGraded(query: Seq[Float], k: Int,
+                                         namespace: String): Seq[SearchHit] =
+    searchPq(query, k, namespace, persistLut = true)
+
+  /** The durable PQ read plan — [[searchApprox]]'s LSM discipline with
+    * the ADC sweep in front:
+    *  1. rank cells (driver-side, the shared IVF policy) and sweep the
+    *     PROBED cells of the codes table: a table-lookup 8-term sum per
+    *     row, never a float vector — the bytes-per-candidate win;
+    *  2. cut to [[graft.operators.Pq.CandN]] on (rounded ADC, id)
+    *     (`TakeOrderedAndProject` — candidate-list-sized);
+    *  3. rerank EXACTLY: winners semi-joined back to the probed cells'
+    *     records (partition-pruned — candidates only ever come from
+    *     probed cells), minus the post-build kill set, union the exact
+    *     delta tail — identical correctness discipline to the IVF
+    *     probe, including the generation gate and retry. */
+  private def searchPq(query: Seq[Float], k: Int, namespace: String,
+                       persistLut: Boolean): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length) match {
+        case None => return Seq.empty
+        case Some(e) =>
+          val pq = pqLayoutFor(namespace, query.length, e)
+          val hits = probePq(query, k, namespace, e, pq, persistLut)
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
+    }
+    searchOver(live(), query, k, "cosine", namespace)
+  }
+
+  private def probePq(query: Seq[Float], k: Int, namespace: String,
+                      e: AnnEntry, pq: PqEntry,
+                      persistLut: Boolean): Seq[SearchHit] = {
+    val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
+      graft.operators.Ann.ivfProbeFor(e.centers.length))
+    val lut = graft.operators.Pq.lutFor(query.toArray, pq.codebook)
+    if (persistLut) {
+      graft.operators.Pq.writeLuts(spark, Seq((0L, lut)), s"${pq.aux}/lut")
+      probed.toDF("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"${pq.aux}/probes")
+    }
+    val candIds = layoutFrame(s"${pq.aux}/codes")
+      .where(col("cell").isin(probed: _*))
+      .crossJoin(broadcast(graft.operators.Pq
+        .lutFrame(spark, Seq((0L, lut))).select(col("lut"))))
+      .withColumn("adc", graft.operators.Pq.adcCol)
+      .orderBy(col("adc"), col("id"))
+      .limit(graft.operators.Pq.CandN)
+      .select(col("id").as("__cid"))
+    val cols = Seq(col("id"), col("values"), col("metadata"),
+      col("metadataJson"))
+    val main = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(probed: _*))
+      .select(cols: _*)
+      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+        col("id") === col("__kid"), "left_anti")
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+      .withColumn("score",
+        Scoring.score("cosine", col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, "cosine").limit(k)
+      .select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[SearchHit].collect().toSeq
   }
 
   def totalCount(): Long = live().count()
@@ -852,7 +1218,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the fixed read schema never infers. Returns rows remaining. */
   def compact(): Long = {
     val c = currentGen()
-    val (dataF, delF) = readViewFiles(c)
+    val (dataF, delF) = readViewFiles(c, fresh = true)
     val dataIn =
       if (dataF.isEmpty) emptyOf(dataSchema)
       else dataF.map { case (g, files) =>
@@ -881,14 +1247,43 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     tombRows.set(allDeletes().count())
     lastTombRefresh.set(System.currentTimeMillis()) // a pre-compact footer
     // count must not land over the reset; full interval before next refresh
-    // ANN layouts stay CORRECT across compaction (candidates semi-join
-    // live(); seqs survive the rewrite) but this is the natural moment to
-    // fold the delta tail back into the index — drop them so the next
-    // approx search rebuilds over the compacted layout
+    // the fold consumed tombstones the layouts' kill sets relied on —
+    // IN-PROCESS the caches are dropped here so the next probe rebuilds
+    // over the compacted view immediately; OTHER processes detect the
+    // generation flip through the [[annEntryFresh]] gate (their cached
+    // entries carry the pre-flip builtGen) and rebuild on their next probe
     annCache.clear()
-    annIndexCache.clear()
+    pqCache.clear()
+    layoutFrameCache.clear()
+    listingCache.clear() // the generation set just changed under the TTL
     gcMarkers()
     kept.count()
+  }
+
+  // ---- REST write surface (parity with [[VectorStore]]'s envelope) ----
+
+  /** Server-minted-uuid insert with nested-JSON metadata — the durable
+    * mount's route-for-route parity with [[VectorStore.insertJson]]
+    * (`api/rest_api.py:96`): the JSON is stored verbatim for round-trip,
+    * its top-level scalars lifted into the filterable flat map, and the
+    * whole thing is ONE [[loadFrame]] append. */
+  def insertJson(values: Seq[Float], metadataJson: String,
+                 namespace: String = "default"): String =
+    upsertManyJson(Seq((values, metadataJson)), namespace).head
+
+  /** Batch form ([[VectorStore.upsertManyJson]], `api/rest_api.py:126`):
+    * one append commit for the whole batch. Fresh uuids never overlap
+    * live ids, so the upsert's shadow probe is a no-op semi-join. */
+  def upsertManyJson(vs: Seq[(Seq[Float], String)],
+                     namespace: String): Seq[String] = {
+    val recs = vs.map { case (values, json) =>
+      graft.model.VectorRecord(java.util.UUID.randomUUID().toString,
+        namespace, values.toArray, MetaJson.flat(json), json)
+    }
+    loadFrame(recs.toDF()
+      .select(col("id"), col("values"), col("metadata"), col("metadataJson")),
+      namespace)
+    recs.map(_.id)
   }
 
   /** GC the commit markers, keeping only the highest: a fresh process
@@ -910,4 +1305,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       }
     }
   }
+}
+
+object DurableVectorStore {
+  /** Disambiguates the conf-rooted ANN layout dirs of multiple store
+    * instances in one process (the pid alone would collide them). */
+  private val instanceIds = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -16,6 +16,32 @@ import graft.functions.VectorFunctions._
   * similarity DESCENDING, "l2"/"ip" rank distance ascending; ties break
   * by string id ascending.
   */
+/** The metadata JSON ↔ flat-map convention shared by both facades (SURVEY
+  * §1.4): full fidelity lives in `metadataJson`; the flat map carries the
+  * top-level scalar keys for cheap column-predicate filtering. One
+  * definition so the two stores' REST envelopes cannot drift. */
+private[store] object MetaJson {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def json(md: Map[String, String]): String = {
+    val o = mapper.createObjectNode()
+    md.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    mapper.writeValueAsString(o)
+  }
+
+  /** Top-level scalar fields of a JSON object as the filterable flat map
+    * (nested objects/arrays/null stay only in the JSON). */
+  def flat(json: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(json)
+    if (node == null || !node.isObject) Map.empty
+    else node.properties().asScala
+      .filter(e => e.getValue.isValueNode && !e.getValue.isNull)
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+}
+
 private[store] object Scoring {
 
   /** Above this many ids, literal `isInCollection` predicates give way to

@@ -93,25 +93,10 @@ class VectorStore(val spark: SparkSession) {
   // fidelity lives in `metadataJson`; the flat `metadata` map carries the
   // top-level scalar keys for cheap column-predicate filtering.
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private def flatToJson(md: Map[String, String]): String = {
-    val o = mapper.createObjectNode()
-    md.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
-    mapper.writeValueAsString(o)
-  }
-
-  /** Top-level scalar fields of a JSON object as the filterable flat map
-    * (nested objects/arrays/null stay only in the JSON). */
-  private def jsonToFlat(json: String): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    val node = mapper.readTree(json)
-    if (node == null || !node.isObject) Map.empty
-    else node.properties().asScala
-      .filter(e => e.getValue.isValueNode && !e.getValue.isNull)
-      .map(e => e.getKey -> e.getValue.asText()).toMap
-  }
+  // one definition in [[MetaJson]], shared with the durable facade's
+  // REST write surface — the two envelopes must not drift
+  private def flatToJson(md: Map[String, String]): String = MetaJson.json(md)
+  private def jsonToFlat(json: String): Map[String, String] = MetaJson.flat(json)
 
   // ---- writes (W1, W2) -----------------------------------------------
 

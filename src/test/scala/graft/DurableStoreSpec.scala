@@ -361,9 +361,21 @@ class DurableStoreSpec extends AnyFunSuite {
     val after = d.findSimilar(q, k = 5, namespace = "ann", approx = true)
     assert(after.head.id == "zfresh")
     assert(d.annBuilds.get() == 2, "compact() should schedule one lazy rebuild")
-    // non-cosine approx is refused loudly, never silently exact
+    // l2 (the reference's default space, index.py:18) rides the same
+    // layout — cells are L2-Voronoi, natively the right probe policy —
+    // and must agree with the exact path on the top hit here
+    val l2hits = d.findSimilar(q, k = 5, metric = "l2", namespace = "ann",
+      approx = true)
+    val l2exact = d.findSimilar(q, k = 5, metric = "l2", namespace = "ann")
+    assert(l2hits.head.id == l2exact.head.id && l2hits.head.id == "zfresh")
+    assert(d.annBuilds.get() == 2, "metric switch must not rebuild the layout")
+    // ip approx is refused loudly (L2 cells bound no unnormalized dot),
+    // never silently exact; so is an unknown index name
     intercept[IllegalArgumentException] {
-      d.findSimilar(q, k = 5, metric = "l2", namespace = "ann", approx = true)
+      d.findSimilar(q, k = 5, metric = "ip", namespace = "ann", approx = true)
+    }
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, namespace = "ann", approx = true, index = "hnsw")
     }
   }
 
@@ -413,5 +425,115 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/data").exists(),
       "legacy gen-0 data dir survived GC")
     assert(fresh.totalCount() == expected.size)
+  }
+
+  test("staleness trigger: appends past the ratio rebuild the ANN layout exactly once") {
+    val d = new DurableVectorStore(spark, tmp())
+    spark.conf.set(d.AnnStalenessCheckMsConf, "0") // check every probe
+    try {
+      val rows = (0 until 40).map(i =>
+        (s"s$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+          (i % 5).toFloat)))
+      d.loadFrame(frame(rows), "stale")
+      val q = rows(7)._2
+      d.findSimilar(q, k = 3, namespace = "stale", approx = true)
+      assert(d.annBuilds.get() == 1)
+      // under the 0.2 default: 2 mutations / 40 rows stays fresh
+      assert(d.delete(Seq("s3"), "stale") == Seq("s3"))
+      d.loadFrame(frame(Seq(("snew0", q))), "stale")
+      d.findSimilar(q, k = 3, namespace = "stale", approx = true)
+      assert(d.annBuilds.get() == 1,
+        "a sub-threshold mutation window must not rebuild")
+      // push the window past 0.2 × 40 = 8 post-build mutations: the NEXT
+      // probe folds the tail into a fresh layout — exactly once, and
+      // probes after it (no new mutations) reuse it
+      d.loadFrame(frame((1 until 8).map(i => (s"snew$i", q))), "stale")
+      val hits = d.findSimilar(q, k = 3, namespace = "stale", approx = true)
+      assert(hits.head.score > 0.999) // the appended duplicates win
+      assert(d.annBuilds.get() == 2,
+        "crossing the staleness ratio must rebuild the layout")
+      d.findSimilar(q, k = 3, namespace = "stale", approx = true)
+      assert(d.annBuilds.get() == 2,
+        "a fresh layout (empty tail) must not rebuild again")
+      // the rebuilt layout is anchored at the new seq: the delta ids now
+      // serve from the INDEX (annLayoutDir's stamp covers them)
+      val (_, builtSeq) = d.annLayoutDir("stale", 3).get
+      assert(builtSeq >= d.currentSeq() - 1)
+      // ratio <= 0 disables the control loop
+      spark.conf.set(d.AnnStalenessRatioConf, "0")
+      d.loadFrame(frame((0 until 30).map(i => (s"off$i", q))), "stale")
+      d.findSimilar(q, k = 3, namespace = "stale", approx = true)
+      assert(d.annBuilds.get() == 2, "ratio 0 must disable the trigger")
+    } finally {
+      spark.conf.unset(d.AnnStalenessCheckMsConf)
+      spark.conf.unset(d.AnnStalenessRatioConf)
+    }
+  }
+
+  test("a serving process does not resurrect deleted rows after a maintenance-process compact") {
+    // the r9 advice's medium finding: the probe's kill set is the
+    // post-build tombstones, which compact() FOLDS AWAY — a serving
+    // process holding a pre-compact layout would compute an empty kill
+    // set and serve deleted vectors forever. The generation gate makes
+    // it rebuild instead.
+    val root = tmp()
+    val serving = new DurableVectorStore(spark, root)
+    val rows = (0 until 40).map(i =>
+      (s"r$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        (i % 5).toFloat)))
+    serving.loadFrame(frame(rows), "mp")
+    val q = rows(7)._2
+    assert(serving.findSimilar(q, k = 3, namespace = "mp", approx = true)
+      .head.id == "r7")
+    assert(serving.annBuilds.get() == 1)
+    // a SEPARATE maintenance process deletes the winner and compacts —
+    // the serving process's caches are untouched
+    val maint = new DurableVectorStore(spark, root)
+    assert(maint.delete(Seq("r7"), "mp") == Seq("r7"))
+    maint.compact()
+    val hits = serving.findSimilar(q, k = 3, namespace = "mp", approx = true)
+    assert(!hits.map(_.id).contains("r7"),
+      "stale layout resurrected a deleted row across a compaction")
+    assert(serving.annBuilds.get() == 2,
+      "the generation gate should have rebuilt the serving layout")
+    // steady state: no further rebuilds, answers track the live set
+    assert(serving.findSimilar(q, k = 3, namespace = "mp", approx = true)
+      .map(h => (h.id, h.score)) == hits.map(h => (h.id, h.score)))
+    assert(serving.annBuilds.get() == 2)
+  }
+
+  test("durable PQ: codes-only sweep agrees with exact; deletes killed, delta served, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"p$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "pq")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, namespace = "pq", approx = true,
+      index = "pq")
+    assert(first.head.id == "p9")
+    assert(d.pqBuilds.get() == 1 && d.annBuilds.get() == 1)
+    // post-layout mutations: the q87 discipline must hold under PQ too
+    assert(d.delete(Seq("p9"), "pq") == Seq("p9"))
+    d.loadFrame(frame(Seq(("zpq", q))), "pq")
+    val hits = d.findSimilar(q, k = 5, namespace = "pq", approx = true,
+      index = "pq")
+    assert(!hits.map(_.id).contains("p9"), "PQ served a deleted row")
+    assert(hits.head.id == "zpq" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.pqBuilds.get() == 1 && d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the code tables")
+    // exact-path agreement on the top hit
+    assert(hits.head.id ==
+      d.findSimilar(q, k = 5, namespace = "pq").head.id)
+    // the codes table really is codes-only (id, codes, cell) — no vectors
+    val codesDir = d.pqLayoutDir("pq", 4).get + "/codes"
+    val schema = spark.read.parquet(codesDir).schema.fieldNames.toSet
+    assert(schema == Set("id", "codes", "cell"),
+      s"codes table carries more than codes: $schema")
+    // PQ is cosine-only, loudly
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "pq", approx = true,
+        index = "pq")
+    }
   }
 }
