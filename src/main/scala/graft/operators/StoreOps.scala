@@ -899,11 +899,22 @@ object StoreOps {
     * at `builtSeq`) → tombstone deletes AND a fresh append batch (both
     * POST-layout — the mutations a live store keeps absorbing) → graded
     * approx search. The layout only PROPOSES candidates: deletes are
-    * killed by the live() semi-join, the appended batch arrives through
-    * the delta tail (`seq > builtSeq`), so the persisted
+    * killed by the post-build tombstone kill set (window-sized,
+    * broadcast — complete within the layout's generation, which the
+    * probe's generation gate guarantees; see
+    * [[graft.store.DurableVectorStore]]), the appended batch arrives
+    * through the delta tail (`seq > builtSeq`), so the persisted
     * `assign/` ⋈ `probes/` ∪ delta replay is EXACTLY the candidate set
     * and the oracle rerank is exact cosine over load-minus-deletes —
-    * the q53 contract carried onto the durable layout. */
+    * the q53 contract carried onto the durable layout.
+    *
+    * The script's mutation window (28 tombstones + $DAnnDeltaN appends
+    * over $FacadeN rows = 0.192) sits deliberately BELOW the 0.2
+    * staleness-rebuild ratio, so the graded search always serves the
+    * FIRST layout and the oracle's delta-union replay stays exact; the
+    * in-script `annBuilds == 1` require turns any future constant
+    * retune that crosses the ratio into a loud failure instead of a
+    * silent hash mismatch. */
   def q87(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.table(spark, dir, "embeddings")
@@ -933,6 +944,9 @@ object StoreOps {
       s
     })
     val hits = store.findSimilarIvfGraded(qv, k = K, namespace = DAnnNs)
+    require(store.annBuilds.get() == 1,
+      "q87's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
     lastDurableAnnAux = store.annLayoutDir(DAnnNs, qv.length).map(_._1)
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
@@ -968,6 +982,193 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q92: the durable store's COMPRESSED (PQ / IVFADC) read path ----
+
+  private val DPqNs = "q92"
+
+  private val q92Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q92Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Codes dir of the most recent q92 run — oracle hook, the
+    * [[lastDurableAnnAux]] honesty contract. */
+  @volatile private var lastDurablePqAux: Option[String] = None
+
+  /** q92: the durable store's COMPRESSED read path end-to-end — the q87
+    * LSM discipline with PQ codes in front (the 10⁹ × 768-dim regime,
+    * where even the probed cells' float vectors dominate the scan: the
+    * ADC sweep reads the codes-only table, ~30× smaller at rest).
+    * Script mirrors q87: bulk load → one PQ search (builds the record
+    * layout AND its cell-partitioned code tables, consistent by
+    * construction) → post-layout deletes + delta appends → graded PQ
+    * search. The codes only PROPOSE candidates (top-CandN by ADC from
+    * the probed cells); deletes die by the kill set, the delta arrives
+    * exact, the rerank is exact cosine — so the oracle replays persisted
+    * `codes_flat/` ⋈ `lut/` restricted to `probes/`, cuts at CandN,
+    * unions the script-known delta ids, and reranks over
+    * load-minus-deletes: the q58/q61 contract carried onto the durable
+    * layout. Same sub-staleness-ratio window discipline as q87 (the
+    * `annBuilds == 1 && pqBuilds == 1` require keeps a future retune
+    * loud). */
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dpq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q92Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q92Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DPqNs)
+      // build records + codes NOW, so the script's deletes and delta
+      // batch below are post-layout mutations
+      s.findSimilar(qv, k = K, namespace = DPqNs, approx = true, index = "pq")
+      require(s.pqBuilds.get() >= 1, "q92 code-table build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DPqNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DPqNs)
+      s
+    })
+    val hits = store.findSimilarPqGraded(qv, k = K, namespace = DPqNs)
+    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      "q92's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    lastDurablePqAux = store.pqLayoutDir(DPqNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the durable PQ read path: ADC = probed cells'
+    * `codes_flat` ⋈ `lut` summed and rounded, candidates = top-CandN on
+    * (ADC, string id) ∪ the script's delta ids, live set =
+    * load-minus-deletes plus the delta, rerank = exact cosine with the
+    * store's tie-break. */
+  def q92Sql(aux: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
+       |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN probes p ON p.cell = c.cell
+       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY c.id),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  // ---- q93: the durable ANN read path in the reference's default space -
+
+  private val DL2Ns = "q93"
+
+  private val q93Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q93Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  @volatile private var lastDurableL2Aux: Option[String] = None
+
+  /** q93: the durable IVF read path in the reference's DEFAULT space —
+    * l2 (`implementations/index.py:18` builds hnswlib with space='l2';
+    * our indexed path refused it through r9). Same script and LSM
+    * discipline as q87 — record-carrying layout, post-build kill set,
+    * exact delta tail — with squared-L2 scoring and ASCENDING rank (the
+    * shared [[graft.store.Scoring]] contract: l2 reports the squared
+    * distance, no sqrt, SURVEY §2.5). The cell probe policy is
+    * unchanged because ranking cells by L2 distance IS IVF's native
+    * geometry for this metric (cosine was the borrowed case). */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dl2_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q93Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q93Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DL2Ns)
+      s.findSimilar(qv, k = K, metric = "l2", namespace = DL2Ns, approx = true)
+      require(s.annBuilds.get() >= 1, "q93 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DL2Ns)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DL2Ns)
+      s
+    })
+    val hits = store.findSimilarIvfGraded(qv, k = K, namespace = DL2Ns,
+      metric = "l2")
+    require(store.annBuilds.get() == 1,
+      "q93's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    lastDurableL2Aux = store.annLayoutDir(DL2Ns, qv.length).map(_._1)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of q93: the q87 candidate replay with squared-L2 scoring
+    * and ascending rank. */
+  def q93Sql(aux: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${Det.l2sqSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -981,7 +1182,9 @@ object StoreOps {
       "q72_durable_asof" -> (q72 _),
       "q75_store_batch_search" -> (q75 _),
       "q78_durable_cdc" -> (q78 _),
-      "q87_durable_ann" -> (q87 _))
+      "q87_durable_ann" -> (q87 _),
+      "q92_durable_pq" -> (q92 _),
+      "q93_durable_ann_l2" -> (q93 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1001,5 +1204,7 @@ object StoreOps {
       "q78_durable_cdc" -> q78Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
-      lastDurableAnnAux.map(aux => "q87_durable_ann" -> q87Sql(aux))
+      lastDurableAnnAux.map(aux => "q87_durable_ann" -> q87Sql(aux)) ++
+      lastDurablePqAux.map(aux => "q92_durable_pq" -> q92Sql(aux)) ++
+      lastDurableL2Aux.map(aux => "q93_durable_ann_l2" -> q93Sql(aux))
 }
