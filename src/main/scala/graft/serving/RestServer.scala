@@ -45,19 +45,26 @@ import graft.store.{DurableVectorStore, VectorStore}
   * rest_api.py:24) → 422; malformed JSON → 400. A request-latency log line
   * is emitted per request (middleware parity, rest_api.py:350-378).
   *
-  * Durable mount (read-only): a [[DurableVectorStore]] passed as `durable`
-  * exposes the 100 TB layout on the READ routes — `POST /search` with
+  * Durable mount: a [[DurableVectorStore]] passed as `durable` exposes
+  * the 100 TB layout route-for-route. Reads — `POST /search` with
   * `"durable": true` runs the partition-pruned top-k over the compacted
-  * parquet layout (the q51 plan, over HTTP), and `GET
-  * /namespaces?durable=true` lists its live namespaces. `"approx": true`
-  * with `"index": "ivf"` serves from the durable IVF layout (indexed
-  * main + delta tail — [[DurableVectorStore.findSimilar]]); `lsh`/`pq`
-  * stay in-memory-store features. Writes stay on the store's own API:
-  * the durable facade's compaction is single-writer (its class doc), so
-  * exposing mutation routes would invite exactly the multi-writer
-  * pattern the contract forbids. Requesting `durable` with no mount, or
-  * with `filter`/a non-ivf approx index, is a 422, never a silent
-  * fallback to the other store. */
+  * parquet layout (the q51 plan, over HTTP); `"approx": true` with
+  * `"index": "ivf"` serves from the durable IVF layout (indexed main +
+  * delta tail) and `"index": "pq"` from its codes-only ADC sweep
+  * ([[DurableVectorStore.findSimilar]]); `lsh` stays an in-memory-store
+  * feature. `GET /namespaces?durable=true` lists live namespaces,
+  * `GET /namespaces/vectors?durable=true` dumps one. Writes (r10) —
+  * `?durable=true` on `POST /vectors`, `PUT /vectors/batch` and
+  * `DELETE /vectors` routes the same envelopes to the durable store's
+  * append-only write path (multi-process safe by the store's
+  * marker-claimed commit stamps; reference envelope:
+  * `api/rest_api.py:96,126,205`), and `POST /compact?durable=true` runs
+  * the LSM maintenance fold — the one DURABLE-ONLY route (the in-memory
+  * store has no log to fold), and the one that must still come from a
+  * single maintenance caller at a time (the store's documented
+  * single-compactor contract; concurrent appends are fine). Requesting
+  * `durable` with no mount, or with `filter`/an lsh approx index, is a
+  * 422, never a silent fallback to the other store. */
 class RestServer(store: VectorStore, port: Int = 0,
                  durable: Option[DurableVectorStore] = None) {
 
@@ -168,13 +175,21 @@ class RestServer(store: VectorStore, port: Int = 0,
 
   // ---- routes ---------------------------------------------------------
 
+  /** The mounted durable store, or the 422 the class doc promises. */
+  private def durableStore: DurableVectorStore =
+    durable.getOrElse(throw new IllegalArgumentException(
+      "no durable store mounted on this server"))
+
   server.createContext("/vectors/batch", ex => handle(ex) {
     ex.getRequestMethod match {
       case "PUT" =>
         val ns = queryParam(ex, "namespace", "default")
         val vs = required(readJson(ex), "vectors").elements().asScala.toSeq
           .map(v => (floats(required(v, "values")), metadataJsonOf(v)))
-        val ids = store.upsertManyJson(vs, ns)
+        val ids =
+          if (boolParam(ex, "durable", default = false))
+            durableStore.upsertManyJson(vs, ns)
+          else store.upsertManyJson(vs, ns)
         val o = mapper.createObjectNode()
         o.put("status", "success")
         o.put("message", s"${ids.length} vectors upserted") // rest_api.py:150
@@ -190,8 +205,12 @@ class RestServer(store: VectorStore, port: Int = 0,
     ex.getRequestMethod match {
       case "POST" =>
         val body = readJson(ex)
-        val id = store.insertJson(floats(required(body, "values")),
-          metadataJsonOf(body), ns)
+        val id =
+          if (boolParam(ex, "durable", default = false))
+            durableStore.insertJson(floats(required(body, "values")),
+              metadataJsonOf(body), ns)
+          else store.insertJson(floats(required(body, "values")),
+            metadataJsonOf(body), ns)
         val o = mapper.createObjectNode()
         o.put("status", "success")
         o.put("message", "Vector inserted") // rest_api.py:114
@@ -202,7 +221,10 @@ class RestServer(store: VectorStore, port: Int = 0,
         val ids = required(readJson(ex), "ids").elements().asScala.map(_.asText()).toSeq
         if (ids.isEmpty) error(ex, 400, "No IDs provided") // rest_api.py:216-221
         else {
-          val deleted = store.delete(ids, ns)
+          val deleted =
+            if (boolParam(ex, "durable", default = false))
+              durableStore.delete(ids, ns)
+            else store.delete(ids, ns)
           val o = mapper.createObjectNode()
           o.put("status", if (deleted.nonEmpty) "success" else "error") // :231-234
           o.put("message", s"${deleted.length} vectors deleted")
@@ -251,19 +273,20 @@ class RestServer(store: VectorStore, port: Int = 0,
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val hits =
           if (wantDurable) {
-            val d = durable.getOrElse(throw new IllegalArgumentException(
-              "no durable store mounted on this server"))
-            // the durable approx path is the IVF index (r9): lsh/pq
-            // remain in-memory-store features, and the DEFAULT index
-            // ("lsh") must not silently mean ivf — callers opt in
-            if (approx && index != "ivf") throw new IllegalArgumentException(
-              "durable approx search serves from the IVF layout; pass index:'ivf' ('lsh'/'pq' are in-memory-store features)")
+            val d = durableStore
+            // the durable approx paths are the IVF layout and its PQ
+            // codes (r10): lsh remains an in-memory-store feature, and
+            // the DEFAULT index ("lsh") must not silently mean ivf —
+            // callers opt in
+            if (approx && index != "ivf" && index != "pq")
+              throw new IllegalArgumentException(
+                "durable approx search serves from the IVF layout or its PQ codes; pass index:'ivf' or 'pq' ('lsh' is an in-memory-store feature)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
             d.findSimilar(floats(required(body, "query")), k, metric, ns,
-              approx = approx)
+              approx = approx, index = if (approx) index else "ivf")
           } else store.findSimilar(floats(required(body, "query")), k, metric,
             ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
             approx = approx, index = index)
@@ -331,7 +354,11 @@ class RestServer(store: VectorStore, port: Int = 0,
       // reference route shape: namespace is a query param (rest_api.py:264)
       val ns = queryParam(ex, "namespace", "default")
       val arr = mapper.createArrayNode() // bare list, response_model=List[VectorInfo]
-      store.dumpNamespace(ns).foreach { r =>
+      val recs =
+        if (boolParam(ex, "durable", default = false))
+          durableStore.dumpNamespace(ns)
+        else store.dumpNamespace(ns)
+      recs.foreach { r =>
         val v = mapper.createObjectNode()
         v.put("id", r.id)
         val vs = v.putArray("values")
@@ -356,6 +383,26 @@ class RestServer(store: VectorStore, port: Int = 0,
     info.namespaces.toSeq.sortBy(_._1).foreach { case (ns, n) => counts.put(ns, n) }
     o.put("namespace_count", info.namespaces.size)
     respond(ex, 200, o)
+  })
+
+  server.createContext("/compact", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "POST" => // mutation → POST-only, like /log/level
+        // durable-only maintenance (the in-memory store has no log to
+        // fold): requires the explicit flag so the route never reads as
+        // an in-memory operation that silently hit the other store
+        if (!boolParam(ex, "durable", default = false))
+          error(ex, 422, "compact is a durable-store maintenance route; pass ?durable=true")
+        else {
+          val remaining = durableStore.compact()
+          val o = mapper.createObjectNode()
+          o.put("status", "success")
+          o.put("message", s"compacted; $remaining rows remain")
+          o.put("rows", remaining)
+          respond(ex, 200, o)
+        }
+      case m => error(ex, 405, s"method $m not allowed")
+    }
   })
 
   server.createContext("/health", ex => handle(ex) {

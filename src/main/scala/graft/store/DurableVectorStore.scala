@@ -1193,6 +1193,16 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   def listNamespaces(): Seq[String] =
     live().select("namespace").distinct().as[String].collect().toSeq.sorted
 
+  /** Namespace dump ([[VectorStore.dumpNamespace]] parity) — one pruned
+    * scan. Bounded by the namespace like the reference's dump route
+    * (`api/rest_api.py:263-276`); a 100 TB namespace should be read as a
+    * DataFrame via [[live]], not collected. */
+  def dumpNamespace(namespace: String): Seq[graft.model.VectorRecord] =
+    live().filter(col("namespace") === namespace)
+      .select(col("id"), col("namespace"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[graft.model.VectorRecord].collect().toSeq
+
   // ---- maintenance ----------------------------------------------------
 
   /** Fold the tombstone log into the data — GENERATIONALLY, so it is

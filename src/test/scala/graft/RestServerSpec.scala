@@ -263,9 +263,19 @@ class RestServerSpec extends AnyFunSuite {
       val (ac, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true}""")
       assert(ac == 422)
-      val (pc, _) = send("POST", s"$base/search?namespace=dns",
-        """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "pq"}""")
-      assert(pc == 422)
+      // index=pq rides the durable codes-only sweep (r10) — tombstones
+      // stay dead there too
+      val (pc, pb) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "pq"}""")
+      assert(pc == 200, pb)
+      val phits = mapper.readTree(pb)
+      assert(phits.get(0).get("id").asText() == "a")
+      assert((0 until phits.size()).map(phits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable PQ search served a tombstoned row")
+      // lsh stays an in-memory-store feature
+      val (lc, _) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "lsh"}""")
+      assert(lc == 422)
       // filters are in-memory-store features
       val (fc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "filter": {"k": "v"}}""")
@@ -300,6 +310,63 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("durable write surface over HTTP: insert → search → delete → compact round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_dvw_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // single insert: 201, server-minted id, nested metadata accepted
+      val (ic, ib) = send("POST", s"$base/vectors?durable=true&namespace=w",
+        """{"values": [1.0, 0.0], "metadata": {"tag": "x", "deep": {"a": 1}}}""")
+      assert(ic == 201, ib)
+      val insId = mapper.readTree(ib).get("id").asText()
+      assert(insId.nonEmpty)
+      // batch upsert: one append commit for the batch
+      val (bc, bb) = send("PUT", s"$base/vectors/batch?durable=true&namespace=w",
+        """{"vectors": [{"values": [0.9, 0.1]}, {"values": [0.0, 1.0], "metadata": {"tag": "y"}}]}""")
+      assert(bc == 200, bb)
+      val batchIds = mapper.readTree(bb).get("ids")
+      assert(batchIds.size() == 2)
+      // the writes are visible to the durable read path, metadata intact
+      val (sc1, sb1) = send("POST", s"$base/search?namespace=w",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true}""")
+      assert(sc1 == 200, sb1)
+      val hits = mapper.readTree(sb1)
+      assert(hits.size() == 3)
+      assert(hits.get(0).get("id").asText() == insId)
+      assert(hits.get(0).get("metadata").get("deep").get("a").asInt() == 1,
+        "nested metadata did not round-trip through the durable write path")
+      // delete with per-id report (mixed batch: one live, one absent)
+      val (dc, db) = send("DELETE", s"$base/vectors?durable=true&namespace=w",
+        s"""{"ids": ["$insId", "ghost"]}""")
+      assert(dc == 200, db)
+      val delRep = mapper.readTree(db).get("deleted")
+      assert(delRep.size() == 1 && delRep.get(0).asText() == insId)
+      // maintenance fold over HTTP: tombstones fold, live set unchanged
+      val (cc, cb) = send("POST", s"$base/compact?durable=true")
+      assert(cc == 200, cb)
+      assert(mapper.readTree(cb).get("rows").asLong() == 2L)
+      assert(d.tombstoneCount() == 0L, "compact over HTTP did not fold the log")
+      val (sc2, sb2) = send("POST", s"$base/search?namespace=w",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true}""")
+      val after = mapper.readTree(sb2)
+      assert(after.size() == 2, s"post-compact live set wrong: $sb2")
+      assert(!(0 until after.size()).map(after.get(_).get("id").asText())
+        .contains(insId), "compact resurrected a deleted row")
+      // compact without the explicit flag is a 422 (never an in-memory op)
+      assert(send("POST", s"$base/compact")._1 == 422)
+      // writes without the flag land on the IN-MEMORY store, untouched by
+      // the durable namespace — the two mounts never bleed together
+      val (wc, _) = send("POST", s"$base/vectors?namespace=w",
+        """{"values": [0.5, 0.5]}""")
+      assert(wc == 201)
+      assert(d.dumpNamespace("w").size == 2,
+        "an un-flagged write leaked into the durable store")
+    } finally server.stop()
+  }
+
   test("durable=true without a mounted durable store is a 422, never a silent fallback") {
     withServer { (base, _) =>
       val (sc, sb) = send("POST", s"$base/search",
@@ -308,6 +375,12 @@ class RestServerSpec extends AnyFunSuite {
       assert(sb.contains("no durable store mounted"))
       val (nc, _) = send("GET", s"$base/namespaces?durable=true")
       assert(nc == 422)
+      // the r10 write/maintenance routes refuse identically
+      assert(send("POST", s"$base/vectors?durable=true",
+        """{"values": [1.0]}""")._1 == 422)
+      assert(send("DELETE", s"$base/vectors?durable=true",
+        """{"ids": ["x"]}""")._1 == 422)
+      assert(send("POST", s"$base/compact?durable=true")._1 == 422)
     }
   }
 
