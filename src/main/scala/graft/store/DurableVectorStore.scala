@@ -1053,10 +1053,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   // ---- durable PQ (IVFADC): codes-only sweep over the probed cells ----
 
   /** One durable PQ layout, derived FROM the [[AnnEntry]]'s persisted
-    * inverted file — the compression the r9 verdict named as the 10⁹ ×
-    * 768-dim regime's missing piece: the ADC sweep reads `codes/`
-    * (cell-partitioned (id, codes) — ~30× smaller than the records at
-    * rest), and only then are the CandN winners joined back to the
+    * inverted file — the compression for the 10⁹ × 768-dim regime:
+    * the ADC sweep reads `codes/` (cell-partitioned (id, codes) —
+    * measured 5× smaller than the records at 64-dim
+    * (examples/DurableAnnBench, recall@10 0.96); the ratio grows with
+    * dim since a 768-dim float record is ~3 KB against the same 8
+    * codes), and only then are the CandN winners joined back to the
     * probed cells' RECORDS for the exact rerank. Deriving codes from the
     * layout itself (not a fresh snapshot) makes the two structures
     * consistent by construction: every code row has a record row in the
