@@ -532,6 +532,148 @@ object Ann {
        |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- Q94: IVF-IMI — the inverted multi-index (two-level quantizer) ---
+  //
+  // [[ivfCellsFor]] caps flat cells at 4096 because the quantizer trains
+  // on a bounded sample ([[QuantizerSampleMax]]) — more cells starve
+  // Lloyd's, and the cap's own comment names the next move: a second
+  // quantizer LEVEL, not more flat cells. This is that move (the
+  // inverted multi-index, Babenko & Lempitsky, CVPR 2012 — the coarse
+  // structure FAISS ships as IMI2x*): two independent codebooks of k
+  // centroids each over the vector's two HALVES give k² effective cells
+  // for 2k trained centroids, so a 4096-cell grid trains two
+  // 64-codebook Lloyd's runs from the same sample a 4096-centroid flat
+  // quantizer exhausts. Distances decompose — d(q, cell(i,j)) =
+  // d1(q_lo, c1_i) + d2(q_hi, c2_j) — so the probe computes 2k
+  // sub-distances driver-side and merges the top pairs; it never ranks
+  // k² full-vector distances. (At production grid sizes the merge is
+  // the lazy multi-sequence algorithm of the paper; at our capped
+  // k² ≤ 4096 a driver-side sort of the pair sums is exact and
+  // cheaper.) Assignment is two narrow [[graft.functions.NearestCell]]
+  // passes over sliced halves combined as `cell = i·k + j`; the layout,
+  // probe list, and oracle replay are then EXACTLY the q33 contract
+  // (candidates = probed cells' members, rerank exact), so [[q33Sql]]
+  // replays this layout unchanged.
+
+  private val ImiSeedLo = 4242L
+  private val ImiSeedHi = 4243L
+
+  /** Per-side codebook size: k = ⌈n^(1/4)⌉ clamped to [4, 64], so the
+    * k² grid tracks the flat policy's √n cells while each side's
+    * Lloyd's trains on a sample that stays ≥ 16× its codebook size
+    * even at the cap. */
+  private[graft] def imiGridFor(n: Long): Int =
+    math.min(64L, math.max(4L,
+      math.ceil(math.pow(math.max(0L, n).toDouble, 0.25)).toLong)).toInt
+
+  private val imiRoot = new LayoutRoot(IvfDirConf, "graft_imi_")
+
+  def imiAuxDir(spark: SparkSession, dir: String): String =
+    imiRoot.auxDir(spark, dir)
+
+  @volatile private var lastImiAux: Option[String] = None
+
+  private val imiLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val imiBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** BUILD: train the two per-half codebooks on the shared bounded
+    * sample, assign `cell = lo·k + hi` in one narrow fused pass (two
+    * NearestCell argmins over array slices — no join, no shuffle), and
+    * persist the q33-shaped layout: cell-partitioned `index/`, flat
+    * `assign/`, plus the two centroid tables for the probe. */
+  def buildImiIndex(spark: SparkSession, dir: String): String = {
+    imiBuildCount.incrementAndGet()
+    val aux = imiAuxDir(spark, dir)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val total = e.count()
+    require(total > 0, s"cannot build an IMI index over an empty corpus ($dir)")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val half = dim / 2
+    val sample = sampleVectors(e, "vec_id", "embedding", total)
+    val k = imiGridFor(total)
+    val cLo = lloyds(sample.map(_.take(half)), k, iters = 5, seed = ImiSeedLo)
+    val cHi = lloyds(sample.map(_.drop(half)), k, iters = 5, seed = ImiSeedHi)
+    val loSeq: Seq[Seq[Float]] = cLo.map(_.toSeq).toSeq
+    val hiSeq: Seq[Seq[Float]] = cHi.map(_.toSeq).toSeq
+    e.withColumn("cell",
+        graft.functions.NearestCell(slice(col("embedding"), 1, half), loSeq)
+          * lit(k) +
+          graft.functions.NearestCell(
+            slice(col("embedding"), half + 1, dim - half), hiSeq))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    e.sparkSession.read.parquet(s"$aux/index")
+      .select(col("vec_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+    import spark.implicits._
+    def writeCenters(cs: Array[Array[Float]], name: String): Unit =
+      cs.map(_.toSeq).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("i", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/$name")
+    writeCenters(cLo, "centroids_lo")
+    writeCenters(cHi, "centroids_hi")
+    aux
+  }
+
+  /** PROBE: 2k sub-distances per query driver-side, pair sums merged to
+    * the top [[ivfProbeFor]](k²) cells, then the q33 read — probed
+    * partitions only, exact cosine rerank through [[rankTopK]]. */
+  def imiProbe(spark: SparkSession, dir: String, aux: String,
+               persistProbes: Boolean = false): DataFrame = {
+    def readCenters(name: String): Array[Array[Float]] =
+      spark.read.parquet(s"$aux/$name").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+    val cLo = readCenters("centroids_lo")
+    val cHi = readCenters("centroids_hi")
+    val k = cHi.length
+    val half = cLo.headOption.map(_.length).getOrElse(0)
+    val nProbe = ivfProbeFor(cLo.length * k)
+    def subDists(q: Array[Float], cs: Array[Array[Float]]): Array[Double] =
+      cs.map { c =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(q.length, c.length)
+        while (j < n) { val diff = q(j).toDouble - c(j).toDouble; d += diff * diff; j += 1 }
+        d
+      }
+    val queries = queryFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
+      val dLo = subDists(qv.take(half), cLo)
+      val dHi = subDists(qv.drop(half), cHi)
+      val pairs = for (i <- cLo.indices; j <- cHi.indices)
+        yield (i * k + j, dLo(i) + dHi(j))
+      // deterministic pair order: distance, then cell id
+      pairs.sortBy { case (cell, d) => (d, cell) }
+        .take(nProbe).map { case (cell, _) => (qid, cell) }
+    }
+    import spark.implicits._
+    val probes = probeRows.toDF("qid", "cell")
+    if (persistProbes)
+      probes.coalesce(1).write.mode("overwrite").parquet(s"$aux/probes")
+    val probedCells = probeRows.map(_._2).distinct.sorted
+    val idx = spark.read.parquet(s"$aux/index")
+      .where(col("cell").isin(probedCells: _*))
+    rankTopK(
+      idx.join(broadcast(probes), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(queryFrame(spark, dir)), Seq("qid"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
+  }
+
+  /** q94 = cached build + probe (the q33 lifecycle). */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val aux = imiLayoutCache.computeIfAbsent(imiAuxDir(spark, dir),
+      _ => buildImiIndex(spark, dir))
+    lastImiAux = Some(aux)
+    imiProbe(spark, dir, aux, persistProbes = true)
+  }
+
   // ---- Q90: semantic near-neighbor scan (the SemDeDup shape) ----------
   //
   // Embedding-space dedup at corpus scale is NOT q31's few-queries-vs-
@@ -594,7 +736,8 @@ object Ann {
     "q31_ann_brute_topk" -> (q31 _),
     "q32_ann_lsh_topk" -> (q32 _),
     "q33_ann_ivf_topk" -> (ivfTopK _),
-    "q90_semdedup_nn" -> (q90 _))
+    "q90_semdedup_nn" -> (q90 _),
+    "q94_ann_imi_topk" -> (q94 _))
 
   /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
     * evaluated by Verify after all queries have executed. If ivfTopK never
@@ -604,5 +747,8 @@ object Ann {
     "q31_ann_brute_topk" -> q31Sql,
     "q32_ann_lsh_topk" -> q32Sql) ++
     lastAux.map(aux => "q33_ann_ivf_topk" -> q33Sql(aux)) ++
-    lastAux.map(aux => "q90_semdedup_nn" -> q90Sql(aux))
+    lastAux.map(aux => "q90_semdedup_nn" -> q90Sql(aux)) ++
+    // the IMI layout persists the same assign/probes tables as flat IVF,
+    // so the q33 replay IS its oracle — pointed at the IMI aux
+    lastImiAux.map(aux => "q94_ann_imi_topk" -> q33Sql(aux))
 }

