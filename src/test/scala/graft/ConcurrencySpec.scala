@@ -154,4 +154,92 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     assert(errs.isEmpty, s"background search threw: ${errs.peek()}")
   }
+
+  test("durable probes racing appends, staleness crossings, and a compact: no errors, deletes stay dead") {
+    // the r10 gate/trigger machinery under its excluded-schedule-free
+    // concurrency: probes (gen gate + CAS-elected staleness checks +
+    // possible inline rebuilds) race appends that repeatedly cross the
+    // 0.2 ratio, with one compact() mid-run (single compactor — the
+    // store's documented contract; everything else is unrestricted).
+    // Invariants: no probe throws, no probe EVER serves a deleted id
+    // (the resurrection class the generation gate exists to kill), and
+    // after quiescence the probe answer matches the exact scan.
+    val d = new graft.store.DurableVectorStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dvs_race_").toString)
+    spark.conf.set(d.AnnStalenessCheckMsConf, "0") // every probe checks
+    try {
+      val dim = 8
+      val base = randVectors(120, dim, seed = 11)
+      val sp = spark
+      import sp.implicits._
+      def frame(rows: Seq[(String, Seq[Float])]) = rows.toDF("id", "values")
+      d.loadFrame(frame(base.zipWithIndex.map { case (v, i) => (s"b$i", v) }), "race")
+      val query = base.head
+      assert(d.findSimilar(query, k = 5, namespace = "race", approx = true)
+        .head.id == "b0")
+      // kill rows the probes must never serve again — including the
+      // current top hit
+      val dead = Seq("b0", "b7", "b19")
+      assert(d.delete(dead, "race").sorted == dead.sorted)
+      val deadSet = dead.toSet
+
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val resurrections = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = pool.submit[Unit] { () =>
+        start.await()
+        // 8 batches × 15 rows over a 120-row layout: crosses 0.2 again
+        // and again, so staleness rebuilds interleave with the probes
+        (0 until 8).foreach { b =>
+          d.loadFrame(frame((0 until 15).map(i =>
+            (s"w${b}_$i", randVectors(1, dim, seed = 100 + b * 31 + i).head))),
+            "race")
+        }
+        // an exact duplicate of the query, appended LAST: the quiescent
+        // top-1 is then schedule-independent (cos 1.0; served from the
+        // tail exactly, or from the query's own cell — probed by
+        // construction since its centroid distance is minimal)
+        d.loadFrame(frame(Seq(("pin", query))), "race")
+      }
+      val probers = (0 until 2).map { p =>
+        pool.submit[Unit] { () =>
+          start.await()
+          (0 until 12).foreach { _ =>
+            try {
+              val ids = d.findSimilar(query, k = 8, namespace = "race",
+                approx = true).map(_.id)
+              if (ids.exists(deadSet)) resurrections.incrementAndGet()
+            } catch { case t: Throwable => errs.add(t) }
+          }
+        }
+      }
+      val compactor = pool.submit[Unit] { () =>
+        start.await()
+        Thread.sleep(150) // land mid-race
+        try d.compact() catch { case t: Throwable => errs.add(t) }
+        ()
+      }
+      start.countDown()
+      (writer +: compactor +: probers).foreach(_.get(900, TimeUnit.SECONDS))
+      pool.shutdown()
+
+      assert(errs.isEmpty, s"racing probe/compact threw: ${errs.peek()}")
+      assert(resurrections.get() == 0,
+        "a probe served a deleted id during the race — the generation " +
+          "gate or kill set failed under concurrency")
+      // quiescent convergence: approx top-5 == exact top-5 is not
+      // guaranteed (probe policy), but the DELETED ids must be gone and
+      // the appended rows must be visible
+      val finalHits = d.findSimilar(query, k = 120, namespace = "race",
+        approx = true).map(_.id)
+      assert(!finalHits.exists(deadSet), "deleted ids present after quiescence")
+      val exactTop = d.findSimilar(query, k = 5, namespace = "race").map(_.id)
+      val approxTop = d.findSimilar(query, k = 5, namespace = "race",
+        approx = true).map(_.id)
+      assert(exactTop.head == "pin" && approxTop.head == "pin",
+        s"quiescent top-1 should be the pinned duplicate: " +
+          s"exact=$exactTop approx=$approxTop")
+    } finally spark.conf.unset(d.AnnStalenessCheckMsConf)
+  }
 }
