@@ -141,19 +141,37 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * excluded). The STRINGS are the fold/manifest identity — always
     * produced by this one helper so they compare equal across calls and
     * processes on the same filesystem. */
+  /** Recursive parquet listing that is safe to run CONCURRENTLY with a
+    * Spark write committing into the same directory. Hadoop's own
+    * recursive `listFiles` iterator stats entries lazily, so when the
+    * committer renames task files out of `_temporary/` and deletes it,
+    * the iterator throws FileNotFoundException mid-walk (observed under
+    * ConcurrencySpec's probe/append race). We walk manually: never
+    * DESCEND into `_temporary` (its contents are uncommitted scratch),
+    * and re-list a directory whose listing hit a vanished entry — after
+    * the retries, a still-vanishing directory is treated as absent,
+    * which is correct for both causes (commit scratch being cleaned up,
+    * or a generation directory a racing GC removed). */
   private def listParquet(p: String): Seq[String] = {
-    val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hadoopFs(p)
-    if (!fs.exists(hp)) Seq.empty
-    else {
-      val it = fs.listFiles(hp, true)
-      val buf = scala.collection.mutable.ArrayBuffer[String]()
-      while (it.hasNext) {
-        val s = it.next().getPath.toString
-        if (s.endsWith(".parquet") && !s.contains("/_temporary/")) buf += s
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    def statDir(dir: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+      var attempt = 0
+      while (attempt < 5) {
+        try return fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => attempt += 1 }
       }
-      buf.sorted.toSeq
+      Array.empty
     }
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      statDir(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) { if (name != "_temporary") walk(st.getPath) }
+        else if (name.endsWith(".parquet")) buf += st.getPath.toString
+      }
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (dirExists(p)) walk(hp)
+    buf.sorted.toSeq
   }
 
   /** Millis a cached OLD-generation file listing stays fresh — conf
