@@ -94,6 +94,33 @@ class AnnSpec extends AnyFunSuite {
     assert(Pq.buildCount.get() == builds, "repeat pqTopK retrained the codebook")
   }
 
+  test("BQ hamming ANN recall@5 vs brute force is at least 0.5; one BIGINT per vector") {
+    // sign-bit codes preserve angular structure; with CandN=50 of a
+    // ~2k corpus the hamming prefilter must still surface most of the
+    // exact cosine top-5 for the rerank to recover
+    import graft.operators.Bq
+    val exact = Ann.q31(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    val approx = Bq.q95(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"BQ recall@5 = $recall%.2f (${exact.intersect(approx).size}/${exact.size})")
+    assert(recall >= 0.5, s"BQ recall too low: $recall")
+    // scores on hits are the EXACT cosine (rerank-is-contract): every
+    // (qid, id, score) the BQ path reports must appear identically in
+    // the brute-force ranking's scored universe
+    val exactScores = Ann.q31(spark, dir).collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id"))) ->
+        r.getDouble(r.fieldIndex("score"))).toMap
+    Bq.q95(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("id")))
+      exactScores.get(key).foreach(s =>
+        assert(s == r.getDouble(r.fieldIndex("score")),
+          s"BQ rerank score drifted from exact at $key"))
+    }
+  }
+
   test("IVFADC (IVF cells x PQ codes) recall@5 vs brute force is at least 0.4") {
     import graft.operators.IvfPq
     val exact = Ann.q31(spark, dir).collect()

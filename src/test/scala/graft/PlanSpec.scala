@@ -230,7 +230,8 @@ class PlanSpec extends AnyFunSuite {
         "q58" -> graft.operators.Pq.pqTopK(spark, dir),
         "q81" -> graft.operators.Sq.q81(spark, dir),
         "q31" -> graft.operators.Ann.q31(spark, dir),
-        "q60" -> graft.operators.IvfPq.ivfPqTopK(spark, dir))) {
+        "q60" -> graft.operators.IvfPq.ivfPqTopK(spark, dir),
+        "q95" -> graft.operators.Bq.q95(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("Window"),
         s"$name fell back to a window cut\n${p.take(1200)}")
