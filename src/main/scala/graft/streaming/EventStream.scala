@@ -394,13 +394,77 @@ object EventStream {
        |        FROM events))
        |GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
 
+  // ---- q96: native session-window streaming aggregation ----------------
+
+  /** Spark's BUILT-IN session window operator — a distinct streaming
+    * operator class from q47's hand-rolled `flatMapGroupsWithState`
+    * sessionizer: `session_window(ts, gap)` plans a dedicated
+    * merging-state physical operator (UpdatingSessionsExec +
+    * session-window state store) that merges windows whose event times
+    * fall within `gap` of each other, per key, ACROSS micro-batches.
+    * The two sessionizers carry different boundary contracts (the
+    * custom one breaks on `diff > gap`, the native one merges only
+    * while `ts < prevEnd = prevTs + gap`, i.e. breaks on
+    * `diff >= gap`), so this query's oracle replays the NATIVE rule —
+    * the q47/q28 pair stays the oracle of the custom rule.
+    *
+    * State honesty (the q91 contract): the graded drain runs COMPLETE
+    * mode — the finite corpus's final sessions never cross the
+    * watermark, and append mode would drop them from the graded result
+    * — so the watermark does not evict; a production deployment uses
+    * append mode where state is bounded to the open sessions inside
+    * the watermark horizon per key. */
+  def startSessionWindowToMemory(spark: SparkSession, dir: String,
+                                 queryName: String): StreamingQuery =
+    source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  def q96(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q96_sink",
+      startSessionWindowToMemory(spark, dir, "graft_q96_sink"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Gap-and-islands replay of the native merge rule: a session breaks
+    * where the in-key gap is ≥ 30 min (ties at identical timestamps
+    * cannot flip the break — the diff is 0 either way). */
+  val q96Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+       |m AS (
+       |  SELECT user_id, tus, value,
+       |         CASE WHEN lag(tus) OVER w IS NULL
+       |              OR tus - lag(tus) OVER w >= 1800000000
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+       |s AS (
+       |  SELECT user_id, tus, value,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id, min(tus) AS session_start_us,
+       |       count(*) AS n,
+       |       ${graft.functions.Det.r4Sql("sum(value)")} AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
       "q70_stream_static_join" -> (q70 _),
       "q88_stream_range_join" -> (q88 _),
-      "q91_stream_hopping_window" -> (q91 _))
+      "q91_stream_hopping_window" -> (q91 _),
+      "q96_stream_session_window" -> (q96 _))
 
   /** q46/q47 reuse the batch twins' oracle texts — that equality IS the
     * parity claim. */
@@ -410,5 +474,6 @@ object EventStream {
       "q67_stream_dedup" -> q67Sql,
       "q70_stream_static_join" -> q70Sql,
       "q88_stream_range_join" -> q88Sql,
-      "q91_stream_hopping_window" -> q91Sql)
+      "q91_stream_hopping_window" -> q91Sql,
+      "q96_stream_session_window" -> q96Sql)
 }

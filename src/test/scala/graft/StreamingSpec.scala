@@ -107,6 +107,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("native session-window stream equals the batch session_window answer") {
+    import org.apache.spark.sql.functions._
+    // the SAME native session_window function in a batch aggregation is
+    // the in-JVM parity twin (the DuckDB oracle independently replays
+    // the merge rule as gap-and-islands)
+    val batch = graft.sources.Tables.table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.r4(sum(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = EventStream.q96(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stream-stream range join equals the batch q82 inner answer after drain") {
     val streamed = EventStream.q88(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
