@@ -151,6 +151,78 @@ object Analytics {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  // ---- Q97: pivot (long→wide reshape in one aggregation pass) ---------
+
+  /** Per-cohort event counts pivoted to one COLUMN per event type — the
+    * long→wide reshape every report/feature-matrix step needs. The value
+    * list is passed EXPLICITLY: `pivot(col)` without one runs a separate
+    * distinct-scan job over the corpus just to learn the column set (and
+    * caps it at `spark.sql.pivotMaxValues`), while with the list Spark
+    * plans ONE aggregation pass whose map-side partials carry 5
+    * conditional counters per cohort — at 100 TB the discovery scan is
+    * the difference between one job and two. Missing combinations
+    * surface as pivot NULLs; they are coalesced to 0 to match the
+    * relational FILTER formulation (the oracle) at any scale factor. */
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .withColumn("cohort", col("user_id") % 100)
+      .groupBy(col("cohort"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("cohort"))
+  }
+
+  val q97Sql: String =
+    s"""SELECT user_id % 100 AS cohort,
+       |       count(*) FILTER (WHERE event_type = 'click') AS click,
+       |       count(*) FILTER (WHERE event_type = 'error') AS error,
+       |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       |       count(*) FILTER (WHERE event_type = 'view') AS view
+       |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin
+
+  // ---- Q98: set operators (INTERSECT / EXCEPT) ------------------------
+
+  /** Customer retention cohorts via the SQL SET OPERATORS: custkeys
+    * ordering in BOTH 1996 and 1997 (INTERSECT), in 1996 ONLY (EXCEPT),
+    * and in 1997 ONLY — the audience-overlap shape every corpus/user
+    * comparison reduces to. Spark plans INTERSECT as a left-semi join
+    * over distinct keys and EXCEPT as a left-anti: one shuffle each on
+    * the compared key with partial distinct upstream, never a full
+    * materialized cross-comparison; the three label branches reuse the
+    * same two year-scans (Catalyst dedups the cached scan via exchange
+    * reuse). Counts, not key lists, are reported — label-sized output
+    * regardless of scale. */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    def custs(y: Int) = o
+      .where(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    def labeled(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"), col("n"))
+    labeled("both", custs(1996).intersect(custs(1997)))
+      .unionAll(labeled("only_1996", custs(1996).except(custs(1997))))
+      .unionAll(labeled("only_1997", custs(1997).except(custs(1996))))
+      .orderBy(col("cohort"))
+  }
+
+  val q98Sql: String =
+    s"""WITH y96 AS (SELECT o_custkey FROM orders
+       |             WHERE year(o_orderdate) = 1996),
+       |     y97 AS (SELECT o_custkey FROM orders
+       |             WHERE year(o_orderdate) = 1997)
+       |SELECT 'both' AS cohort,
+       |       (SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS n
+       |UNION ALL
+       |SELECT 'only_1996',
+       |       (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))
+       |UNION ALL
+       |SELECT 'only_1997',
+       |       (SELECT count(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96))
+       |ORDER BY cohort""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,12 +230,16 @@ object Analytics {
     "q35_bigram_freq" -> (q35 _),
     "q36_value_percentiles" -> (q36 _),
     "q37_type_stats" -> (q37 _),
-    "q38_revenue_rollup" -> (q38 _))
+    "q38_revenue_rollup" -> (q38 _),
+    "q97_pivot_cohorts" -> (q97 _),
+    "q98_setops_retention" -> (q98 _))
 
   val oracles: Map[String, String] = Map(
     "q34_tfidf_top_term" -> q34Sql,
     "q35_bigram_freq" -> q35Sql,
     "q36_value_percentiles" -> q36Sql,
     "q37_type_stats" -> q37Sql,
-    "q38_revenue_rollup" -> q38Sql)
+    "q38_revenue_rollup" -> q38Sql,
+    "q97_pivot_cohorts" -> q97Sql,
+    "q98_setops_retention" -> q98Sql)
 }
