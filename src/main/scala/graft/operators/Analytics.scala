@@ -151,6 +151,70 @@ object Analytics {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY returnflag, linestatus""".stripMargin
 
+  // ---- Q99: bigram PMI (collocation / association mining) -------------
+
+  /** Pointwise mutual information over adjacent-token pairs —
+    * `ln( p(ab) / (p(a)·p(b)) )` — the association statistic behind
+    * collocation extraction and SGNS-era feature selection: q35 ranks
+    * bigrams by RAW count (dominated by frequent words), PMI ranks by
+    * how much MORE often a pair co-occurs than its unigrams predict.
+    * Distributed shape: ONE tokenize feeds both the unigram and bigram
+    * counts (the q65 single-pass discipline); the two corpus totals are
+    * 1-row collects; the bigram→unigram joins are vocabulary-sized (the
+    * q89 broadcast shape — a vocabulary is millions of rows at 100 TB,
+    * the corpus is billions, and the join must broadcast the former,
+    * never shuffle the latter twice). The final cut is orderBy+limit →
+    * TakeOrderedAndProject. Ordering is on the ROUNDED pmi (r4, the q89
+    * ln-parity recipe) with (a, b) tie-break, so the top-20 boundary is
+    * engine-stable; the `cab ≥ 5` floor keeps log arguments off the
+    * 1-count noise floor. */
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.table(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cn"))
+      .localCheckpoint() // one tokenize: totals + both joins read this
+    val totalT = uni.agg(sum(col("cn"))).collect()(0).getLong(0)
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> struct(a AS a, b AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint()
+    val totalB = bi.agg(sum(col("cab"))).collect()(0).getLong(0)
+    bi.where(col("cab") >= 5)
+      .join(broadcast(uni.select(col("tok").as("a"), col("cn").as("ca"))), Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("cn").as("cb"))), Seq("b"))
+      .select(col("a"), col("b"), col("cab"),
+        r4(log((col("cab").cast("double") / lit(totalB.toDouble)) /
+          ((col("ca").cast("double") / lit(totalT.toDouble)) *
+            (col("cb").cast("double") / lit(totalT.toDouble))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val q99Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |  FROM documents),
+       |uni AS (SELECT tok, count(*) AS cn FROM toks GROUP BY tok),
+       |tt AS (SELECT sum(cn)::DOUBLE AS t FROM uni),
+       |bi AS (
+       |  SELECT x.tok AS a, y.tok AS b, count(*) AS cab
+       |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+       |  GROUP BY 1, 2),
+       |tb AS (SELECT sum(cab)::DOUBLE AS t FROM bi)
+       |SELECT a, b, cab,
+       |       ${r4Sql("ln((cab::DOUBLE / tb.t) / ((ua.cn::DOUBLE / tt.t) * (ub.cn::DOUBLE / tt.t)))")} AS pmi
+       |FROM bi
+       |JOIN uni ua ON ua.tok = a
+       |JOIN uni ub ON ub.tok = b, tt, tb
+       |WHERE cab >= 5
+       |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin
+
   // ---- Q97: pivot (long→wide reshape in one aggregation pass) ---------
 
   /** Per-cohort event counts pivoted to one COLUMN per event type — the
@@ -232,7 +296,8 @@ object Analytics {
     "q37_type_stats" -> (q37 _),
     "q38_revenue_rollup" -> (q38 _),
     "q97_pivot_cohorts" -> (q97 _),
-    "q98_setops_retention" -> (q98 _))
+    "q98_setops_retention" -> (q98 _),
+    "q99_bigram_pmi" -> (q99 _))
 
   val oracles: Map[String, String] = Map(
     "q34_tfidf_top_term" -> q34Sql,
@@ -241,5 +306,6 @@ object Analytics {
     "q37_type_stats" -> q37Sql,
     "q38_revenue_rollup" -> q38Sql,
     "q97_pivot_cohorts" -> q97Sql,
-    "q98_setops_retention" -> q98Sql)
+    "q98_setops_retention" -> q98Sql,
+    "q99_bigram_pmi" -> q99Sql)
 }
