@@ -279,7 +279,7 @@ object Bench {
     //    plans are production-shaped and their totals carry ~0.5-1 s of
     //    this harness overhead each.
     val notesJson =
-      """{"q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
+      """{"q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91/q96 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
     val auditJson =
       s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"notes":$notesJson,"stat":"value=last pass; queries=cross-pass min"}"""
     try {
