@@ -50,6 +50,40 @@ object Bq {
   private[graft] val CandN = 50
   private val Dim = 64
 
+  // ---- shared packing kernels (the store-attached index reuses these;
+  // q95 below keeps the one-BIGINT 64-dim specialization its oracle
+  // replays) ------------------------------------------------------------
+
+  /** SQL for packing `valuesCol` (any dim) into ceil(dim/64) BIGINT
+    * words against the `midsCol` threshold array. The null guard makes
+    * the trailing partial word safe under ANSI mode: `slice` past the
+    * array end yields nulls, and the IF short-circuits before the
+    * out-of-bounds `element_at`. */
+  private[graft] def packExprSql(dim: Int, valuesCol: String,
+                                 midsCol: String): String = {
+    val words = (dim + 63) / 64
+    s"""transform(sequence(0, ${words - 1}), w ->
+       |  aggregate(
+       |    zip_with(slice($valuesCol, w * 64 + 1, 64), sequence(0, 63), (x, j) ->
+       |      IF(x IS NULL, CAST(0 AS BIGINT),
+       |         IF(CAST(x AS DOUBLE) > element_at($midsCol, w * 64 + j + 1),
+       |            shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))),
+       |    CAST(0 AS BIGINT), (a, b) -> a | b))""".stripMargin
+  }
+
+  /** Driver-side twin of [[packExprSql]] for the QUERY vector — same
+    * bit order, same strict-greater threshold rule. */
+  private[graft] def packBits(v: Seq[Float], mids: Array[Double]): Array[Long] = {
+    val words = (mids.length + 63) / 64
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < mids.length && i < v.length) {
+      if (v(i).toDouble > mids(i)) out(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    out
+  }
+
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
 

@@ -258,15 +258,16 @@ class RestServer(store: VectorStore, port: Int = 0,
         // optional `approx` routes through a store-attached index (the
         // reference's index-backed read path, index.py:91-129); optional
         // `index` picks which one — "lsh" (default, cached signatures),
-        // "ivf" (persisted inverted file), or "pq" (compressed codes)
+        // "ivf" (persisted inverted file), "pq" (compressed codes), or
+        // "bq" (sign-bit hamming codes)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val index = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("lsh") // explicit JSON null = unset
         // validate the index name even when approx is false: a typo'd
         // index on an exact search should 422, not silently run exact
-        if (index != "lsh" && index != "ivf" && index != "pq")
+        if (index != "lsh" && index != "ivf" && index != "pq" && index != "bq")
           throw new IllegalArgumentException(
-            s"unknown approx index '$index' (expected 'lsh', 'ivf' or 'pq')")
+            s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq' or 'bq')")
         // optional `durable` routes the search to the mounted durable
         // store (read-only; see class doc) — the q51 partition-pruned
         // plan over HTTP
@@ -280,7 +281,7 @@ class RestServer(store: VectorStore, port: Int = 0,
             // callers opt in
             if (approx && index != "ivf" && index != "pq")
               throw new IllegalArgumentException(
-                "durable approx search serves from the IVF layout or its PQ codes; pass index:'ivf' or 'pq' ('lsh' is an in-memory-store feature)")
+                "durable approx search serves from the IVF layout or its PQ codes; pass index:'ivf' or 'pq' ('lsh'/'bq' are in-memory-store features)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(

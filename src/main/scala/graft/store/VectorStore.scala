@@ -615,6 +615,105 @@ class VectorStore(val spark: SparkSession) {
   private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
     Option(pqCache.get((namespace, dim))).map(_._2)
 
+  // ---- store-attached BQ index (sign-bit codes, hamming prefilter) ----
+
+  /** Cached binary-quantization codes per (namespace, dim): the per-dim
+    * midpoint grid plus a persisted (id, code: array<bigint>) frame —
+    * ceil(dim/64) BIGINT words per vector, 1 bit/dim. Same lifecycle as
+    * [[indexSigs]] (in-memory persisted frame, epoch-stamped, lazily
+    * rebuilt on the next approx search after a mutation, superseded
+    * frames unpersisted) — BQ is the CHEAPEST index to rebuild (one
+    * dim-sized stats pass + a narrow per-row fold), which is exactly why
+    * it suits hot mutating namespaces where even the LSH signature pass
+    * per epoch is felt. Same build-outside-the-lock / pre-build-epoch
+    * race discipline as [[pqLayout]]. */
+  private val bqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Array[Double], DataFrame)]()
+
+  private val bqBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  private[graft] val BqCandN = 50
+
+  private def bqIndex(namespace: String, dim: Int): Option[(Array[Double], DataFrame)] = {
+    val key = (namespace, dim)
+    def healed(mids: Array[Double], df: DataFrame) = {
+      // heal an external unpersist, like indexSigs
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df.persist(); df.count()
+      }
+      Some((mids, df))
+    }
+    Option(bqCache.get(key)) match {
+      case Some((e, mids, df)) if e == epoch => healed(mids, df)
+      case _ => bqBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        Option(bqCache.get(key)) match {
+          case Some((e, mids, df)) if e == epoch => healed(mids, df) // raced
+          case _ =>
+            val (e, snapshot) = synchronized { (epoch, live) }
+            val rows = snapshot.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF()
+            // dim-sized, order-independent (the q81/q95 stats contract):
+            // the grid is bit-deterministic under any partitioning
+            val stats = rows
+              .select(posexplode(col("values")).as(Seq("i", "x")))
+              .groupBy(col("i"))
+              .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+              .orderBy(col("i")).collect()
+            if (stats.isEmpty) None
+            else {
+              val mids = stats.map(r =>
+                (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0)
+              val codes = rows
+                .withColumn("mids", typedLit(mids.toSeq))
+                .withColumn("code", expr(
+                  graft.operators.Bq.packExprSql(dim, "values", "mids")))
+                .select(col("id"), col("code"))
+                .persist()
+              codes.count() // materialize the packing pass once, eagerly
+              Option(bqCache.put(key, (e, mids, codes)))
+                .foreach(_._3.unpersist(blocking = false))
+              Some((mids, codes))
+            }
+        }
+      }
+    }
+  }
+
+  /** Candidates via the store-attached BQ index: rank the 8·words-byte
+    * codes by hamming distance to the query's sign bits (one
+    * `bit_count(xor)` per word — at scale this scan reads 32× fewer
+    * bytes than the vectors), cut to [[BqCandN]] on (hamming, id) via
+    * `TakeOrderedAndProject`, semi-join back to the live rows — the
+    * index PROPOSES candidates, the live store decides what exists
+    * (the IVF/PQ contract). The query code rides as a broadcast 1-row
+    * frame so every request compiles the same plan (the PQ LUT
+    * discipline). */
+  private def bqCandidates(query: Seq[Float], namespace: String,
+                           filter: Map[String, String],
+                           jsonFilter: Map[String, String]): DataFrame =
+    bqIndex(namespace, query.length) match {
+      case None =>
+        filteredLive(namespace, filter, jsonFilter).limit(0)
+      case Some((mids, codes)) =>
+        val q = graft.operators.Bq.packBits(query, mids)
+        val sp = spark
+        import sp.implicits._
+        val qFrame = Seq(Tuple1(q.toSeq)).toDF("qcode")
+        val candIds = codes.crossJoin(broadcast(qFrame))
+          .withColumn("ham", expr(
+            "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+          .orderBy(col("ham"), col("id"))
+          .limit(BqCandN)
+          .select(col("id").as("__cid"))
+        filteredLive(namespace, filter, jsonFilter)
+          .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+    }
+
+  /** Word count of the cached (namespace, dim) BQ codes — spec hook. */
+  private[graft] def bqWordCount(namespace: String, dim: Int): Option[Int] =
+    Option(bqCache.get((namespace, dim))).map(_._2.length).map(d => (d + 63) / 64)
+
   /** Cell count of the cached (namespace, dim) layout — spec hook for the
     * geometry-scales-with-namespace-size assertion. */
   private[graft] def ivfCellCount(namespace: String, dim: Int): Option[Int] =
@@ -670,7 +769,14 @@ class VectorStore(val spark: SparkSession) {
     *    reads probe/cells (≈ 2/√cells, shrinking with namespace size —
     *    [[graft.operators.Ann.ivfCellsFor]]) of the layout partitions;
     *    right for large, mostly-static namespaces where even the
-    *    signature pass over every row is too much per-epoch work. */
+    *    signature pass over every row is too much per-epoch work.
+    *  - "pq": the compressed codes table — an ADC sweep reading ~32×
+    *    fewer bytes than a vector scan; candidates cut on (ADC, id).
+    *  - "bq": sign-bit codes, 1 bit/dim in ceil(dim/64) BIGINTs —
+    *    hamming popcount prefilter + exact rerank; the cheapest index
+    *    to REBUILD (one stats pass + a narrow fold), so the right pick
+    *    for hot mutating namespaces (the q95 operator as a serving
+    *    path). */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
@@ -687,9 +793,10 @@ class VectorStore(val spark: SparkSession) {
           case "lsh" => approxCandidates(query, namespace, filter, jsonFilter)
           case "ivf" => ivfCandidates(query, namespace, filter, jsonFilter)
           case "pq" => pqCandidates(query, namespace, filter, jsonFilter)
+          case "bq" => bqCandidates(query, namespace, filter, jsonFilter)
           case other =>
             throw new IllegalArgumentException(
-              s"unknown approx index '$other' (expected 'lsh', 'ivf' or 'pq')")
+              s"unknown approx index '$other' (expected 'lsh', 'ivf', 'pq' or 'bq')")
         }
         scoredFrom(cands, query, metric)
       }

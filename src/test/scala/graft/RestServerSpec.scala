@@ -205,6 +205,12 @@ class RestServerSpec extends AnyFunSuite {
       assert(cp == 200)
       val pqHits = mapper.readTree(bp)
       assert(pqHits.isArray && pqHits.size() > 0 && pqHits.size() <= 3)
+      // the BQ sign-bit index serves over the same route
+      val (cb, bb) = send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "top_k": 3, "approx": true, "index": "bq"}""")
+      assert(cb == 200)
+      val bqHits = mapper.readTree(bb)
+      assert(bqHits.isArray && bqHits.size() > 0 && bqHits.size() <= 3)
       // an unknown index name is a client error, not a 500 — and it is
       // rejected even WITHOUT approx (a typo must not silently run exact)
       assert(send("POST", s"$base/search?namespace=ivx",

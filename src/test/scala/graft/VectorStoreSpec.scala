@@ -395,6 +395,43 @@ class VectorStoreSpec extends AnyFunSuite {
       approx = true, index = "pq").isEmpty)
   }
 
+  test("approx search via the BQ sign-bit index: recall floor, exact rerank, lazy invalidation, multi-word dims") {
+    val s = newStore
+    // dim 70 > 64 exercises the multi-word packing (2 BIGINTs, partial
+    // trailing word under ANSI mode)
+    val vecs = clusteredVectors(nClusters = 20, perCluster = 10, dim = 70, seed = 29)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "bq")
+    val query = vecs.head.map(_ + 0.01f)
+
+    val exact = s.findSimilar(query, k = 10, namespace = "bq")
+    val bq = s.findSimilar(query, k = 10, namespace = "bq", approx = true,
+      index = "bq")
+    assert(bq.nonEmpty)
+    assert(s.bqWordCount("bq", 70).contains(2), "70 dims must pack into 2 words")
+    val recall = exact.map(_.id).toSet.intersect(bq.map(_.id).toSet).size / 10.0
+    info(f"store BQ recall@10 = $recall%.2f")
+    assert(recall >= 0.7, s"store-attached BQ recall too low: $recall")
+    // exact rerank: every BQ hit carries its true cosine score
+    val exactScores = s.findSimilar(query, k = 1000, namespace = "bq")
+      .map(h => h.id -> h.score).toMap
+    bq.foreach(h => assert(h.score == exactScores(h.id),
+      s"BQ score for ${h.id} diverged from the exact kernel"))
+    // a mutation invalidates the codes on the NEXT search
+    val victim = bq.head.id
+    assert(s.delete(Seq(victim), "bq") == Seq(victim))
+    val after = s.findSimilar(query, k = 10, namespace = "bq",
+      approx = true, index = "bq")
+    assert(!after.map(_.id).contains(victim), "BQ search served a deleted id")
+    // an EMPTY namespace answers empty through the bq route
+    assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
+      approx = true, index = "bq").isEmpty)
+    // an unknown index kind still 422s with the full menu
+    val err = intercept[IllegalArgumentException](
+      s.findSimilar(query, k = 5, namespace = "bq", approx = true,
+        index = "hnsw"))
+    assert(err.getMessage.contains("'bq'"))
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
