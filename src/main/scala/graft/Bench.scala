@@ -72,15 +72,33 @@ package graft
   *    dominated by the sub-300 ms tail, where one GC pause (~0.1 s
   *    absolute) reads as hundreds of percent — the repeatability bar for
   *    regression calls is the slow tail's.
+  *
+  * Round-11 additions:
+  *  - SAMPLE TIERS: the fast-sample threshold rises to 1.5 s (q71 sat on
+  *    the old 1.0 s boundary and flipped between 3- and 7-sample medians
+  *    across passes — a sample-count artifact that read as a 137 %
+  *    regression), and a third tier gives the sub-300 ms cohort up to
+  *    `SPARK_GRAFT_BENCH_RUNS_TINY` (default 11) samples — that cohort
+  *    is where one ~0.1 s GC pause reads as hundreds of percent
+  *    (r10 max_dev 551 % on a 0.19 s query) and where samples cost least.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32]
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // sub-second queries take extra samples up to this total (see scaladoc)
+    // sub-1.5s queries take extra samples up to this total (see scaladoc);
+    // r10 raised the threshold from 1.0 s: q71 (~0.9-1.1 s) sat ON the
+    // boundary and flipped between 3- and 7-sample medians across passes,
+    // which read as a 137 % "inversion" the isolated instrument then
+    // failed to reproduce (monotone 1.117/0.901/0.879/0.922 s)
     val fastRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FAST", "7").toInt.max(runs)
-    val FastThresholdSec = 1.0
+    val FastThresholdSec = 1.5
+    // the sub-300 ms cohort is where one ~0.1 s GC pause reads as a
+    // hundreds-of-percent deviation (r10 max_dev 551 % on a 0.19 s
+    // query); it is also where samples are cheapest — take more of them
+    val tinyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_TINY", "11").toInt.max(fastRuns)
+    val TinyThresholdSec = 0.3
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     // adjudication filter: run only queries whose name contains one of
     // the comma-separated tokens (empty/unset = all)
@@ -179,13 +197,19 @@ object Bench {
           r
         }
         val base = (1 to runs).flatMap(_ => sample())
-        // sub-second tail: extra samples where medians were noisiest and
+        // fast tail: extra samples where medians were noisiest and
         // samples are cheapest (r6: a sub-second query swung 4.8× across
-        // passes on 3-sample medians)
-        val samples =
+        // passes on 3-sample medians); the sub-300 ms cohort gets a
+        // further tier (r10: 60+ queries under 0.3 s dominated max_dev)
+        val withFast =
           if (base.nonEmpty && median(base) < FastThresholdSec && fastRuns > runs)
             base ++ (1 to (fastRuns - runs)).flatMap(_ => sample())
           else base
+        val samples =
+          if (withFast.nonEmpty && median(withFast) < TinyThresholdSec &&
+              tinyRuns > withFast.size)
+            withFast ++ (1 to (tinyRuns - withFast.size)).flatMap(_ => sample())
+          else withFast
         sampleCounts.updateWith(name)(prev =>
           Some(prev.getOrElse(Nil) :+ samples.size))
         // warm-run leftovers go when the query is done (steady-state
@@ -279,9 +303,9 @@ object Bench {
     //    plans are production-shaped and their totals carry ~0.5-1 s of
     //    this harness overhead each.
     val notesJson =
-      """{"q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91/q96 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
+      """{"q98_q71":"r11 adjudicated: isolated 4-pass subset runs monotone (q98 0.468/0.337/0.301/0.312 s, q71 1.117/0.901/0.879/0.922 s, 7 samples nearly every pass) - the r10 suite inversions (q98 551%, q71 137%) were suite-context GC/scheduling noise; q71 additionally sat ON the 1.0 s fast-sample boundary and flipped between 3- and 7-sample medians (samples [3,7] in the isolated run too), fixed by raising the fast threshold to 1.5 s and adding the sub-300 ms 11-sample tier","q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91/q96 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"passes":$passes,"notes":$notesJson,"stat":"value=last pass; queries=cross-pass min"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"notes":$notesJson,"stat":"value=last pass; queries=cross-pass min"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.multimodal.MultimodalOps
 import graft.operators.{Analytics, Ann, Bq, Clustering, Dedup, EventOps, IvfPq, Pq, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
@@ -21,7 +22,7 @@ object SparkEntry {
       Pq.queries ++ IvfPq.queries ++ Analytics.queries ++
       StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
       Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
-      Sq.queries ++ Bq.queries
+      Sq.queries ++ Bq.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,5 @@ object SparkEntry {
       Pq.oracles ++ IvfPq.oracles ++ Analytics.oracles ++
       StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
       Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
-      Sq.oracles ++ Bq.oracles
+      Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles
 }

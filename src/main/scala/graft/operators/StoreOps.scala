@@ -1169,6 +1169,139 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q101: the durable store's BINARY (BQ / sign-bit) read path -----
+
+  private val DBqNs = "q101"
+
+  private val q101Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q101Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (records layout dir, BQ codes dir) of the most recent q101 run —
+    * oracle hook; two paths because the codes dir name is
+    * process-suffixed under shared roots, so the `assign/` location is
+    * not derivable from it. */
+  @volatile private var lastDurableBqAux: Option[(String, String)] = None
+
+  /** q101: the durable store's BINARY-quantized read path end-to-end —
+    * the q92 script with sign-bit hamming codes in front of the rerank:
+    * 8 bytes per 64 dims, one xor+popcount per word, the cheapest
+    * candidate kernel the family has and therefore the best sweep at
+    * 100 TB (VERDICT r10 #3: the kernel existed on the in-memory facade
+    * (q95) but not on the durable mount). Script mirrors q92: bulk load
+    * → one BQ search (builds the record layout AND its cell-partitioned
+    * sign-bit codes, consistent by construction) → post-layout deletes
+    * + delta appends → graded BQ search. The codes only PROPOSE
+    * candidates; deletes die by the kill set, the delta arrives exact,
+    * the rerank is exact cosine. The oracle replays the ENTIRE candidate
+    * policy from the base table (the q95 property — midpoint grid,
+    * packing, hamming, CandN cut — nothing taken on faith from the
+    * persisted codes), restricted to the persisted probed cells
+    * (`assign/` ⋈ `probes/`), then unions the script-known delta ids
+    * and reranks over load-minus-deletes. */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dbq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q101Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q101Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DBqNs)
+      // build records + codes NOW, so the script's deletes and delta
+      // batch below are post-layout mutations
+      s.findSimilar(qv, k = K, namespace = DBqNs, approx = true, index = "bq")
+      require(s.bqBuilds.get() >= 1, "q101 sign-bit code build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DBqNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DBqNs)
+      s
+    })
+    val hits = store.findSimilarBqGraded(qv, k = K, namespace = DBqNs)
+    require(store.annBuilds.get() == 1 && store.bqBuilds.get() == 1,
+      "q101's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    lastDurableBqAux = for {
+      ann <- store.annLayoutDir(DBqNs, qv.length)
+      bq <- store.bqLayoutDir(DBqNs, qv.length)
+    } yield (ann._1, bq)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the durable BQ read path, rebuilding the whole
+    * candidate policy from the base table: the layout content is the
+    * pre-delete load (`vec_id < FacadeN` — deletes and delta are
+    * post-build by construction), so the midpoint grid, sign-bit
+    * packing (strict-greater, j=63 spelled as min-long — DuckDB
+    * overflows on 1<<63), query code and hamming all recompute exactly;
+    * candidates = top-CandN on (hamming, string id) over the probed
+    * cells' ids (`assign/` ⋈ `probes/`) ∪ the script's delta ids;
+    * rerank = exact cosine over load-minus-deletes with the store's
+    * tie-break. `ann` is the records layout dir (holds `assign/`);
+    * `aux` the codes dir (holds `probes/`). */
+  def q101Sql(ann: String, aux: String): String = {
+    val dim = 64
+    val bit =
+      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$ann/assign/*.parquet')),
+       |st AS (
+       |  SELECT g.i,
+       |         (min(embedding[g.i + 1])::DOUBLE
+       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
+       |  FROM embeddings, range($dim) g(i)
+       |  WHERE vec_id < $FacadeN GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id::VARCHAR AS id,
+       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
+       |                     THEN $bit ELSE 0::BIGINT END) AS code
+       |  FROM embeddings e, st WHERE e.vec_id < $FacadeN GROUP BY 1),
+       |qc AS (SELECT code AS qcode FROM codes WHERE id = '$QueryId'),
+       |ham AS (
+       |  SELECT c.id, bit_count(xor(c.code, qc.qcode)) AS ham
+       |  FROM codes c
+       |  JOIN a ON a.id = c.id
+       |  JOIN probes p ON p.cell = a.cell, qc),
+       |cut AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY ham, id) AS cr FROM ham)
+       |  WHERE cr <= ${graft.operators.Bq.CandN}),
+       |cand AS (
+       |  SELECT id FROM cut
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -1184,7 +1317,8 @@ object StoreOps {
       "q78_durable_cdc" -> (q78 _),
       "q87_durable_ann" -> (q87 _),
       "q92_durable_pq" -> (q92 _),
-      "q93_durable_ann_l2" -> (q93 _))
+      "q93_durable_ann_l2" -> (q93 _),
+      "q101_durable_bq" -> (q101 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1206,5 +1340,7 @@ object StoreOps {
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
       lastDurableAnnAux.map(aux => "q87_durable_ann" -> q87Sql(aux)) ++
       lastDurablePqAux.map(aux => "q92_durable_pq" -> q92Sql(aux)) ++
-      lastDurableL2Aux.map(aux => "q93_durable_ann_l2" -> q93Sql(aux))
+      lastDurableL2Aux.map(aux => "q93_durable_ann_l2" -> q93Sql(aux)) ++
+      lastDurableBqAux.map { case (ann, aux) =>
+        "q101_durable_bq" -> q101Sql(ann, aux) }
 }

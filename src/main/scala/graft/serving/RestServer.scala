@@ -50,7 +50,8 @@ import graft.store.{DurableVectorStore, VectorStore}
   * `"durable": true` runs the partition-pruned top-k over the compacted
   * parquet layout (the q51 plan, over HTTP); `"approx": true` with
   * `"index": "ivf"` serves from the durable IVF layout (indexed main +
-  * delta tail) and `"index": "pq"` from its codes-only ADC sweep
+  * delta tail), `"index": "pq"` from its codes-only ADC sweep and
+  * `"index": "bq"` from its sign-bit hamming codes
   * ([[DurableVectorStore.findSimilar]]); `lsh` stays an in-memory-store
   * feature. `GET /namespaces?durable=true` lists live namespaces,
   * `GET /namespaces/vectors?durable=true` dumps one. Writes (r10) —
@@ -275,13 +276,13 @@ class RestServer(store: VectorStore, port: Int = 0,
         val hits =
           if (wantDurable) {
             val d = durableStore
-            // the durable approx paths are the IVF layout and its PQ
-            // codes (r10): lsh remains an in-memory-store feature, and
-            // the DEFAULT index ("lsh") must not silently mean ivf —
+            // the durable approx paths are the IVF layout and its PQ/BQ
+            // codes (r10/r11): lsh remains an in-memory-store feature,
+            // and the DEFAULT index ("lsh") must not silently mean ivf —
             // callers opt in
-            if (approx && index != "ivf" && index != "pq")
+            if (approx && index != "ivf" && index != "pq" && index != "bq")
               throw new IllegalArgumentException(
-                "durable approx search serves from the IVF layout or its PQ codes; pass index:'ivf' or 'pq' ('lsh'/'bq' are in-memory-store features)")
+                "durable approx search serves from the IVF layout or its PQ/BQ codes; pass index:'ivf', 'pq' or 'bq' ('lsh' is an in-memory-store feature)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(

@@ -43,13 +43,21 @@ object Tables {
       if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
 
-  /** `events` with its nanosecond timestamp column normalized to a
-    * microsecond TIMESTAMP. Spark 4 refuses TIMESTAMP(NANOS) parquet
-    * columns (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf is
-    * on — set [[requiredConfs]] at session build. Reading nanos as long
-    * and truncating to µs reproduces exactly what DuckDB does when it
-    * loads the same file. `ts div 1000` keeps the arithmetic in longs — a
-    * double round-trip would lose precision at 1.7e18 ns epochs.
+  /** `events` with its timestamp column normalized to a microsecond
+    * TIMESTAMP, ADAPTIVE to how the corpus was written (the driver's
+    * generator has shipped both):
+    *
+    *  - `timestamp[ns]` parquet: Spark 4 refuses TIMESTAMP(NANOS)
+    *    (PARQUET_TYPE_ILLEGAL) unless the legacy nanosAsLong conf is on
+    *    — set [[requiredConfs]] at session build; the column then reads
+    *    as a nanos LONG and `ts div 1000` truncates to µs in long
+    *    arithmetic (a double round-trip would lose precision at 1.7e18
+    *    ns epochs), exactly what DuckDB does loading the same file.
+    *  - `timestamp[us]` parquet (r11 corpus): reads as TIMESTAMP_NTZ;
+    *    cast to the session-zone TIMESTAMP (sessions run UTC — the cast
+    *    is a type relabel, not a value shift), keeping every downstream
+    *    window/watermark/epoch expression on the type they were built
+    *    for.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Sessions built by GraftSession already carry requiredConfs;
@@ -57,8 +65,15 @@ object Tables {
     // foreign sessions are adopted on first use (guarded: no write — and
     // no race with concurrent readers — when already correct).
     adoptRequiredConfs(spark)
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val t = table(spark, dir, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        t.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => t // already a session-zone µs TIMESTAMP
+    }
   }
 
   /** Reference-shaped vector view over `embeddings` (SURVEY §1.4):

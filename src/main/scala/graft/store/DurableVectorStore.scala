@@ -330,17 +330,17 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomically claim commit marker `s` — true iff THIS caller created
-    * it. On `file:` schemes this is `java.io.File.createNewFile`
+  /** Atomically create an empty marker file — true iff THIS caller
+    * created it. On `file:` schemes this is `java.io.File.createNewFile`
     * (open(O_CREAT|O_EXCL), POSIX-atomic); RawLocalFileSystem's
     * `create(overwrite=false)` is a check-then-create TOCTOU and must
     * not be trusted for mutual exclusion. Elsewhere it is
     * `FileSystem.create(overwrite=false)`, atomic on HDFS (namenode
-    * lease). The marker is an empty file named by the zero-padded seq. */
-  private def tryClaim(s: Long): Boolean = {
-    val marker = f"$commitsPath/$s%020d"
+    * lease). Shared by the commit-seq claims and the ANN build
+    * election ([[claimAnnRebuild]]). */
+  private def atomicCreate(marker: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(marker)
-    val fs = hadoopFs(commitsPath)
+    val fs = hadoopFs(marker)
     if (fs.getScheme == "file") {
       val f = new java.io.File(marker.stripPrefix("file:"))
       f.getParentFile.mkdirs()
@@ -356,6 +356,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       }
     }
   }
+
+  /** Atomically claim commit marker `s` — true iff THIS caller created
+    * it. The marker is an empty file named by the zero-padded seq. */
+  private def tryClaim(s: Long): Boolean =
+    atomicCreate(f"$commitsPath/$s%020d")
 
   /** Highest seq any process has claimed in `commits/` (0 if none) — one
     * directory listing; called only on open and on claim contention. */
@@ -380,6 +385,33 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       }
     new AtomicLong(math.max(maxMarker(),
       math.max(maxSeq(allData()), maxSeq(allDeletes()))))
+  }
+
+  /** Seqs allocated by THIS process whose commit files are still being
+    * written — the build-horizon guard (r11): a layout build that
+    * snapshots at `currentSeq()` while such a commit is mid-write would
+    * neither scan its rows (files not yet visible) nor serve them from
+    * the delta tail (seq ≤ builtSeq) — a quiescent miss that only the
+    * NEXT rebuild would heal. [[buildOrDefer]] caps its snapshot below
+    * the minimum in-flight stamp instead. Cross-process in-flight
+    * commits are invisible here; a build racing one serves its rows
+    * only after the next rebuild — a bounded freshness lag, not a
+    * correctness loss (exact reads are unaffected: they list files, not
+    * horizons). */
+  private val inFlightCommits =
+    new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
+
+  /** The highest seq at which every commit this process allocated is
+    * fully durable: one below the oldest in-flight commit, else the
+    * current stamp. */
+  private def durableHorizon(): Long = {
+    val cur = currentSeq()
+    // ceiling(0) = smallest element ≥ 0 = the minimum (seqs are > 0);
+    // non-destructive, unlike pollFirst
+    Option(inFlightCommits.ceiling(0L)) match {
+      case None => cur
+      case Some(s) => math.min(cur, s.longValue() - 1)
+    }
   }
 
   /** Allocate the next commit stamp: claim candidate seqs through the
@@ -498,6 +530,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     try {
       val shadowSeq = nextSeq()
       val dataSeq = nextSeq() // > shadowSeq: incoming rows survive the shadows
+      // in-flight window: a racing layout build must snapshot BELOW
+      // these stamps until the files are durably written (build-horizon
+      // guard — see inFlightCommits)
+      inFlightCommits.add(shadowSeq)
+      inFlightCommits.add(dataSeq)
       // both appends land in ONE pinned generation, checked afterwards —
       // a fold can race the write, but the rows must still be reachable
       val gen = currentGen()
@@ -524,7 +561,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           shadows.write.mode("append").parquet(delPathOf(gen))
           tombRows.addAndGet(shadowCnt)
         }
-      } finally shadows.unpersist(blocking = false)
+      } finally {
+        shadows.unpersist(blocking = false)
+        inFlightCommits.remove(shadowSeq)
+        inFlightCommits.remove(dataSeq)
+      }
       ensureInReadWindow(gen, "loadFrame")
     } finally incoming.unpersist(blocking = false)
   }
@@ -572,10 +613,14 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       ).distinct // a crashed upsert can leave a transient duplicate row
     if (present.nonEmpty) {
       val gen = currentGen()
-      present.toDF("id")
-        .withColumn("namespace", lit(namespace))
-        .withColumn("seq", lit(nextSeq()))
-        .write.mode("append").parquet(delPathOf(gen))
+      val tombSeq = nextSeq()
+      inFlightCommits.add(tombSeq)
+      try
+        present.toDF("id")
+          .withColumn("namespace", lit(namespace))
+          .withColumn("seq", lit(tombSeq))
+          .write.mode("append").parquet(delPathOf(gen))
+      finally inFlightCommits.remove(tombSeq)
       tombRows.addAndGet(present.size)
       ensureInReadWindow(gen, "delete")
     }
@@ -701,7 +746,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *    probe policy would be unprincipled — use the exact path.
     *  - "pq": the codes-only ADC sweep over the probed cells
     *    ([[searchPq]]) — cosine only (codes encode L2-normalized
-    *    subvectors; ascending ADC is descending cosine). */
+    *    subvectors; ascending ADC is descending cosine).
+    *  - "bq": the sign-bit hamming sweep over the probed cells
+    *    ([[searchBq]]) — cosine only (midpoint sign bits preserve
+    *    angular structure; exact cosine rerank), 8 bytes per 64 dims —
+    *    the cheapest candidate kernel in the family. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   approx: Boolean = false,
@@ -716,8 +765,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         require(metric == "cosine",
           s"durable PQ search is cosine only (normalized-subvector ADC / cosine rerank), got metric '$metric'")
         searchPq(query, k, namespace, persistLut = false)
+      case "bq" =>
+        require(metric == "cosine",
+          s"durable BQ search is cosine only (sign-bit codes preserve angular structure; cosine rerank), got metric '$metric'")
+        searchBq(query, k, namespace, persistProbes = false)
       case other => throw new IllegalArgumentException(
-        s"unknown durable index '$other' (expected ivf | pq)")
+        s"unknown durable index '$other' (expected ivf | pq | bq)")
     }
 
   /** [[findSimilar]] against the [[liveAsOf]] snapshot at `asOf` — the
@@ -790,10 +843,24 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   private val AnnSeed = 42L
 
+  /** Per-instance tag for derived-artifact dirs that must not collide
+    * across processes sharing a layout root. */
+  private val procTag: String = ProcessHandle.current().pid() + "_" +
+    DurableVectorStore.instanceIds.incrementAndGet()
+
+  /** SHARED layout root for this store's path — set iff [[AnnDirConf]]
+    * is configured. Epoch dirs inside it are named by (namespace, dim,
+    * generation, builtSeq) and carry a `_BUILT` marker once complete,
+    * so ANY process serving the same store path can ADOPT a finished
+    * layout instead of paying its own build (cross-process build
+    * dedup — r11). Without the conf, layouts fall back to a
+    * process-private temp root (local/test only; nothing to adopt). */
+  private lazy val annSharedRoot: Option[String] =
+    spark.conf.getOption(AnnDirConf)
+      .map(_ + "/ann_" + path.replaceAll("[^A-Za-z0-9._-]", "_"))
+
   private lazy val annRoot: String =
-    spark.conf.getOption(AnnDirConf).map(_ + "/durable_ann_" +
-      ProcessHandle.current().pid() + "_" +
-      DurableVectorStore.instanceIds.incrementAndGet())
+    annSharedRoot
       .getOrElse(java.nio.file.Files.createTempDirectory("graft_dann_").toString)
 
   /** Ratio of post-build mutations (delta-tail data rows + post-build
@@ -864,6 +931,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   def refreshAnnIndex(namespace: String, dim: Int): Unit = {
     annCache.remove((namespace, dim))
     pqCache.remove((namespace, dim))
+    bqCache.remove((namespace, dim))
   }
 
   /** Build-or-reuse the IVF layout for (namespace, dim). The build
@@ -880,7 +948,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * Probes holding the old entry keep serving it (the old aux dir is
     * never deleted in-place); the cache swap is atomic. */
   private def annLayout(namespace: String, dim: Int,
-                        stale: Option[AnnEntry] = None): Option[AnnEntry] = {
+                        stale: Option[AnnEntry] = None,
+                        deferOnLoss: Boolean = false): Option[AnnEntry] = {
     val key = (namespace, dim)
     def cached: Option[AnnEntry] =
       Option(annCache.get(key)).filterNot(e => stale.exists(_.aux == e.aux))
@@ -888,38 +957,163 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       annBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
         cached.orElse {
           val builtGen = currentGen()
-          val builtSeq = currentSeq()
-          // the layout carries the FULL record (not just the vector):
-          // a probe then serves hits straight from the probed cells,
-          // never re-scanning the namespace for enrichment
-          val rows = liveAsOf(builtSeq).filter(col("namespace") === namespace)
-            .select(col("id"), col("values"), col("metadata"),
-              col("metadataJson")).toDF()
-          val total = rows.count()
-          if (total == 0) { annCache.remove(key); None }
-          else {
-            annBuilds.incrementAndGet()
-            val centers = graft.operators.Ann.trainQuantizer(
-              rows, "id", "values", total,
-              graft.operators.Ann.ivfCellsFor(total), AnnSeed)
-            val aux = annRoot + "/" +
-              namespace.replaceAll("[^A-Za-z0-9._-]", "_") +
-              s"_g${builtGen}_s${builtSeq}_d$dim"
-            graft.operators.Ann.writeInvertedFile(rows, "id", "values",
-              centers, aux)
-            val entry = AnnEntry(builtSeq, builtGen, aux, centers, total)
-            // evict the replaced layout's cached frames (records + codes)
-            stale.foreach { s =>
-              layoutFrameCache.keySet.removeIf(_.startsWith(s.aux))
-              pqCache.remove(key)
-            }
-            annCache.put(key, entry)
-            Some(entry)
+          // 1. ADOPT (r11 cross-process build dedup): a peer's finished
+          //    shared layout at this generation, newer than the entry
+          //    being replaced, serves without paying a build here
+          val adopted = adoptSharedLayout(namespace, dim, builtGen)
+            .filter(e => stale.forall(s =>
+              e.aux != s.aux &&
+                (e.builtGen != s.builtGen || e.builtSeq > s.builtSeq)))
+          adopted match {
+            case Some(e) =>
+              evictReplaced(key, stale)
+              annCache.put(key, e)
+              Some(e)
+            case None => buildOrDefer(key, namespace, dim, builtGen, stale,
+              deferOnLoss)
           }
         }
       }
     }
   }
+
+  /** The build arm of [[annLayout]]: STALENESS rebuilds (`deferOnLoss`)
+    * first run the cross-process election — the loser keeps serving the
+    * entry being replaced (correct, merely less fresh) and adopts the
+    * winner's finished layout on a later probe; generation-gate rebuilds
+    * and initial builds never defer (correctness / nothing to serve). */
+  private def buildOrDefer(key: (String, Int), namespace: String, dim: Int,
+                           builtGen: Int, stale: Option[AnnEntry],
+                           deferOnLoss: Boolean): Option[AnnEntry] = {
+    if (deferOnLoss && stale.exists(s => !claimAnnRebuild(namespace, dim, s)))
+      return stale
+    // snapshot at the durable horizon, not the raw allocation counter:
+    // a commit mid-write with seq ≤ the snapshot would be in neither the
+    // layout (files not yet visible to the scan) nor the delta tail
+    // (seq ≤ builtSeq) — the build-horizon guard (r11)
+    val builtSeq = durableHorizon()
+    // the layout carries the FULL record (not just the vector):
+    // a probe then serves hits straight from the probed cells,
+    // never re-scanning the namespace for enrichment
+    val rows = liveAsOf(builtSeq).filter(col("namespace") === namespace)
+      .select(col("id"), col("values"), col("metadata"),
+        col("metadataJson")).toDF()
+    val total = rows.count()
+    if (total == 0) { annCache.remove(key); None }
+    else {
+      annBuilds.incrementAndGet()
+      val centers = graft.operators.Ann.trainQuantizer(
+        rows, "id", "values", total,
+        graft.operators.Ann.ivfCellsFor(total), AnnSeed)
+      val auxBase = annRoot + "/" +
+        namespace.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"_g${builtGen}_s${builtSeq}_d$dim"
+      // epoch-dir claim: two processes landing on the SAME (gen, seq)
+      // epoch must not interleave writes into one dir — the loser
+      // builds into a process-suffixed dir (correct, just not adopted)
+      val aux = if (atomicCreate(auxBase + ".claim")) auxBase
+                else auxBase + "_" + procTag
+      graft.operators.Ann.writeInvertedFile(rows, "id", "values",
+        centers, aux)
+      // persist the centers so a peer can adopt without retraining,
+      // then mark the epoch complete — adoption reads only _BUILT dirs
+      import spark.implicits._
+      centers.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "vector")
+        .coalesce(1).write.mode("overwrite").parquet(s"$aux/centers")
+      atomicCreate(s"$aux/_BUILT")
+      val entry = AnnEntry(builtSeq, builtGen, aux, centers, total)
+      // evict the replaced layout's cached frames (records + codes)
+      evictReplaced(key, stale)
+      annCache.put(key, entry)
+      Some(entry)
+    }
+  }
+
+  private def evictReplaced(key: (String, Int),
+                            stale: Option[AnnEntry]): Unit =
+    stale.foreach { s =>
+      layoutFrameCache.keySet.removeIf(_.startsWith(s.aux))
+      pqCache.remove(key)
+      bqCache.remove(key)
+    }
+
+  /** Newest finished (`_BUILT`) shared-epoch layout for (namespace, dim)
+    * at generation `gen`, rehydrated from its persisted `centers/` and a
+    * footer-only row count — None without a shared root, on an empty
+    * listing, or if the chosen epoch is unreadable (partially reclaimed:
+    * fall through to a fresh build). One directory listing per BUILD
+    * DECISION, not per probe (cached entries short-circuit upstream). */
+  private def adoptSharedLayout(namespace: String, dim: Int,
+                                gen: Int): Option[AnnEntry] =
+    annSharedRoot.flatMap { root =>
+      val fs = hadoopFs(root)
+      val hp = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(hp)) None
+      else {
+        val ns = namespace.replaceAll("[^A-Za-z0-9._-]", "_")
+        val pat = (java.util.regex.Pattern.quote(ns) +
+          s"_g${gen}_s(\\d+)_d$dim").r
+        val done = fs.listStatus(hp).iterator.flatMap { st =>
+          st.getPath.getName match {
+            case pat(s) if fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_BUILT")) =>
+              Some((s.toLong, st.getPath.toString))
+            case _ => None
+          }
+        }.toSeq
+        if (done.isEmpty) None
+        else {
+          val (builtSeq, aux) = done.maxBy(_._1)
+          try {
+            val centers = spark.read.parquet(s"$aux/centers")
+              .select(col("cell"), col("vector"))
+              .orderBy(col("cell"))
+              .collect()
+              .map(_.getSeq[Float](1).toArray)
+            val rows = layoutFrame(s"$aux/index").count()
+            Some(AnnEntry(builtSeq, gen, aux, centers, rows))
+          } catch { case _: Exception => None }
+        }
+      }
+    }
+
+  /** Millis after which a rebuild claim from a crashed builder expires
+    * (mod-time based) — liveness for the election. */
+  val AnnBuildClaimTtlMsConf = "spark.graft.durable.ann.buildClaimTtlMs"
+  private def annBuildClaimTtlMs: Long =
+    spark.conf.getOption(AnnBuildClaimTtlMsConf).map(_.toLong)
+      .getOrElse(600000L)
+
+  /** Election for STALENESS rebuilds (VERDICT r10 #3): one process per
+    * shared root wins the `claims/` marker (the commits/ atomic-create
+    * pattern) and pays the rebuild; losers keep serving the entry being
+    * replaced and adopt the winner's finished epoch on a later probe.
+    * The claim is keyed by the epoch being REPLACED — well-defined
+    * across processes because peers ADOPT each other's epochs and so
+    * hold the same (gen, builtSeq) stamp. A crashed winner's claim
+    * expires after [[AnnBuildClaimTtlMsConf]]. Without a shared root
+    * there is nothing to adopt, so every process builds (true). */
+  private def claimAnnRebuild(namespace: String, dim: Int,
+                              stale: AnnEntry): Boolean =
+    annSharedRoot.forall { root =>
+      val ns = namespace.replaceAll("[^A-Za-z0-9._-]", "_")
+      val marker =
+        s"$root/claims/rebuild_${ns}_d${dim}_g${stale.builtGen}_s${stale.builtSeq}"
+      atomicCreate(marker) || {
+        val fs = hadoopFs(marker)
+        val hp = new org.apache.hadoop.fs.Path(marker)
+        val aged =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(hp).getModificationTime > annBuildClaimTtlMs
+          catch { case _: Exception => true } // vanished → retry the create
+        aged && {
+          try fs.delete(hp, false) catch { case _: Exception => () }
+          atomicCreate(marker)
+        }
+      }
+    }
 
   /** The freshness gates applied by every indexed probe, in order:
     *  1. GENERATION gate (correctness — see [[AnnEntry]]): an advanced
@@ -953,10 +1147,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
               .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
               .count()
           if (tail.toDouble < ratio * e.rows.toDouble) Some(e)
-          else annLayout(namespace, dim, Some(e))
+          // staleness is a PERFORMANCE rebuild: contend for the
+          // cross-process claim, and keep serving the old entry on loss
+          else annLayout(namespace, dim, Some(e), deferOnLoss = true)
         }
       }
     }
+
+  /** Dir for artifacts DERIVED from an epoch layout (PQ / BQ codes):
+    * under a SHARED root each process derives into its own suffixed dir
+    * — two peers deriving codes for one adopted epoch must not
+    * interleave writes into a single path. (The derivations are
+    * deterministic, so the duplicates are identical; only the write
+    * collision is being avoided.) Private roots keep the bare name. */
+  private def derivedAux(annAux: String, kind: String): String =
+    annAux + "/" + kind +
+      (if (annSharedRoot.isDefined) "_" + procTag else "")
 
   /** Immutable layout frames cached per path (aux dirs are write-once;
     * replaced layouts get FRESH dirs): a fresh `spark.read` per probe
@@ -1119,7 +1325,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             .select(col("id"), col("values"), col("cell"))
           val codebookSeq = graft.operators.Pq.trainCodebooks(
             recs, "id", "values", ann.rows, dim)
-          val aux = s"${ann.aux}/pq"
+          val aux = derivedAux(ann.aux, "pq")
           recs.withColumn("codes",
               graft.functions.PqEncode(col("values"), codebookSeq))
             .select(col("id"), col("codes"), col("cell"))
@@ -1190,6 +1396,151 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .withColumn("adc", graft.operators.Pq.adcCol)
       .orderBy(col("adc"), col("id"))
       .limit(graft.operators.Pq.CandN)
+      .select(col("id").as("__cid"))
+    val cols = Seq(col("id"), col("values"), col("metadata"),
+      col("metadataJson"))
+    val main = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(probed: _*))
+      .select(cols: _*)
+      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+        col("id") === col("__kid"), "left_anti")
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+      .withColumn("score",
+        Scoring.score("cosine", col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, "cosine").limit(k)
+      .select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[SearchHit].collect().toSeq
+  }
+
+  // ---- durable BQ: sign-bit hamming sweep over the probed cells -------
+
+  /** One durable BQ layout, derived FROM the [[AnnEntry]]'s persisted
+    * inverted file the way [[PqEntry]] derives its codes: each layout
+    * vector is thresholded per-dim at the layout's midpoint grid
+    * (`(min+max)/2`, the [[graft.operators.Bq]] recipe) and the sign
+    * bits pack into ceil(dim/64) BIGINT words — 8 bytes per 64 dims,
+    * the smallest candidate representation in the family and the best
+    * scan kernel at 100 TB (one popcount per word, no float math, no
+    * codebook LUT in the inner loop). Codes live cell-partitioned next
+    * to the records (`<annAux>/bq/codes`), so the probe stays
+    * partition-pruned; `codes_flat/` + `grid/` are the oracle replay
+    * surface. `annAux` ties the codes to the records layout they
+    * encode — an ANN rebuild orphans them and the next BQ probe
+    * re-derives (same lifecycle as PQ). */
+  private case class BqEntry(annAux: String, aux: String, mids: Array[Double])
+
+  private val bqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), BqEntry]()
+
+  private val bqBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** BQ code-table builds paid by this store — spec hook. */
+  private[graft] val bqBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Codes dir serving (namespace, dim) — oracle hook. */
+  private[graft] def bqLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(bqCache.get((namespace, dim))).map(_.aux)
+
+  /** Build-or-reuse the sign-bit codes for `ann`'s layout: the midpoint
+    * grid is a dim-sized, order-independent min/max pass over the layout
+    * rows (safe to collect — it IS the "codebook" here), packing is the
+    * shared [[graft.operators.Bq.packExprSql]] narrow fold. Deriving
+    * from the layout keeps codes and records consistent by construction
+    * (every code row has a record row in the same cell at the same
+    * `builtSeq`), so the q87 kill-set/delta-tail discipline carries
+    * over unchanged. */
+  private def bqLayoutFor(namespace: String, dim: Int,
+                          ann: AnnEntry): BqEntry = {
+    val key = (namespace, dim)
+    def cached: Option[BqEntry] =
+      Option(bqCache.get(key)).filter(_.annAux == ann.aux)
+    cached.getOrElse {
+      bqBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        cached.getOrElse {
+          bqBuilds.incrementAndGet()
+          val recs = layoutFrame(s"${ann.aux}/index")
+            .select(col("id"), col("values"), col("cell"))
+          val mids = new Array[Double](dim)
+          recs.select(posexplode(col("values")).as(Seq("i", "x")))
+            .groupBy(col("i"))
+            .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+            .collect()
+            .foreach(r => mids(r.getInt(0)) =
+              (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0)
+          val aux = derivedAux(ann.aux, "bq")
+          recs.withColumn("mids", typedLit(mids.toSeq))
+            .withColumn("code",
+              expr(graft.operators.Bq.packExprSql(dim, "values", "mids")))
+            .select(col("id"), col("code"), col("cell"))
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/codes")
+          // oracle replay surface: flat (id, cell, w, word) + the grid
+          spark.read.parquet(s"$aux/codes")
+            .select(col("id"), col("cell"),
+              posexplode(col("code")).as(Seq("w", "word")))
+            .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
+          mids.zipWithIndex
+            .map { case (m, i) => (i, m) }.toSeq
+            .toDF("i", "mid")
+            .coalesce(1).write.mode("overwrite").parquet(s"$aux/grid")
+          val entry = BqEntry(ann.aux, aux, mids)
+          bqCache.put(key, entry)
+          entry
+        }
+      }
+    }
+  }
+
+  /** Graded-path variant of the BQ probe — persists `probes/` next to
+    * the codes for oracle replay (the q92 contract; the grid and codes
+    * are already persisted by the build). */
+  private[graft] def findSimilarBqGraded(query: Seq[Float], k: Int,
+                                         namespace: String): Seq[SearchHit] =
+    searchBq(query, k, namespace, persistProbes = true)
+
+  /** The durable BQ read plan — [[searchPq]]'s shape with the hamming
+    * sweep in front: pack the query against the layout's grid
+    * (driver-side, dim-sized), sweep the PROBED cells' 8-byte-per-word
+    * codes with one xor+popcount per word, cut to
+    * [[graft.operators.Bq.CandN]] on (hamming, id) — integer-valued, no
+    * float tie boundary — then the exact cosine rerank over the probed
+    * cells' records minus the post-build kill set, union the exact
+    * delta tail. Generation gate and retry identical to IVF/PQ. */
+  private def searchBq(query: Seq[Float], k: Int, namespace: String,
+                       persistProbes: Boolean): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length) match {
+        case None => return Seq.empty
+        case Some(e) =>
+          val bq = bqLayoutFor(namespace, query.length, e)
+          val hits = probeBq(query, k, namespace, e, bq, persistProbes)
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
+    }
+    searchOver(live(), query, k, "cosine", namespace)
+  }
+
+  private def probeBq(query: Seq[Float], k: Int, namespace: String,
+                      e: AnnEntry, bq: BqEntry,
+                      persistProbes: Boolean): Seq[SearchHit] = {
+    val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
+      graft.operators.Ann.ivfProbeFor(e.centers.length))
+    val qcode = graft.operators.Bq.packBits(query, bq.mids)
+    if (persistProbes)
+      probed.toDF("cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"${bq.aux}/probes")
+    val candIds = layoutFrame(s"${bq.aux}/codes")
+      .where(col("cell").isin(probed: _*))
+      .withColumn("qcode", typedLit(qcode.toSeq))
+      .withColumn("ham", expr(
+        "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+      .orderBy(col("ham"), col("id"))
+      .limit(graft.operators.Bq.CandN)
       .select(col("id").as("__cid"))
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
 import graft.functions.Det.r4
+import graft.sources.Tables
 
 /** Per-user session accumulator carried across micro-batches (top-level:
   * encoder codegen needs public classes). */
@@ -29,27 +30,43 @@ final case class Ev(user_id: Long, ts_us: Long, event_id: Long)
   */
 object EventStream {
 
-  /** Raw parquet schema of `events` (ts read as nanosecond longs — Spark 4
-    * rejects TIMESTAMP(NANOS) otherwise; see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema of `events`, matching how the corpus was
+    * written: the streaming file source needs the schema declared up
+    * front, so probe the file's batch schema once (footer-only) and
+    * declare `ts` as the type actually on disk — nanosecond LONG for the
+    * legacy corpus (Spark 4 rejects TIMESTAMP(NANOS) otherwise; see
+    * Tables.events), TIMESTAMP_NTZ for the µs corpus (r11). A mismatched
+    * declared type would silently misread the column, not error. */
+  def rawSchema(spark: SparkSession, dir: String): StructType = {
+    val tsType = Tables.table(spark, dir, "events").schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** Streaming source over the events parquet with the same µs-timestamp
     * normalization as the batch loader (requires Tables.requiredConfs at
     * session build — loaders never mutate a live session's conf). */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(rawSchema(spark, dir))
       // the streaming file source wants a directory; glob down to the
       // events table inside the sf dir
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling 1-hour windowed counts + value sums per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -536,4 +536,77 @@ class DurableStoreSpec extends AnyFunSuite {
         index = "pq")
     }
   }
+
+  test("durable BQ: sign-bit sweep agrees with exact; deletes killed, delta served, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"b$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "bq")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, namespace = "bq", approx = true,
+      index = "bq")
+    assert(first.head.id == "b9")
+    assert(d.bqBuilds.get() == 1 && d.annBuilds.get() == 1)
+    // post-layout mutations: the q87 discipline must hold under BQ too
+    assert(d.delete(Seq("b9"), "bq") == Seq("b9"))
+    d.loadFrame(frame(Seq(("zbq", q))), "bq")
+    val hits = d.findSimilar(q, k = 5, namespace = "bq", approx = true,
+      index = "bq")
+    assert(!hits.map(_.id).contains("b9"), "BQ served a deleted row")
+    assert(hits.head.id == "zbq" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.bqBuilds.get() == 1 && d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the sign-bit codes")
+    // exact-path agreement on the top hit
+    assert(hits.head.id ==
+      d.findSimilar(q, k = 5, namespace = "bq").head.id)
+    // the codes table really is sign bits only (id, code words, cell):
+    // 4 dims pack into ONE bigint word — 8 bytes per candidate row
+    val codesDir = d.bqLayoutDir("bq", 4).get + "/codes"
+    val codes = spark.read.parquet(codesDir)
+    assert(codes.schema.fieldNames.toSet == Set("id", "code", "cell"),
+      s"codes table carries more than sign bits: ${codes.schema.fieldNames.toSet}")
+    import org.apache.spark.sql.functions.{col, size => asize}
+    assert(codes.where(asize(col("code")) =!= 1).count() == 0,
+      "4-dim vectors must pack into exactly one 64-bit word")
+    // BQ is cosine-only, loudly
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "bq", approx = true,
+        index = "bq")
+    }
+  }
+
+  test("cross-process build election: a second store over one root adopts, exactly one build") {
+    val root = tmp()
+    val shared = tmp()
+    val s1 = new DurableVectorStore(spark, root)
+    spark.conf.set(s1.AnnDirConf, shared)
+    try {
+      val rows = (0 until 40).map(i =>
+        (s"e$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+          (i % 5).toFloat)))
+      s1.loadFrame(frame(rows), "el")
+      val q = rows(7)._2
+      val h1 = s1.findSimilar(q, k = 3, namespace = "el", approx = true)
+      assert(h1.head.id == "e7")
+      assert(s1.annBuilds.get() == 1)
+      // a SECOND serving process over the same store root: must ADOPT
+      // the finished shared epoch, not pay a duplicate build
+      val s2 = new DurableVectorStore(spark, root)
+      val h2 = s2.findSimilar(q, k = 3, namespace = "el", approx = true)
+      assert(h2.map(h => (h.id, h.score)) == h1.map(h => (h.id, h.score)),
+        "adopted layout answered differently from the builder's")
+      assert(s2.annBuilds.get() == 0,
+        "second process duplicated the layout build")
+      // mutations through the adopter stay exact: kill set + delta tail
+      // anchor to the ADOPTED builtSeq
+      assert(s2.delete(Seq("e7"), "el") == Seq("e7"))
+      s2.loadFrame(frame(Seq(("zel", q))), "el")
+      val h3 = s2.findSimilar(q, k = 3, namespace = "el", approx = true)
+      assert(!h3.map(_.id).contains("e7"), "adopted layout served a deleted row")
+      assert(h3.head.id == "zel")
+      assert(s2.annBuilds.get() == 0,
+        "sub-threshold mutations must not rebuild an adopted layout")
+    } finally spark.conf.unset(s1.AnnDirConf)
+  }
 }

@@ -88,10 +88,10 @@ class StreamingSpec extends AnyFunSuite {
   test("hopping-window stream equals the batch epoch-aligned two-window assignment") {
     import org.apache.spark.sql.functions._
     val slide = 1800000000L
-    // raw events parquet carries ns longs; µs like EventStream.source
-    val us = expr("ts div 1000")
+    // normalized µs timestamps via the shared adaptive loader
+    val us = unix_micros(col("ts"))
     val g = us - (us % lit(slide))
-    val batch = graft.sources.Tables.table(spark, dir, "events")
+    val batch = graft.sources.Tables.events(spark, dir)
       .select(col("event_type"), col("value"),
         explode(array(g, g - lit(slide))).as("bucket_us"))
       .groupBy(col("bucket_us"), col("event_type"))
@@ -112,8 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     // the SAME native session_window function in a batch aggregation is
     // the in-JVM parity twin (the DuckDB oracle independently replays
     // the merge rule as gap-and-islands)
-    val batch = graft.sources.Tables.table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.sources.Tables.events(spark, dir)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Det.r4(sum(col("value"))).as("sum_value"))
