@@ -25,6 +25,15 @@ object Det {
   def r4Sql(e: String): String =
     s"(floor(($e) * 10000.0 + 0.5) / 10000.0)"
 
+  /** Finer (1e-6) twin of [[r4]] for values that FEED further arithmetic
+    * (the Lloyd's-loop centroid chain): same floor-based formula in both
+    * engines, so no engine rounding-mode semantics are involved. */
+  def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  def r6Sql(e: String): String =
+    s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+
   // DuckDB-side vector scoring, the ONE copy every ANN/store/retrieval
   // oracle delegates to — the cast/shape must match the Spark kernels'
   // float32-elements-accumulated-in-double contract, and a drift here

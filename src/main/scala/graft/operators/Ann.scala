@@ -389,12 +389,20 @@ object Ann {
     * flat (idCol, cell) for oracle replay — derived by reading the
     * just-written index back (two small columns), never by re-running
     * the assignment scan. */
+  /** `assignCol` lets the cell ASSIGNMENT run on a different vector than
+    * the one stored (the MIPS norm-augmented build assigns on the
+    * augmented vector but serves raw records); it is dropped before the
+    * write when it differs from `vecCol`. */
   private[graft] def writeInvertedFile(rows: DataFrame, idCol: String,
                                        vecCol: String,
                                        centers: Array[Array[Float]],
-                                       aux: String): Unit = {
+                                       aux: String,
+                                       assignCol: String = ""): Unit = {
     val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
-    rows.withColumn("cell", graft.functions.NearestCell(col(vecCol), centerSeqs))
+    val ac = if (assignCol.isEmpty) vecCol else assignCol
+    val assigned = rows
+      .withColumn("cell", graft.functions.NearestCell(col(ac), centerSeqs))
+    (if (ac == vecCol) assigned else assigned.drop(ac))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
     rows.sparkSession.read.parquet(s"$aux/index")
       .select(col(idCol), col("cell"))
@@ -555,8 +563,8 @@ object Ann {
   // (candidates = probed cells' members, rerank exact), so [[q33Sql]]
   // replays this layout unchanged.
 
-  private val ImiSeedLo = 4242L
-  private val ImiSeedHi = 4243L
+  private[graft] val ImiSeedLo = 4242L
+  private[graft] val ImiSeedHi = 4243L
 
   /** Per-side codebook size: k = ⌈n^(1/4)⌉ clamped to [4, 64], so the
     * k² grid tracks the flat policy's √n cells while each side's

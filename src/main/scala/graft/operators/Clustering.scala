@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det
@@ -101,9 +101,167 @@ object Clustering {
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
   }
 
+  // ---- q104: the FULL Lloyd's loop (VERDICT r10 #7) -------------------
+  //
+  // q80 grades one iteration; q104 grades the LOOP — three chained
+  // assignment+update rounds whose centroid hand-off is deterministic
+  // across engines: each round's updated centroids are quantized with
+  // the floor-based [[Det.r6]] formula (identical arithmetic in Spark
+  // and DuckDB — no engine rounding-mode semantics), so round t+1's
+  // assignment runs on byte-identical centroid inputs in both engines
+  // and the only float tolerance left is the r4 on the REPORTED
+  // statistics, q80's own contract. Per round the distributed shape is
+  // exactly q80's: one corpus scan, broadcast k×dim centroids,
+  // map-side-combinable argmin, k×dim-sized update shuffle, and a
+  // k×dim driver collect (the re-broadcast hand-off — the loop's only
+  // driver traffic). At 100 TB: rounds × one-scan-each, nothing else
+  // grows with the data.
+
+  private[graft] val LloydRounds = 3
+
+  /** Distance to a DOUBLE centroid array — the same sequential
+    * zip-fold shape as [[graft.functions.VectorFunctions.l2sq]], so the
+    * DuckDB twin (list_sum over list_zip) sums in the same order. */
+  private def dToCv: Column = expr(
+    """aggregate(zip_with(embedding, cv, (x, m) ->
+      |  (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),
+      |  CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin)
+
+  /** One Lloyd round: argmin assignment against the broadcast centroid
+    * frame `(cid, cv: array<double>)`, returning (vec_id, cid, d,
+    * embedding). */
+  private def assignRound(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d", dToCv)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"),
+        col("embedding"))
+
+  /** Centroid update: per-(cid, dim) mean quantized at [[Det.r6]],
+    * collected k×dim-sized and rebuilt as the next round's broadcast
+    * frame. Clusters that lost every member drop out (both engines
+    * agree — the replay builds its next round from the same rows). */
+  private def updateRound(asg: DataFrame): Seq[(Int, Seq[Double])] =
+    asg.select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(Det.r6(avg(col("x").cast("double"))).as("mu"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      .toSeq.sortBy(_._1)
+
+  private def centFrame(spark: SparkSession,
+                        cs: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cs.toDF("cid", "cv")
+  }
+
+  /** The library surface: iterate to a movement threshold (total
+    * squared centroid displacement ≤ `eps`) or `maxRounds`. Returns the
+    * final centroids and the number of UPDATE rounds run. Seeds are the
+    * k lowest-id vectors (the graded queries' deterministic policy). */
+  def lloydLoop(spark: SparkSession, dir: String, k: Int, eps: Double,
+                maxRounds: Int): (Seq[(Int, Seq[Double])], Int) = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents = embeddings(spark, dir).where(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq.sortBy(_._1)
+    var rounds = 0
+    var movement = Double.MaxValue
+    while (rounds < maxRounds && movement > eps) {
+      val next = updateRound(assignRound(e, centFrame(spark, cents)))
+      val prev = cents.toMap
+      movement = next.map { case (cid, cv) =>
+        prev.get(cid).map(p =>
+          cv.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+          .getOrElse(Double.MaxValue)
+      }.sum
+      cents = next
+      rounds += 1
+    }
+    (cents, rounds)
+  }
+
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // round 0: exact float seeds as doubles (no quantization needed —
+    // float→double is exact in both engines)
+    var cents = embeddings(spark, dir).where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq.sortBy(_._1)
+    var prev = cents
+    var asg: DataFrame = null
+    (1 to LloydRounds).foreach { _ =>
+      asg = assignRound(e, centFrame(spark, cents))
+      prev = cents
+      cents = updateRound(asg)
+    }
+    // report: final-round assignment stats + last-round movement
+    val mv = cents.map { case (cid, cv) =>
+      val p = prev.toMap.apply(cid)
+      (cid, cv.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    asg.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), avg(col("d")).as("avg_d"))
+      .join(broadcast(centFrame(spark, mv.map { case (c, m) => (c, Seq(m)) })
+        .select(col("cid"), col("cv").getItem(0).as("movement"))), Seq("cid"))
+      .select(col("cid"), col("n"), Det.r4(col("avg_d")).as("avg_d"),
+        Det.r4(col("movement")).as("movement"))
+      .orderBy(col("cid"))
+  }
+
+  val q104Sql: String = {
+    val dim = 64
+    def l2d(a: String, cv: String): String =
+      s"list_sum(list_transform(list_zip($a, $cv), p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
+    def round(t: Int, prevC: String): String =
+      s"""d$t AS (
+         |  SELECT e.vec_id, c.cid, e.embedding,
+         |         ${l2d("e.embedding", "c.cv")} AS d
+         |  FROM e, $prevC c),
+         |a$t AS (
+         |  SELECT vec_id, cid, d, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d, cid) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |m$t AS (
+         |  SELECT cid, g.i,
+         |         ${Det.r6Sql(s"avg(embedding[g.i + 1]::DOUBLE)")} AS mu
+         |  FROM a$t, range($dim) g(i) GROUP BY 1, 2),
+         |c$t AS (SELECT cid, list(mu ORDER BY i) AS cv FROM m$t GROUP BY cid)"""
+        .stripMargin
+    val rounds = (1 to LloydRounds)
+      .map(t => round(t, if (t == 1) "c0" else s"c${t - 1}"))
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id::INT AS cid,
+       |         list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |$rounds,
+       |mv AS (
+       |  SELECT a.cid,
+       |         list_sum(list_transform(list_zip(a.cv, b.cv),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS movement
+       |  FROM c$LloydRounds a JOIN c${LloydRounds - 1} b USING (cid))
+       |SELECT a.cid, count(*) AS n,
+       |       ${Det.r4Sql("avg(a.d)")} AS avg_d,
+       |       ${Det.r4Sql("any_value(mv.movement)")} AS movement
+       |FROM a$LloydRounds a JOIN mv ON mv.cid = a.cid
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q80_kmeans_step" -> (q80 _))
+    "q80_kmeans_step" -> (q80 _),
+    "q104_kmeans_lloyd" -> (q104 _))
 
   val oracles: Map[String, String] = Map(
-    "q80_kmeans_step" -> q80Sql)
+    "q80_kmeans_step" -> q80Sql,
+    "q104_kmeans_lloyd" -> q104Sql)
 }

@@ -1169,6 +1169,138 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q103: the store's IMI read path behind the gate ----------------
+
+  private val ImiNs = "q103"
+
+  private val q103Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Layout dir of the most recent q103 run — oracle hook, the
+    * [[lastIvfAux]] contract. */
+  @volatile private var lastStoreImiAux: Option[String] = None
+
+  /** q103: `findSimilar(approx = true, index = "imi")` end-to-end
+    * through the LIVE store (VERDICT r10 #6: q94's two-level grid was
+    * offline-only) — bulk load, store-attached persisted k×k product
+    * grid, pair-sum probe, candidate semi-join, exact rerank. The
+    * layout and probe list are q33-shaped (cell-partitioned `index/`,
+    * flat `assign/`, `probes/`), so the oracle is [[q53Sql]] verbatim:
+    * candidates = probed cells' members, rerank = exact cosine with the
+    * string-id tie-break — the assignment (here the product grid) is the
+    * candidate POLICY, the rerank is the contract. */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q103Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < ApproxN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        ImiNs)
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilarImiGraded(qv, k = K, namespace = ImiNs)
+    lastStoreImiAux = store.imiLayoutDir(ImiNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  // ---- q102: the durable ANN read path in the reference's ip space ----
+
+  private val DIpNs = "q102"
+
+  private val q102Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q102Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  @volatile private var lastDurableIpAux: Option[String] = None
+
+  /** q102: the durable IVF read path in the reference's `ip` space
+    * (`Index(space="ip")`, `implementations/index.py:18` — reachable in
+    * the reference, refused by our indexed path through r10). The
+    * layout's cells are trained/assigned in the norm-AUGMENTED geometry
+    * (the MIPS-to-L2 reduction — see the store scaladoc), so nearest-
+    * cell probing is principled for an unnormalized dot product; the
+    * candidates then get the EXACT ip scoring (1 − dot) with ASCENDING
+    * rank, q39's contract. Script and LSM discipline identical to
+    * q93: load → first ip search builds the mips layout → post-layout
+    * deletes + delta appends → graded ip search; oracle replays
+    * persisted candidates (`assign/` ⋈ `probes/`) ∪ delta over
+    * load-minus-deletes with exact ip scoring — candidates-are-policy,
+    * rerank-is-contract. */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dip_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q102Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q102Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DIpNs)
+      s.findSimilar(qv, k = K, metric = "ip", namespace = DIpNs, approx = true)
+      require(s.annBuilds.get() >= 1, "q102 mips layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DIpNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DIpNs)
+      s
+    })
+    val hits = store.findSimilarIvfGraded(qv, k = K, namespace = DIpNs,
+      metric = "ip")
+    require(store.annBuilds.get() == 1,
+      "q102's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    lastDurableIpAux = store.annLayoutDir(DIpNs, qv.length, space = "mips")
+      .map(_._1)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of q102: the q93 candidate replay with ip scoring
+    * (1 − dot) and ascending rank. */
+  def q102Sql(aux: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, 1.0 - ${Det.dotSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q101: the durable store's BINARY (BQ / sign-bit) read path -----
 
   private val DBqNs = "q101"
@@ -1318,7 +1450,9 @@ object StoreOps {
       "q87_durable_ann" -> (q87 _),
       "q92_durable_pq" -> (q92 _),
       "q93_durable_ann_l2" -> (q93 _),
-      "q101_durable_bq" -> (q101 _))
+      "q101_durable_bq" -> (q101 _),
+      "q102_durable_ann_ip" -> (q102 _),
+      "q103_store_imi_search" -> (q103 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1342,5 +1476,8 @@ object StoreOps {
       lastDurablePqAux.map(aux => "q92_durable_pq" -> q92Sql(aux)) ++
       lastDurableL2Aux.map(aux => "q93_durable_ann_l2" -> q93Sql(aux)) ++
       lastDurableBqAux.map { case (ann, aux) =>
-        "q101_durable_bq" -> q101Sql(ann, aux) }
+        "q101_durable_bq" -> q101Sql(ann, aux) } ++
+      lastDurableIpAux.map(aux => "q102_durable_ann_ip" -> q102Sql(aux)) ++
+      // the IMI layout is q33/q53-shaped, so its oracle is q53Sql itself
+      lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux))
 }

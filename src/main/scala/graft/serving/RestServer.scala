@@ -259,16 +259,17 @@ class RestServer(store: VectorStore, port: Int = 0,
         // optional `approx` routes through a store-attached index (the
         // reference's index-backed read path, index.py:91-129); optional
         // `index` picks which one — "lsh" (default, cached signatures),
-        // "ivf" (persisted inverted file), "pq" (compressed codes), or
-        // "bq" (sign-bit hamming codes)
+        // "ivf" (persisted inverted file), "pq" (compressed codes),
+        // "bq" (sign-bit hamming codes) or "imi" (two-level product grid)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val index = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("lsh") // explicit JSON null = unset
         // validate the index name even when approx is false: a typo'd
         // index on an exact search should 422, not silently run exact
-        if (index != "lsh" && index != "ivf" && index != "pq" && index != "bq")
+        if (index != "lsh" && index != "ivf" && index != "pq" &&
+            index != "bq" && index != "imi")
           throw new IllegalArgumentException(
-            s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq' or 'bq')")
+            s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
         // optional `durable` routes the search to the mounted durable
         // store (read-only; see class doc) — the q51 partition-pruned
         // plan over HTTP

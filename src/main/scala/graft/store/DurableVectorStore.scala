@@ -741,9 +741,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *    ([[annLayout]]); metrics `cosine` AND `l2` — the probe policy
     *    ranks cells by squared L2, which is IVF's native geometry for
     *    l2 (the reference's default space, `index.py:18`) and the
-    *    standard coarse policy for cosine. `ip` is refused: L2 cell
-    *    boundaries put no bound on an unnormalized dot product, so the
-    *    probe policy would be unprincipled — use the exact path.
+    *    standard coarse policy for cosine. `ip` (r11) routes through a
+    *    norm-AUGMENTED layout — the public MIPS-to-L2 reduction (each
+    *    indexed vector gains a `sqrt(M² − ‖x‖²)` dim, the query gains
+    *    0), under which L2 cell ranking IS principled for an
+    *    unnormalized dot product; scoring and rank stay the exact
+    *    reference ip contract (1 − dot, ascending). Through r10 ip was
+    *    refused here (the raw-space policy put no bound on it).
     *  - "pq": the codes-only ADC sweep over the probed cells
     *    ([[searchPq]]) — cosine only (codes encode L2-normalized
     *    subvectors; ascending ADC is descending cosine).
@@ -758,8 +762,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     if (!approx) searchOver(live(), query, k, metric, namespace)
     else index match {
       case "ivf" =>
-        require(metric == "cosine" || metric == "l2",
-          s"approx durable IVF search supports cosine|l2 (L2 cell ranking bounds neither an unnormalized ip), got metric '$metric'")
+        require(metric == "cosine" || metric == "l2" || metric == "ip",
+          s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
         searchApprox(query, k, namespace, metric, persistProbes = false)
       case "pq" =>
         require(metric == "cosine",
@@ -901,17 +905,33 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * (compaction may run in a separate maintenance job — the previous
     * design cleared only the compacting process's cache, so a stale
     * serving layout could resurrect deleted rows indefinitely). */
+  /** `space` is the geometry the CELL ASSIGNMENT ran in: "raw" (L2 over
+    * the stored vectors — serves both l2 and, on L2-normalized data,
+    * cosine) or "mips" (L2 over norm-AUGMENTED vectors: each indexed x
+    * gains a dim `sqrt(M² − ‖x‖²)` with M = max corpus norm, the query
+    * gains 0 — the public MIPS-to-L2 reduction: the augmented L2
+    * distance is `M² + ‖q‖² − 2·x·q`, monotone in the inner product, so
+    * nearest-cell probing is principled for an UNNORMALIZED dot product,
+    * which plain L2 cell ranking is not). The stored records are raw in
+    * both spaces; augmentation exists only in centers/assignment. */
   private case class AnnEntry(builtSeq: Long, builtGen: Int, aux: String,
-                              centers: Array[Array[Float]], rows: Long)
+                              centers: Array[Array[Float]], rows: Long,
+                              space: String)
+
+  /** Cache key: (namespace, dim, space). */
+  private type AnnKey = (String, Int, String)
 
   private val annCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), AnnEntry]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, AnnEntry]()
 
   private val annBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, Object]()
 
   private val annLastStaleCheck =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), AtomicLong]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, AtomicLong]()
+
+  private def spaceOf(metric: String): String =
+    if (metric == "ip") "mips" else "raw"
 
   /** Layout builds paid by this store — spec hook (serving must not
     * rebuild per request; the staleness trigger must rebuild exactly
@@ -921,18 +941,21 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   /** Layout dir serving (namespace, dim) — oracle hook, with the build
     * stamp the delta tail is anchored to. None until an approx search
     * has built one. */
-  private[graft] def annLayoutDir(namespace: String, dim: Int): Option[(String, Long)] =
-    Option(annCache.get((namespace, dim))).map(e => (e.aux, e.builtSeq))
+  private[graft] def annLayoutDir(namespace: String, dim: Int,
+                                  space: String = "raw"): Option[(String, Long)] =
+    Option(annCache.get((namespace, dim, space))).map(e => (e.aux, e.builtSeq))
 
-  /** Drop the cached layout for (namespace, dim): the next approx search
-    * rebuilds over the current live set, folding the delta tail back
-    * into the index — the on-demand form of the maintenance the
-    * staleness trigger and [[compact]] run automatically. */
-  def refreshAnnIndex(namespace: String, dim: Int): Unit = {
-    annCache.remove((namespace, dim))
-    pqCache.remove((namespace, dim))
-    bqCache.remove((namespace, dim))
-  }
+  /** Drop the cached layouts for (namespace, dim) in every space: the
+    * next approx search rebuilds over the current live set, folding the
+    * delta tail back into the index — the on-demand form of the
+    * maintenance the staleness trigger and [[compact]] run
+    * automatically. */
+  def refreshAnnIndex(namespace: String, dim: Int): Unit =
+    Seq("raw", "mips").foreach { sp =>
+      annCache.remove((namespace, dim, sp))
+      pqCache.remove((namespace, dim, sp))
+      bqCache.remove((namespace, dim, sp))
+    }
 
   /** Build-or-reuse the IVF layout for (namespace, dim). The build
     * SNAPSHOTS the store at `builtSeq = currentSeq()` and indexes
@@ -948,9 +971,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * Probes holding the old entry keep serving it (the old aux dir is
     * never deleted in-place); the cache swap is atomic. */
   private def annLayout(namespace: String, dim: Int,
+                        space: String = "raw",
                         stale: Option[AnnEntry] = None,
                         deferOnLoss: Boolean = false): Option[AnnEntry] = {
-    val key = (namespace, dim)
+    val key = (namespace, dim, space)
     def cached: Option[AnnEntry] =
       Option(annCache.get(key)).filterNot(e => stale.exists(_.aux == e.aux))
     cached.orElse {
@@ -960,7 +984,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           // 1. ADOPT (r11 cross-process build dedup): a peer's finished
           //    shared layout at this generation, newer than the entry
           //    being replaced, serves without paying a build here
-          val adopted = adoptSharedLayout(namespace, dim, builtGen)
+          val adopted = adoptSharedLayout(namespace, dim, builtGen, space)
             .filter(e => stale.forall(s =>
               e.aux != s.aux &&
                 (e.builtGen != s.builtGen || e.builtSeq > s.builtSeq)))
@@ -969,8 +993,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
               evictReplaced(key, stale)
               annCache.put(key, e)
               Some(e)
-            case None => buildOrDefer(key, namespace, dim, builtGen, stale,
-              deferOnLoss)
+            case None => buildOrDefer(key, namespace, dim, space, builtGen,
+              stale, deferOnLoss)
           }
         }
       }
@@ -982,8 +1006,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * entry being replaced (correct, merely less fresh) and adopts the
     * winner's finished layout on a later probe; generation-gate rebuilds
     * and initial builds never defer (correctness / nothing to serve). */
-  private def buildOrDefer(key: (String, Int), namespace: String, dim: Int,
-                           builtGen: Int, stale: Option[AnnEntry],
+  private def buildOrDefer(key: AnnKey, namespace: String, dim: Int,
+                           space: String, builtGen: Int,
+                           stale: Option[AnnEntry],
                            deferOnLoss: Boolean): Option[AnnEntry] = {
     if (deferOnLoss && stale.exists(s => !claimAnnRebuild(namespace, dim, s)))
       return stale
@@ -1002,19 +1027,34 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     if (total == 0) { annCache.remove(key); None }
     else {
       annBuilds.incrementAndGet()
+      // MIPS space: train/assign on norm-AUGMENTED vectors (see
+      // [[AnnEntry]]); the stored records stay raw in either space
+      val (trainRows, trainCol, assignCol) =
+        if (space == "mips") {
+          val norm2 =
+            "aggregate(values, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+          val m2 = rows.selectExpr(s"max($norm2) AS m2").head() match {
+            case r if r.isNullAt(0) => 0.0
+            case r => r.getDouble(0)
+          }
+          (rows.withColumn("__aug", expr(
+            s"concat(values, array(CAST(sqrt(greatest($m2 - ($norm2), CAST(0 AS DOUBLE))) AS FLOAT)))")),
+            "__aug", "__aug")
+        } else (rows, "values", "")
       val centers = graft.operators.Ann.trainQuantizer(
-        rows, "id", "values", total,
+        trainRows, "id", trainCol, total,
         graft.operators.Ann.ivfCellsFor(total), AnnSeed)
       val auxBase = annRoot + "/" +
         namespace.replaceAll("[^A-Za-z0-9._-]", "_") +
-        s"_g${builtGen}_s${builtSeq}_d$dim"
+        s"_g${builtGen}_s${builtSeq}_d$dim" +
+        (if (space == "raw") "" else s"_$space")
       // epoch-dir claim: two processes landing on the SAME (gen, seq)
       // epoch must not interleave writes into one dir — the loser
       // builds into a process-suffixed dir (correct, just not adopted)
       val aux = if (atomicCreate(auxBase + ".claim")) auxBase
                 else auxBase + "_" + procTag
-      graft.operators.Ann.writeInvertedFile(rows, "id", "values",
-        centers, aux)
+      graft.operators.Ann.writeInvertedFile(trainRows, "id", "values",
+        centers, aux, assignCol = assignCol)
       // persist the centers so a peer can adopt without retraining,
       // then mark the epoch complete — adoption reads only _BUILT dirs
       import spark.implicits._
@@ -1023,7 +1063,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         .toDF("cell", "vector")
         .coalesce(1).write.mode("overwrite").parquet(s"$aux/centers")
       atomicCreate(s"$aux/_BUILT")
-      val entry = AnnEntry(builtSeq, builtGen, aux, centers, total)
+      val entry = AnnEntry(builtSeq, builtGen, aux, centers, total, space)
       // evict the replaced layout's cached frames (records + codes)
       evictReplaced(key, stale)
       annCache.put(key, entry)
@@ -1031,7 +1071,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
   }
 
-  private def evictReplaced(key: (String, Int),
+  private def evictReplaced(key: AnnKey,
                             stale: Option[AnnEntry]): Unit =
     stale.foreach { s =>
       layoutFrameCache.keySet.removeIf(_.startsWith(s.aux))
@@ -1046,15 +1086,18 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * fall through to a fresh build). One directory listing per BUILD
     * DECISION, not per probe (cached entries short-circuit upstream). */
   private def adoptSharedLayout(namespace: String, dim: Int,
-                                gen: Int): Option[AnnEntry] =
+                                gen: Int,
+                                space: String): Option[AnnEntry] =
     annSharedRoot.flatMap { root =>
       val fs = hadoopFs(root)
       val hp = new org.apache.hadoop.fs.Path(root)
       if (!fs.exists(hp)) None
       else {
         val ns = namespace.replaceAll("[^A-Za-z0-9._-]", "_")
+        val suffix = if (space == "raw") "" else s"_$space"
         val pat = (java.util.regex.Pattern.quote(ns) +
-          s"_g${gen}_s(\\d+)_d$dim").r
+          s"_g${gen}_s(\\d+)_d$dim" +
+          java.util.regex.Pattern.quote(suffix)).r
         val done = fs.listStatus(hp).iterator.flatMap { st =>
           st.getPath.getName match {
             case pat(s) if fs.exists(
@@ -1073,7 +1116,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
               .collect()
               .map(_.getSeq[Float](1).toArray)
             val rows = layoutFrame(s"$aux/index").count()
-            Some(AnnEntry(builtSeq, gen, aux, centers, rows))
+            Some(AnnEntry(builtSeq, gen, aux, centers, rows, space))
           } catch { case _: Exception => None }
         }
       }
@@ -1100,7 +1143,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     annSharedRoot.forall { root =>
       val ns = namespace.replaceAll("[^A-Za-z0-9._-]", "_")
       val marker =
-        s"$root/claims/rebuild_${ns}_d${dim}_g${stale.builtGen}_s${stale.builtSeq}"
+        s"$root/claims/rebuild_${ns}_d${dim}_g${stale.builtGen}_s${stale.builtSeq}_${stale.space}"
       atomicCreate(marker) || {
         val fs = hadoopFs(marker)
         val hp = new org.apache.hadoop.fs.Path(marker)
@@ -1125,14 +1168,16 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *     into a fresh layout.
     * Either rebuild happens inline under the build lock; concurrent
     * probes keep serving the previous entry. */
-  private def annEntryFresh(namespace: String, dim: Int): Option[AnnEntry] =
-    annLayout(namespace, dim).flatMap { e =>
-      if (e.builtGen != currentGen()) annLayout(namespace, dim, Some(e))
+  private def annEntryFresh(namespace: String, dim: Int,
+                            space: String = "raw"): Option[AnnEntry] =
+    annLayout(namespace, dim, space).flatMap { e =>
+      if (e.builtGen != currentGen())
+        annLayout(namespace, dim, space, Some(e))
       else {
         val ratio = annStalenessRatio
         val interval = annStalenessCheckMs
-        val clock = annLastStaleCheck.computeIfAbsent((namespace, dim),
-          _ => new AtomicLong(0L))
+        val clock = annLastStaleCheck.computeIfAbsent(
+          (namespace, dim, space), _ => new AtomicLong(0L))
         val now = System.currentTimeMillis()
         val last = clock.get()
         val elected = ratio > 0 &&
@@ -1149,7 +1194,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           if (tail.toDouble < ratio * e.rows.toDouble) Some(e)
           // staleness is a PERFORMANCE rebuild: contend for the
           // cross-process claim, and keep serving the old entry on loss
-          else annLayout(namespace, dim, Some(e), deferOnLoss = true)
+          else annLayout(namespace, dim, space, Some(e), deferOnLoss = true)
         }
       }
     }
@@ -1220,7 +1265,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     var attempt = 0
     while (attempt < 3) {
-      annEntryFresh(namespace, query.length) match {
+      annEntryFresh(namespace, query.length, spaceOf(metric)) match {
         case None => return Seq.empty // empty namespace answers empty, like exact
         case Some(e) =>
           val hits = probeIvf(query, k, namespace, metric, e, persistProbes)
@@ -1237,7 +1282,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeIvf(query: Seq[Float], k: Int, namespace: String,
                        metric: String, e: AnnEntry,
                        persistProbes: Boolean): Seq[SearchHit] = {
-    val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
+    // MIPS layouts rank cells in the augmented geometry: the query's
+    // augmentation coordinate is 0 (its own norm plays no part in
+    // argmax of the inner product)
+    val qv = if (e.space == "mips") query.toArray :+ 0f else query.toArray
+    val probed = graft.operators.Ann.rankCells(qv, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     if (persistProbes)
       probed.toDF("cell").coalesce(1)
@@ -1294,17 +1343,17 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                              codebook: Array[Array[Array[Float]]])
 
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), PqEntry]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, PqEntry]()
 
   private val pqBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, Object]()
 
   /** PQ code-table builds paid by this store — spec hook. */
   private[graft] val pqBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Codes dir + records layout serving (namespace, dim) — oracle hook. */
   private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
-    Option(pqCache.get((namespace, dim))).map(_.aux)
+    Option(pqCache.get((namespace, dim, "raw"))).map(_.aux)
 
   /** Build-or-reuse the code tables for `ann`'s layout: per-subspace
     * codebooks trained on the layout rows via the shared
@@ -1314,7 +1363,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the q58/q61 oracle contract. */
   private def pqLayoutFor(namespace: String, dim: Int,
                           ann: AnnEntry): PqEntry = {
-    val key = (namespace, dim)
+    val key = (namespace, dim, "raw")
     def cached: Option[PqEntry] =
       Option(pqCache.get(key)).filter(_.annAux == ann.aux)
     cached.getOrElse {
@@ -1432,17 +1481,17 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private case class BqEntry(annAux: String, aux: String, mids: Array[Double])
 
   private val bqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), BqEntry]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, BqEntry]()
 
   private val bqBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, Object]()
 
   /** BQ code-table builds paid by this store — spec hook. */
   private[graft] val bqBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Codes dir serving (namespace, dim) — oracle hook. */
   private[graft] def bqLayoutDir(namespace: String, dim: Int): Option[String] =
-    Option(bqCache.get((namespace, dim))).map(_.aux)
+    Option(bqCache.get((namespace, dim, "raw"))).map(_.aux)
 
   /** Build-or-reuse the sign-bit codes for `ann`'s layout: the midpoint
     * grid is a dim-sized, order-independent min/max pass over the layout
@@ -1454,7 +1503,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * over unchanged. */
   private def bqLayoutFor(namespace: String, dim: Int,
                           ann: AnnEntry): BqEntry = {
-    val key = (namespace, dim)
+    val key = (namespace, dim, "raw")
     def cached: Option[BqEntry] =
       Option(bqCache.get(key)).filter(_.annAux == ann.aux)
     cached.getOrElse {

@@ -480,6 +480,126 @@ class VectorStore(val spark: SparkSession) {
     }
   }
 
+  // ---- store-attached IMI index (two-level product grid) --------------
+
+  /** Layout root for this store's IMI grids — the [[ivfRoot]] contract. */
+  private lazy val imiStoreRoot: String =
+    spark.conf.getOption(graft.operators.Ann.IvfDirConf)
+      .map(_ + "/store_imi_" + processToken)
+      .getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_store_imi_").toString)
+
+  /** Cached store-attached IMI layouts: (namespace, dim) → (stamped
+    * epoch, layout dir, lo-half centroids, hi-half centroids). Same
+    * lifecycle and race arguments as [[ivfCache]]. */
+  private val imiCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String, Array[Array[Float]], Array[Array[Float]])]()
+
+  private val imiBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** None when the namespace has no live rows — an IMI search over an
+    * empty namespace answers empty, like every other index kind. The
+    * build is the ONE q94 recipe ([[graft.operators.Ann.buildImiIndex]]'s
+    * policy: shared bounded sample, per-half Lloyd's with the q94 seeds,
+    * `cell = lo·k + hi` in one narrow fused pass) applied to the live
+    * namespace snapshot — k² cells from two k-codebook trainings, so the
+    * grid reaches √n cells at a QUARTER-root training cost, the right
+    * trade when namespaces grow past what one flat Lloyd's can sample. */
+  private def imiLayout(namespace: String, dim: Int): Option[(String, Array[Array[Float]], Array[Array[Float]])] = {
+    val key = (namespace, dim)
+    Option(imiCache.get(key)) match {
+      case Some((e, aux, lo, hi)) if e == epoch => Some((aux, lo, hi))
+      case _ => imiBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        Option(imiCache.get(key)) match {
+          case Some((e, aux, lo, hi)) if e == epoch => Some((aux, lo, hi))
+          case _ =>
+            val (e, snapshot) = synchronized { (epoch, live) }
+            val rows = snapshot.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF()
+            val total = rows.count()
+            if (total == 0) None
+            else {
+              val half = dim / 2
+              val sample = graft.operators.Ann.sampleVectors(
+                rows, "id", "values", total)
+              val k = graft.operators.Ann.imiGridFor(total)
+              val cLo = graft.operators.Ann.lloyds(sample.map(_.take(half)),
+                k, iters = 5, seed = graft.operators.Ann.ImiSeedLo)
+              val cHi = graft.operators.Ann.lloyds(sample.map(_.drop(half)),
+                k, iters = 5, seed = graft.operators.Ann.ImiSeedHi)
+              val loSeq: Seq[Seq[Float]] = cLo.map(_.toSeq).toSeq
+              val hiSeq: Seq[Seq[Float]] = cHi.map(_.toSeq).toSeq
+              val aux = imiStoreRoot + "/" +
+                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+              rows.withColumn("cell",
+                  graft.functions.NearestCell(
+                    slice(col("values"), 1, half), loSeq) * lit(k) +
+                    graft.functions.NearestCell(
+                      slice(col("values"), half + 1, dim - half), hiSeq))
+                .write.mode("overwrite").partitionBy("cell")
+                .parquet(s"$aux/index")
+              spark.read.parquet(s"$aux/index")
+                .select(col("id"), col("cell"))
+                .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+              imiCache.put(key, (e, aux, cLo, cHi))
+              Some((aux, cLo, cHi))
+            }
+        }
+      }
+    }
+  }
+
+  /** The layout dir the store-attached IMI index serves (namespace, dim)
+    * from — oracle hook, the [[ivfLayoutDir]] contract. */
+  private[graft] def imiLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(imiCache.get((namespace, dim))).map(_._2)
+
+  /** Candidates via the store-attached IMI index: 2k driver-side
+    * sub-distances, pair sums merged to the top `ivfProbeFor(k²)` cells
+    * (the q94 probe policy), probed partitions semi-joined back to the
+    * live rows — layout PROPOSES, live store decides, exactly the IVF
+    * path's contract. */
+  private def imiCandidates(query: Seq[Float], namespace: String,
+                            filter: Map[String, String],
+                            jsonFilter: Map[String, String],
+                            persistProbes: Boolean = false): DataFrame =
+    imiLayout(namespace, query.length) match {
+      case None =>
+        filteredLive(namespace, filter, jsonFilter).limit(0)
+      case Some((aux, cLo, cHi)) =>
+        val k = cHi.length
+        val half = cLo.headOption.map(_.length).getOrElse(0)
+        val q = query.toArray
+        def subDists(qv: Array[Float], cs: Array[Array[Float]]): Array[Double] =
+          cs.map { c =>
+            var d = 0.0
+            var j = 0
+            val n = math.min(qv.length, c.length)
+            while (j < n) {
+              val diff = qv(j).toDouble - c(j).toDouble; d += diff * diff; j += 1
+            }
+            d
+          }
+        val dLo = subDists(q.take(half), cLo)
+        val dHi = subDists(q.drop(half), cHi)
+        val nProbe = graft.operators.Ann.ivfProbeFor(cLo.length * k)
+        val probed = (for (i <- cLo.indices; j <- cHi.indices)
+          yield (i * k + j, dLo(i) + dHi(j)))
+          .sortBy { case (cell, d) => (d, cell) }
+          .take(nProbe).map(_._1)
+        if (persistProbes) {
+          import spark.implicits._
+          probed.toDF("cell").coalesce(1)
+            .write.mode("overwrite").parquet(s"$aux/probes")
+        }
+        val candIds = spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probed: _*))
+          .select(col("id").as("__cid")).distinct()
+        filteredLive(namespace, filter, jsonFilter)
+          .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
+    }
+
   /** (stamped epoch, pinned?) of the current signature-cache entry — spec
     * hook for ConcurrencySpec's convergence/no-leak assertions. */
   private[graft] def sigCacheState: Option[(Long, Boolean)] =
@@ -776,7 +896,11 @@ class VectorStore(val spark: SparkSession) {
     *    hamming popcount prefilter + exact rerank; the cheapest index
     *    to REBUILD (one stats pass + a narrow fold), so the right pick
     *    for hot mutating namespaces (the q95 operator as a serving
-    *    path). */
+    *    path).
+    *  - "imi" (r11): the two-level product grid (q94 as a serving
+    *    path) — k² cells from two k-codebook trainings, so the grid
+    *    reaches √n cells at a quarter-root training cost; right when
+    *    the namespace outgrows what one flat Lloyd's can sample. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
@@ -794,9 +918,10 @@ class VectorStore(val spark: SparkSession) {
           case "ivf" => ivfCandidates(query, namespace, filter, jsonFilter)
           case "pq" => pqCandidates(query, namespace, filter, jsonFilter)
           case "bq" => bqCandidates(query, namespace, filter, jsonFilter)
+          case "imi" => imiCandidates(query, namespace, filter, jsonFilter)
           case other =>
             throw new IllegalArgumentException(
-              s"unknown approx index '$other' (expected 'lsh', 'ivf', 'pq' or 'bq')")
+              s"unknown approx index '$other' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
         }
         scoredFrom(cands, query, metric)
       }
@@ -842,6 +967,17 @@ class VectorStore(val spark: SparkSession) {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     val cands = pqCandidates(query, namespace, Map.empty, Map.empty,
       persistLut = true)
+    collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
+  }
+
+  /** The q103 grading entry — `findSimilar(approx=true, index="imi")`
+    * with the probe list persisted next to the layout for oracle replay
+    * (the [[findSimilarIvfGraded]] relationship). */
+  private[graft] def findSimilarImiGraded(query: Seq[Float], k: Int,
+                                          namespace: String): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    val cands = imiCandidates(query, namespace, Map.empty, Map.empty,
+      persistProbes = true)
     collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
   }
 

@@ -30,4 +30,28 @@ class ClusteringSpec extends AnyFunSuite {
         s"singleton cluster's centroid IS its seed, drift must be 0: $r")
     }
   }
+
+  test("q104 loop converges: later rounds move less, assignments stay a partition") {
+    val rows = Clustering.q104(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables.table(spark, dir, "embeddings").count()
+    assert(total == corpus, s"assigned $total of $corpus vectors")
+    // three rounds in: the per-round displacement must be small relative
+    // to q80's FIRST-round drift (Lloyd's monotonically decreases the
+    // objective; centroids settle)
+    val firstDrift = Clustering.q80(spark, dir).collect()
+      .map(_.getDouble(3)).sum
+    val lastMovement = rows.map(_.getDouble(3)).sum
+    assert(lastMovement < firstDrift,
+      s"round-3 movement $lastMovement did not shrink from round-1 drift $firstDrift")
+  }
+
+  test("lloydLoop stops on the movement threshold before maxRounds") {
+    val (cents, rounds) = Clustering.lloydLoop(spark, dir, k = 8,
+      eps = 0.05, maxRounds = 25)
+    assert(rounds < 25, s"loop ran to maxRounds ($rounds) — threshold never hit")
+    assert(rounds >= 1 && cents.nonEmpty)
+    // converged centroids have the corpus dimensionality
+    assert(cents.forall(_._2.length == 64))
+  }
 }

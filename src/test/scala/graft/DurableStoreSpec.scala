@@ -369,11 +369,12 @@ class DurableStoreSpec extends AnyFunSuite {
     val l2exact = d.findSimilar(q, k = 5, metric = "l2", namespace = "ann")
     assert(l2hits.head.id == l2exact.head.id && l2hits.head.id == "zfresh")
     assert(d.annBuilds.get() == 2, "metric switch must not rebuild the layout")
-    // ip approx is refused loudly (L2 cells bound no unnormalized dot),
-    // never silently exact; so is an unknown index name
-    intercept[IllegalArgumentException] {
-      d.findSimilar(q, k = 5, metric = "ip", namespace = "ann", approx = true)
-    }
+    // ip approx routes through its OWN norm-augmented layout (r11 — raw
+    // L2 cells bound no unnormalized dot, so the space is keyed apart);
+    // an unknown index name is still refused loudly
+    d.findSimilar(q, k = 5, metric = "ip", namespace = "ann", approx = true)
+    assert(d.annBuilds.get() == 3,
+      "ip must build the mips-space layout, not reuse raw cells")
     intercept[IllegalArgumentException] {
       d.findSimilar(q, k = 5, namespace = "ann", approx = true, index = "hnsw")
     }
@@ -574,6 +575,48 @@ class DurableStoreSpec extends AnyFunSuite {
       d.findSimilar(q, k = 5, metric = "l2", namespace = "bq", approx = true,
         index = "bq")
     }
+  }
+
+  test("durable ip search routes through the norm-augmented layout; deletes killed, delta served") {
+    val d = new DurableVectorStore(spark, tmp())
+    // UNNORMALIZED vectors (norm varies with i) — the case plain L2 cell
+    // ranking cannot bound and the reference's space="ip" ctor serves
+    val rows = (0 until 60).map { i =>
+      val s = 0.5f + (i % 4) * 0.25f
+      (s"i$i", Seq(s * math.cos(i * 0.37).toFloat,
+        s * math.sin(i * 0.37).toFloat,
+        s * math.cos(i * 0.11).toFloat, s * math.sin(i * 0.11).toFloat))
+    }
+    d.loadFrame(frame(rows), "ip")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, metric = "ip", namespace = "ip",
+      approx = true)
+    assert(d.annBuilds.get() == 1)
+    // scoring contract: 1 − dot, ascending, and the scores equal the
+    // exact path's for the same ids (the rerank is exact; only the
+    // candidate policy is approximate)
+    assert(first.map(_.score) == first.map(_.score).sorted)
+    val exactByIds = d.findSimilar(q, k = 60, metric = "ip", namespace = "ip")
+      .map(h => h.id -> h.score).toMap
+    first.foreach(h =>
+      assert(math.abs(h.score - exactByIds(h.id)) < 1e-6,
+        s"approx score for ${h.id} disagrees with exact"))
+    // post-layout mutations: delete a pre-build row, append a delta row
+    // whose dot DOMINATES every indexed vector (2×q: dot = 2‖q‖², all
+    // others ≤ 1.25·‖q‖·‖x‖ < 2‖q‖²) — served exactly from the tail
+    assert(d.delete(Seq(first.head.id), "ip") == Seq(first.head.id))
+    d.loadFrame(frame(Seq(("zip", q.map(_ * 2f)))), "ip")
+    val hits = d.findSimilar(q, k = 5, metric = "ip", namespace = "ip",
+      approx = true)
+    assert(!hits.map(_.id).contains(first.head.id), "ip served a deleted row")
+    assert(hits.head.id == "zip", s"delta-tail MIPS winner missing: $hits")
+    assert(d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the mips layout")
+    // spaces are keyed independently: a cosine search on the same
+    // namespace builds its OWN raw-space layout
+    d.findSimilar(q, k = 5, namespace = "ip", approx = true)
+    assert(d.annBuilds.get() == 2,
+      "raw-space search should not reuse the mips layout")
   }
 
   test("cross-process build election: a second store over one root adopts, exactly one build") {

@@ -432,6 +432,36 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(err.getMessage.contains("'bq'"))
   }
 
+  test("approx search via the IMI product grid: recall floor, exact rerank, lazy invalidation") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 20, perCluster = 10, dim = 16, seed = 31)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "imi")
+    val query = vecs.head.map(_ + 0.01f)
+
+    val exact = s.findSimilar(query, k = 10, namespace = "imi")
+    val imi = s.findSimilar(query, k = 10, namespace = "imi", approx = true,
+      index = "imi")
+    assert(imi.nonEmpty)
+    val recall = exact.map(_.id).toSet.intersect(imi.map(_.id).toSet).size / 10.0
+    info(f"store IMI recall@10 = $recall%.2f")
+    assert(recall >= 0.7, s"store-attached IMI recall too low: $recall")
+    // exact rerank: every IMI hit carries its true cosine score
+    val exactScores = s.findSimilar(query, k = 1000, namespace = "imi")
+      .map(h => h.id -> h.score).toMap
+    imi.foreach(h => assert(h.score == exactScores(h.id),
+      s"IMI score for ${h.id} diverged from the exact kernel"))
+    // a mutation bumps the epoch: the NEXT search rebuilds the grid and
+    // must not serve the deleted id
+    val victim = imi.head.id
+    assert(s.delete(Seq(victim), "imi") == Seq(victim))
+    val after = s.findSimilar(query, k = 10, namespace = "imi",
+      approx = true, index = "imi")
+    assert(!after.map(_.id).contains(victim), "IMI search served a deleted id")
+    // an EMPTY namespace answers empty through the imi route
+    assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
+      approx = true, index = "imi").isEmpty)
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
