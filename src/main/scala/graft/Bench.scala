@@ -303,7 +303,7 @@ object Bench {
     //    plans are production-shaped and their totals carry ~0.5-1 s of
     //    this harness overhead each.
     val notesJson =
-      """{"q98_q71":"r11 adjudicated: isolated 4-pass subset runs monotone (q98 0.468/0.337/0.301/0.312 s, q71 1.117/0.901/0.879/0.922 s, 7 samples nearly every pass) - the r10 suite inversions (q98 551%, q71 137%) were suite-context GC/scheduling noise; q71 additionally sat ON the 1.0 s fast-sample boundary and flipped between 3- and 7-sample medians (samples [3,7] in the isolated run too), fixed by raising the fast threshold to 1.5 s and adding the sub-300 ms 11-sample tier","q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91/q96 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
+      """{"q98_q71":"r11 adjudicated: isolated 4-pass subset runs monotone (q98 0.468/0.337/0.301/0.312 s, q71 1.117/0.901/0.879/0.922 s, 7 samples nearly every pass) - the r10 suite inversions (q98 551%, q71 137%) were suite-context GC/scheduling noise; q71 additionally sat ON the 1.0 s fast-sample boundary and flipped between 3- and 7-sample medians (samples [3,7] in the isolated run too), fixed by raising the fast threshold to 1.5 s and adding the sub-300 ms 11-sample tier","r11_corpus_shift":"round-over-round totals are NOT comparable across the r11 corpus regeneration (events.ts type changed timestamp[ns]->timestamp[us], confirming the generator re-ran): per-query costs shifted uniformly ~+20-25% across unrelated operator families (text/dedup/ANN/streaming/relational), REPRODUCED ON UNMODIFIED r10 CODE by isolated subset runs executed before any r11 change had compiled (q71 isolated 0.88-1.12 s vs 0.614 r10-suite; q98 isolated 0.30-0.47 s vs 0.186) and again after (q17 isolated 1.40 s vs 0.989, q34 0.717 vs 0.41, q58 0.591 vs 0.33, 3 passes each) - data/environment shift, not a code regression; within-r11 cross-pass deviation remains the repeatability bar","q74_knn_batch":"r9 adjudicated: isolated 4-pass subset run was monotone (0.401/0.275/0.255/0.259 s); r8 pass-2 inflation = suite-context noise, not TopKAgg","q50_q90":"r10 adjudicated: isolated 4-pass subset runs monotone (q50 0.610/0.519/0.490/0.479 s, q90 0.390/0.343/0.324/0.312 s, 7 samples every pass); the r9 pass-2 inversions (samples [7,3]) were suite-context noise through 3-sample medians - q50 builds a FRESH store per invocation (no generation churn to accumulate) and q90's layout cache held across passes","q56_durable_compact_reload":"post-compact reads retain two generations until GC catches up and pay old-gen listing + manifest filtering; r10 adds a TTL listing cache (spark.graft.durable.listingCacheMs) so steady-state reads skip the driver-side re-list","streaming":"q46/q47/q67/q70/q88/q91/q96 pay per-drain stream startup + full source replay per invocation; inherent harness cost, plans are production-shaped"}"""
     val auditJson =
       s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"notes":$notesJson,"stat":"value=last pass; queries=cross-pass min"}"""
     try {

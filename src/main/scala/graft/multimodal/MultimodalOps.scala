@@ -84,14 +84,15 @@ object MultimodalOps {
        | substr(h, 2*($off)+3, 2) || substr(h, 2*($off)+1, 2))::UBIGINT"""
       .stripMargin.replaceAll("\n", "")
 
-  /** FNV-1a 64-bit over the payload bytes: fold (acc ^ byte) * prime
-    * mod 2^64 in HUGEINT (the 64×41-bit product fits 128 bits; xor on
-    * the low byte only, which is all the byte operand can touch). */
-  private val crcSql: String = {
+  /** FNV-1a 64-bit over the `len` bytes whose hex pairs are `hexExpr`:
+    * fold (acc ^ byte) * prime mod 2^64 in HUGEINT (the 64×41-bit
+    * product fits 128 bits; xor on the low byte only, which is all the
+    * byte operand can touch). */
+  private def crcSqlOver(hexExpr: String, lenExpr: String): String = {
     val byteList =
-      """list_transform(range(0, octet_length(p)), i ->
-        | ((strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)*16
-        |  + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)::HUGEINT)"""
+      s"""list_transform(range(0, $lenExpr), i ->
+        | ((strpos('0123456789ABCDEF', substr($hexExpr, 2*i+1, 1))-1)*16
+        |  + strpos('0123456789ABCDEF', substr($hexExpr, 2*i+2, 1))-1)::HUGEINT)"""
         .stripMargin.replaceAll("\n", "")
     val fold =
       s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $byteList),
@@ -103,6 +104,9 @@ object MultimodalOps {
        | THEN $fold - 18446744073709551616::HUGEINT
        | ELSE $fold END)::BIGINT""".stripMargin.replaceAll("\n", "")
   }
+
+  /** The whole-payload checksum (q100's graded column). */
+  private val crcSql: String = crcSqlOver("h", "octet_length(p)")
 
   /** The magic-byte sniff over hex pairs (hex() is uppercase). */
   private val sniffSql: String =
@@ -142,9 +146,64 @@ object MultimodalOps {
        |            ELSE 0.0 END AS duration_ms
        |FROM v ORDER BY media_id""".stripMargin
 
+  // ---- q105: container-level frame sampling, graded -------------------
+
+  private val FrameEvery = 2
+
+  /** q105: the "sample every k-th frame" stage of a video pipeline over
+    * the SAME persisted fixture as q100 — real ISO-BMFF sample-table
+    * slicing (`stbl/stsz` sizes + `stbl/stco` chunk offset), no codec:
+    * every 2nd frame's byte extent and FNV-1a checksum. The oracle
+    * re-walks the container FROM THE BLOB — locates `stsz`/`stco` by
+    * fourcc, reads the big-endian size table, prefix-sums the offsets,
+    * slices the payload hex and refolds the checksum — so the JVM box
+    * walk is graded against an independent parse of the same bytes.
+    * Narrow per-partition flatMap on the Spark side: no shuffle, scales
+    * with input. */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aux = mediaFixture(spark, dir)
+    lastMediaAux = Some(aux)
+    val media = spark.read.parquet(s"$aux/media").as[MediaRecord]
+    Multimodal.frameSamples(media, FrameEvery)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  def q105Sql(aux: String): String = {
+    val frameHex = s"substr(h, 2*off+1, 2*sz)"
+    s"""WITH m AS (
+       |  SELECT media_id, hex(payload) AS h
+       |  FROM read_parquet('$aux/media/*.parquet') WHERE kind = 'video'),
+       |z AS (
+       |  SELECT media_id, h,
+       |         (strpos(h, '7374737A')-1)//2 + 4 AS sz_off,
+       |         (strpos(h, '7374636F')-1)//2 + 4 AS co_off
+       |  FROM m),
+       |t AS (
+       |  SELECT media_id, h, sz_off,
+       |         (${be32("sz_off+8")})::INT AS n,
+       |         ${be32("co_off+8")} AS chunk_off
+       |  FROM z),
+       |f AS (
+       |  SELECT media_id, h, i,
+       |         (${be32("sz_off+12+4*i")})::INT AS sz,
+       |         (chunk_off
+       |           + coalesce(list_sum(list_transform(range(i), j ->
+       |               ${be32("sz_off+12+4*j")})), 0))::BIGINT AS off
+       |  FROM t, unnest(range(n)) AS u(i)
+       |  WHERE i % $FrameEvery = 0)
+       |SELECT media_id, i::INT AS frame_idx, sz AS n_bytes,
+       |       ${crcSqlOver(frameHex, "sz")} AS checksum
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q100_media_features" -> (q100 _))
+    "q100_media_features" -> (q100 _),
+    "q105_frame_samples" -> (q105 _))
 
   def oracles: Map[String, String] =
-    lastMediaAux.map(aux => "q100_media_features" -> q100Sql(aux)).toMap
+    lastMediaAux.map(aux => Map(
+      "q100_media_features" -> q100Sql(aux),
+      "q105_frame_samples" -> q105Sql(aux))).getOrElse(Map.empty)
 }

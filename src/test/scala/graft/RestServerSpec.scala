@@ -211,6 +211,12 @@ class RestServerSpec extends AnyFunSuite {
       assert(cb == 200)
       val bqHits = mapper.readTree(bb)
       assert(bqHits.isArray && bqHits.size() > 0 && bqHits.size() <= 3)
+      // the IMI product grid serves over the same route (r11)
+      val (ci, bi) = send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "top_k": 3, "approx": true, "index": "imi"}""")
+      assert(ci == 200)
+      val imiHits = mapper.readTree(bi)
+      assert(imiHits.isArray && imiHits.size() > 0 && imiHits.size() <= 3)
       // an unknown index name is a client error, not a 500 — and it is
       // rejected even WITHOUT approx (a typo must not silently run exact)
       assert(send("POST", s"$base/search?namespace=ivx",
@@ -278,6 +284,15 @@ class RestServerSpec extends AnyFunSuite {
       assert(phits.get(0).get("id").asText() == "a")
       assert((0 until phits.size()).map(phits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable PQ search served a tombstoned row")
+      // index=bq rides the durable sign-bit sweep (r11) — tombstones
+      // stay dead there too
+      val (bc, bb2) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "bq"}""")
+      assert(bc == 200, bb2)
+      val bhits = mapper.readTree(bb2)
+      assert(bhits.get(0).get("id").asText() == "a")
+      assert((0 until bhits.size()).map(bhits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable BQ search served a tombstoned row")
       // lsh stays an in-memory-store feature
       val (lc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "lsh"}""")
