@@ -118,6 +118,27 @@ object DurableAnnBench {
     val codesBytes = dirBytes(s"$pqAux/codes")
     val indexBytes = dirBytes(pqAux.stripSuffix("/pq") + "/index")
 
+    // r11: the BQ (sign-bit) read path over the same store — one BIGINT
+    // word per 64 dims, xor+popcount candidate kernel; cold grid+pack
+    // build billed separately
+    val (_, tBqBuild) = time {
+      store.findSimilar(queries.head, k = K, namespace = "bench",
+        approx = true, index = "bq")
+    }
+    val bqMed = median(
+      (1 to Runs).map { i =>
+        time(store.findSimilar(queries(i % queries.size), k = K,
+          namespace = "bench", approx = true, index = "bq"))._2
+      })
+    val bqRecalls = queries.map { q =>
+      val e = store.findSimilar(q, K, "cosine", "bench").map(_.id).toSet
+      val a = store.findSimilar(q, K, "cosine", "bench", approx = true,
+        index = "bq").map(_.id).toSet
+      a.intersect(e).size.toDouble / K
+    }
+    val bqAux = store.bqLayoutDir("bench", Dim).get
+    val bqBytes = dirBytes(s"$bqAux/codes")
+
     // r10: the staleness trigger — bulk-append past the 0.2 ratio and
     // show the NEXT probe folds the tail exactly once, after which the
     // probe is back to layout speed (the control loop the reference runs
@@ -146,14 +167,21 @@ object DurableAnnBench {
     println(f"  approx findSimilar median of $Runs: ${approxMed}%.3f s " +
       f"(approx/exact = ${approxMed / exactMed}%.1fx at this overhead-bound scale)")
     println(f"  pq     findSimilar median of $Runs: ${pqMed}%.3f s")
+    println(f"  bq     findSimilar median of $Runs: ${bqMed}%.3f s " +
+      f"(grid+pack one-off build ${tBqBuild}%.1f s)")
     println(f"  recall@$K vs exact: ivf ${recalls.sum / recalls.size}%.2f " +
       f"(${recalls.map(r => f"$r%.2f").mkString(",")}), " +
       f"pq ${pqRecalls.sum / pqRecalls.size}%.2f " +
-      s"(${pqRecalls.map(r => f"$r%.2f").mkString(",")})")
-    println(f"  bytes at rest: codes=${codesBytes / 1024}%d KiB vs " +
+      s"(${pqRecalls.map(r => f"$r%.2f").mkString(",")}), " +
+      f"bq ${bqRecalls.sum / bqRecalls.size}%.2f " +
+      s"(${bqRecalls.map(r => f"$r%.2f").mkString(",")})")
+    println(f"  bytes at rest: pq codes=${codesBytes / 1024}%d KiB, " +
+      f"bq codes=${bqBytes / 1024}%d KiB vs " +
       f"records=${indexBytes / 1024}%d KiB " +
-      f"(codes ${indexBytes.toDouble / codesBytes}%.0fx smaller at dim=$Dim; " +
-      "the ratio grows with dim - 768-dim float records are ~3 KB against the same 8 codes)")
+      f"(pq ${indexBytes.toDouble / codesBytes}%.0fx, " +
+      f"bq ${indexBytes.toDouble / bqBytes}%.0fx smaller at dim=$Dim; " +
+      "the ratios grow with dim - 768-dim float records are ~3 KB " +
+      "against the same 8 pq codes / 12 bq words)")
     println(s"  post-build delete+append served correctly with no rebuild: " +
       s"${mutationOk && noRebuild} " +
       f"(approx after mutations: ${tApproxAfter}%.3f s)")

@@ -272,6 +272,17 @@ class PlanSpec extends AnyFunSuite {
       s"the vocab-sized frequency table must broadcast, not shuffle the corpus\n${p.take(1200)}")
   }
 
+  test("q104 Lloyd round: broadcast centroids + partial argmin agg, no Window") {
+    val p = plan(graft.operators.Clustering.q104(spark, dir))
+    // the round's corpus side never shuffles for the centroid join —
+    // k×dim rides to executors as a broadcast
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"),
+      s"q104 assignment fell back to a window rank\n${p.take(1200)}")
+    // argmin is the min(struct) agg: partial (map-side) + final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
