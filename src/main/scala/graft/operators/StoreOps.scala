@@ -1169,6 +1169,85 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q106: BATCHED search through the IVF layout ---------------------
+
+  private val BatchIvfNs = "q106"
+
+  private val q106Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Layout dir of the most recent q106 run — oracle hook. */
+  @volatile private var lastBatchIvfAux: Option[String] = None
+
+  /** q106: [[VectorStore.findSimilarBatchIvf]] behind the gate — the q74
+    * one-scan batch thesis applied to the INDEXED serving path: Q=4
+    * probe lists union into ONE partition-pruned scan of the persisted
+    * inverted file, per-query candidates flow through the
+    * candidate-restricted bounded-heap batch kernel, exact cosine
+    * rerank. Positional parity with Q sequential `index="ivf"` searches
+    * is asserted in-script; the oracle replays per-query candidates from
+    * the persisted `assign/` ⋈ `batch_probes/` (qid-keyed) and reranks
+    * relationally. */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q106Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchIvfNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatchIvf(qs, k = K, namespace = BatchIvfNs,
+      persistProbes = true)
+    // the batch must be indistinguishable from Q sequential ivf searches
+    qs.indices.foreach { i =>
+      val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+        namespace = BatchIvfNs, approx = true, index = "ivf")
+        .map(h => (h.id, h.score))
+      require(res(i).map(h => (h.id, h.score)) == single,
+        s"ivf batch result $i diverged from the single-query ivf search")
+    }
+    lastBatchIvfAux = store.ivfLayoutDir(BatchIvfNs, qs.head.length)
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** SQL replay of the batched IVF read: per-query candidates = ids in
+    * that query's probed cells, rerank = exact cosine per query with the
+    * string-id tie-break. */
+  def q106Sql(aux: String): String =
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |cand AS (SELECT DISTINCT p.qid, a.id FROM a JOIN probes p USING (cell)),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- q103: the store's IMI read path behind the gate ----------------
 
   private val ImiNs = "q103"
@@ -1452,7 +1531,8 @@ object StoreOps {
       "q93_durable_ann_l2" -> (q93 _),
       "q101_durable_bq" -> (q101 _),
       "q102_durable_ann_ip" -> (q102 _),
-      "q103_store_imi_search" -> (q103 _))
+      "q103_store_imi_search" -> (q103 _),
+      "q106_store_ivf_batch" -> (q106 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1479,5 +1559,6 @@ object StoreOps {
         "q101_durable_bq" -> q101Sql(ann, aux) } ++
       lastDurableIpAux.map(aux => "q102_durable_ann_ip" -> q102Sql(aux)) ++
       // the IMI layout is q33/q53-shaped, so its oracle is q53Sql itself
-      lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux))
+      lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux)) ++
+      lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux))
 }

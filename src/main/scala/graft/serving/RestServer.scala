@@ -312,12 +312,17 @@ class RestServer(store: VectorStore, port: Int = 0,
           throw new IllegalArgumentException(
             "queries must be a non-empty array of vectors")
         val qs = qNode.elements().asScala.map(floats).toSeq
-        // one scan answers the whole batch (Scoring.batchSearch); approx
-        // batches are refused rather than silently looped — a caller who
-        // wants per-query index routing should issue per-query requests
-        if (Option(body.get("approx")).exists(_.asBoolean(false)))
+        // one scan answers the whole batch (Scoring.batchSearch). Approx
+        // batches (r11) route through the INDEXED one-scan form — all
+        // probe lists union into one pruned scan of the IVF layout
+        // (VectorStore.findSimilarBatchIvf); other index kinds don't
+        // share a scan and are refused rather than silently looped
+        val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
+        val batchIndex = Option(body.get("index")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("ivf")
+        if (wantApprox && batchIndex != "ivf")
           throw new IllegalArgumentException(
-            "batch search is the exact one-scan path; use /search per query for approx")
+            "approx batch search serves from the IVF layout only; pass index:'ivf' or use /search per query")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val results =
           if (wantDurable) {
@@ -327,7 +332,19 @@ class RestServer(store: VectorStore, port: Int = 0,
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
+            if (wantApprox)
+              throw new IllegalArgumentException(
+                "durable batch search is the exact one-scan path; use /search per query for approx")
             d.findSimilarBatch(qs, k, metric, ns)
+          } else if (wantApprox) {
+            if (metric != "cosine")
+              throw new IllegalArgumentException(
+                s"approx batch search is cosine only, got metric '$metric'")
+            if (stringMapOf(body, "filter").nonEmpty ||
+                stringMapOf(body, "json_filter").nonEmpty)
+              throw new IllegalArgumentException(
+                "approx batch search does not support metadata filters")
+            store.findSimilarBatchIvf(qs, k, ns)
           } else store.findSimilarBatch(qs, k, metric, ns,
             stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
         val arr = mapper.createArrayNode() // positional: result i ↔ queries[i]

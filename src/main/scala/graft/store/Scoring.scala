@@ -78,14 +78,34 @@ private[store] object Scoring {
     * result(i) answers queries(i), ordered by the same (score,
     * asc-id) contract as [[ranked]]. */
   def batchSearch(base: DataFrame, queries: Seq[Seq[Float]], k: Int,
-                  metric: String): Seq[Seq[graft.model.SearchHit]] = {
+                  metric: String): Seq[Seq[graft.model.SearchHit]] =
+    batchOver(base, queries, k, metric, cand = None)
+
+  /** The CANDIDATE-RESTRICTED batch form (the indexed serving batch,
+    * r11): identical contract to [[batchSearch]], but each query scores
+    * only the rows its index probe proposed — `cand` is a (__qid, id)
+    * pair frame, so the scored set is Σ|cand(q)| rows instead of
+    * corpus × Q. Rows the live set no longer holds drop out in the
+    * join (the layout proposes, the live store decides). */
+  def batchSearchCandidates(base: DataFrame, queries: Seq[Seq[Float]],
+                            cand: DataFrame, k: Int,
+                            metric: String): Seq[Seq[graft.model.SearchHit]] =
+    batchOver(base, queries, k, metric, Some(cand))
+
+  private def batchOver(base: DataFrame, queries: Seq[Seq[Float]], k: Int,
+                        metric: String,
+                        cand: Option[DataFrame]): Seq[Seq[graft.model.SearchHit]] = {
     val spark = base.sparkSession
     import spark.implicits._
     val qdf = queries.zipWithIndex.map { case (q, i) => (i, q) }
       .toDF("__qid", "__qv")
       .select(col("__qid"), col("__qv").cast("array<float>").as("__qv"))
-    val top: Map[Int, Seq[(String, Double)]] = base
-      .crossJoin(broadcast(qdf))
+    val pairs = cand match {
+      case None => base.crossJoin(broadcast(qdf))
+      case Some(c) => base.join(c, Seq("id"))
+        .join(broadcast(qdf), Seq("__qid"))
+    }
+    val top: Map[Int, Seq[(String, Double)]] = pairs
       .select(col("__qid"), col("id"),
         score(metric, col("values"), col("__qv")).as("__raw"))
       .groupBy(col("__qid"))

@@ -931,8 +931,8 @@ class VectorStore(val spark: SparkSession) {
   /** Batched exact search: result(i) answers queries(i) — ONE namespace
     * scan for the whole batch via [[Scoring.batchSearch]] (bounded-heap
     * per-query top-k, map-side combined), instead of Q sequential
-    * [[findSimilar]] scans. Exact path only: per-query approx candidate
-    * sets don't share a scan, so an approx batch is just a loop. */
+    * [[findSimilar]] scans. For the INDEXED batch form see
+    * [[findSimilarBatchIvf]]. */
   def findSimilarBatch(queries: Seq[Seq[Float]], k: Int = 10,
                        metric: String = "cosine",
                        namespace: String = "default",
@@ -944,6 +944,52 @@ class VectorStore(val spark: SparkSession) {
     // query broadcast and the Q×k driver-side result like top_k does
     Scoring.batchSearch(filteredLive(namespace, filter, jsonFilter),
       queries, k, metric)
+  }
+
+  /** Batched APPROX search through the store-attached IVF layout (r11 —
+    * the q74 one-scan thesis applied to the INDEXED path): all Q probe
+    * lists are computed driver-side against the cached centroids, their
+    * cells UNION into one partition-pruned scan of the inverted file,
+    * and the (query, candidate) pairs flow into the candidate-restricted
+    * batch kernel ([[Scoring.batchSearchCandidates]]) — per-query
+    * scoring touches only that query's proposed candidates, the
+    * bounded-heap cut never shuffles Σ|cand| × k, and the corpus is
+    * scanned ONCE for the whole batch (vs Q sequential probes).
+    * Positional, cosine, exact rerank — each entry equals the
+    * single-query `index="ivf"` answer. `persistProbes` writes the
+    * (qid, cell) probe table next to the layout for oracle replay —
+    * graded paths only. */
+  def findSimilarBatchIvf(queries: Seq[Seq[Float]], k: Int = 10,
+                          namespace: String = "default",
+                          persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    require(queries.nonEmpty && queries.size <= Scoring.InListMax,
+      s"batch size must be in [1, ${Scoring.InListMax}]")
+    val dim = queries.head.length
+    require(queries.forall(_.length == dim),
+      "all batch queries must share one dimensionality")
+    ivfLayout(namespace, dim) match {
+      case None => Seq.fill(queries.size)(Seq.empty)
+      case Some((aux, centers)) =>
+        import spark.implicits._
+        val nProbe = graft.operators.Ann.ivfProbeFor(centers.length)
+        val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
+          graft.operators.Ann.rankCells(q.toArray, centers, nProbe)
+            .map(c => (i, c))
+        }
+        val probeDf = probeRows.toDF("__qid", "cell")
+        if (persistProbes)
+          probeDf.coalesce(1)
+            .write.mode("overwrite").parquet(s"$aux/batch_probes")
+        val allCells = probeRows.map(_._2).distinct
+        val cand = spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(allCells: _*))
+          .join(broadcast(probeDf), Seq("cell"))
+          .select(col("__qid"), col("id")).distinct()
+        Scoring.batchSearchCandidates(
+          filteredLive(namespace, Map.empty, Map.empty),
+          queries, cand, k, "cosine")
+    }
   }
 
   /** Graded-path variant of the IVF route: identical plan, but persists

@@ -321,10 +321,18 @@ class RestServerSpec extends AnyFunSuite {
       assert(res.get(1).get(0).get("score").asDouble() > 0.99)
       assert(res.get(0).get(0).get("id").asText() !=
         res.get(1).get(0).get("id").asText())
-      // approx batches are refused, empty batches are a 422
-      val (ac, _) = send("POST", s"$base/search/batch?namespace=bs",
-        """{"queries": [[1.0, 0.0]], "approx": true}""")
-      assert(ac == 422)
+      // approx batches ride the indexed one-scan form (r11): default
+      // index=ivf serves; any other index kind is refused
+      val (ac, ab) = send("POST", s"$base/search/batch?namespace=bs",
+        """{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2, "approx": true}""")
+      assert(ac == 200, ab)
+      val ares = mapper.readTree(ab)
+      assert(ares.isArray && ares.size() == 2)
+      assert(ares.get(0).get(0).get("score").asDouble() > 0.99)
+      val (lc, _) = send("POST", s"$base/search/batch?namespace=bs",
+        """{"queries": [[1.0, 0.0]], "approx": true, "index": "lsh"}""")
+      assert(lc == 422)
+      // empty batches are a 422
       val (ec, _) = send("POST", s"$base/search/batch?namespace=bs",
         """{"queries": []}""")
       assert(ec == 422)

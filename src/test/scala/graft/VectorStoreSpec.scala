@@ -462,6 +462,30 @@ class VectorStoreSpec extends AnyFunSuite {
       approx = true, index = "imi").isEmpty)
   }
 
+  test("batched IVF search equals Q sequential ivf searches; empty namespace answers empty lists") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 12, perCluster = 10, dim = 8, seed = 37)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "bivf")
+    val qs = vecs.take(3).map(_.map(_ + 0.01f))
+    val batch = s.findSimilarBatchIvf(qs, k = 5, namespace = "bivf")
+    assert(batch.size == 3 && batch.forall(_.nonEmpty))
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = s.findSimilar(q, k = 5, namespace = "bivf",
+        approx = true, index = "ivf").map(h => (h.id, h.score))
+      assert(batch(i).map(h => (h.id, h.score)) == single,
+        s"batched ivf diverged from single-query ivf for query $i")
+    }
+    // a mutation invalidates the layout for the NEXT batch
+    val victim = batch.head.head.id
+    assert(s.delete(Seq(victim), "bivf") == Seq(victim))
+    val after = s.findSimilarBatchIvf(qs, k = 5, namespace = "bivf")
+    assert(!after.head.map(_.id).contains(victim),
+      "batched ivf served a deleted id")
+    // empty namespace: positional empties, never an error
+    assert(s.findSimilarBatchIvf(qs, k = 5, namespace = "nothing_here") ==
+      Seq(Seq.empty, Seq.empty, Seq.empty))
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
