@@ -1292,6 +1292,107 @@ object StoreOps {
       .orderBy("rank")
   }
 
+  // ---- q107: BATCHED approx search on the durable mount ----------------
+
+  private val DBatchNs = "q107"
+
+  private val q107Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q107Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Layout dir of the most recent q107 run — oracle hook. */
+  @volatile private var lastDurableBatchAux: Option[String] = None
+
+  /** q107: [[graft.store.DurableVectorStore.findSimilarBatchApprox]]
+    * behind the gate — batched reads on the 100 TB mount: Q=4 probe
+    * lists union into one pruned scan of the stamped IVF layout, each
+    * query's candidates ∪ the exact delta tail, post-build deletes die
+    * in the live() join. Script is q87's (load → build → deletes +
+    * delta appends → graded batch); the q0 query doubles as the
+    * deleted-row case (vec_id 0 ≡ 0 mod $FacadeDelMod, so its own
+    * vector is tombstoned and must not appear in its hit list).
+    * Positional parity with Q sequential durable ivf searches asserted
+    * in-script. */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dbatch_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val store = q107Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q107Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DBatchNs)
+      s.findSimilarBatchApprox(qs, k = K, namespace = DBatchNs)
+      require(s.annBuilds.get() >= 1, "q107 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DBatchNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DBatchNs)
+      s
+    })
+    val res = store.findSimilarBatchApprox(qs, k = K, namespace = DBatchNs,
+      persistProbes = true)
+    require(store.annBuilds.get() == 1,
+      "q107's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    // the batch must equal Q sequential durable ivf searches
+    qs.indices.foreach { i =>
+      val single = store.findSimilar(qs(i), k = K, namespace = DBatchNs,
+        approx = true).map(h => (h.id, h.score))
+      require(res(i).map(h => (h.id, h.score)) == single,
+        s"durable batch result $i diverged from the single-query search")
+    }
+    lastDurableBatchAux = store.annLayoutDir(DBatchNs, qs.head.length)
+      .map(_._1)
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** SQL replay of the durable batched read: per-query candidates =
+    * that query's probed cells' ids ∪ the script's delta ids, base =
+    * load-minus-deletes plus the delta, rerank = exact cosine per query
+    * with the string-id tie-break. */
+  def q107Sql(aux: String): String =
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.id FROM a JOIN probes p USING (cell)
+       |  UNION
+       |  SELECT q.qid, e.vec_id::VARCHAR FROM qs q, embeddings e
+       |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- q102: the durable ANN read path in the reference's ip space ----
 
   private val DIpNs = "q102"
@@ -1532,7 +1633,8 @@ object StoreOps {
       "q101_durable_bq" -> (q101 _),
       "q102_durable_ann_ip" -> (q102 _),
       "q103_store_imi_search" -> (q103 _),
-      "q106_store_ivf_batch" -> (q106 _))
+      "q106_store_ivf_batch" -> (q106 _),
+      "q107_durable_ivf_batch" -> (q107 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1560,5 +1662,6 @@ object StoreOps {
       lastDurableIpAux.map(aux => "q102_durable_ann_ip" -> q102Sql(aux)) ++
       // the IMI layout is q33/q53-shaped, so its oracle is q53Sql itself
       lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux)) ++
-      lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux))
+      lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux)) ++
+      lastDurableBatchAux.map(aux => "q107_durable_ivf_batch" -> q107Sql(aux))
 }

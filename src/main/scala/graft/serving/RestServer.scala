@@ -332,10 +332,8 @@ class RestServer(store: VectorStore, port: Int = 0,
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
-            if (wantApprox)
-              throw new IllegalArgumentException(
-                "durable batch search is the exact one-scan path; use /search per query for approx")
-            d.findSimilarBatch(qs, k, metric, ns)
+            if (wantApprox) d.findSimilarBatchApprox(qs, k, metric, ns)
+            else d.findSimilarBatch(qs, k, metric, ns)
           } else if (wantApprox) {
             if (metric != "cosine")
               throw new IllegalArgumentException(

@@ -801,6 +801,73 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       queries, k, metric)
   }
 
+  /** Batched APPROX search on the durable mount (r11 — the q106 facade
+    * form carried onto the LSM): all Q probe lists union into ONE
+    * partition-pruned scan of the IVF layout, each query's candidates =
+    * its probed cells' ids ∪ the exact delta tail (post-build appends
+    * must be candidates for EVERY query), and the candidate-restricted
+    * batch kernel joins them back to `live()` — post-build deletes die
+    * there (live = data minus tombstones), so the kill discipline is the
+    * single-query path's. Generation gate + retry identical to
+    * [[searchApprox]]; the exact-scan fallback is the one-scan
+    * [[Scoring.batchSearch]]. cosine|l2 (the raw-space cell geometry).
+    * `persistProbes` writes the (qid, cell) probe table for oracle
+    * replay — graded paths only. */
+  def findSimilarBatchApprox(queries: Seq[Seq[Float]], k: Int = 10,
+                             metric: String = "cosine",
+                             namespace: String = "default",
+                             persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    require(queries.nonEmpty && queries.size <= Scoring.InListMax,
+      s"batch size must be in [1, ${Scoring.InListMax}]")
+    require(metric == "cosine" || metric == "l2",
+      s"approx durable batch search supports cosine|l2, got metric '$metric'")
+    val dim = queries.head.length
+    require(queries.forall(_.length == dim),
+      "all batch queries must share one dimensionality")
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, dim) match {
+        case None => return Seq.fill(queries.size)(Seq.empty)
+        case Some(e) =>
+          val hits = probeBatch(queries, k, metric, namespace, e,
+            persistProbes)
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
+    }
+    Scoring.batchSearch(live().filter(col("namespace") === namespace),
+      queries, k, metric)
+  }
+
+  private def probeBatch(queries: Seq[Seq[Float]], k: Int, metric: String,
+                         namespace: String, e: AnnEntry,
+                         persistProbes: Boolean): Seq[Seq[SearchHit]] = {
+    import spark.implicits._
+    val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
+    val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
+      graft.operators.Ann.rankCells(q.toArray, e.centers, nProbe)
+        .map(c => (i, c))
+    }
+    val probeDf = probeRows.toDF("__qid", "cell")
+    if (persistProbes)
+      probeDf.coalesce(1)
+        .write.mode("overwrite").parquet(s"${e.aux}/batch_probes")
+    val allCells = probeRows.map(_._2).distinct
+    val layoutCand = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(allCells: _*))
+      .join(broadcast(probeDf), Seq("cell"))
+      .select(col("__qid"), col("id"))
+    val qids = queries.indices.toDF("__qid")
+    val deltaCand = deltaTail(namespace, e.builtSeq, Seq(col("id")))
+      .crossJoin(broadcast(qids))
+      .select(col("__qid"), col("id"))
+    val cand = layoutCand.unionByName(deltaCand).distinct()
+    Scoring.batchSearchCandidates(
+      live().filter(col("namespace") === namespace), queries, cand, k,
+      metric)
+  }
+
   private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
                          metric: String, namespace: String): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")

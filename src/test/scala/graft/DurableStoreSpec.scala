@@ -619,6 +619,37 @@ class DurableStoreSpec extends AnyFunSuite {
       "raw-space search should not reuse the mips layout")
   }
 
+  test("batched approx search equals Q sequential probes; deletes killed, delta served") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"q$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "bat")
+    val qs = Seq(rows(3)._2, rows(21)._2, rows(40)._2)
+    val batch = d.findSimilarBatchApprox(qs, k = 5, namespace = "bat")
+    assert(d.annBuilds.get() == 1)
+    qs.indices.foreach { i =>
+      val single = d.findSimilar(qs(i), k = 5, namespace = "bat",
+        approx = true).map(h => (h.id, h.score))
+      assert(batch(i).map(h => (h.id, h.score)) == single,
+        s"durable batch diverged from single-query probe for query $i")
+    }
+    // post-build mutations: the delete dies in the live() join, the
+    // delta duplicate is every query's candidate
+    assert(d.delete(Seq("q3"), "bat") == Seq("q3"))
+    d.loadFrame(frame(Seq(("zbat", qs.head))), "bat")
+    val after = d.findSimilarBatchApprox(qs, k = 5, namespace = "bat")
+    assert(!after.flatten.map(_.id).contains("q3"),
+      "batched probe served a deleted row")
+    assert(after.head.head.id == "zbat",
+      s"delta duplicate missing from its query's batch entry: ${after.head}")
+    assert(d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the layout")
+    // empty namespace answers positional empties
+    assert(d.findSimilarBatchApprox(qs, k = 5, namespace = "none") ==
+      Seq(Seq.empty, Seq.empty, Seq.empty))
+  }
+
   test("cross-process build election: a second store over one root adopts, exactly one build") {
     val root = tmp()
     val shared = tmp()
