@@ -1179,6 +1179,9 @@ object StoreOps {
   /** Layout dir of the most recent q106 run — oracle hook. */
   @volatile private var lastBatchIvfAux: Option[String] = None
 
+  private val q106ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** q106: [[VectorStore.findSimilarBatchIvf]] behind the gate — the q74
     * one-scan batch thesis applied to the INDEXED serving path: Q=4
     * probe lists union into ONE partition-pruned scan of the persisted
@@ -1207,14 +1210,18 @@ object StoreOps {
       .map(_.getSeq[Float](0)).toSeq
     val res = store.findSimilarBatchIvf(qs, k = K, namespace = BatchIvfNs,
       persistProbes = true)
-    // the batch must be indistinguishable from Q sequential ivf searches
-    qs.indices.foreach { i =>
-      val single = store.findSimilar(qs(i), k = K, metric = "cosine",
-        namespace = BatchIvfNs, approx = true, index = "ivf")
-        .map(h => (h.id, h.score))
-      require(res(i).map(h => (h.id, h.score)) == single,
-        s"ivf batch result $i diverged from the single-query ivf search")
-    }
+    // the batch must be indistinguishable from Q sequential ivf
+    // searches — asserted once per process per dir (every fresh Verify
+    // JVM runs it; bench timed runs then measure the BATCH, not the
+    // batch plus Q sequential probes)
+    if (q106ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchIvfNs, approx = true, index = "ivf")
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"ivf batch result $i diverged from the single-query ivf search")
+      }
     lastBatchIvfAux = store.ivfLayoutDir(BatchIvfNs, qs.head.length)
     res.zipWithIndex.flatMap { case (hits, qi) =>
       hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
@@ -1303,6 +1310,9 @@ object StoreOps {
   /** Layout dir of the most recent q107 run — oracle hook. */
   @volatile private var lastDurableBatchAux: Option[String] = None
 
+  private val q107ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** q107: [[graft.store.DurableVectorStore.findSimilarBatchApprox]]
     * behind the gate — batched reads on the 100 TB mount: Q=4 probe
     * lists union into one pruned scan of the stamped IVF layout, each
@@ -1346,13 +1356,15 @@ object StoreOps {
     require(store.annBuilds.get() == 1,
       "q107's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    // the batch must equal Q sequential durable ivf searches
-    qs.indices.foreach { i =>
-      val single = store.findSimilar(qs(i), k = K, namespace = DBatchNs,
-        approx = true).map(h => (h.id, h.score))
-      require(res(i).map(h => (h.id, h.score)) == single,
-        s"durable batch result $i diverged from the single-query search")
-    }
+    // the batch must equal Q sequential durable ivf searches — once per
+    // process per dir (the q106 billing rationale)
+    if (q107ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DBatchNs,
+          approx = true).map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"durable batch result $i diverged from the single-query search")
+      }
     lastDurableBatchAux = store.annLayoutDir(DBatchNs, qs.head.length)
       .map(_._1)
     res.zipWithIndex.flatMap { case (hits, qi) =>

@@ -619,6 +619,52 @@ class DurableStoreSpec extends AnyFunSuite {
       "raw-space search should not reuse the mips layout")
   }
 
+  test("staleness election: a live peer claim defers the rebuild; a crashed peer's claim expires") {
+    val root = tmp()
+    val shared = tmp()
+    val s = new DurableVectorStore(spark, root)
+    spark.conf.set(s.AnnDirConf, shared)
+    spark.conf.set(s.AnnStalenessCheckMsConf, "0")
+    spark.conf.set(s.AnnBuildClaimTtlMsConf, "60000")
+    try {
+      val rows = (0 until 40).map(i =>
+        (s"t$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+          (i % 5).toFloat)))
+      s.loadFrame(frame(rows), "ttl")
+      val q = rows(7)._2
+      assert(s.findSimilar(q, k = 3, namespace = "ttl", approx = true)
+        .head.id == "t7")
+      assert(s.annBuilds.get() == 1)
+      val (_, builtSeq) = s.annLayoutDir("ttl", 3).get
+      // cross the staleness ratio: +50% fresh appends
+      s.loadFrame(frame((0 until 20).map(i =>
+        (s"x$i", Seq((0.1f * i), 1f - 0.05f * i, (i % 3).toFloat)))), "ttl")
+      // a LIVE peer already claimed this rebuild (same epoch key —
+      // adopted stamps agree across processes): this store must defer,
+      // keep serving the old entry, and stay correct via the delta tail
+      val marker = new java.io.File(
+        s"$shared/ann_${root.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+          s"/claims/rebuild_ttl_d3_g0_s${builtSeq}_raw")
+      marker.getParentFile.mkdirs()
+      assert(marker.createNewFile())
+      val hits = s.findSimilar(q, k = 50, namespace = "ttl", approx = true)
+      assert(s.annBuilds.get() == 1,
+        "loser rebuilt despite a live peer's claim")
+      assert(hits.map(_.id).contains("x5"),
+        "deferred entry lost the delta tail")
+      // the peer crashes (claim ages past the TTL): the next crossing
+      // rebuilds here
+      assert(marker.setLastModified(System.currentTimeMillis() - 120000))
+      s.findSimilar(q, k = 3, namespace = "ttl", approx = true)
+      assert(s.annBuilds.get() == 2,
+        "expired claim did not release the rebuild")
+    } finally {
+      spark.conf.unset(s.AnnDirConf)
+      spark.conf.unset(s.AnnStalenessCheckMsConf)
+      spark.conf.unset(s.AnnBuildClaimTtlMsConf)
+    }
+  }
+
   test("batched approx search equals Q sequential probes; deletes killed, delta served") {
     val d = new DurableVectorStore(spark, tmp())
     val rows = (0 until 60).map(i =>
