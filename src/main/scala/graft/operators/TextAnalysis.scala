@@ -530,6 +530,58 @@ object TextAnalysis {
        |       md5(array_to_string(chunk, ' ')) AS sig
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- Q108: sequence packing (concat-then-chunk) ---------------------
+  //
+  // The sample-packing stage of a pretraining pipeline (the GPT recipe:
+  // concatenate documents, cut the token stream into fixed-budget
+  // training sequences): documents hash-shard deterministically (the
+  // q41 md5 recipe), concatenate in doc_id order WITHIN each shard, and
+  // each doc reports which training sequence its tokens start in
+  // (seq_idx) and where (seq_offset). The per-shard running sum is a
+  // window over a SHARD-sized partition — the one window shape that is
+  // scale-correct by construction, because shard count grows with the
+  // corpus (a production packer writes one shard per output file) while
+  // each partition stays bounded; integer token counts make the
+  // replay drift-free.
+
+  private val PackShards = 8
+  private val PackBudget = 512
+
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withToks(spark, dir)
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("shard",
+        pmod(conv(substring(md5(concat(lit("pack_"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(PackShards)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        ((col("cum") - col("n_tok")) / PackBudget).cast("long").as("seq_idx"),
+        ((col("cum") - col("n_tok")) % PackBudget).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q108Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT AS n_tok,
+       |         ('0x' || substr(md5('pack_' || doc_id), 1, 8))::BIGINT
+       |           % $PackShards AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, n_tok,
+       |       ((cum - n_tok) // $PackBudget)::BIGINT AS seq_idx,
+       |       ((cum - n_tok) % $PackBudget)::BIGINT AS seq_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -700,7 +752,8 @@ object TextAnalysis {
     "q68_domain_mixture" -> (q68 _),
     "q73_chunking" -> (q73 _),
     "q79_hash_sample" -> (q79 _),
-    "q89_unigram_logprob" -> (q89 _))
+    "q89_unigram_logprob" -> (q89 _),
+    "q108_sequence_packing" -> (q108 _))
 
   val oracles: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -716,5 +769,6 @@ object TextAnalysis {
     "q68_domain_mixture" -> q68Sql,
     "q73_chunking" -> q73Sql,
     "q79_hash_sample" -> q79Sql,
-    "q89_unigram_logprob" -> q89Sql)
+    "q89_unigram_logprob" -> q89Sql,
+    "q108_sequence_packing" -> q108Sql)
 }
