@@ -338,11 +338,8 @@ class RestServer(store: VectorStore, port: Int = 0,
             if (metric != "cosine")
               throw new IllegalArgumentException(
                 s"approx batch search is cosine only, got metric '$metric'")
-            if (stringMapOf(body, "filter").nonEmpty ||
-                stringMapOf(body, "json_filter").nonEmpty)
-              throw new IllegalArgumentException(
-                "approx batch search does not support metadata filters")
-            store.findSimilarBatchIvf(qs, k, ns)
+            store.findSimilarBatchIvf(qs, k, ns,
+              stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
           } else store.findSimilarBatch(qs, k, metric, ns,
             stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
         val arr = mapper.createArrayNode() // positional: result i ↔ queries[i]

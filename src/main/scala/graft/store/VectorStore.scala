@@ -955,12 +955,17 @@ class VectorStore(val spark: SparkSession) {
     * scoring touches only that query's proposed candidates, the
     * bounded-heap cut never shuffles Σ|cand| × k, and the corpus is
     * scanned ONCE for the whole batch (vs Q sequential probes).
+    * Metadata filters compose like the single-query path: candidates
+    * semi-join the FILTERED live set, so the layout proposes and the
+    * filtered store decides.
     * Positional, cosine, exact rerank — each entry equals the
     * single-query `index="ivf"` answer. `persistProbes` writes the
     * (qid, cell) probe table next to the layout for oracle replay —
     * graded paths only. */
   def findSimilarBatchIvf(queries: Seq[Seq[Float]], k: Int = 10,
                           namespace: String = "default",
+                          filter: Map[String, String] = Map.empty,
+                          jsonFilter: Map[String, String] = Map.empty,
                           persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     require(queries.nonEmpty && queries.size <= Scoring.InListMax,
@@ -987,7 +992,7 @@ class VectorStore(val spark: SparkSession) {
           .join(broadcast(probeDf), Seq("cell"))
           .select(col("__qid"), col("id")).distinct()
         Scoring.batchSearchCandidates(
-          filteredLive(namespace, Map.empty, Map.empty),
+          filteredLive(namespace, filter, jsonFilter),
           queries, cand, k, "cosine")
     }
   }

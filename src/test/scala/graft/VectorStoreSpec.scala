@@ -484,6 +484,10 @@ class VectorStoreSpec extends AnyFunSuite {
     // empty namespace: positional empties, never an error
     assert(s.findSimilarBatchIvf(qs, k = 5, namespace = "nothing_here") ==
       Seq(Seq.empty, Seq.empty, Seq.empty))
+    // metadata filters compose: the layout proposes, the FILTERED live
+    // set decides — a filter nothing matches empties every entry
+    assert(s.findSimilarBatchIvf(qs, k = 5, namespace = "bivf",
+      filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
   }
 
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
