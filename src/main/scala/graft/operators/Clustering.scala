@@ -142,7 +142,20 @@ object Clustering {
   /** Centroid update: per-(cid, dim) mean quantized at [[Det.r6]],
     * collected k×dim-sized and rebuilt as the next round's broadcast
     * frame. Clusters that lost every member drop out (both engines
-    * agree — the replay builds its next round from the same rows). */
+    * agree — the replay builds its next round from the same rows).
+    *
+    * Residual cross-engine risk (documented, accepted): the two engines'
+    * `avg()` may sum the group's doubles in different orders, and a mean
+    * landing within an ulp of a 0.5e-6 floor-cell boundary would flip
+    * one quantized centroid, after which the chained rounds diverge
+    * wholesale. The probability per cell is ~ulp/0.5e-6 ≈ 1e-10 (k×dim
+    * = 512 cells × 3 rounds ≈ 1.5e3 draws per corpus), so the flake is
+    * latent rather than observed. The robust alternative — an
+    * order-pinned sum via `aggregate(sort_array(collect_list(...)))` —
+    * needs a per-(cid, dim) collected list, i.e. cluster-membership-
+    * sized driver-shape state per group, which is exactly the
+    * corpus-growing structure this operator exists to avoid at 100 TB;
+    * the boundary risk is the cheaper side of that trade. */
   private def updateRound(asg: DataFrame): Seq[(Int, Seq[Double])] =
     asg.select(col("cid"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("cid"), col("i"))

@@ -890,7 +890,10 @@ object StoreOps {
     * replays candidates from its persisted `assign/` ⋈ `probes/` plus
     * the script-known delta ids. None until q87 has executed (the
     * [[lastIvfAux]] honesty contract). */
-  @volatile private var lastDurableAnnAux: Option[String] = None
+  /** (layout dir, probe-table dir) — two paths because the probe table
+    * is process-suffixed under shared roots (the derived-artifact
+    * convention), so it is not derivable from the layout dir. */
+  @volatile private var lastDurableAnnAux: Option[(String, String)] = None
 
   /** q87: the durable store's APPROX read path end-to-end — the r8
     * verdict's "What's missing #1" (the durable facade served every KNN
@@ -947,7 +950,8 @@ object StoreOps {
     require(store.annBuilds.get() == 1,
       "q87's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    lastDurableAnnAux = store.annLayoutDir(DAnnNs, qv.length).map(_._1)
+    lastDurableAnnAux = store.annLayoutDir(DAnnNs, qv.length)
+      .map { case (a, _) => (a, store.annProbesDir(a)) }
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
@@ -959,8 +963,8 @@ object StoreOps {
     * cells' assigned ids ∪ the script's delta batch), live set =
     * load-minus-deletes plus the delta batch, rerank = exact cosine with
     * the store's string-id tie-break. */
-  def q87Sql(aux: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+  def q87Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
        |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
@@ -1094,7 +1098,7 @@ object StoreOps {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
   private val q93Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  @volatile private var lastDurableL2Aux: Option[String] = None
+  @volatile private var lastDurableL2Aux: Option[(String, String)] = None
 
   /** q93: the durable IVF read path in the reference's DEFAULT space —
     * l2 (`implementations/index.py:18` builds hnswlib with space='l2';
@@ -1136,7 +1140,8 @@ object StoreOps {
     require(store.annBuilds.get() == 1,
       "q93's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    lastDurableL2Aux = store.annLayoutDir(DL2Ns, qv.length).map(_._1)
+    lastDurableL2Aux = store.annLayoutDir(DL2Ns, qv.length)
+      .map { case (a, _) => (a, store.annProbesDir(a)) }
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
@@ -1146,8 +1151,8 @@ object StoreOps {
 
   /** SQL replay of q93: the q87 candidate replay with squared-L2 scoring
     * and ascending rank. */
-  def q93Sql(aux: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+  def q93Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
        |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
@@ -1308,7 +1313,7 @@ object StoreOps {
   private val q107Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Layout dir of the most recent q107 run — oracle hook. */
-  @volatile private var lastDurableBatchAux: Option[String] = None
+  @volatile private var lastDurableBatchAux: Option[(String, String)] = None
 
   private val q107ParityChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -1366,7 +1371,7 @@ object StoreOps {
           s"durable batch result $i diverged from the single-query search")
       }
     lastDurableBatchAux = store.annLayoutDir(DBatchNs, qs.head.length)
-      .map(_._1)
+      .map { case (a, _) => (a, store.annProbesDir(a, "batch_probes")) }
     res.zipWithIndex.flatMap { case (hits, qi) =>
       hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
     }.toDF("qid", "rank", "id", "score")
@@ -1378,10 +1383,10 @@ object StoreOps {
     * that query's probed cells' ids ∪ the script's delta ids, base =
     * load-minus-deletes plus the delta, rerank = exact cosine per query
     * with the string-id tie-break. */
-  def q107Sql(aux: String): String =
+  def q107Sql(aux: String, probesDir: String): String =
     s"""WITH probes AS (
        |  SELECT __qid AS qid, cell
-       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |  FROM read_parquet('$probesDir/*.parquet')),
        |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |       WHERE vec_id < $BatchQn),
@@ -1413,7 +1418,7 @@ object StoreOps {
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
   private val q102Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  @volatile private var lastDurableIpAux: Option[String] = None
+  @volatile private var lastDurableIpAux: Option[(String, String)] = None
 
   /** q102: the durable IVF read path in the reference's `ip` space
     * (`Index(space="ip")`, `implementations/index.py:18` — reachable in
@@ -1460,7 +1465,7 @@ object StoreOps {
       "q102's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
     lastDurableIpAux = store.annLayoutDir(DIpNs, qv.length, space = "mips")
-      .map(_._1)
+      .map { case (a, _) => (a, store.annProbesDir(a)) }
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
@@ -1470,8 +1475,8 @@ object StoreOps {
 
   /** SQL replay of q102: the q93 candidate replay with ip scoring
     * (1 − dot) and ascending rank. */
-  def q102Sql(aux: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+  def q102Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
        |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |cand AS (
        |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
@@ -1666,14 +1671,18 @@ object StoreOps {
       "q78_durable_cdc" -> q78Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
-      lastDurableAnnAux.map(aux => "q87_durable_ann" -> q87Sql(aux)) ++
+      lastDurableAnnAux.map { case (aux, p) =>
+        "q87_durable_ann" -> q87Sql(aux, p) } ++
       lastDurablePqAux.map(aux => "q92_durable_pq" -> q92Sql(aux)) ++
-      lastDurableL2Aux.map(aux => "q93_durable_ann_l2" -> q93Sql(aux)) ++
+      lastDurableL2Aux.map { case (aux, p) =>
+        "q93_durable_ann_l2" -> q93Sql(aux, p) } ++
       lastDurableBqAux.map { case (ann, aux) =>
         "q101_durable_bq" -> q101Sql(ann, aux) } ++
-      lastDurableIpAux.map(aux => "q102_durable_ann_ip" -> q102Sql(aux)) ++
+      lastDurableIpAux.map { case (aux, p) =>
+        "q102_durable_ann_ip" -> q102Sql(aux, p) } ++
       // the IMI layout is q33/q53-shaped, so its oracle is q53Sql itself
       lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux)) ++
       lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux)) ++
-      lastDurableBatchAux.map(aux => "q107_durable_ivf_batch" -> q107Sql(aux))
+      lastDurableBatchAux.map { case (aux, p) =>
+        "q107_durable_ivf_batch" -> q107Sql(aux, p) }
 }

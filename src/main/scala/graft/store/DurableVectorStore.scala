@@ -401,10 +401,29 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private val inFlightCommits =
     new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]()
 
+  /** Serializes stamp allocation+registration against horizon reads:
+    * without it a horizon computed between [[nextSeq]]'s allocation and
+    * the caller's `inFlightCommits.add` would see the advanced counter
+    * with an empty in-flight set — the exact quiescent-miss window the
+    * guard exists to close, re-opened a few instructions wide. The lock
+    * is held across the marker create (one tiny FS call); horizon reads
+    * happen once per layout build, so contention is nil. */
+  private val horizonLock = new Object
+
+  /** Allocate `n` commit stamps (ascending) and register them in
+    * [[inFlightCommits]] atomically with respect to [[durableHorizon]].
+    * Callers unregister each stamp (plain `remove`) once its files are
+    * durably written. */
+  private def allocateInFlight(n: Int): Seq[Long] = horizonLock.synchronized {
+    val out = Seq.fill(n)(nextSeq())
+    out.foreach(s => inFlightCommits.add(s))
+    out
+  }
+
   /** The highest seq at which every commit this process allocated is
     * fully durable: one below the oldest in-flight commit, else the
     * current stamp. */
-  private def durableHorizon(): Long = {
+  private def durableHorizon(): Long = horizonLock.synchronized {
     val cur = currentSeq()
     // ceiling(0) = smallest element ≥ 0 = the minimum (seqs are > 0);
     // non-destructive, unlike pollFirst
@@ -528,13 +547,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       metaCol.as("metadata"), metaJsonCol.as("metadataJson"))
       .localCheckpoint(eager = true)
     try {
-      val shadowSeq = nextSeq()
-      val dataSeq = nextSeq() // > shadowSeq: incoming rows survive the shadows
-      // in-flight window: a racing layout build must snapshot BELOW
-      // these stamps until the files are durably written (build-horizon
-      // guard — see inFlightCommits)
-      inFlightCommits.add(shadowSeq)
-      inFlightCommits.add(dataSeq)
+      // allocation + in-flight registration are one atomic step w.r.t.
+      // the build horizon (see allocateInFlight); dataSeq > shadowSeq so
+      // incoming rows survive the shadows
+      val Seq(shadowSeq, dataSeq) = allocateInFlight(2)
       // both appends land in ONE pinned generation, checked afterwards —
       // a fold can race the write, but the rows must still be reachable
       val gen = currentGen()
@@ -613,8 +629,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       ).distinct // a crashed upsert can leave a transient duplicate row
     if (present.nonEmpty) {
       val gen = currentGen()
-      val tombSeq = nextSeq()
-      inFlightCommits.add(tombSeq)
+      val tombSeq = allocateInFlight(1).head
       try
         present.toDF("id")
           .withColumn("namespace", lit(namespace))
@@ -851,8 +866,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
     val probeDf = probeRows.toDF("__qid", "cell")
     if (persistProbes)
+      // process-suffixed under shared roots, like the single-query probes
       probeDf.coalesce(1)
-        .write.mode("overwrite").parquet(s"${e.aux}/batch_probes")
+        .write.mode("overwrite").parquet(annProbesDir(e.aux, "batch_probes"))
     val allCells = probeRows.map(_._2).distinct
     val layoutCand = layoutFrame(s"${e.aux}/index")
       .where(col("cell").isin(allCells: _*))
@@ -924,11 +940,26 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * generation, builtSeq) and carry a `_BUILT` marker once complete,
     * so ANY process serving the same store path can ADOPT a finished
     * layout instead of paying its own build (cross-process build
-    * dedup — r11). Without the conf, layouts fall back to a
-    * process-private temp root (local/test only; nothing to adopt). */
+    * dedup — r11). The root name carries a hash of the RAW store path:
+    * sanitization alone is not injective (`/a/b_c` and `/a_b/c` both
+    * flatten to `a_b_c`), and two distinct stores colliding on one root
+    * could adopt each other's epochs — layouts carry full rows, so that
+    * would serve another store's records. Without the conf, layouts fall
+    * back to a process-private temp root (local/test only; nothing to
+    * adopt). */
   private lazy val annSharedRoot: Option[String] =
     spark.conf.getOption(AnnDirConf)
-      .map(_ + "/ann_" + path.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .map(_ + "/ann_" + path.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + sha1Hex(path).take(8))
+
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** The resolved shared layout root — spec hook (the name carries a
+    * path hash, so tests must not rebuild it by hand). */
+  private[graft] def annSharedRootDir: Option[String] = annSharedRoot
 
   private lazy val annRoot: String =
     annSharedRoot
@@ -1219,8 +1250,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             fs.getFileStatus(hp).getModificationTime > annBuildClaimTtlMs
           catch { case _: Exception => true } // vanished → retry the create
         aged && {
-          try fs.delete(hp, false) catch { case _: Exception => () }
-          atomicCreate(marker)
+          // Expiry must not be delete-then-create: two observers of one
+          // aged claim could each delete the other's fresh marker and
+          // both "win". Instead RENAME the specific aged file to a
+          // tombstone — renames are atomic, exactly one observer's
+          // succeeds, and a marker re-created by a new winner is a
+          // different file the losers' renames cannot touch. Only the
+          // renamer proceeds to re-claim (and may still lose the create
+          // to a racing first-attempt claimer — fine, still one winner).
+          val tomb = new org.apache.hadoop.fs.Path(
+            marker + ".expired." + procTag)
+          val renamed =
+            try fs.rename(hp, tomb) catch { case _: Exception => false }
+          renamed && {
+            try fs.delete(tomb, false) catch { case _: Exception => () }
+            atomicCreate(marker)
+          }
         }
       }
     }
@@ -1275,6 +1320,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def derivedAux(annAux: String, kind: String): String =
     annAux + "/" + kind +
       (if (annSharedRoot.isDefined) "_" + procTag else "")
+
+  /** Where THIS process writes its graded probe tables for the epoch at
+    * `aux` — the [[derivedAux]] path, so the oracle hook replays the
+    * probe table this process wrote rather than a peer's. */
+  private[graft] def annProbesDir(aux: String, kind: String = "probes"): String =
+    derivedAux(aux, kind)
 
   /** Immutable layout frames cached per path (aux dirs are write-once;
     * replaced layouts get FRESH dirs): a fresh `spark.read` per probe
@@ -1356,8 +1407,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val probed = graft.operators.Ann.rankCells(qv, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     if (persistProbes)
+      // derivedAux, not e.aux: under a shared root the epoch dir may be
+      // ADOPTED, and two processes' graded overwrites must not interleave
+      // in one directory (the PQ/BQ derived-artifact convention)
       probed.toDF("cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"${e.aux}/probes")
+        .write.mode("overwrite").parquet(annProbesDir(e.aux))
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))
     val main = layoutFrame(s"${e.aux}/index")

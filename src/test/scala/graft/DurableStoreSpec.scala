@@ -643,8 +643,7 @@ class DurableStoreSpec extends AnyFunSuite {
       // adopted stamps agree across processes): this store must defer,
       // keep serving the old entry, and stay correct via the delta tail
       val marker = new java.io.File(
-        s"$shared/ann_${root.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-          s"/claims/rebuild_ttl_d3_g0_s${builtSeq}_raw")
+        s"${s.annSharedRootDir.get}/claims/rebuild_ttl_d3_g0_s${builtSeq}_raw")
       marker.getParentFile.mkdirs()
       assert(marker.createNewFile())
       val hits = s.findSimilar(q, k = 50, namespace = "ttl", approx = true)
