@@ -1410,6 +1410,102 @@ object StoreOps {
        |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // ---- q109: BATCHED search through the PQ codes -----------------------
+
+  private val BatchPqNs = "q109"
+
+  private val q109Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Codes dir of the most recent q109 run — oracle hook. */
+  @volatile private var lastBatchPqAux: Option[String] = None
+
+  private val q109ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q109: [[VectorStore.findSimilarBatchPq]] behind the gate (VERDICT
+    * r11 "What's missing" #1 — batched approx was IVF-only; a batch
+    * user on the PQ mount fell back to Q sequential corpus-scan
+    * probes). All Q ADC LUTs broadcast as ONE qid-keyed frame, the
+    * codes table is swept once for the whole batch, the per-query CandN
+    * cut is the bounded-heap aggregate, and the winners rerank exactly
+    * through the candidate-restricted batch kernel. Positional parity
+    * with Q sequential `index="pq"` searches is asserted in-script; the
+    * oracle replays each query's candidates from the persisted
+    * `codes_flat/` ⋈ `batch_lut/` ADC policy and reranks relationally —
+    * the q61 contract, batched. */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q109Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchPqNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatchPq(qs, k = K, namespace = BatchPqNs,
+      persistLuts = true)
+    // the batch must be indistinguishable from Q sequential pq
+    // searches — asserted once per process per dir (the q106 billing
+    // rationale: bench repeats measure the batch, not batch + Q probes)
+    if (q109ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchPqNs, approx = true, index = "pq")
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"pq batch result $i diverged from the single-query pq search")
+      }
+    lastBatchPqAux = store.pqLayoutDir(BatchPqNs, qs.head.length)
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** SQL replay of the batched PQ read: per-query candidates = top-CandN
+    * on that query's (rounded ADC, id) from the persisted codes ⋈ LUTs,
+    * rerank = exact cosine per query with the string-id tie-break —
+    * [[q61Sql]] with a qid dimension. */
+  def q109Sql(aux: String): String =
+    s"""WITH lut AS (SELECT qid, sub, code, d
+       |            FROM read_parquet('$aux/batch_lut/*.parquet')),
+       |cf AS (SELECT id, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT l.qid, c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY l.qid, c.id),
+       |cand AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |sc AS (
+       |  SELECT c.qid, c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- q102: the durable ANN read path in the reference's ip space ----
 
   private val DIpNs = "q102"
@@ -1651,7 +1747,8 @@ object StoreOps {
       "q102_durable_ann_ip" -> (q102 _),
       "q103_store_imi_search" -> (q103 _),
       "q106_store_ivf_batch" -> (q106 _),
-      "q107_durable_ivf_batch" -> (q107 _))
+      "q107_durable_ivf_batch" -> (q107 _),
+      "q109_store_pq_batch" -> (q109 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1684,5 +1781,6 @@ object StoreOps {
       lastStoreImiAux.map(aux => "q103_store_imi_search" -> q53Sql(aux)) ++
       lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux)) ++
       lastDurableBatchAux.map { case (aux, p) =>
-        "q107_durable_ivf_batch" -> q107Sql(aux, p) }
+        "q107_durable_ivf_batch" -> q107Sql(aux, p) } ++
+      lastBatchPqAux.map(aux => "q109_store_pq_batch" -> q109Sql(aux))
 }

@@ -313,16 +313,18 @@ class RestServer(store: VectorStore, port: Int = 0,
             "queries must be a non-empty array of vectors")
         val qs = qNode.elements().asScala.map(floats).toSeq
         // one scan answers the whole batch (Scoring.batchSearch). Approx
-        // batches (r11) route through the INDEXED one-scan form — all
-        // probe lists union into one pruned scan of the IVF layout
-        // (VectorStore.findSimilarBatchIvf); other index kinds don't
-        // share a scan and are refused rather than silently looped
+        // batches route through the INDEXED one-scan forms — all probe
+        // lists / LUTs / query codes union into ONE sweep of the layout
+        // (ivf r11; pq/bq r12: VectorStore.findSimilarBatchIvf/Pq/Bq);
+        // index kinds without a shared-scan form (lsh/imi) are refused
+        // rather than silently looped per query
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
-        if (wantApprox && batchIndex != "ivf")
+        if (wantApprox && batchIndex != "ivf" && batchIndex != "pq" &&
+            batchIndex != "bq")
           throw new IllegalArgumentException(
-            "approx batch search serves from the IVF layout only; pass index:'ivf' or use /search per query")
+            "approx batch search serves from the IVF layout or its PQ/BQ codes; pass index:'ivf', 'pq' or 'bq', or use /search per query")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val results =
           if (wantDurable) {
@@ -332,14 +334,24 @@ class RestServer(store: VectorStore, port: Int = 0,
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
-            if (wantApprox) d.findSimilarBatchApprox(qs, k, metric, ns)
-            else d.findSimilarBatch(qs, k, metric, ns)
+            if (wantApprox) {
+              if (batchIndex != "ivf")
+                throw new IllegalArgumentException(
+                  "durable approx batch search serves from the IVF layout only; pass index:'ivf'")
+              d.findSimilarBatchApprox(qs, k, metric, ns)
+            } else d.findSimilarBatch(qs, k, metric, ns)
           } else if (wantApprox) {
             if (metric != "cosine")
               throw new IllegalArgumentException(
                 s"approx batch search is cosine only, got metric '$metric'")
-            store.findSimilarBatchIvf(qs, k, ns,
-              stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+            batchIndex match {
+              case "ivf" => store.findSimilarBatchIvf(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+              case "pq" => store.findSimilarBatchPq(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+              case "bq" => store.findSimilarBatchBq(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+            }
           } else store.findSimilarBatch(qs, k, metric, ns,
             stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
         val arr = mapper.createArrayNode() // positional: result i ↔ queries[i]

@@ -321,14 +321,25 @@ class RestServerSpec extends AnyFunSuite {
       assert(res.get(1).get(0).get("score").asDouble() > 0.99)
       assert(res.get(0).get(0).get("id").asText() !=
         res.get(1).get(0).get("id").asText())
-      // approx batches ride the indexed one-scan form (r11): default
-      // index=ivf serves; any other index kind is refused
+      // approx batches ride the indexed one-scan forms: default
+      // index=ivf (r11) and the pq/bq code sweeps (r12) serve; index
+      // kinds without a shared-scan form are refused
       val (ac, ab) = send("POST", s"$base/search/batch?namespace=bs",
         """{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2, "approx": true}""")
       assert(ac == 200, ab)
       val ares = mapper.readTree(ab)
       assert(ares.isArray && ares.size() == 2)
       assert(ares.get(0).get(0).get("score").asDouble() > 0.99)
+      for (idx <- Seq("pq", "bq")) {
+        val (pc, pb) = send("POST", s"$base/search/batch?namespace=bs",
+          s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
+             | "approx": true, "index": "$idx"}""".stripMargin)
+        assert(pc == 200, s"$idx batch: $pb")
+        val pres = mapper.readTree(pb)
+        assert(pres.isArray && pres.size() == 2, s"$idx batch shape")
+        assert(pres.get(0).get(0).get("score").asDouble() > 0.99,
+          s"$idx batch top hit")
+      }
       val (lc, _) = send("POST", s"$base/search/batch?namespace=bs",
         """{"queries": [[1.0, 0.0]], "approx": true, "index": "lsh"}""")
       assert(lc == 422)

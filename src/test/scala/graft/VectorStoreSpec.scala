@@ -490,6 +490,38 @@ class VectorStoreSpec extends AnyFunSuite {
       filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
   }
 
+  test("batched PQ and BQ searches equal Q sequential searches; mutations and filters compose") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 12, perCluster = 10, dim = 8, seed = 41)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "bpq")
+    val qs = vecs.take(3).map(_.map(_ + 0.01f))
+    for ((name, batchOf, idx) <- Seq[(String,
+        Seq[Seq[Float]] => Seq[Seq[graft.model.SearchHit]], String)](
+      ("pq", qs2 => s.findSimilarBatchPq(qs2, k = 5, namespace = "bpq"), "pq"),
+      ("bq", qs2 => s.findSimilarBatchBq(qs2, k = 5, namespace = "bpq"), "bq"))) {
+      val batch = batchOf(qs)
+      assert(batch.size == 3 && batch.forall(_.nonEmpty), s"$name batch empty")
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val single = s.findSimilar(q, k = 5, namespace = "bpq",
+          approx = true, index = idx).map(h => (h.id, h.score))
+        assert(batch(i).map(h => (h.id, h.score)) == single,
+          s"batched $name diverged from single-query $name for query $i")
+      }
+    }
+    // a mutation invalidates the epoch for the NEXT batch (both kinds)
+    val victim = s.findSimilarBatchPq(qs, k = 5, namespace = "bpq").head.head.id
+    assert(s.delete(Seq(victim), "bpq") == Seq(victim))
+    assert(!s.findSimilarBatchPq(qs, k = 5, namespace = "bpq")
+      .head.map(_.id).contains(victim), "batched pq served a deleted id")
+    assert(!s.findSimilarBatchBq(qs, k = 5, namespace = "bpq")
+      .head.map(_.id).contains(victim), "batched bq served a deleted id")
+    // empty namespace: positional empties; filters compose on the live side
+    assert(s.findSimilarBatchPq(qs, k = 5, namespace = "nothing_here") ==
+      Seq(Seq.empty, Seq.empty, Seq.empty))
+    assert(s.findSimilarBatchBq(qs, k = 5, namespace = "bpq",
+      filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
