@@ -566,12 +566,17 @@ object Ann {
   private[graft] val ImiSeedLo = 4242L
   private[graft] val ImiSeedHi = 4243L
 
-  /** Per-side codebook size: k = ⌈n^(1/4)⌉ clamped to [4, 64], so the
+  /** Per-side codebook size: k = ⌈n^(1/4)⌉ clamped to [2, 64], so the
     * k² grid tracks the flat policy's √n cells while each side's
-    * Lloyd's trains on a sample that stays ≥ 16× its codebook size
-    * even at the cap. */
+    * Lloyd's trains on a sample that stays ≥ 16× its codebook size at
+    * the cap. The floor is 2, not 4: a 16-cell grid over a ≤ 16-row
+    * namespace probes only half its pairs and well-scoring EMPTY pairs
+    * crowd out occupied ones (distances decompose, so an unoccupied
+    * (lo, hi) combination can rank above a live row's cell) — at k = 2
+    * the 4-cell grid is fully probed by [[ivfProbeFor]] and tiny
+    * namespaces stay exact. */
   private[graft] def imiGridFor(n: Long): Int =
-    math.min(64L, math.max(4L,
+    math.min(64L, math.max(2L,
       math.ceil(math.pow(math.max(0L, n).toDouble, 0.25)).toLong)).toInt
 
   private val imiRoot = new LayoutRoot(IvfDirConf, "graft_imi_")

@@ -1506,6 +1506,76 @@ object StoreOps {
        |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // ---- q110: the durable store's IMI (product-grid) read path ----------
+
+  private val DImiNs = "q110"
+
+  private val q110Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q110Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (grid dir, probes dir) of the most recent q110 run — oracle hook.
+    * The grid dir holds its own `assign/` and `probes/` (the dir itself
+    * is process-suffixed under shared roots, so the probe table lives
+    * inside it). */
+  @volatile private var lastDurableImiAux: Option[(String, String)] = None
+
+  /** q110: the durable store's IMI read path end-to-end (VERDICT r11
+    * "What's missing" #2 — the in-memory store served five index kinds,
+    * the durable mount three). The two-level product grid is DERIVED
+    * from the stamped IVF layout the way q92/q101 derive their codes:
+    * layout records re-partitioned by the q94 `lo·k + hi` cell, so the
+    * k² fine cells become the partition-pruning geometry while every
+    * row keeps its ≤ builtSeq stamp — the q87 kill-set/delta-tail/
+    * generation discipline carries over unchanged. Script mirrors q87
+    * (load → first imi search builds layout + grid → post-layout
+    * deletes + delta appends → graded imi search); the grid only
+    * PROPOSES candidates (probed cells' assigned ids ∪ the delta), the
+    * rerank is exact cosine, so the oracle is [[q87Sql]] pointed at the
+    * grid's own `assign/` ⋈ `probes/`. */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dimi_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q110Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q110Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DImiNs)
+      // build layout + grid NOW, so the script's deletes and delta are
+      // post-layout mutations
+      s.findSimilar(qv, k = K, namespace = DImiNs, approx = true,
+        index = "imi")
+      require(s.annBuilds.get() >= 1 && s.imiBuilds.get() >= 1,
+        "q110 layout/grid build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DImiNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DImiNs)
+      s
+    })
+    val hits = store.findSimilarImiGraded(qv, k = K, namespace = DImiNs)
+    require(store.annBuilds.get() == 1 && store.imiBuilds.get() == 1,
+      "q110's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first grid serves the graded search")
+    lastDurableImiAux = store.imiLayoutDir(DImiNs, qv.length)
+      .map(a => (a, s"$a/probes"))
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
   // ---- q102: the durable ANN read path in the reference's ip space ----
 
   private val DIpNs = "q102"
@@ -1748,7 +1818,8 @@ object StoreOps {
       "q103_store_imi_search" -> (q103 _),
       "q106_store_ivf_batch" -> (q106 _),
       "q107_durable_ivf_batch" -> (q107 _),
-      "q109_store_pq_batch" -> (q109 _))
+      "q109_store_pq_batch" -> (q109 _),
+      "q110_durable_imi" -> (q110 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1782,5 +1853,9 @@ object StoreOps {
       lastBatchIvfAux.map(aux => "q106_store_ivf_batch" -> q106Sql(aux)) ++
       lastDurableBatchAux.map { case (aux, p) =>
         "q107_durable_ivf_batch" -> q107Sql(aux, p) } ++
-      lastBatchPqAux.map(aux => "q109_store_pq_batch" -> q109Sql(aux))
+      lastBatchPqAux.map(aux => "q109_store_pq_batch" -> q109Sql(aux)) ++
+      // the IMI grid replays through the q87 candidate contract: its own
+      // assign/ is the policy, the rerank is the shared exact cosine
+      lastDurableImiAux.map { case (aux, p) =>
+        "q110_durable_imi" -> q87Sql(aux, p) }
 }

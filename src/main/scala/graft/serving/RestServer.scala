@@ -277,13 +277,14 @@ class RestServer(store: VectorStore, port: Int = 0,
         val hits =
           if (wantDurable) {
             val d = durableStore
-            // the durable approx paths are the IVF layout and its PQ/BQ
-            // codes (r10/r11): lsh remains an in-memory-store feature,
-            // and the DEFAULT index ("lsh") must not silently mean ivf —
-            // callers opt in
-            if (approx && index != "ivf" && index != "pq" && index != "bq")
+            // the durable approx paths are the IVF layout and its
+            // derived PQ/BQ codes and IMI grid (r10-r12): lsh remains
+            // an in-memory-store feature, and the DEFAULT index ("lsh")
+            // must not silently mean ivf — callers opt in
+            if (approx && index != "ivf" && index != "pq" &&
+                index != "bq" && index != "imi")
               throw new IllegalArgumentException(
-                "durable approx search serves from the IVF layout or its PQ/BQ codes; pass index:'ivf', 'pq' or 'bq' ('lsh' is an in-memory-store feature)")
+                "durable approx search serves from the IVF layout, its PQ/BQ codes or its IMI grid; pass index:'ivf', 'pq', 'bq' or 'imi' ('lsh' is an in-memory-store feature)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(

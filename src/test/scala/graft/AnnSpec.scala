@@ -47,9 +47,13 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
-  test("IMI grid policy: k = n^(1/4) clamped to [4, 64]; recall@5 vs brute force is at least 0.4") {
+  test("IMI grid policy: k = n^(1/4) clamped to [2, 64]; recall@5 vs brute force is at least 0.4") {
     import graft.operators.Ann.imiGridFor
-    assert(imiGridFor(0) == 4 && imiGridFor(100) == 4) // clamp floor
+    // clamp floor is 2 (r12): a ≤16-row namespace gets a fully-probed
+    // 4-cell grid instead of a half-probed 16-cell one (empty pairs
+    // were crowding out live cells); n=100 already sizes by n^(1/4)
+    assert(imiGridFor(0) == 2 && imiGridFor(16) == 2)
+    assert(imiGridFor(100) == 4)
     assert(imiGridFor(10000) == 10)
     assert(imiGridFor(Long.MaxValue) == 64) // clamp ceiling: 64² = 4096 cells
     // two k-codebook trainings give k² cells — the sample that starves a

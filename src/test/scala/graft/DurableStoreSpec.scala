@@ -577,6 +577,44 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("durable IMI: product-grid probe agrees with exact; deletes killed, delta served, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"m$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "imi")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, namespace = "imi", approx = true,
+      index = "imi")
+    assert(first.head.id == "m9")
+    assert(d.imiBuilds.get() == 1 && d.annBuilds.get() == 1)
+    // post-layout mutations: the q87 discipline must hold under IMI too
+    assert(d.delete(Seq("m9"), "imi") == Seq("m9"))
+    d.loadFrame(frame(Seq(("zimi", q))), "imi")
+    val hits = d.findSimilar(q, k = 5, namespace = "imi", approx = true,
+      index = "imi")
+    assert(!hits.map(_.id).contains("m9"), "IMI served a deleted row")
+    assert(hits.head.id == "zimi" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.imiBuilds.get() == 1 && d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the product grid")
+    // exact-path agreement on the top hit
+    assert(hits.head.id ==
+      d.findSimilar(q, k = 5, namespace = "imi").head.id)
+    // the grid really is two-level: cells carry full records, cell ids
+    // live in [0, k*k)
+    val gridDir = d.imiLayoutDir("imi", 4).get
+    val assign = spark.read.parquet(s"$gridDir/assign")
+    assert(assign.columns.toSet == Set("id", "cell"))
+    // empty namespace answers empty through the imi route
+    assert(d.findSimilar(q, k = 5, namespace = "no_rows", approx = true,
+      index = "imi").isEmpty)
+    // IMI is cosine-only, loudly
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "imi",
+        approx = true, index = "imi")
+    }
+  }
+
   test("durable ip search routes through the norm-augmented layout; deletes killed, delta served") {
     val d = new DurableVectorStore(spark, tmp())
     // UNNORMALIZED vectors (norm varies with i) — the case plain L2 cell

@@ -293,6 +293,15 @@ class RestServerSpec extends AnyFunSuite {
       assert(bhits.get(0).get("id").asText() == "a")
       assert((0 until bhits.size()).map(bhits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable BQ search served a tombstoned row")
+      // index=imi rides the durable product grid (r12) — tombstones
+      // stay dead there too
+      val (mc, mb) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "imi"}""")
+      assert(mc == 200, mb)
+      val mhits = mapper.readTree(mb)
+      assert(mhits.get(0).get("id").asText() == "a")
+      assert((0 until mhits.size()).map(mhits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable IMI search served a tombstoned row")
       // lsh stays an in-memory-store feature
       val (lc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "lsh"}""")
