@@ -22,7 +22,8 @@ object SparkEntry {
       Pq.queries ++ IvfPq.queries ++ Analytics.queries ++
       StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
       Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
-      Sq.queries ++ Bq.queries ++ MultimodalOps.queries
+      Sq.queries ++ Bq.queries ++ MultimodalOps.queries ++
+      graft.plans.IndexedTopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       Pq.oracles ++ IvfPq.oracles ++ Analytics.oracles ++
       StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
       Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
-      Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles
+      Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles ++
+      graft.plans.IndexedTopK.oracles
 }

@@ -1,0 +1,330 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.functions.VectorDistance
+import graft.operators.Ann
+
+/** DECLARATIVE index selection — the Catalyst rewrite SURVEY §7 scoped
+  * as the one optional plan-level item: a [[Rule]] that recognizes
+  * `ORDER BY vec_l2sq(vecCol, <literal query>) LIMIT k` (or the
+  * descending `vec_cos` form) over a parquet table with an ATTACHED IVF
+  * index and rewrites the scan onto the probe+rerank path — the same
+  * candidates-are-policy / rerank-is-exact contract every facade probe
+  * serves (`q33`/`q53`), but chosen by the OPTIMIZER from the query's
+  * shape instead of by a facade parameter. A plain SQL user writing the
+  * naive full-scan top-k gets the partition-pruned probe automatically;
+  * at 100 TB that is the difference between scanning the corpus per
+  * query and reading ~2/√cells of it.
+  *
+  * This mirrors what the reference does imperatively on every request
+  * (`query_processor.py:26-49` always routes reads through the
+  * per-namespace hnswlib index, `implementations/index.py:91-129`):
+  * there the index IS the read path; here attaching one declares the
+  * same policy to Catalyst.
+  *
+  * OPT-IN, twice over — the rewrite changes results from exact to the
+  * index's candidate policy (perfect precision on returned scores,
+  * recall set by the probe), which an optimizer must never do silently:
+  *  1. the table must be [[IndexedTopK.attachIvf attached]] (build +
+  *     registry), and
+  *  2. `spark.graft.index.topkRewrite.enabled` must be `true`.
+  * Everything else — other tables, other sort shapes, non-literal
+  * queries, mismatched vector columns, ascending-cosine/descending-l2
+  * (wrong-direction) sorts — is left untouched.
+  *
+  * Shapes matched: `Limit(k, Sort(dist, ...))` where the FIRST sort key
+  * is a [[VectorDistance]] between the attached table's vector column
+  * and a foldable literal vector, over the attached relation with any
+  * stack of `Project`/`Filter` in between (a Filter composes exactly
+  * like the facades' metadata filters: the index proposes, the filtered
+  * scan decides). The rewrite substitutes the RELATION only — the
+  * original projections, filters, sort, and limit stay in place above
+  * the cell-pruned candidate scan, re-aliased to the original attribute
+  * ids so every upstream expression binds unchanged.
+  */
+object IndexedTopK {
+
+  /** Master switch for the rewrite (default off — see the opt-in
+    * contract above). */
+  val EnabledConf = "spark.graft.index.topkRewrite.enabled"
+
+  /** Root for attached layouts — the `spark.graft.ivf.dir` cluster
+    * contract (shared FS on a real deployment); mkdtemp fallback for
+    * local/test use. */
+  val DirConf = "spark.graft.index.topkRewrite.dir"
+
+  private val AttachSeed = 1717L
+
+  private[graft] case class IndexInfo(layoutDir: String, vecCol: String,
+                                      centers: Array[Array[Float]])
+
+  /** Attached indexes, keyed by the source's scheme-less root path. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexInfo]()
+
+  /** Probe list of the most recent rewrite — oracle/spec hook (the
+    * lastAux honesty contract: the grading replay must see the cells
+    * THIS rewrite probed). */
+  @volatile private[graft] var lastProbed: Option[Seq[Int]] = None
+
+  private[graft] def normPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private[graft] def lookup(path: String): Option[IndexInfo] =
+    Option(registry.get(normPath(path)))
+
+  /** Layout dir of the index attached to `sourcePath` — oracle hook. */
+  private[graft] def layoutDirOf(sourcePath: String): Option[String] =
+    lookup(sourcePath).map(_.layoutDir)
+
+  /** Build an IVF layout over the parquet table at `sourcePath` and
+    * register it for the rewrite. The layout carries the FULL source
+    * row partitioned by cell (so any projection upstream of the rewrite
+    * binds against it) plus the flat `assign/` replay table; training
+    * is the one shared recipe ([[Ann.trainQuantizer]] — the q33/q53/q87
+    * policy). Idempotent per path: re-attaching reuses the build. */
+  def attachIvf(spark: SparkSession, sourcePath: String, idCol: String,
+                vecCol: String): String = {
+    val key = normPath(sourcePath)
+    registry.computeIfAbsent(key, _ => {
+      val src = spark.read.parquet(sourcePath)
+      val total = src.count()
+      require(total > 0, s"cannot attach an index to an empty table ($sourcePath)")
+      val centers = Ann.trainQuantizer(src, idCol, vecCol, total,
+        Ann.ivfCellsFor(total), AttachSeed)
+      val root = spark.conf.getOption(DirConf).getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_topk_rw_").toString)
+      val layout = root + "/idx_" + key.replaceAll("[^A-Za-z0-9._-]", "_")
+      val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
+      src.withColumn("cell",
+          graft.functions.NearestCell(col(vecCol), centerSeqs))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$layout/index")
+      spark.read.parquet(s"$layout/index")
+        .select(col(idCol).as("id"), col("cell"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$layout/assign")
+      IndexInfo(layout, vecCol, centers)
+    }).layoutDir
+  }
+
+  /** Drop the attachment for `sourcePath` (the layout dir is left on
+    * disk — probes holding it keep serving, like every facade epoch). */
+  def detach(sourcePath: String): Unit =
+    registry.remove(normPath(sourcePath))
+
+  /** Inject [[IndexedTopKRule]] into a LIVE session via
+    * `experimental.extraOptimizations` (idempotent). For sessions built
+    * from config, register [[GraftSparkExtensions]] under
+    * `spark.sql.extensions` instead. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[IndexedTopKRule]))
+      spark.experimental.extraOptimizations = cur :+ new IndexedTopKRule(spark)
+  }
+
+  // ---- q112: the rewrite graded end-to-end ----------------------------
+
+  private val Q112K = 10
+  private val Q112QueryId = 7L
+
+  /** (layout dir, probes dir) of the most recent q112 run — oracle
+    * hook. */
+  @volatile private var lastQ112Aux: Option[(String, String)] = None
+
+  /** q112: the DECLARATIVE read path end-to-end — a plain DataFrame
+    * top-k (`ORDER BY l2sq LIMIT k`, no facade call anywhere) over the
+    * attached embeddings table, rewritten by the optimizer onto the
+    * cell-pruned probe, results reported (rank, id, score). The script
+    * REQUIRES the rewrite to have fired (the physical plan must scan
+    * the layout, not the source) so a silently-disabled rule cannot
+    * grade the exact scan; the probe list persists next to the layout
+    * and the oracle replays candidates = probed cells' `assign/`
+    * members with the exact ascending-l2 rerank — the q33/q53 contract,
+    * reached through Catalyst instead of an API. */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcPath = s"$dir/embeddings.parquet"
+    val layout = attachIvf(spark, srcPath, "vec_id", "embedding")
+    install(spark)
+    val qv = spark.read.parquet(srcPath)
+      .where(col("vec_id") === Q112QueryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qlit = array(qv.map(v => lit(v)): _*).cast("array<float>")
+    spark.conf.set(EnabledConf, "true")
+    val ids = try {
+      val df = spark.read.parquet(srcPath)
+        .orderBy(graft.functions.VectorFunctions.l2sq(col("embedding"), qlit),
+          col("vec_id"))
+        .limit(Q112K)
+        .select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("idx_"),
+        "q112's top-k did not rewrite onto the index - the graded result " +
+          "would be the exact scan, not the declarative probe path")
+      df.collect().map(_.getLong(0)).toSeq
+    } finally spark.conf.unset(EnabledConf)
+    val probed = lastProbed.getOrElse(
+      throw new IllegalStateException("q112 rewrite left no probe list"))
+    probed.toDF("cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$layout/probes")
+    lastQ112Aux = Some((layout, s"$layout/probes"))
+    // k-sized exact score fetch for the report (the rewrite's own sort
+    // ran on the raw distance expression, which must stay the bare sort
+    // key for the rule to see it)
+    val scores = spark.read.parquet(srcPath)
+      .where(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"), qlit).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ids.zipWithIndex
+      .map { case (id, i) => (i + 1, id, scores(id)) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Oracle: candidates = probed cells' assigned ids, rerank = exact
+    * ascending squared-L2 with the id tiebreak. */
+  def q112Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (SELECT DISTINCT a.id FROM a JOIN probes USING (cell)),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q112QueryId),
+       |sc AS (
+       |  SELECT c.id, ${graft.functions.Det.l2sqSql("e.embedding", "q.qv")} AS raw
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $Q112K ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_indexed_topk_rewrite" -> (q112 _))
+
+  def oracles: Map[String, String] =
+    lastQ112Aux.map { case (aux, p) =>
+      "q112_indexed_topk_rewrite" -> q112Sql(aux, p)
+    }.toMap
+}
+
+/** The rewrite itself — see [[IndexedTopK]] for the contract. Runs in
+  * the user-provided optimizer batch (after constant folding, so the
+  * query vector literal is already folded). Idempotent: the rewritten
+  * child scans the LAYOUT path, which is never registered, so a
+  * fixed-point re-application finds nothing to match. */
+class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption(IndexedTopK.EnabledConf).contains("true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      // column pruning may slide a Project between the limit and the
+      // sort (a trailing `.select(id)` lands there), so both shapes
+      // must match — the Project is preserved above the rewritten sort
+      case lim @ GlobalLimit(IntegerLiteral(_), ll @ LocalLimit(_, inner)) =>
+        inner match {
+          case sort @ Sort(SortOrder(dist, direction, _, _) +: _,
+              true, child, _) =>
+            rewrite(dist, direction, child) match {
+              case Some(nc) => GlobalLimit(lim.limitExpr,
+                LocalLimit(ll.limitExpr, sort.copy(child = nc)))
+              case None => lim
+            }
+          case proj @ Project(_, sort @ Sort(
+              SortOrder(dist, direction, _, _) +: _, true, child, _)) =>
+            rewrite(dist, direction, child) match {
+              case Some(nc) => GlobalLimit(lim.limitExpr,
+                LocalLimit(ll.limitExpr,
+                  proj.copy(child = sort.copy(child = nc))))
+              case None => lim
+            }
+          case _ => lim
+        }
+    }
+
+  /** (vector attribute, query literal, metric) when the sort key is a
+    * distance between an attribute and a folded float-array literal. */
+  private def distParts(dist: Expression): Option[(AttributeReference, Array[Float], String)] =
+    dist match {
+      case VectorDistance(a: AttributeReference,
+          Literal(ad: ArrayData, ArrayType(FloatType, _)), m) =>
+        Some((a, ad.toFloatArray(), m))
+      case VectorDistance(Literal(ad: ArrayData, ArrayType(FloatType, _)),
+          a: AttributeReference, m) =>
+        Some((a, ad.toFloatArray(), m)) // both kernels are symmetric
+      case _ => None
+    }
+
+  /** The metric/direction pairs the index serves: ascending squared-L2
+    * (IVF's native geometry) and descending cosine similarity (the
+    * facade's cosine policy on the same raw cells). A wrong-direction
+    * sort is farthest-first — not a top-k read, never rewritten. */
+  private def directionOk(metric: String, d: SortDirection): Boolean =
+    (metric == "l2sq" && d == Ascending) || (metric == "cos" && d == Descending)
+
+  /** The attached relation under an optional Project/Filter stack. */
+  private def relationUnder(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l: LogicalRelation => Some(l)
+    case Project(_, c) => relationUnder(c)
+    case Filter(_, c) => relationUnder(c)
+    case _ => None
+  }
+
+  private def infoFor(rel: LogicalRelation): Option[IndexedTopK.IndexInfo] =
+    rel.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.toSeq.flatMap(p =>
+          IndexedTopK.lookup(p.toString)).headOption
+      case _ => None
+    }
+
+  private def rewrite(dist: Expression, direction: SortDirection,
+                      child: LogicalPlan): Option[LogicalPlan] =
+    for {
+      rel <- relationUnder(child)
+      info <- infoFor(rel)
+      (attr, qv, metric) <- distParts(dist)
+      if directionOk(metric, direction) &&
+        attr.name == info.vecCol && rel.outputSet.contains(attr) &&
+        qv.length == info.centers.headOption.map(_.length).getOrElse(-1)
+    } yield {
+      val probed = Ann.rankCells(qv, info.centers,
+        Ann.ivfProbeFor(info.centers.length))
+      IndexedTopK.lastProbed = Some(probed)
+      // cell-pruned candidate scan of the full-record layout, re-aliased
+      // to the relation's attribute ids so the untouched Sort/Limit (and
+      // any Project/Filter in between) bind unchanged
+      val cand = spark.read.parquet(s"${info.layoutDir}/index")
+        .where(col("cell").isInCollection(probed))
+      val candPlan = cand.queryExecution.analyzed
+      val byName = candPlan.output.map(a => a.name -> a).toMap
+      val aliases: Seq[NamedExpression] = rel.output.map { o =>
+        Alias(byName(o.name), o.name)(exprId = o.exprId,
+          qualifier = o.qualifier)
+      }
+      val remapped = Project(aliases, candPlan)
+      child.transformUp {
+        case l: LogicalRelation if l.eq(rel) => remapped
+      }
+    }
+}
+
+/** `spark.sql.extensions` entry point: registers the rewrite at session
+  * build time (config-driven deployments; live sessions can use
+  * [[IndexedTopK.install]]). */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(sp => new IndexedTopKRule(sp))
+}

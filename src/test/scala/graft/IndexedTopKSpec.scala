@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosineSim, l2sq}
+import graft.plans.IndexedTopK
+
+/** The Catalyst indexed-top-k rewrite (SURVEY §7's optional plan-level
+  * item): `ORDER BY vec_l2sq(...) LIMIT k` over an ATTACHED parquet
+  * table must plan as a cell-pruned scan of the IVF layout — chosen by
+  * the optimizer, not a facade parameter — and its results must equal
+  * the probe policy computed by hand (candidates = probed cells, rerank
+  * exact). Unattached tables, disabled conf, and wrong-direction sorts
+  * must be byte-identical to the unrewritten plan. */
+class IndexedTopKSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def litVec(q: Seq[Float]): org.apache.spark.sql.Column =
+    array(q.map(v => lit(v)): _*).cast("array<float>")
+
+  private lazy val srcPath: String = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_src_").toString
+    val p = s"$dir/vecs.parquet"
+    val rows = (0 until 240).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat,
+        (i % 7).toFloat / 7f, (i % 5).toFloat / 5f,
+        math.cos(i * 0.053).toFloat, math.sin(i * 0.053).toFloat),
+        s"tag${i % 3}")
+    }
+    rows.toDF("vid", "vec", "tag").write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private lazy val attached: String = {
+    val layout = IndexedTopK.attachIvf(spark, srcPath, "vid", "vec")
+    IndexedTopK.install(spark)
+    layout
+  }
+
+  private def q(i: Int): Seq[Float] = spark.read.parquet(srcPath)
+    .where(col("vid") === i).select(col("vec"))
+    .head().getSeq[Float](0)
+
+  private def withRewrite[A](body: => A): A = {
+    spark.conf.set(IndexedTopK.EnabledConf, "true")
+    try body finally spark.conf.unset(IndexedTopK.EnabledConf)
+  }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("l2 top-k over an attached table rewrites to the cell-pruned layout scan; results = probe policy") {
+    val layout = attached
+    val qv = q(9)
+    // the trailing select is deliberate: column pruning slides it
+    // between the limit and the sort, the shape that originally escaped
+    // the pattern (caught by q112's in-script plan require at sf0.001)
+    def topk = spark.read.parquet(srcPath)
+      .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+      .limit(10)
+      .select(col("vid"))
+    withRewrite {
+      val df = topk
+      val plan = physical(df)
+      assert(plan.contains("idx_") || plan.contains(layout),
+        s"rewrite did not land on the layout scan\n${plan.take(1500)}")
+      assert(!plan.contains(srcPath.stripPrefix("file:")) || plan.contains(layout),
+        s"source scan survived the rewrite\n${plan.take(1500)}")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      // the hand-computed probe policy: candidates = probed cells'
+      // members, exact rerank, same tiebreak
+      val probed = IndexedTopK.lastProbed.get
+      val expected = spark.read.parquet(s"$layout/index")
+        .where(col("cell").isInCollection(probed))
+        .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+        .limit(10).select(col("vid")).collect().map(_.getLong(0)).toSeq
+      assert(got == expected, s"rewritten results diverged from the probe policy")
+      // the query's own vector is in a probed cell — rank 1 is itself
+      assert(got.head == 9L)
+    }
+  }
+
+  test("cosine descending rewrites too; ascending cosine (farthest-first) does not") {
+    val layout = attached
+    val qv = q(21)
+    withRewrite {
+      val desc = spark.read.parquet(srcPath)
+        .orderBy(cosineSim(col("vec"), litVec(qv)).desc, col("vid"))
+        .limit(5)
+      assert(physical(desc).contains("idx_"),
+        "descending cosine top-k did not rewrite")
+      assert(desc.select(col("vid")).head().getLong(0) == 21L)
+      val asc = spark.read.parquet(srcPath)
+        .orderBy(cosineSim(col("vec"), litVec(qv)), col("vid"))
+        .limit(5)
+      assert(!physical(asc).contains("idx_"),
+        "farthest-first cosine sort must never ride the index")
+    }
+  }
+
+  test("projections and filters compose: the index proposes, the filtered scan decides") {
+    val layout = attached
+    val qv = q(33)
+    withRewrite {
+      val df = spark.read.parquet(srcPath)
+        .where(col("tag") === "tag0")
+        .select(col("vid"), col("vec"))
+        .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+        .limit(8)
+      assert(physical(df).contains("idx_"),
+        "filtered/projected top-k did not rewrite")
+      val got = df.select(col("vid")).collect().map(_.getLong(0)).toSeq
+      val probed = IndexedTopK.lastProbed.get
+      val expected = spark.read.parquet(s"$layout/index")
+        .where(col("cell").isInCollection(probed) && col("tag") === "tag0")
+        .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+        .limit(8).select(col("vid")).collect().map(_.getLong(0)).toSeq
+      assert(got == expected)
+      assert(got.forall(_ % 3 == 0), "filter did not apply to candidates")
+    }
+  }
+
+  test("opt-in is real: disabled conf and unattached tables keep the exact scan") {
+    attached
+    val qv = q(5)
+    // conf off (default): no rewrite even though the table is attached
+    val off = spark.read.parquet(srcPath)
+      .orderBy(l2sq(col("vec"), litVec(qv))).limit(5)
+    assert(!physical(off).contains("idx_"),
+      "rewrite fired without the conf opt-in")
+    // conf on, different (unattached) table: untouched
+    withRewrite {
+      val sp = spark
+      import sp.implicits._
+      val other = java.nio.file.Files.createTempDirectory("graft_topk_other_")
+        .toString + "/o.parquet"
+      Seq((1L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+        .toDF("vid", "vec").write.mode("overwrite").parquet(other)
+      val un = spark.read.parquet(other)
+        .orderBy(l2sq(col("vec"), litVec(qv))).limit(5)
+      assert(!physical(un).contains("idx_"),
+        "rewrite fired on an unattached table")
+    }
+  }
+}
