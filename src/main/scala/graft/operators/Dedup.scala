@@ -585,9 +585,128 @@ object Dedup {
        |WHERE jaccard >= $JaccT AND id_a < split AND id_b >= split
        |ORDER BY jaccard DESC, corpus_id, batch_id""".stripMargin
 
+  // ---- Q113: span-level substring dedup (suffix-array style) ----------
+  // Doc-level dedup (q16–q19) drops WHOLE documents; the complementary
+  // pipeline op marks the duplicated SPANS inside otherwise-unique
+  // documents (boilerplate headers, licence blocks, template passages) —
+  // the "dedup at the substring level" result of Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better" (ACL '22),
+  // which they compute with a corpus suffix array. Suffix arrays don't
+  // distribute; the Spark-native equivalent is positional k-gram
+  // postings: any duplicated substring of length ≥ k contains a
+  // duplicated k-gram, so marking every position whose k-gram occurs ≥ 2
+  // times in the corpus and merging overlapping [pos, pos+k) intervals
+  // (gaps-and-islands per doc) recovers exactly the maximal duplicated
+  // spans at k-token resolution.
+  //
+  // 100 TB shape: ONE tokenize pass feeds the gram explode; the only
+  // corpus-scale shuffle keys on the 60-bit gram HASH (8 bytes/row, never
+  // the gram text, never the document); the duplicated-gram keys join
+  // back semi-join-style; the island windows partition by doc_id —
+  // bounded by a single document's length, never corpus-wide. Output is
+  // one row per doc (dup_frac drives the drop/trim decision downstream).
+
+  private[graft] val SpanK = 8
+
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialized once: feeds gram explode AND the final per-doc join
+    // (the q18 postings-checkpoint lesson — unmaterialized, the
+    // tokenize scan re-runs per plan branch)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+      .localCheckpoint(eager = true)
+    val grams = toks
+      .where(size(col("w")) >= SpanK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (SpanK - 1)),
+        i => struct(i.as("pos"),
+          graft.functions.TextFunctions.hash60(
+            concat_ws(" ", slice(col("w"), i, lit(SpanK)))).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .localCheckpoint(eager = true)
+    // ≥ 2 occurrences ANYWHERE (incl. twice within one doc) = duplicated
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))
+    val pos = grams.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    val perDoc = mergedSpans(pos, SpanK)
+    toks.select(col("doc_id"), size(col("w")).as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        graft.functions.Det.r4(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tok"), lit(1)).cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gaps-and-islands merge of duplicated k-gram positions: overlapping
+    * [pos, pos+k) intervals fold into maximal spans, then per-doc span
+    * count + covered-token total. The windows partition by doc_id —
+    * bounded by one document's length, never corpus-wide. */
+  private[graft] def mergedSpans(pos: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    pos
+      .withColumn("b", when(coalesce(col("pos") > prevEnd, lit(true)), 1)
+        .otherwise(0))
+      .withColumn("island",
+        sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+  }
+
+  val q113Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |         ('0x' || substr(md5(array_to_string(
+       |            w[i:i+${SpanK - 1}], ' ')), 1, 15))::BIGINT AS h
+       |  FROM toks, UNNEST(range(1, len(w) - $SpanK + 2)) AS t(i)
+       |  WHERE len(w) >= $SpanK),
+       |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN coalesce(pos > max(pos + ${SpanK - 1}) OVER (
+       |                PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              TRUE) THEN 1 ELSE 0 END AS b
+       |  FROM p),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
+       |  FROM isl GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id, count(*)::INT AS n_spans,
+       |         sum(e - s + 1)::BIGINT AS dup_tokens
+       |  FROM spans GROUP BY 1)
+       |SELECT t.doc_id, len(t.w)::INT AS n_tok,
+       |       coalesce(p.n_spans, 0)::INT AS n_spans,
+       |       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |       ${graft.functions.Det.r4Sql(
+      "coalesce(p.dup_tokens, 0) / greatest(len(t.w), 1)::DOUBLE")} AS dup_frac
+       |FROM toks t LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_span_dedup" -> (q113 _),
     "q16_dedup_exact" -> (q16 _),
     "q17_dedup_ngram_jaccard" -> (q17 _),
     "q18_dedup_minhash_lsh" -> (q18 _),
@@ -597,6 +716,7 @@ object Dedup {
     "q71_dedup_incremental" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
+    "q113_span_dedup" -> q113Sql,
     "q16_dedup_exact" -> q16Sql,
     "q17_dedup_ngram_jaccard" -> jaccardSql,
     // the LSH path must land on exactly the brute-force answer (verify

@@ -168,4 +168,37 @@ class DedupSpec extends AnyFunSuite {
     val members = rows(0).getString(2).split(",").map(_.toLong).toSeq
     assert(members == (0L until Dedup.MembersCap.toLong))
   }
+
+  test("q113 span-merge kernel folds overlapping k-gram intervals exactly") {
+    import spark.implicits._
+    val k = 8
+    // doc 1: positions 1,2,10 → [1,9]∪[2,9] merge (2 ≤ prevEnd 8+1); 10
+    // overlaps [1,9]'s end? prevEnd=9, 10 > 9 → NEW island [10,17].
+    // doc 2: positions 3,11 → 11 > 3+7=10 → two islands… 11 > 10 yes.
+    // doc 3: positions 5,12 → 12 ≤ 5+7=12 → one island [5,19].
+    val pos = Seq((1L, 1), (1L, 2), (1L, 10), (2L, 3), (2L, 11),
+      (3L, 5), (3L, 12)).toDF("doc_id", "pos")
+    val got = Dedup.mergedSpans(pos, k).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2, 17L))) // [1,9] (9 toks) + [10,17] (8 toks)
+    assert(got(2L) == ((2, 16L))) // [3,10] + [11,18], disjoint
+    assert(got(3L) == ((1, 15L))) // [5,19], one merged span
+  }
+
+  test("q113 span dedup: bounds + full-coverage consistency on the corpus") {
+    val rows = Dedup.q113(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nSpans, dupTok, frac) =>
+      assert(dupTok <= nTok, s"doc $id: spans cover more than the doc")
+      assert((nSpans > 0) == (dupTok > 0), s"doc $id: span/token mismatch")
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (frac == 1.0 && nTok >= Dedup.SpanK)
+        assert(nSpans == 1, s"doc $id: full coverage must be one merged span")
+    }
+    // the corpus generator plants near-duplicate docs (q17/q18 rely on
+    // them); positionally-shared 8-grams make some spans surface
+    assert(rows.exists(_._3 > 0), "expected some duplicated spans")
+  }
 }
