@@ -372,13 +372,70 @@ object Clustering {
        |FROM ($sel) ORDER BY round""".stripMargin
   }
 
+  // ---- Q114: centroid-distance outlier gate (prototypicality filter) --
+  //
+  // The embedding-space quality gate of a curation pipeline (the
+  // outlier-removal step that runs beside SemDeDup/q90): vectors far
+  // from their group's centroid are atypical for the group —
+  // mislabeled, noisy, or off-distribution — and get flagged before
+  // training. Groups here are the `label` column (at 100 TB: the
+  // cluster id a k-means pass assigned, the q80/q104 output).
+  //
+  // Shape: one (label × dim)-sized mean agg (map-side combinable)
+  // builds the centroids — quantized at [[Det.r6]], the q104 hand-off
+  // convention, so both engines score against byte-identical centroid
+  // inputs and the θ comparison flips identically — then ONE corpus
+  // scan with the label-count-sized centroid frame broadcast. Nothing
+  // but the k×dim frame crosses stages; no window, no driver collect.
+
+  private[graft] val OutlierTheta = 1.02 // ≈ the p95 of the d² mass
+
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(Det.r6(avg(col("x").cast("double"))).as("mu"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        s => s("mu")).as("cv"))
+    e.join(broadcast(cents), Seq("label"))
+      .withColumn("d", dToCv)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > OutlierTheta, 1L).otherwise(0L)).as("n_outliers"),
+        Det.r4(avg(col("d"))).as("avg_d"),
+        Det.r4(max(col("d"))).as("max_d"))
+      .orderBy(col("label"))
+  }
+
+  val q114Sql: String = {
+    val dim = 64
+    s"""WITH m AS (
+       |  SELECT label, g.i,
+       |         ${Det.r6Sql(s"avg(embedding[g.i + 1]::DOUBLE)")} AS mu
+       |  FROM embeddings, range($dim) g(i) GROUP BY 1, 2),
+       |c AS (SELECT label, list(mu ORDER BY i) AS cv FROM m GROUP BY 1),
+       |d AS (
+       |  SELECT e.label, ${Det.l2sqSql("e.embedding", "c.cv")} AS d
+       |  FROM embeddings e JOIN c USING (label))
+       |SELECT label, count(*)::BIGINT AS n,
+       |       sum(CASE WHEN d > $OutlierTheta THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_outliers,
+       |       ${Det.r4Sql("avg(d)")} AS avg_d,
+       |       ${Det.r4Sql("max(d)")} AS max_d
+       |FROM d GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_kmeans_step" -> (q80 _),
     "q104_kmeans_lloyd" -> (q104 _),
-    "q111_kmeans_converged" -> (q111 _))
+    "q111_kmeans_converged" -> (q111 _),
+    "q114_centroid_outliers" -> (q114 _))
 
   def oracles: Map[String, String] = Map(
     "q80_kmeans_step" -> q80Sql,
-    "q104_kmeans_lloyd" -> q104Sql) ++
+    "q104_kmeans_lloyd" -> q104Sql,
+    "q114_centroid_outliers" -> q114Sql) ++
     lastQ111Rounds.map(r => "q111_kmeans_converged" -> q111Sql(r))
 }

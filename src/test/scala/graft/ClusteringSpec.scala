@@ -54,4 +54,24 @@ class ClusteringSpec extends AnyFunSuite {
     // converged centroids have the corpus dimensionality
     assert(cents.forall(_._2.length == 64))
   }
+
+  test("q114 outlier gate: per-label partition, bounded stats, tail-sized flags") {
+    val rows = Clustering.q114(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val corpus = graft.sources.Tables.table(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == corpus, "every vector scored exactly once")
+    rows.foreach { case (label, n, nOut, avgD, maxD) =>
+      assert(nOut >= 0 && nOut <= n, s"label $label: flag count out of range")
+      assert(avgD >= 0 && avgD <= maxD + 1e-9, s"label $label: avg > max")
+      // θ sits in the distance tail: the gate must never flag a majority
+      assert(nOut * 2 < n, s"label $label: $nOut/$n flagged — θ not a tail gate")
+      // flags track the max (±1e-4: maxD is r4-rounded, θ compares raw)
+      if (nOut > 0) assert(maxD > Clustering.OutlierTheta - 1e-4,
+        s"label $label: flags without a crossing max")
+      else assert(maxD < Clustering.OutlierTheta + 1e-4,
+        s"label $label: max crosses θ but nothing flagged")
+    }
+  }
 }
