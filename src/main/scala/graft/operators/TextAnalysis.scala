@@ -738,7 +738,88 @@ object TextAnalysis {
        |       avg_logprob >= ($LpKeepFloor)::DOUBLE AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- Q115: DSIR importance weights (target-domain selection) --------
+  //
+  // Data Selection via Importance Resampling (Xie et al., NeurIPS '23):
+  // score every document by how much more likely its tokens are under a
+  // TARGET domain's unigram distribution than under the full corpus,
+  // then keep the target-like mass. The classifier-free cousin of a
+  // quality filter — q89 gates on absolute corpus likelihood, q115 on
+  // the target/source likelihood RATIO (here target = the labeled 'en'
+  // slice standing in for "high-quality reference corpus").
+  //
+  // weight(doc) = mean over token occurrences of
+  //   ln p̂_t(w) − ln p̂_s(w),  both add-1 smoothed over the shared vocab.
+  //
+  // 100 TB shape: q89's exactly — ONE tokenize pass (checkpointed)
+  // feeds the source agg, the target agg, and the scoring pass; both
+  // count tables are VOCABULARY-sized, their joined log-ratio table
+  // broadcasts, and the corpus shuffles once on doc_id for the mean.
+  // Determinism: counts/totals exact ints, each ln within 1 ulp, the
+  // per-word ratio quantized at [[graft.functions.Det.r6]] so both
+  // engines average byte-identical per-token values; `keep` compares
+  // the r4-ROUNDED score (the q89 convention).
+
+  private[graft] val DsirTarget = "en"
+  private[graft] val DsirKeepFloor = 0.0
+
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(spark, dir)
+      .select(col("doc_id"), col("lang"), col("toks"))
+      .localCheckpoint(eager = true)
+    val tokRows = toks.select(col("doc_id"), col("lang"),
+      explode(col("toks")).as("tok"))
+    val src = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("ns"))
+      .localCheckpoint(eager = true)
+    val tgt = tokRows.where(col("lang") === DsirTarget)
+      .groupBy(col("tok")).agg(count(lit(1)).as("nt"))
+    // three driver scalars (the q65/q89 constants pattern): vocab size
+    // + the two totals — vocabulary-sized aggs, never corpus-sized
+    val srcStats = src.agg(count(lit(1)), sum(col("ns"))).head()
+    val nv = srcStats.getLong(0).toDouble
+    val totalS = srcStats.getLong(1).toDouble
+    val totalT = tgt.agg(sum(col("nt"))).head().getLong(0).toDouble
+    val lr = src.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), graft.functions.Det.r6(
+        log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+          lit(totalT + nv)) -
+          log((col("ns") + 1).cast("double") / lit(totalS + nv))).as("lr"))
+    tokRows.join(broadcast(lr), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        graft.functions.Det.r4(avg(col("lr"))).as("dsir_lw"))
+      .withColumn("keep", col("dsir_lw") >= DsirKeepFloor)
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |s AS (SELECT tok, count(*) AS ns FROM t GROUP BY 1),
+       |tg AS (SELECT tok, count(*) AS nt FROM t
+       |       WHERE lang = '$DsirTarget' GROUP BY 1),
+       |consts AS (
+       |  SELECT (SELECT count(*) FROM s) AS nv,
+       |         (SELECT sum(ns) FROM s) AS total_s,
+       |         (SELECT sum(nt) FROM tg) AS total_t),
+       |lr AS (
+       |  SELECT s.tok,
+       |         ${graft.functions.Det.r6Sql(
+      "ln((coalesce(tg.nt, 0) + 1) / (c.total_t + c.nv)) - " +
+        "ln((s.ns + 1) / (c.total_s + c.nv))")} AS lr
+       |  FROM s LEFT JOIN tg USING (tok), consts c),
+       |d AS (
+       |  SELECT t.doc_id, t.lang, count(*)::INT AS n_tok,
+       |         ${graft.functions.Det.r4Sql("avg(lr.lr)")} AS dsir_lw
+       |  FROM t JOIN lr ON lr.tok = t.tok GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_tok, dsir_lw,
+       |       dsir_lw >= ($DsirKeepFloor)::DOUBLE AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_dsir_weights" -> (q115 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -756,6 +837,7 @@ object TextAnalysis {
     "q108_sequence_packing" -> (q108 _))
 
   val oracles: Map[String, String] = Map(
+    "q115_dsir_weights" -> q115Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

@@ -272,6 +272,21 @@ class PlanSpec extends AnyFunSuite {
       s"the vocab-sized frequency table must broadcast, not shuffle the corpus\n${p.take(1200)}")
   }
 
+  test("q113 span dedup: hash-keyed gram agg, no pair enumeration") {
+    val p = plan(graft.operators.Dedup.q113(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span dedup must join on gram hashes, never enumerate pairs\n${p.take(1200)}")
+    // duplicated-gram count is a partial-aggregable groupBy on the hash
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
+  test("q115 DSIR: log-ratio table broadcasts, corpus never shuffles for the join") {
+    val p = plan(graft.operators.TextAnalysis.q115(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the vocab-sized log-ratio table must broadcast\n${p.take(1200)}")
+  }
+
   test("q104 Lloyd round: broadcast centroids + partial argmin agg, no Window") {
     val p = plan(graft.operators.Clustering.q104(spark, dir))
     // the round's corpus side never shuffles for the centroid join —
