@@ -78,6 +78,10 @@ object IndexedTopK {
   private[graft] def normPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private[graft] def lookup(path: String): Option[IndexInfo] =
     Option(registry.get(normPath(path)))
 
@@ -96,13 +100,23 @@ object IndexedTopK {
     val key = normPath(sourcePath)
     registry.computeIfAbsent(key, _ => {
       val src = spark.read.parquet(sourcePath)
+      require(!src.columns.contains("cell"),
+        s"cannot attach $sourcePath: the layout partitions by an added " +
+          "'cell' column, and the source already has one — the rewrite " +
+          "would silently rebind the user's column to index cell ids")
       val total = src.count()
       require(total > 0, s"cannot attach an index to an empty table ($sourcePath)")
       val centers = Ann.trainQuantizer(src, idCol, vecCol, total,
         Ann.ivfCellsFor(total), AttachSeed)
       val root = spark.conf.getOption(DirConf).getOrElse(
         java.nio.file.Files.createTempDirectory("graft_topk_rw_").toString)
-      val layout = root + "/idx_" + key.replaceAll("[^A-Za-z0-9._-]", "_")
+      // sanitized-path + raw-path hash: sanitization alone is not
+      // injective (/a/b_c and /a_b/c collide), and under a shared
+      // DirConf root a collision would overwrite another table's layout
+      // while its registry entry keeps pointing here (the annSharedRoot
+      // lesson)
+      val layout = root + "/idx_" +
+        key.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + sha1Hex(key).take(8)
       val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
       src.withColumn("cell",
           graft.functions.NearestCell(col(vecCol), centerSeqs))
@@ -285,8 +299,14 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def infoFor(rel: LogicalRelation): Option[IndexedTopK.IndexInfo] =
     rel.relation match {
       case h: HadoopFsRelation =>
-        h.location.rootPaths.toSeq.flatMap(p =>
-          IndexedTopK.lookup(p.toString)).headOption
+        // exactly ONE root, and it must be attached: a multi-root scan
+        // (spark.read.parquet(a, b)) covers rows a single root's layout
+        // does not — substituting it would silently drop the other
+        // roots' rows from the top-k
+        h.location.rootPaths.toSeq match {
+          case Seq(only) => IndexedTopK.lookup(only.toString)
+          case _ => None
+        }
       case _ => None
     }
 

@@ -1263,18 +1263,35 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           // Expiry must not be delete-then-create: two observers of one
           // aged claim could each delete the other's fresh marker and
           // both "win". Instead RENAME the specific aged file to a
-          // tombstone — renames are atomic, exactly one observer's
-          // succeeds, and a marker re-created by a new winner is a
-          // different file the losers' renames cannot touch. Only the
-          // renamer proceeds to re-claim (and may still lose the create
-          // to a racing first-attempt claimer — fine, still one winner).
+          // per-process tombstone (renames are atomic; exactly one
+          // observer's succeeds for a given file) — but a rename is
+          // PATH-addressed, so a slow loser's rename can still move a
+          // marker RE-CREATED by a new winner between this observer's
+          // age check and its rename. The tombstone carries the renamed
+          // file's own mod-time: re-validate it AFTER the rename, and
+          // if it is fresh we stole a live claim — restore it and lose.
+          // Only a validated-aged renamer proceeds to re-claim (and may
+          // still lose the create to a racing first-attempt claimer —
+          // fine, still one winner). Residual: the restore window
+          // briefly leaves the marker path empty for a third observer's
+          // first-attempt create — duplicated build WORK at worst; the
+          // epoch-dir claim still serializes layout writes.
           val tomb = new org.apache.hadoop.fs.Path(
             marker + ".expired." + procTag)
           val renamed =
             try fs.rename(hp, tomb) catch { case _: Exception => false }
           renamed && {
-            try fs.delete(tomb, false) catch { case _: Exception => () }
-            atomicCreate(marker)
+            val stillAged =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(tomb).getModificationTime > annBuildClaimTtlMs
+              catch { case _: Exception => false } // vanished → don't claim
+            if (!stillAged) {
+              try fs.rename(tomb, hp) catch { case _: Exception => () }
+              false
+            } else {
+              try fs.delete(tomb, false) catch { case _: Exception => () }
+              atomicCreate(marker)
+            }
           }
         }
       }

@@ -148,4 +148,40 @@ class IndexedTopKSpec extends AnyFunSuite {
         "rewrite fired on an unattached table")
     }
   }
+
+  test("multi-root scans never rewrite: one root's layout can't cover the union") {
+    attached
+    val sp = spark
+    import sp.implicits._
+    val other = java.nio.file.Files.createTempDirectory("graft_topk_mr_")
+      .toString + "/m.parquet"
+    // rows disjoint from srcPath's ids — if the rewrite fired, these
+    // could never surface in the top-k
+    (1000 until 1020).map(i =>
+        (i.toLong, Seq.fill(8)(0f), "x")).toDF("vid", "vec", "tag")
+      .write.mode("overwrite").parquet(other)
+    val qv = q(5)
+    withRewrite {
+      val both = spark.read.parquet(srcPath, other)
+        .orderBy(l2sq(col("vec"), litVec(qv))).limit(300)
+      assert(!physical(both).contains("idx_"),
+        "rewrite fired on a multi-root relation — silent data loss")
+      val ids = both.collect().map(_.getLong(0)).toSet
+      assert((1000L until 1020L).forall(ids.contains),
+        "second root's rows missing from the union top-k")
+    }
+  }
+
+  test("attach refuses a source that already has a 'cell' column") {
+    val sp = spark
+    import sp.implicits._
+    val clash = java.nio.file.Files.createTempDirectory("graft_topk_cc_")
+      .toString + "/c.parquet"
+    Seq((1L, Seq.fill(8)(0.5f), 9)).toDF("vid", "vec", "cell")
+      .write.mode("overwrite").parquet(clash)
+    val e = intercept[IllegalArgumentException] {
+      IndexedTopK.attachIvf(spark, clash, "vid", "vec")
+    }
+    assert(e.getMessage.contains("cell"))
+  }
 }
