@@ -743,6 +743,54 @@ object Ann {
        |SELECT qid AS vec_id, cand AS nn_id, score FROM r WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  // ---- Q116: hard-negative mining (contrastive-pair generation) -------
+  //
+  // The training-pair miner for embedding/reranker training: for each
+  // anchor, the corpus vectors MOST similar to it that carry a
+  // DIFFERENT label — the "hard negatives" that make a contrastive
+  // batch informative (random negatives are trivially separable; the
+  // near-miss ones define the decision boundary). Same query contract
+  // as q31 (first NumQueries anchors, top-K), same broadcast-anchors ×
+  // one-corpus-scan shape, same bounded-heap cut — the label predicate
+  // is the only addition, and it prunes BEFORE scoring. The Q×K result
+  // re-joins labels via a broadcast of itself, never a second corpus
+  // shuffle.
+
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("anchor_label"))
+    val cut = rankTopK(
+      e.crossJoin(broadcast(q.select(col("qid"), col("qv"), col("anchor_label"))))
+        .where(col("label") =!= col("anchor_label"))
+        .select(col("qid"),
+          round(cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      K, descending = true)
+    e.select(col("vec_id").as("id"), col("label").as("neg_label"))
+      .join(broadcast(cut), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("anchor_label"))), Seq("qid"))
+      .select(col("qid"), col("anchor_label"), col("rank"), col("id"),
+        col("neg_label"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q116Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT q.qid, q.qlabel, e.vec_id AS id, e.label AS neg_label,
+       |         round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM embeddings e, q WHERE e.label <> q.qlabel),
+       |r AS (
+       |  SELECT qid, qlabel, id, neg_label, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+       |  FROM s)
+       |SELECT qid, qlabel AS anchor_label, rn::INT AS rank, id, neg_label,
+       |       score
+       |FROM r WHERE rn <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -750,7 +798,8 @@ object Ann {
     "q32_ann_lsh_topk" -> (q32 _),
     "q33_ann_ivf_topk" -> (ivfTopK _),
     "q90_semdedup_nn" -> (q90 _),
-    "q94_ann_imi_topk" -> (q94 _))
+    "q94_ann_imi_topk" -> (q94 _),
+    "q116_hard_negatives" -> (q116 _))
 
   /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
     * evaluated by Verify after all queries have executed. If ivfTopK never
@@ -758,7 +807,8 @@ object Ann {
     * than one pointing at a stale layout. */
   def oracles: Map[String, String] = Map(
     "q31_ann_brute_topk" -> q31Sql,
-    "q32_ann_lsh_topk" -> q32Sql) ++
+    "q32_ann_lsh_topk" -> q32Sql,
+    "q116_hard_negatives" -> q116Sql) ++
     lastAux.map(aux => "q33_ann_ivf_topk" -> q33Sql(aux)) ++
     lastAux.map(aux => "q90_semdedup_nn" -> q90Sql(aux)) ++
     // the IMI layout persists the same assign/probes tables as flat IVF,
