@@ -287,6 +287,24 @@ class PlanSpec extends AnyFunSuite {
       s"the vocab-sized log-ratio table must broadcast\n${p.take(1200)}")
   }
 
+  test("q114 outlier gate: centroid frame broadcasts, corpus scanned once, no Window") {
+    val p = plan(graft.operators.Clustering.q114(spark, dir))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"),
+      s"q114 fell back to a window over the corpus\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the k×dim centroid frame must broadcast\n${p.take(1200)}")
+  }
+
+  test("q116 hard negatives: anchors broadcast, cut rides the bounded-heap agg, no Window") {
+    val p = plan(graft.operators.Ann.q116(spark, dir))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"),
+      s"q116 top-k fell back to a window rank\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q116 cut must run in TopKAgg's bounded heap\n${p.take(1200)}")
+  }
+
   test("q104 Lloyd round: broadcast centroids + partial argmin agg, no Window") {
     val p = plan(graft.operators.Clustering.q104(spark, dir))
     // the round's corpus side never shuffles for the centroid join —
