@@ -755,10 +755,14 @@ object TextAnalysis {
   // feeds the source agg, the target agg, and the scoring pass; both
   // count tables are VOCABULARY-sized, their joined log-ratio table
   // broadcasts, and the corpus shuffles once on doc_id for the mean.
-  // Determinism: counts/totals exact ints, each ln within 1 ulp, the
-  // per-word ratio quantized at [[graft.functions.Det.r6]] so both
-  // engines average byte-identical per-token values; `keep` compares
-  // the r4-ROUNDED score (the q89 convention).
+  // Determinism: counts/totals exact ints, each ln within 1 ulp, mean
+  // error ~1e-15 against the 1e-4 readout — the q89 margin argument.
+  // Deliberately NOT quantized per-word first: a mean of GRID-aligned
+  // values lands exactly ON an r4 half-boundary whenever the doc's
+  // token count divides the scaled sum, and then flips on summation-
+  // order noise (observed in q117's first cut); raw ln ratios keep the
+  // boundary at measure zero. `keep` compares the r4-ROUNDED score
+  // (the q89 convention).
 
   private[graft] val DsirTarget = "en"
   private[graft] val DsirKeepFloor = 0.0
@@ -780,7 +784,7 @@ object TextAnalysis {
     val totalS = srcStats.getLong(1).toDouble
     val totalT = tgt.agg(sum(col("nt"))).head().getLong(0).toDouble
     val lr = src.join(tgt, Seq("tok"), "left")
-      .select(col("tok"), graft.functions.Det.r6(
+      .select(col("tok"), (
         log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
           lit(totalT + nv)) -
           log((col("ns") + 1).cast("double") / lit(totalS + nv))).as("lr"))
@@ -806,9 +810,8 @@ object TextAnalysis {
        |         (SELECT sum(nt) FROM tg) AS total_t),
        |lr AS (
        |  SELECT s.tok,
-       |         ${graft.functions.Det.r6Sql(
-      "ln((coalesce(tg.nt, 0) + 1) / (c.total_t + c.nv)) - " +
-        "ln((s.ns + 1) / (c.total_s + c.nv))")} AS lr
+       |         ln((coalesce(tg.nt, 0) + 1) / (c.total_t + c.nv)) -
+       |           ln((s.ns + 1) / (c.total_s + c.nv)) AS lr
        |  FROM s LEFT JOIN tg USING (tok), consts c),
        |d AS (
        |  SELECT t.doc_id, t.lang, count(*)::INT AS n_tok,
@@ -818,8 +821,74 @@ object TextAnalysis {
        |       dsir_lw >= ($DsirKeepFloor)::DOUBLE AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---- Q117: corpus data card (per-slice datasheet) -------------------
+  //
+  // The reporting artifact every curated corpus ships with ("Datasheets
+  // for Datasets"): one row per (source, lang) slice carrying the
+  // volume, token mass, exact-duplicate rate, and quality profile that
+  // the curation decisions are justified by. Pure composition of the
+  // graded per-doc metrics (q21's quality contract, q16's canonical
+  // digest), aggregated in ONE corpus scan — every agg is map-side
+  // combinable and the output is slice-count-sized. The slice mean
+  // averages the RAW per-doc quality (bit-identical IEEE ops in both
+  // engines — the q89 margin argument): averaging the r4-ROUNDED
+  // values instead puts the mean on an exact 1e-4 grid whose own r4
+  // readout sits ON a 0.5e-4 boundary whenever n divides the sum
+  // evenly — observed flipping on summation-order noise.
+
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = StopEn.map(w => s"'$w'").mkString(",")
+    val d = withToks(spark, dir)
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("q", qualityScore(
+        col("n_tok"),
+        col("stop_hits").cast("double") / col("n_tok"),
+        col("sum_len").cast("double") / col("n_tok")))
+      .withColumn("digest", md5(normText(col("text"))))
+    d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tok"),
+        countDistinct(col("digest")).as("n_distinct"),
+        r4(avg(col("q"))).as("avg_quality"))
+      .withColumn("dup_rate",
+        r4(lit(1.0) - col("n_distinct").cast("double") / col("n_docs")))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tok"),
+        col("n_distinct"), col("dup_rate"), col("avg_quality"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q117Sql: String =
+    s"""WITH t AS (
+       |  SELECT source, lang, text,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, lang,
+       |         len(toks)::INT AS n_tok,
+       |         ${qualityScoreSql(
+      "len(toks)",
+      "len(list_filter(toks, x -> list_contains(" +
+        s"${sqlList(StopEn)}, x)))::DOUBLE / len(toks)",
+      "list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)")}
+       |           AS q,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |           AS digest
+       |  FROM t)
+       |SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |       sum(n_tok)::BIGINT AS n_tok,
+       |       count(DISTINCT digest)::BIGINT AS n_distinct,
+       |       ${r4Sql("1.0 - count(DISTINCT digest) / count(*)::DOUBLE")}
+       |         AS dup_rate,
+       |       ${r4Sql("avg(q)")} AS avg_quality
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_dsir_weights" -> (q115 _),
+    "q117_data_card" -> (q117 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -838,6 +907,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q115_dsir_weights" -> q115Sql,
+    "q117_data_card" -> q117Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,
