@@ -157,7 +157,10 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_clicks"),
         count(col("view_ts")).as("n_matched"),
-        r4(avg((col("ts_us") - col("view_ts")) / lit(1e6))).as("avg_gap_s"))
+        // average the exact integer µs gaps (order-exact sums), divide
+        // once — per-row /1e6 made a non-representable grid whose mean
+        // can sit ON an r4 half-boundary (the q117 lesson)
+        r4(avg(col("ts_us") - col("view_ts")) / lit(1e6)).as("avg_gap_s"))
       .orderBy(col("user_id"))
   }
 
@@ -167,7 +170,7 @@ object EventOps {
        |v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
        |      WHERE event_type = 'view')
        |SELECT c.user_id, count(*) AS n_clicks, count(v.ts_us) AS n_matched,
-       |       ${r4Sql("avg((c.ts_us - v.ts_us) / 1e6)")} AS avg_gap_s
+       |       ${r4Sql("avg(c.ts_us - v.ts_us) / 1e6")} AS avg_gap_s
        |FROM c ASOF LEFT JOIN v
        |  ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin

@@ -38,7 +38,13 @@ object Relational {
         r4(sum(col("l_extendedprice"))).as("sum_base_price"),
         r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
         r4(avg(col("l_quantity"))).as("avg_qty"),
-        r4(avg(col("l_discount"))).as("avg_disc"),
+        // l_discount is cent-grid (0.00..0.10 step 0.01): averaging the
+        // raw doubles sums non-representable values in engine-specific
+        // orders, and the mean can land ON an r4 half-boundary (the q117
+        // lesson). Recover the exact integer cents first — integer sums
+        // are order-exact — then divide once.
+        r4(avg(floor(col("l_discount") * 100 + lit(0.5))) / lit(100.0))
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -48,7 +54,7 @@ object Relational {
        |       ${r4Sql("sum(l_extendedprice)")} AS sum_base_price,
        |       ${r4Sql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
        |       ${r4Sql("avg(l_quantity)")} AS avg_qty,
-       |       ${r4Sql("avg(l_discount)")} AS avg_disc,
+       |       ${r4Sql("avg(floor(l_discount * 100 + 0.5)) / 100.0")} AS avg_disc,
        |       count(*) AS count_order
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '$ShipCutoff'

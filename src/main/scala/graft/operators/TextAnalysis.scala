@@ -217,13 +217,18 @@ object TextAnalysis {
       .withColumn("avg_len",
         expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
           .cast("double") / col("n_tok"))
-      .withColumn("quality", r4(qualityScore(
-        col("n_tok"), col("stop_ratio"), col("avg_len"))))
+      .withColumn("q_raw", qualityScore(
+        col("n_tok"), col("stop_ratio"), col("avg_len")))
+      // the GATE compares the rounded score (the q21 contract) but the
+      // slice mean averages the RAW score: a mean of r4-grid values
+      // lands ON an r4 half-boundary and flips with summation order
+      // (the q117 lesson)
+      .withColumn("quality", r4(col("q_raw")))
       .where(col("quality") >= QualityFloor && splitBucket < 80)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok").cast("long")).as("total_tokens"),
-        r4(avg(col("quality"))).as("avg_quality"))
+        r4(avg(col("q_raw"))).as("avg_quality"))
       .orderBy(col("lang"))
   }
 
@@ -243,10 +248,11 @@ object TextAnalysis {
        |  FROM t JOIN k ON k.h = t.h AND k.doc_id = t.doc_id),
        |q AS (
        |  SELECT doc_id, lang, n_tok,
+       |         ${qualityScoreSql("n_tok", "stop_ratio", "avg_len")} AS q_raw,
        |         ${r4Sql(qualityScoreSql("n_tok", "stop_ratio", "avg_len"))} AS quality
        |  FROM m)
        |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
-       |       ${r4Sql("avg(quality)")} AS avg_quality
+       |       ${r4Sql("avg(q_raw)")} AS avg_quality
        |FROM q
        |WHERE quality >= $QualityFloor
        |  AND ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 < 80
