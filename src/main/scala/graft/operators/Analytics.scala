@@ -116,14 +116,20 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        r4(avg(col("value"))).as("avg_value"),
+        // value is cent-grid: average the exact integer cents (order-
+        // exact sums) and divide once — a mean of grid doubles can sit
+        // ON an r4 half-boundary and flip with summation order (the
+        // q117 lesson). stddev/corr readouts land off-grid (sqrt/ratio)
+        // so their boundary stays measure-zero.
+        r4(avg(floor(col("value") * 100 + lit(0.5))) / lit(100.0))
+          .as("avg_value"),
         r4(stddev_samp(col("value"))).as("sd_value"),
         r4(corr(col("value"), col("k"))).as("corr_vk"))
       .orderBy(col("event_type"))
 
   val q37Sql: String =
     s"""SELECT event_type, count(*) AS n,
-       |       ${r4Sql("avg(value)")} AS avg_value,
+       |       ${r4Sql("avg(floor(value * 100 + 0.5)) / 100.0")} AS avg_value,
        |       ${r4Sql("stddev_samp(value)")} AS sd_value,
        |       ${r4Sql("corr(value, json_extract_string(props, '$.k')::DOUBLE)")} AS corr_vk
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
