@@ -64,7 +64,9 @@ object EventOps {
   // Per user: lag over (ts, event_id), a new session starts when the gap
   // exceeds 30 min. One shuffle on user_id; the window sort is per-user.
 
-  private val GapUs = 30L * 60 * 1000000
+  // private[graft]: the streaming sessionizer (EventStream) keys its
+  // state breaks off THIS gap — a re-declared copy could silently drift
+  private[graft] val GapUs = 30L * 60 * 1000000
 
   def q28(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -130,11 +130,15 @@ private[store] object Scoring {
           .as[graft.model.VectorRecord].collect().map(r => r.id -> r).toMap
       }
     queries.indices.map { i =>
-      // recs.get, not recs(...): the two collects are separate jobs, and
-      // on the durable facade a commit racing between them can remove a
-      // winner from live() — a vanished record drops from the hit list
-      // (the single-query path's one-job semantics) instead of throwing
-      // for the whole batch
+      // Version consistency across the two jobs: `base` is evaluated
+      // ONCE per call, and a parquet DataFrame pins its file listing at
+      // construction (InMemoryFileIndex is built when the relation
+      // resolves) — commits racing between the collects write NEW files
+      // the pinned index never sees, so job 2 enriches from the same
+      // snapshot job 1 scored (never an old score on a new record).
+      // recs.get stays belt-and-braces: a caller passing a re-resolving
+      // base (a view, a re-listed table) degrades to dropped hits, not
+      // a thrown batch
       top.getOrElse(i, Nil).flatMap { case (id, s) =>
         recs.get(id).map(r =>
           graft.model.SearchHit(id, s, r.values, r.metadata, r.metadataJson))

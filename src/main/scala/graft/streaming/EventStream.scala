@@ -38,6 +38,11 @@ object EventStream {
     * Tables.events), TIMESTAMP_NTZ for the µs corpus (r11). A mismatched
     * declared type would silently misread the column, not error. */
   def rawSchema(spark: SparkSession, dir: String): StructType = {
+    // batch/stream parity starts at the loader: the nanosecond-corpus
+    // probe below needs the same legacy conf the batch loader adopts —
+    // without this a foreign session's streaming twins (q46/q47/...)
+    // throw PARQUET_TYPE_ILLEGAL where their batch twins succeed
+    Tables.adoptRequiredConfs(spark)
     val tsType = Tables.table(spark, dir, "events").schema("ts").dataType
     StructType(Seq(
       StructField("event_id", LongType),
@@ -49,9 +54,9 @@ object EventStream {
   }
 
   /** Streaming source over the events parquet with the same µs-timestamp
-    * normalization as the batch loader (requires Tables.requiredConfs at
-    * session build — loaders never mutate a live session's conf). */
+    * normalization — and the same conf adoption — as the batch loader. */
   def source(spark: SparkSession, dir: String): DataFrame = {
+    Tables.adoptRequiredConfs(spark)
     val raw = spark.readStream
       .schema(rawSchema(spark, dir))
       // the streaming file source wants a directory; glob down to the
@@ -91,7 +96,7 @@ object EventStream {
 
   // ---- stateful sessionization (flatMapGroupsWithState) ---------------
 
-  private val GapUs = 30L * 60 * 1000000 // shared 30-min gap with EventOps.q28
+  private val GapUs = graft.operators.EventOps.GapUs // q28's gap, by reference
 
   /** Gap-based sessionization as arbitrary streaming state
     * (`flatMapGroupsWithState` over `groupByKey(user_id)`) — the custom-
@@ -294,7 +299,6 @@ object EventStream {
   def startRangeJoinToMemory(spark: SparkSession, dir: String,
                              queryName: String): StreamingQuery = {
     val rangeUs = graft.operators.EventOps.RangeUs
-    val win = rangeUs / 1000000 // seconds
     val p = source(spark, dir).where(col("event_type") === "purchase")
       .select(col("event_id"), col("ts").as("p_ts"),
         (unix_micros(col("ts")) / rangeUs).cast("long").as("bin"))
@@ -307,9 +311,12 @@ object EventStream {
         (unix_micros(col("e_ts")) / rangeUs).cast("long") + 1)))
       .withWatermark("e_ts", "1 hour")
     p.join(e,
+        // µs-exact interval: a whole-seconds window would silently
+        // truncate any sub-second component of RangeUs and diverge from
+        // the µs-exact batch oracle
         p("bin") === e("bin") &&
-          col("e_ts") >= col("p_ts") - expr(s"INTERVAL $win SECONDS") &&
-          col("e_ts") <= col("p_ts") + expr(s"INTERVAL $win SECONDS"))
+          col("e_ts") >= col("p_ts") - expr(s"INTERVAL $rangeUs MICROSECOND") &&
+          col("e_ts") <= col("p_ts") + expr(s"INTERVAL $rangeUs MICROSECOND"))
       .select(col("event_id"), unix_micros(col("p_ts")).as("p_us"),
         col("err_id"))
       .writeStream
