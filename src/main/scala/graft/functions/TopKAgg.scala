@@ -70,7 +70,12 @@ case class TopKAgg(
   override def update(buf: TopKAgg.Buf, input: InternalRow): TopKAgg.Buf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // NaN is ignored like NULL: the (score, id) comparator is not a
+    // total order under NaN — an admitted NaN entry could never be
+    // evicted (worse() false both ways) and two of them would break
+    // sortWith's contract in the finalizer. An undefined score doesn't
+    // rank.
+    if (s != null && !s.asInstanceOf[Double].isNaN && i != null) {
       // UTF8Strings from a columnar scan alias reusable buffers — copy
       // before the value outlives this row
       val iv: AnyRef =

@@ -74,9 +74,13 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
           d += xv * yv; na += xv * xv; nb += yv * yv; i += 1
         }
         // zero vector → similarity 0, never NaN (NaN sorts above every
-        // real score in Spark DESC and would hijack top-k)
+        // real score in Spark DESC and would hijack top-k). The same
+        // guard covers non-finite inputs: an Infinity component makes
+        // d/den NaN (Inf/Inf) — map that to 0 too, so one corrupt row
+        // can never become every query's permanent #1 hit.
         val den = math.sqrt(na) * math.sqrt(nb)
-        if (den == 0.0) 0.0 else d / den
+        val r = if (den == 0.0) 0.0 else d / den
+        if (r.isNaN) 0.0 else r
     }
   }
 
@@ -121,7 +125,8 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
              |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
              |}
              |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-             |${ev.value} = $den == 0.0 ? 0.0 : $d / $den;""".stripMargin
+             |${ev.value} = $den == 0.0 ? 0.0 : $d / $den;
+             |if (Double.isNaN(${ev.value})) ${ev.value} = 0.0;""".stripMargin
       }
     })
 

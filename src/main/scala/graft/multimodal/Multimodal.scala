@@ -427,7 +427,10 @@ object Multimodal {
         col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
+        // placeholder only — mapPartitions below replaces every payload;
+        // encoding the full text here would allocate corpus-text-sized
+        // byte arrays just to throw them away
+        lit(Array.emptyByteArray).as("payload"),
         map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
       .as[MediaRecord]
       .mapPartitions(_.map { m =>

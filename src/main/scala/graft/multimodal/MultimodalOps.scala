@@ -43,7 +43,10 @@ object MultimodalOps {
     * runs measure the extract, not the fixture synthesis). */
   private val fixtureFor = new ConcurrentHashMap[String, String]()
 
-  @volatile private var lastMediaAux: Option[String] = None
+  /** Fixture dir each graded query LAST ran against, keyed by query name
+    * — a single shared var would cross-wire the two oracles when the
+    * queries run against different dirs in one JVM. */
+  private val lastAuxFor = new ConcurrentHashMap[String, String]()
 
   /** Synthesize-and-persist the media table for `dir`: one third each
     * real PNG / WAV / MP4 payloads keyed by doc_id. Both engines then
@@ -62,7 +65,7 @@ object MultimodalOps {
   def q100(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val aux = mediaFixture(spark, dir)
-    lastMediaAux = Some(aux)
+    lastAuxFor.put("q100_media_features", aux)
     val media = spark.read.parquet(s"$aux/media").as[MediaRecord]
     Multimodal.extractFeatures(media)
       .toDF()
@@ -163,7 +166,7 @@ object MultimodalOps {
   def q105(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val aux = mediaFixture(spark, dir)
-    lastMediaAux = Some(aux)
+    lastAuxFor.put("q105_frame_samples", aux)
     val media = spark.read.parquet(s"$aux/media").as[MediaRecord]
     Multimodal.frameSamples(media, FrameEvery)
       .toDF()
@@ -203,7 +206,8 @@ object MultimodalOps {
     "q105_frame_samples" -> (q105 _))
 
   def oracles: Map[String, String] =
-    lastMediaAux.map(aux => Map(
-      "q100_media_features" -> q100Sql(aux),
-      "q105_frame_samples" -> q105Sql(aux))).getOrElse(Map.empty)
+    Option(lastAuxFor.get("q100_media_features"))
+      .map(a => "q100_media_features" -> q100Sql(a)).toMap ++
+      Option(lastAuxFor.get("q105_frame_samples"))
+        .map(a => "q105_frame_samples" -> q105Sql(a)).toMap
 }

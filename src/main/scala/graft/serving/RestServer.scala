@@ -42,8 +42,17 @@ import graft.store.{DurableVectorStore, VectorStore}
   *    `metadataJson`; the old flat-flattening via `asText` is gone.
   *
   * Validation mirrors the reference: `top_k ∈ [1,1000]` (Pydantic bound at
-  * rest_api.py:24) → 422; malformed JSON → 400. A request-latency log line
-  * is emitted per request (middleware parity, rest_api.py:350-378).
+  * rest_api.py:24) → 422; vectors must be JSON arrays of FINITE numbers
+  * → 422 (Pydantic `List[float]` parity; also keeps Infinity-born NaN
+  * scores out of the kernels); malformed JSON → 400. A request-latency
+  * log line is emitted per request (middleware parity, rest_api.py:350-378).
+  *
+  * Known divergence: query DIMENSION is not validated against the stored
+  * vectors (the reference's hnswlib raises on mismatch because its index
+  * has a fixed dim; this store has no per-namespace dim registry, and
+  * probing one record per request would add a Spark job to every search).
+  * The distance kernels score over the common prefix — callers own the
+  * dim contract, as the facade API documents.
   *
   * Durable mount: a [[DurableVectorStore]] passed as `durable` exposes
   * the 100 TB layout route-for-route. Reads — `POST /search` with
@@ -103,8 +112,13 @@ class RestServer(store: VectorStore, port: Int = 0,
 
   private def queryParam(ex: HttpExchange, key: String, default: String): String = {
     val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    // percent-decode (UTF-8, '+' = space): a standards-compliant client
+    // sending namespace=my%20ns must address "my ns", not the literal
+    // encoded bytes — the reference's FastAPI decodes the same way
+    def dec(s: String): String =
+      java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
     q.split("&").iterator.map(_.split("=", 2))
-      .collectFirst { case Array(k, v) if k == key => v }
+      .collectFirst { case Array(k, v) if dec(k) == key => dec(v) }
       .getOrElse(default)
   }
 
@@ -134,8 +148,25 @@ class RestServer(store: VectorStore, port: Int = 0,
     v
   }
 
-  private def floats(n: JsonNode): Seq[Float] =
-    n.elements().asScala.map(_.floatValue()).toSeq
+  /** Strict vector payload: a JSON array of finite numbers, 422 on
+    * anything else (Pydantic `List[float]` parity, rest_api.py models).
+    * Jackson's floatValue() would silently coerce strings to 0.0f and a
+    * scalar to an empty iterator; a JSON 1e999 parses to Infinity, whose
+    * cosine turns NaN and would hijack every descending top-k. */
+  private def floats(n: JsonNode): Seq[Float] = {
+    if (!n.isArray)
+      throw new IllegalArgumentException(
+        "vector must be a JSON array of numbers")
+    n.elements().asScala.map { e =>
+      if (!e.isNumber)
+        throw new IllegalArgumentException(
+          s"vector elements must be numbers (got ${e.getNodeType})")
+      val f = e.floatValue()
+      if (f.isNaN || f.isInfinite)
+        throw new IllegalArgumentException("vector elements must be finite")
+      f
+    }.toSeq
+  }
 
   /** The request's metadata object as a JSON string — arbitrary nesting
     * preserved (reference metadata is `Dict[str, Any]`, rest_api.py:19).
@@ -322,6 +353,13 @@ class RestServer(store: VectorStore, port: Int = 0,
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
+        // validate the index name even when approx is false — /search's
+        // contract: a typo'd index on an exact search 422s, never a
+        // silent exact run
+        if (batchIndex != "lsh" && batchIndex != "ivf" && batchIndex != "pq" &&
+            batchIndex != "bq" && batchIndex != "imi")
+          throw new IllegalArgumentException(
+            s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
         if (wantApprox && batchIndex != "ivf" && batchIndex != "pq" &&
             batchIndex != "bq")
           throw new IllegalArgumentException(
@@ -329,8 +367,7 @@ class RestServer(store: VectorStore, port: Int = 0,
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val results =
           if (wantDurable) {
-            val d = durable.getOrElse(throw new IllegalArgumentException(
-              "no durable store mounted on this server"))
+            val d = durableStore
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
@@ -371,8 +408,7 @@ class RestServer(store: VectorStore, port: Int = 0,
     if (path == "/namespaces" || path == "/namespaces/") {
       val names =
         if (boolParam(ex, "durable", default = false))
-          durable.getOrElse(throw new IllegalArgumentException(
-            "no durable store mounted on this server")).listNamespaces()
+          durableStore.listNamespaces()
         else store.listNamespaces()
       val o = mapper.createObjectNode()
       val arr = o.putArray("namespaces") // name list, rest_api.py:255
@@ -457,6 +493,13 @@ class RestServer(store: VectorStore, port: Int = 0,
     }
   })
 
+  // Without an executor the JDK HttpServer runs EVERY handler on its one
+  // dispatcher thread: a multi-second Spark search would queue /health
+  // behind it and serialize all clients. Pool size is a serving knob,
+  // not a Spark one — Spark itself parallelizes each query's work.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
+
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

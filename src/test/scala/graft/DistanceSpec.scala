@@ -124,4 +124,20 @@ class DistanceSpec extends AnyFunSuite {
       ipDist(col("a").cast("array<float>"), col("b").cast("array<float>"))).head.getDouble(0)
     assert(math.abs(r - (1.0 - (0.5 - 2.0 + 6.0))) < 1e-12)
   }
+
+  test("cosine never yields NaN: zero vectors AND non-finite components score 0") {
+    val inf = Float.PositiveInfinity
+    val df = Seq(
+      (Seq(0f, 0f), Seq(1f, 2f)),      // zero norm
+      (Seq(inf, 1f), Seq(1f, 2f)),     // Inf/Inf → NaN without the guard
+      (Seq(inf, 1f), Seq(inf, 2f)),
+      (Seq(1f, 1f), Seq(1f, 2f))       // control: a real score
+    ).toDF("a", "b")
+    val rs = df.select(
+      cosineSim(col("a").cast("array<float>"), col("b").cast("array<float>")))
+      .collect().map(_.getDouble(0))
+    assert(!rs.exists(_.isNaN), s"NaN leaked from the cos kernel: ${rs.toSeq}")
+    assert(rs(0) == 0.0 && rs(1) == 0.0 && rs(2) == 0.0)
+    assert(rs(3) > 0.9) // the control row still scores normally
+  }
 }

@@ -462,6 +462,37 @@ class RestServerSpec extends AnyFunSuite {
       val (c, b) = send("POST", s"$base/search?namespace=ghost",
         """{"query": [1.0]}""")
       assert(c == 200 && mapper.readTree(b).isArray && mapper.readTree(b).size() == 0)
+      // vector payloads validate strictly (Pydantic List[float] parity):
+      // string elements would floatValue() to 0.0, scalars to [], and a
+      // JSON 1e999 to Infinity whose cosine is NaN — all 422, never
+      // silent coercion
+      assert(send("POST", s"$base/vectors",
+        """{"values": ["1.5", "2.5"]}""")._1 == 422)
+      assert(send("POST", s"$base/vectors", """{"values": "oops"}""")._1 == 422)
+      assert(send("POST", s"$base/search", """{"query": 3.5}""")._1 == 422)
+      assert(send("POST", s"$base/vectors", """{"values": [1e999]}""")._1 == 422)
+      // a typo'd index 422s on the BATCH route's exact path too, matching
+      // /search's contract
+      assert(send("POST", s"$base/search/batch",
+        """{"queries": [[1.0, 0.0]], "index": "ivvf"}""")._1 == 422)
+    }
+  }
+
+  test("percent-encoded namespaces decode: write and read address the same namespace") {
+    withServer { (base, _) =>
+      val (ic, _) = send("POST", s"$base/vectors?namespace=my%20ns",
+        """{"values": [1.0, 0.0]}""")
+      assert(ic == 201)
+      val (sc, sb) = send("POST", s"$base/search?namespace=my%20ns",
+        """{"query": [1.0, 0.0], "top_k": 1}""")
+      assert(sc == 200 && mapper.readTree(sb).size() == 1)
+      // the stored name is the DECODED one
+      val (nc, nb) = send("GET", s"$base/namespaces")
+      assert(nc == 200)
+      val names = mapper.readTree(nb).get("namespaces").elements()
+      val all = new scala.collection.mutable.ArrayBuffer[String]()
+      names.forEachRemaining(n => all += n.asText())
+      assert(all.contains("my ns") && !all.contains("my%20ns"))
     }
   }
 }

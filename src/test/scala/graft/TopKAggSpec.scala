@@ -68,6 +68,19 @@ class TopKAggSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1, 2L -> 0))
   }
 
+  test("NaN scores are ignored like NULLs: never admitted, never crowd out real rows") {
+    val rows = Seq((1L, Double.NaN), (2L, 0.5), (3L, Double.NaN), (4L, 0.9),
+      (5L, 0.1)).map { case (id, s) => ("g", id, s) }
+    val top = rows.toDF("g", "id", "score")
+      .groupBy(col("g"))
+      .agg(TopKAgg.topk(col("score"), col("id"), 3, descending = true).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq == Seq((4L, 0.9), (2L, 0.5), (5L, 0.1)),
+      s"NaN rows must not occupy heap slots: ${top.toSeq}")
+  }
+
   test("the q74 plan keeps partial aggregation (no corpus-wide shuffle of scored rows)") {
     val plan = graft.operators.VectorSearch
       .queries("q74_knn_batch")(spark, "/root/testdata/sf0.001")
