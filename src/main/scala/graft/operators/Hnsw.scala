@@ -286,6 +286,35 @@ object Hnsw {
     }
   }
 
+  // ---- shared per-shard recipes (both graded mounts) ------------------
+
+  /** Build one shard's persistable nodes from UNSORTED (id, vec) rows —
+    * the ONE per-shard build recipe the offline layout and the
+    * store-attached mount share (sort by id, md5 levels, kernel insert;
+    * a twin loop would drift — the [[Ann.trainQuantizer]] lesson).
+    * Returns (id, vec, level, per-level neighbor ids) rows. */
+  private[graft] def shardNodes[K: Ordering: scala.reflect.ClassTag](
+      rowsIn: Array[(K, Array[Float])]): Array[(K, Array[Float], Int, Array[Array[K]])] = {
+    val rows = rowsIn.sortBy(_._1)
+    val levels = rows.map(r => levelFor(r._1.toString))
+    val g = ShardGraph.build(rows.map(_._2), levels)
+    Array.tabulate(rows.length) { i =>
+      (rows(i)._1, rows(i)._2, levels(i),
+        g.adj(i).map(_.iterator.map(x => rows(x)._1).toArray).toArray)
+    }
+  }
+
+  /** Rebuild one shard's graph from persisted node rows (any order):
+    * (ids in index order, graph). */
+  private[graft] def loadShard[K: Ordering: scala.reflect.ClassTag](
+      rowsIn: Array[(K, Array[Float], Int, Array[Array[K]])]): (Array[K], ShardGraph) = {
+    val rows = rowsIn.sortBy(_._1)
+    val idx = rows.iterator.map(_._1).zipWithIndex.toMap
+    val nbrs = rows.map(_._4.map(_.map(idx)))
+    (rows.map(_._1),
+      ShardGraph.fromAdjacency(rows.map(_._2), rows.map(_._3), nbrs))
+  }
+
   // ---- offline layout over the embeddings table -----------------------
 
   /** One persisted graph node: per-level neighbor IDs (ids, not indices
@@ -324,12 +353,9 @@ object Hnsw {
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val levels = rows.map(r => levelFor(r._2.toString))
-        val g = ShardGraph.build(rows.map(_._3), levels)
-        rows.indices.iterator.map { i =>
-          HnswNode(shard, rows(i)._2, rows(i)._3.toSeq, levels(i),
-            g.adj(i).map(_.map(x => rows(x)._2).toSeq).toSeq)
+        shardNodes(it.map(t => (t._2, t._3)).toArray).iterator.map {
+          case (id, vec, lev, nbrs) =>
+            HnswNode(shard, id, vec.toSeq, lev, nbrs.toSeq.map(_.toSeq))
         }
       }
     nodes.toDF().write.mode("overwrite").partitionBy("shard")
@@ -363,15 +389,13 @@ object Hnsw {
       spark.read.parquet(s"$aux/graph/shard=$s").as[StoredNode]
         .coalesce(1)
         .mapPartitions { it =>
-          val rows = it.toArray.sortBy(_.id)
-          if (rows.isEmpty) Iterator.empty
+          val arr = it.toArray
+          if (arr.isEmpty) Iterator.empty
           else {
-            val idx = rows.iterator.map(_.id).zipWithIndex.toMap
-            val nbrs = rows.map(_.nbrs.map(_.map(idx).toArray).toArray)
-            val g = ShardGraph.fromAdjacency(
-              rows.map(_.vec.toArray), rows.map(_.level), nbrs)
+            val (ids, g) = loadShard(arr.map(n =>
+              (n.id, n.vec.toArray, n.level, n.nbrs.map(_.toArray).toArray)))
             qNorm.iterator.flatMap { case (qid, qv) =>
-              g.search(qv, EfSearch).iterator.map(i => (qid, rows(i).id))
+              g.search(qv, EfSearch).iterator.map(i => (qid, ids(i)))
             }
           }
         }
@@ -379,8 +403,39 @@ object Hnsw {
     perShard.reduce(_ union _).toDF("qid", "id")
   }
 
-  /** The layout path of the most recent [[hnswTopK]] run — the
-    * [[Ann]] `lastAux` oracle contract (None until the graded query has
+  /** [[HnswNode]] with STRING ids — the serving store's id space. */
+  case class HnswNodeS(shard: Int, id: String, vec: Seq[Float],
+                       level: Int, nbrs: Seq[Seq[String]])
+
+  /** [[HnswNodeS]] minus the partition column. */
+  case class StoredNodeS(id: String, vec: Seq[Float], level: Int,
+                         nbrs: Seq[Seq[String]])
+
+  /** Single-query candidate scan over a string-id layout (the
+    * store-attached mount): the same shuffle-free per-shard coalesced
+    * scans as [[shardCandidates]], emitting candidate ids only. */
+  private[graft] def shardCandidatesS(spark: SparkSession, aux: String,
+                                      query: Array[Float]): DataFrame = {
+    import spark.implicits._
+    val qv = normalize(query)
+    val perShard = listShards(spark, aux).map { s =>
+      spark.read.parquet(s"$aux/graph/shard=$s").as[StoredNodeS]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val arr = it.toArray
+          if (arr.isEmpty) Iterator.empty
+          else {
+            val (ids, g) = loadShard(arr.map(n =>
+              (n.id, n.vec.toArray, n.level, n.nbrs.map(_.toArray).toArray)))
+            g.search(qv, EfSearch).iterator.map(ids)
+          }
+        }
+    }
+    perShard.reduce(_ union _).toDF("id")
+  }
+
+  /** The layout path of the most recent [[q118]] run — the [[Ann]]
+    * `lastAux` oracle contract (None until the graded query has
     * actually executed in this JVM). */
   @volatile private var lastAux: Option[String] = None
 

@@ -1304,6 +1304,71 @@ object StoreOps {
       .orderBy("rank")
   }
 
+  // ---- q119: the store's HNSW read path behind the gate ----------------
+
+  private val HnswNs = "q119"
+
+  private val q119Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Layout dir of the most recent q119 run — oracle hook, the
+    * [[lastIvfAux]] contract. */
+  @volatile private var lastStoreHnswAux: Option[String] = None
+
+  /** q119: `findSimilar(approx = true, index = "hnsw")` end-to-end
+    * through the LIVE store (r12 — VERDICT r11 "What's missing" #3:
+    * the reference's actual graph structure,
+    * `implementations/index.py:17-165`, as a serving mount) — bulk
+    * load, store-attached sharded small-world graphs, per-shard beam
+    * candidates, candidate semi-join, exact rerank. The persisted
+    * candidate set is the POLICY artifact (the `probes/` relationship);
+    * the oracle replays the exact cosine rerank with the string-id
+    * tie-break over exactly those candidates. */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q119Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < ApproxN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        HnswNs)
+      s
+    })
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilarHnswGraded(qv, k = K, namespace = HnswNs)
+    lastStoreHnswAux = store.hnswLayoutDir(HnswNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the store's HNSW read path: candidates = the
+    * persisted beam output (the graph traversal is not relational —
+    * the candidate SET is the policy artifact, exactly as `probes/` is
+    * for IVF), rerank = exact cosine with the store's string-id
+    * tie-break. */
+  def q119Sql(aux: String): String =
+    s"""WITH cand AS (SELECT id FROM read_parquet('$aux/cands/*.parquet')),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $ApproxN),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q107: BATCHED approx search on the durable mount ----------------
 
   private val DBatchNs = "q107"
@@ -1819,7 +1884,8 @@ object StoreOps {
       "q106_store_ivf_batch" -> (q106 _),
       "q107_durable_ivf_batch" -> (q107 _),
       "q109_store_pq_batch" -> (q109 _),
-      "q110_durable_imi" -> (q110 _))
+      "q110_durable_imi" -> (q110 _),
+      "q119_store_hnsw_search" -> (q119 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1857,5 +1923,6 @@ object StoreOps {
       // the IMI grid replays through the q87 candidate contract: its own
       // assign/ is the policy, the rerank is the shared exact cosine
       lastDurableImiAux.map { case (aux, p) =>
-        "q110_durable_imi" -> q87Sql(aux, p) }
+        "q110_durable_imi" -> q87Sql(aux, p) } ++
+      lastStoreHnswAux.map(aux => "q119_store_hnsw_search" -> q119Sql(aux))
 }

@@ -291,16 +291,17 @@ class RestServer(store: VectorStore, port: Int = 0,
         // reference's index-backed read path, index.py:91-129); optional
         // `index` picks which one — "lsh" (default, cached signatures),
         // "ivf" (persisted inverted file), "pq" (compressed codes),
-        // "bq" (sign-bit hamming codes) or "imi" (two-level product grid)
+        // "bq" (sign-bit hamming codes), "imi" (two-level product grid)
+        // or "hnsw" (sharded small-world graphs, r12)
         val approx = Option(body.get("approx")).exists(_.asBoolean(false))
         val index = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("lsh") // explicit JSON null = unset
         // validate the index name even when approx is false: a typo'd
         // index on an exact search should 422, not silently run exact
         if (index != "lsh" && index != "ivf" && index != "pq" &&
-            index != "bq" && index != "imi")
+            index != "bq" && index != "imi" && index != "hnsw")
           throw new IllegalArgumentException(
-            s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
+            s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
         // optional `durable` routes the search to the mounted durable
         // store (read-only; see class doc) — the q51 partition-pruned
         // plan over HTTP
@@ -357,9 +358,9 @@ class RestServer(store: VectorStore, port: Int = 0,
         // contract: a typo'd index on an exact search 422s, never a
         // silent exact run
         if (batchIndex != "lsh" && batchIndex != "ivf" && batchIndex != "pq" &&
-            batchIndex != "bq" && batchIndex != "imi")
+            batchIndex != "bq" && batchIndex != "imi" && batchIndex != "hnsw")
           throw new IllegalArgumentException(
-            s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
+            s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
         if (wantApprox && batchIndex != "ivf" && batchIndex != "pq" &&
             batchIndex != "bq")
           throw new IllegalArgumentException(

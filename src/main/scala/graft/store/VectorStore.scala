@@ -600,6 +600,119 @@ class VectorStore(val spark: SparkSession) {
           .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
     }
 
+  // ---- store-attached HNSW index (sharded small-world graphs) ---------
+
+  /** Layout root for this store's HNSW shard graphs — the [[ivfRoot]]
+    * contract. */
+  private lazy val hnswStoreRoot: String =
+    spark.conf.getOption(graft.operators.Hnsw.HnswDirConf)
+      .map(_ + "/store_hnsw_" + processToken)
+      .getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_store_hnsw_").toString)
+
+  /** Cached store-attached HNSW layouts: (namespace, dim) → (stamped
+    * epoch, layout dir). Same lifecycle and race arguments as
+    * [[ivfCache]]. */
+  private val hnswCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, String)]()
+
+  private val hnswBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** None when the namespace has no live rows — an HNSW search over an
+    * empty namespace answers empty, like every other index kind. The
+    * build is the ONE per-shard recipe
+    * ([[graft.operators.Hnsw.shardNodes]]: sorted insertion, md5
+    * levels, closest-M linking) applied to the live namespace snapshot
+    * — hash-sharded into bounded graphs built inside `flatMapGroups`
+    * (one shuffle), persisted shard-partitioned. No trained state at
+    * all (vs IVF/PQ/IMI's quantizers): the graph is the index, so this
+    * is the kind whose rebuild never drifts from the data distribution
+    * — the reference's own choice (`implementations/index.py:17-165`,
+    * hnswlib) served shard-at-a-time. */
+  private def hnswLayout(namespace: String, dim: Int): Option[String] = {
+    val key = (namespace, dim)
+    Option(hnswCache.get(key)) match {
+      case Some((e, aux)) if e == epoch => Some(aux)
+      case _ => hnswBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        Option(hnswCache.get(key)) match {
+          case Some((e, aux)) if e == epoch => Some(aux)
+          case _ =>
+            val (e, snapshot) = synchronized { (epoch, live) }
+            val rows = snapshot.filter(col("namespace") === namespace)
+              .select(col("id"), col("values")).toDF()
+            val total = rows.count()
+            if (total == 0) None
+            else {
+              val s = graft.operators.Hnsw.shardsFor(total,
+                graft.operators.Hnsw.shardRows(spark))
+              val aux = hnswStoreRoot + "/" +
+                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+              import spark.implicits._
+              rows.withColumn("shard",
+                  pmod(xxhash64(col("id")), lit(s)).cast("int"))
+                .select(col("shard"), col("id"), col("values"))
+                .as[(Int, String, Array[Float])]
+                .groupByKey(_._1)
+                .flatMapGroups { (shard, it) =>
+                  graft.operators.Hnsw.shardNodes(
+                      it.map(t => (t._2, t._3)).toArray)
+                    .iterator.map { case (id, vec, lev, nbrs) =>
+                      graft.operators.Hnsw.HnswNodeS(shard, id, vec.toSeq,
+                        lev, nbrs.toSeq.map(_.toSeq))
+                    }
+                }
+                .toDF().write.mode("overwrite").partitionBy("shard")
+                .parquet(s"$aux/graph")
+              hnswCache.put(key, (e, aux))
+              Some(aux)
+            }
+        }
+      }
+    }
+  }
+
+  /** The layout dir the store-attached HNSW index serves (namespace,
+    * dim) from — oracle hook, the [[ivfLayoutDir]] contract. */
+  private[graft] def hnswLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(hnswCache.get((namespace, dim))).map(_._2)
+
+  /** Candidates via the store-attached HNSW shard graphs: per-shard
+    * beam searches (shuffle-free coalesced scans of the persisted
+    * layout), candidate ids semi-joined back to the live rows — layout
+    * PROPOSES, live store decides, exactly the IVF path's contract. */
+  private def hnswCandidates(query: Seq[Float], namespace: String,
+                             filter: Map[String, String],
+                             jsonFilter: Map[String, String],
+                             persistCands: Boolean = false): DataFrame =
+    hnswLayout(namespace, query.length) match {
+      case None =>
+        filteredLive(namespace, filter, jsonFilter).limit(0)
+      case Some(aux) =>
+        var cands = graft.operators.Hnsw.shardCandidatesS(spark, aux,
+          query.toArray)
+        if (persistCands) {
+          cands.coalesce(1).write.mode("overwrite").parquet(s"$aux/cands")
+          cands = spark.read.parquet(s"$aux/cands")
+        }
+        filteredLive(namespace, filter, jsonFilter)
+          .join(broadcast(cands.select(col("id").as("__cid"))),
+            col("id") === col("__cid"), "left_semi")
+    }
+
+  /** The q119 grading entry — `findSimilar(approx=true, index="hnsw")`
+    * with the beam candidate set persisted next to the layout for
+    * oracle replay (the [[findSimilarIvfGraded]] relationship: the
+    * graph traversal is the candidate POLICY, the exact rerank the
+    * contract). */
+  private[graft] def findSimilarHnswGraded(query: Seq[Float], k: Int,
+                                           namespace: String): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    val cands = hnswCandidates(query, namespace, Map.empty, Map.empty,
+      persistCands = true)
+    collectHits(ranked(scoredFrom(cands, query, "cosine"), "cosine").limit(k))
+  }
+
   /** (stamped epoch, pinned?) of the current signature-cache entry — spec
     * hook for ConcurrencySpec's convergence/no-leak assertions. */
   private[graft] def sigCacheState: Option[(Long, Boolean)] =
@@ -900,7 +1013,11 @@ class VectorStore(val spark: SparkSession) {
     *  - "imi" (r11): the two-level product grid (q94 as a serving
     *    path) — k² cells from two k-codebook trainings, so the grid
     *    reaches √n cells at a quarter-root training cost; right when
-    *    the namespace outgrows what one flat Lloyd's can sample. */
+    *    the namespace outgrows what one flat Lloyd's can sample.
+    *  - "hnsw" (r12): sharded small-world graphs — per-shard beam
+    *    search, NO trained state (the index never drifts from the data
+    *    distribution); the reference's own structure
+    *    (`implementations/index.py:17-165`) as a serving mount. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
@@ -919,9 +1036,10 @@ class VectorStore(val spark: SparkSession) {
           case "pq" => pqCandidates(query, namespace, filter, jsonFilter)
           case "bq" => bqCandidates(query, namespace, filter, jsonFilter)
           case "imi" => imiCandidates(query, namespace, filter, jsonFilter)
+          case "hnsw" => hnswCandidates(query, namespace, filter, jsonFilter)
           case other =>
             throw new IllegalArgumentException(
-              s"unknown approx index '$other' (expected 'lsh', 'ivf', 'pq', 'bq' or 'imi')")
+              s"unknown approx index '$other' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
         }
         scoredFrom(cands, query, metric)
       }

@@ -217,12 +217,18 @@ class RestServerSpec extends AnyFunSuite {
       assert(ci == 200)
       val imiHits = mapper.readTree(bi)
       assert(imiHits.isArray && imiHits.size() > 0 && imiHits.size() <= 3)
+      // the sharded-HNSW graphs serve over the same route (r12)
+      val (ch, bh) = send("POST", s"$base/search?namespace=ivx",
+        """{"query": [1.0, 0.1, 0.0, 0.2], "top_k": 3, "approx": true, "index": "hnsw"}""")
+      assert(ch == 200)
+      val hnswHits = mapper.readTree(bh)
+      assert(hnswHits.isArray && hnswHits.size() > 0 && hnswHits.size() <= 3)
       // an unknown index name is a client error, not a 500 — and it is
       // rejected even WITHOUT approx (a typo must not silently run exact)
       assert(send("POST", s"$base/search?namespace=ivx",
-        """{"query": [1.0, 0.1, 0.0, 0.2], "approx": true, "index": "hnsw"}""")._1 == 422)
+        """{"query": [1.0, 0.1, 0.0, 0.2], "approx": true, "index": "annoy"}""")._1 == 422)
       assert(send("POST", s"$base/search?namespace=ivx",
-        """{"query": [1.0, 0.1, 0.0, 0.2], "index": "hnsw"}""")._1 == 422)
+        """{"query": [1.0, 0.1, 0.0, 0.2], "index": "annoy"}""")._1 == 422)
     }
   }
 

@@ -354,7 +354,7 @@ class VectorStoreSpec extends AnyFunSuite {
     // unknown index names fail loudly, not approximately
     intercept[IllegalArgumentException] {
       s.findSimilar(query, k = 1, namespace = "ivf", approx = true,
-        index = "hnsw")
+        index = "annoy")
     }
     // an EMPTY namespace answers empty through the ivf route, exactly
     // like the exact and lsh paths — never an error for picking ivf
@@ -428,7 +428,7 @@ class VectorStoreSpec extends AnyFunSuite {
     // an unknown index kind still 422s with the full menu
     val err = intercept[IllegalArgumentException](
       s.findSimilar(query, k = 5, namespace = "bq", approx = true,
-        index = "hnsw"))
+        index = "annoy"))
     assert(err.getMessage.contains("'bq'"))
   }
 
@@ -460,6 +460,40 @@ class VectorStoreSpec extends AnyFunSuite {
     // an EMPTY namespace answers empty through the imi route
     assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
       approx = true, index = "imi").isEmpty)
+  }
+
+  test("approx search via the HNSW shard graphs: recall floor, exact rerank, lazy invalidation") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 20, perCluster = 10, dim = 16, seed = 53)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "hnsw")
+    val query = vecs.head.map(_ + 0.01f)
+
+    val exact = s.findSimilar(query, k = 10, namespace = "hnsw")
+    val hnsw = s.findSimilar(query, k = 10, namespace = "hnsw", approx = true,
+      index = "hnsw")
+    assert(hnsw.nonEmpty)
+    val recall = exact.map(_.id).toSet.intersect(hnsw.map(_.id).toSet).size / 10.0
+    info(f"store HNSW recall@10 = $recall%.2f")
+    assert(recall >= 0.9, s"store-attached HNSW recall too low: $recall")
+    // exact rerank: every hit carries its true cosine score
+    val exactScores = s.findSimilar(query, k = 1000, namespace = "hnsw")
+      .map(h => h.id -> h.score).toMap
+    hnsw.foreach(h => assert(h.score == exactScores(h.id),
+      s"HNSW score for ${h.id} diverged from the exact kernel"))
+    // a mutation bumps the epoch: the NEXT search rebuilds the graphs and
+    // must not serve the deleted id
+    val victim = hnsw.head.id
+    assert(s.delete(Seq(victim), "hnsw") == Seq(victim))
+    val after = s.findSimilar(query, k = 10, namespace = "hnsw",
+      approx = true, index = "hnsw")
+    assert(!after.map(_.id).contains(victim), "HNSW search served a deleted id")
+    // metadata filters compose: the layout proposes, the FILTERED live
+    // set decides
+    assert(s.findSimilar(query, k = 5, namespace = "hnsw", approx = true,
+      index = "hnsw", filter = Map("tier" -> "none_have_this")).isEmpty)
+    // an EMPTY namespace answers empty through the hnsw route
+    assert(s.findSimilar(query, k = 5, namespace = "no_rows_yet",
+      approx = true, index = "hnsw").isEmpty)
   }
 
   test("batched IVF search equals Q sequential ivf searches; empty namespace answers empty lists") {
