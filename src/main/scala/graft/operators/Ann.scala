@@ -791,6 +791,75 @@ object Ann {
        |       score
        |FROM r WHERE rn <= $K ORDER BY qid, rank""".stripMargin
 
+  // ---- Q120: index-quality evaluation (recall@K vs exact) -------------
+
+  /** q120: per-query recall@K of the IVF index against the exact
+    * brute-force top-K — the monitoring surface a production ANN
+    * deployment runs on every index build (recall regressions from
+    * distribution drift are THE operational failure mode of trained
+    * quantizers; this is the query that catches them before serving
+    * does). Both sides reuse the graded operators verbatim — exact =
+    * [[q31]]'s policy, approx = [[ivfTopK]]'s persisted probe + rerank —
+    * so the eval measures the very plans the store serves, and the
+    * oracle replays BOTH sides relationally (q31's brute force, q33's
+    * layout replay) and re-derives the same counts. At 100 TB the
+    * exact side runs on a sampled query set (here: the family's shared
+    * NumQueries probes) — recall eval is a bounded audit, never a
+    * corpus×corpus join. */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q31(spark, dir).select(col("qid"), col("id"))
+    val approx = ivfTopK(spark, dir).select(col("qid"), col("id"))
+    val hitCount = exact.join(approx, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val exactCount = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    exactCount.join(hitCount, Seq("qid"), "left")
+      .na.fill(0, Seq("n_hit"))
+      .select(col("qid"),
+        col("n_exact").cast("int").as("n_exact"),
+        col("n_hit").cast("int").as("n_hit"),
+        graft.functions.Det.r4(col("n_hit") / col("n_exact")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle: q31's exact ranking and q33's layout replay as CTEs, then
+    * the same per-query intersection counts. The division is n/K over
+    * small integers — bit-identical in both engines. */
+  def q120Sql(aux: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |es AS (
+       |  SELECT q.qid, e.vec_id AS id,
+       |         round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |er AS (
+       |  SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM es),
+       |exact AS (SELECT qid, id FROM er WHERE rank <= $K),
+       |probes AS (SELECT qid, cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS id FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |vs AS (
+       |  SELECT c.qid, c.id, round(${cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.qid = c.qid),
+       |vr AS (
+       |  SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM vs),
+       |approx AS (SELECT qid, id FROM vr WHERE rank <= $K),
+       |hits AS (
+       |  SELECT e.qid, count(*) AS n_hit
+       |  FROM exact e JOIN approx v ON v.qid = e.qid AND v.id = e.id
+       |  GROUP BY e.qid),
+       |ec AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid)
+       |SELECT ec.qid, ec.n_exact::INT AS n_exact,
+       |       coalesce(h.n_hit, 0)::INT AS n_hit,
+       |       ${graft.functions.Det.r4Sql("coalesce(h.n_hit, 0) / ec.n_exact")} AS recall
+       |FROM ec LEFT JOIN hits h ON h.qid = ec.qid
+       |ORDER BY ec.qid""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -799,7 +868,8 @@ object Ann {
     "q33_ann_ivf_topk" -> (ivfTopK _),
     "q90_semdedup_nn" -> (q90 _),
     "q94_ann_imi_topk" -> (q94 _),
-    "q116_hard_negatives" -> (q116 _))
+    "q116_hard_negatives" -> (q116 _),
+    "q120_ivf_recall" -> (q120 _))
 
   /** q33's oracle reads the layout the last ivfTopK run persisted — a def,
     * evaluated by Verify after all queries have executed. If ivfTopK never
@@ -813,5 +883,7 @@ object Ann {
     lastAux.map(aux => "q90_semdedup_nn" -> q90Sql(aux)) ++
     // the IMI layout persists the same assign/probes tables as flat IVF,
     // so the q33 replay IS its oracle — pointed at the IMI aux
-    lastImiAux.map(aux => "q94_ann_imi_topk" -> q33Sql(aux))
+    lastImiAux.map(aux => "q94_ann_imi_topk" -> q33Sql(aux)) ++
+    // q120 runs ivfTopK itself, so lastAux is always set once it has run
+    lastAux.map(aux => "q120_ivf_recall" -> q120Sql(aux))
 }

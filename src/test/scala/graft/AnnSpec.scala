@@ -224,4 +224,23 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.filter(_._3 == 1).exists(_._6 > 0.0),
       "no anchor found a similar cross-label negative — degenerate corpus?")
   }
+
+  test("q120 recall eval: one row per probe query, counts consistent, mean above the IVF floor") {
+    val rows = Ann.q120(spark, dir).collect()
+    assert(rows.length == 5, s"expected 5 eval rows, got ${rows.length}")
+    rows.foreach { r =>
+      val nExact = r.getInt(r.fieldIndex("n_exact"))
+      val nHit = r.getInt(r.fieldIndex("n_hit"))
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      assert(nHit >= 0 && nHit <= nExact, s"n_hit $nHit out of [0, $nExact]")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // the reported ratio is exactly n_hit/n_exact after r4
+      assert(math.abs(recall - math.round(nHit.toDouble / nExact * 1e4) / 1e4) < 1e-12)
+    }
+    val mean = rows.map(r => r.getDouble(r.fieldIndex("recall"))).sum / rows.length
+    info(f"measured IVF mean recall@5 = $mean%.2f")
+    // same floor AnnSpec pins for the IVF operator itself — the eval
+    // must agree with the direct measurement
+    assert(mean >= 0.5, s"recall eval below the measured IVF floor: $mean")
+  }
 }
