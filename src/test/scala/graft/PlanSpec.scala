@@ -316,6 +316,20 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
   }
 
+  test("q118 HNSW rerank: candidate set broadcasts, cut in the bounded heap, no probe-time shuffle of the corpus") {
+    val p = plan(graft.operators.Hnsw.q118(spark, dir))
+    // the S×ef×Q candidate frame rides to the embeddings scan as a
+    // broadcast — the corpus never shuffles to meet it
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"HNSW candidates must broadcast, not shuffle the corpus\n${p.take(1200)}")
+    // the per-query top-k cut is TopKAgg's bounded heap, never a window
+    assert(!p.contains("Window"),
+      s"q118 cut fell back to a window\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q118 cut must run in TopKAgg's bounded heap\n${p.take(1200)}")
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
