@@ -427,15 +427,181 @@ object Clustering {
        |FROM d GROUP BY label ORDER BY label""".stripMargin
   }
 
+  // ---- q121: PCA via distributed power iteration ----------------------
+  //
+  // The whitening/rotation pre-step of the compression families (OPQ
+  // rotates before PQ; SQ ranges tighten after decorrelation) and the
+  // standard embedding-drift diagnostic. A 100 TB corpus cannot
+  // materialize its covariance matrix, but power iteration never needs
+  // it: each round is ONE corpus scan computing s = Σᵢ xᵢ(xᵢ·v) — a
+  // per-row dot against the broadcast v (dim-sized literal), then a
+  // dim-sized partial-aggregable sum — followed by a dim-sized driver
+  // normalization, exactly the Lloyd-loop cost shape (rounds × one
+  // scan; nothing else grows with data). Component 2 runs on the
+  // deflated residual xᵢ − (xᵢ·v₁)v₁, computed on the fly per row.
+  //
+  // Determinism is the q104 convention: every driver hand-off (mean
+  // vector, per-round s, normalized v) is r6-floor-quantized, so both
+  // engines replay the identical chain; the md5 seed family (q32's)
+  // regenerates v₀ bit-identically in SQL. Residual risk is the
+  // documented grid-mean boundary class (SCALING.md) — a cross-engine
+  // summation-order ulp only matters within an ulp of a 1e-6 floor
+  // boundary.
+
+  private[graft] val PcaComponents = 2
+  private[graft] val PcaRounds = 3
+  private val PcaDim = Ann.Dim
+
+  private def q6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def q4d(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** md5-seeded start vector for component `c`, normalized then
+    * r6-quantized — the q32 plane family, regenerable in SQL. */
+  private def pcaSeed(c: Int): Array[Double] = {
+    val raw = Array.tabulate(PcaDim)(j => Ann.md5Coef(s"graft_pca_${c}_$j"))
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(x => q6d(x / norm))
+  }
+
+  /** Per-row dot of an array<double> column against a quantized driver
+    * vector (broadcast as a literal array; `aggregate` folds left like
+    * the oracle's list_sum). */
+  private def dotVec(a: Column, v: Array[Double]): Column =
+    aggregate(
+      zip_with(a, array(v.map(lit): _*), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One power-iteration round over `xc` (vec_id, xc: array<double>):
+    * s = Σᵢ xcᵢ(xcᵢ·v) via one scan + dim-sized partial agg, collected,
+    * r6-quantized, normalized, r6-quantized again. Returns (v', ‖s‖). */
+  private def powerRound(xc: DataFrame, v: Array[Double]): (Array[Double], Double) = {
+    val s = xc.withColumn("d", dotVec(col("xc"), v))
+      .select(col("d"), posexplode(col("xc")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x") * col("d")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(t => q6d(t._2))
+    val norm = math.sqrt(s.map(x => x * x).sum)
+    (s.map(x => q6d(x / norm)), norm)
+  }
+
+  /** q121: top-2 principal loadings of the embedding corpus + eigenvalue
+    * estimates (‖s‖/n of the final round). 128 graded rows — every
+    * loading of both components must match the oracle's replay of the
+    * full quantized chain. */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val muRow = e.select((0 until PcaDim).map(j =>
+      avg(col("embedding").getItem(j).cast("double")).as(s"m$j")): _*).head()
+    val mu = Array.tabulate(PcaDim)(j => q6d(muRow.getDouble(j)))
+    val xc = e.select(col("vec_id"),
+      zip_with(col("embedding"), array(mu.map(lit): _*),
+        (x, m) => x.cast("double") - m).as("xc"))
+
+    def iterate(base: DataFrame, c: Int): (Array[Double], Double) = {
+      var v = pcaSeed(c)
+      var lastNorm = 0.0
+      (1 to PcaRounds).foreach { _ =>
+        val (nv, norm) = powerRound(base, v); v = nv; lastNorm = norm
+      }
+      (v, lastNorm)
+    }
+    val (v1, norm1) = iterate(xc, 1)
+    // deflate: component 2 searches the subspace orthogonal to v1
+    val rc = xc.withColumn("dw", dotVec(col("xc"), v1))
+      .select(col("vec_id"),
+        zip_with(col("xc"), array(v1.map(lit): _*),
+          (x, wj) => x - col("dw") * wj).as("xc"))
+    val (v2, norm2) = iterate(rc, 2)
+
+    (v1.zipWithIndex.map { case (l, j) => (1, j, l, q4d(norm1 / n)) } ++
+      v2.zipWithIndex.map { case (l, j) => (2, j, l, q4d(norm2 / n)) })
+      .toSeq.toDF("component", "j", "loading", "eigval")
+      .orderBy(col("component"), col("j"))
+  }
+
+  /** Oracle: the identical quantized chain in SQL — r6 means, md5 seeds,
+    * three rounds per component (per-row list dot, dim-sized r6 sums,
+    * r6 normalization), deflation, r4 eigenvalues. */
+  val q121Sql: String = {
+    val d = PcaDim
+    def r6 = Det.r6Sql _
+    // one power round: (xc table, vPrev) -> d/s/n/v CTEs with suffix t
+    def round(t: String, xcT: String, vPrev: String): String =
+      s"""d$t AS (
+         |  SELECT x.vec_id, x.x,
+         |         list_sum(list_transform(list_zip(x.x, v.v),
+         |           p -> p[1] * p[2])) AS d
+         |  FROM $xcT x, $vPrev v),
+         |s$t AS (
+         |  SELECT g.i AS j, ${r6(s"sum(x[g.i + 1] * d)")} AS s
+         |  FROM d$t, range($d) g(i) GROUP BY 1),
+         |n$t AS (SELECT sqrt(sum(s * s)) AS nr FROM s$t),
+         |v$t AS (SELECT list(${r6("s / nr")} ORDER BY j) AS v
+         |        FROM s$t, n$t)""".stripMargin
+    def seed(c: Int): String =
+      s"""seed$c AS (
+         |  SELECT j,
+         |         ('0x' || substr(md5('graft_pca_${c}_' || j), 1, 8))::BIGINT
+         |           / 2147483648.0 - 1.0 AS raw
+         |  FROM range($d) t(j)),
+         |sn$c AS (SELECT sqrt(sum(raw * raw)) AS nr FROM seed$c),
+         |v${c}0 AS (SELECT list(${r6("raw / nr")} ORDER BY j) AS v
+         |           FROM seed$c, sn$c)""".stripMargin
+    s"""WITH mu0 AS (
+       |  SELECT g.i AS j,
+       |         ${r6(s"avg(embedding[g.i + 1]::DOUBLE)")} AS m
+       |  FROM embeddings, range($d) g(i) GROUP BY 1),
+       |mul AS (SELECT list(m ORDER BY j) AS m FROM mu0),
+       |xc AS (
+       |  SELECT e.vec_id,
+       |         list_transform(list_zip(e.embedding, mul.m),
+       |           p -> p[1]::DOUBLE - p[2]) AS x
+       |  FROM embeddings e, mul),
+       |${seed(1)},
+       |${round("11", "xc", "v10")},
+       |${round("12", "xc", "v11")},
+       |${round("13", "xc", "v12")},
+       |dw AS (
+       |  SELECT x.vec_id, x.x,
+       |         list_sum(list_transform(list_zip(x.x, v.v),
+       |           p -> p[1] * p[2])) AS dw
+       |  FROM xc x, v13 v),
+       |rc AS (
+       |  SELECT w.vec_id,
+       |         list_transform(list_zip(w.x, v.v),
+       |           p -> p[1] - w.dw * p[2]) AS x
+       |  FROM dw w, v13 v),
+       |${seed(2)},
+       |${round("21", "rc", "v20")},
+       |${round("22", "rc", "v21")},
+       |${round("23", "rc", "v22")},
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+       |out1 AS (
+       |  SELECT 1 AS component, g.i AS j, v.v[g.i + 1] AS loading,
+       |         ${Det.r4Sql("n13.nr / nn.n")} AS eigval
+       |  FROM v13 v, n13, nn, range($d) g(i)),
+       |out2 AS (
+       |  SELECT 2 AS component, g.i AS j, v.v[g.i + 1] AS loading,
+       |         ${Det.r4Sql("n23.nr / nn.n")} AS eigval
+       |  FROM v23 v, n23, nn, range($d) g(i))
+       |SELECT component::INT AS component, j::INT AS j, loading, eigval
+       |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+       |ORDER BY component, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_kmeans_step" -> (q80 _),
     "q104_kmeans_lloyd" -> (q104 _),
     "q111_kmeans_converged" -> (q111 _),
-    "q114_centroid_outliers" -> (q114 _))
+    "q114_centroid_outliers" -> (q114 _),
+    "q121_pca_power" -> (q121 _))
 
   def oracles: Map[String, String] = Map(
     "q80_kmeans_step" -> q80Sql,
     "q104_kmeans_lloyd" -> q104Sql,
-    "q114_centroid_outliers" -> q114Sql) ++
+    "q114_centroid_outliers" -> q114Sql,
+    "q121_pca_power" -> q121Sql) ++
     lastQ111Rounds.map(r => "q111_kmeans_converged" -> q111Sql(r))
 }

@@ -74,4 +74,29 @@ class ClusteringSpec extends AnyFunSuite {
         s"label $label: max crosses θ but nothing flagged")
     }
   }
+
+  test("q121 PCA: unit loadings, near-orthogonal components, ordered positive eigenvalues, deterministic") {
+    def run() = Clustering.q121(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val rows = run()
+    assert(rows.length == 2 * 64)
+    val v1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3)
+    val v2 = rows.filter(_._1 == 2).sortBy(_._2).map(_._3)
+    // quantized unit vectors: ‖v‖ within the r6 grid of 1
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(v1) - 1.0) < 1e-4, s"v1 not unit: ${norm(v1)}")
+    assert(math.abs(norm(v2) - 1.0) < 1e-4, s"v2 not unit: ${norm(v2)}")
+    // deflation: component 2 lives (nearly) orthogonal to component 1
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    info(f"|v1·v2| = ${math.abs(dot)}%.4f")
+    assert(math.abs(dot) < 0.05, s"components not orthogonal: $dot")
+    // eigenvalue estimates: positive and ordered (power iteration finds
+    // the dominant direction first; the residual's top is no larger)
+    val l1 = rows.find(_._1 == 1).get._4
+    val l2 = rows.find(_._1 == 2).get._4
+    assert(l1 > 0 && l2 > 0, s"non-positive eigenvalues: $l1, $l2")
+    assert(l1 >= l2 - 1e-9, s"eigenvalues out of order: $l1 < $l2")
+    // the quantized chain is fully deterministic across invocations
+    assert(run().toSeq == rows.toSeq, "q121 not deterministic")
+  }
 }
