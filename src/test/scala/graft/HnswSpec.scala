@@ -82,6 +82,14 @@ class HnswSpec extends AnyFunSuite {
       assert(recall >= 0.9, s"multi-shard recall too low: $recall")
       // per-query candidate fan-in stays bounded by shards × ef
       assert(res.length == Ann.NumQueries * Ann.K)
+      // the probe pinned every shard graph in the executor cache —
+      // steady-state serving must not re-decode the layout per request
+      (0 until 4).foreach(s => assert(Hnsw.graphCached(aux, s),
+        s"shard $s not resident after a probe"))
+      // an overwrite build to the same aux evicts its resident graphs
+      Hnsw.buildHnswIndex(spark, dir01)
+      (0 until 4).foreach(s => assert(!Hnsw.graphCached(aux, s),
+        s"stale shard $s graph survived a rebuild"))
     } finally {
       spark.conf.unset(Hnsw.HnswDirConf)
       spark.conf.unset(Hnsw.ShardRowsConf)
