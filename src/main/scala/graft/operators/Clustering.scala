@@ -472,14 +472,17 @@ object Clustering {
       lit(0.0), (acc, x) => acc + x)
 
   /** One power-iteration round over `xc` (vec_id, xc: array<double>):
-    * s = Σᵢ xcᵢ(xcᵢ·v) via one scan + dim-sized partial agg, collected,
-    * r6-quantized, normalized, r6-quantized again. Returns (v', ‖s‖). */
+    * s = Σᵢ xcᵢ(xcᵢ·v) as ONE global aggregate — dim `sum` columns,
+    * partial per partition, a single-row final (an explode + groupBy(j)
+    * formulation shuffled 64×n rows across 32 tasks and tripled the
+    * round's wall time on job overhead alone) — collected, r6-quantized,
+    * normalized, r6-quantized again. Returns (v', ‖s‖). */
   private def powerRound(xc: DataFrame, v: Array[Double]): (Array[Double], Double) = {
-    val s = xc.withColumn("d", dotVec(col("xc"), v))
-      .select(col("d"), posexplode(col("xc")).as(Seq("j", "x")))
-      .groupBy(col("j")).agg(sum(col("x") * col("d")).as("s"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1)))
-      .sortBy(_._1).map(t => q6d(t._2))
+    val row = xc.withColumn("d", dotVec(col("xc"), v))
+      .select((0 until PcaDim).map(j =>
+        sum(col("xc").getItem(j) * col("d")).as(s"s$j")): _*)
+      .head()
+    val s = Array.tabulate(PcaDim)(j => q6d(row.getDouble(j)))
     val norm = math.sqrt(s.map(x => x * x).sum)
     (s.map(x => q6d(x / norm)), norm)
   }
@@ -491,10 +494,12 @@ object Clustering {
   def q121(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    val muRow = e.select((0 until PcaDim).map(j =>
-      avg(col("embedding").getItem(j).cast("double")).as(s"m$j")): _*).head()
-    val mu = Array.tabulate(PcaDim)(j => q6d(muRow.getDouble(j)))
+    // count + per-dim means in ONE scan/job
+    val muRow = e.select(count(lit(1)).as("n") +:
+      (0 until PcaDim).map(j =>
+        avg(col("embedding").getItem(j).cast("double")).as(s"m$j")): _*).head()
+    val n = muRow.getLong(0)
+    val mu = Array.tabulate(PcaDim)(j => q6d(muRow.getDouble(j + 1)))
     val xc = e.select(col("vec_id"),
       zip_with(col("embedding"), array(mu.map(lit): _*),
         (x, m) => x.cast("double") - m).as("xc"))
