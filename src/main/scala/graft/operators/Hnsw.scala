@@ -517,13 +517,16 @@ object Hnsw {
   case class StoredNodeS(id: String, vec: Seq[Float], level: Int,
                          nbrs: Seq[Seq[String]])
 
-  /** Single-query candidate scan over a string-id layout (the
-    * store-attached mount): the same shuffle-free per-shard coalesced
-    * scans as [[shardCandidates]], emitting candidate ids only. */
-  private[graft] def shardCandidatesS(spark: SparkSession, aux: String,
-                                      query: Array[Float]): DataFrame = {
+  /** Batched candidate scan over a string-id layout (the store-attached
+    * mount): the same shuffle-free per-shard coalesced scans as
+    * [[shardCandidates]] — every query beam-searches each resident
+    * shard graph in the SAME pass, so a Q-query batch costs one probe,
+    * not Q (the q106 one-scan batch thesis). Emits (__qid, id). */
+  private[graft] def shardCandidatesBatchS(spark: SparkSession, aux: String,
+                                           queries: Seq[Seq[Float]]): DataFrame = {
     import spark.implicits._
-    val qv = normalize(query)
+    val qNorm = queries.zipWithIndex
+      .map { case (q, i) => (i, normalize(q.toArray)) }.toArray
     val perShard = listShards(spark, aux).map { s =>
       val key = (aux, s)
       shardScan(spark, aux, s,
@@ -544,11 +547,20 @@ object Hnsw {
               }
             }
           if (loaded == null) Iterator.empty
-          else loaded._2.search(qv, EfSearch).iterator.map(loaded._1)
+          else qNorm.iterator.flatMap { case (qid, qv) =>
+            loaded._2.search(qv, EfSearch).iterator
+              .map(i => (qid, loaded._1(i)))
+          }
         }
     }
-    perShard.reduce(_ union _).toDF("id")
+    perShard.reduce(_ union _).toDF("__qid", "id")
   }
+
+  /** Single-query candidate ids — the batch scan with Q=1. */
+  private[graft] def shardCandidatesS(spark: SparkSession, aux: String,
+                                      query: Array[Float]): DataFrame =
+    shardCandidatesBatchS(spark, aux, Seq(query.toSeq))
+      .select(org.apache.spark.sql.functions.col("id"))
 
   /** The layout path of the most recent [[q118]] run — the [[Ann]]
     * `lastAux` oracle contract (None until the graded query has

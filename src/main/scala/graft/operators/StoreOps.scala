@@ -1369,6 +1369,84 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q122: BATCHED approx search on the HNSW mount -------------------
+
+  private val BatchHnswNs = "q122"
+
+  private val q122Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  @volatile private var lastBatchHnswAux: Option[String] = None
+
+  private val q122ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q122: [[VectorStore.findSimilarBatchHnsw]] behind the gate — the
+    * q106 one-scan batch thesis on the GRAPH mount: Q=4 queries
+    * beam-search each resident shard graph in one pass of the layout,
+    * per-query candidates flow through the candidate-restricted
+    * bounded-heap batch kernel, exact cosine rerank. Positional parity
+    * with Q sequential `index="hnsw"` searches is asserted in-script
+    * once per process; the oracle replays per-query candidates from the
+    * persisted qid-keyed `batch_cands/` and reranks relationally. */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q122Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchHnswNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatchHnsw(qs, k = K, namespace = BatchHnswNs,
+      persistCands = true)
+    if (q122ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchHnswNs, approx = true, index = "hnsw")
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"hnsw batch result $i diverged from the single-query hnsw search")
+      }
+    lastBatchHnswAux = store.hnswLayoutDir(BatchHnswNs, qs.head.length)
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** SQL replay of the batched HNSW read: per-query candidates = the
+    * persisted beam output (the graph traversal is the policy artifact),
+    * rerank = exact cosine per query with the string-id tie-break. */
+  def q122Sql(aux: String): String =
+    s"""WITH cand AS (
+       |  SELECT __qid AS qid, id
+       |  FROM read_parquet('$aux/batch_cands/*.parquet')),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- q107: BATCHED approx search on the durable mount ----------------
 
   private val DBatchNs = "q107"
@@ -1885,7 +1963,8 @@ object StoreOps {
       "q107_durable_ivf_batch" -> (q107 _),
       "q109_store_pq_batch" -> (q109 _),
       "q110_durable_imi" -> (q110 _),
-      "q119_store_hnsw_search" -> (q119 _))
+      "q119_store_hnsw_search" -> (q119 _),
+      "q122_store_hnsw_batch" -> (q122 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -1924,5 +2003,6 @@ object StoreOps {
       // assign/ is the policy, the rerank is the shared exact cosine
       lastDurableImiAux.map { case (aux, p) =>
         "q110_durable_imi" -> q87Sql(aux, p) } ++
-      lastStoreHnswAux.map(aux => "q119_store_hnsw_search" -> q119Sql(aux))
+      lastStoreHnswAux.map(aux => "q119_store_hnsw_search" -> q119Sql(aux)) ++
+      lastBatchHnswAux.map(aux => "q122_store_hnsw_batch" -> q122Sql(aux))
 }

@@ -347,10 +347,11 @@ class RestServer(store: VectorStore, port: Int = 0,
         val qs = qNode.elements().asScala.map(floats).toSeq
         // one scan answers the whole batch (Scoring.batchSearch). Approx
         // batches route through the INDEXED one-scan forms — all probe
-        // lists / LUTs / query codes union into ONE sweep of the layout
-        // (ivf r11; pq/bq r12: VectorStore.findSimilarBatchIvf/Pq/Bq);
-        // index kinds without a shared-scan form (lsh/imi) are refused
-        // rather than silently looped per query
+        // lists / LUTs / query codes / beam queries union into ONE sweep
+        // of the layout (ivf r11; pq/bq/hnsw r12:
+        // VectorStore.findSimilarBatchIvf/Pq/Bq/Hnsw); index kinds
+        // without a shared-scan form (lsh/imi) are refused rather than
+        // silently looped per query
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
@@ -362,9 +363,9 @@ class RestServer(store: VectorStore, port: Int = 0,
           throw new IllegalArgumentException(
             s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
         if (wantApprox && batchIndex != "ivf" && batchIndex != "pq" &&
-            batchIndex != "bq")
+            batchIndex != "bq" && batchIndex != "hnsw")
           throw new IllegalArgumentException(
-            "approx batch search serves from the IVF layout or its PQ/BQ codes; pass index:'ivf', 'pq' or 'bq', or use /search per query")
+            "approx batch search serves from the IVF layout, its PQ/BQ codes or the HNSW shard graphs; pass index:'ivf', 'pq', 'bq' or 'hnsw', or use /search per query")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val results =
           if (wantDurable) {
@@ -389,6 +390,8 @@ class RestServer(store: VectorStore, port: Int = 0,
               case "pq" => store.findSimilarBatchPq(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
               case "bq" => store.findSimilarBatchBq(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+              case "hnsw" => store.findSimilarBatchHnsw(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
             }
           } else store.findSimilarBatch(qs, k, metric, ns,

@@ -700,6 +700,42 @@ class VectorStore(val spark: SparkSession) {
             col("id") === col("__cid"), "left_semi")
     }
 
+  /** Batched APPROX search through the store-attached HNSW shard graphs
+    * (r12, the [[findSimilarBatchIvf]] thesis on the graph mount): all
+    * Q queries beam-search each resident shard graph in ONE pass of the
+    * layout — a Q-query batch costs one probe, not Q — and the (qid,
+    * candidate) pairs flow through the candidate-restricted batch
+    * kernel against the FILTERED live set. Cosine, exact rerank,
+    * positional parity with single-query `index="hnsw"` searches.
+    * `persistCands` writes the qid-keyed candidate table next to the
+    * layout for oracle replay — graded paths only. */
+  def findSimilarBatchHnsw(queries: Seq[Seq[Float]], k: Int = 10,
+                           namespace: String = "default",
+                           filter: Map[String, String] = Map.empty,
+                           jsonFilter: Map[String, String] = Map.empty,
+                           persistCands: Boolean = false): Seq[Seq[SearchHit]] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    require(queries.nonEmpty && queries.size <= Scoring.InListMax,
+      s"batch size must be in [1, ${Scoring.InListMax}]")
+    val dim = queries.head.length
+    require(queries.forall(_.length == dim),
+      "all batch queries must share one dimensionality")
+    hnswLayout(namespace, dim) match {
+      case None => Seq.fill(queries.size)(Seq.empty)
+      case Some(aux) =>
+        var cand = graft.operators.Hnsw.shardCandidatesBatchS(spark, aux,
+          queries)
+        if (persistCands) {
+          cand.coalesce(1).write.mode("overwrite")
+            .parquet(s"$aux/batch_cands")
+          cand = spark.read.parquet(s"$aux/batch_cands")
+        }
+        Scoring.batchSearchCandidates(
+          filteredLive(namespace, filter, jsonFilter),
+          queries, cand, k, "cosine")
+    }
+  }
+
   /** The q119 grading entry — `findSimilar(approx=true, index="hnsw")`
     * with the beam candidate set persisted next to the layout for
     * oracle replay (the [[findSimilarIvfGraded]] relationship: the

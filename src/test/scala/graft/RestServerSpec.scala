@@ -345,7 +345,7 @@ class RestServerSpec extends AnyFunSuite {
       val ares = mapper.readTree(ab)
       assert(ares.isArray && ares.size() == 2)
       assert(ares.get(0).get(0).get("score").asDouble() > 0.99)
-      for (idx <- Seq("pq", "bq")) {
+      for (idx <- Seq("pq", "bq", "hnsw")) {
         val (pc, pb) = send("POST", s"$base/search/batch?namespace=bs",
           s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
              | "approx": true, "index": "$idx"}""".stripMargin)

@@ -532,7 +532,8 @@ class VectorStoreSpec extends AnyFunSuite {
     for ((name, batchOf, idx) <- Seq[(String,
         Seq[Seq[Float]] => Seq[Seq[graft.model.SearchHit]], String)](
       ("pq", qs2 => s.findSimilarBatchPq(qs2, k = 5, namespace = "bpq"), "pq"),
-      ("bq", qs2 => s.findSimilarBatchBq(qs2, k = 5, namespace = "bpq"), "bq"))) {
+      ("bq", qs2 => s.findSimilarBatchBq(qs2, k = 5, namespace = "bpq"), "bq"),
+      ("hnsw", qs2 => s.findSimilarBatchHnsw(qs2, k = 5, namespace = "bpq"), "hnsw"))) {
       val batch = batchOf(qs)
       assert(batch.size == 3 && batch.forall(_.nonEmpty), s"$name batch empty")
       qs.zipWithIndex.foreach { case (q, i) =>
@@ -549,10 +550,16 @@ class VectorStoreSpec extends AnyFunSuite {
       .head.map(_.id).contains(victim), "batched pq served a deleted id")
     assert(!s.findSimilarBatchBq(qs, k = 5, namespace = "bpq")
       .head.map(_.id).contains(victim), "batched bq served a deleted id")
+    assert(!s.findSimilarBatchHnsw(qs, k = 5, namespace = "bpq")
+      .head.map(_.id).contains(victim), "batched hnsw served a deleted id")
     // empty namespace: positional empties; filters compose on the live side
     assert(s.findSimilarBatchPq(qs, k = 5, namespace = "nothing_here") ==
       Seq(Seq.empty, Seq.empty, Seq.empty))
+    assert(s.findSimilarBatchHnsw(qs, k = 5, namespace = "nothing_here") ==
+      Seq(Seq.empty, Seq.empty, Seq.empty))
     assert(s.findSimilarBatchBq(qs, k = 5, namespace = "bpq",
+      filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
+    assert(s.findSimilarBatchHnsw(qs, k = 5, namespace = "bpq",
       filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
   }
 
