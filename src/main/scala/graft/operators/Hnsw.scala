@@ -562,6 +562,91 @@ object Hnsw {
     shardCandidatesBatchS(spark, aux, Seq(query.toSeq))
       .select(org.apache.spark.sql.functions.col("id"))
 
+  // ---- durable-mount layout: graph nodes carry the FULL record --------
+
+  /** Durable-mount node: the record fields (values, metadata) ride IN
+    * the graph rows, so a probe's winners come straight out of the
+    * resident shard graph and the caller never re-touches the layout
+    * for the main side — by-id lookups against a cell-partitioned
+    * record layout would be a full-layout scan (no partition pruning
+    * on id). */
+  case class HnswNodeD(shard: Int, id: String, vec: Seq[Float],
+                       metadata: Map[String, String], metadataJson: String,
+                       level: Int, nbrs: Seq[Seq[String]])
+
+  /** [[HnswNodeD]] minus the partition column. */
+  case class StoredNodeD(id: String, vec: Seq[Float],
+                         metadata: Map[String, String], metadataJson: String,
+                         level: Int, nbrs: Seq[Seq[String]])
+
+  /** Build a durable-mount layout from record rows (id, values,
+    * metadata, metadataJson): the [[shardNodes]] recipe with the record
+    * fields riding alongside (both sides sort by id, so positions
+    * align). `total` is passed in — every caller has already counted. */
+  private[graft] def writeDurableGraph(recs: DataFrame, total: Long,
+                                       aux: String): Unit = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val s = shardsFor(total, shardRows(spark))
+    recs
+      .withColumn("shard", pmod(xxhash64(col("id")), lit(s)).cast("int"))
+      .select(col("shard"), col("id"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[(Int, String, Seq[Float], Map[String, String], String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val nodes = shardNodes(rows.map(t => (t._2, t._3.toArray)))
+        nodes.iterator.zipWithIndex.map { case ((id, vec, lev, nbrs), i) =>
+          HnswNodeD(shard, id, vec.toSeq, rows(i)._4, rows(i)._5, lev,
+            nbrs.toSeq.map(_.toSeq))
+        }
+      }
+      .toDF().write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$aux/graph")
+    invalidateGraphs(aux)
+  }
+
+  /** Durable-mount candidate scan: per-shard beams over the resident
+    * graphs, emitting the winners' FULL record fields (id, values,
+    * metadata, metadataJson) — the caller applies kill-set/delta-tail
+    * and reranks without another layout touch. */
+  private[graft] def shardCandidatesD(spark: SparkSession, aux: String,
+                                      query: Array[Float]): DataFrame = {
+    import spark.implicits._
+    val qv = normalize(query)
+    val perShard = listShards(spark, aux).map { s =>
+      val key = (aux, s)
+      shardScan(spark, aux, s,
+        org.apache.spark.sql.Encoders.product[StoredNodeD].schema)
+        .as[StoredNodeD]
+        .mapPartitions { it =>
+          val hit = graphCache.get(key)
+          val loaded =
+            if (hit != null) hit.asInstanceOf[(Array[StoredNodeD], ShardGraph)]
+            else {
+              val arr = it.toArray.sortBy(_.id)
+              if (arr.isEmpty) null
+              else {
+                val idx = arr.iterator.map(_.id).zipWithIndex.toMap
+                val nbrs = arr.map(_.nbrs.map(_.map(idx).toArray).toArray)
+                val g = ShardGraph.fromAdjacency(
+                  arr.map(_.vec.toArray), arr.map(_.level), nbrs)
+                val lg = (arr, g)
+                graphCache.put(key, lg)
+                lg
+              }
+            }
+          if (loaded == null) Iterator.empty
+          else loaded._2.search(qv, EfSearch).iterator.map { i =>
+            val n = loaded._1(i)
+            (n.id, n.vec, n.metadata, n.metadataJson)
+          }
+        }
+    }
+    perShard.reduce(_ union _).toDF("id", "values", "metadata", "metadataJson")
+  }
+
   /** The layout path of the most recent [[q118]] run — the [[Ann]]
     * `lastAux` oracle contract (None until the graded query has
     * actually executed in this JVM). */

@@ -986,6 +986,97 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q123: the durable store's HNSW (graph) read path ----------------
+
+  private val DHnswNs = "q123"
+
+  private val q123Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q123Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Cands dir of the most recent q123 run — oracle hook, the
+    * [[lastDurableAnnAux]] honesty contract. */
+  @volatile private var lastDurableHnswAux: Option[String] = None
+
+  /** q123: the durable store's GRAPH read path end-to-end — the q87 LSM
+    * discipline with sharded small-world graphs as the candidate policy
+    * (r12; the reference's own index structure,
+    * `implementations/index.py:17-165`, on the durable mount). Script
+    * mirrors q87: bulk load → one HNSW search (builds the record layout
+    * AND its derived shard graphs, consistent by construction — graph
+    * rows ARE layout rows, stamps preserved) → post-layout deletes +
+    * delta appends → graded HNSW search. The graphs only PROPOSE (the
+    * per-shard beam winners, persisted as `cands/`); deletes die by the
+    * kill set, the delta arrives exact, the rerank is exact cosine —
+    * so the oracle unions the persisted candidates with the
+    * script-known delta ids and reranks over load-minus-deletes. Same
+    * sub-staleness-window discipline as q87 (`annBuilds == 1 &&
+    * hnswBuilds == 1` keeps a retune loud). */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dhnsw_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q123Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q123Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DHnswNs)
+      s.findSimilar(qv, k = K, namespace = DHnswNs, approx = true,
+        index = "hnsw")
+      require(s.annBuilds.get() >= 1 && s.hnswBuilds.get() >= 1,
+        "q123 layout/graph build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DHnswNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DHnswNs)
+      s
+    })
+    val hits = store.findSimilarHnswGraded(qv, k = K, namespace = DHnswNs)
+    require(store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1,
+      "q123's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    lastDurableHnswAux = store.hnswLayoutDir(DHnswNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the durable HNSW read path: candidates = (the
+    * persisted beam winners ∪ the script's delta batch), live set =
+    * load-minus-deletes plus the delta batch, rerank = exact cosine
+    * with the store's string-id tie-break. */
+  def q123Sql(aux: String): String =
+    s"""WITH cand AS (
+       |  SELECT DISTINCT id FROM read_parquet('$aux/cands/*.parquet')
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q92: the durable store's COMPRESSED (PQ / IVFADC) read path ----
 
   private val DPqNs = "q92"
@@ -1964,7 +2055,8 @@ object StoreOps {
       "q109_store_pq_batch" -> (q109 _),
       "q110_durable_imi" -> (q110 _),
       "q119_store_hnsw_search" -> (q119 _),
-      "q122_store_hnsw_batch" -> (q122 _))
+      "q122_store_hnsw_batch" -> (q122 _),
+      "q123_durable_hnsw" -> (q123 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -2004,5 +2096,6 @@ object StoreOps {
       lastDurableImiAux.map { case (aux, p) =>
         "q110_durable_imi" -> q87Sql(aux, p) } ++
       lastStoreHnswAux.map(aux => "q119_store_hnsw_search" -> q119Sql(aux)) ++
-      lastBatchHnswAux.map(aux => "q122_store_hnsw_batch" -> q122Sql(aux))
+      lastBatchHnswAux.map(aux => "q122_store_hnsw_batch" -> q122Sql(aux)) ++
+      lastDurableHnswAux.map(aux => "q123_durable_hnsw" -> q123Sql(aux))
 }

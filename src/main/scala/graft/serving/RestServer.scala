@@ -314,9 +314,9 @@ class RestServer(store: VectorStore, port: Int = 0,
             // an in-memory-store feature, and the DEFAULT index ("lsh")
             // must not silently mean ivf — callers opt in
             if (approx && index != "ivf" && index != "pq" &&
-                index != "bq" && index != "imi")
+                index != "bq" && index != "imi" && index != "hnsw")
               throw new IllegalArgumentException(
-                "durable approx search serves from the IVF layout, its PQ/BQ codes or its IMI grid; pass index:'ivf', 'pq', 'bq' or 'imi' ('lsh' is an in-memory-store feature)")
+                "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid or its HNSW graphs; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw' ('lsh' is an in-memory-store feature)")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(

@@ -773,7 +773,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *  - "imi" (r12): the two-level product grid over the layout rows
     *    ([[searchImi]]) — cosine only; k² fine-grained cells from two
     *    k-codebook trainings, the better pruning geometry once a
-    *    namespace outgrows what one flat Lloyd's can sample. */
+    *    namespace outgrows what one flat Lloyd's can sample.
+    *  - "hnsw" (r12): sharded small-world graphs over the layout rows
+    *    ([[searchHnsw]]) — cosine only; no trained state, so the
+    *    candidate policy cannot drift from the distribution between
+    *    rebuilds — the reference's own index structure
+    *    (`implementations/index.py:17-165`) on the durable mount. */
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   approx: Boolean = false,
@@ -796,8 +801,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         require(metric == "cosine",
           s"durable IMI search is cosine only (the product grid serves the angular candidate policy; exact cosine rerank), got metric '$metric'")
         searchImi(query, k, namespace, persistProbes = false)
+      case "hnsw" =>
+        require(metric == "cosine",
+          s"durable HNSW search is cosine only (graphs link normalized-L2 neighborhoods; exact cosine rerank), got metric '$metric'")
+        searchHnsw(query, k, namespace, persistCands = false)
       case other => throw new IllegalArgumentException(
-        s"unknown durable index '$other' (expected ivf | pq | bq | imi)")
+        s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw)")
     }
 
   /** [[findSimilar]] against the [[liveAsOf]] snapshot at `asOf` — the
@@ -1912,6 +1921,112 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         col("metadataJson"))
       .as[SearchHit].collect().toSeq
   }
+
+  // ---- durable HNSW: sharded graphs derived from the ANN layout -------
+
+  /** One durable HNSW layout, derived FROM the [[AnnEntry]]'s persisted
+    * inverted file (the PQ/BQ/IMI derivation lifecycle): the layout's
+    * record rows — stamped ≤ builtSeq by construction — hash-shard into
+    * bounded small-world graphs ([[graft.operators.Hnsw]]'s one
+    * per-shard recipe), with the record fields riding IN the graph rows
+    * so a probe's winners come straight off the resident graphs (by-id
+    * lookups against the cell-partitioned records would scan the whole
+    * layout). `annAux` ties the graphs to the records layout they
+    * index — an ANN rebuild (staleness, generation, [[compact]])
+    * orphans them and the next HNSW probe re-derives. Kill-set and
+    * delta-tail discipline carry over unchanged (q87): graph rows are
+    * ≤ builtSeq, post-build tombstones broadcast-kill, the exact delta
+    * tail unions in. */
+  private case class HnswEntry(annAux: String, aux: String)
+
+  private val hnswCache =
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, HnswEntry]()
+
+  private val hnswBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[AnnKey, Object]()
+
+  /** Shard-graph builds paid by this store — spec hook. */
+  private[graft] val hnswBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Graph dir serving (namespace, dim) — oracle hook. */
+  private[graft] def hnswLayoutDir(namespace: String, dim: Int): Option[String] =
+    Option(hnswCache.get((namespace, dim, "raw"))).map(_.aux)
+
+  private def hnswLayoutFor(namespace: String, dim: Int,
+                            ann: AnnEntry): HnswEntry = {
+    val key = (namespace, dim, "raw")
+    def cached: Option[HnswEntry] =
+      Option(hnswCache.get(key)).filter(_.annAux == ann.aux)
+    cached.getOrElse {
+      hnswBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        cached.getOrElse {
+          hnswBuilds.incrementAndGet()
+          val aux = derivedAux(ann.aux, "hnsw")
+          graft.operators.Hnsw.writeDurableGraph(
+            layoutFrame(s"${ann.aux}/index")
+              .select(col("id"), col("values"), col("metadata"),
+                col("metadataJson")),
+            ann.rows, aux)
+          val entry = HnswEntry(ann.aux, aux)
+          hnswCache.put(key, entry)
+          entry
+        }
+      }
+    }
+  }
+
+  /** The q87 read discipline on the graph mount: beam winners off the
+    * resident shard graphs (full record fields, no second layout
+    * touch), post-build kill set, exact delta tail, exact cosine
+    * rerank; generation gate + retry, exact-scan fallback. */
+  private def searchHnsw(query: Seq[Float], k: Int, namespace: String,
+                         persistCands: Boolean): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length) match {
+        case None => return Seq.empty
+        case Some(e) =>
+          val h = hnswLayoutFor(namespace, query.length, e)
+          val hits = probeHnsw(query, k, namespace, e, h, persistCands)
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
+    }
+    searchOver(live(), query, k, "cosine", namespace)
+  }
+
+  private def probeHnsw(query: Seq[Float], k: Int, namespace: String,
+                        e: AnnEntry, h: HnswEntry,
+                        persistCands: Boolean): Seq[SearchHit] = {
+    val cand = graft.operators.Hnsw.shardCandidatesD(spark, h.aux,
+      query.toArray)
+    if (persistCands)
+      // h.aux is already process-suffixed under shared roots
+      // (derivedAux), so cands/ can live directly inside it
+      cand.select(col("id")).coalesce(1)
+        .write.mode("overwrite").parquet(s"${h.aux}/cands")
+    val cols = Seq(col("id"), col("values"), col("metadata"),
+      col("metadataJson"))
+    val main = cand.select(cols: _*)
+      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+        col("id") === col("__kid"), "left_anti")
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+      .withColumn("score",
+        Scoring.score("cosine", col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, "cosine").limit(k)
+      .select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[SearchHit].collect().toSeq
+  }
+
+  /** The q123 grading entry — durable `index="hnsw"` with the beam
+    * candidate set persisted for oracle replay (the
+    * [[findSimilarIvfGraded]] relationship). */
+  private[graft] def findSimilarHnswGraded(query: Seq[Float], k: Int,
+                                           namespace: String): Seq[SearchHit] =
+    searchHnsw(query, k, namespace, persistCands = true)
 
   def totalCount(): Long = live().count()
 

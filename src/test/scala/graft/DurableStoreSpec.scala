@@ -376,7 +376,7 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(d.annBuilds.get() == 3,
       "ip must build the mips-space layout, not reuse raw cells")
     intercept[IllegalArgumentException] {
-      d.findSimilar(q, k = 5, namespace = "ann", approx = true, index = "hnsw")
+      d.findSimilar(q, k = 5, namespace = "ann", approx = true, index = "annoy")
     }
   }
 
@@ -612,6 +612,45 @@ class DurableStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       d.findSimilar(q, k = 5, metric = "l2", namespace = "imi",
         approx = true, index = "imi")
+    }
+  }
+
+  test("durable HNSW: shard-graph probe agrees with exact; deletes killed, delta served, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"h$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "hnsw")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, namespace = "hnsw", approx = true,
+      index = "hnsw")
+    assert(first.head.id == "h9")
+    assert(d.hnswBuilds.get() == 1 && d.annBuilds.get() == 1)
+    // post-layout mutations: the q87 discipline must hold on the graphs
+    assert(d.delete(Seq("h9"), "hnsw") == Seq("h9"))
+    d.loadFrame(frame(Seq(("zhnsw", q))), "hnsw")
+    val hits = d.findSimilar(q, k = 5, namespace = "hnsw", approx = true,
+      index = "hnsw")
+    assert(!hits.map(_.id).contains("h9"), "HNSW served a deleted row")
+    assert(hits.head.id == "zhnsw" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.hnswBuilds.get() == 1 && d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the shard graphs")
+    // exact-path agreement on the top hit
+    assert(hits.head.id ==
+      d.findSimilar(q, k = 5, namespace = "hnsw").head.id)
+    // the layout really is graph-shaped: nodes carry record fields and
+    // per-level neighbor lists
+    val gdir = d.hnswLayoutDir("hnsw", 4).get
+    val nodes = spark.read.parquet(s"$gdir/graph")
+    assert(nodes.columns.toSet ==
+      Set("shard", "id", "vec", "metadata", "metadataJson", "level", "nbrs"))
+    // empty namespace answers empty through the hnsw route
+    assert(d.findSimilar(q, k = 5, namespace = "no_rows", approx = true,
+      index = "hnsw").isEmpty)
+    // HNSW is cosine-only, loudly
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "hnsw",
+        approx = true, index = "hnsw")
     }
   }
 

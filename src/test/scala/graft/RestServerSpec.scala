@@ -308,6 +308,15 @@ class RestServerSpec extends AnyFunSuite {
       assert(mhits.get(0).get("id").asText() == "a")
       assert((0 until mhits.size()).map(mhits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable IMI search served a tombstoned row")
+      // index=hnsw rides the durable shard graphs (r12) — tombstones
+      // stay dead there too
+      val (hc2, hb2) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "hnsw"}""")
+      assert(hc2 == 200, hb2)
+      val hhits = mapper.readTree(hb2)
+      assert(hhits.get(0).get("id").asText() == "a")
+      assert((0 until hhits.size()).map(hhits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable HNSW search served a tombstoned row")
       // lsh stays an in-memory-store feature
       val (lc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "lsh"}""")
