@@ -588,6 +588,111 @@ object TextAnalysis {
        |       ((cum - n_tok) % $PackBudget)::BIGINT AS seq_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- Q124: BPE tokenizer training (merge-pair loop) -----------------
+  //
+  // The tokenizer-TRAINING stage (Sennrich et al. BPE; the reference's
+  // token counting, `rest_api.py` has no tokenizer, is estimation only —
+  // this learns the vocabulary): start from the character-split word
+  // HISTOGRAM, then per round (a) count adjacent symbol pairs weighted
+  // by word frequency, (b) pick the most frequent pair (count desc,
+  // pair-string asc tie-break), (c) merge every non-overlapping
+  // occurrence left-to-right. 100 TB shape: ONE corpus scan builds the
+  // word histogram; every later round runs on the VOCABULARY table
+  // (distinct words — corpus-mass-independent, the same reason classic
+  // BPE trainers work off a word-count file), with a symbol-pair
+  // aggregate and a 1-row argmax collect per round (the Lloyd-loop
+  // driver-traffic convention). Merging is string replace over
+  // space-joined symbols with sentinel spaces — both engines' replace()
+  // scans the source left-to-right non-overlapping, so "a a a" merges
+  // once, identically. All state is integer counts and strings: the
+  // cross-engine replay is byte-exact with no float-rounding risk.
+  // total_toks (post-merge corpus token mass = Σ cnt·|symbols|) grades
+  // the merge APPLICATION, not just winner selection — for overlapping
+  // pairs the applied-merge count is less than pair_cnt, and only a
+  // correct replace reproduces it.
+
+  private val BpeRounds = 8
+
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w0 = withToks(spark, dir)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var vocab = w0
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val win = vocab
+        .select(split(col("sym"), " ").as("li"), col("cnt"))
+        .where(size(col("li")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(li) - 2)," +
+            " i -> struct(li[i] AS a, li[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, c) = (win.getString(0), win.getString(1), win.getLong(2))
+      vocab = vocab.select(
+        trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" $a $b "), lit(s" $a$b "))).as("sym"), col("cnt"))
+        .localCheckpoint(true)
+      val total = vocab
+        .select(sum(size(split(col("sym"), " ")).cast("long") * col("cnt")))
+        .collect()(0).getLong(0)
+      out += ((r, a, b, a + b, c, total))
+    }
+    out.toSeq
+      .toDF("round", "lhs", "rhs", "merged", "pair_cnt", "total_toks")
+      .orderBy(col("round"))
+  }
+
+  /** Pre-merge corpus token mass (character symbols) — spec support. */
+  def q124InitialTokens(spark: SparkSession, dir: String): Long =
+    withToks(spark, dir).select(explode(col("toks")).as("word"))
+      .select(sum(length(col("word")).cast("long")))
+      .collect()(0).getLong(0)
+
+  val q124Sql: String = {
+    val b = new StringBuilder
+    b ++= s"""WITH w AS (
+             |  SELECT word, count(*)::BIGINT AS cnt FROM (
+             |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             |      AS word
+             |    FROM documents) GROUP BY 1),
+             |v0 AS (
+             |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym,
+             |         cnt
+             |  FROM w)""".stripMargin
+    for (r <- 1 to BpeRounds) {
+      b ++= s""",
+               |p$r AS (
+               |  SELECT li[i] AS a, li[i + 1] AS b, sum(cnt)::BIGINT AS c
+               |  FROM (
+               |    SELECT string_split(sym, ' ') AS li,
+               |           unnest(range(1, len(string_split(sym, ' ')))) AS i,
+               |           cnt
+               |    FROM v${r - 1}) GROUP BY 1, 2),
+               |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+               |v$r AS (
+               |  SELECT trim(replace(' ' || sym || ' ',
+               |                      ' ' || m.a || ' ' || m.b || ' ',
+               |                      ' ' || m.a || m.b || ' ')) AS sym, cnt
+               |  FROM v${r - 1}, m$r m)""".stripMargin
+    }
+    b ++= (1 to BpeRounds).map { r =>
+      s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
+         |       c AS pair_cnt,
+         |       (SELECT sum(len(string_split(sym, ' ')) * cnt)
+         |        FROM v$r)::BIGINT AS total_toks
+         |FROM m$r""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    b.toString
+  }
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -895,6 +1000,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_dsir_weights" -> (q115 _),
     "q117_data_card" -> (q117 _),
+    "q124_bpe_train" -> (q124 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -914,6 +1020,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q115_dsir_weights" -> q115Sql,
     "q117_data_card" -> q117Sql,
+    "q124_bpe_train" -> q124Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

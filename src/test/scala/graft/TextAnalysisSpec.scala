@@ -38,4 +38,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(keptEnRate > keptRestRate,
       f"keep rate (target) $keptEnRate%.3f <= (rest) $keptRestRate%.3f")
   }
+
+  test("q124 BPE training: monotone merge loop over the word histogram") {
+    val rows = TextAnalysis.q124(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1 to 8), "one row per round, in order")
+    rows.foreach { case (r, lhs, rhs, merged, cnt, total) =>
+      assert(merged == lhs + rhs, s"round $r: merged != lhs||rhs")
+      assert(cnt > 0 && total > 0)
+    }
+    // round 1 merges two single characters by construction
+    assert(rows.head._2.length == 1 && rows.head._3.length == 1)
+    // the max pair count is non-increasing: merging never raises an old
+    // pair's count, and pairs created around the new symbol are bounded
+    // by the number of applied merges
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 <= a._5, s"round ${b._1}: pair count rose ${a._5}->${b._5}")
+    }
+    // each round shrinks the corpus token mass by the number of APPLIED
+    // merges: at least one, at most pair_cnt (overlaps merge fewer)
+    val w0 = TextAnalysis.q124InitialTokens(spark, dir)
+    val totals = w0 +: rows.map(_._6).toSeq
+    totals.sliding(2).zip(rows.iterator).foreach {
+      case (Seq(prev, cur), row) =>
+        val drop = prev - cur
+        assert(drop >= 1 && drop <= row._5,
+          s"round ${row._1}: token-mass drop $drop outside (0, ${row._5}]")
+    }
+  }
+
+  test("q124 merge semantics: left-to-right non-overlapping replace") {
+    // the cross-engine contract both replays rely on: "a a a" with
+    // winner (a,a) merges ONCE (the sentinel space is consumed)
+    import spark.implicits._
+    val got = Seq(" a a a ").toDF("s")
+      .selectExpr("trim(replace(s, ' a a ', ' aa '))").collect()(0).getString(0)
+    assert(got == "aa a", s"replace semantics drifted: got '$got'")
+  }
 }
