@@ -693,6 +693,66 @@ object TextAnalysis {
     b.toString
   }
 
+  // ---- Q125: deterministic training-order shuffle + sized shards ------
+  //
+  // The "global shuffle" stage of a training pipeline: every epoch's
+  // sample order must be (a) uniformly random, (b) reproducible from a
+  // seed alone, (c) materializable as fixed-size shards with an exact
+  // global position per sample. Order key = md5(seed || doc_id) — a
+  // seeded permutation with no RNG state. The naive plan is a global
+  // row_number (one partition eats the corpus); the 100 TB shape is the
+  // classic two-pass rank: (1) range-bucket by the TOP BITS of the key
+  // (monotone in the key, so bucket-major order IS global key order),
+  // (2) count per bucket, prefix-sum the bucket-count-sized frame on
+  // the driver, (3) rank WITHIN each bounded bucket and add the
+  // broadcast bucket offset. global_pos then equals the oracle's
+  // row_number() OVER (ORDER BY key, doc_id) - 1, byte-exact (hex md5
+  // sorts identically as a string and as the integer it encodes), with
+  // no single-partition stage anywhere (PlanSpec pins no
+  // SinglePartition exchange). Bucket count grows with the corpus; the
+  // per-bucket rank window stays bounded — q108's shard-window
+  // argument.
+
+  private val OrderBuckets = 64
+  private val OrderShardSize = 512 // docs per training shard
+
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = docs(spark, dir).select(col("doc_id"))
+      .withColumn("key",
+        md5(concat(lit("order42_"), col("doc_id").cast("string"))))
+      .withColumn("bucket", shiftright(
+        conv(substring(col("key"), 1, 8), 16, 10).cast("long"),
+        32 - Integer.numberOfTrailingZeros(OrderBuckets)).cast("int"))
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val offsets = counts.map { case (bkt, n) =>
+      val o = off; off += n; (bkt, o)
+    }.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+    keyed.withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(offsets.toDF("bucket", "offset")), Seq("bucket"))
+      .select(col("doc_id"),
+        (col("offset") + col("r") - 1).as("global_pos"))
+      .withColumn("shard_id", expr(s"global_pos div $OrderShardSize"))
+      .withColumn("pos_in_shard", col("global_pos") % OrderShardSize)
+      .orderBy(col("doc_id"))
+  }
+
+  val q125Sql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('order42_' || doc_id) AS key FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY key, doc_id) - 1 AS global_pos
+       |  FROM k)
+       |SELECT doc_id, global_pos,
+       |       global_pos // $OrderShardSize AS shard_id,
+       |       global_pos % $OrderShardSize AS pos_in_shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -1001,6 +1061,7 @@ object TextAnalysis {
     "q115_dsir_weights" -> (q115 _),
     "q117_data_card" -> (q117 _),
     "q124_bpe_train" -> (q124 _),
+    "q125_training_order" -> (q125 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1021,6 +1082,7 @@ object TextAnalysis {
     "q115_dsir_weights" -> q115Sql,
     "q117_data_card" -> q117Sql,
     "q124_bpe_train" -> q124Sql,
+    "q125_training_order" -> q125Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

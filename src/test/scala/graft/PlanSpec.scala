@@ -305,6 +305,18 @@ class PlanSpec extends AnyFunSuite {
       s"q116 cut must run in TopKAgg's bounded heap\n${p.take(1200)}")
   }
 
+  test("q125 training order: two-pass rank, never a single-partition stage") {
+    val p = plan(graft.operators.TextAnalysis.q125(spark, dir))
+    // the global permutation must come from per-bucket windows + the
+    // broadcast offset join — a row_number over the whole corpus would
+    // plan an Exchange SinglePartition, the one stage that cannot scale
+    assert(!p.contains("SinglePartition"),
+      s"q125 global rank collapsed to one partition\n${p.take(1200)}")
+    assert(p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastExchange"),
+      s"q125 bucket offsets must broadcast\n${p.take(1200)}")
+  }
+
   test("q104 Lloyd round: broadcast centroids + partial argmin agg, no Window") {
     val p = plan(graft.operators.Clustering.q104(spark, dir))
     // the round's corpus side never shuffles for the centroid join —
