@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over relations the star schema implies — here the
+  * customer–supplier interaction graph (who bought from whom, via
+  * lineitem ⋈ orders). The dedup family already runs connected
+  * components (`Dedup.q64`); this adds the other canonical iterative
+  * graph kernel, PageRank, as authority scoring over the trade graph.
+  *
+  * INTEGER-EXACT iteration: ranks are integer micro-units (r₀ = 10⁶ per
+  * node) and every per-edge contribution is `((rank · 17) div 20) div
+  * outdeg` — integer floor-division at each step, so per-round sums are
+  * order-independent and the cross-engine replay is byte-exact with NO
+  * float-summation-order risk (the residual-risk class documented for
+  * the r6-quantized float loops, SCALING.md, simply does not arise).
+  * The damping formulation is per-node teleport: r′(v) = 0.15·r₀ +
+  * 0.85·Σ_{u→v} r(u)/outdeg(u), i.e. classic PageRank scaled by N.
+  *
+  * 100 TB shape: the edge list (with outdeg attached) is built once,
+  * hash-partitioned by src, and checkpointed; each round is one
+  * edge-scan join against the node-keyed rank frame plus one dst-keyed
+  * aggregate — rounds × (join + agg), zero driver traffic (no collect
+  * anywhere; the final top-20 cut is a TakeOrderedAndProject). This is
+  * the standard distributed PageRank data layout (edges partitioned by
+  * source, ranks re-keyed per round).
+  */
+object Graph {
+
+  private val PrRounds = 3
+  private val PrTopN = 20
+
+  /** Symmetric customer↔supplier edge list (distinct trade pairs). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    cs.select(col("c").as("src"), col("s").as("dst"))
+      .union(cs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  // ---- Q126: PageRank over the customer–supplier graph ----------------
+
+  /** Integer-exact PageRank over a directed (src, dst) edge frame:
+    * returns (node, pr, outdeg) for every node with out-edges. Library
+    * surface; q126 runs it on the trade graph. */
+  def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val adj = edges.join(outdeg, "src").repartition(col("src"))
+      .localCheckpoint(true)
+    var ranks = outdeg.select(col("src").as("node"),
+      lit(1000000L).as("pr"))
+    for (_ <- 1 to rounds) {
+      ranks = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"),
+          expr("((pr * 17) div 20) div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + col("in_mass")).as("pr"))
+    }
+    ranks.join(outdeg, ranks("node") === outdeg("src"))
+      .select(col("node"), col("pr"), col("outdeg"))
+  }
+
+  def q126(spark: SparkSession, dir: String): DataFrame =
+    pagerank(edges(spark, dir), PrRounds)
+      .orderBy(col("pr").desc, col("node")).limit(PrTopN)
+
+  val q126Sql: String = {
+    val rounds = (1 to PrRounds).map { r =>
+      s"""r$r AS (
+         |  SELECT e.dst AS node,
+         |         (150000 + sum(((r.pr * 17) // 20) // e.outdeg))::BIGINT
+         |           AS pr
+         |  FROM e JOIN r${r - 1} r ON e.src = r.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |ed AS (
+       |  SELECT c AS src, s AS dst FROM cs
+       |  UNION ALL SELECT s AS src, c AS dst FROM cs),
+       |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, od.outdeg FROM ed JOIN od USING (src)),
+       |r0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM od),
+       |$rounds
+       |SELECT r.node, r.pr, od.outdeg
+       |FROM r$PrRounds r JOIN od ON r.node = od.src
+       |ORDER BY r.pr DESC, r.node LIMIT $PrTopN""".stripMargin
+  }
+
+  // ---- registry -------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_pagerank" -> (q126 _))
+
+  val oracles: Map[String, String] = Map(
+    "q126_pagerank" -> q126Sql)
+}
