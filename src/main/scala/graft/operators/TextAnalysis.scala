@@ -613,8 +613,12 @@ object TextAnalysis {
 
   private val BpeRounds = 8
 
-  def q124(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Runs the merge loop: per-round winners (round, lhs, rhs, pair_cnt,
+    * total_toks) plus the final vocabulary (space-joined symbols, word
+    * count) — shared by the training grade (q124) and the apply /
+    * compression grade (q127). */
+  private def bpeChain(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val w0 = withToks(spark, dir)
       .select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -623,7 +627,7 @@ object TextAnalysis {
         col("cnt"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, String, Long, Long)]
+      .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to BpeRounds) {
       val win = vocab
         .select(split(col("sym"), " ").as("li"), col("cnt"))
@@ -643,9 +647,15 @@ object TextAnalysis {
       val total = vocab
         .select(sum(size(split(col("sym"), " ")).cast("long") * col("cnt")))
         .collect()(0).getLong(0)
-      out += ((r, a, b, a + b, c, total))
+      out += ((r, a, b, c, total))
     }
-    out.toSeq
+    (out.toSeq, vocab)
+  }
+
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeChain(spark, dir)._1
+      .map { case (r, a, b, c, t) => (r, a, b, a + b, c, t) }
       .toDF("round", "lhs", "rhs", "merged", "pair_cnt", "total_toks")
       .orderBy(col("round"))
   }
@@ -656,7 +666,9 @@ object TextAnalysis {
       .select(sum(length(col("word")).cast("long")))
       .collect()(0).getLong(0)
 
-  val q124Sql: String = {
+  /** The merge-loop CTE chain (`WITH w, v0, p1, m1, v1, … v8`) shared by
+    * the q124 and q127 oracles. */
+  private def bpeChainSql: String = {
     val b = new StringBuilder
     b ++= s"""WITH w AS (
              |  SELECT word, count(*)::BIGINT AS cnt FROM (
@@ -683,15 +695,76 @@ object TextAnalysis {
                |                      ' ' || m.a || m.b || ' ')) AS sym, cnt
                |  FROM v${r - 1}, m$r m)""".stripMargin
     }
-    b ++= (1 to BpeRounds).map { r =>
+    b.toString
+  }
+
+  val q124Sql: String =
+    bpeChainSql + (1 to BpeRounds).map { r =>
       s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
          |       c AS pair_cnt,
          |       (SELECT sum(len(string_split(sym, ' ')) * cnt)
          |        FROM v$r)::BIGINT AS total_toks
          |FROM m$r""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
-    b.toString
+
+  // ---- Q127: tokenizer apply + per-language compression ratio ---------
+  //
+  // The step that makes q124's artifact USABLE: encode the corpus with
+  // the trained vocabulary and report the per-language compression
+  // profile (chars per BPE token — the fertility metric a tokenizer is
+  // judged by; an English-trained vocab compresses English best, and
+  // this table is where that skew becomes visible). Every corpus word
+  // is in the trained vocabulary by construction, so "apply" is a
+  // word → symbol-count join: one tokenize scan, one hash join against
+  // the vocab table, two bounded aggregates. chars_per_tok divides two
+  // engine-identical integers once — no float-summation-order risk.
+
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeChain(spark, dir)._2
+    val wt = vocab.select(
+      replace(col("sym"), lit(" "), lit("")).as("word"),
+      size(split(col("sym"), " ")).cast("long").as("n_tok_word"))
+    withToks(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("word"))
+      .join(wt, "word")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_tok_word")).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_toks")).as("n_bpe_toks"))
+      .withColumn("chars_per_tok",
+        r4(col("n_chars").cast("double") / col("n_bpe_toks")))
+      .orderBy(col("lang"))
   }
+
+  val q127Sql: String =
+    bpeChainSql +
+      s""",
+         |wt AS (
+         |  SELECT replace(sym, ' ', '') AS word,
+         |         len(string_split(sym, ' '))::BIGINT AS n_tok_word
+         |  FROM v$BpeRounds),
+         |cw AS (
+         |  SELECT doc_id, lang,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |           AS word
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, lang, count(*)::BIGINT AS n_words,
+         |         sum(length(cw.word))::BIGINT AS n_chars,
+         |         sum(n_tok_word)::BIGINT AS n_toks
+         |  FROM cw JOIN wt USING (word) GROUP BY 1, 2)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(n_words)::BIGINT AS n_words,
+         |       sum(n_chars)::BIGINT AS n_chars,
+         |       sum(n_toks)::BIGINT AS n_bpe_toks,
+         |       ${r4Sql("sum(n_chars)::DOUBLE / sum(n_toks)::DOUBLE")}
+         |         AS chars_per_tok
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- Q125: deterministic training-order shuffle + sized shards ------
   //
@@ -1062,6 +1135,7 @@ object TextAnalysis {
     "q117_data_card" -> (q117 _),
     "q124_bpe_train" -> (q124 _),
     "q125_training_order" -> (q125 _),
+    "q127_bpe_apply" -> (q127 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1083,6 +1157,7 @@ object TextAnalysis {
     "q117_data_card" -> q117Sql,
     "q124_bpe_train" -> q124Sql,
     "q125_training_order" -> q125Sql,
+    "q127_bpe_apply" -> q127Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

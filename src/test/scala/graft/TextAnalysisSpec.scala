@@ -68,6 +68,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 BPE apply: compression profile is consistent with training") {
+    val rows = TextAnalysis.q127(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val totToks = rows.map(_._5).sum
+    rows.foreach { case (lang, nDocs, nWords, nChars, nToks, cpt) =>
+      assert(nDocs > 0 && nWords > 0)
+      // a BPE token covers >= 1 char and a word is >= 1 token
+      assert(nToks <= nChars, s"$lang: more tokens than chars")
+      assert(nToks >= nWords, s"$lang: fewer tokens than words")
+      assert(cpt >= 1.0, s"$lang: chars/token $cpt < 1")
+    }
+    // 8 applied merges must compress SOMETHING: corpus-wide BPE tokens
+    // strictly below characters, and the totals must tie out to q124's
+    // final round token mass
+    val nChars = rows.map(_._4).sum
+    assert(totToks < nChars, "no merge compressed the corpus")
+    val lastRound = TextAnalysis.q124(spark, dir).collect().last.getLong(5)
+    assert(totToks == lastRound,
+      s"apply totals $totToks != training final token mass $lastRound")
+  }
+
   test("q124 merge semantics: left-to-right non-overlapping replace") {
     // the cross-engine contract both replays rely on: "a a a" with
     // winner (a,a) merges ONCE (the sentinel space is consumed)
