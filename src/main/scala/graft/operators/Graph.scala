@@ -33,18 +33,23 @@ object Graph {
   private val PrRounds = 3
   private val PrTopN = 20
 
-  /** Symmetric customer↔supplier edge list (distinct trade pairs). */
+  /** Symmetric customer↔supplier edge list (distinct trade pairs).
+    * Nodes are INTEGER-encoded until the final cut (customer k → k ≥ 0,
+    * supplier k → −(k+1) < 0 — the +1 keeps supplier 0 off customer
+    * 0's id): the distinct/join/aggregate loop runs on 8-byte keys, not
+    * strings — the string form exists only on the 20 output rows. */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
+    // materialized once: the degree pass and the adjacency build both
+    // consume it from separate jobs (no cross-job exchange reuse)
     val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
-      .distinct()
-    cs.select(col("c").as("src"), col("s").as("dst"))
-      .union(cs.select(col("s").as("src"), col("c").as("dst")))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().localCheckpoint(true)
+    cs.select(col("c").as("src"), (-col("s") - 1).as("dst"))
+      .union(cs.select((-col("s") - 1).as("src"), col("c").as("dst")))
   }
 
   // ---- Q126: PageRank over the customer–supplier graph ----------------
@@ -55,25 +60,38 @@ object Graph {
   def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    val adj = edges.join(outdeg, "src").repartition(col("src"))
-      .localCheckpoint(true)
+    // One materialization of the degree-annotated edge list; every round
+    // re-scans it. The per-round rank frame is NODE-sized (≪ edges), so
+    // it rides the broadcast side of the join and the edge frame never
+    // shuffles for the join; the dst aggregate partial-combines to
+    // node-sized partitions before its shuffle. (At billion-node scale
+    // the same loop works with the broadcast dropped: pre-partition adj
+    // by src and let the rank frame shuffle — AQE picks per size.)
+    val adj = edges.join(broadcast(outdeg), "src").localCheckpoint(true)
     var ranks = outdeg.select(col("src").as("node"),
       lit(1000000L).as("pr"))
     for (_ <- 1 to rounds) {
-      ranks = adj.join(ranks, adj("src") === ranks("node"))
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
         .select(col("dst"),
           expr("((pr * 17) div 20) div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
         .select(col("dst").as("node"),
           (lit(150000L) + col("in_mass")).as("pr"))
+        // node-sized; materialize so the next round's broadcast build
+        // doesn't re-execute the whole prior chain
+        .localCheckpoint(true)
     }
-    ranks.join(outdeg, ranks("node") === outdeg("src"))
+    ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
       .select(col("node"), col("pr"), col("outdeg"))
   }
 
   def q126(spark: SparkSession, dir: String): DataFrame =
     pagerank(edges(spark, dir), PrRounds)
+      .select(
+        when(col("node") >= 0, concat(lit("c"), col("node")))
+          .otherwise(concat(lit("s"), -col("node") - 1)).as("node"),
+        col("pr"), col("outdeg"))
       .orderBy(col("pr").desc, col("node")).limit(PrTopN)
 
   val q126Sql: String = {
