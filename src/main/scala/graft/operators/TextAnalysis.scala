@@ -816,7 +816,7 @@ object TextAnalysis {
   // argument.
 
   private val OrderBuckets = 64
-  private val OrderShardSize = 512 // docs per training shard
+  private val OrderShardSize = 128 // docs per training shard
 
   def q125(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -854,6 +854,45 @@ object TextAnalysis {
        |       global_pos // $OrderShardSize AS shard_id,
        |       global_pos % $OrderShardSize AS pos_in_shard
        |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- Q128: export shard manifest ------------------------------------
+  //
+  // The audit table a shard EXPORT writes next to its files: one row per
+  // training shard with its size, global-position extent, and an
+  // order-sensitive content digest (md5 over the '|'-joined doc ids in
+  // shard order) — what a training job checks before reading, and what
+  // makes a re-export diffable without touching the data files. Runs on
+  // q125's assignment; per-shard work is bounded by the shard size
+  // (512), manifest cardinality = shard count. The digest concatenation
+  // is per-shard (sort_array over ≤512 structs), never corpus-wide.
+
+  def q128(spark: SparkSession, dir: String): DataFrame =
+    q125(spark, dir)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("global_pos")).as("first_pos"),
+        max(col("global_pos")).as("last_pos"),
+        md5(concat_ws("|", expr(
+          "transform(sort_array(collect_list(struct(pos_in_shard, doc_id)))," +
+            " x -> cast(x.doc_id AS string))"))).as("digest"))
+      .orderBy(col("shard_id"))
+
+  val q128Sql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('order42_' || doc_id) AS key FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY key, doc_id) - 1 AS global_pos
+       |  FROM k),
+       |a AS (
+       |  SELECT doc_id, global_pos,
+       |         global_pos // $OrderShardSize AS shard_id,
+       |         global_pos % $OrderShardSize AS pos_in_shard
+       |  FROM r)
+       |SELECT shard_id, count(*)::BIGINT AS n_docs,
+       |       min(global_pos) AS first_pos, max(global_pos) AS last_pos,
+       |       md5(string_agg(doc_id, '|' ORDER BY pos_in_shard)) AS digest
+       |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   // ---- registry -------------------------------------------------------
 
@@ -1165,6 +1204,7 @@ object TextAnalysis {
     "q124_bpe_train" -> (q124 _),
     "q125_training_order" -> (q125 _),
     "q127_bpe_apply" -> (q127 _),
+    "q128_shard_manifest" -> (q128 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1187,6 +1227,7 @@ object TextAnalysis {
     "q124_bpe_train" -> q124Sql,
     "q125_training_order" -> q125Sql,
     "q127_bpe_apply" -> q127Sql,
+    "q128_shard_manifest" -> q128Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

@@ -91,6 +91,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"apply totals $totToks != training final token mass $lastRound")
   }
 
+  test("q128 shard manifest ties out against the corpus") {
+    val rows = TextAnalysis.q128(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val corpus = graft.sources.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == corpus, "manifest drops or double-counts")
+    // shards are contiguous, non-overlapping, in order, and full except
+    // possibly the last
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._4 + 1, s"gap between shards ${a._1} and ${b._1}")
+      assert(a._2 == 128L, s"non-final shard ${a._1} not full")
+    }
+    assert(rows.head._3 == 0L && rows.last._4 == corpus - 1)
+    assert(rows.map(_._5).distinct.length == rows.length,
+      "duplicate shard digests")
+  }
+
   test("q124 merge semantics: left-to-right non-overlapping replace") {
     // the cross-engine contract both replays rely on: "a a a" with
     // winner (a,a) merges ONCE (the sentinel space is consumed)
