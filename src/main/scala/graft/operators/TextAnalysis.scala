@@ -894,6 +894,66 @@ object TextAnalysis {
        |       md5(string_agg(doc_id, '|' ORDER BY pos_in_shard)) AS digest
        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
+  // ---- Q129: feature-hash embedding (the hashing trick) ---------------
+  //
+  // Model-free text embedding — Weinberger et al.'s feature hashing:
+  // each unigram/bigram feature hashes to one of 64 dimensions with a
+  // ±1 sign, per-doc sums give a sparse integer vector. The bridge from
+  // `documents` to the vector stack when no encoder is in the loop
+  // (dedup blocking, cheap retrieval pre-filters, drift monitors).
+  // Output is the SPARSE form (doc_id, dim, val ≠ 0) in integer counts:
+  // exact on both engines, no normalization floats in the grade. 100 TB
+  // shape: one tokenize scan, explode, and a (doc_id, dim)-keyed
+  // aggregate that map-side combines to ≤64 rows per doc before its
+  // only shuffle.
+
+  private val FhDims = 64
+
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      "zip_with(slice(toks, 1, size(toks) - 1), " +
+        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, '_', b))")
+    withToks(spark, dir).where(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(concat(col("toks"),
+        when(size(col("toks")) >= 2, bigrams)
+          .otherwise(array().cast("array<string>")))).as("f"))
+      .withColumn("h", md5(concat(lit("fh_"), col("f"))))
+      .withColumn("dim",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+          lit(FhDims)).cast("int"))
+      .withColumn("sgn",
+        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("val"))
+      .where(col("val") =!= 0)
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  val q129Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+       |u AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)),
+       |                               i -> toks[i] || '_' || toks[i + 1]))
+       |           AS f
+       |  FROM t),
+       |d AS (
+       |  SELECT doc_id,
+       |         (('0x' || substr(md5('fh_' || f), 1, 8))::BIGINT
+       |            % $FhDims)::INT AS dim,
+       |         CASE WHEN ('0x' || substr(md5('fh_' || f), 9, 1))::BIGINT
+       |                     % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM u)
+       |SELECT doc_id, dim, sum(sgn)::BIGINT AS val
+       |FROM d GROUP BY 1, 2 HAVING sum(sgn) <> 0
+       |ORDER BY doc_id, dim""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -1205,6 +1265,7 @@ object TextAnalysis {
     "q125_training_order" -> (q125 _),
     "q127_bpe_apply" -> (q127 _),
     "q128_shard_manifest" -> (q128 _),
+    "q129_feature_hash_embed" -> (q129 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1228,6 +1289,7 @@ object TextAnalysis {
     "q125_training_order" -> q125Sql,
     "q127_bpe_apply" -> q127Sql,
     "q128_shard_manifest" -> q128Sql,
+    "q129_feature_hash_embed" -> q129Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,
