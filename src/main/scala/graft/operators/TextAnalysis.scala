@@ -954,6 +954,58 @@ object TextAnalysis {
        |FROM d GROUP BY 1, 2 HAVING sum(sgn) <> 0
        |ORDER BY doc_id, dim""".stripMargin
 
+  // ---- Q130: dataset snapshot diff ------------------------------------
+  //
+  // The dataset-versioning audit: given two corpus versions, report what
+  // was added, removed, changed, and untouched — the table a pipeline
+  // publishes with every release so downstream training jobs know
+  // whether to re-shard. Versions are simulated from the one corpus the
+  // way q71 simulates an arriving batch: v_old = doc_id < split (the
+  // last fifth hasn't landed yet), v_new = everything except the lowest
+  // sixteenth (aged out of retention), with every 7th doc re-edited (a
+  // cleaning fix touched ~14% of the overlap). Diff = one full outer
+  // join on doc_id comparing content digests: keyed shuffle, map-side
+  // pruned to (doc_id, digest), output cardinality 4.
+
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val split = maxId * 4 / 5
+    val low = maxId / 16
+    val vOld = d.where(col("doc_id") < split)
+      .select(col("doc_id"), md5(col("text")).as("dig_old"))
+    val vNew = d.where(col("doc_id") >= low)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text"))).as("dig_new"))
+    vOld.join(vNew, Seq("doc_id"), "full_outer")
+      .select(when(col("dig_old").isNull, "added")
+        .when(col("dig_new").isNull, "removed")
+        .when(col("dig_old") =!= col("dig_new"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
+  val q130Sql: String =
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |o AS (
+      |  SELECT doc_id, md5(text) AS dig_old FROM documents, m
+      |  WHERE doc_id < mx * 4 // 5),
+      |n AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]'
+      |                  ELSE text END) AS dig_new
+      |  FROM documents, m WHERE doc_id >= mx // 16),
+      |j AS (
+      |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN dig_old <> dig_new THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*)::BIGINT AS n_docs
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // ---- registry -------------------------------------------------------
 
   // ---- Q68: domain-weighted mixture sampling --------------------------
@@ -1266,6 +1318,7 @@ object TextAnalysis {
     "q127_bpe_apply" -> (q127 _),
     "q128_shard_manifest" -> (q128 _),
     "q129_feature_hash_embed" -> (q129 _),
+    "q130_dataset_diff" -> (q130 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1290,6 +1343,7 @@ object TextAnalysis {
     "q127_bpe_apply" -> q127Sql,
     "q128_shard_manifest" -> q128Sql,
     "q129_feature_hash_embed" -> q129Sql,
+    "q130_dataset_diff" -> q130Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

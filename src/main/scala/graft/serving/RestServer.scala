@@ -479,6 +479,39 @@ class RestServer(store: VectorStore, port: Int = 0,
     respond(ex, 200, o)
   })
 
+  // Model-free embedding endpoint (no reference analogue — the serving
+  // arc it completes: embed → insert → search with no external encoder):
+  // POST {"texts": ["…", …]} (or {"text": "…"}) returns the q129
+  // feature-hash vectors via the DRIVER-side kernel — one request never
+  // costs a Spark job; TextAnalysisSpec pins kernel/operator parity.
+  server.createContext("/embed", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val body = readJson(ex)
+        val texts: Seq[String] =
+          if (body.has("texts")) {
+            val n = required(body, "texts")
+            if (!n.isArray)
+              throw new IllegalArgumentException("texts must be an array")
+            (0 until n.size).map { i =>
+              val t = n.get(i)
+              if (!t.isTextual)
+                throw new IllegalArgumentException(s"texts[$i] is not a string")
+              t.asText
+            }
+          } else Seq(required(body, "text").asText)
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("embeddings")
+        texts.foreach { t =>
+          val v = arr.addArray()
+          graft.functions.FeatureHash.embed(t).foreach(v.add(_))
+        }
+        o.put("dims", graft.functions.FeatureHash.Dims)
+        respond(ex, 200, o)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
+  })
+
   server.createContext("/log/level", ex => handle(ex) {
     ex.getRequestMethod match {
       case "POST" => // POST-only like the reference (rest_api.py:298) —

@@ -510,4 +510,38 @@ class RestServerSpec extends AnyFunSuite {
       assert(all.contains("my ns") && !all.contains("my%20ns"))
     }
   }
+
+  test("/embed serves the feature-hash kernel: embed → insert → search round-trip") {
+    withServer { (base, _) =>
+      // kernel parity over HTTP
+      val (ec, eb) = send("POST", s"$base/embed",
+        """{"texts": ["the quick brown fox", "the quick brown fox", "entirely different words"]}""")
+      assert(ec == 200, eb)
+      val em = mapper.readTree(eb)
+      assert(em.get("dims").asInt == graft.functions.FeatureHash.Dims)
+      val vs = em.get("embeddings")
+      assert(vs.size() == 3)
+      assert(vs.get(0).toString == vs.get(1).toString,
+        "identical texts must embed identically")
+      assert(vs.get(0).toString != vs.get(2).toString)
+      val expected = graft.functions.FeatureHash.embed("the quick brown fox")
+      val got = (0 until vs.get(0).size).map(i => vs.get(0).get(i).floatValue)
+      assert(got == expected.toSeq, "HTTP embed diverges from the kernel")
+      // the vectors are store-compatible: insert one, search with it
+      val vecJson = expected.mkString("[", ", ", "]")
+      assert(send("POST", s"$base/vectors?namespace=txt",
+        s"""{"values": $vecJson, "metadata": {"src": "embed"}}""")._1 == 201)
+      val (sc, sb) = send("POST", s"$base/search?namespace=txt",
+        s"""{"query": $vecJson, "top_k": 1}""")
+      assert(sc == 200)
+      val hit = mapper.readTree(sb).get(0)
+      assert(math.abs(hit.get("score").asDouble - 1.0) < 1e-5,
+        s"self-search cosine similarity not ~1: $sb")
+      // validation: missing field 422, wrong type 422, GET 405
+      assert(send("POST", s"$base/embed", "{}")._1 == 422)
+      assert(send("POST", s"$base/embed", """{"texts": "nope"}""")._1 == 422)
+      assert(send("POST", s"$base/embed", """{"texts": [42]}""")._1 == 422)
+      assert(send("GET", s"$base/embed")._1 == 405)
+    }
+  }
 }

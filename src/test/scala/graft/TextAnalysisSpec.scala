@@ -119,26 +119,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a uniform hash must touch every dimension corpus-wide
     assert(rows.map(_._2).distinct.length == 64,
       "some hash dimension never used — bucket mapping is off")
-    // independent re-implementation: recompute one document's sparse
-    // vector with java.security MD5 and plain Scala, no Spark involved
+    // kernel/operator parity: the driver-side serving kernel
+    // (FeatureHash.embed — java.security MD5, no Spark) must reproduce
+    // every document's sparse vector bit-for-bit
     val docs = graft.sources.Tables.table(spark, dir, "documents")
     import org.apache.spark.sql.functions._
-    val first = docs.orderBy(col("doc_id")).select(col("doc_id"), col("text"))
-      .limit(1).collect()(0)
-    val (id0, text0) = (first.getLong(0), first.getString(1))
-    val toks = "[a-z0-9]+".r.findAllIn(text0.toLowerCase).toSeq
-    val feats = toks ++ toks.zip(toks.drop(1)).map { case (x, y) => s"${x}_$y" }
-    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val expected = feats.map { f =>
-      val h = hex("fh_" + f)
-      val dim = (java.lang.Long.parseLong(h.take(8), 16) % 64).toInt
-      val sgn = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
-      dim -> sgn
-    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      .filter(_._2 != 0L).toSeq.sortBy(_._1)
-    val got = rows.filter(_._1 == id0).map(t => (t._2, t._3)).sortBy(_._1).toSeq
-    assert(got == expected, s"doc $id0: spark $got vs reimpl $expected")
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySpark = rows.groupBy(_._1)
+    texts.foreach { case (id, text) =>
+      val expected = graft.functions.FeatureHash.embed(text).zipWithIndex
+        .collect { case (v, d) if v != 0f => (d, v.toLong) }.toSeq.sortBy(_._1)
+      val got = bySpark.getOrElse(id, Array.empty)
+        .map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      assert(got == expected, s"doc $id: spark $got vs kernel $expected")
+    }
   }
 
   test("q124 merge semantics: left-to-right non-overlapping replace") {
