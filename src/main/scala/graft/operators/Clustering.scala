@@ -500,9 +500,12 @@ object Clustering {
         avg(col("embedding").getItem(j).cast("double")).as(s"m$j")): _*).head()
     val n = muRow.getLong(0)
     val mu = Array.tabulate(PcaDim)(j => q6d(muRow.getDouble(j + 1)))
+    // centered corpus is scanned by every power round (3 per component)
+    // — materialize once instead of re-reading parquet + re-centering
     val xc = e.select(col("vec_id"),
       zip_with(col("embedding"), array(mu.map(lit): _*),
         (x, m) => x.cast("double") - m).as("xc"))
+      .localCheckpoint(true)
 
     def iterate(base: DataFrame, c: Int): (Array[Double], Double) = {
       var v = pcaSeed(c)
@@ -518,6 +521,7 @@ object Clustering {
       .select(col("vec_id"),
         zip_with(col("xc"), array(v1.map(lit): _*),
           (x, wj) => x - col("dw") * wj).as("xc"))
+      .localCheckpoint(true)
     val (v2, norm2) = iterate(rc, 2)
 
     (v1.zipWithIndex.map { case (l, j) => (1, j, l, q4d(norm1 / n)) } ++
