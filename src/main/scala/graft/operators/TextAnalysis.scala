@@ -903,32 +903,24 @@ object TextAnalysis {
   // (dedup blocking, cheap retrieval pre-filters, drift monitors).
   // Output is the SPARSE form (doc_id, dim, val ≠ 0) in integer counts:
   // exact on both engines, no normalization floats in the grade. 100 TB
-  // shape: one tokenize scan, explode, and a (doc_id, dim)-keyed
-  // aggregate that map-side combines to ≤64 rows per doc before its
-  // only shuffle.
+  // shape: the whole per-doc accumulation runs inside ONE fused codegen
+  // expression ([[graft.functions.FeatureHashVec]]) — no feature
+  // explode, no (doc, dim) shuffle, no hex string per feature; the scan
+  // emits ≤64 rows per doc directly. (The composed
+  // explode+md5+groupBy form this replaced benched 2.4 s in-suite at
+  // sf0.1; the oracle below IS that composed form, so the fusion is
+  // grade-checked feature-for-feature.)
 
-  private val FhDims = 64
+  private val FhDims = graft.functions.FeatureHashVec.Dims
 
-  def q129(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = expr(
-      "zip_with(slice(toks, 1, size(toks) - 1), " +
-        "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, '_', b))")
-    withToks(spark, dir).where(size(col("toks")) >= 1)
-      .select(col("doc_id"), explode(concat(col("toks"),
-        when(size(col("toks")) >= 2, bigrams)
-          .otherwise(array().cast("array<string>")))).as("f"))
-      .withColumn("h", md5(concat(lit("fh_"), col("f"))))
-      .withColumn("dim",
-        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
-          lit(FhDims)).cast("int"))
-      .withColumn("sgn",
-        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0,
-          1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("dim"))
-      .agg(sum(col("sgn")).as("val"))
-      .where(col("val") =!= 0)
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.FeatureHashVec(col("text"))))
+      .where(col("col") =!= 0)
+      .select(col("doc_id"), col("pos").cast("int").as("dim"),
+        col("col").as("val"))
       .orderBy(col("doc_id"), col("dim"))
-  }
 
   val q129Sql: String =
     s"""WITH t AS (
