@@ -818,14 +818,14 @@ object TextAnalysis {
   private val OrderBuckets = 64
   private val OrderShardSize = 128 // docs per training shard
 
-  def q125(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact global rank with no single-partition stage (the two-pass
+    * idiom q125's scaladoc describes): requires a `bucket` column
+    * MONOTONE in the order key; ranks within bounded buckets, prefix-sums
+    * the bucket-count-sized frame on the driver, broadcasts the offsets.
+    * Appends `global_pos`. */
+  private def twoPassRank(spark: SparkSession, keyed: DataFrame,
+                          order: Seq[String]): DataFrame = {
     import spark.implicits._
-    val keyed = docs(spark, dir).select(col("doc_id"))
-      .withColumn("key",
-        md5(concat(lit("order42_"), col("doc_id").cast("string"))))
-      .withColumn("bucket", shiftright(
-        conv(substring(col("key"), 1, 8), 16, 10).cast("long"),
-        32 - Integer.numberOfTrailingZeros(OrderBuckets)).cast("int"))
     val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var off = 0L
@@ -833,11 +833,25 @@ object TextAnalysis {
       val o = off; off += n; (bkt, o)
     }.toSeq
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("key"), col("doc_id"))
+      .partitionBy(col("bucket")).orderBy(order.map(col): _*)
     keyed.withColumn("r", row_number().over(w).cast("long"))
       .join(broadcast(offsets.toDF("bucket", "offset")), Seq("bucket"))
-      .select(col("doc_id"),
-        (col("offset") + col("r") - 1).as("global_pos"))
+      .withColumn("global_pos", col("offset") + col("r") - 1)
+      .drop("r", "offset")
+  }
+
+  /** Range bucket from an md5 hex key's top bits (monotone in the key). */
+  private def keyBucket(nBuckets: Int): org.apache.spark.sql.Column =
+    shiftright(conv(substring(col("key"), 1, 8), 16, 10).cast("long"),
+      32 - Integer.numberOfTrailingZeros(nBuckets)).cast("int")
+
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"))
+      .withColumn("key",
+        md5(concat(lit("order42_"), col("doc_id").cast("string"))))
+      .withColumn("bucket", keyBucket(OrderBuckets))
+    twoPassRank(spark, keyed, Seq("key", "doc_id"))
+      .select(col("doc_id"), col("global_pos"))
       .withColumn("shard_id", expr(s"global_pos div $OrderShardSize"))
       .withColumn("pos_in_shard", col("global_pos") % OrderShardSize)
       .orderBy(col("doc_id"))
@@ -997,6 +1011,73 @@ object TextAnalysis {
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
       |SELECT status, count(*)::BIGINT AS n_docs
       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  // ---- Q131: curriculum schedule (quality-banded training order) ------
+  //
+  // Curriculum learning's data side: schedule high-quality documents
+  // first, random order within each band — i.e. a global sort by
+  // (band, seeded key). The same two-pass rank as q125, with the range
+  // bucket COMPOSITE: band-major, key-top-bits minor (monotone in the
+  // (band, key) order, so bucket-major is global curriculum order).
+  // Bands come from the graded q21 quality formula at fixed thresholds;
+  // both engines compare the identical r4-rounded double, the q42 gate
+  // pattern. Demonstrates that the rank idiom generalizes to composite
+  // keys — nothing about it is specific to a uniform permutation.
+
+  private val CurrHi = 0.72
+  private val CurrMid = 0.58
+
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = StopEn.map(w => s"'$w'").mkString(",")
+    val keyed = withToks(spark, dir)
+      .withColumn("n_tok", size(col("toks")))
+      .where(col("n_tok") >= 1)
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("q", r4(qualityScore(col("n_tok"),
+        col("stop_hits").cast("double") / col("n_tok"),
+        col("sum_len").cast("double") / col("n_tok"))))
+      .withColumn("band",
+        when(col("q") >= CurrHi, 0).when(col("q") >= CurrMid, 1)
+          .otherwise(2))
+      .withColumn("key",
+        md5(concat(lit("curr42_"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("band"), col("key"))
+      .withColumn("bucket",
+        (col("band") * OrderBuckets + keyBucket(OrderBuckets)).cast("int"))
+    twoPassRank(spark, keyed, Seq("key", "doc_id"))
+      .select(col("doc_id"), col("band"),
+        col("global_pos").as("curriculum_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q131Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks)::INT AS n_tok,
+       |         len(list_filter(toks, x ->
+       |           list_contains(${sqlList(StopEn)}, x)))::DOUBLE
+       |             / len(toks) AS sr,
+       |         list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |             / len(toks) AS al
+       |  FROM t WHERE len(toks) >= 1),
+       |b AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${r4Sql(qualityScoreSql("n_tok", "sr", "al"))}
+       |                     >= $CurrHi THEN 0
+       |              WHEN ${r4Sql(qualityScoreSql("n_tok", "sr", "al"))}
+       |                     >= $CurrMid THEN 1
+       |              ELSE 2 END AS band,
+       |         md5('curr42_' || doc_id) AS key
+       |  FROM m)
+       |SELECT doc_id, band,
+       |       row_number() OVER (ORDER BY band, key, doc_id) - 1
+       |         AS curriculum_pos
+       |FROM b ORDER BY doc_id""".stripMargin
 
   // ---- registry -------------------------------------------------------
 
@@ -1311,6 +1392,7 @@ object TextAnalysis {
     "q128_shard_manifest" -> (q128 _),
     "q129_feature_hash_embed" -> (q129 _),
     "q130_dataset_diff" -> (q130 _),
+    "q131_curriculum_order" -> (q131 _),
     "q20_lang_id" -> (q20 _),
     "q21_text_quality" -> (q21 _),
     "q22_token_freq" -> (q22 _),
@@ -1336,6 +1418,7 @@ object TextAnalysis {
     "q128_shard_manifest" -> q128Sql,
     "q129_feature_hash_embed" -> q129Sql,
     "q130_dataset_diff" -> q130Sql,
+    "q131_curriculum_order" -> q131Sql,
     "q20_lang_id" -> q20Sql,
     "q21_text_quality" -> q21Sql,
     "q22_token_freq" -> q22Sql,

@@ -317,6 +317,13 @@ class PlanSpec extends AnyFunSuite {
       s"q125 bucket offsets must broadcast\n${p.take(1200)}")
   }
 
+  test("q131 curriculum order: composite two-pass rank, no single-partition stage") {
+    val p = plan(graft.operators.TextAnalysis.q131(spark, dir))
+    assert(!p.contains("SinglePartition"),
+      s"q131 global rank collapsed to one partition\n${p.take(1200)}")
+    assert(p.contains("Window") && p.contains("BroadcastExchange"), p.take(900))
+  }
+
   test("q104 Lloyd round: broadcast centroids + partial argmin agg, no Window") {
     val p = plan(graft.operators.Clustering.q104(spark, dir))
     // the round's corpus side never shuffles for the centroid join —

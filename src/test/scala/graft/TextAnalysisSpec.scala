@@ -136,6 +136,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 curriculum: bands are contiguous and positions a permutation") {
+    val rows = TextAnalysis.q131(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+      "curriculum positions are not an exact permutation")
+    // band-major: every band-b position precedes every band-(b+1) one
+    val maxByBand = rows.groupBy(_._2).view.mapValues(_.map(_._3).max)
+    val minByBand = rows.groupBy(_._2).view.mapValues(_.map(_._3).min)
+    val bands = rows.map(_._2).distinct.sorted
+    assert(bands.length >= 2, s"thresholds degenerate: only bands $bands")
+    bands.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(maxByBand(a) < minByBand(b),
+        s"band $a overlaps band $b in curriculum order")
+    }
+  }
+
   test("q124 merge semantics: left-to-right non-overlapping replace") {
     // the cross-engine contract both replays rely on: "a a a" with
     // winner (a,a) merges ONCE (the sentinel space is consumed)
