@@ -481,8 +481,42 @@ object EventStream {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---- q132: streaming text-embed ingest ------------------------------
+
+  /** Documents parquet schema (the streaming file source needs it
+    * declared up front; column types per TESTDATA/FIXTURES). */
+  private def docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** q132: the embedding stage of a streaming INGEST pipeline — documents
+    * arrive as files, their feature-hash vectors materialize
+    * incrementally. Stateless narrow per-batch work (no watermark, no
+    * state store): each micro-batch runs the same fused codegen
+    * expression the batch op uses, so the drained sink must hash-match
+    * the batch q129 oracle — batch/stream parity THROUGH a custom
+    * expression, pinning that `FeatureHashVec` is safe under streaming
+    * re-planning. At 100 TB this is the continuous writer that keeps the
+    * vector side of the corpus current as crawl shards land. */
+  def q132(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q132_sink", {
+      spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.FeatureHashVec(col("text"))))
+        .where(col("col") =!= 0)
+        .select(col("doc_id"), col("pos").cast("int").as("dim"),
+          col("col").as("val"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q132_sink").start()
+    }).orderBy(col("doc_id"), col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
+      "q132_stream_embed" -> (q132 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
       "q70_stream_static_join" -> (q70 _),
@@ -495,6 +529,7 @@ object EventStream {
   val oracles: Map[String, String] =
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
+      "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,
       "q67_stream_dedup" -> q67Sql,
       "q70_stream_static_join" -> q70Sql,
       "q88_stream_range_join" -> q88Sql,
