@@ -20,17 +20,21 @@ object FeatureHash {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Dense signed-count embedding; all-zero for token-free text. */
+  /** Dense signed-count embedding; all-zero for token-free text.
+    * Accumulates in Long (exact at any input size — float increments
+    * silently lose exactness past 2^24 per-dim counts; r12 ADVICE) and
+    * converts at the serialization boundary, matching the Long-based
+    * distributed kernel ([[FeatureHashVec]]). */
   def embed(text: String): Array[Float] = {
     val toks = tokens(text)
     val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
-    val v = new Array[Float](Dims)
+    val v = new Array[Long](Dims)
     feats.foreach { f =>
       val h = md5hex("fh_" + f)
       val dim = (java.lang.Long.parseLong(h.take(8), 16) % Dims).toInt
-      val sgn = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1f else -1f
+      val sgn = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
       v(dim) += sgn
     }
-    v
+    v.map(_.toFloat)
   }
 }

@@ -501,11 +501,16 @@ object Clustering {
     val n = muRow.getLong(0)
     val mu = Array.tabulate(PcaDim)(j => q6d(muRow.getDouble(j + 1)))
     // centered corpus is scanned by every power round (3 per component)
-    // — materialize once instead of re-reading parquet + re-centering
+    // — materialize once instead of re-reading parquet + re-centering.
+    // persist + explicit free (not localCheckpoint: r12 leaked two
+    // corpus-sized never-unpersisted checkpoints per invocation — the
+    // largest single contributor to the bench's checkpoint debt); every
+    // driver hand-off is collected, so nothing lazy outlives the pins
     val xc = e.select(col("vec_id"),
       zip_with(col("embedding"), array(mu.map(lit): _*),
         (x, m) => x.cast("double") - m).as("xc"))
-      .localCheckpoint(true)
+      .persist()
+    xc.count()
 
     def iterate(base: DataFrame, c: Int): (Array[Double], Double) = {
       var v = pcaSeed(c)
@@ -521,8 +526,11 @@ object Clustering {
       .select(col("vec_id"),
         zip_with(col("xc"), array(v1.map(lit): _*),
           (x, wj) => x - col("dw") * wj).as("xc"))
-      .localCheckpoint(true)
+      .persist()
+    rc.count()
+    xc.unpersist(blocking = false)
     val (v2, norm2) = iterate(rc, 2)
+    rc.unpersist(blocking = false)
 
     (v1.zipWithIndex.map { case (l, j) => (1, j, l, q4d(norm1 / n)) } ++
       v2.zipWithIndex.map { case (l, j) => (2, j, l, q4d(norm2 / n)) })

@@ -44,10 +44,12 @@ object Graph {
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     // materialized once: the degree pass and the adjacency build both
-    // consume it from separate jobs (no cross-job exchange reuse)
+    // consume it from separate jobs (no cross-job exchange reuse).
+    // persist, not localCheckpoint: the pin is reclaimable by the bench
+    // hygiene sweep and keeps lineage (the r12 checkpoint-debt fix)
     val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct().localCheckpoint(true)
+      .distinct().persist()
     cs.select(col("c").as("src"), (-col("s") - 1).as("dst"))
       .union(cs.select((-col("s") - 1).as("src"), col("c").as("dst")))
   }
@@ -55,11 +57,17 @@ object Graph {
   // ---- Q126: PageRank over the customer–supplier graph ----------------
 
   /** Integer-exact PageRank over a directed (src, dst) edge frame:
-    * returns (node, pr, outdeg) for every node with out-edges. Library
-    * surface; q126 runs it on the trade graph. */
+    * returns (node, pr, outdeg) for every node with out-edges — including
+    * source-only nodes, which keep their teleport mass every round (the
+    * r12 form rebuilt ranks from groupBy(dst), so a node with no
+    * in-edges vanished after round 1 and its later out-contributions
+    * were silently dropped: edges {a→b} returned an EMPTY frame). Each
+    * round left-joins the in-mass against the stable node set instead.
+    * Library surface; q126 runs it on the trade graph. */
   def pagerank(edges: DataFrame, rounds: Int): DataFrame = {
     val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = outdeg.select(col("src").as("node"))
     // One materialization of the degree-annotated edge list; every round
     // re-scans it. The per-round rank frame is NODE-sized (≪ edges), so
     // it rides the broadcast side of the join and the edge frame never
@@ -67,21 +75,29 @@ object Graph {
     // node-sized partitions before its shuffle. (At billion-node scale
     // the same loop works with the broadcast dropped: pre-partition adj
     // by src and let the rank frame shuffle — AQE picks per size.)
-    val adj = edges.join(broadcast(outdeg), "src").localCheckpoint(true)
-    var ranks = outdeg.select(col("src").as("node"),
-      lit(1000000L).as("pr"))
+    // Loop pins are persist + explicit free of the superseded round
+    // (r12 left one never-unpersisted localCheckpoint per round).
+    val adj = edges.join(broadcast(outdeg), "src").persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
+    var pinned: DataFrame = null
     for (_ <- 1 to rounds) {
-      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+      val inMass = adj.join(broadcast(ranks), adj("src") === ranks("node"))
         .select(col("dst"),
           expr("((pr * 17) div 20) div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-        .select(col("dst").as("node"),
-          (lit(150000L) + col("in_mass")).as("pr"))
-        // node-sized; materialize so the next round's broadcast build
-        // doesn't re-execute the whole prior chain
-        .localCheckpoint(true)
+      // node-sized; materialize so the next round's broadcast build
+      // doesn't re-execute the whole prior chain
+      val next = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
+        .select(nodes("node"),
+          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+        .persist()
+      next.count()
+      if (pinned != null) pinned.unpersist(blocking = false)
+      pinned = next
+      ranks = next
     }
+    adj.unpersist(blocking = false)
     ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
       .select(col("node"), col("pr"), col("outdeg"))
   }
@@ -95,13 +111,18 @@ object Graph {
       .orderBy(col("pr").desc, col("node")).limit(PrTopN)
 
   val q126Sql: String = {
+    // each round: in-mass grouped by dst, LEFT-joined back to the node
+    // set so source-only nodes keep their teleport term (the engine's
+    // coalesce(in_mass, 0) round; identical on q126's symmetric graph)
     val rounds = (1 to PrRounds).map { r =>
-      s"""r$r AS (
+      s"""c$r AS (
          |  SELECT e.dst AS node,
-         |         (150000 + sum(((r.pr * 17) // 20) // e.outdeg))::BIGINT
-         |           AS pr
+         |         sum(((r.pr * 17) // 20) // e.outdeg)::BIGINT AS m
          |  FROM e JOIN r${r - 1} r ON e.src = r.node
-         |  GROUP BY 1)""".stripMargin
+         |  GROUP BY 1),
+         |r$r AS (
+         |  SELECT n.node, (150000 + coalesce(c.m, 0))::BIGINT AS pr
+         |  FROM nodes n LEFT JOIN c$r c ON n.node = c.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH cs AS (
        |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
@@ -110,6 +131,7 @@ object Graph {
        |  SELECT c AS src, s AS dst FROM cs
        |  UNION ALL SELECT s AS src, c AS dst FROM cs),
        |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM od),
        |e AS (SELECT ed.src, ed.dst, od.outdeg FROM ed JOIN od USING (src)),
        |r0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM od),
        |$rounds

@@ -28,6 +28,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("c") == (936250L, 1L), s"c: ${r2("c")}")
   }
 
+  test("pagerank keeps source-only nodes' teleport mass (r12 ADVICE)") {
+    import spark.implicits._
+    // a→b: a has no in-edges; the r12 groupBy(dst) rebuild dropped it
+    // after round 1 and returned an empty frame — the contract says
+    // every node with out-edges is returned, with its teleport term
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r2 = Graph.pagerank(edges, 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r2.keySet == Set("a"), s"nodes: ${r2.keySet}")
+    assert(r2("a") == (150000L, 1L), s"a: ${r2("a")}")
+    // a chain a→b→c: b's round-2 in-mass comes from a's round-1
+    // TELEPORT rank (the r12 form fed it a vanished node instead)
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val c2 = Graph.pagerank(chain, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c2("a") == 150000L)
+    assert(c2("b") == 150000L + ((150000L * 17) / 20), s"b: ${c2("b")}")
+  }
+
   test("q126 ranks the trade graph: suppliers dominate, output sorted") {
     val rows = Graph.q126(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -153,12 +153,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("q124 merge semantics: left-to-right non-overlapping replace") {
-    // the cross-engine contract both replays rely on: "a a a" with
-    // winner (a,a) merges ONCE (the sentinel space is consumed)
+  test("q124 merge semantics: greedy left-to-right fixpoint (Sennrich)") {
+    // the cross-engine contract both replays rely on: the padded replace
+    // applied to a fixpoint (bounded passes) — adjacent repeats whose
+    // delimiter a previous occurrence consumed still merge ("p a p a"
+    // with winner (p,a) -> "pa pa", canonical BPE), while genuinely
+    // overlapping occurrences merge non-overlapping ("a a a" -> "aa a")
     import spark.implicits._
-    val got = Seq(" a a a ").toDF("s")
-      .selectExpr("trim(replace(s, ' a a ', ' aa '))").collect()(0).getString(0)
-    assert(got == "aa a", s"replace semantics drifted: got '$got'")
+    def fix(s0: String, a: String, b: String): String = {
+      var s = " " + s0 + " "
+      for (_ <- 1 to TextAnalysis.BpeMergePasses)
+        s = s.replace(s" $a $b ", s" $a$b ")
+      s.trim
+    }
+    assert(fix("p a p a", "p", "a") == "pa pa")
+    assert(fix("a a a", "a", "a") == "aa a")
+    assert(fix("a a a a", "a", "a") == "aa aa")
+    assert(fix("p a p a p a p a", "p", "a") == "pa pa pa pa")
+    // the engine's Column form agrees with the driver-side replay
+    val got = Seq("p a p a").toDF("sym").selectExpr(
+      (1 to TextAnalysis.BpeMergePasses)
+        .foldLeft("' ' || sym || ' '")((in, _) =>
+          s"replace($in, ' p a ', ' pa ')") match { case e => s"trim($e)" })
+      .collect()(0).getString(0)
+    assert(got == "pa pa", s"engine replace semantics drifted: got '$got'")
   }
 }
