@@ -423,6 +423,36 @@ object Ann {
       (i, d)
     }.sortBy(_._2).take(nProbe).map(_._1).toSeq
 
+  /** The q94 IMI probe policy, shared by every IMI consumer (offline
+    * q94, the live store's attached grid, the durable mount's derived
+    * grid, and their batch forms — r13 factored it out of three inline
+    * copies): 2k driver-side sub-distances against the two half-space
+    * codebooks, pair sums merged to the top `ivfProbeFor(k²)` product
+    * cells on (distance, cell). */
+  private[graft] def imiProbeCells(q: Array[Float],
+                                   cLo: Array[Array[Float]],
+                                   cHi: Array[Array[Float]]): Seq[Int] = {
+    val k = cHi.length
+    val half = cLo.headOption.map(_.length).getOrElse(0)
+    def subDists(qv: Array[Float], cs: Array[Array[Float]]): Array[Double] =
+      cs.map { c =>
+        var d = 0.0
+        var j = 0
+        val n = math.min(qv.length, c.length)
+        while (j < n) {
+          val diff = qv(j).toDouble - c(j).toDouble; d += diff * diff; j += 1
+        }
+        d
+      }
+    val dLo = subDists(q.take(half), cLo)
+    val dHi = subDists(q.drop(half), cHi)
+    val nProbe = ivfProbeFor(cLo.length * k)
+    (for (i <- cLo.indices; j <- cHi.indices)
+      yield (i * k + j, dLo(i) + dHi(j)))
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nProbe).map(_._1)
+  }
+
   /** BUILD phase: train the coarse quantizer and persist the inverted
     * file — `index/` partitioned by `cell`, `centroids/` for probe-time
     * cell ranking, `assign/` (flat) for the SQL oracle. At 100 TB this

@@ -647,6 +647,50 @@ object Hnsw {
     perShard.reduce(_ union _).toDF("id", "values", "metadata", "metadataJson")
   }
 
+  /** Batched durable-mount candidate scan (r13 — the
+    * [[shardCandidatesBatchS]] thesis on the record-carrying graphs):
+    * every query beam-searches each resident shard graph in the SAME
+    * pass, so a Q-query batch costs one probe, not Q. Emits (__qid, id)
+    * only — the durable batch kernel reranks against `live()`, so the
+    * record fields riding in the graph rows are not re-emitted Q
+    * times. */
+  private[graft] def shardCandidatesBatchD(spark: SparkSession, aux: String,
+                                           queries: Seq[Seq[Float]]): DataFrame = {
+    import spark.implicits._
+    val qNorm = queries.zipWithIndex
+      .map { case (q, i) => (i, normalize(q.toArray)) }.toArray
+    val perShard = listShards(spark, aux).map { s =>
+      val key = (aux, s)
+      shardScan(spark, aux, s,
+        org.apache.spark.sql.Encoders.product[StoredNodeD].schema)
+        .as[StoredNodeD]
+        .mapPartitions { it =>
+          val hit = graphCache.get(key)
+          val loaded =
+            if (hit != null) hit.asInstanceOf[(Array[StoredNodeD], ShardGraph)]
+            else {
+              val arr = it.toArray.sortBy(_.id)
+              if (arr.isEmpty) null
+              else {
+                val idx = arr.iterator.map(_.id).zipWithIndex.toMap
+                val nbrs = arr.map(_.nbrs.map(_.map(idx).toArray).toArray)
+                val g = ShardGraph.fromAdjacency(
+                  arr.map(_.vec.toArray), arr.map(_.level), nbrs)
+                val lg = (arr, g)
+                graphCache.put(key, lg)
+                lg
+              }
+            }
+          if (loaded == null) Iterator.empty
+          else qNorm.iterator.flatMap { case (qid, qv) =>
+            loaded._2.search(qv, EfSearch).iterator
+              .map(i => (qid, loaded._1(i).id))
+          }
+        }
+    }
+    perShard.reduce(_ union _).toDF("__qid", "id")
+  }
+
   /** The layout path of the most recent [[q118]] run — the [[Ann]]
     * `lastAux` oracle contract (None until the graded query has
     * actually executed in this JVM). */

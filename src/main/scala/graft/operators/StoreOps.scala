@@ -2031,6 +2031,386 @@ object StoreOps {
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
   }
 
+  // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
+  //
+  // VERDICT r12 "What's missing" #1: the live batch route refused
+  // index:"imi" and the durable mount batched only IVF — batch users on
+  // exactly the mounts a 100 TB deployment serves from (compressed
+  // codes, graphs) fell back to Q sequential probes. Each entry below
+  // grades one new one-scan batch facade; positional parity with Q
+  // sequential single-query searches is asserted in-script (the q106
+  // billing rationale: once per process per dir), and every oracle
+  // replays the persisted candidate policy relationally.
+
+  private val BatchImiNs = "q133"
+
+  private val q133Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** Grid dir of the most recent q133 run — oracle hook. */
+  @volatile private var lastBatchImiAux: Option[String] = None
+
+  private val q133ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q133: [[VectorStore.findSimilarBatchImi]] behind the gate — the
+    * q106 one-scan batch thesis on the product-grid mount: Q=4 pair-sum
+    * probe lists union into ONE partition-pruned scan of the persisted
+    * k×k grid, per-query candidates flow through the
+    * candidate-restricted bounded-heap batch kernel, exact cosine
+    * rerank. The oracle replays per-query candidates from the persisted
+    * `assign/` ⋈ `batch_probes/` (qid-keyed) — [[q106Sql]] verbatim,
+    * the grid being the candidate POLICY exactly like q103/q53. */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q133Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchImiNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatchImi(qs, k = K, namespace = BatchImiNs,
+      persistProbes = true)
+    if (q133ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchImiNs, approx = true, index = "imi")
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"imi batch result $i diverged from the single-query imi search")
+      }
+    lastBatchImiAux = store.imiLayoutDir(BatchImiNs, qs.head.length)
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared durable-batch script: load → first batch call (builds the
+    * ann layout + the family's derived structure) → post-build deletes +
+    * delta appends → the store, ready for the graded batch. One store
+    * per (facade base, family); the q107 window discipline. */
+  private def durableBatchStore(
+      spark: SparkSession, dir: String, prefix: String, ns: String,
+      stores: java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore],
+      attempts: java.util.concurrent.atomic.AtomicInteger,
+      qs: Seq[Seq[Float]],
+      firstCall: (graft.store.DurableVectorStore, Seq[Seq[Float]]) => Unit,
+      builds: graft.store.DurableVectorStore => Int): graft.store.DurableVectorStore = {
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), ns)
+      firstCall(s, qs)
+      require(s.annBuilds.get() >= 1 && builds(s) >= 1,
+        s"$ns layout/derived build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, ns)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), ns)
+      s
+    })
+  }
+
+  /** The shared (qid-keyed) tail of every durable batch oracle: cand =
+    * the family's per-query policy ids ∪ the script's delta ids, base =
+    * load-minus-deletes plus the delta, exact cosine rerank per query
+    * with the string-id tie-break. `candSql` must yield (qid, id). */
+  private def durableBatchOracleTail(candSql: String): String =
+    s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |cand AS (
+       |  $candSql
+       |  UNION
+       |  SELECT q.qid, e.vec_id::VARCHAR FROM qs q, embeddings e
+       |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  /** Positional hits → the graded (qid, rank, id, score) frame. */
+  private def batchHitsFrame(spark: SparkSession,
+                             res: Seq[Seq[graft.model.SearchHit]]): DataFrame = {
+    import spark.implicits._
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  private val DBatchPqNs = "q134"
+  private val q134Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q134Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Codes dir of the most recent q134 run — oracle hook. */
+  @volatile private var lastDurableBatchPqAux: Option[String] = None
+  private val q134ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q134: [[graft.store.DurableVectorStore.findSimilarBatchPq]] behind
+    * the gate — q92's LSM code-mount read, batched: all Q ADC LUTs
+    * broadcast qid-keyed, ONE pruned sweep of the stamped codes table,
+    * per-query CandN bounded-heap cut, candidates ∪ the exact delta
+    * tail, kill-by-live-join. The oracle replays `codes_flat` ⋈
+    * `batch_lut` restricted to `batch_probes`, cut per qid. */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val store = durableBatchStore(spark, dir, "dpqb", DBatchPqNs,
+      q134Stores, q134Attempts, qs,
+      (s, q) => { s.findSimilarBatchPq(q, k = K, namespace = DBatchPqNs); () },
+      _.pqBuilds.get())
+    val res = store.findSimilarBatchPq(qs, k = K, namespace = DBatchPqNs,
+      persistLuts = true)
+    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      "q134's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded batch")
+    if (q134ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DBatchPqNs,
+          approx = true, index = "pq").map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"durable pq batch result $i diverged from the single-query search")
+      }
+    lastDurableBatchPqAux = store.pqLayoutDir(DBatchPqNs, qs.head.length)
+    batchHitsFrame(spark, res)
+  }
+
+  /** SQL replay of the durable batched PQ read: per-query ADC = probed
+    * cells' `codes_flat` ⋈ that query's `batch_lut` rows, candidates =
+    * top-CandN per qid on (rounded ADC, id) ∪ delta. */
+  def q134Sql(aux: String): String =
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |lut AS (SELECT qid, sub, code, d
+       |        FROM read_parquet('$aux/batch_lut/*.parquet')),
+       |cf AS (SELECT id, cell, sub, code
+       |       FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT p.qid, c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN probes p ON p.cell = c.cell
+       |  JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY p.qid, c.id),
+       |cut AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}),
+       |${durableBatchOracleTail("SELECT qid, id FROM cut")}""".stripMargin
+
+  private val DBatchBqNs = "q135"
+  private val q135Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q135Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** (ann dir, bq dir) of the most recent q135 run — oracle hook. */
+  @volatile private var lastDurableBatchBqAux: Option[(String, String)] = None
+  private val q135ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q135: [[graft.store.DurableVectorStore.findSimilarBatchBq]] behind
+    * the gate — q101's sign-bit mount, batched: all Q query codes pack
+    * driver-side, ONE pruned sweep of the stamped code words, per-query
+    * CandN cut on integer (hamming, id), delta union, kill-by-live-join.
+    * The oracle re-derives the grid + codes from the load window (the
+    * q101 derivation) and replays each query's hamming cut restricted
+    * to its probed cells. */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val store = durableBatchStore(spark, dir, "dbqb", DBatchBqNs,
+      q135Stores, q135Attempts, qs,
+      (s, q) => { s.findSimilarBatchBq(q, k = K, namespace = DBatchBqNs); () },
+      _.bqBuilds.get())
+    val res = store.findSimilarBatchBq(qs, k = K, namespace = DBatchBqNs,
+      persistCodes = true)
+    require(store.annBuilds.get() == 1 && store.bqBuilds.get() == 1,
+      "q135's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded batch")
+    if (q135ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DBatchBqNs,
+          approx = true, index = "bq").map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"durable bq batch result $i diverged from the single-query search")
+      }
+    lastDurableBatchBqAux = for {
+      a <- store.annLayoutDir(DBatchBqNs, qs.head.length).map(_._1)
+      b <- store.bqLayoutDir(DBatchBqNs, qs.head.length)
+    } yield (a, b)
+    batchHitsFrame(spark, res)
+  }
+
+  /** SQL replay of the durable batched BQ read — [[q101Sql]] with a qid
+    * dimension: grid + codes re-derived from the load window, each
+    * query's code taken from the same derivation (batch queries are
+    * corpus rows), hamming cut per qid over that query's probed
+    * cells. */
+  def q135Sql(ann: String, aux: String): String = {
+    val dim = 64
+    val bit =
+      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$ann/assign/*.parquet')),
+       |st AS (
+       |  SELECT g.i,
+       |         (min(embedding[g.i + 1])::DOUBLE
+       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
+       |  FROM embeddings, range($dim) g(i)
+       |  WHERE vec_id < $FacadeN GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id::VARCHAR AS id,
+       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
+       |                     THEN $bit ELSE 0::BIGINT END) AS code
+       |  FROM embeddings e, st WHERE e.vec_id < $FacadeN GROUP BY 1),
+       |ham AS (
+       |  SELECT p.qid, c.id, bit_count(xor(c.code, qc.code)) AS ham
+       |  FROM codes c
+       |  JOIN a ON a.id = c.id
+       |  JOIN probes p ON p.cell = a.cell
+       |  JOIN codes qc ON qc.id = p.qid::VARCHAR),
+       |cut AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ham, id) AS cr FROM ham)
+       |  WHERE cr <= ${graft.operators.Bq.CandN}),
+       |${durableBatchOracleTail("SELECT qid, id FROM cut")}""".stripMargin
+  }
+
+  private val DBatchImiNs = "q136"
+  private val q136Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q136Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Grid dir of the most recent q136 run — oracle hook. */
+  @volatile private var lastDurableBatchImiAux: Option[String] = None
+  private val q136ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q136: [[graft.store.DurableVectorStore.findSimilarBatchImi]] behind
+    * the gate — q110's product-grid mount, batched: Q pair-sum probe
+    * lists union into ONE pruned scan of the derived grid layout,
+    * per-query candidates = probed cells' members ∪ delta,
+    * kill-by-live-join. Oracle = [[q107Sql]] with the grid's `assign/`
+    * as the policy table (the grid IS the assignment, the q110/q87
+    * relationship). */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val store = durableBatchStore(spark, dir, "dimib", DBatchImiNs,
+      q136Stores, q136Attempts, qs,
+      (s, q) => { s.findSimilarBatchImi(q, k = K, namespace = DBatchImiNs); () },
+      _.imiBuilds.get())
+    val res = store.findSimilarBatchImi(qs, k = K, namespace = DBatchImiNs,
+      persistProbes = true)
+    require(store.annBuilds.get() == 1 && store.imiBuilds.get() == 1,
+      "q136's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded batch")
+    if (q136ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DBatchImiNs,
+          approx = true, index = "imi").map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"durable imi batch result $i diverged from the single-query search")
+      }
+    lastDurableBatchImiAux = store.imiLayoutDir(DBatchImiNs, qs.head.length)
+    batchHitsFrame(spark, res)
+  }
+
+  private val DBatchHnswNs = "q137"
+  private val q137Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q137Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Graph dir of the most recent q137 run — oracle hook. */
+  @volatile private var lastDurableBatchHnswAux: Option[String] = None
+  private val q137ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q137: [[graft.store.DurableVectorStore.findSimilarBatchHnsw]]
+    * behind the gate — q123's graph mount, batched: all Q queries
+    * beam-search each resident shard graph in ONE pass of the layout,
+    * candidates ∪ delta, kill-by-live-join. The persisted qid-keyed
+    * beam output is the policy artifact (the q122/q123 relationship);
+    * the oracle replays the exact cosine rerank over exactly those
+    * candidates ∪ the script's delta. */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val store = durableBatchStore(spark, dir, "dhnswb", DBatchHnswNs,
+      q137Stores, q137Attempts, qs,
+      (s, q) => { s.findSimilarBatchHnsw(q, k = K, namespace = DBatchHnswNs); () },
+      _.hnswBuilds.get())
+    val res = store.findSimilarBatchHnsw(qs, k = K, namespace = DBatchHnswNs,
+      persistCands = true)
+    require(store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1,
+      "q137's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded batch")
+    if (q137ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DBatchHnswNs,
+          approx = true, index = "hnsw").map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"durable hnsw batch result $i diverged from the single-query search")
+      }
+    lastDurableBatchHnswAux = store.hnswLayoutDir(DBatchHnswNs, qs.head.length)
+    batchHitsFrame(spark, res)
+  }
+
+  /** SQL replay of the durable batched HNSW read: per-query candidates =
+    * the persisted qid-keyed beam output ∪ delta. */
+  def q137Sql(aux: String): String =
+    s"""WITH beam AS (
+       |  SELECT DISTINCT __qid AS qid, id
+       |  FROM read_parquet('$aux/batch_cands/*.parquet')),
+       |${durableBatchOracleTail("SELECT qid, id FROM beam")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -2056,7 +2436,12 @@ object StoreOps {
       "q110_durable_imi" -> (q110 _),
       "q119_store_hnsw_search" -> (q119 _),
       "q122_store_hnsw_batch" -> (q122 _),
-      "q123_durable_hnsw" -> (q123 _))
+      "q123_durable_hnsw" -> (q123 _),
+      "q133_store_imi_batch" -> (q133 _),
+      "q134_durable_pq_batch" -> (q134 _),
+      "q135_durable_bq_batch" -> (q135 _),
+      "q136_durable_imi_batch" -> (q136 _),
+      "q137_durable_hnsw_batch" -> (q137 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -2097,5 +2482,14 @@ object StoreOps {
         "q110_durable_imi" -> q87Sql(aux, p) } ++
       lastStoreHnswAux.map(aux => "q119_store_hnsw_search" -> q119Sql(aux)) ++
       lastBatchHnswAux.map(aux => "q122_store_hnsw_batch" -> q122Sql(aux)) ++
-      lastDurableHnswAux.map(aux => "q123_durable_hnsw" -> q123Sql(aux))
+      lastDurableHnswAux.map(aux => "q123_durable_hnsw" -> q123Sql(aux)) ++
+      lastBatchImiAux.map(aux => "q133_store_imi_batch" -> q106Sql(aux)) ++
+      lastDurableBatchPqAux.map(aux =>
+        "q134_durable_pq_batch" -> q134Sql(aux)) ++
+      lastDurableBatchBqAux.map { case (ann, aux) =>
+        "q135_durable_bq_batch" -> q135Sql(ann, aux) } ++
+      lastDurableBatchImiAux.map(aux =>
+        "q136_durable_imi_batch" -> q107Sql(aux, s"$aux/batch_probes")) ++
+      lastDurableBatchHnswAux.map(aux =>
+        "q137_durable_hnsw_batch" -> q137Sql(aux))
 }

@@ -348,10 +348,11 @@ class RestServer(store: VectorStore, port: Int = 0,
         // one scan answers the whole batch (Scoring.batchSearch). Approx
         // batches route through the INDEXED one-scan forms — all probe
         // lists / LUTs / query codes / beam queries union into ONE sweep
-        // of the layout (ivf r11; pq/bq/hnsw r12:
-        // VectorStore.findSimilarBatchIvf/Pq/Bq/Hnsw); index kinds
-        // without a shared-scan form (lsh/imi) are refused rather than
-        // silently looped per query
+        // of the layout (ivf r11; pq/bq/hnsw r12; imi + the durable
+        // pq/bq/imi/hnsw mounts r13 — the batch matrix is complete on
+        // both mounts except lsh, whose per-query hyperplane probe has
+        // no shared-scan form and is refused rather than silently
+        // looped per query)
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
@@ -362,10 +363,9 @@ class RestServer(store: VectorStore, port: Int = 0,
             batchIndex != "bq" && batchIndex != "imi" && batchIndex != "hnsw")
           throw new IllegalArgumentException(
             s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
-        if (wantApprox && batchIndex != "ivf" && batchIndex != "pq" &&
-            batchIndex != "bq" && batchIndex != "hnsw")
+        if (wantApprox && batchIndex == "lsh")
           throw new IllegalArgumentException(
-            "approx batch search serves from the IVF layout, its PQ/BQ codes or the HNSW shard graphs; pass index:'ivf', 'pq', 'bq' or 'hnsw', or use /search per query")
+            "lsh has no one-scan batch form; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw', or use /search per query")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
         val results =
           if (wantDurable) {
@@ -375,10 +375,22 @@ class RestServer(store: VectorStore, port: Int = 0,
               throw new IllegalArgumentException(
                 "durable search does not support metadata filters")
             if (wantApprox) {
-              if (batchIndex != "ivf")
+              // ivf serves cosine|l2 (raw-space cell geometry); the
+              // code/graph mounts are cosine (their training geometry)
+              if (batchIndex == "ivf") {
+                if (metric != "cosine" && metric != "l2")
+                  throw new IllegalArgumentException(
+                    s"durable approx batch ivf supports cosine|l2, got metric '$metric'")
+              } else if (metric != "cosine")
                 throw new IllegalArgumentException(
-                  "durable approx batch search serves from the IVF layout only; pass index:'ivf'")
-              d.findSimilarBatchApprox(qs, k, metric, ns)
+                  s"durable approx batch '$batchIndex' is cosine only, got metric '$metric'")
+              batchIndex match {
+                case "ivf"  => d.findSimilarBatchApprox(qs, k, metric, ns)
+                case "pq"   => d.findSimilarBatchPq(qs, k, ns)
+                case "bq"   => d.findSimilarBatchBq(qs, k, ns)
+                case "imi"  => d.findSimilarBatchImi(qs, k, ns)
+                case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns)
+              }
             } else d.findSimilarBatch(qs, k, metric, ns)
           } else if (wantApprox) {
             if (metric != "cosine")
@@ -390,6 +402,8 @@ class RestServer(store: VectorStore, port: Int = 0,
               case "pq" => store.findSimilarBatchPq(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
               case "bq" => store.findSimilarBatchBq(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+              case "imi" => store.findSimilarBatchImi(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
               case "hnsw" => store.findSimilarBatchHnsw(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))

@@ -354,7 +354,7 @@ class RestServerSpec extends AnyFunSuite {
       val ares = mapper.readTree(ab)
       assert(ares.isArray && ares.size() == 2)
       assert(ares.get(0).get(0).get("score").asDouble() > 0.99)
-      for (idx <- Seq("pq", "bq", "hnsw")) {
+      for (idx <- Seq("pq", "bq", "imi", "hnsw")) {
         val (pc, pb) = send("POST", s"$base/search/batch?namespace=bs",
           s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
              | "approx": true, "index": "$idx"}""".stripMargin)
@@ -428,6 +428,39 @@ class RestServerSpec extends AnyFunSuite {
       assert(wc == 201)
       assert(d.dumpNamespace("w").size == 2,
         "an un-flagged write leaked into the durable store")
+    } finally server.stop()
+  }
+
+  test("durable batch routes serve every indexed mount (r13: matrix complete)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_dbm_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val vecs = (0 until 12).map { i =>
+        val a = math.cos(i * 0.5); val b = math.sin(i * 0.5)
+        s"""{"values": [$a, $b]}"""
+      }.mkString(", ")
+      val (bc, _) = send("PUT", s"$base/vectors/batch?durable=true&namespace=m",
+        s"""{"vectors": [$vecs]}""")
+      assert(bc == 200)
+      for (idx <- Seq("ivf", "pq", "bq", "imi", "hnsw")) {
+        val (pc, pb) = send("POST", s"$base/search/batch?namespace=m",
+          s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
+             | "durable": true, "approx": true, "index": "$idx"}""".stripMargin)
+        assert(pc == 200, s"durable $idx batch: $pb")
+        val pres = mapper.readTree(pb)
+        assert(pres.isArray && pres.size() == 2, s"durable $idx batch shape")
+        assert(pres.get(0).get(0).get("score").asDouble() > 0.9,
+          s"durable $idx batch top hit: $pb")
+      }
+      // lsh stays refused (no one-scan form), and the code mounts refuse
+      // non-cosine metrics instead of silently rescoring
+      assert(send("POST", s"$base/search/batch?namespace=m",
+        """{"queries": [[1.0, 0.0]], "durable": true, "approx": true, "index": "lsh"}""")._1 == 422)
+      assert(send("POST", s"$base/search/batch?namespace=m",
+        """{"queries": [[1.0, 0.0]], "durable": true, "approx": true, "index": "bq", "metric": "l2"}""")._1 == 422)
     } finally server.stop()
   }
 
