@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MultimodalOps
-import graft.operators.{Analytics, Ann, Bq, Clustering, Dedup, EventOps, Graph, Hnsw, IvfPq, Pq, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Bq, Clustering, Dedup, EventOps, Graph, Hnsw, IvfPq, Opq, Pq, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -23,7 +23,8 @@ object SparkEntry {
       StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
       Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
       Sq.queries ++ Bq.queries ++ MultimodalOps.queries ++
-      Hnsw.queries ++ graft.plans.IndexedTopK.queries ++ Graph.queries
+      Hnsw.queries ++ graft.plans.IndexedTopK.queries ++ Graph.queries ++
+      Opq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
       Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
       Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles ++
-      Hnsw.oracles ++ graft.plans.IndexedTopK.oracles ++ Graph.oracles
+      Hnsw.oracles ++ graft.plans.IndexedTopK.oracles ++ Graph.oracles ++
+      Opq.oracles
 }

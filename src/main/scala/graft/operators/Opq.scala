@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** OPQ-style rotated product quantization (q138) — the r12 verdict's
+  * "What's missing" #2: [[Pq]] quantizes RAW contiguous subspaces, so
+  * correlated dimensions that land in the same subspace waste codebook
+  * entries re-describing each other. Rotating the corpus by an
+  * orthogonal matrix aligned with its principal directions decorrelates
+  * the subspaces and BALANCES their variance, which measurably improves
+  * recall at the same code budget on correlated embeddings — the reason
+  * FAISS ships OPQ next to PQ. This is the PARAMETRIC form (Ge et al.,
+  * "Optimized Product Quantization", CVPR 2013: the closed-form variant
+  * that needs no alternating optimization): PCA basis + eigenvalue
+  * allocation, composed with the UNCHANGED [[Pq]] machinery.
+  *
+  * Train (driver-side, bounded — the [[Ann.sampleVectors]] policy every
+  * quantizer family shares):
+  *  1. second-moment matrix of the normalized sample (64×64 — corpus
+  *     vectors are unit-normalized by the PQ contract, so no centering:
+  *     the transform stays LINEAR and orthogonal, hence
+  *     distance-preserving);
+  *  2. eigendecomposition by cyclic Jacobi (fixed sweep count —
+  *     deterministic, no convergence branch);
+  *  3. eigenvalue allocation: principal directions, taken in descending
+  *     eigenvalue order, greedily land in the subspace with the
+  *     smallest accumulated log-eigenvalue product — Ge et al.'s
+  *     balancing step, so no subspace hoards the variance (plain PCA
+  *     ordering would stuff it all into subspace 0, exactly what hurts
+  *     PQ).
+  *
+  * Apply: one narrow codegen'd pass ([[graft.functions.RotateVec]] — the
+  * matrix rides in the expression, no join, no shuffle), then the SAME
+  * codebook training, encoding, ADC sweep, candidate cut and exact
+  * RAW-SPACE rerank as q58 (rotation preserves cosine, so candidates
+  * propose in rotated space and the contract reranks in the original).
+  * At 100 TB: rotation estimation is sample-sized driver work, the
+  * corpus pays one extra narrow map at build time, and the query path's
+  * cost is IDENTICAL to PQ's — the recall gain is free at serving time.
+  *
+  * Oracle contract: the rotation is part of the BUILD, entirely
+  * captured by the persisted `codes_flat/` + `lut/` artifacts (the
+  * rotated-space policy), so the replay is [[Pq.q58Sql]] verbatim —
+  * candidates from the persisted ADC policy, exact cosine rerank over
+  * the raw embeddings, the same candidates-are-policy /
+  * rerank-is-contract split as every indexed family. `rot/` persists
+  * the matrix itself for audit (OpqSpec pins orthogonality and the
+  * rotated⋈raw distance identity).
+  */
+object Opq {
+
+  val OpqDirConf = "spark.graft.opq.dir"
+
+  private val root = new LayoutRoot(OpqDirConf, "graft_opq_")
+
+  @volatile private var lastAux: Option[String] = None
+
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] val buildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val JacobiSweeps = 15
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix
+    * (driver-side, dim ≤ a few hundred): a FIXED number of row-major
+    * sweeps — deterministic, no threshold branch; 15 sweeps is far past
+    * convergence for 64×64 (Jacobi is quadratically convergent).
+    * Returns (eigenvalues, eigenvectors as ROWS), unordered. */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m0.length
+    val a = m0.map(_.clone())
+    // v accumulates the right-rotations; eigenvectors are its COLUMNS
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < JacobiSweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val tau = s / (1.0 + c)
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = aip - s * (aiq + tau * aip)
+                a(p)(i) = a(i)(p)
+                a(i)(q) = aiq + s * (aip - tau * aiq)
+                a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = vip - s * (viq + tau * vip)
+              v(i)(q) = viq + s * (vip - tau * viq)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = Array.tabulate(n)(i => a(i)(i))
+    val rows = Array.tabulate(n, n)((r, i) => v(i)(r)) // column r → row r
+    (eig, rows)
+  }
+
+  /** Ge et al.'s eigenvalue-allocation OBJECTIVE — balance the product
+    * of eigenvalues (≈ quantization difficulty) across subspaces —
+    * solved as classical LPT scheduling on min-shifted log weights:
+    * w_i = log λ_i − min_j log λ_j ≥ 0, directions in descending
+    * eigenvalue order each land in the open subspace with the smallest
+    * accumulated Σw. Because every subspace ends with exactly `subDim`
+    * directions, the shift is uniform per bucket, so balanced Σw ⇔
+    * balanced Σ log λ. (A naive min-Σlog greedy degenerates for spectra
+    * below 1: the first bucket's negative sum keeps winning and it
+    * swallows the top `subDim` eigenvalues wholesale — the shifted
+    * weights are what make the greedy interleave.) Returns the rotation
+    * matrix as rows, subspace-major. */
+  private[graft] def allocateRotation(eig: Array[Double],
+                                      vecs: Array[Array[Double]],
+                                      subSpaces: Int): Array[Array[Double]] = {
+    val dim = eig.length
+    val subDim = (dim + subSpaces - 1) / subSpaces
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    def logOf(i: Int): Double = math.log(math.max(eig(i), 1e-12))
+    val logMin = order.iterator.map(logOf).min
+    val bucketW = Array.fill(subSpaces)(0.0)
+    val buckets = Array.fill(subSpaces)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { idx =>
+      val open = (0 until subSpaces).filter(b => buckets(b).length < subDim)
+      val b = open.minBy(b => (bucketW(b), b))
+      buckets(b) += idx
+      bucketW(b) += logOf(idx) - logMin
+    }
+    buckets.flatMap(_.iterator.map(vecs)).toArray
+  }
+
+  /** Train the rotation from the shared bounded sample: normalized
+    * second moment → Jacobi → eigenvalue allocation. */
+  private[graft] def trainRotation(sample: Array[Array[Float]],
+                                   dim: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](dim, dim)
+    var cnt = 0
+    sample.foreach { raw =>
+      val x = new Array[Double](dim)
+      var sq = 0.0
+      var i = 0
+      while (i < math.min(raw.length, dim)) {
+        x(i) = raw(i).toDouble; sq += x(i) * x(i); i += 1
+      }
+      if (sq > 0) {
+        val inv = 1.0 / math.sqrt(sq)
+        var r = 0
+        while (r < dim) {
+          val xr = x(r) * inv
+          var c = r
+          while (c < dim) { m(r)(c) += xr * x(c) * inv; c += 1 }
+          r += 1
+        }
+        cnt += 1
+      }
+    }
+    val n = math.max(cnt, 1)
+    var r = 0
+    while (r < dim) {
+      var c = r
+      while (c < dim) { m(r)(c) /= n; m(c)(r) = m(r)(c); c += 1 }
+      r += 1
+    }
+    val (eig, vecs) = jacobiEigen(m)
+    allocateRotation(eig, vecs, Pq.SubSpaces)
+  }
+
+  /** The persisted rotation, cached per layout dir (the
+    * [[Pq.readCodebook]] lifecycle). */
+  private val rotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private[graft] def readRotation(spark: SparkSession,
+                                  aux: String): Array[Array[Float]] =
+    rotCache.computeIfAbsent(aux, a => {
+      val rows = spark.read.parquet(s"$a/rot").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+      val dim = rows.map(_._1).max + 1
+      val m = Array.ofDim[Float](dim, dim)
+      rows.foreach { case (i, j, x) => m(i)(j) = x }
+      m
+    })
+
+  /** BUILD: rotation from the bounded sample, one [[graft.functions.RotateVec]]
+    * pass over the corpus, then the unchanged [[Pq]] codebook training +
+    * encoding over the rotated frame. Persists `rot/`, `codebook/`,
+    * `codes/`, `codes_flat/`. */
+  def buildOpqIndex(spark: SparkSession, dir: String): String = {
+    buildCount.incrementAndGet()
+    val aux = root.auxDir(spark, dir)
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val total = e.count()
+    require(total > 0, s"cannot build an OPQ index over an empty corpus ($dir)")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val sample = Ann.sampleVectors(e, "vec_id", "embedding", total)
+    val rot = trainRotation(sample, dim)
+    val rotF: Seq[Seq[Float]] = rot.map(_.toSeq.map(_.toFloat)).toSeq
+
+    import spark.implicits._
+    rotF.zipWithIndex.flatMap { case (row, i) =>
+      row.zipWithIndex.map { case (x, j) => (i, j, x) }
+    }.toDF("i", "j", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/rot")
+
+    val rotated = e.withColumn("rvec",
+      graft.functions.RotateVec(col("embedding"), rotF))
+    val codebook = Pq.trainCodebooks(rotated, "vec_id", "rvec", total, dim)
+    codebook.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (ct, k) => (m, k, ct) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/codebook")
+    Pq.writeCodes(rotated, "vec_id", "rvec", codebook, aux)
+    aux
+  }
+
+  private[graft] def ensureLayout(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(root.auxDir(spark, dir),
+      _ => buildOpqIndex(spark, dir))
+
+  /** Rotate one query driver-side (double accumulate over the float
+    * matrix — the [[graft.functions.RotateVec]] arithmetic). */
+  private[graft] def rotateQuery(rot: Array[Array[Float]],
+                                 qv: Array[Float]): Array[Float] =
+    rot.map { row =>
+      var acc = 0.0
+      var j = 0
+      val m = math.min(row.length, qv.length)
+      while (j < m) { acc += row(j).toDouble * qv(j).toDouble; j += 1 }
+      acc.toFloat
+    }
+
+  /** PROBE: rotate the queries, then the q58 sweep verbatim — LUTs from
+    * the rotated-space codebook, ADC over the rotated codes, CandN cut,
+    * exact cosine rerank in the ORIGINAL space. */
+  def opqProbe(spark: SparkSession, dir: String, aux: String,
+               persistLut: Boolean = false): DataFrame = {
+    val codebook = Pq.readCodebook(spark, aux)
+    val rot = readRotation(spark, aux)
+    val luts = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+      .map { case (qid, qv) =>
+        (qid, Pq.lutFor(rotateQuery(rot, qv), codebook))
+      }
+    if (persistLut) Pq.writeLuts(spark, luts, s"$aux/lut")
+    val codes = spark.read.parquet(s"$aux/codes")
+    val cand = Pq.candCut(codes
+      .crossJoin(broadcast(Pq.lutFrame(spark, luts)))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", Pq.adcCol)
+      .select(col("qid"), col("adc"), col("vec_id")))
+    Pq.rerank(spark, dir, cand)
+  }
+
+  /** q138 = cached build + probe (the q58 lifecycle). */
+  def opqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val aux = ensureLayout(spark, dir)
+    lastAux = Some(aux)
+    opqProbe(spark, dir, aux, persistLut = true)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_ann_opq_topk" -> (opqTopK _))
+
+  /** The rotation lives entirely inside the persisted `codes_flat/` +
+    * `lut/` policy artifacts, so the replay is the q58 oracle over this
+    * layout's tables. */
+  def oracles: Map[String, String] =
+    lastAux.map(aux => "q138_ann_opq_topk" -> Pq.q58Sql(aux)).toMap
+}
