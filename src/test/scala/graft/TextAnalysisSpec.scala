@@ -153,6 +153,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q139 lang-id report: shares sum to 1 per label, classifier is honest") {
+    val rows = TextAnalysis.q139(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // per-label shares sum to ~1 and doc counts tie out to the corpus
+    val corpus = graft.sources.Tables.table(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == corpus, "confusion matrix drops docs")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val s = cells.map(_._4).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$lang shares sum to $s")
+    }
+    // the synthetic corpus has no language signal: every prediction is
+    // 'en' (the only profile whose words appear in the shared
+    // vocabulary) or 'und' — the report SHOWING that is the point
+    assert(rows.map(_._2).toSet.subsetOf(Set("en", "und")),
+      s"unexpected predictions: ${rows.map(_._2).toSet}")
+  }
+
   test("q124 merge semantics: greedy left-to-right fixpoint (Sennrich)") {
     // the cross-engine contract both replays rely on: the padded replace
     // applied to a fixpoint (bounded passes) — adjacent repeats whose
