@@ -22,7 +22,9 @@ import graft.operators.Hnsw
   */
 object HnswBench {
 
-  private val N = 65536L
+  // default 64k (8 shards); SPARK_GRAFT_HNSW_BENCH_N=1048576 gives the
+  // 1M-row point (128 shards of 8k) for the probe-vs-exact crossover
+  private val N = sys.env.getOrElse("SPARK_GRAFT_HNSW_BENCH_N", "65536").toLong
   private val Dim = 64
   private val K = 10
   private val Queries = 8
