@@ -2411,6 +2411,97 @@ object StoreOps {
        |  FROM read_parquet('$aux/batch_cands/*.parquet')),
        |${durableBatchOracleTail("SELECT qid, id FROM beam")}""".stripMargin
 
+  private val BatchBqNs = "q140"
+  private val q140Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+  private val q140ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q140: [[VectorStore.findSimilarBatchBq]] behind the gate — the one
+    * live batch facade that shipped in r12 without a graded entry. All Q
+    * query codes pack driver-side against the namespace's midpoint grid
+    * and broadcast as one (qid, qcode) frame; the cached sign-bit codes
+    * are swept ONCE (one xor+popcount per word per (row, query)), the
+    * per-query CandN cut is the bounded heap on integer (hamming, id),
+    * and the winners rerank exactly through the batch kernel. The oracle
+    * is fully self-contained (the q101 derivation with a qid dimension):
+    * grid and codes re-derive from the load window in SQL, each query's
+    * code comes from the same derivation (batch queries are corpus
+    * rows). */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q140Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchBqNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val res = store.findSimilarBatchBq(qs, k = K, namespace = BatchBqNs)
+    if (q140ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchBqNs, approx = true, index = "bq")
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"bq batch result $i diverged from the single-query bq search")
+      }
+    batchHitsFrame(spark, res)
+  }
+
+  /** Self-contained SQL replay of the live batched BQ read. */
+  val q140Sql: String = {
+    val dim = 64
+    val bit =
+      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
+    s"""WITH st AS (
+       |  SELECT g.i,
+       |         (min(embedding[g.i + 1])::DOUBLE
+       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
+       |  FROM embeddings, range($dim) g(i)
+       |  WHERE vec_id < $BatchN GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id::VARCHAR AS id,
+       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
+       |                     THEN $bit ELSE 0::BIGINT END) AS code
+       |  FROM embeddings e, st WHERE e.vec_id < $BatchN GROUP BY 1),
+       |qc AS (SELECT vec_id AS qid, code FROM embeddings e
+       |       JOIN codes c ON c.id = e.vec_id::VARCHAR
+       |       WHERE e.vec_id < $BatchQn),
+       |ham AS (
+       |  SELECT q.qid, c.id, bit_count(xor(c.code, q.code)) AS ham
+       |  FROM codes c, qc q),
+       |cut AS (
+       |  SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ham, id) AS cr FROM ham)
+       |  WHERE cr <= ${graft.operators.Bq.CandN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cut c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q45_store_mutations" -> (q45 _),
       "q48_store_approx_search" -> (q48 _),
@@ -2441,7 +2532,8 @@ object StoreOps {
       "q134_durable_pq_batch" -> (q134 _),
       "q135_durable_bq_batch" -> (q135 _),
       "q136_durable_imi_batch" -> (q136 _),
-      "q137_durable_hnsw_batch" -> (q137 _))
+      "q137_durable_hnsw_batch" -> (q137 _),
+      "q140_store_bq_batch" -> (q140 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -2491,5 +2583,6 @@ object StoreOps {
       lastDurableBatchImiAux.map(aux =>
         "q136_durable_imi_batch" -> q107Sql(aux, s"$aux/batch_probes")) ++
       lastDurableBatchHnswAux.map(aux =>
-        "q137_durable_hnsw_batch" -> q137Sql(aux))
+        "q137_durable_hnsw_batch" -> q137Sql(aux)) ++
+      Map("q140_store_bq_batch" -> q140Sql)
 }
