@@ -58,6 +58,11 @@ object HnswBench {
     // 64k rows / 8k-row shards → 8 shard graphs: exercises the
     // multi-shard merge at a size where builds stay seconds-scale
     spark.conf.set(Hnsw.ShardRowsConf, "8192")
+    // size the resident-graph cache to the shard count: below it, every
+    // probe THRASHES the LRU and reloads all graphs from parquet (the
+    // r13 1M finding: 19.8 s warm candidate scan with a 64-entry cache
+    // over 128 shards)
+    spark.conf.set(Hnsw.GraphCacheMaxConf, (N / 8192 + 32).toString)
 
     val (aux, buildSec) = time(Hnsw.buildHnswIndex(spark, dir))
     val shardCount = new java.io.File(s"$aux/graph").listFiles()

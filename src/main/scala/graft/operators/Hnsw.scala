@@ -420,14 +420,54 @@ object Hnsw {
     * are (ids, graph) pairs typed by the mount's id space (Long
     * offline, String store) — stored as AnyRef, cast at the single use
     * site per mount. */
-  private val GraphCacheMax = 64
+  /** Resident-graph budget, overridable via [[GraphCacheMaxConf]]: at
+    * 1M rows the layout is 128 shards, and a 64-entry LRU made every
+    * probe THRASH — all 128 graphs reloaded from parquet per probe
+    * (measured r13: 19.8 s warm candidate scan at 1M vs sub-second once
+    * the cache holds the working set). Size it to the serving mount's
+    * shard count (+headroom); ~5 MB per 8k-node 64-dim shard. */
+  val GraphCacheMaxConf = "spark.graft.hnsw.graphCacheMax"
+  @volatile private var graphCacheBound = 64
+
+  /** Adopt the session's cache-budget conf (probe entry points call
+    * this; the LRU is process-static, so the last-set bound wins). */
+  private def refreshCacheBound(spark: SparkSession): Unit =
+    spark.conf.getOption(GraphCacheMaxConf)
+      .foreach(v => graphCacheBound = v.toInt.max(1))
+
   private val graphCache: java.util.Map[(String, Int), AnyRef] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[(String, Int), AnyRef](16, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[(String, Int), AnyRef]): Boolean =
-          size() > GraphCacheMax
+          size() > graphCacheBound
       })
+
+  /** All-shards-resident fast path predicate (driver-side): when every
+    * shard graph of `aux` is already in THIS JVM's cache — always true
+    * for a warm single-process serving deployment and in local mode —
+    * beams can run as zero-input tasks over a parallelized shard list:
+    * no parquet re-scan, no N-branch union plan, no MB-scale task
+    * binaries (the r13 1M-row measurement: the union-of-scans probe
+    * shipped 1–2.4 MB task binaries and re-decoded the graph files per
+    * probe). On a multi-executor cluster the static cache is per-JVM
+    * and the driver's copy is empty, so this is false and the scan path
+    * — whose per-executor caches enjoy scan locality — serves. */
+  private def allResident(aux: String, shards: Seq[Int]): Boolean =
+    shards.nonEmpty && shards.forall(s => graphCache.containsKey((aux, s)))
+
+  /** In-task cache fetch for the resident path. A concurrent foreign
+    * probe could in principle evict between the driver check and the
+    * task — fail LOUDLY naming the conf to raise, never emit silently
+    * empty candidates. */
+  private def residentGraph(aux: String, s: Int): AnyRef = {
+    val hit = graphCache.get((aux, s))
+    if (hit == null)
+      throw new IllegalStateException(
+        s"shard graph $aux/shard=$s evicted mid-probe - raise " +
+          s"$GraphCacheMaxConf above the mount's shard count")
+    hit
+  }
 
   private[graft] def invalidateGraphs(aux: String): Unit = {
     graphCache.synchronized {
@@ -479,8 +519,20 @@ object Hnsw {
   private[graft] def shardCandidates(spark: SparkSession, aux: String,
                                      queries: Seq[(Long, Array[Float])]): DataFrame = {
     import spark.implicits._
+    refreshCacheBound(spark)
     val qNorm = queries.map { case (qid, qv) => (qid, normalize(qv)) }.toArray
-    val perShard = listShards(spark, aux).map { s =>
+    val shards = listShards(spark, aux)
+    if (allResident(aux, shards))
+      return spark.sparkContext.parallelize(shards, shards.size)
+        .flatMap { s =>
+          val loaded = residentGraph(aux, s)
+            .asInstanceOf[(Array[Long], ShardGraph)]
+          qNorm.iterator.flatMap { case (qid, qv) =>
+            loaded._2.search(qv, EfSearch).iterator
+              .map(i => (qid, loaded._1(i)))
+          }
+        }.toDF("qid", "id")
+    val perShard = shards.map { s =>
       val key = (aux, s)
       shardScan(spark, aux, s,
         org.apache.spark.sql.Encoders.product[StoredNode].schema)
@@ -525,9 +577,21 @@ object Hnsw {
   private[graft] def shardCandidatesBatchS(spark: SparkSession, aux: String,
                                            queries: Seq[Seq[Float]]): DataFrame = {
     import spark.implicits._
+    refreshCacheBound(spark)
     val qNorm = queries.zipWithIndex
       .map { case (q, i) => (i, normalize(q.toArray)) }.toArray
-    val perShard = listShards(spark, aux).map { s =>
+    val shards = listShards(spark, aux)
+    if (allResident(aux, shards))
+      return spark.sparkContext.parallelize(shards, shards.size)
+        .flatMap { s =>
+          val loaded = residentGraph(aux, s)
+            .asInstanceOf[(Array[String], ShardGraph)]
+          qNorm.iterator.flatMap { case (qid, qv) =>
+            loaded._2.search(qv, EfSearch).iterator
+              .map(i => (qid, loaded._1(i)))
+          }
+        }.toDF("__qid", "id")
+    val perShard = shards.map { s =>
       val key = (aux, s)
       shardScan(spark, aux, s,
         org.apache.spark.sql.Encoders.product[StoredNodeS].schema)
@@ -614,8 +678,20 @@ object Hnsw {
   private[graft] def shardCandidatesD(spark: SparkSession, aux: String,
                                       query: Array[Float]): DataFrame = {
     import spark.implicits._
+    refreshCacheBound(spark)
     val qv = normalize(query)
-    val perShard = listShards(spark, aux).map { s =>
+    val shards = listShards(spark, aux)
+    if (allResident(aux, shards))
+      return spark.sparkContext.parallelize(shards, shards.size)
+        .flatMap { s =>
+          val loaded = residentGraph(aux, s)
+            .asInstanceOf[(Array[StoredNodeD], ShardGraph)]
+          loaded._2.search(qv, EfSearch).iterator.map { i =>
+            val n = loaded._1(i)
+            (n.id, n.vec, n.metadata, n.metadataJson)
+          }
+        }.toDF("id", "values", "metadata", "metadataJson")
+    val perShard = shards.map { s =>
       val key = (aux, s)
       shardScan(spark, aux, s,
         org.apache.spark.sql.Encoders.product[StoredNodeD].schema)
@@ -657,9 +733,21 @@ object Hnsw {
   private[graft] def shardCandidatesBatchD(spark: SparkSession, aux: String,
                                            queries: Seq[Seq[Float]]): DataFrame = {
     import spark.implicits._
+    refreshCacheBound(spark)
     val qNorm = queries.zipWithIndex
       .map { case (q, i) => (i, normalize(q.toArray)) }.toArray
-    val perShard = listShards(spark, aux).map { s =>
+    val shards = listShards(spark, aux)
+    if (allResident(aux, shards))
+      return spark.sparkContext.parallelize(shards, shards.size)
+        .flatMap { s =>
+          val loaded = residentGraph(aux, s)
+            .asInstanceOf[(Array[StoredNodeD], ShardGraph)]
+          qNorm.iterator.flatMap { case (qid, qv) =>
+            loaded._2.search(qv, EfSearch).iterator
+              .map(i => (qid, loaded._1(i).id))
+          }
+        }.toDF("__qid", "id")
+    val perShard = shards.map { s =>
       val key = (aux, s)
       shardScan(spark, aux, s,
         org.apache.spark.sql.Encoders.product[StoredNodeD].schema)
