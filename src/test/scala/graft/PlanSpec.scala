@@ -196,12 +196,14 @@ class PlanSpec extends AnyFunSuite {
     val window = p.indexOf("Window")
     assert(window >= 0 && window < sortFirst,
       s"rank window should consume the top-k cut, not precede it\n${p.take(800)}")
-    // r9: the corpus is tokenized ONCE — the checkpointed token frame
-    // feeds both the constants agg and the tf pass, so the graded plan
-    // contains no scan of the documents parquet (and hence no second
-    // tokenize stage)
-    assert(!p.contains("documents"),
-      s"q65 re-scanned the documents table instead of the checkpointed tokens\n${p.take(1200)}")
+    // r9→r13: the corpus is tokenized ONCE. r12's eager per-invocation
+    // checkpoint became a per-dir STANDING persisted frame (the
+    // checkpoint-debt fix), so the graded plan reads the cache — the
+    // documents parquet path may appear inside the InMemoryRelation's
+    // description, but the executed scan is the in-memory one
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"q65 re-scanned/re-tokenized the corpus instead of reading the " +
+        s"standing cached token frame\n${p.take(1200)}")
   }
 
   test("q79 hash sample cuts with TakeOrderedAndProject, no corpus shuffle") {
