@@ -630,11 +630,15 @@ object TextAnalysis {
     * frame is 8 chained replaces over the word histogram — fully
     * recomputable from the parquet (a cached copy survives an external
     * unpersist/checkpoint sweep by re-deriving). The loop's own working
-    * frame is pinned per round — the argmax collects would otherwise
-    * re-execute the growing chain quadratically — via persist with the
-    * superseded round explicitly freed once the next one materializes
-    * (r12 leaked 9 eager never-unpersisted localCheckpoints per
-    * invocation; the r12 verdict's checkpoint-debt suspect). */
+    * frame is checkpointed per round (the argmax collects would
+    * otherwise re-execute the growing chain quadratically, and — the
+    * r13 lesson — a persist-based pin keeps the LOGICAL plan growing 7
+    * nested replaces per round, whose per-round CacheManager
+    * normalization alone doubled q124's wall time; localCheckpoint
+    * truncates lineage so every round's plan is one merge deep), with
+    * the superseded round's checkpoint RDD explicitly freed (r12 leaked
+    * 9 eager never-unpersisted checkpoints per invocation — the
+    * checkpoint-debt defect; [[freeCheckpoint]] closes the loop). */
   private def bpeChain(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val w0 = withToks(spark, dir)
@@ -643,8 +647,7 @@ object TextAnalysis {
     var vocabLazy = w0
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
         col("cnt"))
-    var vocab = vocabLazy.persist()
-    vocab.count()
+    var vocab = vocabLazy.localCheckpoint(eager = true)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to BpeRounds) {
@@ -669,18 +672,27 @@ object TextAnalysis {
         v.select(trim(s).as("sym"), col("cnt"))
       }
       val prev = vocab
-      vocab = merge(vocab).persist()
-      vocab.count()
-      prev.unpersist(blocking = false)
+      vocab = merge(vocab).localCheckpoint(eager = true)
+      freeCheckpoint(prev)
       vocabLazy = merge(vocabLazy)
       val total = vocab
         .select(sum(size(split(col("sym"), " ")).cast("long") * col("cnt")))
         .collect()(0).getLong(0)
       out += ((r, a, b, c, total))
     }
-    vocab.unpersist(blocking = false)
+    freeCheckpoint(vocab)
     (out.toSeq, vocabLazy)
   }
+
+  /** Free a localCheckpoint'ed frame's blocks once it is superseded —
+    * the frame must never be read again (its lineage is truncated).
+    * No-op on non-checkpoint plans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   def q124(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
