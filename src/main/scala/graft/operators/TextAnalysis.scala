@@ -1520,8 +1520,90 @@ object TextAnalysis {
        |GROUP BY p.lang, p.pred ORDER BY p.lang, p.pred""".stripMargin
   }
 
+  // ---- Q141: PII redaction (r13) --------------------------------------
+  //
+  // The scrubbing pass every real pretraining pipeline runs before
+  // anything else sees the text: emails, phone numbers, and IPv4
+  // addresses are replaced with typed placeholders, and the per-doc
+  // counts + a digest of the REDACTED text are the audit artifact (the
+  // digest proves byte-identical redaction across engines — the whole
+  // grade). The synthetic corpus contains no PII, so the operator
+  // INJECTS it deterministically first (the q130 simulated-versions
+  // precedent): every 7th doc gains an email, every 11th a phone, every
+  // 13th an IP, all derived from doc_id so both engines build the same
+  // augmented text. Patterns are the RE2 ∩ java.util.regex common
+  // subset (\b, \d, bounded quantifiers — no lookaround), so one
+  // pattern string serves both engines. Redaction order is
+  // email → phone → ip (the email pattern could otherwise eat a
+  // preceding placeholder's brackets — order is part of the contract).
+  //
+  // 100 TB shape: one scan, three regex passes per row, zero shuffles
+  // except the output sort; the counts partial-aggregate if rolled up.
+
+  private val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val PiiIp = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val aug = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")))
+          .otherwise("")).as("aug"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("aug"), PiiEmail, "[EMAIL]"),
+          PiiPhone, "[PHONE]"),
+        PiiIp, "[IP]")
+    aug.select(col("doc_id"),
+      size(regexp_extract_all(col("aug"), lit(PiiEmail), lit(0)))
+        .as("n_email"),
+      size(regexp_extract_all(col("aug"), lit(PiiPhone), lit(0)))
+        .as("n_phone"),
+      size(regexp_extract_all(col("aug"), lit(PiiIp), lit(0))).as("n_ip"),
+      md5(redacted).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q141Sql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |         text ||
+       |         CASE WHEN doc_id % 7 = 0
+       |              THEN ' contact user' || doc_id || '@example.com'
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 11 = 0
+       |              THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+       |                   || '-' || lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0')
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 13 = 0
+       |              THEN ' from 10.' || (doc_id % 256) || '.0.1'
+       |              ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |       len(regexp_extract_all(aug, '$PiiEmail'))::INT AS n_email,
+       |       len(regexp_extract_all(aug, '$PiiPhone'))::INT AS n_phone,
+       |       len(regexp_extract_all(aug, '$PiiIp'))::INT AS n_ip,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |             '$PiiEmail', '[EMAIL]', 'g'),
+       |             '$PiiPhone', '[PHONE]', 'g'),
+       |             '$PiiIp', '[IP]', 'g')) AS clean_digest
+       |FROM aug ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_lang_id_report" -> (q139 _),
+    "q141_pii_redaction" -> (q141 _),
     "q115_dsir_weights" -> (q115 _),
     "q117_data_card" -> (q117 _),
     "q124_bpe_train" -> (q124 _),
@@ -1549,6 +1631,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q139_lang_id_report" -> q139Sql,
+    "q141_pii_redaction" -> q141Sql,
     "q115_dsir_weights" -> q115Sql,
     "q117_data_card" -> q117Sql,
     "q124_bpe_train" -> q124Sql,

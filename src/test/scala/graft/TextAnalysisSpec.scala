@@ -171,6 +171,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"unexpected predictions: ${rows.map(_._2).toSet}")
   }
 
+  test("q141 PII redaction: injected PII is counted and scrubbed, docs intact") {
+    val rows = TextAnalysis.q141(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    val n = graft.sources.Tables.table(spark, dir, "documents").count()
+    assert(rows.length == n, "one audit row per document")
+    rows.foreach { case (id, e, p, ip, digest) =>
+      assert(e == (if (id % 7 == 0) 1 else 0), s"doc $id email count $e")
+      assert(p == (if (id % 11 == 0) 1 else 0), s"doc $id phone count $p")
+      assert(ip == (if (id % 13 == 0) 1 else 0), s"doc $id ip count $ip")
+      assert(digest.length == 32)
+    }
+    // a doc divisible by 7, 11 AND 13 (1001) carries all three kinds
+    rows.find(_._1 == 0L).foreach { case (_, e, p, ip, _) =>
+      assert(e == 1 && p == 1 && ip == 1, "doc 0 should carry all three")
+    }
+  }
+
   test("q124 merge semantics: greedy left-to-right fixpoint (Sennrich)") {
     // the cross-engine contract both replays rely on: the padded replace
     // applied to a fixpoint (bounded passes) — adjacent repeats whose
