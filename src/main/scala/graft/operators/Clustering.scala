@@ -608,14 +608,75 @@ object Clustering {
        |ORDER BY component, j""".stripMargin
   }
 
+  // ---- q142: embedding distribution-drift monitor (r13) ----------------
+  //
+  // The embedding-ops check a production pipeline runs when a new model
+  // version (or a new corpus month) lands: per-dimension mean comparison
+  // between two embedding populations, flagging dimensions whose shift
+  // exceeds a threshold — upstream of every ANN/cluster consumer whose
+  // trained state (codebooks, grids, rotations) silently degrades under
+  // drift. Versions are simulated from the one corpus (the q130
+  // precedent): A = even vec_ids, B = odd vec_ids with a deterministic
+  // +0.08 shift injected on dims 0–7 IN DOUBLE (both engines apply the
+  // identical literal, so the planted drift is engine-exact); the
+  // report must flag exactly those dims. Means average RAW doubles (the
+  // q115/q117 lesson: continuous float inputs sit off the r4 grid, the
+  // q89 margin argument) and round once at the readout.
+  //
+  // 100 TB shape: ONE scan of both populations, a dim-keyed (64-group)
+  // map-side-combinable aggregate, zero joins.
+
+  private val DriftDims = 8
+  private val DriftShift = 0.08
+  private val DriftFlag = 0.05
+
+  def q142(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val rows = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("j"), (col("vec_id") % 2 === 0).as("isA"),
+        (col("x").cast("double") +
+          when(col("vec_id") % 2 =!= 0 && col("j") < DriftDims,
+            lit(DriftShift)).otherwise(lit(0.0))).as("xv"))
+    rows.groupBy(col("j"))
+      .agg(avg(when(col("isA"), col("xv"))).as("rawA"),
+        avg(when(!col("isA"), col("xv"))).as("rawB"))
+      .select(col("j"),
+        graft.functions.Det.r4(col("rawA")).as("mean_a"),
+        graft.functions.Det.r4(col("rawB")).as("mean_b"),
+        graft.functions.Det.r4(col("rawB") - col("rawA")).as("shift"),
+        (abs(col("rawB") - col("rawA")) > DriftFlag).as("drifted"))
+      .orderBy(col("j"))
+  }
+
+  val q142Sql: String =
+    s"""WITH x AS (
+       |  SELECT g.i AS j, vec_id % 2 = 0 AS isA,
+       |         embedding[g.i + 1]::DOUBLE +
+       |           CASE WHEN vec_id % 2 <> 0 AND g.i < $DriftDims
+       |                THEN $DriftShift ELSE 0.0 END AS xv
+       |  FROM embeddings, range($PcaDim) g(i)),
+       |m AS (
+       |  SELECT j,
+       |         avg(CASE WHEN isA THEN xv END) AS rawA,
+       |         avg(CASE WHEN NOT isA THEN xv END) AS rawB
+       |  FROM x GROUP BY 1)
+       |SELECT j::INT AS j, ${Det.r4Sql("rawA")} AS mean_a,
+       |       ${Det.r4Sql("rawB")} AS mean_b,
+       |       ${Det.r4Sql("rawB - rawA")} AS shift,
+       |       abs(rawB - rawA) > $DriftFlag AS drifted
+       |FROM m ORDER BY j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_kmeans_step" -> (q80 _),
     "q104_kmeans_lloyd" -> (q104 _),
     "q111_kmeans_converged" -> (q111 _),
     "q114_centroid_outliers" -> (q114 _),
-    "q121_pca_power" -> (q121 _))
+    "q121_pca_power" -> (q121 _),
+    "q142_embedding_drift" -> (q142 _))
 
   def oracles: Map[String, String] = Map(
+    "q142_embedding_drift" -> q142Sql,
     "q80_kmeans_step" -> q80Sql,
     "q104_kmeans_lloyd" -> q104Sql,
     "q114_centroid_outliers" -> q114Sql,

