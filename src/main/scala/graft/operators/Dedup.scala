@@ -433,6 +433,41 @@ object Dedup {
   def q64(spark: SparkSession, dir: String): DataFrame =
     clusterReport(components(spark, dir))
 
+  // ---- Q143: duplicate-cluster size histogram (r13) -------------------
+  //
+  // The curation-dashboard view of q64's resolution: how much of the
+  // corpus sits in duplicate clusters of which sizes — the number that
+  // decides whether near-dedup is worth its cost on a corpus and the
+  // first thing that shifts when a crawl goes boilerplate-heavy.
+  // Singletons fold in as their own clusters (coalesce to doc_id — a
+  // component from the edge set always has ≥ 2 members, so the size-1
+  // bucket is exactly the dup-free mass). Fully relational: a left
+  // join against the label frame and two bounded aggregates — no
+  // driver traffic; at 100 TB the histogram is ≤ max-cluster-size rows.
+
+  def q143(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = docs(spark, dir).select(col("doc_id"))
+      .join(components(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    labeled.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val q143Sql: String =
+    s"""WITH RECURSIVE $closureCtes,
+       |labeled AS (
+       |  SELECT d.doc_id, coalesce(lab.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+       |sizes AS (SELECT cluster, count(*) AS sz FROM labeled GROUP BY 1)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters,
+       |       sum(sz)::BIGINT AS n_docs
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Closure CTE chain shared by the q64 and q69 oracles: reach(doc, lbl)
     * floods every label through the undirected edge set (UNION dedups, so
     * the recursion terminates), then min per node reproduces the
@@ -712,6 +747,7 @@ object Dedup {
     "q18_dedup_minhash_lsh" -> (q18 _),
     "q19_dedup_simhash" -> (q19 _),
     "q64_dedup_clusters" -> (q64 _),
+    "q143_dup_cluster_histogram" -> (q143 _),
     "q69_dedup_canonical" -> (q69 _),
     "q71_dedup_incremental" -> (q71 _))
 
@@ -724,6 +760,7 @@ object Dedup {
     "q18_dedup_minhash_lsh" -> jaccardSql,
     "q19_dedup_simhash" -> q19Sql,
     "q64_dedup_clusters" -> q64Sql,
+    "q143_dup_cluster_histogram" -> q143Sql,
     "q69_dedup_canonical" -> q69Sql,
     "q71_dedup_incremental" -> q71Sql)
 }
