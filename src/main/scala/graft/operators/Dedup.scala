@@ -468,6 +468,82 @@ object Dedup {
        |       sum(sz)::BIGINT AS n_docs
        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- Q144: split leakage audit (r13) --------------------------------
+  //
+  // The eval-integrity check a pipeline runs AFTER splitting: a near-
+  // duplicate pair straddling the train/eval boundary leaks training
+  // signal into the benchmark, silently inflating every score computed
+  // on it (q63 decontaminates against an EXTERNAL benchmark; this
+  // audits the pipeline's OWN split). Pairs come from the verified
+  // near-dup detector (q17's exact-Jaccard contract) plus exact-digest
+  // duplicates; splits from q41's hash policy. Reports, per unordered
+  // split pair, the leaking near-dup and exact-dup pair counts — zero
+  // on the (train, train) diagonal is NOT required (within-split dups
+  // are a size problem, not a leak), which is why the report keys on
+  // the pair rather than filtering cross-boundary rows only: the
+  // diagonal is the free baseline that calibrates the off-diagonal.
+  //
+  // 100 TB shape: the pair frames are dup-sized (≪ corpus); the split
+  // column is a per-row hash — two broadcast-ready joins of small pair
+  // frames against a corpus projection, one bounded aggregate.
+
+  def q144(spark: SparkSession, dir: String): DataFrame = {
+    val split = docs(spark, dir).select(col("doc_id"),
+      when(TextAnalysis.splitBucket < 80, "train")
+        .when(TextAnalysis.splitBucket < 90, "val")
+        .otherwise("test").as("split"))
+    val near = lshVerifiedPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit("near").as("kind"))
+    val exact = {
+      val d = docs(spark, dir)
+        .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      d.select(col("doc_id").as("id_a"), col("h"))
+        .join(d.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit("exact").as("kind"))
+    }
+    near.unionByName(exact)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .select(col("kind"),
+        least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("kind"), col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("kind"), col("split_lo"), col("split_hi"))
+  }
+
+  val q144Sql: String =
+    s"""WITH $jaccardCtes,
+       |near AS (
+       |  SELECT id_a, id_b, 'near' AS kind FROM jac WHERE jaccard >= $JaccT),
+       |dg AS (
+       |  SELECT doc_id,
+       |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+       |  FROM documents),
+       |ex AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 'exact' AS kind
+       |  FROM dg a JOIN dg b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT * FROM near UNION ALL SELECT * FROM ex),
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+       |              WHEN ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT p.kind,
+       |       least(a.split, b.split) AS split_lo,
+       |       greatest(a.split, b.split) AS split_hi,
+       |       count(*) AS n_pairs,
+       |       least(a.split, b.split) <> greatest(a.split, b.split) AS leaks
+       |FROM pairs p
+       |JOIN sp a ON a.doc_id = p.id_a
+       |JOIN sp b ON b.doc_id = p.id_b
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Closure CTE chain shared by the q64 and q69 oracles: reach(doc, lbl)
     * floods every label through the undirected edge set (UNION dedups, so
     * the recursion terminates), then min per node reproduces the
@@ -748,6 +824,7 @@ object Dedup {
     "q19_dedup_simhash" -> (q19 _),
     "q64_dedup_clusters" -> (q64 _),
     "q143_dup_cluster_histogram" -> (q143 _),
+    "q144_split_leakage" -> (q144 _),
     "q69_dedup_canonical" -> (q69 _),
     "q71_dedup_incremental" -> (q71 _))
 
@@ -761,6 +838,7 @@ object Dedup {
     "q19_dedup_simhash" -> q19Sql,
     "q64_dedup_clusters" -> q64Sql,
     "q143_dup_cluster_histogram" -> q143Sql,
+    "q144_split_leakage" -> q144Sql,
     "q69_dedup_canonical" -> q69Sql,
     "q71_dedup_incremental" -> q71Sql)
 }

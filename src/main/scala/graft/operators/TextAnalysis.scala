@@ -163,7 +163,7 @@ object TextAnalysis {
   // appends, and needs no driver-side state — the only split mechanism
   // that works at 100 TB. 80/10/10 via md5 bucket, reported per stratum.
 
-  private def splitBucket: org.apache.spark.sql.Column =
+  private[graft] def splitBucket: org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 8),
       16, 10).cast("long") % 100
 
