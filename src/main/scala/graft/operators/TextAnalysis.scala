@@ -1601,9 +1601,74 @@ object TextAnalysis {
        |             '$PiiIp', '[IP]', 'g')) AS clean_digest
        |FROM aug ORDER BY doc_id""".stripMargin
 
+  // ---- Q145: bigram log-prob quality gate (r13) -----------------------
+  //
+  // q89's CCNet-style filter upgraded to the model real pipelines use:
+  // score each document by the mean log-probability of its token
+  // BIGRAMS under an add-1-smoothed bigram LM trained on the corpus
+  // itself — P(b|a) = (c(a,b)+1)/(c(a)+V). A unigram gate cannot see
+  // scrambled or repetitive word salad built from common tokens; the
+  // bigram gate scores exactly that structure. 100 TB shape: one
+  // tokenize pass feeds the bigram explode; bigram-TYPE counts shuffle
+  // on the (a, b) key (web-scale bigram vocabularies are large — this
+  // join stays a shuffle join and AQE picks the build side), the
+  // unigram table broadcasts (vocabulary-sized), and the per-doc mean
+  // shuffles on doc_id. Determinism: integer counts, 1-ulp lns, the
+  // q89/q32 margin argument; `keep` compares the ROUNDED score.
+
+  private[graft] val Lp2KeepFloor = -3.45 // in the measured gap: p5 of
+  // the per-doc means sits at -3.456 with the mass at -3.40 (sf0.01)
+
+  def q145(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(spark, dir).select(col("doc_id"), col("toks"))
+      .where(size(col("toks")) >= 2)
+      .localCheckpoint(eager = true)
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1)," +
+        " i -> struct(toks[i - 1] AS a, toks[i] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val uni = toks.select(explode(col("toks")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("cu"))
+    val nv = uni.count().toDouble
+    val big = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cb"))
+    bi.join(big, Seq("a", "b"))
+      .join(broadcast(uni), Seq("a"))
+      .withColumn("lp",
+        log((col("cb") + lit(1.0)) / (col("cu") + lit(nv))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("raw")).as("lp2"),
+        (r4(col("raw")) >= Lp2KeepFloor).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q145Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, w[i] AS a, w[i + 1] AS b
+       |  FROM t, unnest(range(1, len(w))) AS u(i)),
+       |uni AS (SELECT a, count(*) AS cu
+       |        FROM (SELECT unnest(w) AS a FROM t) GROUP BY 1),
+       |v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+       |big AS (SELECT a, b, count(*) AS cb FROM bi GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT bi.doc_id, ln((big.cb + 1.0) / (uni.cu + v.nv)) AS lp
+       |  FROM bi JOIN big USING (a, b) JOIN uni USING (a), v),
+       |d AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         ${r4Sql("avg(lp)")} AS lp2
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n_bigrams, lp2, lp2 >= ($Lp2KeepFloor)::DOUBLE AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_lang_id_report" -> (q139 _),
     "q141_pii_redaction" -> (q141 _),
+    "q145_bigram_logprob" -> (q145 _),
     "q115_dsir_weights" -> (q115 _),
     "q117_data_card" -> (q117 _),
     "q124_bpe_train" -> (q124 _),
@@ -1632,6 +1697,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q139_lang_id_report" -> q139Sql,
     "q141_pii_redaction" -> q141Sql,
+    "q145_bigram_logprob" -> q145Sql,
     "q115_dsir_weights" -> q115Sql,
     "q117_data_card" -> q117Sql,
     "q124_bpe_train" -> q124Sql,
