@@ -514,9 +514,27 @@ object EventStream {
         .queryName("graft_q132_sink").start()
     }).orderBy(col("doc_id"), col("dim"))
 
+  // ---- q146: streaming PII redaction (r13) ----------------------------
+  //
+  // q141's scrubbing audit as an INGEST stage: the identical
+  // piiAuditCols transform (stateless per-row maps — inject, redact,
+  // count, digest) runs under readStream in append mode, so a document
+  // is scrubbed before anything downstream ever sees it, and the result
+  // hash-matches the batch q141 oracle — parity is structural, not
+  // re-implemented (the q132 relationship).
+  def q146(spark: SparkSession, dir: String): DataFrame =
+    drainToTable(spark, "graft_q146_sink", {
+      graft.operators.TextAnalysis.piiAuditCols(
+        spark.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q146_sink").start()
+    }).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
+      "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
       "q70_stream_static_join" -> (q70 _),
@@ -530,6 +548,7 @@ object EventStream {
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,
+      "q146_stream_pii" -> graft.operators.TextAnalysis.q141Sql,
       "q67_stream_dedup" -> q67Sql,
       "q70_stream_static_join" -> q70Sql,
       "q88_stream_range_join" -> q88Sql,
