@@ -383,6 +383,15 @@ object Bench {
       else closestPair(commonTotals)
     val pairIdx = Seq(pairA, pairB)
 
+    // the ALL-pass spread (the pre-r13 metric), emitted alongside the
+    // pair-based headline (r14 ADVICE): the closest-pair selection is an
+    // order statistic that understates run-to-run variance (4 passes =
+    // 6 pairs), so consumers get the full spread as a named field
+    // without recomputing from pass_totals_full
+    val allPassDevPct =
+      if (commonTotals.size < 2 || commonTotals.min <= 0) 0.0
+      else (commonTotals.max - commonTotals.min) / commonTotals.min * 100.0
+
     // worst per-query spread across the reported pair, common subset only
     val devs = names.filter(commonNames).flatMap { name =>
       val vs = pairIdx.flatMap(i =>
@@ -411,7 +420,7 @@ object Bench {
       .mkString(",")
     val extra =
       if (passes < 2) ""
-      else s""","pass_totals":[${totals.map(r3).mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ","slow_dev_pct":${math.round(slowDevPct * 10) / 10.0},"slow_dev_query":"$slowDevQ""""
+      else s""","pass_totals":[${totals.map(r3).mkString(",")}],"total_dev_pct":${math.round(totalDevPct * 10) / 10.0},"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"max_dev_pct":${math.round(devPct * 10) / 10.0},"max_dev_query":"$devQ","slow_dev_pct":${math.round(slowDevPct * 10) / 10.0},"slow_dev_query":"$slowDevQ""""
     // a SPARK_GRAFT_BENCH_ONLY run is an adjudication subset, not a suite
     // run — stamp the selection so its total can never silently be
     // compared round-over-round against full-suite totals
@@ -455,7 +464,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -975,7 +975,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     }
     val probeDf = probeRows.toDF("__qid", "cell")
     val luts = queries.zipWithIndex.map { case (q, i) =>
-      (i.toLong, graft.operators.Pq.lutFor(q.toArray, pq.codebook))
+      val qEff = pq.rot.map(graft.operators.Opq.rotateQuery(_, q.toArray))
+        .getOrElse(q.toArray)
+      (i.toLong, graft.operators.Pq.lutFor(qEff, pq.codebook))
     }
     if (persistLuts) {
       graft.operators.Pq.writeLuts(spark, luts, s"${pq.aux}/batch_lut")
@@ -1760,7 +1762,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * records layout they encode — an ANN rebuild (staleness, generation,
     * [[compact]]) orphans them and the next PQ probe re-derives. */
   private case class PqEntry(annAux: String, aux: String,
-                             codebook: Array[Array[Array[Float]]])
+                             codebook: Array[Array[Array[Float]]],
+                             rot: Option[Array[Array[Float]]])
 
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[AnnKey, PqEntry]()
@@ -1774,6 +1777,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   /** Codes dir + records layout serving (namespace, dim) — oracle hook. */
   private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
     Option(pqCache.get((namespace, dim, "raw"))).map(_.aux)
+
+  /** The rotation the durable PQ codes were built with (None = raw PQ)
+    * — spec/oracle hook, the live mount's pqRotation contract. */
+  private[graft] def pqRotation(namespace: String, dim: Int): Option[Array[Array[Float]]] =
+    Option(pqCache.get((namespace, dim, "raw"))).flatMap(_.rot)
 
   /** Build-or-reuse the code tables for `ann`'s layout: per-subspace
     * codebooks trained on the layout rows via the shared
@@ -1792,10 +1800,28 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           pqBuilds.incrementAndGet()
           val recs = layoutFrame(s"${ann.aux}/index")
             .select(col("id"), col("values"), col("cell"))
+          // OPQ rotation first (r14 — the live-mount pqLayout contract):
+          // codes train and encode in ROTATED space (the recall win);
+          // cells stay raw-space (rankCells ranks raw centers, so the
+          // partition pruning is untouched); the rerank reads the raw
+          // records. Identity when disabled or the dim doesn't divide.
+          val rotOpt =
+            if (spark.conf.getOption(graft.operators.Opq.RotateConf)
+                  .forall(_.toBoolean))
+              graft.operators.Opq.rotationFor(recs, "id", "values",
+                ann.rows, dim)
+            else None
+          val enc = rotOpt.map { rot =>
+            recs.select(col("id"),
+              graft.operators.Opq.rotateCol(rot)(col("values")).as("values"),
+              col("cell"))
+          }.getOrElse(recs)
           val codebookSeq = graft.operators.Pq.trainCodebooks(
-            recs, "id", "values", ann.rows, dim)
+            enc, "id", "values", ann.rows, dim)
           val aux = derivedAux(ann.aux, "pq")
-          recs.withColumn("codes",
+          rotOpt.foreach(rot =>
+            graft.operators.Opq.writeRotation(spark, rot, s"$aux/rot"))
+          enc.withColumn("codes",
               graft.functions.PqEncode(col("values"), codebookSeq))
             .select(col("id"), col("codes"), col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/codes")
@@ -1804,7 +1830,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
               posexplode(col("codes")).as(Seq("sub", "code")))
             .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
           val entry = PqEntry(ann.aux, aux,
-            codebookSeq.map(_.map(_.toArray).toArray).toArray)
+            codebookSeq.map(_.map(_.toArray).toArray).toArray, rotOpt)
           pqCache.put(key, entry)
           entry
         }
@@ -1852,7 +1878,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                       persistLut: Boolean): Seq[SearchHit] = {
     val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
-    val lut = graft.operators.Pq.lutFor(query.toArray, pq.codebook)
+    // cells rank in RAW space (the records layout); the LUT tabulates in
+    // the layout's (possibly OPQ-rotated) code space
+    val qEff = pq.rot.map(graft.operators.Opq.rotateQuery(_, query.toArray))
+      .getOrElse(query.toArray)
+    val lut = graft.operators.Pq.lutFor(qEff, pq.codebook)
     if (persistLut) {
       graft.operators.Pq.writeLuts(spark, Seq((0L, lut)), s"${pq.aux}/lut")
       probed.toDF("cell").coalesce(1)
