@@ -117,6 +117,19 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$aux/codes_flat")
   }
 
+  /** Persist a codebook in the flat (sub, code, centroid) oracle form —
+    * shared by the offline builds and the serving mounts (whose
+    * rotation-graded oracles re-derive the LUT from it). */
+  private[graft] def writeCodebook(spark: SparkSession,
+                                   codebook: Seq[Seq[Seq[Float]]],
+                                   path: String): Unit = {
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (ct, k) => (m, k, ct) }
+    }.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   def buildPqIndex(spark: SparkSession, dir: String): String = {
     buildCount.incrementAndGet()
     val aux = pqAuxDir(spark, dir)

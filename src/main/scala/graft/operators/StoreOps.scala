@@ -605,6 +605,207 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q147: the live mount's OPQ path, rotation-GRADED (r14) ----------
+
+  private val OpqNs = "q147"
+  private val OpqQueryId = 2L
+
+  private val q147Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  /** (layout dir, dim) of the most recent q147 run — oracle hook. */
+  @volatile private var lastOpqAux: Option[(String, Int)] = None
+
+  /** q147 (r14 — VERDICT r13 "Next round" #1): the live store's
+    * `index = "pq"` read path with the OPQ rotation graded END TO END.
+    * q61 replays the persisted `codes_flat/` ⋈ `lut/` policy — which is
+    * correct but treats the LUT as opaque; since r14 that LUT is
+    * computed against a ROTATED codebook from a rotated query, and this
+    * query makes the rotation itself part of the replayed policy: the
+    * oracle reads the persisted `rot/` matrix, rotates the RAW query
+    * vector in SQL (double-accumulate, float-cast — the
+    * [[graft.operators.Opq.rotateQuery]] arithmetic), normalizes,
+    * re-derives the ADC LUT from the persisted `codebook/`, and only
+    * then runs the q61 candidate cut + exact raw-space rerank. A wrong
+    * rotation — wrong matrix, wrong order of rotate-vs-normalize, a
+    * drifted persisted artifact — breaks the hash. Summation-order ulps
+    * between Spark's and DuckDB's double sums sit ~1e-10 under the 1e-6
+    * ADC rounding (the q32/q58 margin argument, re-measured in
+    * StoreOpqSpec's exact-artifact pin). */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q147Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < ApproxN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        OpqNs)
+      s
+    })
+    val qv = e.where(col("vec_id") === OpqQueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val hits = store.findSimilarPqGraded(qv, k = K, namespace = OpqNs)
+    require(store.pqRotation(OpqNs, qv.length).isDefined,
+      "q147 grades the rotation — the layout must have been built OPQ " +
+        "(dim divisible by the subspace count, rotation conf on)")
+    lastOpqAux = store.pqLayoutDir(OpqNs, qv.length).map((_, qv.length))
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the FULL OPQ read path from the persisted layout:
+    * rotate the raw query by `rot/` (float-cast per coordinate, the
+    * RotateVec arithmetic), normalize, re-derive the ADC LUT from
+    * `codebook/`, candidates = top-CandN on (rounded ADC, string id)
+    * over `codes_flat/`, rerank = exact cosine in the ORIGINAL space —
+    * the rotation is policy, graded; the rerank is contract. */
+  def q147Sql(aux: String, dim: Int): String = {
+    val subDim = dim / Pq.SubSpaces
+    s"""WITH rot AS (SELECT i, j, r FROM read_parquet('$aux/rot/*.parquet')),
+       |qraw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $OpqQueryId),
+       |rq AS (
+       |  SELECT rot.i AS i,
+       |         CAST(sum(rot.r::DOUBLE * qraw.qv[rot.j + 1]::DOUBLE) AS FLOAT) AS x
+       |  FROM rot, qraw GROUP BY rot.i),
+       |nrm AS (SELECT sqrt(sum(x::DOUBLE * x::DOUBLE)) AS n FROM rq),
+       |qs AS (
+       |  SELECT (i // $subDim)::INT AS sub, (i % $subDim)::INT AS pos,
+       |         CAST(CASE WHEN nrm.n > 0 THEN x::DOUBLE / nrm.n
+       |              ELSE x::DOUBLE END AS FLOAT) AS qsv
+       |  FROM rq, nrm),
+       |cb AS (SELECT sub, code, centroid FROM read_parquet('$aux/codebook/*.parquet')),
+       |lut AS (
+       |  SELECT cb.sub, cb.code,
+       |         sum((qs.qsv::DOUBLE - cb.centroid[qs.pos + 1]::DOUBLE)
+       |           * (qs.qsv::DOUBLE - cb.centroid[qs.pos + 1]::DOUBLE)) AS d
+       |  FROM cb JOIN qs ON qs.sub = cb.sub
+       |  GROUP BY cb.sub, cb.code),
+       |cf AS (SELECT id, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY c.id),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $ApproxN),
+       |sc AS (
+       |  SELECT c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, qraw q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
+
+  // ---- q148: BATCHED search through the LSH band signatures (r14) ------
+
+  private val BatchLshNs = "q148"
+
+  private val q148Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, VectorStore]()
+
+  private val q148ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q148 (r14 — VERDICT r13 "What's missing" #2): the batch matrix's
+    * last hole. [[VectorStore.findSimilarBatchLsh]] behind the gate —
+    * all Q queries' band buckets union into one broadcast probe frame,
+    * the cached signature table is scanned ONCE, per-query bucket-mates
+    * rerank exactly through the batch kernel. The oracle replays the
+    * ENTIRE signature policy relationally per query (the q48 md5
+    * hyperplane replay with a qid dimension — the policy is
+    * deterministic, so there is no persisted artifact to point at), and
+    * the in-script parity require pins positional equality with Q
+    * sequential `approx = true` searches, once per process per dir. */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val store = q148Stores.computeIfAbsent(dir, d => {
+      val s = new VectorStore(spark)
+      s.loadFrame(
+        Tables.table(spark, d, "embeddings")
+          .where(col("vec_id") < BatchN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        BatchLshNs)
+      s
+    })
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val res = store.findSimilarBatchLsh(qs, k = K, namespace = BatchLshNs)
+    if (q148ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, metric = "cosine",
+          namespace = BatchLshNs, approx = true)
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"lsh batch result $i diverged from the single-query approx search")
+      }
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** [[q48Sql]] with a qid dimension: per query, signatures and band
+    * buckets replay from the md5 hyperplane family, candidates are rows
+    * sharing ANY band bucket with THAT query, rerank is exact cosine
+    * with the string-id tie-break. qid is positional over the ordered
+    * query slice, which equals vec_id on `vec_id < BatchQn`. */
+  // lazy: BatchN/BatchQn are declared below (q75's section) and a
+  // strict val here would capture their pre-init zeros
+  lazy val q148Sql: String = {
+    val nPlanes = ApproxBands * ApproxBits
+    s"""WITH planes AS (
+       |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
+       |                       / 2147483648.0 - 1.0) AS FLOAT) ORDER BY j) AS pl
+       |  FROM range($nPlanes) tp(f), range($ApproxDim) td(j)
+       |  GROUP BY f),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $BatchN),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |sigs AS (
+       |  SELECT b.id, (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("b.v", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM base b, planes p GROUP BY b.id, band),
+       |qsig AS (
+       |  SELECT q.qid, (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("q.qv", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM qs q, planes p GROUP BY q.qid, band),
+       |cand AS (
+       |  SELECT DISTINCT qsig.qid, s.id FROM sigs s
+       |  JOIN qsig ON s.band = qsig.band AND s.bucket = qsig.bucket),
+       |sc AS (
+       |  SELECT c.qid, c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- q57: STREAMING ingest into the durable facade -------------------
 
   private val IngestN = 220L
@@ -1180,6 +1381,107 @@ object StoreOps {
        |  FROM sc)
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  // ---- q149: the durable mount's OPQ path, rotation-GRADED (r14) ------
+
+  private val DOpqNs = "q149"
+  private val DOpqQueryId = 3L
+
+  private val q149Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q149Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (codes dir, dim) of the most recent q149 run — oracle hook. */
+  @volatile private var lastDurableOpqAux: Option[(String, Int)] = None
+
+  /** q149 (r14): the q147 rotation grade carried onto the DURABLE
+    * mount — bulk load, one PQ search building the records layout AND
+    * its OPQ-rotated code tables, then the graded search. The oracle
+    * re-derives the ADC LUT from the persisted `rot/` + `codebook/` and
+    * the raw query (the q147 replay), restricted to the probed cells
+    * (`probes/` — the durable partition-pruning policy, from q92), and
+    * reranks exactly over the loaded set. No mutation window here: q92
+    * already grades deletes/delta on this mount; q149 isolates the
+    * rotation so a failure can only mean the rotation policy drifted. */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dopq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === DOpqQueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q149Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q149Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(
+        Tables.table(spark, dir, "embeddings")
+          .where(col("vec_id") < FacadeN)
+          .select(col("vec_id").cast("string").as("id"),
+            col("embedding").as("values")),
+        DOpqNs)
+      s
+    })
+    val hits = store.findSimilarPqGraded(qv, k = K, namespace = DOpqNs)
+    require(store.pqRotation(DOpqNs, qv.length).isDefined,
+      "q149 grades the rotation — the durable code tables must be OPQ-built")
+    lastDurableOpqAux = store.pqLayoutDir(DOpqNs, qv.length)
+      .map((_, qv.length))
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** The q147 rotation replay + the q92 probed-cell restriction: LUT
+    * re-derived in SQL from `rot/` + `codebook/` + the raw query, ADC
+    * over the PROBED cells' `codes_flat/`, top-CandN on (rounded ADC,
+    * string id), exact cosine rerank over the loaded set. */
+  def q149Sql(aux: String, dim: Int): String = {
+    val subDim = dim / Pq.SubSpaces
+    s"""WITH rot AS (SELECT i, j, r FROM read_parquet('$aux/rot/*.parquet')),
+       |qraw AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $DOpqQueryId),
+       |rq AS (
+       |  SELECT rot.i AS i,
+       |         CAST(sum(rot.r::DOUBLE * qraw.qv[rot.j + 1]::DOUBLE) AS FLOAT) AS x
+       |  FROM rot, qraw GROUP BY rot.i),
+       |nrm AS (SELECT sqrt(sum(x::DOUBLE * x::DOUBLE)) AS n FROM rq),
+       |qs AS (
+       |  SELECT (i // $subDim)::INT AS sub, (i % $subDim)::INT AS pos,
+       |         CAST(CASE WHEN nrm.n > 0 THEN x::DOUBLE / nrm.n
+       |              ELSE x::DOUBLE END AS FLOAT) AS qsv
+       |  FROM rq, nrm),
+       |cb AS (SELECT sub, code, centroid FROM read_parquet('$aux/codebook/*.parquet')),
+       |lut AS (
+       |  SELECT cb.sub, cb.code,
+       |         sum((qs.qsv::DOUBLE - cb.centroid[qs.pos + 1]::DOUBLE)
+       |           * (qs.qsv::DOUBLE - cb.centroid[qs.pos + 1]::DOUBLE)) AS d
+       |  FROM cb JOIN qs ON qs.sub = cb.sub
+       |  GROUP BY cb.sub, cb.code),
+       |probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN probes p ON p.cell = c.cell
+       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY c.id),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $FacadeN),
+       |sc AS (
+       |  SELECT c.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, qraw q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
 
   // ---- q93: the durable ANN read path in the reference's default space -
 
@@ -2533,7 +2835,10 @@ object StoreOps {
       "q135_durable_bq_batch" -> (q135 _),
       "q136_durable_imi_batch" -> (q136 _),
       "q137_durable_hnsw_batch" -> (q137 _),
-      "q140_store_bq_batch" -> (q140 _))
+      "q140_store_bq_batch" -> (q140 _),
+      "q147_store_opq_search" -> (q147 _),
+      "q148_store_lsh_batch" -> (q148 _),
+      "q149_durable_opq_search" -> (q149 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -2584,5 +2889,10 @@ object StoreOps {
         "q136_durable_imi_batch" -> q107Sql(aux, s"$aux/batch_probes")) ++
       lastDurableBatchHnswAux.map(aux =>
         "q137_durable_hnsw_batch" -> q137Sql(aux)) ++
-      Map("q140_store_bq_batch" -> q140Sql)
+      Map("q140_store_bq_batch" -> q140Sql,
+        "q148_store_lsh_batch" -> q148Sql) ++
+      lastOpqAux.map { case (aux, dim) =>
+        "q147_store_opq_search" -> q147Sql(aux, dim) } ++
+      lastDurableOpqAux.map { case (aux, dim) =>
+        "q149_durable_opq_search" -> q149Sql(aux, dim) }
 }

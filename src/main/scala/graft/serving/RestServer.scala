@@ -347,12 +347,12 @@ class RestServer(store: VectorStore, port: Int = 0,
         val qs = qNode.elements().asScala.map(floats).toSeq
         // one scan answers the whole batch (Scoring.batchSearch). Approx
         // batches route through the INDEXED one-scan forms — all probe
-        // lists / LUTs / query codes / beam queries union into ONE sweep
-        // of the layout (ivf r11; pq/bq/hnsw r12; imi + the durable
-        // pq/bq/imi/hnsw mounts r13 — the batch matrix is complete on
-        // both mounts except lsh, whose per-query hyperplane probe has
-        // no shared-scan form and is refused rather than silently
-        // looped per query)
+        // lists / LUTs / query codes / beam queries / band buckets union
+        // into ONE sweep of the layout (ivf r11; pq/bq/hnsw r12; imi +
+        // the durable pq/bq/imi/hnsw mounts r13; lsh r14 via the
+        // probe-union of all queries' band buckets against the cached
+        // signature table — the live batch matrix is COMPLETE; durable
+        // has no lsh mount at all, so durable lsh batch stays a 422)
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
@@ -363,10 +363,10 @@ class RestServer(store: VectorStore, port: Int = 0,
             batchIndex != "bq" && batchIndex != "imi" && batchIndex != "hnsw")
           throw new IllegalArgumentException(
             s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
-        if (wantApprox && batchIndex == "lsh")
-          throw new IllegalArgumentException(
-            "lsh has no one-scan batch form; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw', or use /search per query")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
+        if (wantApprox && batchIndex == "lsh" && wantDurable)
+          throw new IllegalArgumentException(
+            "the durable store has no lsh mount; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw'")
         val results =
           if (wantDurable) {
             val d = durableStore
@@ -397,6 +397,8 @@ class RestServer(store: VectorStore, port: Int = 0,
               throw new IllegalArgumentException(
                 s"approx batch search is cosine only, got metric '$metric'")
             batchIndex match {
+              case "lsh" => store.findSimilarBatchLsh(qs, k, ns,
+                stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
               case "ivf" => store.findSimilarBatchIvf(qs, k, ns,
                 stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
               case "pq" => store.findSimilarBatchPq(qs, k, ns,

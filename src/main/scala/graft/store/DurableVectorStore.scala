@@ -1821,6 +1821,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val aux = derivedAux(ann.aux, "pq")
           rotOpt.foreach(rot =>
             graft.operators.Opq.writeRotation(spark, rot, s"$aux/rot"))
+          graft.operators.Pq.writeCodebook(spark, codebookSeq,
+            s"$aux/codebook")
           enc.withColumn("codes",
               graft.functions.PqEncode(col("values"), codebookSeq))
             .select(col("id"), col("codes"), col("cell"))

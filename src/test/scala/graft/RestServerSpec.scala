@@ -354,7 +354,7 @@ class RestServerSpec extends AnyFunSuite {
       val ares = mapper.readTree(ab)
       assert(ares.isArray && ares.size() == 2)
       assert(ares.get(0).get(0).get("score").asDouble() > 0.99)
-      for (idx <- Seq("pq", "bq", "imi", "hnsw")) {
+      for (idx <- Seq("lsh", "pq", "bq", "imi", "hnsw")) {
         val (pc, pb) = send("POST", s"$base/search/batch?namespace=bs",
           s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
              | "approx": true, "index": "$idx"}""".stripMargin)
@@ -364,8 +364,10 @@ class RestServerSpec extends AnyFunSuite {
         assert(pres.get(0).get(0).get("score").asDouble() > 0.99,
           s"$idx batch top hit")
       }
+      // lsh batch is served since r14 (probe-union one-scan form) — the
+      // loop above covers it; a typo'd index still 422s
       val (lc, _) = send("POST", s"$base/search/batch?namespace=bs",
-        """{"queries": [[1.0, 0.0]], "approx": true, "index": "lsh"}""")
+        """{"queries": [[1.0, 0.0]], "approx": true, "index": "flann"}""")
       assert(lc == 422)
       // empty batches are a 422
       val (ec, _) = send("POST", s"$base/search/batch?namespace=bs",
