@@ -23,6 +23,7 @@ object SparkEntry {
       StoreOps.queries ++ EventStream.queries ++ Skew.queries ++
       Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
       Sq.queries ++ Bq.queries ++ MultimodalOps.queries ++
+      graft.multimodal.MediaDedup.queries ++
       Hnsw.queries ++ graft.plans.IndexedTopK.queries ++ Graph.queries ++
       Opq.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       StoreOps.oracles ++ EventStream.oracles ++ Skew.oracles ++
       Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
       Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles ++
+      graft.multimodal.MediaDedup.oracles ++
       Hnsw.oracles ++ graft.plans.IndexedTopK.oracles ++ Graph.oracles ++
       Opq.oracles
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MediaDedup
+
+/** Semantic invariants of the perceptual-dedup family (q150/q151) that
+  * the oracle replay cannot check — the oracle proves both engines
+  * compute the same hashes over the same bytes; these pin that the
+  * hashes MEAN near-duplicate. */
+class MediaDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("BMP encoder round-trips through ImageIO pixel-exact") {
+    val px = MediaDedup.pixelsFor(7L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaDedup.encodeBmp(px)))
+    assert(img.getWidth == MediaDedup.ImgW && img.getHeight == MediaDedup.ImgH)
+    for (y <- 0 until MediaDedup.ImgH; x <- 0 until MediaDedup.ImgW)
+      assert((img.getRGB(x, y) & 0xffffff) == px(y)(x),
+        s"pixel ($x,$y) drifted through encode/decode")
+  }
+
+  test("dHash separates: plants near, unrelated pairs at the random-code expectation") {
+    val hashes = (0L until 60L)
+      .map(id => id -> MediaDedup.dhash(
+        MediaDedup.encodeBmp(MediaDedup.pixelsFor(id)))).toMap
+    // planted pairs within threshold
+    Seq(9L, 19L, 29L, 39L, 49L, 59L).foreach { p =>
+      val d = hamming(hashes(p), hashes(p - 1))
+      assert(d <= MediaDedup.DHashMaxHamming, s"plant $p at hamming $d")
+    }
+    // unrelated pairs far — min over all non-planted pairs well above
+    // the threshold (the separation that makes the threshold a policy,
+    // not a coin flip)
+    val unrelated = for {
+      a <- 0L until 60L; b <- a + 1 until 60L
+      if !(b == a + 1 && b % 10 == 9)
+    } yield hamming(hashes(a), hashes(b))
+    assert(unrelated.min > MediaDedup.DHashMaxHamming + 6,
+      s"unrelated images too close: min hamming ${unrelated.min}")
+    assert(unrelated.sum.toDouble / unrelated.size > 24,
+      "unrelated mean hamming should sit near the random expectation of 32")
+  }
+
+  test("audio fingerprint separates the same way") {
+    val hashes = (0L until 60L)
+      .map(id => id -> MediaDedup.audioFingerprint(
+        MediaDedup.encodeWav(MediaDedup.samplesFor(id)))).toMap
+    Seq(9L, 19L, 29L, 39L, 49L, 59L).foreach { p =>
+      val d = hamming(hashes(p), hashes(p - 1))
+      assert(d <= MediaDedup.AudioMaxHamming, s"plant $p at hamming $d")
+    }
+    val unrelated = for {
+      a <- 0L until 60L; b <- a + 1 until 60L
+      if !(b == a + 1 && b % 10 == 9)
+    } yield hamming(hashes(a), hashes(b))
+    assert(unrelated.min > MediaDedup.AudioMaxHamming + 6,
+      s"unrelated audio too close: min hamming ${unrelated.min}")
+  }
+
+  test("banded candidates guarantee every within-threshold pair by pigeonhole") {
+    // 4 bands × 16 bits: at hamming ≤ 3 (= the graded thresholds) at
+    // most 3 bands are touched, so ≥ 1 band's bucket matches — and at
+    // hamming 4 the guarantee genuinely ENDS (one flip per band), which
+    // is why the threshold sits at 3. Pin both directions.
+    val a = 0x0123456789abcdefL
+    val rnd = new scala.util.Random(11)
+    def bandsOf(v: Long) = (0 until 4).map(band => (v >> (band * 16)) & 0xffff)
+    for (_ <- 0 until 200; h <- 0 to 3) {
+      var b = a
+      rnd.shuffle((0 until 64).toList).take(h).foreach(i => b ^= 1L << i)
+      assert(bandsOf(a).zip(bandsOf(b)).exists { case (x, y) => x == y },
+        s"hamming-$h pair shared no band bucket")
+    }
+    assert(math.max(MediaDedup.DHashMaxHamming, MediaDedup.AudioMaxHamming) <= 3,
+      "threshold exceeds the 4-band pigeonhole bound — pair set no longer exact")
+    // the boundary case: one flip in EVERY band shares no bucket
+    val b4 = a ^ 1L ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+    assert(!bandsOf(a).zip(bandsOf(b4)).exists { case (x, y) => x == y })
+  }
+
+  test("q150/q151 flag exactly the planted pairs on the graded fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val img = MediaDedup.q150(spark, dir).collect()
+    val aud = MediaDedup.q151(spark, dir).collect()
+    val want = (9L until MediaDedup.NImages.toLong by 10L)
+      .map(p => (p - 1, p)).toSet
+    assert(img.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "image dedup pair set != planted set")
+    assert(aud.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "audio dedup pair set != planted set")
+    // and they are NEAR-dups, not byte-dups: some nonzero distances
+    assert(img.exists(_.getInt(2) > 0), "image plants all hash-identical")
+    assert(aud.exists(_.getInt(2) > 0), "audio plants all hash-identical")
+  }
+}
