@@ -24,8 +24,8 @@ object Analytics {
     // tf is distinct-by-construction on (doc_id, term), so document
     // frequency derives from the (much smaller) tf frame — one pass over
     // the exploded tokens instead of two
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = StandingCache.frame(dir, "an_q34_tf")(
+      toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.count()
     val w = Window.partitionBy(col("doc_id"))
@@ -177,9 +177,10 @@ object Analytics {
   def q99(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.table(spark, dir, "documents")
       .withColumn("toks", tokens(col("text")))
-    val uni = toks.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cn"))
-      .localCheckpoint() // one tokenize: totals + both joins read this
+    // one tokenize: totals + both joins read this; dir-pure → standing
+    val uni = StandingCache.frame(dir, "an_q99_uni")(
+      toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cn")))
     val totalT = uni.agg(sum(col("cn"))).collect()(0).getLong(0)
     val bi = toks.where(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -187,7 +188,7 @@ object Analytics {
           "(a, b) -> struct(a AS a, b AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint()
+      .transform(f => StandingCache.frame(dir, "an_q99_bi")(f))
     val totalB = bi.agg(sum(col("cab"))).collect()(0).getLong(0)
     bi.where(col("cab") >= 5)
       .join(broadcast(uni.select(col("tok").as("a"), col("cn").as("ca"))), Seq("a"))

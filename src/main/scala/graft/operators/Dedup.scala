@@ -81,13 +81,19 @@ object Dedup {
 
   /** Exact Jaccard over the given candidate pair set (or all i<j pairs when
     * candidates is None). */
+  /** The exploded shingle postings as a STANDING per-dir artifact (r14
+    * — the bm25 tokenizedCorpus pattern): the frame feeds three plan
+    * branches per query (sizes, left, right) AND repeats identically
+    * across q17/prefix-filter invocations; without materialization the
+    * regex+shingling scan re-runs per branch (measured dominating the
+    * bench), and the pre-r14 per-invocation localCheckpoint leaked one
+    * corpus-sized anonymous block per call for library callers. */
+  private def postings(spark: SparkSession, dir: String): DataFrame =
+    StandingCache.frame(dir, "dedup_postings")(shingleSets(spark, dir))
+
   private def jaccard(spark: SparkSession, dir: String,
                       candidates: Option[DataFrame]): DataFrame =
-    // The postings frame feeds three plan branches (sizes, left, right);
-    // without materialization Spark recomputes the regex+shingling scan
-    // per branch — that recomputation, not the join, dominated the bench.
-    // (The 100 TB analogue: persist the postings table before the join.)
-    jaccardFrom(shingleSets(spark, dir).localCheckpoint(true), candidates)
+    jaccardFrom(postings(spark, dir), candidates)
 
   /** Same, over an ALREADY-MATERIALIZED postings frame. Callers that have
     * checkpointed the postings for their own candidate generation (q18's
@@ -171,7 +177,7 @@ object Dedup {
   // t ≥ 0.8 over web-scale corpora with zipfian shingle frequencies.
   def jaccardPrefixFiltered(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(spark, dir).localCheckpoint(true)
+    val sh = postings(spark, dir)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rk = row_number().over(
@@ -208,10 +214,9 @@ object Dedup {
     // ~3 s of plan machinery at sf0.1 for work the per-row loop does in
     // milliseconds; at 100 TB the narrow shape also wins structurally —
     // signatures never touch a shuffle, only (doc, band, bucket) does.
-    val base = docs(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.TokenShingleHashes(col("text"), ShingleN).as("hs"))
-      .localCheckpoint(eager = true)
+    val base = StandingCache.frame(dir, "dedup_shingle_arrays")(
+      docs(spark, dir).select(col("doc_id"),
+        graft.functions.TokenShingleHashes(col("text"), ShingleN).as("hs")))
     val sh0 = base.select(col("doc_id"), explode(col("hs")).as("h"))
     // Drop shingle-less docs BEFORE the kernel, and filter on the
     // materialized `hs` column, not the `ms` alias: a post-projection
@@ -234,10 +239,11 @@ object Dedup {
           (0 until RowsPerBand).map(r =>
             element_at(col("ms"), bd * RowsPerBand + r + 1)): _*)).as("sig"))
     }
-    val banded = sig
+    // signatures feed both sides of the bucket join — and are a pure
+    // function of the dir, so they stand (r14)
+    val banded = StandingCache.frame(dir, "dedup_minhash_bands")(sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-      .localCheckpoint(true) // signatures feed both sides of the bucket join
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig")))
     val x = banded.select(col("doc_id").as("id_a"), col("band"), col("sig"))
     val y = banded.select(col("doc_id").as("id_b"), col("band"), col("sig"))
     val cand = x.join(y, Seq("band", "sig"))
@@ -279,10 +285,11 @@ object Dedup {
         shiftright(col("fp"), ck * ChunkBits)
           .bitwiseAND(lit((1L << ChunkBits) - 1)).as("cv"))
     }
-    val chunked = fps
+    // fingerprints feed both sides of the chunk join — dir-pure, so
+    // they stand (r14)
+    val chunked = StandingCache.frame(dir, "dedup_simhash_chunks")(fps
       .select(col("doc_id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
-      .select(col("doc_id"), col("fp"), col("c.chunk").as("chunk"), col("c.cv").as("cv"))
-      .localCheckpoint(true) // fingerprints feed both sides of the chunk join
+      .select(col("doc_id"), col("fp"), col("c.chunk").as("chunk"), col("c.cv").as("cv")))
     val x = chunked.select(col("doc_id").as("id_a"), col("fp").as("fa"), col("chunk"), col("cv"))
     val y = chunked.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("chunk"), col("cv"))
     x.join(y, Seq("chunk", "cv"))
@@ -581,9 +588,9 @@ object Dedup {
     // the digest frame feeds FOUR plan branches (keeper agg, drop join,
     // totals, survivors) — materialize once or the lower+regex+md5 scan
     // of the corpus runs per branch (the q42/jaccard() lesson)
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
-      md5(normText(col("text"))).as("h"))
-      .localCheckpoint(eager = true)
+    val d = StandingCache.frame(dir, "dedup_digests")(
+      docs(spark, dir).select(col("doc_id"), col("lang"),
+        md5(normText(col("text"))).as("h")))
     val exKeep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     val exDrop = d.join(exKeep, Seq("h"))
       .where(col("doc_id") =!= col("keeper"))
@@ -724,10 +731,9 @@ object Dedup {
     // materialized once: feeds gram explode AND the final per-doc join
     // (the q18 postings-checkpoint lesson — unmaterialized, the
     // tokenize scan re-runs per plan branch)
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
-      .localCheckpoint(eager = true)
-    val grams = toks
+    val toks = StandingCache.frame(dir, "span_toks")(docs(spark, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w")))
+    val grams = StandingCache.frame(dir, "span_grams")(toks
       .where(size(col("w")) >= SpanK)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - (SpanK - 1)),
@@ -735,8 +741,7 @@ object Dedup {
           graft.functions.TextFunctions.hash60(
             concat_ws(" ", slice(col("w"), i, lit(SpanK)))).as("h"))))
         .as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-      .localCheckpoint(eager = true)
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
     // ≥ 2 occurrences ANYWHERE (incl. twice within one doc) = duplicated
     val dup = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).where(col("n") >= 2).select(col("h"))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Standing per-(dir, tag) cache for corpus-snapshot frames (r14 —
+  * VERDICT r13 "Next round" #6, generalizing the Retrieval.withDlFrame
+  * pattern that took q66 2.100 → 0.528 s in r13).
+  *
+  * The convention it replaces: operators eagerly `localCheckpoint`ed
+  * every frame that feeds multiple plan branches, per invocation. For
+  * frames that are PURE FUNCTIONS of an immutable input dir (tokenized
+  * corpora, shingle postings, minhash signatures, digest tables) that
+  * is strictly worse than a standing pin: the blocks are anonymous
+  * (nothing can reuse them), never freed (a library caller looping one
+  * operator leaks one corpus-sized block per call), and rebuilt per
+  * invocation. A persisted per-dir frame is (a) built once per JVM,
+  * (b) reclaimable by external cache hygiene (the bench sweep, an ops
+  * script), and (c) self-healing — an external unpersist re-pins on
+  * next use (the VectorStore.indexSigs discipline). CacheManager dedups
+  * by normalized plan, so re-persisting the same per-dir plan can never
+  * stack duplicate pins.
+  *
+  * NOT for loop state: iterative frames (BPE vocab, label propagation,
+  * PCA/PageRank rounds) keep eager `localCheckpoint` + explicit free —
+  * persist pins inside a loop interact with CacheManager normalization
+  * of the growing plan (measured doubling q124's wall time, r13) and
+  * genuinely supersede each other. Transient pair-frames keep their
+  * checkpoints too; they are output-sized, not corpus-sized.
+  */
+object StandingCache {
+
+  private val frames = new ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** The standing frame for (dir, tag), built (and eagerly
+    * materialized) on first use per JVM; re-pinned if something
+    * external unpersisted it. */
+  def frame(dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    val df = frames.computeIfAbsent((dir, tag), _ => {
+      val f = build.persist()
+      f.count()
+      f
+    })
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(); df.count()
+    }
+    df
+  }
+}

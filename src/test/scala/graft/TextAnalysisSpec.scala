@@ -164,11 +164,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       val s = cells.map(_._4).sum
       assert(math.abs(s - 1.0) < 0.01, s"$lang shares sum to $s")
     }
-    // the synthetic corpus has no language signal: every prediction is
-    // 'en' (the only profile whose words appear in the shared
-    // vocabulary) or 'und' — the report SHOWING that is the point
-    assert(rows.map(_._2).toSet.subsetOf(Set("en", "und")),
-      s"unexpected predictions: ${rows.map(_._2).toSet}")
+    // r14: the deterministic marker injection gives the classifier real
+    // signal — per label the diagonal cell dominates (the in-script
+    // require pins strictness; here pin the shape), while the unmarked
+    // 20% residue still shows the shared-vocabulary confusion (those
+    // docs can only predict 'en' or 'und')
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val diag = cells.collectFirst { case (_, p, n, _) if p == lang => n }
+        .getOrElse(0L)
+      assert(cells.forall { case (_, p, n, _) => p == lang || n < diag },
+        s"$lang lost diagonal dominance: ${cells.toSeq}")
+      assert(cells.map(_._2).toSet.subsetOf(Set(lang, "en", "und")),
+        s"$lang residue predicted outside {self, en, und}: ${cells.toSeq}")
+    }
   }
 
   test("q141 PII redaction: injected PII is counted and scrubbed, docs intact") {
