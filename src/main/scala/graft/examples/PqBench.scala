@@ -24,7 +24,9 @@ import graft.functions.VectorFunctions._
   */
 object PqBench {
 
-  private val Copies = 32
+  // 32 → 64k rows (the SCALING.md default); 128 → 256k rows (the r14
+  // serving-mount OPQ scale point)
+  private val Copies = sys.env.getOrElse("GRAFT_PQBENCH_COPIES", "32").toInt
   private val NumQueries = 5
   private val K = 10
   private val CandN = 100
@@ -231,7 +233,7 @@ object PqBench {
     println(f"recall@$K vs exact: $recall%.2f  (CandN=$CandN of $n rows = ${100.0 * CandN / n}%.2f%% reranked)")
     println(f"OPQ rotated recall@$K: $opqRecall%.2f vs plain $recall%.2f at the same 8x16 code budget (rotation build adds $opqBuildSec%.2f s one-off)")
     println(f"tight budget (CandN=$TightN): OPQ rotated $tightOpq%.3f vs plain $tightPlain%.3f (both saturate on the near-dup replica corpus; rotated >= plain holds)")
-    println("note: at 64k rows both sweeps are scheduling-overhead-bound; the byte " +
+    println(s"note: at $n rows both sweeps are scheduling-overhead-bound; the byte " +
       "ratio is the scale claim (it holds at any corpus size), the seconds are not")
     spark.stop()
   }
