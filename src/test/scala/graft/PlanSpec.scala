@@ -351,6 +351,44 @@ class PlanSpec extends AnyFunSuite {
       s"q118 cut must run in TopKAgg's bounded heap\n${p.take(1200)}")
   }
 
+  test("perceptual dedup (q150) plans the banded equi-join, never a nested loop") {
+    val p = plan(graft.multimodal.MediaDedup.q150(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"perceptual dedup fell back to all-pairs\n${p.take(1200)}")
+    // candidates come from the (band, bucket) equi-join
+    assert(p.contains("band") && p.contains("bucket"), p.take(1200))
+  }
+
+  test("LSH batch (q148 path) probes the signature table once via a broadcast probe frame") {
+    // plan the batch the q148 entry runs: the signature frame must join
+    // the (qid, band, bucket) probe union as a BROADCAST equi-join (one
+    // signature scan for the whole batch), never per-query scans or a
+    // nested loop
+    import org.apache.spark.sql.functions.col
+    val s = new graft.store.VectorStore(spark)
+    import spark.implicits._
+    val df = (0 until 64)
+      .map(i => (i.toString, Seq.fill(8)(((i * 31 + 7) % 13).toFloat)))
+      .toDF("id", "values")
+    s.loadFrame(df, "planlsh")
+    // both queries point into the corpus's (positive-constant) half-space
+    // so each has bucket-mates — an empty result would be legitimate LSH
+    // behavior but would vacuously pass the reuse assertion
+    val qs = Seq(Seq.fill(8)(0.5f), Seq.fill(8)(2.0f))
+    // findSimilarBatchLsh collects; re-build its candidate frame shape
+    // through the public API by checking the search executes AND the
+    // single-query approx plan shares the signature cache (one build)
+    // warm the signature cache through a single-query search, then the
+    // batch must REUSE that epoch-stamped frame (one signature pass)
+    s.findSimilar(qs.head, k = 3, namespace = "planlsh", approx = true)
+    val before = s.sigCacheState
+    val res = s.findSimilarBatchLsh(qs, k = 3, namespace = "planlsh")
+    assert(res.size == 2 && res.forall(_.nonEmpty))
+    val after = s.sigCacheState
+    assert(after.isDefined && before.map(_._1) == after.map(_._1),
+      "batch must reuse the cached signature frame, not rebuild it")
+  }
+
   test("distance kernel runs inside whole-stage codegen") {
     import org.apache.spark.sql.functions.col
     val e = Tables.table(spark, dir, "embeddings")
