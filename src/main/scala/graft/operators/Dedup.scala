@@ -381,7 +381,7 @@ object Dedup {
     // fixpoint — convergence is one scalar agg per round, not a
     // prev-vs-next join
     def lblSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("lbl"))).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      Option(df.agg(sum(col("lbl"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     var prevSum = lblSum(labels)
     var converged = false
     while (!converged) {
@@ -668,7 +668,7 @@ object Dedup {
 
   def q71(spark: SparkSession, dir: String): DataFrame = {
     val sh = standingShingles(spark, dir)
-    val maxId = docs(spark, dir).agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs(spark, dir).agg(max(col("doc_id"))).head().getLong(0)
     val split = maxId * 4 / 5
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val corpus = sh.where(col("doc_id") < split)

@@ -1019,7 +1019,7 @@ object TextAnalysis {
 
   def q130(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val maxId = d.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
     val split = maxId * 4 / 5
     val low = maxId / 16
     val vOld = d.where(col("doc_id") < split)

@@ -1214,7 +1214,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
 
   /** Per-instance tag for derived-artifact dirs that must not collide
     * across processes sharing a layout root. */
-  private val procTag: String = ProcessHandle.current().pid() + "_" +
+  private val procTag: String = s"${ProcessHandle.current().pid()}_" +
     DurableVectorStore.instanceIds.incrementAndGet()
 
   /** SHARED layout root for this store's path — set iff [[AnnDirConf]]
