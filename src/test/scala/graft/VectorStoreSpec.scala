@@ -590,6 +590,31 @@ class VectorStoreSpec extends AnyFunSuite {
       filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
   }
 
+  test("batched LSH search equals Q sequential approx searches; mutations and filters compose") {
+    val s = newStore
+    val vecs = clusteredVectors(nClusters = 12, perCluster = 10, dim = 8, seed = 43)
+    s.upsertMany(vecs.map(v => (v, Map.empty[String, String])), "blsh")
+    val qs = vecs.take(3).map(_.map(_ + 0.01f))
+    val batch = s.findSimilarBatchLsh(qs, k = 5, namespace = "blsh")
+    assert(batch.size == 3 && batch.forall(_.nonEmpty), "lsh batch empty")
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = s.findSimilar(q, k = 5, namespace = "blsh",
+        approx = true).map(h => (h.id, h.score))
+      assert(batch(i).map(h => (h.id, h.score)) == single,
+        s"batched lsh diverged from single-query approx for query $i")
+    }
+    // a mutation invalidates the signature epoch for the NEXT batch
+    val victim = batch.head.head.id
+    assert(s.delete(Seq(victim), "blsh") == Seq(victim))
+    assert(!s.findSimilarBatchLsh(qs, k = 5, namespace = "blsh")
+      .head.map(_.id).contains(victim), "batched lsh served a deleted id")
+    // empty namespace: positional empties; filters compose on the live side
+    assert(s.findSimilarBatchLsh(qs, k = 5, namespace = "nothing_here") ==
+      Seq(Seq.empty, Seq.empty, Seq.empty))
+    assert(s.findSimilarBatchLsh(qs, k = 5, namespace = "blsh",
+      filter = Map("tier" -> "none_have_this")).forall(_.isEmpty))
+  }
+
   test("store-attached IVF geometry scales with namespace size; recall floor holds at both sizes") {
     val s = newStore
     val dim = 16
