@@ -78,9 +78,20 @@ object IvfPq {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
   def probe(spark: SparkSession, dir: String, aux: String,
-            persistAux: Boolean = false): DataFrame = {
+            persistAux: Boolean = false): DataFrame =
+    probeWith(spark, dir, aux, Pq.ensureLayout(spark, dir), rot = None,
+      persistAux)
+
+  /** The one probe recipe, parameterized by WHOSE codes it sweeps:
+    * `codesAux` carries the codebook the LUTs tabulate against, and
+    * `rot` (when the codes are OPQ-rotated — q152) rotates each query
+    * into that code space first. Cell ranking always runs on the RAW
+    * query against the raw-space IVF centers — rotation never touches
+    * the coarse quantizer, exactly the serving mounts' discipline. */
+  private def probeWith(spark: SparkSession, dir: String, aux: String,
+                        codesAux: String, rot: Option[Array[Array[Float]]],
+                        persistAux: Boolean): DataFrame = {
     val ivfAux = Ann.ensureLayout(spark, dir)
-    val pqAux = Pq.ensureLayout(spark, dir)
     val centers = centroidCache.computeIfAbsent(ivfAux, a =>
       spark.read.parquet(s"$a/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
@@ -91,8 +102,11 @@ object IvfPq {
     val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
       Ann.rankCells(qv, centers, nProbe).map(cell => (qid, cell))
     }
-    val codebook = Pq.readCodebook(spark, pqAux)
-    val luts = Pq.queryLuts(spark, dir, codebook)
+    val codebook = Pq.readCodebook(spark, codesAux)
+    val luts = queries.toSeq.map { case (qid, qv) =>
+      val qEff = rot.map(Opq.rotateQuery(_, qv)).getOrElse(qv)
+      (qid, Pq.lutFor(qEff, codebook))
+    }
 
     import spark.implicits._
     if (persistAux) {
@@ -126,6 +140,54 @@ object IvfPq {
       _ => buildLayout(spark, dir))
     lastAux = Some((aux, Pq.ensureLayout(spark, dir)))
     probe(spark, dir, aux, persistAux = true)
+  }
+
+  // ---- q152: OPQ ∘ IVFADC (r14) ---------------------------------------
+
+  /** Conf key for the OPQ-IVFADC layout root. */
+  val OpqIvfPqDirConf = "spark.graft.opqivfpq.dir"
+
+  private val opqRoot = new LayoutRoot(OpqIvfPqDirConf, "graft_opqivfpq_")
+
+  @volatile private var lastOpqAux: Option[(String, String)] = None
+
+  private val opqLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** BUILD: the [[buildLayout]] join with [[Opq]]'s ROTATED codes in
+    * place of [[Pq]]'s raw ones — cells stay the raw-space IVF
+    * assignment (pruning identical), only the code space rotates. This
+    * is FAISS's `OPQ..,IVF..,PQ..` factory composition, and with r14's
+    * serving mounts it closes the last raw-PQ surface where a rotated
+    * variant is meaningful (q58 stays raw deliberately: it is q138's
+    * A/B baseline). */
+  def buildOpqLayout(spark: SparkSession, dir: String): String = {
+    buildCount.incrementAndGet()
+    val aux = opqRoot.auxDir(spark, dir)
+    val ivfAux = Ann.ensureLayout(spark, dir)
+    val opqAux = Opq.ensureLayout(spark, dir)
+    val assign = spark.read.parquet(s"$ivfAux/assign")
+    val codes = spark.read.parquet(s"$opqAux/codes")
+    assign.join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$aux/index")
+    spark.read.parquet(s"$aux/index")
+      .select(col("vec_id"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$aux/assign")
+    aux
+  }
+
+  /** q152 = cached OPQ-IVFADC build + the shared probe with rotated
+    * LUTs. The oracle is [[q60Sql]] verbatim over this layout's tables
+    * — probes/assign/lut/codes_flat fully capture the policy, rotation
+    * included (the q138 contract; the rotation DERIVATION itself is
+    * graded by q147/q149). */
+  def opqIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val aux = opqLayoutCache.computeIfAbsent(opqRoot.auxDir(spark, dir),
+      _ => buildOpqLayout(spark, dir))
+    val opqAux = Opq.ensureLayout(spark, dir)
+    lastOpqAux = Some((aux, opqAux))
+    probeWith(spark, dir, aux, opqAux,
+      rot = Some(Opq.readRotation(spark, opqAux)), persistAux = true)
   }
 
   /** Oracle replay from the persisted layouts: candidates = members of
@@ -163,12 +225,16 @@ object IvfPq {
        |ORDER BY qid, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_ann_ivfpq_topk" -> (ivfPqTopK _))
+    "q60_ann_ivfpq_topk" -> (ivfPqTopK _),
+    "q152_ann_opq_ivfadc" -> (opqIvfPqTopK _))
 
-  /** Emitted only after ivfPqTopK ran in this JVM (the q33/q58 honesty
+  /** Emitted only after the entry ran in this JVM (the q33/q58 honesty
     * contract — never a stale layout). */
   def oracles: Map[String, String] =
     lastAux.map { case (aux, pqAux) =>
       "q60_ann_ivfpq_topk" -> q60Sql(aux, pqAux)
-    }.toMap
+    }.toMap ++
+      lastOpqAux.map { case (aux, opqAux) =>
+        "q152_ann_opq_ivfadc" -> q60Sql(aux, opqAux)
+      }
 }
