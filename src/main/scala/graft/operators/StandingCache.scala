@@ -29,6 +29,18 @@ import org.apache.spark.storage.StorageLevel
   * of the growing plan (measured doubling q124's wall time, r13) and
   * genuinely supersede each other. Transient pair-frames keep their
   * checkpoints too; they are output-sized, not corpus-sized.
+  *
+  * CONTRACT — the dir is immutable while cached (r15, per advice): the
+  * cached plan pins the parquet file listing at construction, and the
+  * self-healing re-pin re-materializes that SAME plan — so a caller
+  * that regenerates a corpus dir in place and re-runs an operator in
+  * the same JVM would silently read pre-regeneration results, and pins
+  * accumulate per distinct dir for the JVM's lifetime. Long-lived
+  * callers that mutate or cycle dirs must call [[invalidate]] (per
+  * dir, after regeneration) or [[clear]] (between corpus epochs); both
+  * also drop the pinned blocks. The bench sweep's external unpersist
+  * is SAFE by contrast — it only drops blocks, and the re-pin rebuilds
+  * the same immutable dir's plan (HygieneSpec pins this).
   */
 object StandingCache {
 
@@ -36,7 +48,8 @@ object StandingCache {
 
   /** The standing frame for (dir, tag), built (and eagerly
     * materialized) on first use per JVM; re-pinned if something
-    * external unpersisted it. */
+    * external unpersisted it. The dir must be immutable while cached —
+    * see the object scaladoc; evict with [[invalidate]]/[[clear]]. */
   def frame(dir: String, tag: String)(build: => DataFrame): DataFrame = {
     val df = frames.computeIfAbsent((dir, tag), _ => {
       val f = build.persist()
@@ -47,5 +60,33 @@ object StandingCache {
       df.persist(); df.count()
     }
     df
+  }
+
+  /** Evict every standing frame for `dir` (all tags), unpersisting the
+    * pinned blocks — for callers that regenerate a corpus dir in place.
+    * The next `frame(dir, …)` rebuilds from the dir's CURRENT files. */
+  def invalidate(dir: String): Unit = {
+    val it = frames.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == dir) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
+  /** Evict ALL standing frames (every dir) — for corpus-epoch
+    * boundaries in long-lived JVMs. */
+  def clear(): Unit = {
+    frames.values().forEach(_.unpersist(false))
+    frames.clear()
+  }
+
+  /** Pinned (dir, tag) keys, for ops-script introspection alongside
+    * the bench sweep. */
+  def pinned: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    frames.keySet().asScala.toSeq.sorted
   }
 }

@@ -1475,16 +1475,22 @@ object TextAnalysis {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def q139(spark: SparkSession, dir: String): DataFrame = {
-    // label-unique markers, injected on doc_id % 5 != 0 (see header)
+    // label-unique markers, injected on doc_id % 5 != 0 (see header).
+    // Injection is RESTRICTED to the five known labels (r15, ADVICE):
+    // the old `.otherwise('的')` gave Han markers to ANY unexpected
+    // label value (pt, und, null), which would predict zh and trip the
+    // diagonal-dominance require from inside the query — an unknown
+    // label now stays unmarked and merely scores on its natural text.
     val marker = when(col("lang") === "de", lit("und "))
       .when(col("lang") === "en", lit("the "))
       .when(col("lang") === "es", lit("que "))
       .when(col("lang") === "fr", lit("les "))
-      .otherwise(lit("的")) // zh: Han '的'
+      .when(col("lang") === "zh", lit("的")) // Han '的'
+      .otherwise(lit(""))
     val base = docs(spark, dir)
       .withColumn("m", marker)
       .withColumn("text",
-        when(pmod(col("doc_id"), lit(5)) =!= 0,
+        when(pmod(col("doc_id"), lit(5)) =!= 0 && col("m") =!= "",
           concat(col("text"), lit(" "), expr("repeat(m, 25)")))
           .otherwise(col("text")))
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"),
@@ -1520,7 +1526,10 @@ object TextAnalysis {
       // the diagonal cell strictly dominates every off-diagonal one
       val cells = report.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      cells.map(_._1).distinct.foreach { l =>
+      // the gate covers the INJECTED labels only — an unexpected label
+      // carries no marker, so it has no dominance promise to assert
+      val injected = Set("de", "en", "es", "fr", "zh")
+      cells.map(_._1).distinct.filter(injected).foreach { l =>
         val mine = cells.filter(_._1 == l)
         val diag = mine.collectFirst { case (_, p, n) if p == l => n }
           .getOrElse(0L)
@@ -1537,7 +1546,9 @@ object TextAnalysis {
     }.mkString(",\n       |       ")
     s"""WITH aug AS (
        |  SELECT doc_id, lang,
-       |         CASE WHEN doc_id % 5 <> 0 THEN text || ' ' ||
+       |         CASE WHEN doc_id % 5 <> 0
+       |                   AND lang IN ('de', 'en', 'es', 'fr', 'zh')
+       |         THEN text || ' ' ||
        |           repeat(CASE lang WHEN 'de' THEN 'und '
        |                            WHEN 'en' THEN 'the '
        |                            WHEN 'es' THEN 'que '

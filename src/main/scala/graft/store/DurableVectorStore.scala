@@ -1774,14 +1774,25 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   /** PQ code-table builds paid by this store — spec hook. */
   private[graft] val pqBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Codes dir + records layout serving (namespace, dim) — oracle hook. */
+  /** The PqEntry for (namespace, dim) IF it still encodes the currently
+    * cached ann layout — the guard the serving path applies via
+    * `cached.filter(_.annAux == ann.aux)` (r15, per advice): after a
+    * staleness/generation rebuild the codes are orphaned, and the hooks
+    * must return None rather than a superseded layout's artifacts. */
+  private def currentPqEntry(namespace: String, dim: Int): Option[PqEntry] =
+    Option(pqCache.get((namespace, dim, "raw"))).filter(pe =>
+      Option(annCache.get((namespace, dim, "raw"))).exists(_.aux == pe.annAux))
+
+  /** Codes dir + records layout serving (namespace, dim) — oracle hook;
+    * None unless the codes match the current ann layout (search first). */
   private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
-    Option(pqCache.get((namespace, dim, "raw"))).map(_.aux)
+    currentPqEntry(namespace, dim).map(_.aux)
 
   /** The rotation the durable PQ codes were built with (None = raw PQ)
-    * — spec/oracle hook, the live mount's pqRotation contract. */
+    * — spec/oracle hook, the live mount's pqRotation contract; same
+    * current-layout guard as [[pqLayoutDir]]. */
   private[graft] def pqRotation(namespace: String, dim: Int): Option[Array[Array[Float]]] =
-    Option(pqCache.get((namespace, dim, "raw"))).flatMap(_.rot)
+    currentPqEntry(namespace, dim).flatMap(_.rot)
 
   /** Build-or-reuse the code tables for `ann`'s layout: per-subspace
     * codebooks trained on the layout rows via the shared

@@ -989,9 +989,14 @@ class VectorStore(val spark: SparkSession) {
   }
 
   /** The rotation the store-attached PQ layout was built with (None =
-    * raw PQ) — spec/oracle hook, the [[pqLayoutDir]] contract. */
+    * raw PQ) — spec/oracle hook, the [[pqLayoutDir]] contract. Epoch-
+    * guarded like the serving path (r15, per advice): after a mutation
+    * the cached entry is superseded and this returns None rather than
+    * a stale layout's rotation — callers must search first (rebuilding
+    * the layout at the current epoch), then read the hook. */
   private[graft] def pqRotation(namespace: String, dim: Int): Option[Array[Array[Float]]] =
-    Option(pqCache.get((namespace, dim))).flatMap(_._4)
+    Option(pqCache.get((namespace, dim)))
+      .collect { case (e, _, _, rot) if e == epoch => rot }.flatten
 
   /** Candidates via the store-attached PQ index: one ADC sweep of the
     * compressed codes table (a table-lookup sum per row — at scale it
@@ -1031,9 +1036,11 @@ class VectorStore(val spark: SparkSession) {
     }
 
   /** The layout dir the store-attached PQ index serves (namespace, dim)
-    * from — oracle hook, like [[ivfLayoutDir]]. */
+    * from — oracle hook, like [[ivfLayoutDir]]. Epoch-guarded (r15):
+    * None after a mutation until the next search rebuilds. */
   private[graft] def pqLayoutDir(namespace: String, dim: Int): Option[String] =
-    Option(pqCache.get((namespace, dim))).map(_._2)
+    Option(pqCache.get((namespace, dim)))
+      .collect { case (e, aux, _, _) if e == epoch => aux }
 
   // ---- store-attached BQ index (sign-bit codes, hamming prefilter) ----
 

@@ -59,12 +59,20 @@ class StoreOpqSpec extends AnyFunSuite {
     if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0
   }
 
-  private def loadStore(ns: String): VectorStore = {
-    import spark.implicits._
+  /** Loads the corpus into a fresh store. `session` defaults to the
+    * shared TestSpark session; the raw-PQ A/B arm passes a CLONED
+    * session (`spark.newSession()` — own SQLConf, shared context) so
+    * flipping [[Opq.RotateConf]] can never leak into a concurrently
+    * running suite or a PQ layout built between set and restore (r15,
+    * per advice — the flag read is per-store-session,
+    * VectorStore.pqRotateEnabled). */
+  private def loadStore(ns: String,
+                        session: org.apache.spark.sql.SparkSession = spark): VectorStore = {
+    import session.implicits._
     val df = corpus.zipWithIndex
       .map { case (v, i) => (i.toString, v.toSeq) }.toSeq
       .toDF("id", "values")
-    val s = new VectorStore(spark)
+    val s = new VectorStore(session)
     s.loadFrame(df, ns)
     s
   }
@@ -93,19 +101,24 @@ class StoreOpqSpec extends AnyFunSuite {
     assert(sRot.pqRotation("opq_on", dim).isDefined,
       "default-on store served PQ without a rotation")
 
-    spark.conf.set(Opq.RotateConf, "false")
-    try {
-      val sRaw = loadStore("opq_off")
-      val rawRec = storeRecall(sRaw, "opq_off")
-      assert(sRaw.pqRotation("opq_off", dim).isEmpty,
-        "flag-off store rotated anyway")
-      info(f"store-path recall@10: raw=$rawRec%.3f opq=$rotRec%.3f")
-      assert(rotRec >= rawRec,
-        f"rotation hurt serving recall: $rotRec%.3f < $rawRec%.3f")
-      assert(rotRec - rawRec >= 0.02,
-        f"no measurable serving-path gain where the offline pin has one: " +
-          f"opq=$rotRec%.3f raw=$rawRec%.3f")
-    } finally spark.conf.set(Opq.RotateConf, "true")
+    // raw arm on a CLONED session: the flag flip is scoped to this
+    // store's own SQLConf — the process-wide TestSpark session never
+    // sees it, so no suite ordering can build a raw-PQ layout by
+    // accident (r15, per advice)
+    val rawSession = spark.newSession()
+    rawSession.conf.set(Opq.RotateConf, "false")
+    val sRaw = loadStore("opq_off", rawSession)
+    val rawRec = storeRecall(sRaw, "opq_off")
+    assert(sRaw.pqRotation("opq_off", dim).isEmpty,
+      "flag-off store rotated anyway")
+    assert(spark.conf.getOption(Opq.RotateConf).forall(_.toBoolean),
+      "the A/B flag leaked into the shared session")
+    info(f"store-path recall@10: raw=$rawRec%.3f opq=$rotRec%.3f")
+    assert(rotRec >= rawRec,
+      f"rotation hurt serving recall: $rotRec%.3f < $rawRec%.3f")
+    assert(rotRec - rawRec >= 0.02,
+      f"no measurable serving-path gain where the offline pin has one: " +
+        f"opq=$rotRec%.3f raw=$rawRec%.3f")
   }
 
   test("rotation artifact persists beside the codebook and IS the layout's rotation") {
