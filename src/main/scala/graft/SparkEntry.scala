@@ -24,6 +24,7 @@ object SparkEntry {
       Retrieval.queries ++ Sketches.queries ++ Clustering.queries ++
       Sq.queries ++ Bq.queries ++ MultimodalOps.queries ++
       graft.multimodal.MediaDedup.queries ++
+      graft.multimodal.MediaVectorSearch.queries ++
       Hnsw.queries ++ graft.plans.IndexedTopK.queries ++ Graph.queries ++
       Opq.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       Retrieval.oracles ++ Sketches.oracles ++ Clustering.oracles ++
       Sq.oracles ++ Bq.oracles ++ MultimodalOps.oracles ++
       graft.multimodal.MediaDedup.oracles ++
+      graft.multimodal.MediaVectorSearch.oracles ++
       Hnsw.oracles ++ graft.plans.IndexedTopK.oracles ++ Graph.oracles ++
       Opq.oracles
 }

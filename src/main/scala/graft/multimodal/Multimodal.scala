@@ -248,8 +248,9 @@ object Multimodal {
     buf.array()
   }
 
-  /** Box building block shared by the synthetic writers. */
-  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+  /** Box building block shared by the synthetic writers (and
+    * MediaDedup's video-dedup fixture, r15). */
+  private[multimodal] def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
     buf.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
     buf.array()

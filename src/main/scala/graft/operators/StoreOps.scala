@@ -2333,6 +2333,114 @@ object StoreOps {
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
   }
 
+  // ---- q155: the durable store's LSH band-signature read path (r15) ----
+
+  private val DLshNs = "q155"
+
+  private val q155Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q155Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q155 (r15 — VERDICT r14 "What's missing" #3): the durable store's
+    * LSH read path end-to-end, closing the live/durable index matrix's
+    * last asymmetry. Load → layout + signature build → post-build
+    * deletes → delta batch → graded search: candidates are bucket-mates
+    * of the query's md5-hyperplane band signatures over the STAMPED
+    * layout (derived at `builtSeq`, the q101 BQ pattern), minus the
+    * kill set, union the exact delta tail, exact cosine rerank. The
+    * oracle rebuilds the ENTIRE policy relationally — the q48 md5
+    * hyperplane replay over the pre-delete load (the signature
+    * derivation itself is graded, not just its artifact) composed with
+    * the q101 delta-union/kill-set discipline. */
+  def q155(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dlsh_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q155Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q155Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DLshNs)
+      // build records + signatures NOW, so the script's deletes and
+      // delta batch below are post-layout mutations
+      s.findSimilar(qv, k = K, namespace = DLshNs, approx = true,
+        index = "lsh")
+      require(s.lshBuilds.get() >= 1, "q155 signature build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DLshNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DLshNs)
+      s
+    })
+    val hits = store.findSimilarLshGraded(qv, k = K, namespace = DLshNs)
+    require(store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
+      "q155's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the durable LSH read path with NOTHING taken from
+    * persisted artifacts: hyperplanes, corpus signatures, and the
+    * query's band buckets all recompute from the md5 policy (the q48
+    * replay restricted to the pre-delete load — the layout content at
+    * `builtSeq` by the script's construction); candidates = bucket-mate
+    * ids ∪ the script's delta ids; rerank = exact cosine over
+    * load-minus-deletes-plus-delta with the store's tie-break. */
+  def q155Sql: String = {
+    val nPlanes = ApproxBands * ApproxBits
+    s"""WITH planes AS (
+       |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
+       |                       / 2147483648.0 - 1.0) AS FLOAT) ORDER BY j) AS pl
+       |  FROM range($nPlanes) tp(f), range($ApproxDim) td(j)
+       |  GROUP BY f),
+       |layout AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE vec_id < $FacadeN),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sigs AS (
+       |  SELECT b.id, (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("b.v", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM layout b, planes p GROUP BY b.id, band),
+       |qsig AS (
+       |  SELECT (p.f // $ApproxBits)::INT AS band,
+       |         sum(CASE WHEN ${dotSql("q.qv", "p.pl")} > 0
+       |                  THEN (1::BIGINT << (p.f % $ApproxBits)) ELSE 0 END) AS bucket
+       |  FROM q, planes p GROUP BY band),
+       |cand AS (
+       |  SELECT DISTINCT s.id FROM sigs s
+       |  JOIN qsig ON s.band = qsig.band AND s.bucket = qsig.bucket
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
+
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
   // VERDICT r12 "What's missing" #1: the live batch route refused
@@ -2838,7 +2946,8 @@ object StoreOps {
       "q140_store_bq_batch" -> (q140 _),
       "q147_store_opq_search" -> (q147 _),
       "q148_store_lsh_batch" -> (q148 _),
-      "q149_durable_opq_search" -> (q149 _))
+      "q149_durable_opq_search" -> (q149 _),
+      "q155_durable_lsh" -> (q155 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -2855,7 +2964,8 @@ object StoreOps {
       "q57_stream_ingest_durable" -> q57Sql,
       "q72_durable_asof" -> q72Sql,
       "q75_store_batch_search" -> q75Sql,
-      "q78_durable_cdc" -> q78Sql) ++
+      "q78_durable_cdc" -> q78Sql,
+      "q155_durable_lsh" -> q155Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
       lastDurableAnnAux.map { case (aux, p) =>

@@ -73,8 +73,9 @@ import graft.store.{DurableVectorStore, VectorStore}
   * store has no log to fold), and the one that must still come from a
   * single maintenance caller at a time (the store's documented
   * single-compactor contract; concurrent appends are fine). Requesting
-  * `durable` with no mount, or with `filter`/an lsh approx index, is a
-  * 422, never a silent fallback to the other store. */
+  * `durable` with no mount, or with `filter`, is a 422, never a silent
+  * fallback to the other store (since r15 every approx index — lsh
+  * included — serves on both mounts, so the index matrix is symmetric). */
 class RestServer(store: VectorStore, port: Int = 0,
                  durable: Option[DurableVectorStore] = None) {
 
@@ -309,14 +310,16 @@ class RestServer(store: VectorStore, port: Int = 0,
         val hits =
           if (wantDurable) {
             val d = durableStore
-            // the durable approx paths are the IVF layout and its
-            // derived PQ/BQ codes and IMI grid (r10-r12): lsh remains
-            // an in-memory-store feature, and the DEFAULT index ("lsh")
-            // must not silently mean ivf — callers opt in
+            // the durable approx paths: the IVF layout and its derived
+            // PQ/BQ codes, IMI grid, HNSW graphs (r10-r12) and — since
+            // r15 — LSH band signatures, closing the live/durable index
+            // matrix; the index vocabulary is now symmetric across
+            // mounts (a typo still 422s below via the store dispatch)
             if (approx && index != "ivf" && index != "pq" &&
-                index != "bq" && index != "imi" && index != "hnsw")
+                index != "bq" && index != "imi" && index != "hnsw" &&
+                index != "lsh")
               throw new IllegalArgumentException(
-                "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid or its HNSW graphs; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw' ('lsh' is an in-memory-store feature)")
+                "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid, its HNSW graphs or its LSH signatures; pass index:'ivf', 'pq', 'bq', 'imi', 'hnsw' or 'lsh'")
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
@@ -349,10 +352,9 @@ class RestServer(store: VectorStore, port: Int = 0,
         // batches route through the INDEXED one-scan forms — all probe
         // lists / LUTs / query codes / beam queries / band buckets union
         // into ONE sweep of the layout (ivf r11; pq/bq/hnsw r12; imi +
-        // the durable pq/bq/imi/hnsw mounts r13; lsh r14 via the
-        // probe-union of all queries' band buckets against the cached
-        // signature table — the live batch matrix is COMPLETE; durable
-        // has no lsh mount at all, so durable lsh batch stays a 422)
+        // the durable pq/bq/imi/hnsw mounts r13; live lsh r14; durable
+        // lsh r15 — the full live × durable × single × batch index
+        // matrix is now CLOSED)
         val wantApprox = Option(body.get("approx")).exists(_.asBoolean(false))
         val batchIndex = Option(body.get("index")).filterNot(_.isNull)
           .map(_.asText()).getOrElse("ivf")
@@ -364,9 +366,6 @@ class RestServer(store: VectorStore, port: Int = 0,
           throw new IllegalArgumentException(
             s"unknown approx index '$batchIndex' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
-        if (wantApprox && batchIndex == "lsh" && wantDurable)
-          throw new IllegalArgumentException(
-            "the durable store has no lsh mount; pass index:'ivf', 'pq', 'bq', 'imi' or 'hnsw'")
         val results =
           if (wantDurable) {
             val d = durableStore
@@ -390,6 +389,7 @@ class RestServer(store: VectorStore, port: Int = 0,
                 case "bq"   => d.findSimilarBatchBq(qs, k, ns)
                 case "imi"  => d.findSimilarBatchImi(qs, k, ns)
                 case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns)
+                case "lsh"  => d.findSimilarBatchLsh(qs, k, ns)
               }
             } else d.findSimilarBatch(qs, k, metric, ns)
           } else if (wantApprox) {

@@ -577,6 +577,53 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("durable LSH: bucket-mate probe agrees with exact; deletes killed, delta served, one build") {
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map(i =>
+      (s"l$i", Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+    d.loadFrame(frame(rows), "lsh")
+    val q = rows(9)._2
+    val first = d.findSimilar(q, k = 5, namespace = "lsh", approx = true,
+      index = "lsh")
+    assert(first.head.id == "l9")
+    assert(d.lshBuilds.get() == 1 && d.annBuilds.get() == 1)
+    // post-layout mutations: the q87 discipline must hold under LSH too
+    assert(d.delete(Seq("l9"), "lsh") == Seq("l9"))
+    d.loadFrame(frame(Seq(("zlsh", q))), "lsh")
+    val hits = d.findSimilar(q, k = 5, namespace = "lsh", approx = true,
+      index = "lsh")
+    assert(!hits.map(_.id).contains("l9"), "LSH served a deleted row")
+    assert(hits.head.id == "zlsh" && math.abs(hits.head.score - 1.0) < 1e-6)
+    assert(d.lshBuilds.get() == 1 && d.annBuilds.get() == 1,
+      "sub-threshold mutations must not rebuild the signature table")
+    // exact-path agreement on the top hit
+    assert(hits.head.id ==
+      d.findSimilar(q, k = 5, namespace = "lsh").head.id)
+    // the signature table is (id, band, bucket), Bands rows per vector —
+    // the live mount's exact signature shape, persisted
+    val sigsDir = d.lshLayoutDir("lsh", 4).get + "/sigs"
+    val sigs = spark.read.parquet(sigsDir)
+    assert(sigs.schema.fieldNames.toSet == Set("id", "band", "bucket"),
+      s"signature table shape drifted: ${sigs.schema.fieldNames.toSet}")
+    assert(sigs.count() == 60L * graft.operators.Ann.Bands,
+      "one signature row per (vector, band) expected")
+    // batch form equals Q sequential probes (the one-scan thesis)
+    val qs = Seq(rows(3)._2, rows(20)._2, q)
+    val batch = d.findSimilarBatchLsh(qs, k = 5, namespace = "lsh")
+    qs.zipWithIndex.foreach { case (qi, i) =>
+      val single = d.findSimilar(qi, k = 5, namespace = "lsh",
+        approx = true, index = "lsh").map(h => (h.id, h.score))
+      assert(batch(i).map(h => (h.id, h.score)) == single,
+        s"lsh batch result $i diverged from the single-query search")
+    }
+    // LSH is cosine-only, loudly
+    intercept[IllegalArgumentException] {
+      d.findSimilar(q, k = 5, metric = "l2", namespace = "lsh", approx = true,
+        index = "lsh")
+    }
+  }
+
   test("durable IMI: product-grid probe agrees with exact; deletes killed, delta served, one build") {
     val d = new DurableVectorStore(spark, tmp())
     val rows = (0 until 60).map(i =>

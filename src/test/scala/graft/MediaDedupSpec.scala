@@ -83,6 +83,67 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(!bandsOf(a).zip(bandsOf(b4)).exists { case (x, y) => x == y })
   }
 
+  test("video container round-trips through the real sample-table walk") {
+    val frames = MediaDedup.videoFramesFor(7L)
+    val payload = MediaDedup.encodeVideoMp4(frames)
+    val walked = graft.multimodal.Multimodal.sampleFrames(payload, every = 1)
+    assert(walked.size == frames.length, "frame count drifted through the container")
+    walked.foreach { case (idx, bytes) =>
+      assert(bytes.length == MediaDedup.VFrameW * MediaDedup.VFrameH)
+      assert(bytes.sameElements(frames(idx).map(_.toByte)),
+        s"frame $idx bytes drifted through encode/walk")
+    }
+    // trimmed plants carry fewer frames but ALL fingerprint-sampled ones
+    val trimmed = graft.multimodal.Multimodal.sampleFrames(
+      MediaDedup.encodeVideoMp4(MediaDedup.videoFramesFor(4L)), every = 1)
+    assert(trimmed.size == MediaDedup.VTrimFrames)
+    assert(trimmed.size >= MediaDedup.VFpFrames)
+  }
+
+  test("video fingerprint separates: both plant classes near, unrelated far") {
+    val hashes = (0L until 60L)
+      .map(id => id -> MediaDedup.videoFingerprint(
+        MediaDedup.encodeVideoMp4(MediaDedup.videoFramesFor(id)))).toMap
+    // re-encoded plants (id ≡ 9): copy of id−1 with noise + banner
+    Seq(9L, 19L, 29L, 39L, 49L, 59L).foreach { p =>
+      val d = hamming(hashes(p), hashes(p - 1))
+      assert(d <= MediaDedup.VideoMaxHamming, s"re-encoded plant $p at hamming $d")
+    }
+    // trimmed plants (id ≡ 4): tail-trim of id−3 + noise
+    Seq(4L, 14L, 24L, 34L, 44L, 54L).foreach { p =>
+      val d = hamming(hashes(p), hashes(p - 3))
+      assert(d <= MediaDedup.VideoMaxHamming, s"trimmed plant $p at hamming $d")
+    }
+    val planted = (0L until 60L).flatMap { p =>
+      if (p % 10 == 9) Some((p - 1, p))
+      else if (p % 10 == 4) Some((p - 3, p))
+      else None
+    }.toSet
+    val unrelated = for {
+      a <- 0L until 60L; b <- a + 1 until 60L
+      if !planted((a, b))
+    } yield hamming(hashes(a), hashes(b))
+    assert(unrelated.min > MediaDedup.VideoMaxHamming + 6,
+      s"unrelated videos too close: min hamming ${unrelated.min}")
+    assert(unrelated.sum.toDouble / unrelated.size > 24,
+      "unrelated mean hamming should sit near the random expectation of 32")
+  }
+
+  test("q154 flags exactly the planted pairs (re-encoded AND trimmed) on the graded fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val vid = MediaDedup.q154(spark, dir).collect()
+    val want = (0L until MediaDedup.NVideos.toLong).flatMap { p =>
+      if (p % 10 == 9) Some((p - 1, p))
+      else if (p % 10 == 4) Some((p - 3, p))
+      else None
+    }.toSet
+    assert(vid.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "video dedup pair set != planted set (both classes)")
+    // the re-encoded class lands at nonzero distance (the banner);
+    // trimmed-tail copies may be hash-identical — that's their point
+    assert(vid.exists(_.getInt(2) > 0), "video plants all hash-identical")
+  }
+
   test("q150/q151 flag exactly the planted pairs on the graded fixture") {
     val dir = "/root/testdata/sf0.001"
     val img = MediaDedup.q150(spark, dir).collect()

@@ -275,12 +275,14 @@ class RestServerSpec extends AnyFunSuite {
       assert(ihits.get(0).get("id").asText() == "a")
       assert((0 until ihits.size()).map(ihits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable approx search served a tombstoned row")
-      // approx + durable WITHOUT the explicit ivf selector is a contract
-      // violation, not a silent fallback (the default index is lsh, an
-      // in-memory-store feature)
-      val (ac, _) = send("POST", s"$base/search?namespace=dns",
-        """{"query": [1.0, 0.0], "durable": true, "approx": true}""")
-      assert(ac == 422)
+      // durable approx with no index rides the LSH signatures since r15
+      // (the same default as the live mount — the matrix is symmetric)
+      val (ac, ab) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true}""")
+      assert(ac == 200, ab)
+      val ahits = mapper.readTree(ab)
+      assert((0 until ahits.size()).map(ahits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable default-index (lsh) search served a tombstoned row")
       // index=pq rides the durable codes-only sweep (r10) — tombstones
       // stay dead there too
       val (pc, pb) = send("POST", s"$base/search?namespace=dns",
@@ -317,10 +319,15 @@ class RestServerSpec extends AnyFunSuite {
       assert(hhits.get(0).get("id").asText() == "a")
       assert((0 until hhits.size()).map(hhits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable HNSW search served a tombstoned row")
-      // lsh stays an in-memory-store feature
-      val (lc, _) = send("POST", s"$base/search?namespace=dns",
-        """{"query": [1.0, 0.0], "durable": true, "approx": true, "index": "lsh"}""")
-      assert(lc == 422)
+      // index=lsh rides the durable band signatures (r15) — tombstones
+      // stay dead there too
+      val (lc, lb) = send("POST", s"$base/search?namespace=dns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true, "approx": true, "index": "lsh"}""")
+      assert(lc == 200, lb)
+      val lhits = mapper.readTree(lb)
+      assert(lhits.get(0).get("id").asText() == "a")
+      assert((0 until lhits.size()).map(lhits.get(_).get("id").asText()).toSet == Set("a", "b"),
+        "durable LSH search served a tombstoned row")
       // filters are in-memory-store features
       val (fc, _) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "filter": {"k": "v"}}""")
@@ -447,7 +454,7 @@ class RestServerSpec extends AnyFunSuite {
       val (bc, _) = send("PUT", s"$base/vectors/batch?durable=true&namespace=m",
         s"""{"vectors": [$vecs]}""")
       assert(bc == 200)
-      for (idx <- Seq("ivf", "pq", "bq", "imi", "hnsw")) {
+      for (idx <- Seq("ivf", "pq", "bq", "imi", "hnsw", "lsh")) {
         val (pc, pb) = send("POST", s"$base/search/batch?namespace=m",
           s"""{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 2,
              | "durable": true, "approx": true, "index": "$idx"}""".stripMargin)
@@ -457,10 +464,8 @@ class RestServerSpec extends AnyFunSuite {
         assert(pres.get(0).get(0).get("score").asDouble() > 0.9,
           s"durable $idx batch top hit: $pb")
       }
-      // lsh stays refused (no one-scan form), and the code mounts refuse
+      // the code mounts refuse
       // non-cosine metrics instead of silently rescoring
-      assert(send("POST", s"$base/search/batch?namespace=m",
-        """{"queries": [[1.0, 0.0]], "durable": true, "approx": true, "index": "lsh"}""")._1 == 422)
       assert(send("POST", s"$base/search/batch?namespace=m",
         """{"queries": [[1.0, 0.0]], "durable": true, "approx": true, "index": "bq", "metric": "l2"}""")._1 == 422)
     } finally server.stop()
