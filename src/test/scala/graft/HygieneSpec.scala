@@ -48,4 +48,66 @@ class HygieneSpec extends AnyFunSuite {
       assert(growth == 0, s"3 extra $name invocations pinned $growth new blocks")
     }
   }
+
+  // ---- r15 (VERDICT r14 "Next round" #7): the adversarial cases -------
+  // the convention's guarantees pinned where they're most likely to rot:
+  // two dirs interleaved (per-dir pins must not collide or thrash) and
+  // an EXTERNAL unpersist mid-loop (the self-healing path — a bench
+  // sweep or ops script dropping blocks under a running operator).
+
+  private val dir2 = "/root/testdata/sf0.01"
+
+  test("interleaving two dirs pins one standing set per dir, census flat across the loop") {
+    import graft.operators.StandingCache
+    def run(d: String): Unit =
+      graft.operators.TextAnalysis.queries("q145_bigram_logprob")(spark, d).count()
+    run(dir); run(dir2) // build both dirs' standing pins
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val basePins = StandingCache.pinned.size
+    (1 to 3).foreach { _ => run(dir); run(dir2) } // interleave
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "interleaved two-dir loop changed the block census")
+    assert(StandingCache.pinned.size == basePins,
+      "interleaved two-dir loop minted new StandingCache keys")
+    assert(StandingCache.pinned.map(_._1).distinct.size >= 2,
+      "expected standing pins for both dirs")
+  }
+
+  test("an external unpersist mid-loop self-heals without stacking duplicate pins") {
+    import org.apache.spark.storage.StorageLevel
+    import graft.operators.StandingCache
+    def run(): Unit =
+      graft.operators.TextAnalysis.queries("q145_bigram_logprob")(spark, dir).count()
+    run()
+    val base = spark.sparkContext.getPersistentRDDs.size
+    // the adversary: an ops script / bench sweep unpersists EVERYTHING
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    run() // must re-pin (self-heal), not run unpinned or double-pin
+    run()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= base,
+      s"self-heal stacked pins: census $base -> $after")
+    // and the healed frames really are pinned again (not silently
+    // recomputing per invocation)
+    assert(StandingCache.pinned.nonEmpty)
+  }
+
+  test("invalidate(dir) evicts that dir's pins only; clear() empties the registry") {
+    import graft.operators.StandingCache
+    def run(d: String): Unit =
+      graft.operators.TextAnalysis.queries("q145_bigram_logprob")(spark, d).count()
+    run(dir); run(dir2)
+    val withBoth = StandingCache.pinned
+    assert(withBoth.map(_._1).distinct.size >= 2)
+    StandingCache.invalidate(dir)
+    val afterInv = StandingCache.pinned
+    assert(!afterInv.exists(_._1 == dir), "invalidate left the dir's keys")
+    assert(afterInv.exists(_._1 == dir2), "invalidate evicted ANOTHER dir's keys")
+    run(dir) // rebuilds cleanly after eviction
+    assert(StandingCache.pinned.exists(_._1 == dir))
+    StandingCache.clear()
+    assert(StandingCache.pinned.isEmpty, "clear() left keys behind")
+    run(dir); run(dir2) // and the operators still work after a full clear
+  }
 }

@@ -140,6 +140,58 @@ class StoreOpqSpec extends AnyFunSuite {
     }
   }
 
+  /** r15 (VERDICT r14 "Next round" #5): the DURABLE mount's rotation
+    * gain, pinned through its own product surface
+    * (`DurableVectorStore.findSimilar(index = "pq")`) rather than
+    * inferred from the live mount's pin — same correlated corpus, same
+    * A/B structure, each arm on its own session (cloned for the raw
+    * arm) and its own LSM root. */
+  private def loadDurable(session: org.apache.spark.sql.SparkSession,
+                          ns: String): graft.store.DurableVectorStore = {
+    import session.implicits._
+    val df = corpus.zipWithIndex
+      .map { case (v, i) => (i.toString, v.toSeq) }.toSeq
+      .toDF("id", "values")
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_dopq_$ns").toString
+    val s = new graft.store.DurableVectorStore(session, root)
+    s.loadFrame(df, ns)
+    s
+  }
+
+  private def durableRecall(s: graft.store.DurableVectorStore,
+                            ns: String): Double =
+    (0 until nQueries).map { qi =>
+      val exact = corpus.indices
+        .sortBy(i => (-cos(corpus(qi), corpus(i)), i)).take(k)
+        .map(_.toString).toSet
+      val hits = s.findSimilar(corpus(qi).toSeq, k = k, namespace = ns,
+        approx = true, index = "pq").map(_.id)
+      hits.count(exact).toDouble / k
+    }.sum / nQueries
+
+  test("durable-mount OPQ recall >= raw PQ on the correlated corpus, and the gain is material") {
+    val sRot = loadDurable(spark, "dopq_on")
+    val rotRec = durableRecall(sRot, "dopq_on")
+    assert(sRot.pqRotation("dopq_on", dim).isDefined,
+      "default-on durable store served PQ without a rotation")
+
+    val rawSession = spark.newSession()
+    rawSession.conf.set(Opq.RotateConf, "false")
+    val sRaw = loadDurable(rawSession, "dopq_off")
+    val rawRec = durableRecall(sRaw, "dopq_off")
+    assert(sRaw.pqRotation("dopq_off", dim).isEmpty,
+      "flag-off durable store rotated anyway")
+    assert(spark.conf.getOption(Opq.RotateConf).forall(_.toBoolean),
+      "the A/B flag leaked into the shared session")
+    info(f"durable-path recall@10: raw=$rawRec%.3f opq=$rotRec%.3f")
+    assert(rotRec >= rawRec,
+      f"rotation hurt durable recall: $rotRec%.3f < $rawRec%.3f")
+    assert(rotRec - rawRec >= 0.02,
+      f"no measurable durable-path gain where the live pin has one: " +
+        f"opq=$rotRec%.3f raw=$rawRec%.3f")
+  }
+
   test("ragged dims (dim % SubSpaces != 0) serve raw PQ rather than a broken rotation") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
