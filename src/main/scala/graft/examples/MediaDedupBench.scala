@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *
   * Asserts the planted pair count comes back exactly (n/10 pairs, no
   * false positives at the graded threshold) so the measured run is
-  * also a correctness run. Sizes via GRAFT_MDD_IMAGES /
-  * GRAFT_MDD_AUDIO (defaults 100k / 200k).
+  * also a correctness run. r15 adds the q154 VIDEO point: container
+  * walk + temporal fingerprint over the ISO-BMFF fixture, both planted
+  * classes (re-encoded AND tail-trimmed) recovered. Sizes via
+  * GRAFT_MDD_IMAGES / GRAFT_MDD_AUDIO / GRAFT_MDD_VIDEOS (defaults
+  * 100k / 200k / 50k).
   * Run: `sbt 'runMain graft.examples.MediaDedupBench'`.
   */
 object MediaDedupBench {
@@ -31,20 +34,10 @@ object MediaDedupBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  private def pairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val bands = hashed.select(col("id"), col("hash"),
-        explode(expr("array(0, 1, 2, 3)")).as("band"))
-      .withColumn("bucket", expr("(hash >> (band * 16)) & 65535"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hash").as("ha"), col("b.hash").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .where(col("hamming") <= maxHamming)
-  }
+  // the graded queries' own banded-hamming kernel — one definition,
+  // so the bench measures exactly the shipped candidate discipline
+  private def pairs(hashed: DataFrame, maxHamming: Int): DataFrame =
+    graft.multimodal.MediaDedup.nearDupPairs(hashed, maxHamming)
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local(32, "graft-mdd-bench")
@@ -120,12 +113,53 @@ object MediaDedupBench {
       s"audio dedup found $audPairs of $wantAud planted pairs (<99%)")
     hashedAud.unpersist(blocking = false)
 
+    // ---- video (r15) ---------------------------------------------------
+    // payloads are ~18 KB each (70 × 256-byte frames in the ISO-BMFF
+    // shell), so the default corpus is smaller than audio's; the claim
+    // is the same: container walk + fingerprint LINEAR and narrow,
+    // candidates an equi-join, both planted classes recovered exactly.
+    val nVid = sys.env.getOrElse("GRAFT_MDD_VIDEOS", "50000").toLong
+    val (_, vidGenSec) = time {
+      spark.range(nVid)
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.MediaDedup.encodeVideoMp4(
+            graft.multimodal.MediaDedup.videoFramesFor(id)))))
+        .toDF("id", "payload")
+        .write.parquet(s"$root/videos")
+    }
+    val vidBytes = PqBenchDirBytes.dirBytes(s"$root/videos")
+    def vidHashes() = spark.read.parquet(s"$root/videos")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, graft.multimodal.MediaDedup.videoFingerprint(p)) })
+      .toDF("id", "hash")
+    vidHashes().write.format("noop").mode("overwrite").save() // warm
+    val (_, vidHashSec) = time(
+      vidHashes().write.format("noop").mode("overwrite").save())
+    val hashedVid = vidHashes().persist()
+    hashedVid.count()
+    val (vidPairs, vidPairSec) = time(
+      pairs(hashedVid, graft.multimodal.MediaDedup.VideoMaxHamming).count())
+    // both planted classes: re-encodes (id−1, id ≡ 9) + trims (id−3, id ≡ 4)
+    val wantVid = (nVid / 10) * 2
+    val vidFalse = pairs(hashedVid, graft.multimodal.MediaDedup.VideoMaxHamming)
+      .where(!((col("id_b") === col("id_a") + 1 && col("id_b") % 10 === 9) ||
+               (col("id_b") === col("id_a") + 3 && col("id_b") % 10 === 4)))
+      .count()
+    require(vidFalse == 0, s"video dedup emitted $vidFalse non-planted pairs")
+    require(vidPairs >= (wantVid * 99) / 100,
+      s"video dedup found $vidPairs of $wantVid planted pairs (<99%)")
+    hashedVid.unpersist(blocking = false)
+
     println(f"images: $nImg%d BMPs ($imgBytes%d B at rest; gen $imgGenSec%.1f s one-off)")
     println(f"  decode+dhash (ImageIO, narrow):  $imgHashSec%6.2f s  (${nImg / imgHashSec}%.0f imgs/s)")
     println(f"  banded candidates + verify:      $imgPairSec%6.2f s  -> $imgPairs%d of $wantImg%d planted pairs, 0 false positives")
     println(f"audio: $nAud%d WAVs ($audBytes%d B at rest; gen $audGenSec%.1f s one-off)")
     println(f"  decode+fingerprint (PCM, narrow):$audHashSec%6.2f s  (${nAud / audHashSec}%.0f clips/s)")
     println(f"  banded candidates + verify:      $audPairSec%6.2f s  -> $audPairs%d of $wantAud%d planted pairs, 0 false positives")
+    println(f"video: $nVid%d MP4s ($vidBytes%d B at rest; gen $vidGenSec%.1f s one-off)")
+    println(f"  walk+fingerprint (BMFF, narrow): $vidHashSec%6.2f s  (${nVid / vidHashSec}%.0f vids/s)")
+    println(f"  banded candidates + verify:      $vidPairSec%6.2f s  -> $vidPairs%d of $wantVid%d planted pairs (re-enc + trim), 0 false positives")
     spark.stop()
   }
 }

@@ -437,8 +437,10 @@ object MediaDedup {
   // ---- the graded queries ---------------------------------------------
 
   /** Band the 64-bit codes (4×16), bucket-join candidates, exact
-    * hamming verify — shared by both queries. `hashed` = (id, hash). */
-  private def nearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    * hamming verify — THE shared banded-hamming kernel: q150/q151/q154
+    * and MediaDedupBench's scale points all call this one definition
+    * (r15 — no twin loop to drift). `hashed` = (id, hash). */
+  private[graft] def nearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val bands = hashed.select(col("id"), col("hash"),
         explode(expr("array(0, 1, 2, 3)")).as("band"))
       .withColumn("bucket",
