@@ -25,6 +25,12 @@ import graft.operators.LayoutRoot
   *    "energy(f) > energy(f+1)" — the sign-of-energy-delta fingerprint
   *    (a Haitsma-Kalker-shaped scheme reduced to one band; amplitude
   *    perturbations leave the deltas' SIGNS almost everywhere intact).
+  *  - q154 (r15) — video temporal fingerprint: locate frames through
+  *    the REAL ISO-BMFF sample-table walk (the q105 machinery),
+  *    per-frame integer energy Σpx², the same 64 delta-sign bits one
+  *    level up — completing the media-dedup triad with a fixture whose
+  *    planted classes include tail-TRIMMED copies, the duplicate class
+  *    a whole-file digest can never see.
   *
   * Candidate discipline (the q19 SimHash shape — never all-pairs): the
   * 64-bit codes band into 4×16-bit buckets, candidates share ≥1 band
