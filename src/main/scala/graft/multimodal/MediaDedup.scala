@@ -539,6 +539,52 @@ object MediaDedup {
     crossDupPairs(corpus, hashes(1), DHashMaxHamming)
   }
 
+  /** q157: STREAMING incremental media dedup (r15) — q156's arc as a
+    * genuine Structured Streaming query, the shape a live crawl
+    * pipeline runs: new images arrive as a file-source STREAM, each
+    * micro-batch pays decode + dHash + band explosion (all stateless,
+    * so append mode with no watermark state), and a STREAM-STATIC join
+    * probes the standing corpus's banded hash table (the q156
+    * StandingCache pin — built once, shared with the batch form). The
+    * hamming verify rides the stream too; only the drained sink pays
+    * the final distinct/sort (per-band duplicate hits are sink-sized).
+    * Must produce exactly q156's pair set — the batch/stream parity
+    * contract (q46/q29), graded by the SAME oracle text. */
+  def q157(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aux = fixture(spark, dir)
+    lastAuxFor.put("q157_stream_media_dedup", aux)
+    val corpus = graft.operators.StandingCache.frame(dir, "mdd_corpus_dhash")(
+      spark.read.parquet(s"$aux/images")
+        .as[(Long, Array[Byte])]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions(_.map { case (id, p) => (id, dhash(p)) })
+        .toDF("id", "hash"))
+    val corpusBands = corpus
+      .select(col("id").as("corpus_id"), col("hash").as("hc"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bucket", expr("(hc >> (band * 16)) & 65535"))
+    val imgSchema = new org.apache.spark.sql.types.StructType()
+      .add("img_id", "long").add("payload", "binary")
+    val stream = spark.readStream.schema(imgSchema).parquet(s"$aux/images")
+      .as[(Long, Array[Byte])]
+      .filter(_._1 % 2 == 1)
+      .map { case (id, p) => (id, dhash(p)) }
+      .toDF("batch_id", "hb")
+      .select(col("batch_id"), col("hb"),
+        explode(expr("array(0, 1, 2, 3)")).as("band"))
+      .withColumn("bucket", expr("(hb >> (band * 16)) & 65535"))
+    val hits = stream.join(corpusBands, Seq("band", "bucket"))
+      .withColumn("hamming", expr("bit_count(hc ^ hb)").cast("int"))
+      .where(col("hamming") <= lit(DHashMaxHamming))
+      .select(col("corpus_id"), col("batch_id"), col("hamming"))
+    graft.streaming.EventStream.drainToTable(spark, "graft_q157_sink",
+      hits.writeStream.outputMode("append").format("memory")
+        .queryName("graft_q157_sink").start())
+      .distinct()
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** q154: video temporal-fingerprint dedup (r15) — container walk,
     * per-frame energy-delta signs, banded candidates, exact verify.
     * Flags both planted classes: re-encoded copies (sparse pixel noise
@@ -698,7 +744,8 @@ object MediaDedup {
     "q150_image_dedup_dhash" -> (q150 _),
     "q151_audio_dedup_fp" -> (q151 _),
     "q154_video_dedup_fp" -> (q154 _),
-    "q156_media_dedup_incremental" -> (q156 _))
+    "q156_media_dedup_incremental" -> (q156 _),
+    "q157_stream_media_dedup" -> (q157 _))
 
   def oracles: Map[String, String] =
     Option(lastAuxFor.get("q150_image_dedup_dhash"))
@@ -708,5 +755,9 @@ object MediaDedup {
       Option(lastAuxFor.get("q154_video_dedup_fp"))
         .map(aux => "q154_video_dedup_fp" -> q154Sql(aux)) ++
       Option(lastAuxFor.get("q156_media_dedup_incremental"))
-        .map(aux => "q156_media_dedup_incremental" -> q156Sql(aux))
+        .map(aux => "q156_media_dedup_incremental" -> q156Sql(aux)) ++
+      // the batch twin's oracle text verbatim — that equality IS the
+      // stream/batch parity claim (the q46/q29 contract)
+      Option(lastAuxFor.get("q157_stream_media_dedup"))
+        .map(aux => "q157_stream_media_dedup" -> q156Sql(aux))
 }

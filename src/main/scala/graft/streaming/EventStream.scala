@@ -150,7 +150,7 @@ object EventStream {
     * each query 4×; its unpersist hygiene clears RDD blocks, not temp
     * views). Consequence: invocations of the same graded query are
     * serialized — the Verify/Bench contract, not a serving path. */
-  private def drainToTable(spark: SparkSession, name: String,
+  private[graft] def drainToTable(spark: SparkSession, name: String,
                            start: => StreamingQuery): DataFrame = {
     spark.catalog.dropTempView(name) // idempotent; frees the prior run
     val q = start

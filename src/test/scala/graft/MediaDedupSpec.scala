@@ -159,6 +159,18 @@ class MediaDedupSpec extends AnyFunSuite {
       "repeat incremental batch re-pinned the corpus")
   }
 
+  test("q157 streaming form equals the q156 batch form (stream/batch parity)") {
+    val dir = "/root/testdata/sf0.001"
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = asSet(MediaDedup.q156(spark, dir))
+    val stream = asSet(MediaDedup.q157(spark, dir))
+    assert(stream == batch,
+      s"streaming media dedup diverged from the batch twin: " +
+        s"stream-only=${stream -- batch}, batch-only=${batch -- stream}")
+    assert(stream.nonEmpty)
+  }
+
   test("q150/q151 flag exactly the planted pairs on the graded fixture") {
     val dir = "/root/testdata/sf0.001"
     val img = MediaDedup.q150(spark, dir).collect()
