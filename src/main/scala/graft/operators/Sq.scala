@@ -63,20 +63,22 @@ object Sq {
           least(lit(Levels.toLong), greatest(lit(0L),
             floor(((x.cast("double") - mn(i)) / sc(i)) * lit(Levels) + lit(0.5)))))
           .cast("int")))
-      // dequantized view feeds the ADC sweep; at 100 TB this column is
-      // computed on the fly from codes (the 1-byte scan), never stored
-      .withColumn("xhat", transform(col("codes"), (c, i) =>
-        mn(i) + ((c.cast("double") * sc(i)) / lit(Levels))))
     // both cuts are the bounded-heap TopKAgg in ASCENDING order (l2):
     // map-side partials prune each partition to CandN/K rows, so neither
     // the ADC-scored corpus×Q frame nor the candidate scores ride a
-    // row_number window's full exchange (the q74 thesis)
+    // row_number window's full exchange (the q74 thesis).
+    // The ADC itself is the fused codegen Sq8Adc kernel (r15): the
+    // composed `aggregate(zip_with(qv, xhat, …))` form ran the n×Q×dim
+    // hot loop through the interpreted HOF path — measured as q81's
+    // pass-1 JIT magnet (12.3 s of C2 on a 0.7 s query, bench audit) —
+    // while the fused loop dequantizes-and-accumulates inside
+    // whole-stage codegen with bit-identical double arithmetic, so the
+    // oracle is unchanged. At 100 TB this is also the honest physical
+    // shape: the scan reads CODES (1 B/dim), dequantizing on the fly.
     val cand = coded.crossJoin(broadcast(Ann.queryFrame(spark, dir)))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("adc", round(aggregate(
-        zip_with(col("qv"), col("xhat"),
-          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-        lit(0.0), (acc, t) => acc + t), 6))
+      .withColumn("adc", round(
+        graft.functions.Sq8Adc(col("qv"), col("codes"), mnL, mxL), 6))
       .groupBy(col("qid"))
       .agg(graft.functions.TopKAgg.topk(col("adc"), col("vec_id"), CandN,
         descending = false).as("top"))
