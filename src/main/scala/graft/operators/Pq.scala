@@ -229,7 +229,11 @@ object Pq {
     * measured dominating the sub-second probes) — with a column the plan
     * is identical across queries and the codegen cache hits. */
   private[graft] def adcCol: org.apache.spark.sql.Column =
-    expr("round(aggregate(zip_with(codes, lut, (c, t) -> element_at(t, c + 1)), 0D, (a, x) -> a + x), 6)")
+    // fused codegen kernel since r15 (identical 8-term double sum in
+    // index order — every oracle transfers); the composed
+    // aggregate(zip_with(codes, lut, …)) form ran through the
+    // interpreted HOF path on every PQ consumer's hot loop
+    round(graft.functions.AdcKernels.pqAdc(col("codes"), col("lut")), 6)
 
   /** One-row-per-query (qid, lut) frame for the broadcast side of the
     * ADC sweep. */

@@ -1068,8 +1068,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(col("cell").isin(allCells: _*))
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(qcodes.toDF("__qid", "qcode")), Seq("__qid"))
-      .withColumn("ham", expr(
-        "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+      .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
       .groupBy(col("__qid"))
       .agg(graft.functions.TopKAgg.topk(col("ham").cast("double"),
         col("id"), graft.operators.Bq.CandN, descending = false).as("top"))
@@ -2058,8 +2057,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val candIds = layoutFrame(s"${bq.aux}/codes")
       .where(col("cell").isin(probed: _*))
       .withColumn("qcode", typedLit(qcode.toSeq))
-      .withColumn("ham", expr(
-        "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+      .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
       .orderBy(col("ham"), col("id"))
       .limit(graft.operators.Bq.CandN)
       .select(col("id").as("__cid"))

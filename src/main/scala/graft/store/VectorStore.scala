@@ -1128,8 +1128,7 @@ class VectorStore(val spark: SparkSession) {
         import sp.implicits._
         val qFrame = Seq(Tuple1(q.toSeq)).toDF("qcode")
         val candIds = codes.crossJoin(broadcast(qFrame))
-          .withColumn("ham", expr(
-            "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+          .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
           .orderBy(col("ham"), col("id"))
           .limit(BqCandN)
           .select(col("id").as("__cid"))
@@ -1478,8 +1477,7 @@ class VectorStore(val spark: SparkSession) {
           (i, graft.operators.Bq.packBits(q, mids).toSeq)
         }.toDF("qid", "qcode")
         val cand = codes.crossJoin(broadcast(qFrame))
-          .withColumn("ham", expr(
-            "aggregate(zip_with(code, qcode, (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)"))
+          .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
           .groupBy(col("qid"))
           .agg(graft.functions.TopKAgg.topk(col("ham").cast("double"),
             col("id"), BqCandN, descending = false).as("top"))
