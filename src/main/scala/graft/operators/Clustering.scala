@@ -122,10 +122,11 @@ object Clustering {
   /** Distance to a DOUBLE centroid array — the same sequential
     * zip-fold shape as [[graft.functions.VectorFunctions.l2sq]], so the
     * DuckDB twin (list_sum over list_zip) sums in the same order. */
-  private def dToCv: Column = expr(
-    """aggregate(zip_with(embedding, cv, (x, m) ->
-      |  (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),
-      |  CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin)
+  private def dToCv: Column =
+    // fused codegen kernel since r15 — identical double arithmetic in
+    // index order, so the chained-CTE oracles transfer; the composed
+    // HOF form ran the n×k×dim argmin through the interpreter
+    graft.functions.AdcKernels.l2sqFD(col("embedding"), col("cv"))
 
   /** One Lloyd round: argmin assignment against the broadcast centroid
     * frame `(cid, cv: array<double>)`, returning (vec_id, cid, d,
@@ -467,9 +468,11 @@ object Clustering {
     * vector (broadcast as a literal array; `aggregate` folds left like
     * the oracle's list_sum). */
   private def dotVec(a: Column, v: Array[Double]): Column =
-    aggregate(
-      zip_with(a, array(v.map(lit): _*), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    // fused codegen kernel since r15 (same fold-left double sum in
+    // index order — the oracle's list_sum transfer holds); v stays a
+    // literal, so the plan is per-round unique either way, but the
+    // inner loop is now generated instead of interpreted
+    graft.functions.AdcKernels.dotDD(a, array(v.map(lit): _*))
 
   /** One power-iteration round over `xc` (vec_id, xc: array<double>):
     * s = Σᵢ xcᵢ(xcᵢ·v) as ONE global aggregate — dim `sum` columns,
