@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.multimodal.MultimodalOps
-import graft.operators.{Analytics, Ann, Bq, Clustering, Dedup, EventOps, Graph, Hnsw, IvfPq, Opq, Pq, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
+import graft.operators.{Analytics, Ann, Bq, Clustering, Dedup, EventOps, Graph, Hnsw, IvfPq, Opq, Pq, QualityClassifier, Relational, Retrieval, Skew, Sketches, Sq, StoreOps, TextAnalysis, VectorSearch}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -26,7 +26,7 @@ object SparkEntry {
       graft.multimodal.MediaDedup.queries ++
       graft.multimodal.MediaVectorSearch.queries ++
       Hnsw.queries ++ graft.plans.IndexedTopK.queries ++ Graph.queries ++
-      Opq.queries
+      Opq.queries ++ QualityClassifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
       graft.multimodal.MediaDedup.oracles ++
       graft.multimodal.MediaVectorSearch.oracles ++
       Hnsw.oracles ++ graft.plans.IndexedTopK.oracles ++ Graph.oracles ++
-      Opq.oracles
+      Opq.oracles ++ QualityClassifier.oracles
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{AdcKernels, FeatureHashVec}
+import graft.functions.Det.{r4, r4Sql}
+import graft.sources.Tables
+
+/** q158: TRAINED quality classifier — logistic regression distilling the
+  * Gopher structural gate (q59's rule outcome) into a fastText-style
+  * scorer over hashed bag-of-words + document-statistics features. This
+  * is the model-based half of the standard two-stage quality pipeline
+  * (CCNet / GPT-3 / LLaMA data recipes, all public): run the expensive
+  * rule gate (or a curated reference corpus) once to produce labels,
+  * fit a cheap linear scorer on them, and from then on score new
+  * corpus batches with one narrow scan instead of the full rule
+  * cascade. The rule gate already exists as q59; this entry LEARNS it.
+  *
+  * Features (72 dims, all exact or single-division arithmetic so both
+  * engines build bit-identical vectors):
+  *  - 0..63  — [[FeatureHashVec]] signed unigram+bigram counts (the
+  *    q129 hashing-trick embedding), normalized by token count (the
+  *    fastText averaging that keeps per-dim magnitudes O(1); raw counts
+  *    made full-batch GD oscillate — measured: all-negative →
+  *    all-positive flips at every tested lr).
+  *  - 64..70 — the q59 statistics the gate actually thresholds, scaled
+  *    to O(1): n_words/100, mean_word_len/10, alpha_frac, sym_ratio,
+  *    bullet_frac, ellipsis_frac, n_stop/10. A linear model cannot
+  *    represent the gate's two-sided bands exactly, so train accuracy
+  *    saturates ~0.84 — the honest distillation ceiling, not a bug.
+  *  - 71     — bias.
+  *
+  * Training: [[Rounds]] full-batch gradient-descent rounds,
+  * w ← q6(w − lr·q6(Σ(p−y)x)/n), every aggregate and every weight
+  * r6-quantized exactly like the q104/q121 loop chains — the
+  * quantization grid (1e-6) sits far above the cross-engine float noise
+  * (≤1e-10 on these sums), so DuckDB replays the ENTIRE trajectory
+  * bit-for-bit. lr=2, R=20 chosen on the measured grid (0.835–0.846
+  * accuracy across sf0.001/0.01/0.1 vs 0.58–0.60 majority baseline,
+  * all four confusion cells populated).
+  *
+  * Output grades BOTH halves: the 72 learned weights (sect='w' — any
+  * divergence anywhere in the 20-round trajectory shows here) and the
+  * label×prediction confusion matrix with mean score (sect='cm' — the
+  * applied-scorer contract).
+  *
+  * 100 TB shape: feature build is ONE narrow scan (the hash
+  * accumulation is a fused codegen expression; the stats are per-row
+  * splits), persisted once and scanned by every round; each round is
+  * one map-side-partial 72-column aggregate to a single driver row (the
+  * q121 powerRound shape — no explode, no (doc, dim) shuffle), so the
+  * whole fit is R scans with nothing but 72 doubles ever reaching the
+  * driver. Scoring new data afterward is a single fused-kernel pass.
+  * Reference: the reference has no model-based curation at all
+  * (SURVEY §2 — its quality surface stops at stored metadata), so this
+  * extends the engine along the axis its users curate training data on.
+  */
+object QualityClassifier {
+
+  private[graft] val HashDims = FeatureHashVec.Dims // 64
+  private[graft] val Dims = HashDims + 7 + 1 // + q59 stats + bias
+  private[graft] val Rounds = 20
+  private[graft] val Lr = 2.0
+  // floor for the in-script gate: measured 0.835–0.846 across sf dirs;
+  // majority baseline 0.58–0.60. Anything under 0.75 means the
+  // trajectory diverged (wrong data, wrong arithmetic), not noise.
+  private val AccFloor = 0.75
+
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+
+  /** (doc_id, x: array<double>[72], y: int) — the training matrix.
+    * Stats columns replicate q59's expressions verbatim (same splits,
+    * same int/int divisions) so the label IS the q59 gate. */
+  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("fh", FeatureHashVec(col("text")))
+      .withColumn("ntg",
+        greatest(size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))), lit(1)).cast("double"))
+      .withColumn("words", expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("mean_word_len_raw",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))").cast("double")
+          / col("n_words"))
+      .withColumn("alpha_frac_raw",
+        expr("size(filter(words, w -> w rlike '[A-Za-z]'))").cast("double")
+          / col("n_words"))
+      .withColumn("sym_ratio_raw",
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          expr("(length(text) - length(regexp_replace(text, '\\\\.\\\\.\\\\.', ''))) div 3"))
+          .cast("double") / col("n_words"))
+      .withColumn("bullet_frac_raw",
+        expr("size(filter(lines, l -> l rlike '^\\\\s*[-*]'))").cast("double")
+          / size(col("lines")))
+      .withColumn("ellipsis_frac_raw",
+        expr("size(filter(lines, l -> l rlike '\\\\.\\\\.\\\\.\\\\s*$'))").cast("double")
+          / size(col("lines")))
+      .withColumn("n_stop",
+        expr(s"size(array_intersect(array_distinct(transform(words, w -> lower(w))), array(${TextAnalysis.StopEn.map(w => s"'$w'").mkString(",")})))"))
+      .withColumn("y",
+        (col("n_words").between(TextAnalysis.GopherMinWords, TextAnalysis.GopherMaxWords) &&
+          col("mean_word_len_raw").between(3.0, 10.0) &&
+          col("sym_ratio_raw") <= 0.1 &&
+          col("bullet_frac_raw") <= 0.9 &&
+          col("ellipsis_frac_raw") <= 0.3 &&
+          col("alpha_frac_raw") >= 0.8 &&
+          col("n_stop") >= 2).cast("int"))
+      .select(col("doc_id"),
+        concat(
+          transform(col("fh"), f => f.cast("double") / col("ntg")),
+          array(
+            col("n_words").cast("double") / lit(100.0),
+            col("mean_word_len_raw") / lit(10.0),
+            col("alpha_frac_raw"),
+            col("sym_ratio_raw"),
+            col("bullet_frac_raw"),
+            col("ellipsis_frac_raw"),
+            col("n_stop").cast("double") / lit(10.0),
+            lit(1.0))).as("x"),
+        col("y"))
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // persisted once, scanned by all R rounds + the final scoring pass;
+    // explicit free (the q121 xc discipline — per-invocation training
+    // state, not a standing per-dir artifact)
+    val feat = featureFrame(spark, dir).persist()
+    val n = feat.count().toDouble
+
+    var wv = Array.fill(Dims)(0.0)
+    (1 to Rounds).foreach { _ =>
+      val row = feat
+        .withColumn("p", sigmoid(
+          AdcKernels.dotDD(col("x"), array(wv.map(lit): _*))))
+        .select((0 until Dims).map(j =>
+          sum((col("p") - col("y")) * col("x").getItem(j)).as(s"g$j")): _*)
+        .head()
+      wv = Array.tabulate(Dims)(j => q6(wv(j) - Lr * q6(row.getDouble(j)) / n))
+    }
+
+    val cm = feat
+      .withColumn("p", sigmoid(
+        AdcKernels.dotDD(col("x"), array(wv.map(lit): _*))))
+      .withColumn("pred", (col("p") >= 0.5).cast("int"))
+      .groupBy(col("y"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), r4(avg(col("p"))).as("avg_p"))
+      .collect()
+    feat.unpersist(blocking = false)
+
+    val correct = cm.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    val acc = correct / n
+    require(acc >= AccFloor,
+      f"q158 distillation accuracy $acc%.3f under the $AccFloor floor " +
+        "(measured 0.835-0.846 across sf dirs) - the quantized GD " +
+        "trajectory diverged; check the feature/label arithmetic")
+
+    val wRows = wv.zipWithIndex.map { case (w, j) => ("w", j, 0, 0L, w) }
+    val cmRows = cm.map(r =>
+      ("cm", r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    (wRows ++ cmRows).toSeq
+      .toDF("sect", "i", "j", "n", "v")
+      .orderBy(col("sect"), col("i"), col("j"))
+  }
+
+  /** The oracle replays the FULL quantized trajectory in SQL — 20
+    * generated round-CTEs over the same feature CTE (the q121
+    * full-replay standard, not the persisted-artifact shortcut): any
+    * arithmetic drift anywhere in training lands in the 72 graded
+    * weights. */
+  def q158Sql: String = {
+    val q6s = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
+    val dot = (w: String) =>
+      s"list_sum(list_transform(range($Dims), i -> f.x[i + 1] * $w.wl[i + 1]))"
+    val pExpr = (w: String) =>
+      s"1.0::DOUBLE / (1.0::DOUBLE + exp(-(${dot(w)})))"
+    // every round CTE is MATERIALIZED: w{r-1} is referenced twice per
+    // round (p$r and w$r), and DuckDB 1.0 INLINES multiply-referenced
+    // CTEs — without the keyword the 20-round chain is 2^20 re-
+    // evaluations of the whole trajectory (measured: a 12-level toy
+    // chain already takes 7 s; materialized, 0.02 s)
+    val rounds = (1 to Rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y, ${pExpr(s"w${r - 1}")} AS p
+         |  FROM feat f, w${r - 1} w${r - 1}),
+         |g$r AS MATERIALIZED (
+         |  SELECT rj.j AS j, ${q6s(s"sum((p.p - f.y) * f.x[rj.j + 1])")} AS g
+         |  FROM p$r p JOIN feat f USING (doc_id) CROSS JOIN range($Dims) rj(j)
+         |  GROUP BY rj.j),
+         |w$r AS MATERIALIZED (
+         |  SELECT list(${q6s(s"w.wl[g.j + 1] - $Lr * g.g / cnt.n")} ORDER BY g.j) AS wl
+         |  FROM g$r g, w${r - 1} w, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tl AS MATERIALIZED (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM tl
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)),
+       |                               i -> toks[i] || '_' || toks[i + 1])) AS f
+       |  FROM tl),
+       |hd AS (
+       |  SELECT doc_id,
+       |         (('0x' || substr(md5('fh_' || f), 1, 8))::BIGINT
+       |            % $HashDims)::INT AS dim,
+       |         CASE WHEN ('0x' || substr(md5('fh_' || f), 9, 1))::BIGINT
+       |                     % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM u),
+       |sp AS (SELECT doc_id, dim, sum(sgn)::DOUBLE AS val FROM hd GROUP BY 1, 2),
+       |hv AS (
+       |  SELECT t.doc_id, list(coalesce(sp.val, 0)::DOUBLE ORDER BY r.j) AS hvec,
+       |         greatest(any_value(len(t.toks)), 1)::DOUBLE AS ntg
+       |  FROM tl t CROSS JOIN range($HashDims) r(j)
+       |  LEFT JOIN sp ON sp.doc_id = t.doc_id AND sp.dim = r.j
+       |  GROUP BY t.doc_id),
+       |wd AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+       |         string_split(text, chr(10)) AS lines, text
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(words)::INT AS n_words,
+       |         list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) AS mwl,
+       |         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words) AS af,
+       |         ((length(text) - length(replace(text, '#', ''))) +
+       |          (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / len(words) AS sr,
+       |         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))::DOUBLE / len(lines) AS bf,
+       |         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))::DOUBLE / len(lines) AS ef,
+       |         len(list_intersect(list_distinct(list_transform(words, x -> lower(x))), ${TextAnalysis.sqlList(TextAnalysis.StopEn)}))::INT AS n_stop
+       |  FROM wd),
+       |feat AS MATERIALIZED (
+       |  SELECT m.doc_id,
+       |         list_concat(
+       |           list_transform(hv.hvec, v -> v / hv.ntg),
+       |           [m.n_words / 100.0, m.mwl / 10.0, m.af, m.sr, m.bf, m.ef,
+       |            m.n_stop / 10.0, 1.0::DOUBLE]) AS x,
+       |         (m.n_words BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+       |          AND m.mwl BETWEEN 3.0 AND 10.0
+       |          AND m.sr <= 0.1 AND m.bf <= 0.9 AND m.ef <= 0.3
+       |          AND m.af >= 0.8 AND m.n_stop >= 2)::INT AS y
+       |  FROM m JOIN hv ON hv.doc_id = m.doc_id),
+       |cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM feat),
+       |w0 AS MATERIALIZED (SELECT list_transform(range($Dims), j -> 0.0::DOUBLE) AS wl),
+       |$rounds,
+       |pf AS (
+       |  SELECT f.doc_id, f.y, ${pExpr(s"w$Rounds")} AS p
+       |  FROM feat f, w$Rounds w$Rounds),
+       |wout AS (
+       |  SELECT 'w' AS sect, rj.j::INT AS i, 0::INT AS j, 0::BIGINT AS n,
+       |         w.wl[rj.j + 1] AS v
+       |  FROM w$Rounds w CROSS JOIN range($Dims) rj(j)),
+       |cm AS (
+       |  SELECT 'cm' AS sect, y::INT AS i, (p >= 0.5)::INT AS j,
+       |         count(*)::BIGINT AS n, ${r4Sql("avg(p)")} AS v
+       |  FROM pf GROUP BY 2, 3)
+       |SELECT * FROM (SELECT * FROM wout UNION ALL SELECT * FROM cm)
+       |ORDER BY sect, i, j""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_quality_classifier" -> (q158 _))
+
+  val oracles: Map[String, String] = Map(
+    "q158_quality_classifier" -> q158Sql)
+}

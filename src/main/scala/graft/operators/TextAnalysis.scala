@@ -22,9 +22,9 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est"))
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  private def sqlList(xs: Seq[String]): String =
+  private[graft] def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -295,8 +295,8 @@ object TextAnalysis {
   // except the word-count floor (30 here — the synthetic docs cap at 99
   // words, and a gate nothing can fail would grade nothing).
 
-  private val GopherMinWords = 30
-  private val GopherMaxWords = 100000
+  private[graft] val GopherMinWords = 30
+  private[graft] val GopherMaxWords = 100000
 
   def q59(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{QualityClassifier, TextAnalysis}
+
+/** q158's product claims, beyond the hash-graded trajectory:
+  *  - the LABEL is q59's gate, not a lookalike (distillation fidelity
+  *    starts with the teacher being the real teacher);
+  *  - the learned scorer actually beats the majority-class baseline
+  *    (a weight vector can hash-match and still have learned nothing
+  *    if the floor were mis-set);
+  *  - the trajectory is bit-deterministic across invocations (the q6
+  *    quantization grid's whole purpose);
+  *  - the per-round gradient plan stays in the q121 powerRound shape:
+  *    no Generate (explode) anywhere, so the (doc, dim) blow-up that
+  *    would dominate at 100 TB never materializes.
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q158 labels are exactly q59's gate outcome, features are 72-dim with bias") {
+    val feat = QualityClassifier.featureFrame(spark, dir)
+      .select(col("doc_id"), col("x"), col("y"))
+    val gate = TextAnalysis.q59(spark, dir)
+      .select(col("doc_id"), col("pass").cast("int").as("y59"))
+    val joined = feat.join(gate, "doc_id")
+    assert(joined.where(col("y") =!= col("y59")).count() === 0,
+      "q158 label diverges from the q59 gate it claims to distill")
+    val shapes = joined
+      .agg(
+        countDistinct(size(col("x"))).as("n_shapes"),
+        max(size(col("x"))).as("dims"),
+        min(element_at(col("x"), QualityClassifier.Dims)).as("bias_min"),
+        max(element_at(col("x"), QualityClassifier.Dims)).as("bias_max"))
+      .head()
+    assert(shapes.getLong(0) === 1L && shapes.getInt(1) === QualityClassifier.Dims)
+    assert(shapes.getDouble(2) === 1.0 && shapes.getDouble(3) === 1.0)
+    // both classes must exist or the fit is vacuous
+    val classes = joined.select(col("y")).distinct().count()
+    assert(classes === 2, s"gate produced $classes classes at sf0.001")
+  }
+
+  test("q158 beats the majority baseline and populates all four confusion cells") {
+    val out = QualityClassifier.q158(spark, dir).collect()
+    val w = out.filter(_.getString(0) == "w")
+    val cm = out.filter(_.getString(0) == "cm")
+    assert(w.length === QualityClassifier.Dims)
+    assert(w.exists(_.getDouble(4) != 0.0), "all-zero weights: no learning happened")
+    assert(cm.length === 4, s"confusion cells: ${cm.length} (expected 4 populated)")
+    val n = cm.map(_.getLong(3)).sum.toDouble
+    val correct = cm.filter(r => r.getInt(1) == r.getInt(2)).map(_.getLong(3)).sum
+    val majority = cm.groupBy(_.getInt(1)).map(_._2.map(_.getLong(3)).sum).max / n
+    val acc = correct / n
+    info(f"acc=$acc%.3f majority=$majority%.3f")
+    assert(acc > majority,
+      f"learned scorer ($acc%.3f) does not beat majority baseline ($majority%.3f)")
+  }
+
+  test("q158 trajectory is bit-deterministic across invocations") {
+    def weights() = QualityClassifier.q158(spark, dir).collect()
+      .filter(_.getString(0) == "w").map(r => (r.getInt(1), r.getDouble(4))).toSeq
+    assert(weights() === weights())
+  }
+
+  test("q158 gradient plan has no Generate: the (doc, dim) explode never materializes") {
+    val feat = QualityClassifier.featureFrame(spark, dir)
+    val grad = feat
+      .withColumn("p", lit(0.5))
+      .select((0 until QualityClassifier.Dims).map(j =>
+        sum((col("p") - col("y")) * col("x").getItem(j)).as(s"g$j")): _*)
+    val plan = grad.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "gradient aggregate plan contains an explode — the powerRound shape is lost")
+  }
+}
