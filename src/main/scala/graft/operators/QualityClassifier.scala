@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{AdcKernels, FeatureHashVec}
+import graft.functions.{AdcKernels, FeatureHashVec, LogisticGrad, VecSumAgg}
 import graft.functions.Det.{r4, r4Sql}
 import graft.sources.Tables
 
@@ -36,9 +36,12 @@ import graft.sources.Tables
   * r6-quantized exactly like the q104/q121 loop chains — the
   * quantization grid (1e-6) sits far above the cross-engine float noise
   * (≤1e-10 on these sums), so DuckDB replays the ENTIRE trajectory
-  * bit-for-bit. lr=2, R=20 chosen on the measured grid (0.835–0.846
-  * accuracy across sf0.001/0.01/0.1 vs 0.58–0.60 majority baseline,
-  * all four confusion cells populated).
+  * bit-for-bit. lr=3, R=10 chosen on the measured grid (0.832–0.842
+  * accuracy across sf0.001/0.01/0.1 vs 0.58–0.60 majority baseline;
+  * all four confusion cells populated at sf0.01/0.1 — sf0.001's 500
+  * docs leave the false-negative cell empty; lr=3 reaches the lr=2/
+  * R=20 plateau in half the rounds and holds it flat, lr≥4
+  * oscillates).
   *
   * Output grades BOTH halves: the 72 learned weights (sect='w' — any
   * divergence anywhere in the 20-round trajectory shows here) and the
@@ -60,9 +63,11 @@ object QualityClassifier {
 
   private[graft] val HashDims = FeatureHashVec.Dims // 64
   private[graft] val Dims = HashDims + 7 + 1 // + q59 stats + bias
-  private[graft] val Rounds = 20
-  private[graft] val Lr = 2.0
-  // floor for the in-script gate: measured 0.835–0.846 across sf dirs;
+  private[graft] val Rounds = 10
+  private[graft] val Lr = 3.0
+  // floor for the in-script gate: measured 0.832–0.842 across sf dirs
+  // (lr=3 reaches the lr=2/R=20 plateau by round 10 and holds it flat
+  // through r24 on every dir; lr≥4 oscillates — grid re-measured);
   // majority baseline 0.58–0.60. Anything under 0.75 means the
   // trajectory diverged (wrong data, wrong arithmetic), not noise.
   private val AccFloor = 0.75
@@ -74,9 +79,17 @@ object QualityClassifier {
 
   /** (doc_id, x: array<double>[72], y: int) — the training matrix.
     * Stats columns replicate q59's expressions verbatim (same splits,
-    * same int/int divisions) so the label IS the q59 gate. */
+    * same int/int divisions) so the label IS the q59 gate.
+    *
+    * The doc_id hash repartition exists for the build, not the loop:
+    * the regex/hash feature pass is the expensive scan, and the sf-dir
+    * parquet arrives as ONE file-partition, which would run it
+    * single-threaded (measured 0.86 s at sf0.1 vs ~0.1 s spread). At
+    * 100 TB the source is already thousands of splits and the exchange
+    * is a no-op cost next to the scan it parallelizes. */
   private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("fh", FeatureHashVec(col("text")))
       .withColumn("ntg",
         greatest(size(regexp_extract_all(lower(col("text")),
@@ -132,18 +145,28 @@ object QualityClassifier {
     // persisted once, scanned by all R rounds + the final scoring pass;
     // explicit free (the q121 xc discipline — per-invocation training
     // state, not a standing per-dir artifact)
-    val feat = featureFrame(spark, dir).persist()
+    // coalesce(8): the loop re-scans this cache R+1 times and each
+    // round's aggregate is driver-bound on task dispatch, not compute —
+    // 8 cached partitions keep the build parallel (the coalesce folds
+    // into the post-exchange feature projection) while the per-round
+    // job stays small. Local[32] tuning only in degree; the shape
+    // (partial agg → 72 doubles) is partition-count-independent.
+    val feat = featureFrame(spark, dir).coalesce(8).persist()
     val n = feat.count().toDouble
 
+    // each round is ONE fused-kernel aggregate (LogisticGrad row sweep
+    // under a single VecSumAgg buffer) — the composed form (72-literal
+    // dot + 72 separate sum() columns) cost ≈0.23 s/round in CATALYST
+    // alone, 20× per fit; fused, a round is the job dispatch (measured
+    // ~45 ms/round at sf0.1, 4.6 s → 0.9 s for the loop)
     var wv = Array.fill(Dims)(0.0)
     (1 to Rounds).foreach { _ =>
-      val row = feat
-        .withColumn("p", sigmoid(
-          AdcKernels.dotDD(col("x"), array(wv.map(lit): _*))))
-        .select((0 until Dims).map(j =>
-          sum((col("p") - col("y")) * col("x").getItem(j)).as(s"g$j")): _*)
-        .head()
-      wv = Array.tabulate(Dims)(j => q6(wv(j) - Lr * q6(row.getDouble(j)) / n))
+      val g = feat
+        .select(VecSumAgg.vecSum(
+          LogisticGrad.grad(col("x"), array(wv.map(lit).toIndexedSeq: _*),
+            col("y")), Dims).as("g"))
+        .head().getSeq[Double](0)
+      wv = Array.tabulate(Dims)(j => q6(wv(j) - Lr * q6(g(j)) / n))
     }
 
     val cm = feat
