@@ -1,21 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{AdcKernels, FeatureHashVec, LogisticGrad, VecSumAgg}
 import graft.functions.Det.{r4, r4Sql}
 import graft.sources.Tables
 
-/** q158: TRAINED quality classifier — logistic regression distilling the
-  * Gopher structural gate (q59's rule outcome) into a fastText-style
-  * scorer over hashed bag-of-words + document-statistics features. This
-  * is the model-based half of the standard two-stage quality pipeline
-  * (CCNet / GPT-3 / LLaMA data recipes, all public): run the expensive
-  * rule gate (or a curated reference corpus) once to produce labels,
-  * fit a cheap linear scorer on them, and from then on score new
-  * corpus batches with one narrow scan instead of the full rule
-  * cascade. The rule gate already exists as q59; this entry LEARNS it.
+/** q158–q160: TRAINED quality classifier — logistic regression
+  * distilling the Gopher structural gate (q59's rule outcome) into a
+  * fastText-style scorer over hashed bag-of-words + document-statistics
+  * features, plus the two APPLY shapes a production curation pipeline
+  * runs. This is the model-based half of the standard two-stage quality
+  * pipeline (CCNet / GPT-3 / LLaMA data recipes, all public): run the
+  * expensive rule gate (or a curated reference corpus) once to produce
+  * labels, fit a cheap linear scorer on them, and from then on score new
+  * corpus batches with one narrow scan instead of the full rule cascade.
+  * The rule gate already exists as q59; q158 LEARNS it, q159 grades the
+  * learned scorer on a HELD-OUT half (the generalization claim — the
+  * whole point of distilling is scoring docs the gate never labeled),
+  * and q160 runs the apply side as a genuine Structured Streaming query
+  * against a standing model (the live-crawl shape, the q157 pattern).
   *
   * Features (72 dims, all exact or single-division arithmetic so both
   * engines build bit-identical vectors):
@@ -43,18 +48,22 @@ import graft.sources.Tables
   * R=20 plateau in half the rounds and holds it flat, lr≥4
   * oscillates).
   *
-  * Output grades BOTH halves: the 72 learned weights (sect='w' — any
-  * divergence anywhere in the 20-round trajectory shows here) and the
+  * q158's output grades BOTH halves: the 72 learned weights (sect='w' —
+  * any divergence anywhere in the round trajectory shows here) and the
   * label×prediction confusion matrix with mean score (sect='cm' — the
-  * applied-scorer contract).
+  * applied-scorer contract). q159 emits the same shape with the model
+  * fit on even doc_ids and the confusion measured on odd ones. q160
+  * emits per-document scores of the streamed (odd) half.
   *
   * 100 TB shape: feature build is ONE narrow scan (the hash
   * accumulation is a fused codegen expression; the stats are per-row
   * splits), persisted once and scanned by every round; each round is
-  * one map-side-partial 72-column aggregate to a single driver row (the
-  * q121 powerRound shape — no explode, no (doc, dim) shuffle), so the
-  * whole fit is R scans with nothing but 72 doubles ever reaching the
-  * driver. Scoring new data afterward is a single fused-kernel pass.
+  * one fused [[LogisticGrad]] row kernel under a single [[VecSumAgg]]
+  * map-side-partial buffer collapsing to 72 doubles on the driver (the
+  * q121 powerRound shape — no explode, no (doc, dim) shuffle; the
+  * composed 72-sum-columns form paid ≈0.23 s/round in Catalyst alone).
+  * Scoring new data afterward is a single fused-kernel pass — batch
+  * (q159) or per-micro-batch on a stream (q160).
   * Reference: the reference has no model-based curation at all
   * (SURVEY §2 — its quality surface stops at stored metadata), so this
   * extends the engine along the axis its users curate training data on.
@@ -65,31 +74,29 @@ object QualityClassifier {
   private[graft] val Dims = HashDims + 7 + 1 // + q59 stats + bias
   private[graft] val Rounds = 10
   private[graft] val Lr = 3.0
-  // floor for the in-script gate: measured 0.832–0.842 across sf dirs
-  // (lr=3 reaches the lr=2/R=20 plateau by round 10 and holds it flat
-  // through r24 on every dir; lr≥4 oscillates — grid re-measured);
-  // majority baseline 0.58–0.60. Anything under 0.75 means the
-  // trajectory diverged (wrong data, wrong arithmetic), not noise.
+  // floor for the in-script gates: train-side measured 0.832–0.842
+  // across sf dirs (lr=3 reaches the lr=2/R=20 plateau by round 10 and
+  // holds it flat through r24 on every dir; lr≥4 oscillates — grid
+  // re-measured); majority baseline 0.58–0.60. Anything under 0.75
+  // means the trajectory diverged (wrong data, wrong arithmetic), not
+  // noise. The held-out floor is looser: the even/odd halves are iid
+  // splits of the same synthetic corpus, but half the data fits a
+  // slightly different boundary.
   private val AccFloor = 0.75
+  private val HoldoutFloor = 0.70
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "documents")
 
-  /** (doc_id, x: array<double>[72], y: int) — the training matrix.
-    * Stats columns replicate q59's expressions verbatim (same splits,
-    * same int/int divisions) so the label IS the q59 gate.
-    *
-    * The doc_id hash repartition exists for the build, not the loop:
-    * the regex/hash feature pass is the expensive scan, and the sf-dir
-    * parquet arrives as ONE file-partition, which would run it
-    * single-threaded (measured 0.86 s at sf0.1 vs ~0.1 s spread). At
-    * 100 TB the source is already thousands of splits and the exchange
-    * is a no-op cost next to the scan it parallelizes. */
-  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  /** The feature/label columns over ANY documents frame (batch or
+    * stream — every expression is stateless per-row): (doc_id,
+    * x: array<double>[72], y: int). Stats columns replicate q59's
+    * expressions verbatim (same splits, same int/int divisions) so the
+    * label IS the q59 gate. */
+  private def featureCols(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("fh", FeatureHashVec(col("text")))
       .withColumn("ntg",
         greatest(size(regexp_extract_all(lower(col("text")),
@@ -137,54 +144,59 @@ object QualityClassifier {
             lit(1.0))).as("x"),
         col("y"))
 
+  /** (doc_id, x, y) — the batch training matrix.
+    *
+    * The doc_id hash repartition exists for the build, not the loop:
+    * the regex/hash feature pass is the expensive scan, and the sf-dir
+    * parquet arrives as ONE file-partition, which would run it
+    * single-threaded (measured 0.86 s at sf0.1 vs ~0.1 s spread). At
+    * 100 TB the source is already thousands of splits and the exchange
+    * is a no-op cost next to the scan it parallelizes. */
+  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    featureCols(docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+
   private def sigmoid(z: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-z))
 
-  def q158(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // persisted once, scanned by all R rounds + the final scoring pass;
-    // explicit free (the q121 xc discipline — per-invocation training
-    // state, not a standing per-dir artifact)
-    // coalesce(8): the loop re-scans this cache R+1 times and each
-    // round's aggregate is driver-bound on task dispatch, not compute —
-    // 8 cached partitions keep the build parallel (the coalesce folds
-    // into the post-exchange feature projection) while the per-round
-    // job stays small. Local[32] tuning only in degree; the shape
-    // (partial agg → 72 doubles) is partition-count-independent.
-    val feat = featureFrame(spark, dir).coalesce(8).persist()
-    val n = feat.count().toDouble
+  private def wlit(wv: Array[Double]): Column =
+    array(wv.map(lit).toIndexedSeq: _*)
 
-    // each round is ONE fused-kernel aggregate (LogisticGrad row sweep
-    // under a single VecSumAgg buffer) — the composed form (72-literal
-    // dot + 72 separate sum() columns) cost ≈0.23 s/round in CATALYST
-    // alone, 20× per fit; fused, a round is the job dispatch (measured
-    // ~45 ms/round at sf0.1, 4.6 s → 0.9 s for the loop)
+  /** The quantized full-batch GD loop over a (persisted) feature frame.
+    * Each round is ONE fused-kernel aggregate (LogisticGrad row sweep
+    * under a single VecSumAgg buffer) — the composed form (72-literal
+    * dot + 72 separate sum() columns) cost ≈0.23 s/round in CATALYST
+    * alone, paid R× per fit; fused, a round is the job dispatch. */
+  private def fit(feat: DataFrame, n: Double): Array[Double] = {
     var wv = Array.fill(Dims)(0.0)
     (1 to Rounds).foreach { _ =>
       val g = feat
         .select(VecSumAgg.vecSum(
-          LogisticGrad.grad(col("x"), array(wv.map(lit).toIndexedSeq: _*),
-            col("y")), Dims).as("g"))
+          LogisticGrad.grad(col("x"), wlit(wv), col("y")), Dims).as("g"))
         .head().getSeq[Double](0)
       wv = Array.tabulate(Dims)(j => q6(wv(j) - Lr * q6(g(j)) / n))
     }
+    wv
+  }
 
-    val cm = feat
-      .withColumn("p", sigmoid(
-        AdcKernels.dotDD(col("x"), array(wv.map(lit): _*))))
+  /** label×prediction confusion cells with mean score — the applied-
+    * scorer pass (one fused dot per row). */
+  private def confusion(feat: DataFrame, wv: Array[Double]): Array[Row] =
+    feat
+      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
       .withColumn("pred", (col("p") >= 0.5).cast("int"))
       .groupBy(col("y"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), r4(avg(col("p"))).as("avg_p"))
       .collect()
-    feat.unpersist(blocking = false)
 
-    val correct = cm.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
-    val acc = correct / n
-    require(acc >= AccFloor,
-      f"q158 distillation accuracy $acc%.3f under the $AccFloor floor " +
-        "(measured 0.835-0.846 across sf dirs) - the quantized GD " +
-        "trajectory diverged; check the feature/label arithmetic")
+  private def accuracyOf(cm: Array[Row]): Double = {
+    val total = cm.map(_.getLong(2)).sum.toDouble
+    cm.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum / total
+  }
 
+  private def emit(spark: SparkSession, wv: Array[Double],
+      cm: Array[Row]): DataFrame = {
+    import spark.implicits._
     val wRows = wv.zipWithIndex.map { case (w, j) => ("w", j, 0, 0L, w) }
     val cmRows = cm.map(r =>
       ("cm", r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
@@ -193,12 +205,98 @@ object QualityClassifier {
       .orderBy(col("sect"), col("i"), col("j"))
   }
 
-  /** The oracle replays the FULL quantized trajectory in SQL — 20
+  /** q158: fit on the full corpus, grade weights + in-sample confusion. */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    // persisted once, scanned by all R rounds + the final scoring pass;
+    // explicit free (the q121 xc discipline — per-invocation training
+    // state, not a standing per-dir artifact).
+    // coalesce(8): the loop re-scans this cache R+1 times and each
+    // round's aggregate is driver-bound on task dispatch, not compute —
+    // 8 cached partitions keep the build parallel (the coalesce folds
+    // into the post-exchange feature projection) while the per-round
+    // job stays small. Local[32] tuning only in degree; the shape
+    // (partial agg → 72 doubles) is partition-count-independent.
+    val feat = featureFrame(spark, dir).coalesce(8).persist()
+    val n = feat.count().toDouble
+    val wv = fit(feat, n)
+    val cm = confusion(feat, wv)
+    feat.unpersist(blocking = false)
+
+    val acc = accuracyOf(cm)
+    require(acc >= AccFloor,
+      f"q158 distillation accuracy $acc%.3f under the $AccFloor floor " +
+        "(measured 0.832-0.842 across sf dirs) - the quantized GD " +
+        "trajectory diverged; check the feature/label arithmetic")
+    emit(spark, wv, cm)
+  }
+
+  /** q159: the GENERALIZATION grade — fit on even doc_ids only, emit
+    * the same (weights, confusion) shape with the confusion measured on
+    * the held-out odd half. This is the claim that justifies the
+    * distillation: the scorer prices documents the gate never labeled.
+    * One cache serves both halves (the filters prune the cached
+    * partitions, not re-scan the dir). */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val all = featureFrame(spark, dir).coalesce(8).persist()
+    val train = all.where(pmod(col("doc_id"), lit(2)) === 0)
+    val n = train.count().toDouble
+    val wv = fit(train, n)
+    val cm = confusion(all.where(pmod(col("doc_id"), lit(2)) === 1), wv)
+    all.unpersist(blocking = false)
+
+    val acc = accuracyOf(cm)
+    require(acc >= HoldoutFloor,
+      f"q159 held-out accuracy $acc%.3f under the $HoldoutFloor floor - " +
+        "the even-half model does not generalize to the odd half")
+    emit(spark, wv, cm)
+  }
+
+  /** The standing model for q160 — the even-half weights, fit once per
+    * JVM per dir (the [[StandingCache]] artifact contract: the dir is
+    * immutable while cached; `invalidate(dir)`/`clear()` evict). The
+    * production analogue: the quality model is trained offline and
+    * SERVED to the ingest stream, not refit per micro-batch. */
+  private[graft] def standingModel(spark: SparkSession, dir: String): Array[Double] =
+    StandingCache.artifact(dir, "q158_model_even") {
+      val train = featureFrame(spark, dir)
+        .where(pmod(col("doc_id"), lit(2)) === 0).coalesce(8).persist()
+      val n = train.count().toDouble
+      val wv = fit(train, n)
+      train.unpersist(blocking = false)
+      wv
+    }
+
+  /** q160: STREAMING quality scoring — the apply side of the two-stage
+    * pipeline as a genuine Structured Streaming query (the q157/q132
+    * shape): documents arrive as a file-source stream, each micro-batch
+    * pays the stateless feature pass + one fused dot against the
+    * standing even-half model (append mode, no state), and the drained
+    * sink holds per-document scores of the streamed (odd) half. Graded
+    * against the SAME trajectory replay as q159 with a per-document
+    * tail — stream/batch parity through the model itself. */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val wv = standingModel(spark, dir)
+    val scoredStream = featureCols(
+      graft.streaming.EventStream.docStream(spark, dir))
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
+      .select(col("doc_id"), col("y"),
+        (col("p") >= 0.5).cast("int").as("pred"), r4(col("p")).as("p"))
+    graft.streaming.EventStream.drainToTable(spark, "graft_q160_sink",
+      scoredStream.writeStream.outputMode("append").format("memory")
+        .queryName("graft_q160_sink").start())
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- oracles ---------------------------------------------------------
+
+  /** The oracles replay the FULL quantized trajectory in SQL — R
     * generated round-CTEs over the same feature CTE (the q121
     * full-replay standard, not the persisted-artifact shortcut): any
-    * arithmetic drift anywhere in training lands in the 72 graded
-    * weights. */
-  def q158Sql: String = {
+    * arithmetic drift anywhere in training lands in the graded weights.
+    * `trainWhere` picks the fit subset (q158: all; q159/q160: even
+    * doc_ids); `scoreWhere` picks the rows the final pass prices. */
+  private def chainSql(trainWhere: String, scoreWhere: String): String = {
     val q6s = (e: String) => s"(floor(($e) * 1000000.0 + 0.5) / 1000000.0)"
     val dot = (w: String) =>
       s"list_sum(list_transform(range($Dims), i -> f.x[i + 1] * $w.wl[i + 1]))"
@@ -206,16 +304,16 @@ object QualityClassifier {
       s"1.0::DOUBLE / (1.0::DOUBLE + exp(-(${dot(w)})))"
     // every round CTE is MATERIALIZED: w{r-1} is referenced twice per
     // round (p$r and w$r), and DuckDB 1.0 INLINES multiply-referenced
-    // CTEs — without the keyword the 20-round chain is 2^20 re-
+    // CTEs — without the keyword the R-round chain is 2^R re-
     // evaluations of the whole trajectory (measured: a 12-level toy
     // chain already takes 7 s; materialized, 0.02 s)
     val rounds = (1 to Rounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT f.doc_id, f.y, ${pExpr(s"w${r - 1}")} AS p
-         |  FROM feat f, w${r - 1} w${r - 1}),
+         |  FROM trn f, w${r - 1} w${r - 1}),
          |g$r AS MATERIALIZED (
          |  SELECT rj.j AS j, ${q6s(s"sum((p.p - f.y) * f.x[rj.j + 1])")} AS g
-         |  FROM p$r p JOIN feat f USING (doc_id) CROSS JOIN range($Dims) rj(j)
+         |  FROM p$r p JOIN trn f USING (doc_id) CROSS JOIN range($Dims) rj(j)
          |  GROUP BY rj.j),
          |w$r AS MATERIALIZED (
          |  SELECT list(${q6s(s"w.wl[g.j + 1] - $Lr * g.g / cnt.n")} ORDER BY g.j) AS wl
@@ -273,12 +371,19 @@ object QualityClassifier {
        |          AND m.sr <= 0.1 AND m.bf <= 0.9 AND m.ef <= 0.3
        |          AND m.af >= 0.8 AND m.n_stop >= 2)::INT AS y
        |  FROM m JOIN hv ON hv.doc_id = m.doc_id),
-       |cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM feat),
+       |trn AS MATERIALIZED (SELECT * FROM feat WHERE $trainWhere),
+       |cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM trn),
        |w0 AS MATERIALIZED (SELECT list_transform(range($Dims), j -> 0.0::DOUBLE) AS wl),
        |$rounds,
        |pf AS (
        |  SELECT f.doc_id, f.y, ${pExpr(s"w$Rounds")} AS p
-       |  FROM feat f, w$Rounds w$Rounds),
+       |  FROM feat f, w$Rounds w$Rounds
+       |  WHERE $scoreWhere)""".stripMargin
+  }
+
+  /** weights + confusion tail (q158/q159's output shape). */
+  private def cmTailSql: String =
+    s""",
        |wout AS (
        |  SELECT 'w' AS sect, rj.j::INT AS i, 0::INT AS j, 0::BIGINT AS n,
        |         w.wl[rj.j + 1] AS v
@@ -289,11 +394,27 @@ object QualityClassifier {
        |  FROM pf GROUP BY 2, 3)
        |SELECT * FROM (SELECT * FROM wout UNION ALL SELECT * FROM cm)
        |ORDER BY sect, i, j""".stripMargin
-  }
+
+  def q158Sql: String = chainSql("TRUE", "TRUE") + cmTailSql
+
+  def q159Sql: String =
+    chainSql("doc_id % 2 = 0", "doc_id % 2 = 1") + cmTailSql
+
+  /** per-document score tail (q160's output shape). */
+  def q160Sql: String =
+    chainSql("doc_id % 2 = 0", "doc_id % 2 = 1") +
+      s"""
+         |SELECT doc_id, y::INT AS y, (p >= 0.5)::INT AS pred,
+         |       ${r4Sql("p")} AS p
+         |FROM pf ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q158_quality_classifier" -> (q158 _))
+    "q158_quality_classifier" -> (q158 _),
+    "q159_quality_holdout" -> (q159 _),
+    "q160_stream_quality_score" -> (q160 _))
 
   val oracles: Map[String, String] = Map(
-    "q158_quality_classifier" -> q158Sql)
+    "q158_quality_classifier" -> q158Sql,
+    "q159_quality_holdout" -> q159Sql,
+    "q160_stream_quality_score" -> q160Sql)
 }

@@ -45,6 +45,17 @@ import org.apache.spark.storage.StorageLevel
 object StandingCache {
 
   private val frames = new ConcurrentHashMap[(String, String), DataFrame]()
+  private val artifacts = new ConcurrentHashMap[(String, String), AnyRef]()
+
+  /** Standing DRIVER-SIDE artifact for (dir, tag) — for small values
+    * that are pure functions of an immutable dir but live outside the
+    * cache manager (a trained model's weight vector, a fitted
+    * threshold). Same contract and eviction surface as [[frame]]:
+    * built once per JVM, dropped by [[invalidate]]/[[clear]]. There is
+    * no self-healing re-pin (nothing external can unpersist a plain
+    * value). */
+  def artifact[T <: AnyRef](dir: String, tag: String)(build: => T): T =
+    artifacts.computeIfAbsent((dir, tag), _ => build).asInstanceOf[T]
 
   /** The standing frame for (dir, tag), built (and eagerly
     * materialized) on first use per JVM; re-pinned if something
@@ -74,6 +85,7 @@ object StandingCache {
         it.remove()
       }
     }
+    artifacts.keySet().removeIf(_._1 == dir)
   }
 
   /** Evict ALL standing frames (every dir) — for corpus-epoch
@@ -81,6 +93,7 @@ object StandingCache {
   def clear(): Unit = {
     frames.values().forEach(_.unpersist(false))
     frames.clear()
+    artifacts.clear()
   }
 
   /** Pinned (dir, tag) keys, for ops-script introspection alongside

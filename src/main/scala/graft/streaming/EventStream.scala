@@ -492,6 +492,13 @@ object EventStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** File-source STREAM over the dir's documents table (schema declared
+    * up front per the streaming-source contract) — shared by q132/q146
+    * here and QualityClassifier.q160. */
+  private[graft] def docStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
   /** q132: the embedding stage of a streaming INGEST pipeline — documents
     * arrive as files, their feature-hash vectors materialize
     * incrementally. Stateless narrow per-batch work (no watermark, no

@@ -71,6 +71,35 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(weights() === weights())
   }
 
+  test("q159 held-out confusion beats the held-out majority baseline") {
+    val cm = QualityClassifier.q159(spark, dir).collect()
+      .filter(_.getString(0) == "cm")
+    val n = cm.map(_.getLong(3)).sum.toDouble
+    val correct = cm.filter(r => r.getInt(1) == r.getInt(2)).map(_.getLong(3)).sum
+    val majority = cm.groupBy(_.getInt(1)).map(_._2.map(_.getLong(3)).sum).max / n
+    val acc = correct / n
+    info(f"held-out acc=$acc%.3f majority=$majority%.3f over ${n.toLong} docs")
+    assert(acc > majority,
+      f"even-half model ($acc%.3f) does not beat the odd-half majority ($majority%.3f)")
+  }
+
+  test("q160 streamed scores equal the batch scoring of the same model (stream/batch parity)") {
+    val streamed = QualityClassifier.q160(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    val wv = QualityClassifier.standingModel(spark, dir)
+    val batch = QualityClassifier.featureFrame(spark, dir)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("p", lit(1.0) / (lit(1.0) +
+        exp(-graft.functions.AdcKernels.dotDD(col("x"),
+          array(wv.map(lit).toIndexedSeq: _*)))))
+      .select(col("doc_id"), col("y"),
+        (col("p") >= 0.5).cast("int").as("pred"),
+        graft.functions.Det.r4(col("p")).as("p"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q158 gradient plan has no Generate: the (doc, dim) explode never materializes") {
     val feat = QualityClassifier.featureFrame(spark, dir)
     val grad = feat
