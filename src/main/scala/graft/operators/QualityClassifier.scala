@@ -288,6 +288,64 @@ object QualityClassifier {
       .orderBy(col("doc_id"))
   }
 
+  /** q161: the end-to-end curation FUNNEL with the trained scorer in
+    * its production role — the composed loop a pre-training pipeline
+    * actually runs (CurationDemo's arc, now graded):
+    *
+    *   corpus → model quality gate (the q158/q160 standing even-half
+    *   model scoring EVERY doc, the CCNet shape: the cheap learned
+    *   scorer replaces the rule cascade corpus-wide) → exact dedup
+    *   (q16's digest keepers) → decontamination (q63's benchmark
+    *   n-gram overlap; the bench docs themselves leave here — they ARE
+    *   the eval set) → surviving token mass.
+    *
+    * Emits one row per stage (stage, name, n). Every stage is a
+    * doc_id semi-join on the previous survivor set — at 100 TB the
+    * stage frames are two-column id+flag sets and each semi-join
+    * broadcasts or shuffles ids, never text. The oracle composes the
+    * SAME SQL the component gates are graded by (chainSql + q16Sql +
+    * q63Sql verbatim), so the funnel can only pass if the composition
+    * semantics match end-to-end. */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wv = standingModel(spark, dir)
+    val d = docs(spark, dir)
+    val n0 = d.count()
+
+    // id-sized survivor sets; pinned for the two downstream reuses each
+    val quality = featureFrame(spark, dir)
+      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
+      .where(col("p") >= 0.5).select(col("doc_id"))
+      .persist()
+    val n1 = quality.count()
+
+    val keepers = Dedup.q16(spark, dir).select(col("keeper").as("doc_id"))
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi").persist()
+    val n2 = deduped.count()
+
+    val clean = TextAnalysis.q63(spark, dir)
+      .where(!col("contaminated")).select(col("doc_id"))
+    val survivors = deduped.join(clean, Seq("doc_id"), "left_semi").persist()
+    val n3 = survivors.count()
+
+    val tokens = d.join(survivors, Seq("doc_id"), "left_semi")
+      .agg(sum(size(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0)))))
+      .head().getLong(0)
+    quality.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
+    survivors.unpersist(blocking = false)
+
+    Seq(
+      (0, "corpus", n0),
+      (1, "model_quality", n1),
+      (2, "exact_dedup", n2),
+      (3, "decontaminated", n3),
+      (4, "survivor_tokens", tokens))
+      .toDF("stage", "name", "n")
+      .orderBy(col("stage"))
+  }
+
   // ---- oracles ---------------------------------------------------------
 
   /** The oracles replay the FULL quantized trajectory in SQL — R
@@ -408,13 +466,43 @@ object QualityClassifier {
          |       ${r4Sql("p")} AS p
          |FROM pf ORDER BY doc_id""".stripMargin
 
+  /** The funnel oracle composes the component gates' own graded SQL
+    * verbatim: the trajectory chain (even-half model, scored
+    * corpus-wide), [[Dedup.q16Sql]] for the digest keepers, and
+    * [[TextAnalysis.q63Sql]] for the contamination flags. */
+  def q161Sql: String =
+    chainSql("doc_id % 2 = 0", "TRUE") +
+      s""",
+         |q AS MATERIALIZED (SELECT doc_id FROM pf WHERE p >= 0.5),
+         |k AS MATERIALIZED (SELECT keeper AS doc_id FROM (${Dedup.q16Sql})),
+         |s2 AS MATERIALIZED (SELECT doc_id FROM q WHERE doc_id IN (SELECT doc_id FROM k)),
+         |cln AS MATERIALIZED (
+         |  SELECT doc_id FROM (${TextAnalysis.q63Sql}) WHERE NOT contaminated),
+         |s3 AS MATERIALIZED (
+         |  SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM cln))
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'corpus' AS name, count(*)::BIGINT AS n FROM documents
+         |  UNION ALL
+         |  SELECT 1, 'model_quality', count(*)::BIGINT FROM q
+         |  UNION ALL
+         |  SELECT 2, 'exact_dedup', count(*)::BIGINT FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'decontaminated', count(*)::BIGINT FROM s3
+         |  UNION ALL
+         |  SELECT 4, 'survivor_tokens',
+         |         sum(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')))::BIGINT
+         |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s3))
+         |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_quality_classifier" -> (q158 _),
     "q159_quality_holdout" -> (q159 _),
-    "q160_stream_quality_score" -> (q160 _))
+    "q160_stream_quality_score" -> (q160 _),
+    "q161_curation_funnel" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
     "q158_quality_classifier" -> q158Sql,
     "q159_quality_holdout" -> q159Sql,
-    "q160_stream_quality_score" -> q160Sql)
+    "q160_stream_quality_score" -> q160Sql,
+    "q161_curation_funnel" -> q161Sql)
 }

@@ -100,6 +100,19 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("q161 funnel stages are monotone and every gate actually gates") {
+    val rows = QualityClassifier.q161(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("corpus", "model_quality", "exact_dedup", "decontaminated", "survivor_tokens"))
+    val counts = rows.take(4).map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel counts not monotone: ${counts.mkString(" -> ")}")
+    assert(counts(1) < counts(0), "the model quality gate passed everything")
+    assert(counts(3) > 0, "nothing survived the funnel")
+    assert(rows(4)._3 > 0, "survivors carry no tokens")
+  }
+
   test("q158 gradient plan has no Generate: the (doc, dim) explode never materializes") {
     val feat = QualityClassifier.featureFrame(spark, dir)
     val grad = feat
