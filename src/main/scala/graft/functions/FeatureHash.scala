@@ -25,7 +25,12 @@ object FeatureHash {
     * silently lose exactness past 2^24 per-dim counts; r12 ADVICE) and
     * converts at the serialization boundary, matching the Long-based
     * distributed kernel ([[FeatureHashVec]]). */
-  def embed(text: String): Array[Float] = {
+  def embed(text: String): Array[Float] = counts(text).map(_.toFloat)
+
+  /** The raw Long per-dim counts (the [[FeatureHashVec]] element type) —
+    * the quality scorer's driver kernel consumes these so its long →
+    * double cast matches the distributed frame bit-for-bit. */
+  def counts(text: String): Array[Long] = {
     val toks = tokens(text)
     val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
     val v = new Array[Long](Dims)
@@ -35,6 +40,6 @@ object FeatureHash {
       val sgn = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1L else -1L
       v(dim) += sgn
     }
-    v.map(_.toFloat)
+    v
   }
 }

@@ -359,6 +359,53 @@ object QualityClassifier {
       .orderBy(col("stage"))
   }
 
+  // ---- driver-side serving kernel ---------------------------------------
+
+  /** The 72-dim feature vector of ONE text, computed on the DRIVER —
+    * the [[graft.functions.FeatureHash]] pattern: the same semantics as
+    * [[featureCols]] reimplemented over plain Scala so a serving
+    * request scores one document without a Spark job (the REST `/score`
+    * route). QualityClassifierSpec pins bit-parity against the
+    * distributed frame across every corpus document. */
+  private[graft] def localFeatures(text: String): Array[Double] = {
+    val hashed = graft.functions.FeatureHash.counts(text)
+    val ntg = math.max(graft.functions.FeatureHash.tokens(text).size, 1).toDouble
+    // split(text, '\\s+') keeps trailing empties (limit -1) before the
+    // != '' filter — mirror it exactly
+    val words = text.split("\\s+", -1).filter(_.nonEmpty)
+    val lines = text.split("\n", -1)
+    val nWords = words.length
+    val meanWordLen = words.map(_.length.toLong).sum.toDouble / nWords
+    val alphaFrac =
+      words.count(w => w.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+        .toDouble / nWords
+    val symRatio =
+      (text.count(_ == '#') +
+        (text.length - text.replace("...", "").length) / 3).toDouble / nWords
+    val bulletRe = java.util.regex.Pattern.compile("^\\s*[-*]")
+    val ellipsisRe = java.util.regex.Pattern.compile("\\.\\.\\.\\s*$")
+    val bulletFrac =
+      lines.count(l => bulletRe.matcher(l).find()).toDouble / lines.length
+    val ellipsisFrac =
+      lines.count(l => ellipsisRe.matcher(l).find()).toDouble / lines.length
+    val nStop = words.map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.count(TextAnalysis.StopEn.contains)
+    hashed.map(_.toDouble / ntg) ++ Array(
+      nWords.toDouble / 100.0, meanWordLen / 10.0, alphaFrac, symRatio,
+      bulletFrac, ellipsisFrac, nStop.toDouble / 10.0, 1.0)
+  }
+
+  /** σ(x·w) for one text against a weight vector — the `/score` route's
+    * whole computation (ascending-index dot, the fused-kernel order). */
+  private[graft] def localScore(text: String, wv: Array[Double]): Double = {
+    val x = localFeatures(text)
+    var dot = 0.0
+    var i = 0
+    val n = math.min(x.length, wv.length)
+    while (i < n) { dot += x(i) * wv(i); i += 1 }
+    1.0 / (1.0 + math.exp(-dot))
+  }
+
   // ---- oracles ---------------------------------------------------------
 
   /** The oracles replay the FULL quantized trajectory in SQL — R

@@ -77,7 +77,8 @@ import graft.store.{DurableVectorStore, VectorStore}
   * fallback to the other store (since r15 every approx index — lsh
   * included — serves on both mounts, so the index matrix is symmetric). */
 class RestServer(store: VectorStore, port: Int = 0,
-                 durable: Option[DurableVectorStore] = None) {
+                 durable: Option[DurableVectorStore] = None,
+                 quality: Option[Array[Double]] = None) {
 
   private val mapper = new ObjectMapper()
   private val logger = org.slf4j.LoggerFactory.getLogger(classOf[RestServer])
@@ -523,6 +524,45 @@ class RestServer(store: VectorStore, port: Int = 0,
           graft.functions.FeatureHash.embed(t).foreach(v.add(_))
         }
         o.put("dims", graft.functions.FeatureHash.Dims)
+        respond(ex, 200, o)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
+  })
+
+  // Model-serving quality endpoint (no reference analogue — completes
+  // the trained-scorer arc: q158 fits, /score serves): POST
+  // {"texts": ["…", …]} (or {"text": "…"}) returns σ(x·w) per text plus
+  // the pass flag at the 0.5 threshold, all on the DRIVER-side kernel
+  // (QualityClassifier.localScore — bit-parity with the distributed
+  // frame pinned by QualityClassifierSpec); one request never costs a
+  // Spark job. 422 when the server was mounted without a model —
+  // never a silent constant.
+  server.createContext("/score", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val wv = quality.getOrElse(
+          throw new IllegalArgumentException("no quality model mounted"))
+        val body = readJson(ex)
+        val texts: Seq[String] =
+          if (body.has("texts")) {
+            val n = required(body, "texts")
+            if (!n.isArray)
+              throw new IllegalArgumentException("texts must be an array")
+            (0 until n.size).map { i =>
+              val t = n.get(i)
+              if (!t.isTextual)
+                throw new IllegalArgumentException(s"texts[$i] is not a string")
+              t.asText
+            }
+          } else Seq(required(body, "text").asText)
+        val o = mapper.createObjectNode()
+        val scores = o.putArray("scores")
+        val pass = o.putArray("pass")
+        texts.foreach { t =>
+          val p = graft.operators.QualityClassifier.localScore(t, wv)
+          scores.add(p)
+          pass.add(p >= 0.5)
+        }
         respond(ex, 200, o)
       case m => error(ex, 405, s"method $m not allowed")
     }

@@ -113,6 +113,22 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(rows(4)._3 > 0, "survivors carry no tokens")
   }
 
+  test("driver-side feature kernel is bit-identical to the distributed frame") {
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val dist = QualityClassifier.featureFrame(spark, dir)
+      .select(col("doc_id"), col("x")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(dist.nonEmpty)
+    dist.foreach { case (id, x) =>
+      val local = QualityClassifier.localFeatures(docs(id))
+      assert(java.util.Arrays.equals(local, x),
+        s"doc $id: driver kernel diverges from the distributed features at dims " +
+          x.indices.filter(j => local(j) != x(j)).take(3).mkString(","))
+    }
+  }
+
   test("q158 gradient plan has no Generate: the (doc, dim) explode never materializes") {
     val feat = QualityClassifier.featureFrame(spark, dir)
     val grad = feat

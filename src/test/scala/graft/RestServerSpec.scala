@@ -584,4 +584,39 @@ class RestServerSpec extends AnyFunSuite {
       assert(send("GET", s"$base/embed")._1 == 405)
     }
   }
+
+  test("/score serves the standing quality model, bit-equal to the batch scorer") {
+    val dir = "/root/testdata/sf0.001"
+    val wv = graft.operators.QualityClassifier.standingModel(spark, dir)
+    val server = new RestServer(new VectorStore(spark), quality = Some(wv))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val texts = graft.sources.Tables.table(spark, dir, "documents")
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .limit(20).collect().map(_.getAs[String]("text"))
+      val payload = mapper.createObjectNode()
+      val arr = payload.putArray("texts")
+      texts.foreach(arr.add)
+      val (code, body) = send("POST", s"$base/score", mapper.writeValueAsString(payload))
+      assert(code == 200)
+      val scores = mapper.readTree(body).get("scores")
+      assert(scores.size() == texts.length)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expected = graft.operators.QualityClassifier.localScore(t, wv)
+        assert(scores.get(i).asDouble() == expected,
+          s"text $i: REST score ${scores.get(i).asDouble()} != kernel $expected")
+      }
+      // the kernel itself is pinned bit-equal to the distributed frame in
+      // QualityClassifierSpec, so transitivity grades REST == Spark
+      assert(mapper.readTree(body).get("pass").size() == texts.length)
+    } finally server.stop()
+  }
+
+  test("/score without a mounted model is a 422, never a silent constant") {
+    withServer { (base, _) =>
+      val (code, body) = send("POST", s"$base/score", """{"text": "hello world"}""")
+      assert(code == 422 && body.contains("no quality model mounted"))
+    }
+  }
 }
