@@ -129,6 +129,37 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("logistic_grad codegen path is bit-identical to the composed HOF form") {
+    // a plain projection exercises doGenCode (the training loop runs the
+    // expression under the imperative vec_sum aggregate, i.e. the
+    // INTERPRETED eval — this pins the other path before any future
+    // caller relies on it)
+    val spark2 = spark
+    import spark2.implicits._
+    val w = Array(0.25, -1.5, 3.0, 0.0625)
+    val rows = Seq(
+      (Array(1.0, 2.0, -0.5, 4.0), 1),
+      (Array(0.0, 0.0, 0.0, 0.0), 0),
+      (Array(-3.25, 0.125, 7.0, -2.0), 0))
+    val df = rows.toDF("x", "y")
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val fused = df.select(
+      graft.functions.LogisticGrad.grad(col("x"), wl, col("y")).as("g"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val composed = df.select(expr(
+      s"transform(x, v -> (1.0D / (1.0D + exp(-aggregate(zip_with(x, array(${w.mkString(",")}), (a, b) -> a * b), 0.0D, (acc, t) -> acc + t))) - cast(y as double)) * v)").as("g"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    fused.zip(composed).foreach { case (f, c) =>
+      assert(java.util.Arrays.equals(f, c), s"${f.toSeq} != ${c.toSeq}")
+    }
+    // and vec_sum against the per-column sums it replaced
+    val viaAgg = df.select(graft.functions.VecSumAgg.vecSum(col("x"), 4))
+      .head().getSeq[Double](0).toArray
+    val viaCols = df.select((0 until 4).map(j => sum(col("x").getItem(j))): _*)
+      .head()
+    assert((0 until 4).forall(j => viaAgg(j) == viaCols.getDouble(j)))
+  }
+
   test("q158 gradient plan has no Generate: the (doc, dim) explode never materializes") {
     val feat = QualityClassifier.featureFrame(spark, dir)
     val grad = feat
