@@ -359,6 +359,60 @@ object QualityClassifier {
       .orderBy(col("stage"))
   }
 
+  // ---- q162: quality-gated retrieval -------------------------------------
+
+  private val Q162Ns = "q162"
+  private val Q162K = 10
+  private val Q162Query = 1L
+
+  /** One loaded q162 store per sf dir per JVM (the q48 steady-state
+    * rationale: bulk load once, serve many). */
+  private val q162Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.VectorStore]()
+
+  /** q162: quality-GATED similarity retrieval — the RAG-curation loop
+    * that joins the library's two halves the way q153 joined media and
+    * the store: every document loads into a live [[graft.store.VectorStore]]
+    * with its q129 feature-hash count vector as the embedding AND its
+    * standing-model verdict as per-row metadata (`pass`), and retrieval
+    * runs `findSimilar(filter = pass=true)` — top-k similar among
+    * model-approved documents only. Docs with zero [a-z0-9] tokens are
+    * excluded at load (their count vector could be zero-norm; with ≥1
+    * token the 2t−1 signed features have odd total mass, so some dim is
+    * odd and the norm is provably nonzero). The query is doc 1's vector
+    * through the SAME driver kernel `/score` uses. At 100 TB this is a
+    * bulk embed+score load (two narrow scans) and a metadata-pushed
+    * filtered scan per query. */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wv = standingModel(spark, dir)
+    val store = q162Stores.computeIfAbsent(dir, d => {
+      val s = new graft.store.VectorStore(spark)
+      val verdicts = standingFeat(spark, d)
+        .where(col("ntok") >= 1)
+        .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
+        .select(col("doc_id"), (col("p") >= 0.5).cast("string").as("pass"))
+      val vecs = docs(spark, d)
+        .select(col("doc_id"), FeatureHashVec(col("text")).as("counts"))
+        .join(verdicts, "doc_id")
+        .select(col("doc_id").cast("string").as("id"),
+          expr("transform(counts, c -> cast(c AS float))").as("values"),
+          map(lit("pass"), col("pass")).as("metadata"))
+      s.loadFrame(vecs, Q162Ns)
+      s
+    })
+    val qText = docs(spark, dir).where(col("doc_id") === Q162Query)
+      .select(col("text")).head().getString(0)
+    val qv = graft.functions.FeatureHash.counts(qText).map(_.toFloat).toSeq
+    val hits = store.findSimilar(qv, k = Q162K, metric = "cosine",
+      namespace = Q162Ns, filter = Map("pass" -> "true"))
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", r4(col("score")))
+      .orderBy(col("rank"))
+  }
+
   // ---- driver-side serving kernel ---------------------------------------
 
   /** The 72-dim feature vector of ONE text, computed on the DRIVER —
@@ -554,15 +608,43 @@ object QualityClassifier {
          |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s3))
          |ORDER BY stage""".stripMargin
 
+  /** The q162 oracle rides chainSql's own CTEs: `hv` already holds each
+    * document's raw 64-dim signed-count vector (the loaded embedding —
+    * integer-valued, so the store's float32 cast is lossless and both
+    * engines' cosine arithmetic is exact), `tl` its token list (the
+    * ntok ≥ 1 load gate), and `pf` the even-half model's score for
+    * every doc. Rerank replays the store's raw-cosine ordering with its
+    * string-id tie-break (the q48 discipline). */
+  def q162Sql: String =
+    chainSql("doc_id % 2 = 0", "TRUE") +
+      s""",
+         |qd AS (SELECT hvec AS qv FROM hv WHERE doc_id = $Q162Query),
+         |keep AS (
+         |  SELECT p.doc_id FROM pf p JOIN tl t USING (doc_id)
+         |  WHERE p.p >= 0.5 AND len(t.toks) >= 1),
+         |base AS (
+         |  SELECT h.doc_id::VARCHAR AS id, h.hvec AS v
+         |  FROM hv h JOIN keep USING (doc_id)),
+         |sc AS (
+         |  SELECT b.id, ${graft.functions.Det.cosSql("b.v", "q.qv")} AS raw
+         |  FROM base b, qd q),
+         |r AS (
+         |  SELECT id, raw, row_number() OVER (ORDER BY raw DESC, id) AS rank
+         |  FROM sc)
+         |SELECT rank::INT AS rank, id, ${r4Sql("raw")} AS score
+         |FROM r WHERE rank <= $Q162K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_quality_classifier" -> (q158 _),
     "q159_quality_holdout" -> (q159 _),
     "q160_stream_quality_score" -> (q160 _),
-    "q161_curation_funnel" -> (q161 _))
+    "q161_curation_funnel" -> (q161 _),
+    "q162_quality_gated_retrieval" -> (q162 _))
 
   val oracles: Map[String, String] = Map(
     "q158_quality_classifier" -> q158Sql,
     "q159_quality_holdout" -> q159Sql,
     "q160_stream_quality_score" -> q160Sql,
-    "q161_curation_funnel" -> q161Sql)
+    "q161_curation_funnel" -> q161Sql,
+    "q162_quality_gated_retrieval" -> q162Sql)
 }

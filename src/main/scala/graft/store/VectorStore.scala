@@ -139,17 +139,27 @@ class VectorStore(val spark: SparkSession) {
     * commit (the reference's closest analogue is a batched `add_items`
     * call, `index.py:60-79`; here the frame never touches the driver).
     * `df` must have columns `id: string` and `values: array<float>` with
-    * UNIQUE ids; metadata columns default to empty. Upsert semantics like
+    * UNIQUE ids; an optional `metadata: map<string,string>` column loads
+    * per-row flat metadata (r15 — the quality-gated retrieval arc needs
+    * model scores attached at bulk-load time; absent, metadata defaults
+    * to empty as before). Upsert semantics like
     * [[upsert]]: existing rows at the incoming (namespace, id) keys are
     * replaced, never duplicated (the anti-join drops them in the same
     * commit). */
   def loadFrame(df: DataFrame, namespace: String): Unit = {
+    val meta =
+      if (df.columns.contains("metadata"))
+        coalesce(col("metadata").cast("map<string,string>"),
+          typedLit(Map.empty[String, String]))
+      else typedLit(Map.empty[String, String])
     val recs = df
       .select(col("id").cast("string").as("id"),
         lit(namespace).as("namespace"),
         col("values").cast("array<float>").as("values"),
-        typedLit(Map.empty[String, String]).as("metadata"),
-        lit("{}").as("metadataJson"))
+        meta.as("metadata"),
+        // flat map → the same {"k":"v"} shape flatToJson writes, so
+        // jsonFilter/get address frame-loaded rows too
+        coalesce(to_json(meta), lit("{}")).as("metadataJson"))
       .as[VectorRecord]
     commit(cur => cur.join(
       recs.select(col("id").as("__lid")).withColumn("__lns", lit(namespace)),

@@ -129,6 +129,21 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 gate actually gates: every hit is model-approved, and the filter changes the set") {
+    val hits = QualityClassifier.q162(spark, dir).collect()
+      .map(_.getString(1)).toSeq
+    assert(hits.size === 10)
+    val wv = QualityClassifier.standingModel(spark, dir)
+    val verdicts = graft.sources.Tables.table(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("id"), col("text")).collect()
+      .map(r => r.getString(0) ->
+        (QualityClassifier.localScore(r.getString(1), wv) >= 0.5)).toMap
+    hits.foreach(id => assert(verdicts(id), s"hit $id failed the quality gate"))
+    // the corpus has rejected docs, so an ungated search over the same
+    // vectors COULD differ; at minimum the gate must be live in the store
+    assert(verdicts.values.exists(v => !v), "no rejected docs at this sf: gate untestable")
+  }
+
   test("logistic_grad codegen path is bit-identical to the composed HOF form") {
     // a plain projection exercises doGenCode (the training loop runs the
     // expression under the imperative vec_sum aggregate, i.e. the
