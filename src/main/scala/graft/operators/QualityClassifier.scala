@@ -383,34 +383,71 @@ object QualityClassifier {
     * through the SAME driver kernel `/score` uses. At 100 TB this is a
     * bulk embed+score load (two narrow scans) and a metadata-pushed
     * filtered scan per query. */
-  def q162(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** (id, values, metadata) — every ≥1-token document's count vector
+    * with its standing-model verdict attached; the load frame both
+    * quality-retrieval mounts share. */
+  private def gatedVectorFrame(spark: SparkSession, dir: String): DataFrame = {
     val wv = standingModel(spark, dir)
-    val store = q162Stores.computeIfAbsent(dir, d => {
-      val s = new graft.store.VectorStore(spark)
-      val verdicts = standingFeat(spark, d)
-        .where(col("ntok") >= 1)
-        .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
-        .select(col("doc_id"), (col("p") >= 0.5).cast("string").as("pass"))
-      val vecs = docs(spark, d)
-        .select(col("doc_id"), FeatureHashVec(col("text")).as("counts"))
-        .join(verdicts, "doc_id")
-        .select(col("doc_id").cast("string").as("id"),
-          expr("transform(counts, c -> cast(c AS float))").as("values"),
-          map(lit("pass"), col("pass")).as("metadata"))
-      s.loadFrame(vecs, Q162Ns)
-      s
-    })
+    val verdicts = standingFeat(spark, dir)
+      .where(col("ntok") >= 1)
+      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
+      .select(col("doc_id"), (col("p") >= 0.5).cast("string").as("pass"))
+    docs(spark, dir)
+      .select(col("doc_id"), FeatureHashVec(col("text")).as("counts"))
+      .join(verdicts, "doc_id")
+      .select(col("doc_id").cast("string").as("id"),
+        expr("transform(counts, c -> cast(c AS float))").as("values"),
+        map(lit("pass"), col("pass")).as("metadata"))
+  }
+
+  private def q162QueryVec(spark: SparkSession, dir: String): Seq[Float] = {
     val qText = docs(spark, dir).where(col("doc_id") === Q162Query)
       .select(col("text")).head().getString(0)
-    val qv = graft.functions.FeatureHash.counts(qText).map(_.toFloat).toSeq
-    val hits = store.findSimilar(qv, k = Q162K, metric = "cosine",
-      namespace = Q162Ns, filter = Map("pass" -> "true"))
+    graft.functions.FeatureHash.counts(qText).map(_.toFloat).toSeq
+  }
+
+  private def emitHits(spark: SparkSession,
+      hits: Seq[graft.model.SearchHit]): DataFrame = {
+    import spark.implicits._
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
       .withColumn("score", r4(col("score")))
       .orderBy(col("rank"))
+  }
+
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val store = q162Stores.computeIfAbsent(dir, d => {
+      val s = new graft.store.VectorStore(spark)
+      s.loadFrame(gatedVectorFrame(spark, d), Q162Ns)
+      s
+    })
+    emitHits(spark, store.findSimilar(q162QueryVec(spark, dir), k = Q162K,
+      metric = "cosine", namespace = Q162Ns, filter = Map("pass" -> "true")))
+  }
+
+  /** One durable q163 store per sf dir per JVM (the q87 pattern: load +
+    * layout once, serve many). */
+  private val q163Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+
+  /** q163: q162 on the DURABLE mount — the same gated load frame
+    * appended to the LSM layout (metadata rides the append), the same
+    * exact cosine search with the pass=true metadata filter pushed into
+    * the layout scan (the durable exact path's new filter support, r15 —
+    * the last live/durable read asymmetry). Graded by q162's oracle
+    * text VERBATIM: that equality IS the cross-mount parity claim (the
+    * q157 contract applied to stores). */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val store = q163Stores.computeIfAbsent(dir, d => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q163_").toString
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(gatedVectorFrame(spark, d), Q162Ns)
+      s
+    })
+    emitHits(spark, store.findSimilar(q162QueryVec(spark, dir), k = Q162K,
+      metric = "cosine", namespace = Q162Ns, filter = Map("pass" -> "true")))
   }
 
   // ---- driver-side serving kernel ---------------------------------------
@@ -639,12 +676,16 @@ object QualityClassifier {
     "q159_quality_holdout" -> (q159 _),
     "q160_stream_quality_score" -> (q160 _),
     "q161_curation_funnel" -> (q161 _),
-    "q162_quality_gated_retrieval" -> (q162 _))
+    "q162_quality_gated_retrieval" -> (q162 _),
+    "q163_durable_quality_retrieval" -> (q163 _))
 
   val oracles: Map[String, String] = Map(
     "q158_quality_classifier" -> q158Sql,
     "q159_quality_holdout" -> q159Sql,
     "q160_stream_quality_score" -> q160Sql,
     "q161_curation_funnel" -> q161Sql,
-    "q162_quality_gated_retrieval" -> q162Sql)
+    "q162_quality_gated_retrieval" -> q162Sql,
+    // graded by the LIVE mount's oracle text verbatim — the equality IS
+    // the live/durable parity claim (the q157 contract)
+    "q163_durable_quality_retrieval" -> q162Sql)
 }

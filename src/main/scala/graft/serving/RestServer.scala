@@ -73,9 +73,11 @@ import graft.store.{DurableVectorStore, VectorStore}
   * store has no log to fold), and the one that must still come from a
   * single maintenance caller at a time (the store's documented
   * single-compactor contract; concurrent appends are fine). Requesting
-  * `durable` with no mount, or with `filter`, is a 422, never a silent
+  * `durable` with no mount is a 422, never a silent
   * fallback to the other store (since r15 every approx index — lsh
-  * included — serves on both mounts, so the index matrix is symmetric). */
+  * included — serves on both mounts, so the index matrix is symmetric;
+  * metadata filters serve on the durable EXACT path too, while durable
+  * indexed/batch search with a filter stays an explicit 422). */
 class RestServer(store: VectorStore, port: Int = 0,
                  durable: Option[DurableVectorStore] = None,
                  quality: Option[Array[Double]] = None) {
@@ -321,12 +323,19 @@ class RestServer(store: VectorStore, port: Int = 0,
                 index != "lsh")
               throw new IllegalArgumentException(
                 "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid, its HNSW graphs or its LSH signatures; pass index:'ivf', 'pq', 'bq', 'imi', 'hnsw' or 'lsh'")
-            if (stringMapOf(body, "filter").nonEmpty ||
-                stringMapOf(body, "json_filter").nonEmpty)
+            // metadata filters serve on the durable EXACT path since r15
+            // (pushed into the layout scan); the indexed paths keep the
+            // explicit refusal — their persisted candidates are keyed by
+            // geometry only (see DurableVectorStore.findSimilar)
+            if (approx && (stringMapOf(body, "filter").nonEmpty ||
+                stringMapOf(body, "json_filter").nonEmpty))
               throw new IllegalArgumentException(
-                "durable search does not support metadata filters")
+                "durable indexed search does not support metadata filters " +
+                  "(use approx: false)")
             d.findSimilar(floats(required(body, "query")), k, metric, ns,
-              approx = approx, index = if (approx) index else "ivf")
+              approx = approx, index = if (approx) index else "ivf",
+              filter = stringMapOf(body, "filter"),
+              jsonFilter = stringMapOf(body, "json_filter"))
           } else store.findSimilar(floats(required(body, "query")), k, metric,
             ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
             approx = approx, index = index)
@@ -373,7 +382,7 @@ class RestServer(store: VectorStore, port: Int = 0,
             if (stringMapOf(body, "filter").nonEmpty ||
                 stringMapOf(body, "json_filter").nonEmpty)
               throw new IllegalArgumentException(
-                "durable search does not support metadata filters")
+                "durable batch search does not support metadata filters")
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the
               // code/graph mounts are cosine (their training geometry)

@@ -787,9 +787,30 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   approx: Boolean = false,
-                  index: String = "ivf"): Seq[SearchHit] =
-    if (!approx) searchOver(live(), query, k, metric, namespace)
-    else index match {
+                  index: String = "ivf",
+                  filter: Map[String, String] = Map.empty,
+                  jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    if (!approx) {
+      // metadata filters on the EXACT path (live/durable symmetry, r15) —
+      // the same equality semantics as the in-memory store; pushed into
+      // the layout scan before scoring. Filters on the indexed paths stay
+      // an explicit refusal below: the persisted layouts key candidates
+      // by geometry only, and silently post-filtering them would return
+      // fewer than k hits without the recall contract the live store's
+      // candidate-time filters keep.
+      val filtered = live()
+        .filter(filter.foldLeft(lit(true)) { case (acc, (key, v)) =>
+          acc && col("metadata").getItem(key) === v
+        })
+        .filter(jsonFilter.foldLeft(lit(true)) { case (acc, (path, v)) =>
+          acc && get_json_object(col("metadataJson"), path) === v
+        })
+      searchOver(filtered, query, k, metric, namespace)
+    } else {
+      require(filter.isEmpty && jsonFilter.isEmpty,
+        "durable indexed search does not support metadata filters " +
+          "(use approx = false, or the in-memory store's filtered indexes)")
+      index match {
       case "ivf" =>
         require(metric == "cosine" || metric == "l2" || metric == "ip",
           s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
@@ -816,6 +837,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         searchLsh(query, k, namespace, persistSig = false)
       case other => throw new IllegalArgumentException(
         s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
+      }
     }
 
   /** [[findSimilar]] against the [[liveAsOf]] snapshot at `asOf` — the

@@ -328,10 +328,11 @@ class RestServerSpec extends AnyFunSuite {
       assert(lhits.get(0).get("id").asText() == "a")
       assert((0 until lhits.size()).map(lhits.get(_).get("id").asText()).toSet == Set("a", "b"),
         "durable LSH search served a tombstoned row")
-      // filters are in-memory-store features
-      val (fc, _) = send("POST", s"$base/search?namespace=dns",
+      // exact-path metadata filters serve on the durable mount (r15);
+      // these rows carry no metadata, so an equality filter matches none
+      val (fc, fb) = send("POST", s"$base/search?namespace=dns",
         """{"query": [1.0, 0.0], "durable": true, "filter": {"k": "v"}}""")
-      assert(fc == 422)
+      assert(fc == 200 && mapper.readTree(fb).size() == 0, fb)
     } finally server.stop()
   }
 
@@ -618,5 +619,33 @@ class RestServerSpec extends AnyFunSuite {
       val (code, body) = send("POST", s"$base/score", """{"text": "hello world"}""")
       assert(code == 422 && body.contains("no quality model mounted"))
     }
+  }
+
+  test("durable exact search serves metadata filters; indexed still 422s") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_dfilter_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    d.loadFrame(
+      Seq(("a", Seq(1f, 0f), Map("pass" -> "true")),
+          ("b", Seq(0.95f, 0.05f), Map("pass" -> "false")),
+          ("c", Seq(0f, 1f), Map("pass" -> "true")))
+        .toDF("id", "values", "metadata"),
+      "dfns")
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      val (sc, sb) = send("POST", s"$base/search?namespace=dfns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true,
+          | "filter": {"pass": "true"}}""".stripMargin)
+      assert(sc == 200, sb)
+      val hits = mapper.readTree(sb)
+      assert((0 until hits.size()).map(hits.get(_).get("id").asText()) == Seq("a", "c"),
+        s"filter must drop b (pass=false): $sb")
+      val (ic, ib) = send("POST", s"$base/search?namespace=dfns",
+        """{"query": [1.0, 0.0], "durable": true, "approx": true,
+          | "index": "ivf", "filter": {"pass": "true"}}""".stripMargin)
+      assert(ic == 422 && ib.contains("durable indexed search does not support metadata filters"), ib)
+    } finally server.stop()
   }
 }
