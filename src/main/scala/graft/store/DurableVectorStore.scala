@@ -541,6 +541,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val metaJsonCol =
       if (df.columns.contains("metadataJson"))
         coalesce(col("metadataJson").cast("string"), lit("{}"))
+      else if (df.columns.contains("metadata"))
+        // flat map → the same {"k":"v"} shape the live store's loadFrame
+        // writes, so jsonFilter/get address frame-loaded rows on BOTH
+        // mounts (r15)
+        coalesce(to_json(metaCol), lit("{}"))
       else lit("{}")
     val incoming = df.select(col("id").cast("string").as("id"),
       col("values").cast("array<float>").as("values"),

@@ -852,4 +852,29 @@ class DurableStoreSpec extends AnyFunSuite {
         "sub-threshold mutations must not rebuild an adopted layout")
     } finally spark.conf.unset(s1.AnnDirConf)
   }
+
+  test("durable exact search honors flat and json metadata filters; indexed+filter refuses") {
+    val sp = spark
+    import sp.implicits._
+    val d = new graft.store.DurableVectorStore(sp, tmp())
+    d.loadFrame(
+      Seq(("a", Seq(1f, 0f), Map("pass" -> "true")),
+          ("b", Seq(0.95f, 0.05f), Map("pass" -> "false")),
+          ("c", Seq(0f, 1f), Map("pass" -> "true")))
+        .toDF("id", "values", "metadata"),
+      "fns")
+    val flat = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
+      filter = Map("pass" -> "true"))
+    assert(flat.map(_.id) == Seq("a", "c"))
+    // the map-only frame derives metadataJson = {"k":"v"} (live parity),
+    // so JSONPath filters address the same rows
+    val viaJson = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
+      jsonFilter = Map("$.pass" -> "true"))
+    assert(viaJson.map(_.id) == Seq("a", "c"))
+    val refused = intercept[IllegalArgumentException] {
+      d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
+        approx = true, index = "ivf", filter = Map("pass" -> "true"))
+    }
+    assert(refused.getMessage.contains("does not support metadata filters"))
+  }
 }
