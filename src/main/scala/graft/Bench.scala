@@ -589,11 +589,29 @@ object Bench {
     val minsJson = sampleMins
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // per-query SETUP COST (r16 — VERDICT r15 #5): pass-1 median minus
+    // the cross-pass min. The committed all-pass spread is dominated by
+    // first-pass amortization the warm sweep cannot fully reach
+    // (streaming checkpoint/state machinery, first durable-batch layout
+    // builds, C2 recompilation of shared interpreter paths — r15 audit:
+    // q160 +2.9 s, q107 +2.8 s, q96 +2.0 s pass-1 vs pass-4), so the
+    // artifact itself attributes the spread per query: a large
+    // setup_cost with a flat pass-2..N tail is amortized warm-in, not a
+    // steady-state regression. setup_cost_total_sec is the sum — the
+    // upper bound on how much of the all-pass spread is first-pass-only.
+    val setupCosts = names.flatMap { name =>
+      val p1 = allPasses.head.collectFirst { case (`name`, v) if v >= 0 => v }
+      val mn = minQueries.collectFirst { case (`name`, v) if v >= 0 => v }
+      for (a <- p1; b <- mn; d = a - b if d > 0.05) yield name -> r3(d)
+    }
+    val setupJson = setupCosts.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val setupTotal = r3(setupCosts.map(_._2).sum)
     def longsJson(m: scala.collection.Map[String, List[Long]]): String = m
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcTimes)},"queries_pass_jit_ms":${longsJson(jitTimes)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcTimes)},"queries_pass_jit_ms":${longsJson(jitTimes)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -615,13 +633,18 @@ object Bench {
     // headline fields (errors, deviations, value, sf) sit at the END
     // where they can never be lost. JSON object key order is meaningless
     // to parsers, so a fitting line is unchanged semantically.
-    println(s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","audit":"$auditPath"}""")
+    // corpus_sig rides the COMMITTED headline (r16 — VERDICT r15 #6):
+    // cross-round comparability is machine-checkable from the committed
+    // artifacts alone (the r15 regeneration was only discoverable via
+    // the uncommitted audit file). Same sig → totals comparable;
+    // different sig → compare within-round evidence only.
+    println(s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","setup_cost_total_sec":$setupTotal,"audit":"$auditPath"}""")
     // SECOND, SHORT line (r9, per advice): if the tail window clips the
     // per-query line above, it stops being parseable JSON at all — the
     // opening brace is gone. This headline-only line always fits inside
     // any plausible tail window, so at least one guaranteed-valid JSON
     // object survives for a strict parser. Per-query data: audit file.
-    println(s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"n_errors":${errors.size}$extra$onlyJson,"audit":"$auditPath"}""")
+    println(s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errors.size}$extra$onlyJson,"audit":"$auditPath"}""")
     spark.stop()
   }
 }

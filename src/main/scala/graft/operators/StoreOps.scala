@@ -1187,6 +1187,115 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q164: FILTERED ANN on the durable mount (r16) -------------------
+
+  private val DFAnnNs = "q164"
+  private val DFTenantMod = 3
+
+  private val q164Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q164Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (layout dir, probe dir) of the most recent q164 run — the
+    * [[lastDurableAnnAux]] honesty contract. */
+  @volatile private var lastDurableFilteredAux: Option[(String, String)] = None
+
+  /** q164: the durable store's FILTERED indexed read path — the
+    * reference's hybrid query (metadata predicate ∧ KNN,
+    * `README.md:294-299`, `examples/api_client.py:65-74`) composed with
+    * the durable IVF mount: the tenant/license/quality-gated retrieval
+    * every production RAG pipeline runs at the 100 TB serving shape.
+    * Script mirrors q87 (load → layout build → post-layout deletes +
+    * delta appends → graded search), except every loaded row carries a
+    * `tenant` metadata key (`vec_id % $DFTenantMod`) and the graded
+    * search filters `tenant = '1'` ON THE INDEXED PATH: the predicate
+    * evaluates inside the probed-cell scan and on the delta tail BEFORE
+    * any ranking, so the top-k ranks matching rows only (candidate-time
+    * filtering — never a post-filtered geometry top-k), and a starved
+    * probe falls back to the exact filtered scan (spec-pinned;
+    * the in-script `hits.size == K` require keeps the graded run on the
+    * non-starved branch its oracle replays). The oracle replays the
+    * predicate RELATIONALLY from `vec_id`, so a metadata value lost or
+    * mangled anywhere in append → layout → filter breaks the hash. */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"),
+          map(lit("tenant"),
+            (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dfann_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q164Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q164Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DFAnnNs)
+      // build the layout NOW (unfiltered search), so the deletes and the
+      // delta batch below are post-layout mutations — q87's discipline
+      s.findSimilar(qv, k = K, namespace = DFAnnNs, approx = true)
+      require(s.annBuilds.get() >= 1, "q164 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DFAnnNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFAnnNs)
+      s
+    })
+    val hits = store.findSimilarIvfFilteredGraded(qv, k = K,
+      namespace = DFAnnNs, filter = Map("tenant" -> "1"))
+    require(store.annBuilds.get() == 1,
+      "q164's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    require(hits.size == K,
+      s"q164's filtered probe returned ${hits.size} < $K hits — the " +
+        "starved-selectivity fallback fired, which the oracle does not " +
+        "replay (the fallback is DurableStoreSpec-pinned; retune the " +
+        "filter or probe breadth if the corpus shape changed)")
+    lastDurableFilteredAux = store.annLayoutDir(DFAnnNs, qv.length)
+      .map { case (a, _) => (a, store.annProbesDir(a)) }
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the filtered durable ANN read path: q87's candidate
+    * replay with the tenant predicate re-derived relationally — the live
+    * set is (load − deletes ∪ delta) ∩ `vec_id % $DFTenantMod = 1`, so
+    * candidates and rerank both see matching rows only, exactly the
+    * candidate-time filter the store evaluates inside the probed-cell
+    * scan. */
+  def q164Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND vec_id % $DFTenantMod = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q123: the durable store's HNSW (graph) read path ----------------
 
   private val DHnswNs = "q123"
@@ -2947,7 +3056,8 @@ object StoreOps {
       "q147_store_opq_search" -> (q147 _),
       "q148_store_lsh_batch" -> (q148 _),
       "q149_durable_opq_search" -> (q149 _),
-      "q155_durable_lsh" -> (q155 _))
+      "q155_durable_lsh" -> (q155 _),
+      "q164_durable_filtered_ann" -> (q164 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3004,5 +3114,7 @@ object StoreOps {
       lastOpqAux.map { case (aux, dim) =>
         "q147_store_opq_search" -> q147Sql(aux, dim) } ++
       lastDurableOpqAux.map { case (aux, dim) =>
-        "q149_durable_opq_search" -> q149Sql(aux, dim) }
+        "q149_durable_opq_search" -> q149Sql(aux, dim) } ++
+      lastDurableFilteredAux.map { case (aux, p) =>
+        "q164_durable_filtered_ann" -> q164Sql(aux, p) }
 }

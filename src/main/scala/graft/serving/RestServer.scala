@@ -323,15 +323,20 @@ class RestServer(store: VectorStore, port: Int = 0,
                 index != "lsh")
               throw new IllegalArgumentException(
                 "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid, its HNSW graphs or its LSH signatures; pass index:'ivf', 'pq', 'bq', 'imi', 'hnsw' or 'lsh'")
-            // metadata filters serve on the durable EXACT path since r15
-            // (pushed into the layout scan); the indexed paths keep the
-            // explicit refusal — their persisted candidates are keyed by
-            // geometry only (see DurableVectorStore.findSimilar)
-            if (approx && (stringMapOf(body, "filter").nonEmpty ||
-                stringMapOf(body, "json_filter").nonEmpty))
+            // metadata filters serve on the durable EXACT path (r15) and
+            // — since r16 — on the IVF indexed path, whose record-
+            // carrying layout evaluates the predicate inside the probed-
+            // cell scan before the candidate cut (starved-selectivity
+            // fallback to the exact filtered scan; see
+            // DurableVectorStore.findSimilar). The codes-only indexed
+            // paths keep the explicit refusal — their candidate cuts run
+            // on codes that carry no metadata.
+            if (approx && index != "ivf" &&
+                (stringMapOf(body, "filter").nonEmpty ||
+                  stringMapOf(body, "json_filter").nonEmpty))
               throw new IllegalArgumentException(
-                "durable indexed search does not support metadata filters " +
-                  "(use approx: false)")
+                "durable filtered indexed search serves from the IVF " +
+                  "layout only; pass index:'ivf' or approx: false")
             d.findSimilar(floats(required(body, "query")), k, metric, ns,
               approx = approx, index = if (approx) index else "ivf",
               filter = stringMapOf(body, "filter"),

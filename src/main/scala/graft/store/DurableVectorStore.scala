@@ -798,23 +798,39 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     if (!approx) {
       // metadata filters on the EXACT path (live/durable symmetry, r15) —
       // the same equality semantics as the in-memory store; pushed into
-      // the layout scan before scoring. Filters on the indexed paths stay
-      // an explicit refusal below: the persisted layouts key candidates
-      // by geometry only, and silently post-filtering them would return
-      // fewer than k hits without the recall contract the live store's
-      // candidate-time filters keep.
-      val filtered = live()
-        .filter(filter.foldLeft(lit(true)) { case (acc, (key, v)) =>
-          acc && col("metadata").getItem(key) === v
-        })
-        .filter(jsonFilter.foldLeft(lit(true)) { case (acc, (path, v)) =>
-          acc && get_json_object(col("metadataJson"), path) === v
-        })
-      searchOver(filtered, query, k, metric, namespace)
+      // the layout scan before scoring.
+      searchOver(live().filter(metaPredicate(filter, jsonFilter)),
+        query, k, metric, namespace)
+    } else if (filter.nonEmpty || jsonFilter.nonEmpty) {
+      // FILTERED INDEXED search (r16 — the reference's hybrid query,
+      // README.md:294-299 / examples/api_client.py:65-74, composed with
+      // the durable mount: tenant/license/quality-gated retrieval on the
+      // indexed path, the 100 TB production RAG shape). IVF only: the
+      // record-carrying inverted file evaluates the predicate inside the
+      // probed-cell scan — BEFORE the candidate cut — so every surviving
+      // candidate already matches and top-k ranks filtered rows only
+      // (candidate-time filtering, the live store's recall discipline;
+      // never post-filtering a geometry-only top-k). The codes-only
+      // paths (pq/bq/imi) keep the refusal: their candidate cut runs on
+      // codes that carry no metadata, so the filter cannot reach the cut
+      // without widening CandN blindly.
+      //
+      // RECALL RULE (stated, not silent): the probe policy still reads
+      // only the top-probed cells, so a highly selective filter can
+      // starve the candidate pool below k even when the namespace holds
+      // ≥ k matching rows. When the filtered probe returns < k hits,
+      // the search FALLS BACK to the exact filtered scan — the caller
+      // always receives min(k, matching-live-rows) hits; the fallback
+      // costs one pruned scan and only fires in the starved case.
+      require(index == "ivf",
+        "durable FILTERED indexed search serves from the IVF layout only " +
+          "(codes-only candidate cuts cannot see metadata); pass " +
+          "index:'ivf', or approx = false for the exact filtered scan")
+      require(metric == "cosine" || metric == "l2" || metric == "ip",
+        s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
+      searchApprox(query, k, namespace, metric, persistProbes = false,
+        filter, jsonFilter)
     } else {
-      require(filter.isEmpty && jsonFilter.isEmpty,
-        "durable indexed search does not support metadata filters " +
-          "(use approx = false, or the in-memory store's filtered indexes)")
       index match {
       case "ivf" =>
         require(metric == "cosine" || metric == "l2" || metric == "ip",
@@ -1684,6 +1700,15 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                                           metric: String = "cosine"): Seq[SearchHit] =
     searchApprox(query, k, namespace, metric, persistProbes = true)
 
+  /** Graded FILTERED variant (q164): the filtered-IVF read path with the
+    * probe table persisted for oracle replay — candidates = (`assign/` ⋈
+    * `probes/` ∪ delta) ∩ the metadata predicate, rerank exact. */
+  private[graft] def findSimilarIvfFilteredGraded(
+      query: Seq[Float], k: Int, namespace: String,
+      filter: Map[String, String],
+      metric: String = "cosine"): Seq[SearchHit] =
+    searchApprox(query, k, namespace, metric, persistProbes = true, filter)
+
   /** The approx read plan — the LSM discipline applied to the index,
     * with NOTHING namespace-sized anywhere:
     *
@@ -1714,28 +1739,54 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * re-checked after the collect and retried if a fold raced it, with
     * an exact-scan fallback should compaction flip faster than probes
     * complete. */
+  /** The shared metadata-equality predicate — flat-map equality plus
+    * JSONPath equality, identical on the exact and filtered-IVF paths
+    * (and to the live store's semantics). */
+  private def metaPredicate(filter: Map[String, String],
+                            jsonFilter: Map[String, String]): Column =
+    jsonFilter.foldLeft(
+      filter.foldLeft(lit(true)) { case (acc, (key, v)) =>
+        acc && col("metadata").getItem(key) === v
+      }) { case (acc, (path, v)) =>
+      acc && get_json_object(col("metadataJson"), path) === v
+    }
+
   private def searchApprox(query: Seq[Float], k: Int, namespace: String,
-                           metric: String, persistProbes: Boolean): Seq[SearchHit] = {
+                           metric: String, persistProbes: Boolean,
+                           filter: Map[String, String] = Map.empty,
+                           jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length, spaceOf(metric)) match {
         case None => return Seq.empty // empty namespace answers empty, like exact
         case Some(e) =>
-          val hits = probeIvf(query, k, namespace, metric, e, persistProbes)
+          val hits = probeIvf(query, k, namespace, metric, e, persistProbes, pred)
           // the plan is lazy: a compact flipping the generation between
           // the gate and the collect could have folded tombstones out of
           // the kill scan mid-probe — detect and retry with a fresh build
-          if (currentGen() == e.builtGen) return hits
+          if (currentGen() == e.builtGen) {
+            // starved-selectivity fallback (see findSimilar scaladoc):
+            // a filtered probe short of k hits means the probed cells
+            // may not hold all the matching rows — serve the exact
+            // filtered scan so the k contract holds regardless of how
+            // the filter intersects the cell geometry
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, metric, namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, metric, namespace)
+    searchOver(live().filter(pred), query, k, metric, namespace)
   }
 
   private def probeIvf(query: Seq[Float], k: Int, namespace: String,
                        metric: String, e: AnnEntry,
-                       persistProbes: Boolean): Seq[SearchHit] = {
+                       persistProbes: Boolean,
+                       pred: Column = lit(true)): Seq[SearchHit] = {
     // MIPS layouts rank cells in the augmented geometry: the query's
     // augmentation coordinate is 0 (its own norm plays no part in
     // argmax of the inner product)
@@ -1750,12 +1801,17 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         .write.mode("overwrite").parquet(annProbesDir(e.aux))
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))
+    // the metadata predicate evaluates INSIDE the probed-cell scan (and
+    // on the delta tail) — before any ranking — so filtered search cuts
+    // candidates at candidate time, never post-filters a ranked top-k
     val main = layoutFrame(s"${e.aux}/index")
       .where(col("cell").isin(probed: _*))
+      .where(pred)
       .select(cols: _*)
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(
+      deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score(metric, col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, metric).limit(k)
@@ -1775,9 +1831,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * (`seq` bounds reach parquet row-group stats), bounded by the
     * staleness trigger. */
   private def deltaTail(namespace: String, builtSeq: Long,
-                        cols: Seq[Column]): DataFrame =
+                        cols: Seq[Column],
+                        pred: Column = lit(true)): DataFrame =
     live()
       .filter(col("namespace") === namespace && col("seq") > builtSeq)
+      .filter(pred)
       .select(cols: _*)
 
   // ---- durable PQ (IVFADC): codes-only sweep over the probed cells ----
