@@ -70,9 +70,13 @@ import graft.model.SearchHit
   * and flips a pointer, so in-flight scans keep streaming the files
   * they hold and racing appends survive as unconsumed old-generation
   * files that the next fold picks up (see [[compact]]'s contract).
-  * Concurrent compact() calls are the one excluded schedule — two
-  * folds would race the same target generation; run compaction from
-  * one maintenance job, like any LSM's major compaction.
+  * Concurrent compact() calls are serialized by an atomic per-target-
+  * generation claim (r16): two folds racing the same target generation
+  * would interleave writes into one directory, so the second claimant
+  * fails LOUDLY (IllegalStateException) instead of corrupting the fold
+  * — run compaction from one maintenance job, like any LSM's major
+  * compaction, and treat the exception as the schedule violation it is
+  * (DurableStoreSpec pins both the refusal and the recovery).
   */
 class DurableVectorStore(val spark: SparkSession, val path: String) {
 
@@ -2625,6 +2629,49 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the fixed read schema never infers. Returns rows remaining. */
   def compact(): Long = {
     val c = currentGen()
+    // CONCURRENT-COMPACT GUARD (r16): two folds targeting one generation
+    // would interleave `overwrite` writes into the same gen-(N+1)/data —
+    // the class doc's one excluded schedule, now detected instead of
+    // silently corrupting. The target generation is CLAIMED atomically
+    // (the commit-marker discipline: exclusive create of
+    // compact_claims/N — a SIBLING of the gen dirs, because currentGen's
+    // pointer-missing fallback trusts the highest existing gen-* dir and
+    // a claim inside a not-yet-durable gen dir would break that
+    // invariant); the loser throws loudly. The claim is never deleted on
+    // success — a straggler that read the OLD pointer and claims after
+    // the winner flipped would otherwise overwrite the now-current
+    // generation under live readers — and it is GC'd alongside its
+    // generation (three folds later). A fold that CRASHED mid-claim
+    // leaves the claim behind; the next compact of that target throws
+    // with the recovery step in the message (delete the claim once no
+    // fold is in flight) — loud-and-manual beats a TTL heuristic that
+    // could mistake a slow live fold for a dead one.
+    val ng = c + 1
+    if (!atomicCreate(compactClaimPath(ng)))
+      throw new IllegalStateException(
+        s"concurrent compact detected: generation $ng is already claimed " +
+          s"(${compactClaimPath(ng)} exists). Run compaction from one " +
+          "maintenance job; if a previous compact crashed mid-fold, delete " +
+          "the claim file and re-run.")
+    try {
+      compactClaimed(c, ng)
+    } catch {
+      case e: Throwable =>
+        // in-process failure before the pointer flip: release the claim
+        // (we hold it) so the next compact can retry; after a successful
+        // flip this branch is unreachable for the fold itself
+        if (currentGen() < ng) scala.util.Try(
+          hadoopFs(path).delete(
+            new org.apache.hadoop.fs.Path(compactClaimPath(ng)), false))
+        throw e
+    }
+  }
+
+  /** The atomic claim file for the fold targeting generation `g` (see
+    * [[compact]]'s guard). */
+  private def compactClaimPath(g: Int): String = s"$path/compact_claims/$g"
+
+  private def compactClaimed(c: Int, ng: Int): Long = {
     val (dataF, delF) = readViewFiles(c, fresh = true)
     val dataIn =
       if (dataF.isEmpty) emptyOf(dataSchema)
@@ -2636,7 +2683,6 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       if (delF.isEmpty) emptyOf(delSchema)
       else spark.read.schema(delSchema).parquet(delF: _*)
     val kept = minusTombstones(dataIn, delIn).localCheckpoint(true)
-    val ng = c + 1
     kept.write.mode("overwrite").partitionBy("namespace").parquet(dataPathOf(ng))
     writeManifest(ng, dataF.flatMap(_._2) ++ delF)
     writePointer(ng)
@@ -2648,6 +2694,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         fs.delete(new org.apache.hadoop.fs.Path(dataPathOf(0)), true)
         fs.delete(new org.apache.hadoop.fs.Path(delPathOf(0)), true)
       } else fs.delete(new org.apache.hadoop.fs.Path(genPath(g)), true)
+      // its fold claim is equally unreachable (no straggler can still
+      // target a GC'd generation — it would have had to read a pointer
+      // three flips old)
+      fs.delete(new org.apache.hadoop.fs.Path(compactClaimPath(g)), false)
     }
     // tombstones folded; any appended DURING the fold are unconsumed
     // old-gen files — count what the new view still sees

@@ -871,10 +871,89 @@ class DurableStoreSpec extends AnyFunSuite {
     val viaJson = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
       jsonFilter = Map("$.pass" -> "true"))
     assert(viaJson.map(_.id) == Seq("a", "c"))
+    // the codes-only indexed paths still refuse filters (their candidate
+    // cuts run on codes that carry no metadata); IVF serves them (r16)
     val refused = intercept[IllegalArgumentException] {
       d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
-        approx = true, index = "ivf", filter = Map("pass" -> "true"))
+        approx = true, index = "pq", filter = Map("pass" -> "true"))
     }
-    assert(refused.getMessage.contains("does not support metadata filters"))
+    assert(refused.getMessage.contains("IVF layout only"))
+    val viaIvf = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
+      approx = true, index = "ivf", filter = Map("pass" -> "true"))
+    assert(viaIvf.map(_.id) == Seq("a", "c"))
+  }
+
+  test("filtered IVF: starved-selectivity fallback serves the exact filtered top-k") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    // two well-separated clusters: 120 'common' rows near the origin,
+    // 5 'rare' rows in a far tight cluster. The layout trains ≥16 cells
+    // and probes 8, ranked by distance from the query — a near-origin
+    // query probes near cells only, so the rare rows live in cells the
+    // probe never reads: the filtered probe is STARVED (< k matches)
+    // even though the namespace holds every matching row.
+    val rows =
+      (0 until 120).map { i =>
+        (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+          (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+      } ++ (0 until 5).map { i =>
+        (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+      }
+    d.loadFrame(rows.toDF("id", "values", "metadata"), "starve")
+    val q = Seq(0.5f, 0.3f, 0.2f, 1f)
+    // build the layout (unfiltered probe)
+    d.findSimilar(q, k = 5, namespace = "starve", approx = true, index = "ivf")
+    // k=10 > the 5 matching rows: the probe cannot reach k, the fallback
+    // must serve min(k, matching-live-rows) = 5 hits — identical to the
+    // exact filtered scan, including rows in cells the probe never saw
+    val filtered = d.findSimilar(q, k = 10, namespace = "starve",
+      approx = true, index = "ivf", filter = Map("grp" -> "rare"))
+    val exact = d.findSimilar(q, k = 10, namespace = "starve",
+      filter = Map("grp" -> "rare"))
+    assert(filtered.map(h => (h.id, h.score)) ==
+      exact.map(h => (h.id, h.score)),
+      "starved filtered probe must fall back to the exact filtered scan")
+    assert(filtered.size == 5 && filtered.forall(_.id.startsWith("r")))
+    // non-starved selectivity: common rows saturate the probed cells —
+    // k hits, every one matching the predicate (candidate-time filter,
+    // not a post-filtered geometry top-k)
+    val common = d.findSimilar(q, k = 10, namespace = "starve",
+      approx = true, index = "ivf", filter = Map("grp" -> "common"))
+    assert(common.size == 10 && common.forall(_.id.startsWith("c")))
+  }
+
+  test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
+    val d = new DurableVectorStore(spark, tmp())
+    d.loadFrame(frame(vecs), "cc")
+    assert(d.delete(Seq("v1", "v2"), "cc").sorted == Seq("v1", "v2"))
+    // simulate a racing (or crashed) fold holding the claim on the
+    // target generation: compact() must refuse loudly, not interleave
+    val claim = new java.io.File(d.path + "/compact_claims/1")
+    claim.getParentFile.mkdirs()
+    assert(claim.createNewFile())
+    val ex = intercept[IllegalStateException] { d.compact() }
+    assert(ex.getMessage.contains("concurrent compact"))
+    // the refused fold changed nothing: live set and read path intact
+    assert(d.totalCount() == 28)
+    // recovery is the documented step: delete the claim, re-run
+    assert(claim.delete())
+    assert(d.compact() == 28)
+    assert(d.totalCount() == 28)
+    // two RACING folds: at most one wins per target generation; a loser
+    // surfaces as the guard's IllegalStateException (never corruption),
+    // and the live set is unchanged regardless of interleaving
+    d.delete(Seq("v3"), "cc")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(List.fill(2)(
+        Future(scala.util.Try(d.compact())))), 120.seconds)
+    assert(results.exists(_.isSuccess))
+    results.filter(_.isFailure).foreach { f =>
+      assert(f.failed.get.isInstanceOf[IllegalStateException])
+    }
+    assert(d.totalCount() == 27)
   }
 }

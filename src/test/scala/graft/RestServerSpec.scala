@@ -621,7 +621,7 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
-  test("durable exact search serves metadata filters; indexed still 422s") {
+  test("durable exact search serves metadata filters; filtered IVF serves, codes-only indexes 422") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_rest_dfilter_").toString
     val d = new graft.store.DurableVectorStore(spark, root)
@@ -642,10 +642,22 @@ class RestServerSpec extends AnyFunSuite {
       val hits = mapper.readTree(sb)
       assert((0 until hits.size()).map(hits.get(_).get("id").asText()) == Seq("a", "c"),
         s"filter must drop b (pass=false): $sb")
+      // r16: the 422 is LIFTED for index:'ivf' — the hybrid query on the
+      // durable indexed path (candidate-time filter inside the probed-
+      // cell scan; starved probes fall back to the exact filtered scan)
+      val (vc, vb) = send("POST", s"$base/search?namespace=dfns",
+        """{"query": [1.0, 0.0], "top_k": 3, "durable": true,
+          | "approx": true, "index": "ivf",
+          | "filter": {"pass": "true"}}""".stripMargin)
+      assert(vc == 200, vb)
+      val vhits = mapper.readTree(vb)
+      assert((0 until vhits.size()).map(vhits.get(_).get("id").asText()) == Seq("a", "c"),
+        s"filtered IVF must serve exactly the matching rows: $vb")
+      // the codes-only indexed paths keep the explicit refusal
       val (ic, ib) = send("POST", s"$base/search?namespace=dfns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true,
-          | "index": "ivf", "filter": {"pass": "true"}}""".stripMargin)
-      assert(ic == 422 && ib.contains("durable indexed search does not support metadata filters"), ib)
+          | "index": "pq", "filter": {"pass": "true"}}""".stripMargin)
+      assert(ic == 422 && ib.contains("IVF layout only"), ib)
     } finally server.stop()
   }
 }
