@@ -83,7 +83,7 @@ object MediaDedup {
   private[graft] val NAudio = 120
   private[graft] val NSamples = 2080 // 65 frames × 32
   private[graft] val FrameLen = 32
-  private val WavDataOffset = 44
+  private[multimodal] val WavDataOffset = 44
 
   // video fixture geometry (r15 — VERDICT r14 "What's missing" #2):
   // fixed 16×16 grayscale frames so the oracle can address pixel bytes
@@ -93,11 +93,11 @@ object MediaDedup {
   private[graft] val NVideos = 120
   private[graft] val VFrameW = 16
   private[graft] val VFrameH = 16
-  private val VFrameBytes = VFrameW * VFrameH // 256
+  private[multimodal] val VFrameBytes = VFrameW * VFrameH // 256
   private[graft] val VFullFrames = 70
   private[graft] val VTrimFrames = 65
   private[graft] val VFpFrames = 65 // 64 energy-delta bits
-  private val VMdatPayloadOffset = 32 // ftyp(24) + mdat header(8)
+  private[multimodal] val VMdatPayloadOffset = 32 // ftyp(24) + mdat header(8)
 
   // == the 4-band pigeonhole guarantee bound (see the scaladoc): at ≤ 3
   // differing bits some band is untouched, so banded candidates are a
