@@ -617,6 +617,20 @@ object MediaDedup {
        | THEN $e - 18446744073709551616::HUGEINT ELSE $e END)::BIGINT"""
       .stripMargin.replaceAll("\n", "")
 
+  /** The DROP-set CTEs over a `${p}hashes` CTE: `${p}drop` holds every
+    * id that is the LARGER member of a verified near-dup pair — the
+    * funnel's keep-canonical dedup rule as a set (q167). */
+  private[multimodal] def dropSetCtes(p: String, maxHamming: Int): String =
+    s"""${p}bands AS (
+       |  SELECT id, hash, band, (hash >> (band * 16)) & 65535 AS bucket
+       |  FROM ${p}hashes, (SELECT unnest([0, 1, 2, 3]) AS band) tb),
+       |${p}drop AS (
+       |  SELECT DISTINCT b.id
+       |  FROM ${p}bands a
+       |  JOIN ${p}bands b ON a.band = b.band AND a.bucket = b.bucket
+       |               AND a.id < b.id
+       |  WHERE bit_count(xor(a.hash, b.hash)) <= $maxHamming)""".stripMargin
+
   /** Shared tail: band the hashes, bucket-join, verify, emit. */
   private def pairsSql(maxHamming: Int): String =
     s"""bands AS (
@@ -636,26 +650,28 @@ object MediaDedup {
     * (54-byte header, bottom-up rows, BGR, stride $RowStride), block
     * sums over 8×8, sign-compare against the right neighbor. */
   /** The dHash derivation CTEs (blob → block sums → sign bits →
-    * `hashes(id, hash)`) — shared by q150's and q156's oracles. */
-  private def imageHashCtes(aux: String): String =
-    s"""m AS (
+    * `hashes(id, hash)`) — shared by q150's and q156's oracles; `p`
+    * prefixes every CTE name so q167's funnel oracle can compose all
+    * three modalities' derivations in ONE statement. */
+  private[multimodal] def imageHashCtes(aux: String, p: String = ""): String =
+    s"""${p}m AS (
        |  SELECT img_id AS id, hex(payload) AS h
        |  FROM read_parquet('$aux/images/*.parquet')),
-       |px AS (
+       |${p}px AS MATERIALIZED (
        |  SELECT id, (y // 8)::INT AS r, (x // 8)::INT AS c,
        |         sum(${byteAt(s"$PixelOffset + (${ImgH - 1} - y) * $RowStride + x * 3")}
        |           + ${byteAt(s"$PixelOffset + (${ImgH - 1} - y) * $RowStride + x * 3 + 1")}
        |           + ${byteAt(s"$PixelOffset + (${ImgH - 1} - y) * $RowStride + x * 3 + 2")}) AS s
-       |  FROM m, range($ImgW) tx(x), range($ImgH) ty(y)
+       |  FROM ${p}m, range($ImgW) tx(x), range($ImgH) ty(y)
        |  GROUP BY id, r, c),
-       |hsum AS (
+       |${p}hsum AS (
        |  SELECT a.id,
        |         sum(CASE WHEN a.s > b.s
        |                  THEN (1::UBIGINT << (a.r * 8 + a.c))::HUGEINT
        |                  ELSE 0::HUGEINT END) AS u
-       |  FROM px a JOIN px b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+       |  FROM ${p}px a JOIN ${p}px b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
        |  GROUP BY a.id),
-       |hashes AS (SELECT id, ${signed64("u")} AS hash FROM hsum)""".stripMargin
+       |${p}hashes AS (SELECT id, ${signed64("u")} AS hash FROM ${p}hsum)""".stripMargin
 
   def q150Sql(aux: String): String =
     s"""WITH ${imageHashCtes(aux)},
@@ -684,7 +700,9 @@ object MediaDedup {
 
   /** The fingerprint replay: 16-bit LE samples at the WAV data offset,
     * per-frame Σs², delta signs. */
-  def q151Sql(aux: String): String = {
+  /** The PCM energy CTEs (blob → per-frame Σs² → `${p}fr(id, f, e)`) —
+    * the derivation q151's fingerprint AND q165/q167's features share. */
+  private[multimodal] def audioEnergyCtes(aux: String, p: String = ""): String = {
     val sample =
       s"""(CASE WHEN ${byteAt(s"$WavDataOffset + 2 * i + 1")} >= 128
          | THEN ${byteAt(s"$WavDataOffset + 2 * i + 1")} * 256
@@ -692,25 +710,33 @@ object MediaDedup {
          | ELSE ${byteAt(s"$WavDataOffset + 2 * i + 1")} * 256
          |      + ${byteAt(s"$WavDataOffset + 2 * i")} END)""".stripMargin
         .replaceAll("\n", "")
-    s"""WITH m AS (
+    s"""${p}m AS (
        |  SELECT aud_id AS id, hex(payload) AS h
        |  FROM read_parquet('$aux/audio/*.parquet')),
-       |fr AS (
+       |${p}fr AS MATERIALIZED (
        |  SELECT id, (i // $FrameLen)::INT AS f,
        |         sum(($sample)::BIGINT * ($sample)::BIGINT) AS e
-       |  FROM m, range($NSamples) ti(i)
-       |  GROUP BY id, f),
-       |hsum AS (
+       |  FROM ${p}m, range($NSamples) ti(i)
+       |  GROUP BY id, f)""".stripMargin
+  }
+
+  /** Delta-sign hash tail over a `${p}fr(id, f, e)` energy CTE —
+    * shared by the audio and video fingerprint replays. */
+  private[multimodal] def deltaSignHashCtes(p: String): String =
+    s"""${p}hsum AS (
        |  SELECT a.id,
        |         sum(CASE WHEN a.e > b.e
        |                  THEN (1::UBIGINT << a.f)::HUGEINT
        |                  ELSE 0::HUGEINT END) AS u
-       |  FROM fr a JOIN fr b ON b.id = a.id AND b.f = a.f + 1
+       |  FROM ${p}fr a JOIN ${p}fr b ON b.id = a.id AND b.f = a.f + 1
        |  WHERE a.f < 64
        |  GROUP BY a.id),
-       |hashes AS (SELECT id, ${signed64("u")} AS hash FROM hsum),
+       |${p}hashes AS (SELECT id, ${signed64("u")} AS hash FROM ${p}hsum)""".stripMargin
+
+  def q151Sql(aux: String): String =
+    s"""WITH ${audioEnergyCtes(aux)},
+       |${deltaSignHashCtes("")},
        |${pairsSql(AudioMaxHamming)}""".stripMargin
-  }
 
   /** The fingerprint replay: every video's first [[VFpFrames]] frames
     * sit at the CONSTANT payload offset (mdat before moov — see
@@ -718,27 +744,25 @@ object MediaDedup {
     * the blob; per-frame Σ px², delta signs, then the shared banded
     * pair tail. Trimmed videos still carry all sampled frames, so no
     * per-id frame count is needed. */
-  def q154Sql(aux: String): String = {
+  /** The frame energy CTEs (constant-offset blob arithmetic →
+    * `${p}fr(id, f, e)`) — shared by q154's fingerprint and
+    * q166/q167's features. */
+  private[multimodal] def videoEnergyCtes(aux: String, p: String = ""): String = {
     val px = byteAt(s"$VMdatPayloadOffset + $VFrameBytes * f + i")
-    s"""WITH m AS (
+    s"""${p}m AS (
        |  SELECT vid_id AS id, hex(payload) AS h
        |  FROM read_parquet('$aux/videos/*.parquet')),
-       |fr AS (
+       |${p}fr AS MATERIALIZED (
        |  SELECT id, f::INT AS f,
        |         sum(($px)::BIGINT * ($px)::BIGINT) AS e
-       |  FROM m, range($VFpFrames) tf(f), range($VFrameBytes) ti(i)
-       |  GROUP BY id, f),
-       |hsum AS (
-       |  SELECT a.id,
-       |         sum(CASE WHEN a.e > b.e
-       |                  THEN (1::UBIGINT << a.f)::HUGEINT
-       |                  ELSE 0::HUGEINT END) AS u
-       |  FROM fr a JOIN fr b ON b.id = a.id AND b.f = a.f + 1
-       |  WHERE a.f < 64
-       |  GROUP BY a.id),
-       |hashes AS (SELECT id, ${signed64("u")} AS hash FROM hsum),
-       |${pairsSql(VideoMaxHamming)}""".stripMargin
+       |  FROM ${p}m, range($VFpFrames) tf(f), range($VFrameBytes) ti(i)
+       |  GROUP BY id, f)""".stripMargin
   }
+
+  def q154Sql(aux: String): String =
+    s"""WITH ${videoEnergyCtes(aux)},
+       |${deltaSignHashCtes("")},
+       |${pairsSql(VideoMaxHamming)}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_image_dedup_dhash" -> (q150 _),

@@ -406,14 +406,41 @@ object MediaVectorSearch {
     emit(spark, hits)
   }
 
-  /** The shared centered-feature CTE tail: `fr` (id, f, e) → `feat`
-    * (id, 65-dim float list), the Scala [[centered]] scaling verbatim. */
-  private def featCte(dim: Int): String =
-    s"""feat AS (
+  /** The shared centered-feature CTE tail: `${p}fr` (id, f, e) →
+    * `${p}feat` (id, dim float list), the Scala [[centered]] scaling
+    * verbatim. */
+  private def featCte(dim: Int, p: String = ""): String =
+    s"""${p}feat AS MATERIALIZED (
        |  SELECT id::VARCHAR AS id,
        |         list(($dim * e - total)::FLOAT ORDER BY f) AS v
        |  FROM (SELECT id, f, e, sum(e) OVER (PARTITION BY id) AS total
-       |        FROM fr)
+       |        FROM ${p}fr)
+       |  GROUP BY id)""".stripMargin
+
+  /** Audio variant: centered 65-frame energies zero-padded to
+    * [[AudDim]] (the Scala [[audioFeature]] verbatim). */
+  private def audioFeatCte(p: String = ""): String = {
+    val pad = Seq.fill(AudDim - AudFrames)("0::FLOAT").mkString(", ")
+    // the concat operator must NOT begin a line: composed fragments are
+    // re-embedded in outer stripMargin templates, which would eat the
+    // first pipe of a line-leading `||`
+    s"""${p}feat AS MATERIALIZED (
+       |  SELECT id::VARCHAR AS id,
+       |         list(($AudFrames * e - total)::FLOAT ORDER BY f) ||
+       |           [$pad] AS v
+       |  FROM (SELECT id, f, e, sum(e) OVER (PARTITION BY id) AS total
+       |        FROM ${p}fr)
+       |  GROUP BY id)""".stripMargin
+  }
+
+  /** Image variant: centered 8×9 block sums flattened row-major off a
+    * `${p}px` (id, r, c, s) CTE (the q153 feat CTE, prefixable). */
+  private def imageFeatCte(p: String = ""): String =
+    s"""${p}feat AS MATERIALIZED (
+       |  SELECT id::VARCHAR AS id,
+       |         list(($Dim * s - total)::FLOAT ORDER BY r * 9 + c) AS v
+       |  FROM (SELECT id, r, c, s, sum(s) OVER (PARTITION BY id) AS total
+       |        FROM ${p}px)
        |  GROUP BY id)""".stripMargin
 
   private def rerankTail(qid: Long): String =
@@ -428,54 +455,209 @@ object MediaVectorSearch {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
-  def q165Sql(aux: String, pqAux: String): String = {
-    import MediaDedup.{byteAt, WavDataOffset, FrameLen, NSamples}
-    val sample =
-      s"""(CASE WHEN ${byteAt(s"$WavDataOffset + 2 * i + 1")} >= 128
-         | THEN ${byteAt(s"$WavDataOffset + 2 * i + 1")} * 256
-         |      + ${byteAt(s"$WavDataOffset + 2 * i")} - 65536
-         | ELSE ${byteAt(s"$WavDataOffset + 2 * i + 1")} * 256
-         |      + ${byteAt(s"$WavDataOffset + 2 * i")} END)""".stripMargin
-        .replaceAll("\n", "")
-    val pad = Seq.fill(AudDim - AudFrames)("0::FLOAT").mkString(", ")
-    s"""WITH m AS (
-       |  SELECT aud_id AS id, hex(payload) AS h
-       |  FROM read_parquet('$aux/audio/*.parquet')),
-       |fr AS (
-       |  SELECT id, (i // $FrameLen)::INT AS f,
-       |         sum(($sample)::BIGINT * ($sample)::BIGINT) AS e
-       |  FROM m, range($NSamples) ti(i)
-       |  GROUP BY id, f),
-       |feat AS (
-       |  SELECT id::VARCHAR AS id,
-       |         list(($AudFrames * e - total)::FLOAT ORDER BY f)
-       |           || [$pad] AS v
-       |  FROM (SELECT id, f, e, sum(e) OVER (PARTITION BY id) AS total
-       |        FROM fr)
-       |  GROUP BY id),
+  def q165Sql(aux: String, pqAux: String): String =
+    s"""WITH ${MediaDedup.audioEnergyCtes(aux)},
+       |${audioFeatCte()},
        |${pqReplayTail(pqAux, AudDim, AudQueryId)}""".stripMargin
-  }
 
-  def q166Sql(aux: String, hnswAux: String): String = {
-    import MediaDedup.{byteAt, VMdatPayloadOffset, VFrameBytes}
-    val px = byteAt(s"$VMdatPayloadOffset + $VFrameBytes * f + i")
-    s"""WITH m AS (
-       |  SELECT vid_id AS id, hex(payload) AS h
-       |  FROM read_parquet('$aux/videos/*.parquet')),
-       |fr AS (
-       |  SELECT id, f::INT AS f,
-       |         sum(($px)::BIGINT * ($px)::BIGINT) AS e
-       |  FROM m, range($VidDim) tf(f), range($VFrameBytes) ti(i)
-       |  GROUP BY id, f),
+  def q166Sql(aux: String, hnswAux: String): String =
+    s"""WITH ${MediaDedup.videoEnergyCtes(aux)},
        |${featCte(VidDim)},
        |cand AS (SELECT id FROM read_parquet('$hnswAux/cands/*.parquet')),
        |${rerankTail(VidQueryId)}""".stripMargin
+
+  /** One funnel leg as CTE text over `${p}feat` + `${p}drop`:
+    * dedup survivors → exact integer centroid (sum, one float32 cast)
+    * → sequential-double cosines → budgeted bottom-[[FunnelPrune]] cut
+    * (cos asc, id asc — both engines compare VARCHAR ids, so the
+    * tie-break is lexicographic on BOTH sides). */
+  private def funnelLegSql(p: String, dim: Int): String =
+    s"""${p}s1 AS MATERIALIZED (
+       |  SELECT f.id, f.v FROM ${p}feat f
+       |  WHERE f.id NOT IN (SELECT id::VARCHAR FROM ${p}drop)),
+       |${p}cent AS (
+       |  SELECT list(s::FLOAT ORDER BY pos) AS c
+       |  FROM (SELECT pos, sum(v[pos + 1]::DOUBLE) AS s
+       |        FROM ${p}s1, range($dim) tp(pos) GROUP BY pos)),
+       |${p}cos AS (
+       |  SELECT s.id, ${Det.cosSql("s.v", "c.c")} AS cc
+       |  FROM ${p}s1 s, ${p}cent c),
+       |${p}cut AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY cc, id) AS rn
+       |    FROM ${p}cos)
+       |  WHERE rn <= $FunnelPrune),
+       |${p}s2 AS MATERIALIZED (
+       |  SELECT * FROM ${p}s1
+       |  WHERE id NOT IN (SELECT id FROM ${p}cut))""".stripMargin
+
+  /** The funnel oracle: the q150/q151/q154 hash-pair derivations, the
+    * q153/q165/q166 blob-feature derivations, the centroid-prune
+    * arithmetic, and the exact retrieval tail — composed verbatim (the
+    * q161 contract on media). */
+  def q167Sql(aux: String): String = {
+    val n0 = MediaDedup.NImages + MediaDedup.NAudio + MediaDedup.NVideos
+    s"""WITH ${MediaDedup.imageHashCtes(aux, "gi_")},
+       |${MediaDedup.dropSetCtes("gi_", MediaDedup.DHashMaxHamming)},
+       |${imageFeatCte("gi_")},
+       |${MediaDedup.audioEnergyCtes(aux, "ga_")},
+       |${MediaDedup.deltaSignHashCtes("ga_")},
+       |${MediaDedup.dropSetCtes("ga_", MediaDedup.AudioMaxHamming)},
+       |${audioFeatCte("ga_")},
+       |${MediaDedup.videoEnergyCtes(aux, "gv_")},
+       |${MediaDedup.deltaSignHashCtes("gv_")},
+       |${MediaDedup.dropSetCtes("gv_", MediaDedup.VideoMaxHamming)},
+       |${featCte(VidDim, "gv_")},
+       |${funnelLegSql("gi_", Dim)},
+       |${funnelLegSql("ga_", AudDim)},
+       |${funnelLegSql("gv_", VidDim)},
+       |gq AS (SELECT v AS qv FROM gi_feat WHERE id = '$QueryImg'),
+       |gr AS (
+       |  SELECT s.id, ${Det.cosSql("s.v", "q.qv")} AS raw
+       |  FROM gi_s2 s, gq q),
+       |gtop AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |    FROM gr)
+       |  WHERE rank = 2)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage, 'corpus' AS name, $n0::BIGINT AS n
+       |  UNION ALL
+       |  SELECT 1, 'media_dedup',
+       |         (SELECT count(*) FROM gi_s1) + (SELECT count(*) FROM ga_s1)
+       |       + (SELECT count(*) FROM gv_s1)
+       |  UNION ALL
+       |  SELECT 2, 'outlier_prune',
+       |         (SELECT count(*) FROM gi_s2) + (SELECT count(*) FROM ga_s2)
+       |       + (SELECT count(*) FROM gv_s2)
+       |  UNION ALL
+       |  SELECT 3, 'store_load',
+       |         (SELECT count(*) FROM gi_s2) + (SELECT count(*) FROM ga_s2)
+       |       + (SELECT count(*) FROM gv_s2)
+       |  UNION ALL
+       |  SELECT 4, 'retrieval_top_hit', (SELECT id::BIGINT FROM gtop))
+       |ORDER BY stage""".stripMargin
+  }
+
+  // ---- q167: the MULTIMODAL curation funnel (r16 — VERDICT r15 #8:
+  // compose the media family the way q161 composed text) ---------------
+
+  private val FunnelPrune = 5 // per-modality outlier budget (a prune
+  // RATE, the SemDeDup/production discipline — budgets, not thresholds,
+  // keep the pruned volume predictable at any corpus size)
+
+  private val funnelStores = new ConcurrentHashMap[String, VectorStore]()
+
+  /** Fixture aux of the most recent q167 run — oracle hook (the
+    * [[lastAux]] honesty contract). */
+  @volatile private var lastFunnelAux: Option[String] = None
+
+  /** Per-modality funnel legs: (survivors-after-dedup, after-prune). */
+  private def funnelLeg(spark: SparkSession, dir: String, sub: String,
+                        pairs: DataFrame,
+                        feature: Array[Byte] => Array[Float]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val aux = MediaDedup.fixture(spark, dir)
+    val feats = spark.read.parquet(s"$aux/$sub")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id.toString, feature(p).toSeq) })
+      .toDF("id", "values")
+    // DEDUP: drop the id_b side of every verified near-dup pair (the
+    // fixture's pairs are (source, copy) with source < copy, so this is
+    // keep-canonical; a transitive chain would need q64's resolution)
+    val s1 = feats.join(
+      pairs.select(col("id_b").cast("string").as("id")).distinct(),
+      Seq("id"), "left_anti").persist()
+    // OUTLIER PRUNE: drop the FunnelPrune rows least correlated with
+    // the modality centroid. The centroid is the SUM of the survivor
+    // features (cosine is scale-invariant, and integer-valued floats
+    // sum EXACTLY in double — every partial sum < 2^53 — so the
+    // centroid is order-independent and engine-exact; the one float32
+    // cast at the end is the same deterministic rounding both engines
+    // apply). Budgeted prune, not thresholded: rank by (cos asc, id
+    // asc) and cut exactly FunnelPrune.
+    val cent = s1.select(posexplode(col("values")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v").cast("double")).as("s"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1).toFloat)
+    val scored = s1.withColumn("cc",
+      graft.functions.VectorFunctions.cosineSim(col("values"),
+        typedLit(cent.toSeq)))
+    val dropIds = scored.orderBy(col("cc"), col("id")).limit(FunnelPrune)
+      .select(col("id"))
+    val s2 = s1.join(dropIds, Seq("id"), "left_anti")
+    (s1, s2)
+  }
+
+  /** q167: the end-to-end MULTIMODAL curation funnel — the media
+    * family composed the way q161 composed text: per-modality
+    * perceptual dedup (the q150/q151/q154 banded-hamming pair kernels)
+    * → embed (the q153/q165/q166 energy-profile features) → budgeted
+    * centroid-outlier prune (the q114/SemDeDup discipline on media
+    * features) → store load (three namespaces of one live mount) →
+    * retrieval over the CURATED index. Emits the stage counts plus a
+    * closing retrieval claim: image 8's top non-self hit AFTER curation
+    * is an unrelated image — its planted near-dup was removed at stage
+    * 1, so the curated index no longer surfaces the duplicate (the
+    * funnel's point, observable from the search result).
+    *
+    * Oracle: the component replays composed verbatim — the three
+    * hash-pair derivations (q150/q151/q154's CTEs), the three feature
+    * derivations FROM THE BLOBS (q153/q165/q166's CTEs), the centroid/
+    * prune arithmetic in the same sequential double order, and the
+    * exact-cosine retrieval tail.
+    *
+    * 100 TB shape: every stage is a scan or an id-sized semi-join —
+    * dedup is the banded bucket-join (never all-pairs), the centroid is
+    * one map-side-partial aggregate collapsing to dim doubles, the
+    * prune is a top-m cut, the load is the store's bulk append. Nothing
+    * corpus-sized reaches the driver (the centroids are 72 doubles; the
+    * retrieval collect is k hits). */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (imS1, imS2) = funnelLeg(spark, dir, "images",
+      MediaDedup.q150(spark, dir), imageFeature)
+    val (auS1, auS2) = funnelLeg(spark, dir, "audio",
+      MediaDedup.q151(spark, dir), audioFeature)
+    val (viS1, viS2) = funnelLeg(spark, dir, "videos",
+      MediaDedup.q154(spark, dir), videoFeature)
+    val n0 = (MediaDedup.NImages + MediaDedup.NAudio + MediaDedup.NVideos).toLong
+    val n1 = imS1.count() + auS1.count() + viS1.count()
+    val n2 = imS2.count() + auS2.count() + viS2.count()
+
+    val store = funnelStores.computeIfAbsent(dir, _ => {
+      val s = new VectorStore(spark)
+      s.loadFrame(imS2, "q167_img")
+      s.loadFrame(auS2, "q167_aud")
+      s.loadFrame(viS2, "q167_vid")
+      s
+    })
+    val n3 = store.totalCount()
+
+    val qv = queryVec(spark, dir, "images", "img_id", QueryImg, imageFeature)
+    val hits = store.findSimilar(qv, k = 2, namespace = "q167_img")
+    require(hits.headOption.exists(_.id == QueryImg.toString),
+      "q167's query image must survive its own funnel")
+    val top = hits(1).id.toLong
+    imS1.unpersist(blocking = false)
+    auS1.unpersist(blocking = false)
+    viS1.unpersist(blocking = false)
+    lastFunnelAux = Some(MediaDedup.fixture(spark, dir))
+
+    Seq(
+      (0, "corpus", n0),
+      (1, "media_dedup", n1),
+      (2, "outlier_prune", n2),
+      (3, "store_load", n3),
+      (4, "retrieval_top_hit", top))
+      .toDF("stage", "name", "n")
+      .orderBy(col("stage"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_media_vector_search" -> (q153 _),
     "q165_audio_vector_search" -> (q165 _),
-    "q166_video_vector_search" -> (q166 _))
+    "q166_video_vector_search" -> (q166 _),
+    "q167_media_curation_funnel" -> (q167 _))
 
   def oracles: Map[String, String] =
     lastAux.map { case (aux, pqAux) =>
@@ -484,5 +666,6 @@ object MediaVectorSearch {
       lastAudAux.map { case (aux, ivf) =>
         "q165_audio_vector_search" -> q165Sql(aux, ivf) } ++
       lastVidAux.map { case (aux, h) =>
-        "q166_video_vector_search" -> q166Sql(aux, h) }
+        "q166_video_vector_search" -> q166Sql(aux, h) } ++
+      lastFunnelAux.map(aux => "q167_media_curation_funnel" -> q167Sql(aux))
 }
