@@ -65,4 +65,44 @@ class MediaVectorSearchSpec extends AnyFunSuite {
     assert(mount == exact,
       s"mount top-10 $mount diverged from exact top-10 $exact")
   }
+
+  test("q165 retrieves the transient-overlaid audio copy at rank 2 through the PQ mount") {
+    val rows = MediaVectorSearch.q165(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows(0).getString(1) == "8" && rows(0).getDouble(2) == 1.0)
+    assert(rows(1).getString(1) == "9",
+      s"rank 2 must be the planted transient copy, got ${rows(1).getString(1)}")
+    assert(rows(1).getDouble(2) > rows(2).getDouble(2) + 0.1,
+      "copy does not stand clear of the nearest unrelated profile")
+  }
+
+  test("q166 retrieves the tail-trimmed video re-encode at rank 2 through the HNSW mount") {
+    val rows = MediaVectorSearch.q166(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows(0).getString(1) == "1" && rows(0).getDouble(2) == 1.0)
+    assert(rows(1).getString(1) == "4",
+      s"rank 2 must be the tail-trimmed re-encode, got ${rows(1).getString(1)}")
+    // trimming leaves the sampled-window energies intact up to sparse
+    // +1 nudges: the copy is NEAR-IDENTICAL, not merely correlated
+    assert(rows(1).getDouble(2) > 0.99,
+      f"trimmed copy should sit at cos ~ 1.0, got ${rows(1).getDouble(2)}%.4f")
+  }
+
+  test("q167 funnel: stages monotone, dedup removes every plant, curated retrieval drops the duplicate") {
+    val rows = MediaVectorSearch.q167(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(rows("corpus") == 360)
+    // the fixture plants 12 image + 12 audio + 24 video copies; the
+    // keep-canonical rule drops exactly the copy side of each pair
+    assert(rows("media_dedup") == 312,
+      s"dedup survivors ${rows("media_dedup")} != 312 (48 planted copies)")
+    // budgeted prune: exactly FunnelPrune per modality
+    assert(rows("outlier_prune") == 312 - 15)
+    // the store holds exactly the funnel's survivors
+    assert(rows("store_load") == rows("outlier_prune"))
+    // the query image's planted duplicate (9) was removed at stage 1,
+    // so the curated index must NOT surface it — the funnel's point
+    assert(rows("retrieval_top_hit") != 9L,
+      "curated retrieval still surfaces the removed duplicate")
+  }
 }
