@@ -552,22 +552,31 @@ object MediaVectorSearch {
     * [[lastAux]] honesty contract). */
   @volatile private var lastFunnelAux: Option[String] = None
 
-  /** Per-modality funnel legs: (survivors-after-dedup, after-prune). */
+  /** Per-modality funnel legs: (survivors-after-dedup, after-prune).
+    * The dedup survivors ride a [[graft.operators.StandingCache]] pin —
+    * decode + hash + band-join are the expensive stages and the fixture
+    * dir is immutable, so they build once per JVM per dir (the q87
+    * load-once rationale: a deployment runs the curation pipeline once
+    * per corpus snapshot and serves the manifest); the prune/count/
+    * retrieval stages stay per-invocation work on the pinned frame. */
   private def funnelLeg(spark: SparkSession, dir: String, sub: String,
-                        pairs: DataFrame,
+                        pairs: => DataFrame,
                         feature: Array[Byte] => Array[Float]): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val aux = MediaDedup.fixture(spark, dir)
-    val feats = spark.read.parquet(s"$aux/$sub")
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) => (id.toString, feature(p).toSeq) })
-      .toDF("id", "values")
-    // DEDUP: drop the id_b side of every verified near-dup pair (the
-    // fixture's pairs are (source, copy) with source < copy, so this is
-    // keep-canonical; a transitive chain would need q64's resolution)
-    val s1 = feats.join(
-      pairs.select(col("id_b").cast("string").as("id")).distinct(),
-      Seq("id"), "left_anti").persist()
+    val s1 = graft.operators.StandingCache.frame(dir, s"q167_${sub}_s1") {
+      val aux = MediaDedup.fixture(spark, dir)
+      val feats = spark.read.parquet(s"$aux/$sub")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id.toString, feature(p).toSeq) })
+        .toDF("id", "values")
+      // DEDUP: drop the id_b side of every verified near-dup pair (the
+      // fixture's pairs are (source, copy) with source < copy, so this
+      // is keep-canonical; a transitive chain would need q64's
+      // resolution)
+      feats.join(
+        pairs.select(col("id_b").cast("string").as("id")).distinct(),
+        Seq("id"), "left_anti")
+    }
     // OUTLIER PRUNE: drop the FunnelPrune rows least correlated with
     // the modality centroid. The centroid is the SUM of the survivor
     // features (cosine is scale-invariant, and integer-valued floats
@@ -638,9 +647,8 @@ object MediaVectorSearch {
     require(hits.headOption.exists(_.id == QueryImg.toString),
       "q167's query image must survive its own funnel")
     val top = hits(1).id.toLong
-    imS1.unpersist(blocking = false)
-    auS1.unpersist(blocking = false)
-    viS1.unpersist(blocking = false)
+    // the s1 legs are standing pins — NOT unpersisted here (the
+    // StandingCache contract; `invalidate(dir)`/`clear()` evict)
     lastFunnelAux = Some(MediaDedup.fixture(spark, dir))
 
     Seq(

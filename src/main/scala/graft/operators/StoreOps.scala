@@ -2055,6 +2055,114 @@ object StoreOps {
        |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // ---- q168: FILTERED batch ANN on the durable mount (r16) -------------
+
+  private val DFBatchNs = "q168"
+
+  private val q168Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q168Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val q168ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (layout dir, batch-probe dir) of the most recent q168 run. */
+  @volatile private var lastDurableFilteredBatchAux: Option[(String, String)] = None
+
+  /** q168: q164's hybrid-query semantics BATCHED on the durable mount —
+    * the q107 one-scan batch thesis with the tenant predicate cutting
+    * candidates at candidate time (inside the probed-cell scan, on the
+    * delta tail, and at the live join); per-query starved probes would
+    * be re-answered by the exact filtered scan (spec-pinned; the
+    * in-script all-k require keeps the graded run on the probe branch
+    * its oracle replays). Positional parity with Q sequential filtered
+    * singles is asserted in-script once per process. */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"),
+          map(lit("tenant"),
+            (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dfbatch_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val tenantFilter = Map("tenant" -> "1")
+    val store = q168Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q168Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DFBatchNs)
+      s.findSimilarBatchApprox(qs, k = K, namespace = DFBatchNs)
+      require(s.annBuilds.get() >= 1, "q168 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DFBatchNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFBatchNs)
+      s
+    })
+    val res = store.findSimilarBatchApprox(qs, k = K, namespace = DFBatchNs,
+      persistProbes = true, filter = tenantFilter)
+    require(store.annBuilds.get() == 1,
+      "q168's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    require(res.forall(_.size == K),
+      "q168's filtered batch starved below k — the fallback branch fired, " +
+        "which the oracle does not replay (DurableStoreSpec pins it)")
+    if (q168ParityChecked.add(dir))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DFBatchNs,
+          approx = true, index = "ivf", filter = tenantFilter)
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"filtered batch result $i diverged from the single filtered search")
+      }
+    lastDurableFilteredBatchAux = store.annLayoutDir(DFBatchNs, qs.head.length)
+      .map { case (a, _) => (a, store.annProbesDir(a, "batch_probes")) }
+    res.zipWithIndex.flatMap { case (hits, qi) =>
+      hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+    }.toDF("qid", "rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** q107's replay with the tenant predicate re-derived relationally in
+    * `base` — candidates and rerank both see matching rows only. */
+  def q168Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$probesDir/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $BatchQn),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.id FROM a JOIN probes p USING (cell)
+       |  UNION
+       |  SELECT q.qid, e.vec_id::VARCHAR FROM qs q, embeddings e
+       |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND vec_id % $DFTenantMod = 1),
+       |sc AS (
+       |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, raw,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid::INT AS qid, rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   // ---- q109: BATCHED search through the PQ codes -----------------------
 
   private val BatchPqNs = "q109"
@@ -3057,7 +3165,8 @@ object StoreOps {
       "q148_store_lsh_batch" -> (q148 _),
       "q149_durable_opq_search" -> (q149 _),
       "q155_durable_lsh" -> (q155 _),
-      "q164_durable_filtered_ann" -> (q164 _))
+      "q164_durable_filtered_ann" -> (q164 _),
+      "q168_durable_filtered_batch" -> (q168 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3116,5 +3225,7 @@ object StoreOps {
       lastDurableOpqAux.map { case (aux, dim) =>
         "q149_durable_opq_search" -> q149Sql(aux, dim) } ++
       lastDurableFilteredAux.map { case (aux, p) =>
-        "q164_durable_filtered_ann" -> q164Sql(aux, p) }
+        "q164_durable_filtered_ann" -> q164Sql(aux, p) } ++
+      lastDurableFilteredBatchAux.map { case (aux, p) =>
+        "q168_durable_filtered_batch" -> q168Sql(aux, p) }
 }

@@ -384,10 +384,15 @@ class RestServer(store: VectorStore, port: Int = 0,
         val results =
           if (wantDurable) {
             val d = durableStore
-            if (stringMapOf(body, "filter").nonEmpty ||
-                stringMapOf(body, "json_filter").nonEmpty)
+            // metadata filters serve on the durable batch EXACT and IVF
+            // paths (r16 — the q164 candidate-time semantics batched);
+            // codes-only batch mounts keep the refusal, as on /search
+            if (wantApprox && batchIndex != "ivf" &&
+                (stringMapOf(body, "filter").nonEmpty ||
+                  stringMapOf(body, "json_filter").nonEmpty))
               throw new IllegalArgumentException(
-                "durable batch search does not support metadata filters")
+                "durable filtered batch search serves from the IVF " +
+                  "layout only; pass index:'ivf' or approx: false")
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the
               // code/graph mounts are cosine (their training geometry)
@@ -399,14 +404,17 @@ class RestServer(store: VectorStore, port: Int = 0,
                 throw new IllegalArgumentException(
                   s"durable approx batch '$batchIndex' is cosine only, got metric '$metric'")
               batchIndex match {
-                case "ivf"  => d.findSimilarBatchApprox(qs, k, metric, ns)
+                case "ivf"  => d.findSimilarBatchApprox(qs, k, metric, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
                 case "pq"   => d.findSimilarBatchPq(qs, k, ns)
                 case "bq"   => d.findSimilarBatchBq(qs, k, ns)
                 case "imi"  => d.findSimilarBatchImi(qs, k, ns)
                 case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns)
                 case "lsh"  => d.findSimilarBatchLsh(qs, k, ns)
               }
-            } else d.findSimilarBatch(qs, k, metric, ns)
+            } else d.findSimilarBatch(qs, k, metric, ns,
+              stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
           } else if (wantApprox) {
             if (metric != "cosine")
               throw new IllegalArgumentException(

@@ -881,11 +881,17 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * [[VectorStore.findSimilarBatch]]. */
   def findSimilarBatch(queries: Seq[Seq[Float]], k: Int = 10,
                        metric: String = "cosine",
-                       namespace: String = "default"): Seq[Seq[SearchHit]] = {
+                       namespace: String = "default",
+                       filter: Map[String, String] = Map.empty,
+                       jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     require(queries.nonEmpty && queries.size <= Scoring.InListMax,
       s"batch size must be in [1, ${Scoring.InListMax}]")
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
+    // metadata filters push into the one batch scan (r16 — the exact
+    // single-query path's r15 semantics, batched)
+    Scoring.batchSearch(
+      live().filter(col("namespace") === namespace)
+        .filter(metaPredicate(filter, jsonFilter)),
       queries, k, metric)
   }
 
@@ -904,7 +910,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   def findSimilarBatchApprox(queries: Seq[Seq[Float]], k: Int = 10,
                              metric: String = "cosine",
                              namespace: String = "default",
-                             persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
+                             persistProbes: Boolean = false,
+                             filter: Map[String, String] = Map.empty,
+                             jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
     require(queries.nonEmpty && queries.size <= Scoring.InListMax,
       s"batch size must be in [1, ${Scoring.InListMax}]")
@@ -913,24 +921,41 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val dim = queries.head.length
     require(queries.forall(_.length == dim),
       "all batch queries must share one dimensionality")
+    // filtered batch (r16): the single-query q164 semantics batched —
+    // the predicate cuts candidates BEFORE ranking (inside the one
+    // layout scan and at the live join), and any query whose filtered
+    // probe starves (< k hits) is re-answered by the exact filtered
+    // scan, batched over just the starved queries
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, metric)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
         case None => return Seq.fill(queries.size)(Seq.empty)
         case Some(e) =>
           val hits = probeBatch(queries, k, metric, namespace, e,
-            persistProbes)
-          if (currentGen() == e.builtGen) return hits
+            persistProbes, pred)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, metric)
+    exactFiltered(queries)
   }
 
   private def probeBatch(queries: Seq[Seq[Float]], k: Int, metric: String,
                          namespace: String, e: AnnEntry,
-                         persistProbes: Boolean): Seq[Seq[SearchHit]] = {
+                         persistProbes: Boolean,
+                         pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -943,18 +968,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       probeDf.coalesce(1)
         .write.mode("overwrite").parquet(annProbesDir(e.aux, "batch_probes"))
     val allCells = probeRows.map(_._2).distinct
+    // the predicate cuts candidates at candidate time — inside the
+    // probed-cell scan, on the delta tail, and again at the live join
+    // (authoritative; the scan-side cuts are pruning)
     val layoutCand = layoutFrame(s"${e.aux}/index")
       .where(col("cell").isin(allCells: _*))
+      .where(pred)
       .join(broadcast(probeDf), Seq("cell"))
       .select(col("__qid"), col("id"))
     val qids = queries.indices.toDF("__qid")
-    val deltaCand = deltaTail(namespace, e.builtSeq, Seq(col("id")))
+    val deltaCand = deltaTail(namespace, e.builtSeq, Seq(col("id")), pred)
       .crossJoin(broadcast(qids))
       .select(col("__qid"), col("id"))
     val cand = layoutCand.unionByName(deltaCand).distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      metric)
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, metric)
   }
 
   // ---- batched approx reads on the compressed/graph mounts (r13) ------

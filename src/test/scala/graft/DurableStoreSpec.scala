@@ -923,6 +923,48 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(common.size == 10 && common.forall(_.id.startsWith("c")))
   }
 
+  test("filtered batch IVF: per-query starved fallback, non-starved queries stay on the probe") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    // same two-cluster shape as the single-query spec: rare rows live in
+    // cells a near-origin query never probes
+    val rows =
+      (0 until 120).map { i =>
+        (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+          (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+      } ++ (0 until 5).map { i =>
+        (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+      }
+    d.loadFrame(rows.toDF("id", "values", "metadata"), "bstarve")
+    val qs = Seq(Seq(0.5f, 0.3f, 0.2f, 1f), Seq(0.1f, 0.6f, 0.4f, 1f))
+    d.findSimilarBatchApprox(qs, k = 5, namespace = "bstarve") // build
+    // rare filter: both queries starve (5 matching rows < k=10) — each
+    // must be re-answered by the exact filtered scan
+    val rare = d.findSimilarBatchApprox(qs, k = 10, namespace = "bstarve",
+      filter = Map("grp" -> "rare"))
+    val exact = d.findSimilarBatch(qs, k = 10, namespace = "bstarve",
+      filter = Map("grp" -> "rare"))
+    qs.indices.foreach { i =>
+      assert(rare(i).map(h => (h.id, h.score)) ==
+        exact(i).map(h => (h.id, h.score)),
+        s"starved batch query $i must match the exact filtered scan")
+      assert(rare(i).size == 5 && rare(i).forall(_.id.startsWith("r")))
+    }
+    // common filter: saturated probes — k hits each, all matching, and
+    // positional parity with the single filtered searches
+    val common = d.findSimilarBatchApprox(qs, k = 10, namespace = "bstarve",
+      filter = Map("grp" -> "common"))
+    qs.indices.foreach { i =>
+      assert(common(i).size == 10 && common(i).forall(_.id.startsWith("c")))
+      val single = d.findSimilar(qs(i), k = 10, namespace = "bstarve",
+        approx = true, index = "ivf", filter = Map("grp" -> "common"))
+      assert(common(i).map(h => (h.id, h.score)) ==
+        single.map(h => (h.id, h.score)),
+        s"batch query $i diverged from the single filtered search")
+    }
+  }
+
   test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs), "cc")

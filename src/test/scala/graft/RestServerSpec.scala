@@ -658,6 +658,20 @@ class RestServerSpec extends AnyFunSuite {
         """{"query": [1.0, 0.0], "durable": true, "approx": true,
           | "index": "pq", "filter": {"pass": "true"}}""".stripMargin)
       assert(ic == 422 && ib.contains("IVF layout only"), ib)
+      // the BATCH route mirrors the single-query contract (r16): exact
+      // + ivf serve filters, codes-only batch mounts 422
+      val (bc, bb) = send("POST", s"$base/search/batch?namespace=dfns",
+        """{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 3,
+          | "durable": true, "filter": {"pass": "true"}}""".stripMargin)
+      assert(bc == 200, bb)
+      val bres = mapper.readTree(bb)
+      assert(bres.size() == 2)
+      assert((0 until bres.get(0).size())
+        .map(bres.get(0).get(_).get("id").asText()) == Seq("a", "c"), bb)
+      val (bic, bib) = send("POST", s"$base/search/batch?namespace=dfns",
+        """{"queries": [[1.0, 0.0]], "durable": true, "approx": true,
+          | "index": "bq", "filter": {"pass": "true"}}""".stripMargin)
+      assert(bic == 422 && bib.contains("IVF layout only"), bib)
     } finally server.stop()
   }
 }
