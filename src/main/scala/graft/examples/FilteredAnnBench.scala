@@ -1,0 +1,117 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.store.DurableVectorStore
+
+/** Sources the r16 SCALING claim for the durable HYBRID query (q164):
+  * a candidate-time metadata filter costs the SAME probe as the
+  * unfiltered search (the predicate evaluates inside the probed-cell
+  * scan, before the distance kernel and the top-k heap — no extra scan,
+  * no widened k), and the starved-selectivity fallback costs one exact
+  * filtered scan and fires ONLY when the filtered candidate pool is
+  * under k.
+  *
+  * Setup: 64k×64d corpus with a `tenant` key spread uniformly over 4
+  * values (25 % selectivity — the production tenant/license-gate shape)
+  * plus one RARE class (32 rows) placed in a tight far cluster the
+  * probe geometry never visits from a clean query. Measures, steady
+  * state (medians over repeat runs, cold build billed separately):
+  *
+  *  - unfiltered approx probe        (the q87 baseline)
+  *  - filtered approx, 25 % tenant   (candidate-time cut; same shape)
+  *  - filtered approx, starved rare  (probe + the exact-scan fallback)
+  *  - filtered exact, 25 % tenant    (the linear-scan denominator)
+  *
+  * Measured (64k×64d, local[32]): filtered/unfiltered probe ratio 0.90
+  * — the filter is FREE on the probe (slightly cheaper: fewer rows
+  * reach the heap); starved ≈ probe + exact (0.51 ≈ 0.36 + 0.15) — the
+  * fallback costs exactly the one extra scan the scaladoc promises. At
+  * this overhead-bound local scale the exact scan itself still beats
+  * the probe (0.15 vs 0.36 s — the same 64k caveat DurableAnnBench
+  * states for the unfiltered paths); the probe's advantage is the scan
+  * FRACTION (≈ 2/√cells of the layout vs all of it), which is what
+  * grows with the corpus.
+  *
+  * Run: `sbt 'runMain graft.examples.FilteredAnnBench'`. */
+object FilteredAnnBench {
+
+  private val N = 65536L
+  private val Dim = 64
+  private val K = 10
+  private val Runs = 5
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "filtered-ann-bench")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_fann_bench_").toString
+    val store = new DurableVectorStore(spark, root)
+
+    // main corpus: smooth waves (the DurableAnnBench recipe) + a uniform
+    // 4-way tenant key; rare class: a tight far cluster, tenant 'rare'
+    val main = spark.range(N - 32).select(
+      col("id").cast("string").as("id"),
+      expr(s"transform(sequence(0, ${Dim - 1}), " +
+        "j -> cast(sin(id * 0.137 + j * 1.71) + cos(id * 0.011 * (j + 1)) as float))")
+        .as("values"),
+      map(lit("tenant"), concat(lit("t"), pmod(col("id"), lit(4)))).as("metadata"))
+    val rare = spark.range(N - 32, N).select(
+      concat(lit("r"), col("id")).as("id"),
+      expr(s"transform(sequence(0, ${Dim - 1}), " +
+        "j -> cast(500.0 + (id % 32) * 0.01 + j * 0.1 as float))").as("values"),
+      map(lit("tenant"), lit("rare")).as("metadata"))
+    val (_, tLoad) = time { store.loadFrame(main.unionByName(rare), "fb") }
+
+    val queries: Seq[Seq[Float]] = main.limit(5).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+
+    val (_, tBuild) = time {
+      store.findSimilar(queries.head, k = K, namespace = "fb", approx = true)
+    }
+
+    def steady(tag: String)(f: Seq[Float] => Unit): Double = {
+      queries.foreach(f) // warm
+      val m = median((1 to Runs).flatMap(_ => queries.map { q =>
+        time(f(q))._2
+      }))
+      println(f"$tag%-34s $m%8.3f s (median of ${Runs * queries.size})")
+      m
+    }
+
+    println(f"load ${N}x$Dim: $tLoad%.1f s; cold IVF build: $tBuild%.1f s")
+    val tPlain = steady("unfiltered approx probe") { q =>
+      store.findSimilar(q, k = K, namespace = "fb", approx = true)
+    }
+    val tFiltered = steady("filtered approx (25% tenant)") { q =>
+      val hits = store.findSimilar(q, k = K, namespace = "fb",
+        approx = true, index = "ivf", filter = Map("tenant" -> "t1"))
+      require(hits.size == K && hits.forall(_.metadata("tenant") == "t1"))
+    }
+    val tStarved = steady("filtered approx (starved rare)") { q =>
+      val hits = store.findSimilar(q, k = K, namespace = "fb",
+        approx = true, index = "ivf", filter = Map("tenant" -> "rare"))
+      require(hits.size == K && hits.forall(_.metadata("tenant") == "rare"))
+    }
+    val tExact = steady("filtered exact (25% tenant)") { q =>
+      store.findSimilar(q, k = K, namespace = "fb",
+        filter = Map("tenant" -> "t1"))
+    }
+    println(f"filtered/unfiltered probe ratio: ${tFiltered / tPlain}%.2f " +
+      "(claim: ~1 - the candidate-time filter is free on the probe); " +
+      f"starved ${tStarved}%.3f ~= probe ${tFiltered}%.3f + exact " +
+      f"${tExact}%.3f (the fallback costs the one promised extra scan); " +
+      "NB at 64k the exact scan beats the probe outright - " +
+      "overhead-bound local scale, the DurableAnnBench caveat; the " +
+      "probe's win is the scan fraction, which grows with the corpus")
+    spark.stop()
+  }
+}
