@@ -560,7 +560,7 @@ object MediaVectorSearch {
     * per corpus snapshot and serves the manifest); the prune/count/
     * retrieval stages stay per-invocation work on the pinned frame. */
   private def funnelLeg(spark: SparkSession, dir: String, sub: String,
-                        pairs: => DataFrame,
+                        dim: Int, pairs: => DataFrame,
                         feature: Array[Byte] => Array[Float]): (DataFrame, DataFrame) = {
     import spark.implicits._
     val s1 = graft.operators.StandingCache.frame(dir, s"q167_${sub}_s1") {
@@ -585,9 +585,10 @@ object MediaVectorSearch {
     // cast at the end is the same deterministic rounding both engines
     // apply). Budgeted prune, not thresholded: rank by (cos asc, id
     // asc) and cut exactly FunnelPrune.
-    val cent = s1.select(posexplode(col("values")).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(sum(col("v").cast("double")).as("s"))
-      .orderBy(col("pos")).collect().map(_.getDouble(1).toFloat)
+    val cent = s1
+      .agg(graft.functions.VecSumAgg.vecSum(
+        col("values").cast("array<double>"), dim).as("s"))
+      .head().getSeq[Double](0).map(_.toFloat).toArray
     val scored = s1.withColumn("cc",
       graft.functions.VectorFunctions.cosineSim(col("values"),
         typedLit(cent.toSeq)))
@@ -623,11 +624,11 @@ object MediaVectorSearch {
     * retrieval collect is k hits). */
   def q167(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (imS1, imS2) = funnelLeg(spark, dir, "images",
+    val (imS1, imS2) = funnelLeg(spark, dir, "images", Dim,
       MediaDedup.q150(spark, dir), imageFeature)
-    val (auS1, auS2) = funnelLeg(spark, dir, "audio",
+    val (auS1, auS2) = funnelLeg(spark, dir, "audio", AudDim,
       MediaDedup.q151(spark, dir), audioFeature)
-    val (viS1, viS2) = funnelLeg(spark, dir, "videos",
+    val (viS1, viS2) = funnelLeg(spark, dir, "videos", VidDim,
       MediaDedup.q154(spark, dir), videoFeature)
     val n0 = (MediaDedup.NImages + MediaDedup.NAudio + MediaDedup.NVideos).toLong
     val n1 = imS1.count() + auS1.count() + viS1.count()
