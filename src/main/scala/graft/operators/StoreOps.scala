@@ -2616,7 +2616,13 @@ object StoreOps {
     * `builtSeq` by the script's construction); candidates = bucket-mate
     * ids ∪ the script's delta ids; rerank = exact cosine over
     * load-minus-deletes-plus-delta with the store's tie-break. */
-  def q155Sql: String = {
+  def q155Sql: String = dlshSql(tenantPred = "TRUE")
+
+  /** The durable-LSH replay parameterized over a relational predicate on
+    * the live set — "TRUE" is q155's unfiltered read; q169 passes the
+    * tenant predicate (candidates ⋈ filtered base ≡ the store's
+    * candidate-time filter at the record join). */
+  private def dlshSql(tenantPred: String): String = {
     val nPlanes = ApproxBands * ApproxBits
     s"""WITH planes AS (
        |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
@@ -2645,8 +2651,9 @@ object StoreOps {
        |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |sc AS (
        |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
        |  FROM cand c JOIN base b ON b.id = c.id, q),
@@ -2657,6 +2664,70 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
   }
+
+  // ---- q169: FILTERED LSH on the durable mount (r16) -------------------
+
+  private val DFLshNs = "q169"
+
+  private val q169Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q169Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q169: the hybrid query on the durable SIGNATURE mount — q164's
+    * candidate-time discipline on the second record-joining index: every
+    * bucket-mate joins the record layout, so the tenant predicate at
+    * that join filters candidates before any k-cut; a starved probe
+    * falls back to the exact filtered scan (DurableStoreSpec pins it;
+    * the in-script `hits.size == K` keeps the graded run on the probe
+    * branch). Script mirrors q155 with tenant metadata on every load;
+    * the oracle is q155's full-policy replay (hyperplanes, signatures,
+    * and buckets all recomputed relationally from the md5 policy) with
+    * the tenant predicate re-derived from `vec_id`. */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"),
+          map(lit("tenant"),
+            (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dflsh_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = q169Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q169Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DFLshNs)
+      s.findSimilar(qv, k = K, namespace = DFLshNs, approx = true,
+        index = "lsh")
+      require(s.lshBuilds.get() >= 1, "q169 signature build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DFLshNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFLshNs)
+      s
+    })
+    val hits = store.findSimilarLshGraded(qv, k = K, namespace = DFLshNs,
+      filter = Map("tenant" -> "1"))
+    require(store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
+      "q169's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    require(hits.size == K,
+      s"q169's filtered probe returned ${hits.size} < $K hits — the " +
+        "starved fallback fired, which the oracle does not replay")
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  def q169Sql: String = dlshSql(s"vec_id % $DFTenantMod = 1")
 
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
@@ -3166,7 +3237,8 @@ object StoreOps {
       "q149_durable_opq_search" -> (q149 _),
       "q155_durable_lsh" -> (q155 _),
       "q164_durable_filtered_ann" -> (q164 _),
-      "q168_durable_filtered_batch" -> (q168 _))
+      "q168_durable_filtered_batch" -> (q168 _),
+      "q169_durable_filtered_lsh" -> (q169 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3184,7 +3256,8 @@ object StoreOps {
       "q72_durable_asof" -> q72Sql,
       "q75_store_batch_search" -> q75Sql,
       "q78_durable_cdc" -> q78Sql,
-      "q155_durable_lsh" -> q155Sql) ++
+      "q155_durable_lsh" -> q155Sql,
+      "q169_durable_filtered_lsh" -> q169Sql) ++
       lastIvfAux.map(aux => "q53_store_ivf_search" -> q53Sql(aux)) ++
       lastPqAux.map(aux => "q61_store_pq_search" -> q61Sql(aux)) ++
       lastDurableAnnAux.map { case (aux, p) =>

@@ -324,19 +324,19 @@ class RestServer(store: VectorStore, port: Int = 0,
               throw new IllegalArgumentException(
                 "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid, its HNSW graphs or its LSH signatures; pass index:'ivf', 'pq', 'bq', 'imi', 'hnsw' or 'lsh'")
             // metadata filters serve on the durable EXACT path (r15) and
-            // — since r16 — on the IVF indexed path, whose record-
-            // carrying layout evaluates the predicate inside the probed-
-            // cell scan before the candidate cut (starved-selectivity
-            // fallback to the exact filtered scan; see
-            // DurableVectorStore.findSimilar). The codes-only indexed
-            // paths keep the explicit refusal — their candidate cuts run
-            // on codes that carry no metadata.
-            if (approx && index != "ivf" &&
+            // — since r16 — on the RECORD-JOINING indexed paths (ivf,
+            // lsh), whose candidate sets meet the records before any
+            // k-cut, so the predicate evaluates at candidate time
+            // (starved-selectivity fallback to the exact filtered scan;
+            // see DurableVectorStore.findSimilar). The codes-only and
+            // beam-cut paths keep the explicit refusal.
+            if (approx && index != "ivf" && index != "lsh" &&
                 (stringMapOf(body, "filter").nonEmpty ||
                   stringMapOf(body, "json_filter").nonEmpty))
               throw new IllegalArgumentException(
-                "durable filtered indexed search serves from the IVF " +
-                  "layout only; pass index:'ivf' or approx: false")
+                "durable filtered indexed search serves from the " +
+                  "record-joining layouts only; pass index:'ivf' or " +
+                  "'lsh', or approx: false")
             d.findSimilar(floats(required(body, "query")), k, metric, ns,
               approx = approx, index = if (approx) index else "ivf",
               filter = stringMapOf(body, "filter"),
@@ -384,15 +384,16 @@ class RestServer(store: VectorStore, port: Int = 0,
         val results =
           if (wantDurable) {
             val d = durableStore
-            // metadata filters serve on the durable batch EXACT and IVF
-            // paths (r16 — the q164 candidate-time semantics batched);
-            // codes-only batch mounts keep the refusal, as on /search
-            if (wantApprox && batchIndex != "ivf" &&
+            // metadata filters serve on the durable batch EXACT, IVF and
+            // LSH paths (r16 — the q164 candidate-time semantics
+            // batched); codes-only batch mounts keep the refusal
+            if (wantApprox && batchIndex != "ivf" && batchIndex != "lsh" &&
                 (stringMapOf(body, "filter").nonEmpty ||
                   stringMapOf(body, "json_filter").nonEmpty))
               throw new IllegalArgumentException(
-                "durable filtered batch search serves from the IVF " +
-                  "layout only; pass index:'ivf' or approx: false")
+                "durable filtered batch search serves from the " +
+                  "record-joining layouts only; pass index:'ivf' or " +
+                  "'lsh', or approx: false")
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the
               // code/graph mounts are cosine (their training geometry)
@@ -411,7 +412,9 @@ class RestServer(store: VectorStore, port: Int = 0,
                 case "bq"   => d.findSimilarBatchBq(qs, k, ns)
                 case "imi"  => d.findSimilarBatchImi(qs, k, ns)
                 case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns)
-                case "lsh"  => d.findSimilarBatchLsh(qs, k, ns)
+                case "lsh"  => d.findSimilarBatchLsh(qs, k, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
               }
             } else d.findSimilarBatch(qs, k, metric, ns,
               stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))

@@ -809,31 +809,46 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       // FILTERED INDEXED search (r16 — the reference's hybrid query,
       // README.md:294-299 / examples/api_client.py:65-74, composed with
       // the durable mount: tenant/license/quality-gated retrieval on the
-      // indexed path, the 100 TB production RAG shape). IVF only: the
-      // record-carrying inverted file evaluates the predicate inside the
-      // probed-cell scan — BEFORE the candidate cut — so every surviving
-      // candidate already matches and top-k ranks filtered rows only
-      // (candidate-time filtering, the live store's recall discipline;
-      // never post-filtering a geometry-only top-k). The codes-only
-      // paths (pq/bq/imi) keep the refusal: their candidate cut runs on
-      // codes that carry no metadata, so the filter cannot reach the cut
-      // without widening CandN blindly.
+      // indexed path, the 100 TB production RAG shape). Served by the
+      // two RECORD-JOINING indexes, whose candidate sets are not k-cut
+      // before the records are in hand:
+      //  - "ivf": the inverted file evaluates the predicate inside the
+      //    probed-cell scan — every surviving candidate already matches
+      //    and top-k ranks filtered rows only;
+      //  - "lsh": every bucket-mate joins the record layout, so the
+      //    predicate on that join is equally candidate-time.
+      // The codes-only paths (pq/bq/imi) and the beam-cut graph (hnsw)
+      // keep the refusal: their candidate sets are chosen by geometry
+      // BEFORE any record is read (codes carry no metadata; the beam
+      // emits a k-sized frontier), so a filter there is either
+      // post-filtering (breaks the k contract) or a blind candidate
+      // widening.
       //
       // RECALL RULE (stated, not silent): the probe policy still reads
-      // only the top-probed cells, so a highly selective filter can
-      // starve the candidate pool below k even when the namespace holds
-      // ≥ k matching rows. When the filtered probe returns < k hits,
-      // the search FALLS BACK to the exact filtered scan — the caller
+      // only its candidate slice, so a highly selective filter can
+      // starve the pool below k even when the namespace holds ≥ k
+      // matching rows. When the filtered probe returns < k hits, the
+      // search FALLS BACK to the exact filtered scan — the caller
       // always receives min(k, matching-live-rows) hits; the fallback
       // costs one pruned scan and only fires in the starved case.
-      require(index == "ivf",
-        "durable FILTERED indexed search serves from the IVF layout only " +
-          "(codes-only candidate cuts cannot see metadata); pass " +
-          "index:'ivf', or approx = false for the exact filtered scan")
-      require(metric == "cosine" || metric == "l2" || metric == "ip",
-        s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
-      searchApprox(query, k, namespace, metric, persistProbes = false,
-        filter, jsonFilter)
+      index match {
+        case "ivf" =>
+          require(metric == "cosine" || metric == "l2" || metric == "ip",
+            s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
+          searchApprox(query, k, namespace, metric, persistProbes = false,
+            filter, jsonFilter)
+        case "lsh" =>
+          require(metric == "cosine",
+            s"durable LSH search is cosine only, got metric '$metric'")
+          searchLsh(query, k, namespace, persistSig = false,
+            filter, jsonFilter)
+        case _ =>
+          throw new IllegalArgumentException(
+            "durable FILTERED indexed search serves from the record-" +
+              "joining layouts only (codes-only and beam-cut candidate " +
+              "policies cannot see metadata); pass index:'ivf' or " +
+              "'lsh', or approx = false for the exact filtered scan")
+      }
     } else {
       index match {
       case "ivf" =>
@@ -2270,8 +2285,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * q92/q101 contract; the signature table is already persisted by
     * the build). */
   private[graft] def findSimilarLshGraded(query: Seq[Float], k: Int,
-                                          namespace: String): Seq[SearchHit] =
-    searchLsh(query, k, namespace, persistSig = true)
+                                          namespace: String,
+                                          filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    searchLsh(query, k, namespace, persistSig = true, filter)
 
   /** The durable LSH read plan: band-signature the query driver-side
     * (dim×planes, the [[graft.operators.Ann.bandBuckets]] kernel —
@@ -2281,25 +2297,39 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * post-build kill set, union the exact delta tail, exact cosine
     * rerank. Generation gate and retry identical to IVF/PQ/BQ. */
   private def searchLsh(query: Seq[Float], k: Int, namespace: String,
-                        persistSig: Boolean): Seq[SearchHit] = {
+                        persistSig: Boolean,
+                        filter: Map[String, String] = Map.empty,
+                        jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    // filtered LSH (r16): sound for the same reason as filtered IVF —
+    // the bucket-mate candidate set is NOT k-cut (every mate joins the
+    // record layout), so a predicate on the record join is
+    // candidate-time filtering; the starved fallback is q164's
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length) match {
         case None => return Seq.empty
         case Some(e) =>
           val lsh = lshLayoutFor(namespace, query.length, e)
-          val hits = probeLsh(query, k, namespace, e, lsh, persistSig)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeLsh(query, k, namespace, e, lsh, persistSig, pred)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, "cosine",
+                namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, "cosine", namespace)
+    searchOver(live().filter(pred), query, k, "cosine", namespace)
   }
 
   private def probeLsh(query: Seq[Float], k: Int, namespace: String,
                        e: AnnEntry, lsh: LshEntry,
-                       persistSig: Boolean): Seq[SearchHit] = {
+                       persistSig: Boolean,
+                       pred: Column = lit(true)): Seq[SearchHit] = {
     import spark.implicits._
     val qb = graft.operators.Ann.bandBuckets(query.toArray)
     val qbDf = qb.toDF("band", "bucket")
@@ -2311,11 +2341,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))
     val main = layoutFrame(s"${e.aux}/index")
+      .where(pred)
       .select(cols: _*)
       .join(candIds, col("id") === col("__cid"), "left_semi")
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(
+      deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2332,8 +2364,18 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * writes the qid-keyed `batch_qsig/` for oracle replay. */
   def findSimilarBatchLsh(queries: Seq[Seq[Float]], k: Int = 10,
                           namespace: String = "default",
-                          persistSigs: Boolean = false): Seq[Seq[SearchHit]] = {
+                          persistSigs: Boolean = false,
+                          filter: Map[String, String] = Map.empty,
+                          jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
+    // filtered batch (r16): q168's per-query starved-fallback discipline
+    // on the signature mount
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, "cosine")
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -2341,18 +2383,24 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val lsh = lshLayoutFor(namespace, dim, e)
           val hits = probeBatchLsh(queries, k, namespace, e, lsh,
-            persistSigs)
-          if (currentGen() == e.builtGen) return hits
+            persistSigs, pred)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, "cosine")
+    exactFiltered(queries)
   }
 
   private def probeBatchLsh(queries: Seq[Seq[Float]], k: Int,
                             namespace: String, e: AnnEntry, lsh: LshEntry,
-                            persistSigs: Boolean): Seq[Seq[SearchHit]] = {
+                            persistSigs: Boolean,
+                            pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
       graft.operators.Ann.bandBuckets(q.toArray)
@@ -2368,9 +2416,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val cand = layoutCand
       .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
       .distinct()
+    // the predicate cuts at the record join — candidate-time (the
+    // bucket-mate set is not k-cut)
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      "cosine")
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, "cosine")
   }
 
   // ---- durable IMI: two-level product grid over the layout rows -------

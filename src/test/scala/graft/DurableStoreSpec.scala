@@ -877,7 +877,7 @@ class DurableStoreSpec extends AnyFunSuite {
       d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
         approx = true, index = "pq", filter = Map("pass" -> "true"))
     }
-    assert(refused.getMessage.contains("IVF layout only"))
+    assert(refused.getMessage.contains("record-joining layouts only"))
     val viaIvf = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
       approx = true, index = "ivf", filter = Map("pass" -> "true"))
     assert(viaIvf.map(_.id) == Seq("a", "c"))
@@ -921,6 +921,47 @@ class DurableStoreSpec extends AnyFunSuite {
     val common = d.findSimilar(q, k = 10, namespace = "starve",
       approx = true, index = "ivf", filter = Map("grp" -> "common"))
     assert(common.size == 10 && common.forall(_.id.startsWith("c")))
+  }
+
+  test("filtered LSH: candidate-time filter at the record join, starved fallback exact") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    val rows =
+      (0 until 120).map { i =>
+        (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+          (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+      } ++ (0 until 5).map { i =>
+        (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+      }
+    d.loadFrame(rows.toDF("id", "values", "metadata"), "lstarve")
+    val q = Seq(0.5f, 0.3f, 0.2f, 1f)
+    d.findSimilar(q, k = 5, namespace = "lstarve", approx = true,
+      index = "lsh") // build records + signatures
+    // 5 matching rows < k=10: the filtered probe must fall back to the
+    // exact filtered scan — identical hits, wherever the buckets put them
+    val filtered = d.findSimilar(q, k = 10, namespace = "lstarve",
+      approx = true, index = "lsh", filter = Map("grp" -> "rare"))
+    val exact = d.findSimilar(q, k = 10, namespace = "lstarve",
+      filter = Map("grp" -> "rare"))
+    assert(filtered.map(h => (h.id, h.score)) ==
+      exact.map(h => (h.id, h.score)))
+    assert(filtered.size == 5 && filtered.forall(_.id.startsWith("r")))
+    // non-starved: every hit matches the predicate
+    val common = d.findSimilar(q, k = 10, namespace = "lstarve",
+      approx = true, index = "lsh", filter = Map("grp" -> "common"))
+    assert(common.forall(_.id.startsWith("c")))
+    // batch form: same discipline, positional parity with the singles
+    val qs = Seq(q, Seq(0.1f, 0.6f, 0.4f, 1f))
+    val batch = d.findSimilarBatchLsh(qs, k = 10, namespace = "lstarve",
+      filter = Map("grp" -> "rare"))
+    qs.indices.foreach { i =>
+      val single = d.findSimilar(qs(i), k = 10, namespace = "lstarve",
+        approx = true, index = "lsh", filter = Map("grp" -> "rare"))
+      assert(batch(i).map(h => (h.id, h.score)) ==
+        single.map(h => (h.id, h.score)),
+        s"filtered LSH batch query $i diverged from the single search")
+    }
   }
 
   test("filtered batch IVF: per-query starved fallback, non-starved queries stay on the probe") {

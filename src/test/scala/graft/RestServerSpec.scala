@@ -657,7 +657,7 @@ class RestServerSpec extends AnyFunSuite {
       val (ic, ib) = send("POST", s"$base/search?namespace=dfns",
         """{"query": [1.0, 0.0], "durable": true, "approx": true,
           | "index": "pq", "filter": {"pass": "true"}}""".stripMargin)
-      assert(ic == 422 && ib.contains("IVF layout only"), ib)
+      assert(ic == 422 && ib.contains("record-joining layouts only"), ib)
       // the BATCH route mirrors the single-query contract (r16): exact
       // + ivf serve filters, codes-only batch mounts 422
       val (bc, bb) = send("POST", s"$base/search/batch?namespace=dfns",
@@ -671,7 +671,7 @@ class RestServerSpec extends AnyFunSuite {
       val (bic, bib) = send("POST", s"$base/search/batch?namespace=dfns",
         """{"queries": [[1.0, 0.0]], "durable": true, "approx": true,
           | "index": "bq", "filter": {"pass": "true"}}""".stripMargin)
-      assert(bic == 422 && bib.contains("IVF layout only"), bib)
+      assert(bic == 422 && bib.contains("record-joining layouts only"), bib)
     } finally server.stop()
   }
 }
