@@ -848,9 +848,9 @@ class VectorStore(val spark: SparkSession) {
             .parquet(s"$aux/batch_cands")
           cand = spark.read.parquet(s"$aux/batch_cands")
         }
-        Scoring.batchSearchCandidates(
+        rescueStarvedBatch(Scoring.batchSearchCandidates(
           filteredLive(namespace, filter, jsonFilter),
-          queries, cand, k, "cosine")
+          queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
     }
   }
 
@@ -1246,8 +1246,42 @@ class VectorStore(val spark: SparkSession) {
         }
         scoredFrom(cands, query, metric)
       }
-    collectHits(ranked(base, metric).limit(k))
+    val hits = collectHits(ranked(base, metric).limit(k))
+    // starved-selectivity fallback (r16 — the durable q164 discipline,
+    // now UNIFORM across mounts): an indexed candidate policy composed
+    // with a selective filter can leave fewer than k matching candidates
+    // even when the namespace holds ≥ k matching rows (the codes/beam
+    // cuts choose candidates by geometry before the filter; probed
+    // cells/buckets may simply not hold the matching rows). When that
+    // happens, serve the exact filtered scan — the caller always gets
+    // min(k, matching-live-rows); the fallback costs one scan and fires
+    // only in the starved case.
+    if (approx && (filter.nonEmpty || jsonFilter.nonEmpty) && hits.size < k)
+      collectHits(ranked(
+        scored(query, metric, namespace, filter, jsonFilter), metric).limit(k))
+    else hits
   }
+
+  /** The batch form of the starved-selectivity fallback (see
+    * [[findSimilar]]): queries whose filtered indexed candidates came up
+    * short of k are re-answered by ONE exact filtered batch over just
+    * the starved queries; saturated queries keep their probe results.
+    * No-op (and free) when no filter is present or nothing starved. */
+  private def rescueStarvedBatch(hits: Seq[Seq[SearchHit]],
+                                 queries: Seq[Seq[Float]], k: Int,
+                                 namespace: String,
+                                 filter: Map[String, String],
+                                 jsonFilter: Map[String, String]): Seq[Seq[SearchHit]] =
+    if ((filter.isEmpty && jsonFilter.isEmpty) || hits.forall(_.size >= k))
+      hits
+    else {
+      val starved = hits.indices.filter(hits(_).size < k)
+      val rescued = Scoring.batchSearch(
+        filteredLive(namespace, filter, jsonFilter),
+        starved.map(queries), k, "cosine")
+      val byIdx = starved.zip(rescued).toMap
+      hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+    }
 
   /** Batched exact search: result(i) answers queries(i) — ONE namespace
     * scan for the whole batch via [[Scoring.batchSearch]] (bounded-heap
@@ -1312,9 +1346,9 @@ class VectorStore(val spark: SparkSession) {
           .where(col("cell").isin(allCells: _*))
           .join(broadcast(probeDf), Seq("cell"))
           .select(col("__qid"), col("id")).distinct()
-        Scoring.batchSearchCandidates(
+        rescueStarvedBatch(Scoring.batchSearchCandidates(
           filteredLive(namespace, filter, jsonFilter),
-          queries, cand, k, "cosine")
+          queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
     }
   }
 
@@ -1359,9 +1393,9 @@ class VectorStore(val spark: SparkSession) {
           .where(col("cell").isin(allCells: _*))
           .join(broadcast(probeDf), Seq("cell"))
           .select(col("__qid"), col("id")).distinct()
-        Scoring.batchSearchCandidates(
+        rescueStarvedBatch(Scoring.batchSearchCandidates(
           filteredLive(namespace, filter, jsonFilter),
-          queries, cand, k, "cosine")
+          queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
     }
   }
 
@@ -1399,9 +1433,9 @@ class VectorStore(val spark: SparkSession) {
     val cand = indexSigs(namespace, dim)
       .join(broadcast(probeDf), Seq("band", "bucket"))
       .select(col("__qid"), col("id")).distinct()
-    Scoring.batchSearchCandidates(
+    rescueStarvedBatch(Scoring.batchSearchCandidates(
       filteredLive(namespace, filter, jsonFilter),
-      queries, cand, k, "cosine")
+      queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
   }
 
   /** Batched APPROX search through the store-attached PQ codes (r12 —
@@ -1452,9 +1486,9 @@ class VectorStore(val spark: SparkSession) {
             graft.operators.Pq.CandN, descending = false).as("top"))
           .select(col("qid").cast("int").as("__qid"),
             explode(col("top.id")).as("id"))
-        Scoring.batchSearchCandidates(
+        rescueStarvedBatch(Scoring.batchSearchCandidates(
           filteredLive(namespace, filter, jsonFilter),
-          queries, cand, k, "cosine")
+          queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
     }
   }
 
@@ -1492,9 +1526,9 @@ class VectorStore(val spark: SparkSession) {
           .agg(graft.functions.TopKAgg.topk(col("ham").cast("double"),
             col("id"), BqCandN, descending = false).as("top"))
           .select(col("qid").as("__qid"), explode(col("top.id")).as("id"))
-        Scoring.batchSearchCandidates(
+        rescueStarvedBatch(Scoring.batchSearchCandidates(
           filteredLive(namespace, filter, jsonFilter),
-          queries, cand, k, "cosine")
+          queries, cand, k, "cosine"), queries, k, namespace, filter, jsonFilter)
     }
   }
 

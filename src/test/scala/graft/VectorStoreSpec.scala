@@ -704,4 +704,49 @@ class VectorStoreSpec extends AnyFunSuite {
       filter = Map("tag" -> "nope"))
     assert(filtered.forall(_.isEmpty) && filtered.length == queries.length)
   }
+
+  test("filtered indexed search: starved candidate pools fall back to the exact filtered scan") {
+    val s = newStore
+    // 120 'common' rows near the origin and 5 'rare' rows in a far tight
+    // cluster: every geometry-first candidate policy (PQ's CandN cut,
+    // BQ's hamming cut, HNSW's beam, LSH buckets, IVF cells) proposes
+    // near-origin candidates for a near-origin query, so a rare-filter
+    // pool starves below k — without the fallback the caller would get
+    // 0 hits while 5 matching rows exist
+    val rows =
+      (0 until 120).map { i =>
+        (Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+          (i % 5).toFloat / 10f, 1f, 0f, 0f, 0f, 0f),
+          Map("grp" -> "common"))
+      } ++ (0 until 5).map { i =>
+        (Seq(100f + i, 100f, 100f, 100f, 100f, 100f, 100f, 100f),
+          Map("grp" -> "rare"))
+      }
+    val ids = s.upsertMany(rows, "starve")
+    val rareIds = ids.drop(120).toSet
+    val q = Seq(0.5f, 0.3f, 0.2f, 1f, 0f, 0f, 0f, 0f)
+    val exact = s.findSimilar(q, k = 10, namespace = "starve",
+      filter = Map("grp" -> "rare")).map(h => (h.id, h.score))
+    assert(exact.size == 5)
+    for (idx <- Seq("lsh", "ivf", "pq", "bq", "imi", "hnsw")) {
+      val hits = s.findSimilar(q, k = 10, namespace = "starve",
+        approx = true, index = idx, filter = Map("grp" -> "rare"))
+      assert(hits.map(h => (h.id, h.score)) == exact,
+        s"starved $idx filtered search must serve the exact filtered scan")
+      assert(hits.forall(h => rareIds(h.id)))
+    }
+    // batch forms: per-query rescue, saturated queries stay on the probe
+    val qs = Seq(q, Seq(0.1f, 0.6f, 0.4f, 1f, 0f, 0f, 0f, 0f))
+    val batch = s.findSimilarBatchPq(qs, k = 10, namespace = "starve",
+      filter = Map("grp" -> "rare"))
+    qs.indices.foreach { i =>
+      assert(batch(i).nonEmpty && batch(i).forall(h => rareIds(h.id)),
+        s"batched pq filtered query $i was not rescued")
+    }
+    // the common side never needs the fallback and still honors the
+    // filter at candidate time
+    val common = s.findSimilar(q, k = 10, namespace = "starve",
+      approx = true, index = "pq", filter = Map("grp" -> "common"))
+    assert(common.size == 10 && common.forall(h => !rareIds(h.id)))
+  }
 }
