@@ -2729,6 +2729,382 @@ object StoreOps {
 
   def q169Sql: String = dlshSql(s"vec_id % $DFTenantMod = 1")
 
+  // ---- q170–q173: the hybrid query on the REMAINING durable mounts ----
+  //
+  // r16 closes the durable filter matrix. q164/q168/q169 served the
+  // record-joining indexes (ivf, lsh); these four serve the codes-only
+  // (pq, bq), product-grid (imi) and beam-cut (hnsw) mounts, so the
+  // durable filter refusal set is now EMPTY — every index × single ×
+  // batch × mount combination serves the reference's hybrid query.
+  // Scripts mirror q92/q101/q110/q123 (load → first unfiltered search
+  // builds layout + derived structures → post-layout deletes + delta
+  // appends → graded FILTERED search) with tenant metadata on every
+  // load; each oracle is the mount's unfiltered replay with the tenant
+  // predicate re-derived relationally from `vec_id` (q164's
+  // discipline), applied BEFORE the CandN cut where the mount has one
+  // (pq/bq — grading the semi-join semantics, not a post-filter).
+  // Batch parity with the mount's filtered batch facade is asserted
+  // in-script once per dir (the q133 convention).
+
+  /** The q164 tenant slice — every loaded row carries
+    * `tenant = vec_id % DFTenantMod` so the graded filter is
+    * relationally replayable. */
+  private def tenantSlice(spark: SparkSession, dir: String)(
+      lo: Long, hi: Long): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("values"),
+        map(lit("tenant"),
+          (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+
+  /** Shared q170–q173 script: build the mount (first unfiltered search),
+    * run q87's mutation window, return the store. */
+  private def dfStoreFor(spark: SparkSession, dir: String, ns: String,
+                         prefix: String, index: String,
+                         stores: java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore],
+                         attempts: java.util.concurrent.atomic.AtomicInteger,
+                         qv: Seq[Float],
+                         builtCheck: graft.store.DurableVectorStore => Boolean): graft.store.DurableVectorStore = {
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(tenantSlice(spark, dir)(0L, FacadeN), ns)
+      // build the layout + derived structures NOW (unfiltered search),
+      // so the deletes and delta below are post-layout mutations
+      s.findSimilar(qv, k = K, namespace = ns, approx = true, index = index)
+      require(builtCheck(s), s"$ns layout/derived build did not run")
+      val expect = (0L until FacadeN).filter(_ % FacadeDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, ns)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(tenantSlice(spark, dir)(FacadeN, FacadeN + DAnnDeltaN), ns)
+      s
+    })
+  }
+
+  /** Post-graded-search invariants shared by q170–q173: the mutation
+    * window stayed inside the staleness ratio and the probe did not
+    * starve (the starved fallback is DurableStoreSpec-pinned; the
+    * oracle replays the probe branch only). */
+  private def dfRequire(ns: String, hits: Seq[graft.model.SearchHit],
+                        inWindow: Boolean): Unit = {
+    require(inWindow,
+      s"$ns's mutation window crossed the staleness ratio — the oracle's " +
+        "delta-union replay assumes the first layout serves the graded search")
+    require(hits.size == K,
+      s"$ns's filtered probe returned ${hits.size} < $K hits — the " +
+        "starved fallback fired, which the oracle does not replay")
+  }
+
+  private def dfFrame(spark: SparkSession,
+                      hits: Seq[graft.model.SearchHit]): DataFrame = {
+    import spark.implicits._
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  private val DFPqNs = "q170"
+  private val q170Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q170Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q170ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFPqAux: Option[String] = None
+
+  /** q170: the hybrid query on the durable COMPRESSED mount — the codes
+    * carry no metadata, so the matching id set (read off the SAME probed
+    * cells' records) semi-joins the codes scan BEFORE the CandN cut: the
+    * ADC ranks matching rows only, never a post-filtered geometry top-k.
+    * The oracle replays q92's full candidate policy with the tenant
+    * predicate applied INSIDE the adc CTE — a post-filtering
+    * implementation would rank non-matching rows into the CandN cut and
+    * break the hash. Batch parity with [[graft.store.DurableVectorStore.findSimilarBatchPq]]
+    * asserted in-script once per dir. */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = dfStoreFor(spark, dir, DFPqNs, "dfpq", "pq",
+      q170Stores, q170Attempts, qv,
+      s => s.annBuilds.get() >= 1 && s.pqBuilds.get() >= 1)
+    val hits = store.findSimilarPqGraded(qv, k = K, namespace = DFPqNs,
+      filter = Map("tenant" -> "1"))
+    dfRequire(DFPqNs, hits,
+      store.annBuilds.get() == 1 && store.pqBuilds.get() == 1)
+    if (q170ParityChecked.add(dir)) {
+      val q2 = e.where(col("vec_id") === 2L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val qs = Seq(qv, q2)
+      val batch = store.findSimilarBatchPq(qs, k = K, namespace = DFPqNs,
+        filter = Map("tenant" -> "1"))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DFPqNs,
+          approx = true, index = "pq", filter = Map("tenant" -> "1"))
+          .map(h => (h.id, h.score))
+        require(batch(i).map(h => (h.id, h.score)) == single,
+          s"filtered pq batch result $i diverged from the single-query filtered pq search")
+      }
+    }
+    lastDFPqAux = store.pqLayoutDir(DFPqNs, qv.length)
+    dfFrame(spark, hits)
+  }
+
+  /** q92's replay with the tenant predicate INSIDE the adc CTE (the
+    * semi-join-before-CandN semantics) and on the delta/base. */
+  def q170Sql(aux: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
+       |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT c.id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN probes p ON p.cell = c.cell
+       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE CAST(c.id AS BIGINT) % $DFTenantMod = 1
+       |  GROUP BY c.id),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
+       |  WHERE cr <= ${Pq.CandN}
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
+       |    AND vec_id % $DFTenantMod = 1),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND vec_id % $DFTenantMod = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  private val DFBqNs = "q171"
+  private val q171Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q171Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q171ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFBqAux: Option[(String, String)] = None
+
+  /** q171: the hybrid query on the durable BINARY mount — the q170
+    * semi-join discipline in front of the hamming CandN cut. The oracle
+    * rebuilds the ENTIRE candidate policy from the base table (q101's
+    * property — grid, packing, hamming) and applies the tenant predicate
+    * before the cut; the grid itself stays trained on ALL layout rows
+    * (the store trains mids unfiltered — a filtered grid would be a
+    * different codebook and the hash would say so). */
+  def q171(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = dfStoreFor(spark, dir, DFBqNs, "dfbq", "bq",
+      q171Stores, q171Attempts, qv,
+      s => s.annBuilds.get() >= 1 && s.bqBuilds.get() >= 1)
+    val hits = store.findSimilarBqGraded(qv, k = K, namespace = DFBqNs,
+      filter = Map("tenant" -> "1"))
+    dfRequire(DFBqNs, hits,
+      store.annBuilds.get() == 1 && store.bqBuilds.get() == 1)
+    if (q171ParityChecked.add(dir)) {
+      val q2 = e.where(col("vec_id") === 2L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val qs = Seq(qv, q2)
+      val batch = store.findSimilarBatchBq(qs, k = K, namespace = DFBqNs,
+        filter = Map("tenant" -> "1"))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DFBqNs,
+          approx = true, index = "bq", filter = Map("tenant" -> "1"))
+          .map(h => (h.id, h.score))
+        require(batch(i).map(h => (h.id, h.score)) == single,
+          s"filtered bq batch result $i diverged from the single-query filtered bq search")
+      }
+    }
+    lastDFBqAux = for {
+      ann <- store.annLayoutDir(DFBqNs, qv.length)
+      bq <- store.bqLayoutDir(DFBqNs, qv.length)
+    } yield (ann._1, bq)
+    dfFrame(spark, hits)
+  }
+
+  /** q101's whole-policy replay with the tenant predicate before the
+    * hamming CandN cut and on the delta/base. */
+  def q171Sql(ann: String, aux: String): String = {
+    val dim = 64
+    val bit =
+      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$ann/assign/*.parquet')),
+       |st AS (
+       |  SELECT g.i,
+       |         (min(embedding[g.i + 1])::DOUBLE
+       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
+       |  FROM embeddings, range($dim) g(i)
+       |  WHERE vec_id < $FacadeN GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id::VARCHAR AS id,
+       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
+       |                     THEN $bit ELSE 0::BIGINT END) AS code
+       |  FROM embeddings e, st WHERE e.vec_id < $FacadeN GROUP BY 1),
+       |qc AS (SELECT code AS qcode FROM codes WHERE id = '$QueryId'),
+       |ham AS (
+       |  SELECT c.id, bit_count(xor(c.code, qc.qcode)) AS ham
+       |  FROM codes c
+       |  JOIN a ON a.id = c.id
+       |  JOIN probes p ON p.cell = a.cell, qc
+       |  WHERE CAST(c.id AS BIGINT) % $DFTenantMod = 1),
+       |cut AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (ORDER BY ham, id) AS cr FROM ham)
+       |  WHERE cr <= ${graft.operators.Bq.CandN}),
+       |cand AS (
+       |  SELECT id FROM cut
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
+       |    AND vec_id % $DFTenantMod = 1),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND vec_id % $DFTenantMod = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+  }
+
+  private val DFImiNs = "q172"
+  private val q172Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q172Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q172ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFImiAux: Option[(String, String)] = None
+
+  /** q172: the hybrid query on the durable PRODUCT-GRID mount — the grid
+    * rows ARE records, so the predicate evaluates inside the probed-cell
+    * scan exactly like q164's IVF form, just under the k² fine-cell
+    * geometry; the oracle IS [[q164Sql]] pointed at the grid's own
+    * `assign/` ⋈ `probes/`. */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = dfStoreFor(spark, dir, DFImiNs, "dfimi", "imi",
+      q172Stores, q172Attempts, qv,
+      s => s.annBuilds.get() >= 1 && s.imiBuilds.get() >= 1)
+    val hits = store.findSimilarImiGraded(qv, k = K, namespace = DFImiNs,
+      filter = Map("tenant" -> "1"))
+    dfRequire(DFImiNs, hits,
+      store.annBuilds.get() == 1 && store.imiBuilds.get() == 1)
+    if (q172ParityChecked.add(dir)) {
+      val q2 = e.where(col("vec_id") === 2L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val qs = Seq(qv, q2)
+      val batch = store.findSimilarBatchImi(qs, k = K, namespace = DFImiNs,
+        filter = Map("tenant" -> "1"))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DFImiNs,
+          approx = true, index = "imi", filter = Map("tenant" -> "1"))
+          .map(h => (h.id, h.score))
+        require(batch(i).map(h => (h.id, h.score)) == single,
+          s"filtered imi batch result $i diverged from the single-query filtered imi search")
+      }
+    }
+    lastDFImiAux = store.imiLayoutDir(DFImiNs, qv.length)
+      .map(a => (a, s"$a/probes"))
+    dfFrame(spark, hits)
+  }
+
+  private val DFHnswNs = "q173"
+  private val q173Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q173Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q173ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFHnswAux: Option[String] = None
+
+  /** q173: the hybrid query on the durable GRAPH mount — the one
+    * candidate policy a predicate cannot reach into (the beam is
+    * geometry-cut at EfSearch per shard), so the predicate evaluates on
+    * the persisted RAW frontier before ranking and the starved fallback
+    * carries the k contract (it fires soonest here; DurableStoreSpec
+    * pins it). The oracle unions the persisted pre-filter beam with the
+    * script's delta and applies the tenant predicate at the rerank —
+    * exactly the store's candidate-then-filter-then-rank order. */
+  def q173(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val store = dfStoreFor(spark, dir, DFHnswNs, "dfhnsw", "hnsw",
+      q173Stores, q173Attempts, qv,
+      s => s.annBuilds.get() >= 1 && s.hnswBuilds.get() >= 1)
+    val hits = store.findSimilarHnswGraded(qv, k = K, namespace = DFHnswNs,
+      filter = Map("tenant" -> "1"))
+    dfRequire(DFHnswNs, hits,
+      store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1)
+    if (q173ParityChecked.add(dir)) {
+      val q2 = e.where(col("vec_id") === 2L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val qs = Seq(qv, q2)
+      val batch = store.findSimilarBatchHnsw(qs, k = K, namespace = DFHnswNs,
+        filter = Map("tenant" -> "1"))
+      qs.indices.foreach { i =>
+        val single = store.findSimilar(qs(i), k = K, namespace = DFHnswNs,
+          approx = true, index = "hnsw", filter = Map("tenant" -> "1"))
+          .map(h => (h.id, h.score))
+        require(batch(i).map(h => (h.id, h.score)) == single,
+          s"filtered hnsw batch result $i diverged from the single-query filtered hnsw search")
+      }
+    }
+    lastDFHnswAux = store.hnswLayoutDir(DFHnswNs, qv.length)
+    dfFrame(spark, hits)
+  }
+
+  /** q123's replay with the tenant predicate at the rerank (the beam is
+    * persisted pre-filter; candidate-then-filter-then-rank). */
+  def q173Sql(aux: String): String =
+    s"""WITH cand AS (
+       |  SELECT DISTINCT id FROM read_parquet('$aux/cands/*.parquet')
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND vec_id % $DFTenantMod = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
   // VERDICT r12 "What's missing" #1: the live batch route refused
@@ -3238,7 +3614,11 @@ object StoreOps {
       "q155_durable_lsh" -> (q155 _),
       "q164_durable_filtered_ann" -> (q164 _),
       "q168_durable_filtered_batch" -> (q168 _),
-      "q169_durable_filtered_lsh" -> (q169 _))
+      "q169_durable_filtered_lsh" -> (q169 _),
+      "q170_durable_filtered_pq" -> (q170 _),
+      "q171_durable_filtered_bq" -> (q171 _),
+      "q172_durable_filtered_imi" -> (q172 _),
+      "q173_durable_filtered_hnsw" -> (q173 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3300,5 +3680,13 @@ object StoreOps {
       lastDurableFilteredAux.map { case (aux, p) =>
         "q164_durable_filtered_ann" -> q164Sql(aux, p) } ++
       lastDurableFilteredBatchAux.map { case (aux, p) =>
-        "q168_durable_filtered_batch" -> q168Sql(aux, p) }
+        "q168_durable_filtered_batch" -> q168Sql(aux, p) } ++
+      lastDFPqAux.map(aux => "q170_durable_filtered_pq" -> q170Sql(aux)) ++
+      lastDFBqAux.map { case (ann, aux) =>
+        "q171_durable_filtered_bq" -> q171Sql(ann, aux) } ++
+      // the filtered grid replays through the q164 candidate contract:
+      // its own assign/ is the policy, the tenant cut is relational
+      lastDFImiAux.map { case (aux, p) =>
+        "q172_durable_filtered_imi" -> q164Sql(aux, p) } ++
+      lastDFHnswAux.map(aux => "q173_durable_filtered_hnsw" -> q173Sql(aux))
 }

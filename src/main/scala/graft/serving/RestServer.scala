@@ -76,8 +76,9 @@ import graft.store.{DurableVectorStore, VectorStore}
   * `durable` with no mount is a 422, never a silent
   * fallback to the other store (since r15 every approx index — lsh
   * included — serves on both mounts, so the index matrix is symmetric;
-  * metadata filters serve on the durable EXACT path too, while durable
-  * indexed/batch search with a filter stays an explicit 422). */
+  * since r16 metadata filters serve on EVERY path of the matrix —
+  * exact, all six indexes, single and batch, both mounts — with the
+  * starved-selectivity fallback guaranteeing min(k, matching) hits). */
 class RestServer(store: VectorStore, port: Int = 0,
                  durable: Option[DurableVectorStore] = None,
                  quality: Option[Array[Double]] = None) {
@@ -324,19 +325,12 @@ class RestServer(store: VectorStore, port: Int = 0,
               throw new IllegalArgumentException(
                 "durable approx search serves from the IVF layout, its PQ/BQ codes, its IMI grid, its HNSW graphs or its LSH signatures; pass index:'ivf', 'pq', 'bq', 'imi', 'hnsw' or 'lsh'")
             // metadata filters serve on the durable EXACT path (r15) and
-            // — since r16 — on the RECORD-JOINING indexed paths (ivf,
-            // lsh), whose candidate sets meet the records before any
-            // k-cut, so the predicate evaluates at candidate time
-            // (starved-selectivity fallback to the exact filtered scan;
-            // see DurableVectorStore.findSimilar). The codes-only and
-            // beam-cut paths keep the explicit refusal.
-            if (approx && index != "ivf" && index != "lsh" &&
-                (stringMapOf(body, "filter").nonEmpty ||
-                  stringMapOf(body, "json_filter").nonEmpty))
-              throw new IllegalArgumentException(
-                "durable filtered indexed search serves from the " +
-                  "record-joining layouts only; pass index:'ivf' or " +
-                  "'lsh', or approx: false")
+            // — since r16 — on ALL SIX indexed paths: candidate-time on
+            // ivf/imi/lsh (records meet the predicate before any k-cut),
+            // via the filtered-id semi-join ahead of the CandN cut on
+            // pq/bq, and on the beam frontier for hnsw; every filtered
+            // probe short of k falls back to the exact filtered scan
+            // (see DurableVectorStore.findSimilar).
             d.findSimilar(floats(required(body, "query")), k, metric, ns,
               approx = approx, index = if (approx) index else "ivf",
               filter = stringMapOf(body, "filter"),
@@ -384,16 +378,9 @@ class RestServer(store: VectorStore, port: Int = 0,
         val results =
           if (wantDurable) {
             val d = durableStore
-            // metadata filters serve on the durable batch EXACT, IVF and
-            // LSH paths (r16 — the q164 candidate-time semantics
-            // batched); codes-only batch mounts keep the refusal
-            if (wantApprox && batchIndex != "ivf" && batchIndex != "lsh" &&
-                (stringMapOf(body, "filter").nonEmpty ||
-                  stringMapOf(body, "json_filter").nonEmpty))
-              throw new IllegalArgumentException(
-                "durable filtered batch search serves from the " +
-                  "record-joining layouts only; pass index:'ivf' or " +
-                  "'lsh', or approx: false")
+            // metadata filters serve on the durable batch EXACT path and
+            // all six indexed batch mounts (r16 — the q164 candidate-time
+            // semantics batched, per-query starved rescue)
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the
               // code/graph mounts are cosine (their training geometry)
@@ -408,10 +395,18 @@ class RestServer(store: VectorStore, port: Int = 0,
                 case "ivf"  => d.findSimilarBatchApprox(qs, k, metric, ns,
                   filter = stringMapOf(body, "filter"),
                   jsonFilter = stringMapOf(body, "json_filter"))
-                case "pq"   => d.findSimilarBatchPq(qs, k, ns)
-                case "bq"   => d.findSimilarBatchBq(qs, k, ns)
-                case "imi"  => d.findSimilarBatchImi(qs, k, ns)
-                case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns)
+                case "pq"   => d.findSimilarBatchPq(qs, k, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
+                case "bq"   => d.findSimilarBatchBq(qs, k, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
+                case "imi"  => d.findSimilarBatchImi(qs, k, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
+                case "hnsw" => d.findSimilarBatchHnsw(qs, k, ns,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
                 case "lsh"  => d.findSimilarBatchLsh(qs, k, ns,
                   filter = stringMapOf(body, "filter"),
                   jsonFilter = stringMapOf(body, "json_filter"))

@@ -809,26 +809,28 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       // FILTERED INDEXED search (r16 — the reference's hybrid query,
       // README.md:294-299 / examples/api_client.py:65-74, composed with
       // the durable mount: tenant/license/quality-gated retrieval on the
-      // indexed path, the 100 TB production RAG shape). Served by the
-      // two RECORD-JOINING indexes, whose candidate sets are not k-cut
-      // before the records are in hand:
-      //  - "ivf": the inverted file evaluates the predicate inside the
-      //    probed-cell scan — every surviving candidate already matches
-      //    and top-k ranks filtered rows only;
+      // indexed path, the 100 TB production RAG shape). ALL SIX indexes
+      // serve it, each by the mechanism its candidate policy admits:
+      //  - "ivf"/"imi": the layout rows ARE records, so the predicate
+      //    evaluates inside the probed-cell scan — every surviving
+      //    candidate already matches and top-k ranks filtered rows only;
       //  - "lsh": every bucket-mate joins the record layout, so the
-      //    predicate on that join is equally candidate-time.
-      // The codes-only paths (pq/bq/imi) and the beam-cut graph (hnsw)
-      // keep the refusal: their candidate sets are chosen by geometry
-      // BEFORE any record is read (codes carry no metadata; the beam
-      // emits a k-sized frontier), so a filter there is either
-      // post-filtering (breaks the k contract) or a blind candidate
-      // widening.
+      //    predicate on that join is equally candidate-time;
+      //  - "pq"/"bq": codes carry no metadata, but the SAME probed
+      //    cells' records do — the matching id set semi-joins the codes
+      //    scan BEFORE the CandN cut, so the ADC/hamming ranking sees
+      //    matching rows only (never a post-filtered geometry top-k);
+      //  - "hnsw": the beam frontier carries full record fields, so the
+      //    predicate evaluates on the frontier before ranking; the beam
+      //    itself stays geometry-cut (EfSearch per shard), the one
+      //    candidate policy a predicate cannot reach into.
       //
-      // RECALL RULE (stated, not silent): the probe policy still reads
-      // only its candidate slice, so a highly selective filter can
-      // starve the pool below k even when the namespace holds ≥ k
-      // matching rows. When the filtered probe returns < k hits, the
-      // search FALLS BACK to the exact filtered scan — the caller
+      // RECALL RULE (stated, not silent): every probe policy still reads
+      // only its candidate slice (probed cells, buckets, the beam), so a
+      // highly selective filter can starve the pool below k even when
+      // the namespace holds ≥ k matching rows — soonest on hnsw, whose
+      // frontier is narrowest. When the filtered probe returns < k hits,
+      // the search FALLS BACK to the exact filtered scan — the caller
       // always receives min(k, matching-live-rows) hits; the fallback
       // costs one pruned scan and only fires in the starved case.
       index match {
@@ -842,12 +844,28 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             s"durable LSH search is cosine only, got metric '$metric'")
           searchLsh(query, k, namespace, persistSig = false,
             filter, jsonFilter)
-        case _ =>
-          throw new IllegalArgumentException(
-            "durable FILTERED indexed search serves from the record-" +
-              "joining layouts only (codes-only and beam-cut candidate " +
-              "policies cannot see metadata); pass index:'ivf' or " +
-              "'lsh', or approx = false for the exact filtered scan")
+        case "pq" =>
+          require(metric == "cosine",
+            s"durable PQ search is cosine only, got metric '$metric'")
+          searchPq(query, k, namespace, persistLut = false,
+            filter, jsonFilter)
+        case "bq" =>
+          require(metric == "cosine",
+            s"durable BQ search is cosine only, got metric '$metric'")
+          searchBq(query, k, namespace, persistProbes = false,
+            filter, jsonFilter)
+        case "imi" =>
+          require(metric == "cosine",
+            s"durable IMI search is cosine only, got metric '$metric'")
+          searchImi(query, k, namespace, persistProbes = false,
+            filter, jsonFilter)
+        case "hnsw" =>
+          require(metric == "cosine",
+            s"durable HNSW search is cosine only, got metric '$metric'")
+          searchHnsw(query, k, namespace, persistCands = false,
+            filter, jsonFilter)
+        case other => throw new IllegalArgumentException(
+          s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
       }
     } else {
       index match {
@@ -1029,9 +1047,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * post-build appends must be candidates regardless of which cells /
     * codes / shards a query probed (the q107 union). */
   private def batchDeltaCand(queries: Seq[Seq[Float]], namespace: String,
-                             builtSeq: Long): DataFrame = {
+                             builtSeq: Long,
+                             pred: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    deltaTail(namespace, builtSeq, Seq(col("id")))
+    deltaTail(namespace, builtSeq, Seq(col("id")), pred)
       .crossJoin(broadcast(queries.indices.toDF("__qid")))
       .select(col("__qid"), col("id"))
   }
@@ -1047,26 +1066,46 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * `batch_probes/` for oracle replay — graded paths only. */
   def findSimilarBatchPq(queries: Seq[Seq[Float]], k: Int = 10,
                          namespace: String = "default",
-                         persistLuts: Boolean = false): Seq[Seq[SearchHit]] = {
+                         persistLuts: Boolean = false,
+                         filter: Map[String, String] = Map.empty,
+                         jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
+    // filtered batch (r16): the single-query searchPq semantics batched —
+    // the matching id set semi-joins the one codes sweep BEFORE the
+    // per-query CandN cut; per-query starved probes re-answered by one
+    // exact filtered batch (the q168 discipline)
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, "cosine")
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
         case None => return Seq.fill(queries.size)(Seq.empty)
         case Some(e) =>
           val pq = pqLayoutFor(namespace, dim, e)
-          val hits = probeBatchPq(queries, k, namespace, e, pq, persistLuts)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeBatchPq(queries, k, namespace, e, pq, persistLuts,
+            pred, hasFilter)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, "cosine")
+    exactFiltered(queries)
   }
 
   private def probeBatchPq(queries: Seq[Seq[Float]], k: Int,
                            namespace: String, e: AnnEntry, pq: PqEntry,
-                           persistLuts: Boolean): Seq[Seq[SearchHit]] = {
+                           persistLuts: Boolean,
+                           pred: Column = lit(true),
+                           hasFilter: Boolean = false): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1085,8 +1124,19 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         .write.mode("overwrite").parquet(s"${pq.aux}/batch_probes")
     }
     val allCells = probeRows.map(_._2).distinct
-    val layoutCand = layoutFrame(s"${pq.aux}/codes")
+    val codesScan = layoutFrame(s"${pq.aux}/codes")
       .where(col("cell").isin(allCells: _*))
+    // filtered form: matching ids off the SAME pruned cells' records cut
+    // the one codes sweep before any per-query CandN heap (the
+    // single-query searchPq discipline, batched)
+    val codesFiltered = if (!hasFilter) codesScan else
+      codesScan.join(
+        layoutFrame(s"${e.aux}/index")
+          .where(col("cell").isin(allCells: _*))
+          .where(pred)
+          .select(col("id").as("__fid")),
+        col("id") === col("__fid"), "left_semi")
+    val layoutCand = codesFiltered
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(graft.operators.Pq.lutFrame(spark, luts)
         .select(col("qid").cast("int").as("__qid"), col("lut"))),
@@ -1097,11 +1147,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         graft.operators.Pq.CandN, descending = false).as("top"))
       .select(col("__qid"), explode(col("top.id")).as("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      "cosine")
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, "cosine")
   }
 
   /** Batched APPROX search through the durable BQ sign-bit codes: all Q
@@ -1115,26 +1165,44 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * `batch_qcodes/` + `batch_probes/` for oracle replay. */
   def findSimilarBatchBq(queries: Seq[Seq[Float]], k: Int = 10,
                          namespace: String = "default",
-                         persistCodes: Boolean = false): Seq[Seq[SearchHit]] = {
+                         persistCodes: Boolean = false,
+                         filter: Map[String, String] = Map.empty,
+                         jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
+    // filtered batch (r16): the searchBq semi-join discipline batched +
+    // the q168 per-query starved rescue
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, "cosine")
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
         case None => return Seq.fill(queries.size)(Seq.empty)
         case Some(e) =>
           val bq = bqLayoutFor(namespace, dim, e)
-          val hits = probeBatchBq(queries, k, namespace, e, bq, persistCodes)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeBatchBq(queries, k, namespace, e, bq, persistCodes,
+            pred, hasFilter)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, "cosine")
+    exactFiltered(queries)
   }
 
   private def probeBatchBq(queries: Seq[Seq[Float]], k: Int,
                            namespace: String, e: AnnEntry, bq: BqEntry,
-                           persistCodes: Boolean): Seq[Seq[SearchHit]] = {
+                           persistCodes: Boolean,
+                           pred: Column = lit(true),
+                           hasFilter: Boolean = false): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1155,8 +1223,16 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         .write.mode("overwrite").parquet(s"${bq.aux}/batch_qcodes")
     }
     val allCells = probeRows.map(_._2).distinct
-    val layoutCand = layoutFrame(s"${bq.aux}/codes")
+    val codesScan = layoutFrame(s"${bq.aux}/codes")
       .where(col("cell").isin(allCells: _*))
+    val codesFiltered = if (!hasFilter) codesScan else
+      codesScan.join(
+        layoutFrame(s"${e.aux}/index")
+          .where(col("cell").isin(allCells: _*))
+          .where(pred)
+          .select(col("id").as("__fid")),
+        col("id") === col("__fid"), "left_semi")
+    val layoutCand = codesFiltered
       .join(broadcast(probeDf), Seq("cell"))
       .join(broadcast(qcodes.toDF("__qid", "qcode")), Seq("__qid"))
       .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
@@ -1165,11 +1241,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         col("id"), graft.operators.Bq.CandN, descending = false).as("top"))
       .select(col("__qid"), explode(col("top.id")).as("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      "cosine")
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, "cosine")
   }
 
   /** Batched APPROX search through the durable IMI product grid: Q×2k
@@ -1180,8 +1256,19 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * writes the qid-keyed `batch_probes/` for oracle replay. */
   def findSimilarBatchImi(queries: Seq[Seq[Float]], k: Int = 10,
                           namespace: String = "default",
-                          persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
+                          persistProbes: Boolean = false,
+                          filter: Map[String, String] = Map.empty,
+                          jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
+    // filtered batch (r16): the grid rows are records, so the predicate
+    // cuts inside the one pruned grid scan (the searchImi discipline
+    // batched) + the q168 per-query starved rescue
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, "cosine")
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1189,18 +1276,24 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val imi = imiLayoutFor(namespace, dim, e)
           val hits = probeBatchImi(queries, k, namespace, e, imi,
-            persistProbes)
-          if (currentGen() == e.builtGen) return hits
+            persistProbes, pred)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, "cosine")
+    exactFiltered(queries)
   }
 
   private def probeBatchImi(queries: Seq[Seq[Float]], k: Int,
                             namespace: String, e: AnnEntry, imi: ImiEntry,
-                            persistProbes: Boolean): Seq[Seq[SearchHit]] = {
+                            persistProbes: Boolean,
+                            pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
       graft.operators.Ann.imiProbeCells(q.toArray, imi.cLo, imi.cHi)
@@ -1213,14 +1306,15 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val allCells = probeRows.map(_._2).distinct
     val layoutCand = layoutFrame(s"${imi.aux}/index")
       .where(col("cell").isin(allCells: _*))
+      .where(pred)
       .join(broadcast(probeDf), Seq("cell"))
       .select(col("__qid"), col("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      "cosine")
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, "cosine")
   }
 
   /** Batched APPROX search through the durable HNSW shard graphs: all Q
@@ -1230,8 +1324,20 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * qid-keyed `batch_cands/` for oracle replay. */
   def findSimilarBatchHnsw(queries: Seq[Seq[Float]], k: Int = 10,
                            namespace: String = "default",
-                           persistCands: Boolean = false): Seq[Seq[SearchHit]] = {
+                           persistCands: Boolean = false,
+                           filter: Map[String, String] = Map.empty,
+                           jsonFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
+    // filtered batch (r16): the beam proposes, the predicate cuts at the
+    // live record join before any per-query k-heap (the searchHnsw
+    // contract batched) + the q168 per-query starved rescue — the beam
+    // is the narrowest candidate policy, so the rescue matters most here
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    def exactFiltered(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        live().filter(col("namespace") === namespace).filter(pred),
+        qs, k, "cosine")
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1239,18 +1345,24 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val h = hnswLayoutFor(namespace, dim, e)
           val hits = probeBatchHnsw(queries, k, namespace, e, h,
-            persistCands)
-          if (currentGen() == e.builtGen) return hits
+            persistCands, pred)
+          if (currentGen() == e.builtGen) {
+            if (!hasFilter || hits.forall(_.size >= k)) return hits
+            val starved = hits.indices.filter(hits(_).size < k)
+            val rescued = exactFiltered(starved.map(queries))
+            val byIdx = starved.zip(rescued).toMap
+            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+          }
       }
       attempt += 1
     }
-    Scoring.batchSearch(live().filter(col("namespace") === namespace),
-      queries, k, "cosine")
+    exactFiltered(queries)
   }
 
   private def probeBatchHnsw(queries: Seq[Seq[Float]], k: Int,
                              namespace: String, e: AnnEntry, h: HnswEntry,
-                             persistCands: Boolean): Seq[Seq[SearchHit]] = {
+                             persistCands: Boolean,
+                             pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
     var beam = graft.operators.Hnsw.shardCandidatesBatchD(spark, h.aux,
       queries)
     if (persistCands) {
@@ -1258,11 +1370,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       beam = spark.read.parquet(s"${h.aux}/batch_cands")
     }
     val cand = beam
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace), queries, cand, k,
-      "cosine")
+      live().filter(col("namespace") === namespace).filter(pred),
+      queries, cand, k, "cosine")
   }
 
   private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
@@ -1993,10 +2105,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   }
 
   /** Graded-path variant of the PQ probe — persists `lut/` and `probes/`
-    * next to the codes for oracle replay (the q61 contract). */
+    * next to the codes for oracle replay (the q61 contract; `filter` is
+    * the q170 hybrid form). */
   private[graft] def findSimilarPqGraded(query: Seq[Float], k: Int,
-                                         namespace: String): Seq[SearchHit] =
-    searchPq(query, k, namespace, persistLut = true)
+                                         namespace: String,
+                                         filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    searchPq(query, k, namespace, persistLut = true, filter)
 
   /** The durable PQ read plan — [[searchApprox]]'s LSM discipline with
     * the ADC sweep in front:
@@ -2011,25 +2125,43 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     *     delta tail — identical correctness discipline to the IVF
     *     probe, including the generation gate and retry. */
   private def searchPq(query: Seq[Float], k: Int, namespace: String,
-                       persistLut: Boolean): Seq[SearchHit] = {
+                       persistLut: Boolean,
+                       filter: Map[String, String] = Map.empty,
+                       jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    // filtered PQ (r16): codes carry no metadata, but the RECORDS of the
+    // same probed cells do — the matching id set semi-joins the codes
+    // scan BEFORE the CandN cut, so the ADC ranks matching rows only
+    // (candidate-time filtering, never a post-filtered geometry top-k).
+    // The probed cells may still hold < k matching rows, so the q164
+    // starved fallback applies.
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length) match {
         case None => return Seq.empty
         case Some(e) =>
           val pq = pqLayoutFor(namespace, query.length, e)
-          val hits = probePq(query, k, namespace, e, pq, persistLut)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probePq(query, k, namespace, e, pq, persistLut,
+            pred, hasFilter)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, "cosine",
+                namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, "cosine", namespace)
+    searchOver(live().filter(pred), query, k, "cosine", namespace)
   }
 
   private def probePq(query: Seq[Float], k: Int, namespace: String,
                       e: AnnEntry, pq: PqEntry,
-                      persistLut: Boolean): Seq[SearchHit] = {
+                      persistLut: Boolean,
+                      pred: Column = lit(true),
+                      hasFilter: Boolean = false): Seq[SearchHit] = {
     val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     // cells rank in RAW space (the records layout); the LUT tabulates in
@@ -2042,8 +2174,22 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       probed.toDF("cell").coalesce(1)
         .write.mode("overwrite").parquet(s"${pq.aux}/probes")
     }
-    val candIds = layoutFrame(s"${pq.aux}/codes")
+    val codesScan = layoutFrame(s"${pq.aux}/codes")
       .where(col("cell").isin(probed: _*))
+    // filtered form: the matching id set — read off the SAME probed
+    // cells' records (codes and records are consistent by construction,
+    // same cells, same builtSeq) — cuts the codes scan before the ADC
+    // ranking, so the CandN cut sees matching rows only. No broadcast
+    // hint: the filtered set is unbounded at 100 TB, AQE picks the
+    // strategy (both sides are partition-pruned to the probed cells).
+    val codesFiltered = if (!hasFilter) codesScan else
+      codesScan.join(
+        layoutFrame(s"${e.aux}/index")
+          .where(col("cell").isin(probed: _*))
+          .where(pred)
+          .select(col("id").as("__fid")),
+        col("id") === col("__fid"), "left_semi")
+    val candIds = codesFiltered
       .crossJoin(broadcast(graft.operators.Pq
         .lutFrame(spark, Seq((0L, lut))).select(col("lut"))))
       .withColumn("adc", graft.operators.Pq.adcCol)
@@ -2054,11 +2200,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       col("metadataJson"))
     val main = layoutFrame(s"${e.aux}/index")
       .where(col("cell").isin(probed: _*))
+      .where(pred)
       .select(cols: _*)
       .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2150,8 +2297,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the codes for oracle replay (the q92 contract; the grid and codes
     * are already persisted by the build). */
   private[graft] def findSimilarBqGraded(query: Seq[Float], k: Int,
-                                         namespace: String): Seq[SearchHit] =
-    searchBq(query, k, namespace, persistProbes = true)
+                                         namespace: String,
+                                         filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    searchBq(query, k, namespace, persistProbes = true, filter)
 
   /** The durable BQ read plan — [[searchPq]]'s shape with the hamming
     * sweep in front: pack the query against the layout's grid
@@ -2162,33 +2310,57 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * cells' records minus the post-build kill set, union the exact
     * delta tail. Generation gate and retry identical to IVF/PQ. */
   private def searchBq(query: Seq[Float], k: Int, namespace: String,
-                       persistProbes: Boolean): Seq[SearchHit] = {
+                       persistProbes: Boolean,
+                       filter: Map[String, String] = Map.empty,
+                       jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    // filtered BQ (r16): the searchPq discipline — matching ids off the
+    // probed cells' records semi-join the sign-bit codes BEFORE the
+    // CandN cut, so the hamming ranking sees matching rows only; q164's
+    // starved fallback when the probed cells hold < k matching rows.
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length) match {
         case None => return Seq.empty
         case Some(e) =>
           val bq = bqLayoutFor(namespace, query.length, e)
-          val hits = probeBq(query, k, namespace, e, bq, persistProbes)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeBq(query, k, namespace, e, bq, persistProbes,
+            pred, hasFilter)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, "cosine",
+                namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, "cosine", namespace)
+    searchOver(live().filter(pred), query, k, "cosine", namespace)
   }
 
   private def probeBq(query: Seq[Float], k: Int, namespace: String,
                       e: AnnEntry, bq: BqEntry,
-                      persistProbes: Boolean): Seq[SearchHit] = {
+                      persistProbes: Boolean,
+                      pred: Column = lit(true),
+                      hasFilter: Boolean = false): Seq[SearchHit] = {
     val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     val qcode = graft.operators.Bq.packBits(query, bq.mids)
     if (persistProbes)
       probed.toDF("cell").coalesce(1)
         .write.mode("overwrite").parquet(s"${bq.aux}/probes")
-    val candIds = layoutFrame(s"${bq.aux}/codes")
+    val codesScan = layoutFrame(s"${bq.aux}/codes")
       .where(col("cell").isin(probed: _*))
+    val codesFiltered = if (!hasFilter) codesScan else
+      codesScan.join(
+        layoutFrame(s"${e.aux}/index")
+          .where(col("cell").isin(probed: _*))
+          .where(pred)
+          .select(col("id").as("__fid")),
+        col("id") === col("__fid"), "left_semi")
+    val candIds = codesFiltered
       .withColumn("qcode", typedLit(qcode.toSeq))
       .withColumn("ham", graft.functions.AdcKernels.hammingWords(col("code"), col("qcode")))
       .orderBy(col("ham"), col("id"))
@@ -2198,11 +2370,12 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       col("metadataJson"))
     val main = layoutFrame(s"${e.aux}/index")
       .where(col("cell").isin(probed: _*))
+      .where(pred)
       .select(cols: _*)
       .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2510,8 +2683,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * the grid for oracle replay (the q87 contract with the grid as the
     * candidate policy). */
   private[graft] def findSimilarImiGraded(query: Seq[Float], k: Int,
-                                          namespace: String): Seq[SearchHit] =
-    searchImi(query, k, namespace, persistProbes = true)
+                                          namespace: String,
+                                          filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    searchImi(query, k, namespace, persistProbes = true, filter)
 
   /** The durable IMI read plan — [[searchApprox]]'s LSM discipline with
     * the product grid as the coarse geometry: 2k driver-side
@@ -2520,25 +2694,41 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * post-build kill set, union the exact delta tail, exact cosine
     * rerank. Generation gate and retry identical to IVF/PQ/BQ. */
   private def searchImi(query: Seq[Float], k: Int, namespace: String,
-                        persistProbes: Boolean): Seq[SearchHit] = {
+                        persistProbes: Boolean,
+                        filter: Map[String, String] = Map.empty,
+                        jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    // filtered IMI (r16): the grid layout rows ARE records (id, values,
+    // metadata re-partitioned by the product cell), so the predicate
+    // evaluates INSIDE the probed-cell scan — the q164 IVF discipline
+    // verbatim, just under the k² fine-cell pruning geometry; q164's
+    // starved fallback when the probed cells hold < k matching rows.
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length) match {
         case None => return Seq.empty
         case Some(e) =>
           val imi = imiLayoutFor(namespace, query.length, e)
-          val hits = probeImi(query, k, namespace, e, imi, persistProbes)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeImi(query, k, namespace, e, imi, persistProbes,
+            pred)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, "cosine",
+                namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, "cosine", namespace)
+    searchOver(live().filter(pred), query, k, "cosine", namespace)
   }
 
   private def probeImi(query: Seq[Float], k: Int, namespace: String,
                        e: AnnEntry, imi: ImiEntry,
-                       persistProbes: Boolean): Seq[SearchHit] = {
+                       persistProbes: Boolean,
+                       pred: Column = lit(true)): Seq[SearchHit] = {
     val probed = graft.operators.Ann.imiProbeCells(query.toArray,
       imi.cLo, imi.cHi)
     if (persistProbes)
@@ -2550,10 +2740,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       col("metadataJson"))
     val main = layoutFrame(s"${imi.aux}/index")
       .where(col("cell").isin(probed: _*))
+      .where(pred)
       .select(cols: _*)
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2621,38 +2812,58 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * touch), post-build kill set, exact delta tail, exact cosine
     * rerank; generation gate + retry, exact-scan fallback. */
   private def searchHnsw(query: Seq[Float], k: Int, namespace: String,
-                         persistCands: Boolean): Seq[SearchHit] = {
+                         persistCands: Boolean,
+                         filter: Map[String, String] = Map.empty,
+                         jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    // filtered HNSW (r16): the beam frontier carries full record fields
+    // (graph rows ARE layout rows), so the predicate evaluates on the
+    // frontier BEFORE ranking — the live mount's filtered-graph
+    // contract. The beam is geometry-cut (EfSearch per shard), so a
+    // selective filter starves more readily here than on the scan-backed
+    // mounts; the q164 exact-filtered fallback is what makes the
+    // min(k, matching-live-rows) contract hold regardless.
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, query.length) match {
         case None => return Seq.empty
         case Some(e) =>
           val h = hnswLayoutFor(namespace, query.length, e)
-          val hits = probeHnsw(query, k, namespace, e, h, persistCands)
-          if (currentGen() == e.builtGen) return hits
+          val hits = probeHnsw(query, k, namespace, e, h, persistCands,
+            pred)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k)
+              return searchOver(live().filter(pred), query, k, "cosine",
+                namespace)
+            return hits
+          }
       }
       attempt += 1
     }
-    searchOver(live(), query, k, "cosine", namespace)
+    searchOver(live().filter(pred), query, k, "cosine", namespace)
   }
 
   private def probeHnsw(query: Seq[Float], k: Int, namespace: String,
                         e: AnnEntry, h: HnswEntry,
-                        persistCands: Boolean): Seq[SearchHit] = {
+                        persistCands: Boolean,
+                        pred: Column = lit(true)): Seq[SearchHit] = {
     val cand = graft.operators.Hnsw.shardCandidatesD(spark, h.aux,
       query.toArray)
     if (persistCands)
       // h.aux is already process-suffixed under shared roots
-      // (derivedAux), so cands/ can live directly inside it
+      // (derivedAux), so cands/ can live directly inside it — the RAW
+      // beam, pre-filter, so a filtered oracle replays the predicate
+      // itself
       cand.select(col("id")).coalesce(1)
         .write.mode("overwrite").parquet(s"${h.aux}/cands")
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))
-    val main = cand.select(cols: _*)
+    val main = cand.where(pred).select(cols: _*)
       .join(broadcast(postBuildKills(namespace, e.builtSeq)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols))
+    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2665,8 +2876,9 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * candidate set persisted for oracle replay (the
     * [[findSimilarIvfGraded]] relationship). */
   private[graft] def findSimilarHnswGraded(query: Seq[Float], k: Int,
-                                           namespace: String): Seq[SearchHit] =
-    searchHnsw(query, k, namespace, persistCands = true)
+                                           namespace: String,
+                                           filter: Map[String, String] = Map.empty): Seq[SearchHit] =
+    searchHnsw(query, k, namespace, persistCands = true, filter)
 
   def totalCount(): Long = live().count()
 

@@ -853,7 +853,7 @@ class DurableStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset(s1.AnnDirConf)
   }
 
-  test("durable exact search honors flat and json metadata filters; indexed+filter refuses") {
+  test("durable exact search honors flat and json metadata filters; every index serves them") {
     val sp = spark
     import sp.implicits._
     val d = new graft.store.DurableVectorStore(sp, tmp())
@@ -871,16 +871,16 @@ class DurableStoreSpec extends AnyFunSuite {
     val viaJson = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
       jsonFilter = Map("$.pass" -> "true"))
     assert(viaJson.map(_.id) == Seq("a", "c"))
-    // the codes-only indexed paths still refuse filters (their candidate
-    // cuts run on codes that carry no metadata); IVF serves them (r16)
-    val refused = intercept[IllegalArgumentException] {
-      d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
-        approx = true, index = "pq", filter = Map("pass" -> "true"))
+    // r16: the refusal set is EMPTY — all six indexes serve the hybrid
+    // query (candidate-time on ivf/imi/lsh, semi-join-before-CandN on
+    // pq/bq, beam-filter + rescue on hnsw); at 3 rows every probe
+    // either saturates or rescues to the same exact filtered top-k
+    Seq("ivf", "pq", "bq", "imi", "hnsw", "lsh").foreach { idx =>
+      val hits = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
+        approx = true, index = idx, filter = Map("pass" -> "true"))
+      assert(hits.map(_.id) == Seq("a", "c"),
+        s"filtered index '$idx' diverged from the exact filtered top-k")
     }
-    assert(refused.getMessage.contains("record-joining layouts only"))
-    val viaIvf = d.findSimilar(Seq(1f, 0f), k = 3, namespace = "fns",
-      approx = true, index = "ivf", filter = Map("pass" -> "true"))
-    assert(viaIvf.map(_.id) == Seq("a", "c"))
   }
 
   test("filtered IVF: starved-selectivity fallback serves the exact filtered top-k") {
@@ -1005,6 +1005,68 @@ class DurableStoreSpec extends AnyFunSuite {
         s"batch query $i diverged from the single filtered search")
     }
   }
+
+  // r16: the four remaining mounts' hybrid form — starved fallback,
+  // candidate-time (never post-filtered-below-k) saturation, and batch
+  // parity, pinned uniformly. Same two-cluster corpus as the IVF/LSH
+  // pins: rare rows live where a near-origin probe never looks (far
+  // cells / far codes / an unreachable beam region), so the rare filter
+  // STARVES every policy and the fallback must serve min(k, matching).
+  for (idx <- Seq("pq", "bq", "imi", "hnsw"))
+    test(s"filtered $idx: starved fallback exact, saturated candidate-time, batch parity") {
+      val sp = spark
+      import sp.implicits._
+      val d = new DurableVectorStore(spark, tmp())
+      val rows =
+        (0 until 120).map { i =>
+          (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+            (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+        } ++ (0 until 5).map { i =>
+          (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+        }
+      val ns = s"${idx}starve"
+      d.loadFrame(rows.toDF("id", "values", "metadata"), ns)
+      val q = Seq(0.5f, 0.3f, 0.2f, 1f)
+      // build records + the mount's derived structures (unfiltered)
+      d.findSimilar(q, k = 5, namespace = ns, approx = true, index = idx)
+      // 5 matching rows < k=10: starved — the fallback serves the exact
+      // filtered top-k, including rows the probe policy cannot reach
+      val filtered = d.findSimilar(q, k = 10, namespace = ns,
+        approx = true, index = idx, filter = Map("grp" -> "rare"))
+      val exact = d.findSimilar(q, k = 10, namespace = ns,
+        filter = Map("grp" -> "rare"))
+      assert(filtered.map(h => (h.id, h.score)) ==
+        exact.map(h => (h.id, h.score)),
+        s"starved filtered $idx probe must fall back to the exact filtered scan")
+      assert(filtered.size == 5 && filtered.forall(_.id.startsWith("r")))
+      // saturated selectivity: k hits, every one matching the predicate
+      // (the candidate cut saw matching rows only — pq/bq rank filtered
+      // codes, imi filters inside the scan, hnsw filters the frontier)
+      val common = d.findSimilar(q, k = 10, namespace = ns,
+        approx = true, index = idx, filter = Map("grp" -> "common"))
+      assert(common.size == 10 && common.forall(_.id.startsWith("c")),
+        s"saturated filtered $idx probe returned a non-matching or short top-k")
+      // batch facade: positional parity with the singles on both the
+      // starved and the saturated branch
+      val qs = Seq(q, Seq(0.1f, 0.6f, 0.4f, 1f))
+      def batchOf(f: Map[String, String]): Seq[Seq[graft.model.SearchHit]] =
+        idx match {
+          case "pq"   => d.findSimilarBatchPq(qs, k = 10, namespace = ns, filter = f)
+          case "bq"   => d.findSimilarBatchBq(qs, k = 10, namespace = ns, filter = f)
+          case "imi"  => d.findSimilarBatchImi(qs, k = 10, namespace = ns, filter = f)
+          case "hnsw" => d.findSimilarBatchHnsw(qs, k = 10, namespace = ns, filter = f)
+        }
+      for (f <- Seq(Map("grp" -> "rare"), Map("grp" -> "common"))) {
+        val batch = batchOf(f)
+        qs.indices.foreach { i =>
+          val single = d.findSimilar(qs(i), k = 10, namespace = ns,
+            approx = true, index = idx, filter = f)
+          assert(batch(i).map(h => (h.id, h.score)) ==
+            single.map(h => (h.id, h.score)),
+            s"filtered $idx batch query $i diverged from the single search (filter $f)")
+        }
+      }
+    }
 
   test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
     val d = new DurableVectorStore(spark, tmp())

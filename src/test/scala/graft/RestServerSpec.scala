@@ -621,7 +621,7 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
-  test("durable exact search serves metadata filters; filtered IVF serves, codes-only indexes 422") {
+  test("durable exact search serves metadata filters; every indexed path serves them too") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_rest_dfilter_").toString
     val d = new graft.store.DurableVectorStore(spark, root)
@@ -653,13 +653,22 @@ class RestServerSpec extends AnyFunSuite {
       val vhits = mapper.readTree(vb)
       assert((0 until vhits.size()).map(vhits.get(_).get("id").asText()) == Seq("a", "c"),
         s"filtered IVF must serve exactly the matching rows: $vb")
-      // the codes-only indexed paths keep the explicit refusal
-      val (ic, ib) = send("POST", s"$base/search?namespace=dfns",
-        """{"query": [1.0, 0.0], "durable": true, "approx": true,
-          | "index": "pq", "filter": {"pass": "true"}}""".stripMargin)
-      assert(ic == 422 && ib.contains("record-joining layouts only"), ib)
+      // r16 second wave: the refusal set is EMPTY — every index serves
+      // the hybrid query over HTTP (semi-join-before-CandN on pq/bq,
+      // in-scan on imi, beam-filter + rescue on hnsw); at 3 rows each
+      // probe saturates or rescues to the same exact filtered top-k
+      for (idx <- Seq("pq", "bq", "imi", "hnsw", "lsh")) {
+        val (ic, ib) = send("POST", s"$base/search?namespace=dfns",
+          s"""{"query": [1.0, 0.0], "top_k": 3, "durable": true,
+             | "approx": true, "index": "$idx",
+             | "filter": {"pass": "true"}}""".stripMargin)
+        assert(ic == 200, s"filtered durable '$idx' must serve: $ib")
+        val ih = mapper.readTree(ib)
+        assert((0 until ih.size()).map(ih.get(_).get("id").asText()) == Seq("a", "c"),
+          s"filtered durable '$idx' returned wrong rows: $ib")
+      }
       // the BATCH route mirrors the single-query contract (r16): exact
-      // + ivf serve filters, codes-only batch mounts 422
+      // and all six indexed batch mounts serve filters
       val (bc, bb) = send("POST", s"$base/search/batch?namespace=dfns",
         """{"queries": [[1.0, 0.0], [0.0, 1.0]], "top_k": 3,
           | "durable": true, "filter": {"pass": "true"}}""".stripMargin)
@@ -668,10 +677,17 @@ class RestServerSpec extends AnyFunSuite {
       assert(bres.size() == 2)
       assert((0 until bres.get(0).size())
         .map(bres.get(0).get(_).get("id").asText()) == Seq("a", "c"), bb)
-      val (bic, bib) = send("POST", s"$base/search/batch?namespace=dfns",
-        """{"queries": [[1.0, 0.0]], "durable": true, "approx": true,
-          | "index": "bq", "filter": {"pass": "true"}}""".stripMargin)
-      assert(bic == 422 && bib.contains("record-joining layouts only"), bib)
+      for (idx <- Seq("pq", "bq", "imi", "hnsw")) {
+        val (bic, bib) = send("POST", s"$base/search/batch?namespace=dfns",
+          s"""{"queries": [[1.0, 0.0]], "top_k": 3, "durable": true,
+             | "approx": true, "index": "$idx",
+             | "filter": {"pass": "true"}}""".stripMargin)
+        assert(bic == 200, s"filtered durable batch '$idx' must serve: $bib")
+        val bih = mapper.readTree(bib)
+        assert((0 until bih.get(0).size())
+          .map(bih.get(0).get(_).get("id").asText()) == Seq("a", "c"),
+          s"filtered durable batch '$idx' returned wrong rows: $bib")
+      }
     } finally server.stop()
   }
 }
