@@ -34,6 +34,12 @@ import graft.store.DurableVectorStore
   * FRACTION (≈ 2/√cells of the layout vs all of it), which is what
   * grows with the corpus.
   *
+  * r16 second wave adds the PQ point (the semi-join-before-CandN
+  * mechanism): filtered/unfiltered pq ratio 1.46 (0.741 vs 0.509 s) —
+  * the filtered form pays ~0.23 s, one id-projected pruned records
+  * scan (the semi-join feed), matching the mechanism's stated cost:
+  * the SAME cells the exact rerank reads anyway, id column only.
+  *
   * Run: `sbt 'runMain graft.examples.FilteredAnnBench'`. */
 object FilteredAnnBench {
 
@@ -105,6 +111,26 @@ object FilteredAnnBench {
       store.findSimilar(q, k = K, namespace = "fb",
         filter = Map("tenant" -> "t1"))
     }
+    // r16 second wave: the PQ mount's semi-join-before-CandN mechanism —
+    // the filtered form pays one extra id-projected records scan of the
+    // probed cells (the semi-join feed) on top of the codes sweep
+    val (_, tPqBuild) = time {
+      store.findSimilar(queries.head, k = K, namespace = "fb",
+        approx = true, index = "pq")
+    }
+    val tPqPlain = steady("unfiltered pq probe") { q =>
+      store.findSimilar(q, k = K, namespace = "fb", approx = true,
+        index = "pq")
+    }
+    val tPqFiltered = steady("filtered pq (25% tenant, semi-join)") { q =>
+      val hits = store.findSimilar(q, k = K, namespace = "fb",
+        approx = true, index = "pq", filter = Map("tenant" -> "t1"))
+      require(hits.size == K && hits.forall(_.metadata("tenant") == "t1"))
+    }
+    println(f"cold pq code build: $tPqBuild%.1f s; " +
+      f"pq filtered/unfiltered ratio: ${tPqFiltered / tPqPlain}%.2f " +
+      "(claim: bounded — the semi-join adds one id-projected pruned " +
+      "records scan, the same cells the rerank reads anyway)")
     println(f"filtered/unfiltered probe ratio: ${tFiltered / tPlain}%.2f " +
       "(claim: ~1 - the candidate-time filter is free on the probe); " +
       f"starved ${tStarved}%.3f ~= probe ${tFiltered}%.3f + exact " +
