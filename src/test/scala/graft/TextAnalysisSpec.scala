@@ -39,6 +39,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       f"keep rate (target) $keptEnRate%.3f <= (rest) $keptRestRate%.3f")
   }
 
+  test("q174 semantic decontamination: near-rewrites caught, the two gates complement") {
+    val sem = TextAnalysis.q174(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(sem.nonEmpty && sem.forall(_._1 >= 10),
+      "bench docs must not grade themselves")
+    // the flag is the raw-threshold compare; max_cos is its r4 display
+    sem.foreach { case (id, _, cos, c) =>
+      if (c) assert(cos >= 0.7999, s"doc $id flagged below tau")
+      else assert(cos <= 0.8001, s"doc $id unflagged above tau")
+    }
+    // the > 0.98 class is the planted near-rewrites — they exist at this
+    // sf and every one is flagged (the operator's entire purpose)
+    val hot = sem.filter(_._3 > 0.98)
+    assert(hot.nonEmpty, "no near-rewrite class at this sf — retune tau or fixture")
+    assert(hot.forall(_._4), "a near-rewrite escaped the gate")
+    // both decontamination gates earn their place: each flags docs the
+    // other misses (paraphrases slip the n-gram gate; short verbatim
+    // spans vanish in a 64-dim count-vector cosine)
+    val semSet = sem.filter(_._4).map(_._1).toSet
+    val ng = TextAnalysis.q63(spark, dir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert((semSet -- ng).nonEmpty, "semantic gate adds nothing over n-gram")
+    assert((ng -- semSet).nonEmpty, "n-gram gate adds nothing over semantic")
+  }
+
   test("q124 BPE training: monotone merge loop over the word histogram") {
     val rows = TextAnalysis.q124(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
