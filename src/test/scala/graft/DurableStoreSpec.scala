@@ -1068,6 +1068,50 @@ class DurableStoreSpec extends AnyFunSuite {
       }
     }
 
+  test("as-of indexed search: both horizons bound at the snapshot; young layouts fall back exact") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map { i =>
+      (s"v$i", Seq((i % 7).toFloat / 7f, (i % 5).toFloat / 5f,
+        (i % 3).toFloat / 3f, 1f))
+    }
+    d.loadFrame(rows.toDF("id", "values"), "ao")
+    val q = Seq(0.9f, 0.8f, 0.65f, 1f)
+    d.findSimilar(q, k = 5, namespace = "ao", approx = true) // build layout
+    val h = d.currentSeq()
+    // wave 2, all post-horizon: kill the snapshot's top hit, append an
+    // exact-match vector
+    val top = d.findSimilarAsOf(q, h, k = 1, namespace = "ao").head.id
+    assert(d.delete(Seq(top), "ao") == Seq(top))
+    d.loadFrame(Seq(("zz", q)).toDF("id", "values"), "ao")
+    // the as-of indexed read serves the snapshot: the deleted top hit is
+    // still first (its cell is the nearest cell, so the probe sees it),
+    // the post-horizon append is invisible
+    val asOfIdx = d.findSimilarAsOf(q, h, k = 5, namespace = "ao",
+      approx = true)
+    assert(asOfIdx.head.id == top, "wave-2 delete leaked into the snapshot")
+    assert(!asOfIdx.map(_.id).contains("zz"),
+      "wave-2 append leaked into the snapshot")
+    // the CURRENT indexed read sees the opposite world
+    val now = d.findSimilar(q, k = 5, namespace = "ao", approx = true)
+    assert(now.head.id == "zz" && !now.map(_.id).contains(top))
+    // young layout: a second store whose only layout postdates the
+    // horizon must answer the snapshot from the exact as-of scan —
+    // identical to the exact form, never a post-horizon candidate set
+    val d2 = new DurableVectorStore(spark, tmp())
+    d2.loadFrame(rows.take(30).toDF("id", "values"), "yo")
+    val h2 = d2.currentSeq()
+    d2.loadFrame(rows.drop(30).toDF("id", "values"), "yo")
+    d2.findSimilar(q, k = 5, namespace = "yo", approx = true) // builtSeq > h2
+    val viaIdx = d2.findSimilarAsOf(q, h2, k = 5, namespace = "yo",
+      approx = true)
+    val viaExact = d2.findSimilarAsOf(q, h2, k = 5, namespace = "yo")
+    assert(viaIdx.map(x => (x.id, x.score)) ==
+      viaExact.map(x => (x.id, x.score)),
+      "a layout younger than the snapshot must fall back to the exact as-of scan")
+  }
+
   test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs), "cc")

@@ -621,6 +621,57 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("/seq + as_of: the reproducibility read over HTTP serves the snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_asof_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    d.loadFrame(
+      Seq(("a", Seq(1f, 0f)), ("b", Seq(0.9f, 0.1f)), ("c", Seq(0f, 1f)))
+        .toDF("id", "values"),
+      "ans")
+    // build the layout so the approx as-of path has a pre-horizon index
+    d.findSimilar(Seq(1f, 0f), k = 2, namespace = "ans", approx = true)
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // the horizon a pipeline records at job start
+      val (hc, hb) = send("GET", s"$base/seq?durable=true")
+      assert(hc == 200, hb)
+      val h = mapper.readTree(hb).get("seq").asLong()
+      // /seq without the durable flag is a 422 (no commit log to stamp)
+      assert(send("GET", s"$base/seq")._1 == 422)
+      // post-horizon world change: the top hit dies, a better one arrives
+      d.delete(Seq("a"), "ans")
+      d.loadFrame(Seq(("z", Seq(1f, 0f))).toDF("id", "values"), "ans")
+      for (approxBody <- Seq(""""approx": false""",
+                             """"approx": true, "index": "ivf"""")) {
+        val (sc, sb) = send("POST", s"$base/search?namespace=ans",
+          s"""{"query": [1.0, 0.0], "top_k": 2, "durable": true,
+             | "as_of": $h, $approxBody}""".stripMargin)
+        assert(sc == 200, sb)
+        val ids = {
+          val t = mapper.readTree(sb)
+          (0 until t.size()).map(t.get(_).get("id").asText())
+        }
+        assert(ids.head == "a" && !ids.contains("z"),
+          s"as-of read must serve the snapshot ($approxBody): $sb")
+      }
+      // the current read sees the opposite world
+      val (cc, cb) = send("POST", s"$base/search?namespace=ans",
+        """{"query": [1.0, 0.0], "top_k": 2, "durable": true}""")
+      assert(cc == 200, cb)
+      val cur = mapper.readTree(cb)
+      assert(cur.get(0).get("id").asText() == "z", cb)
+      // strict validation: non-integral as_of and non-ivf approx 422
+      assert(send("POST", s"$base/search?namespace=ans",
+        s"""{"query": [1.0, 0.0], "durable": true, "as_of": "later"}""")._1 == 422)
+      assert(send("POST", s"$base/search?namespace=ans",
+        s"""{"query": [1.0, 0.0], "durable": true, "as_of": $h,
+           | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
+    } finally server.stop()
+  }
+
   test("durable exact search serves metadata filters; every indexed path serves them too") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_rest_dfilter_").toString
