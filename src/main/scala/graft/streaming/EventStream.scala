@@ -538,9 +538,113 @@ object EventStream {
         .queryName("graft_q146_sink").start()
     }).orderBy(col("doc_id"))
 
+  // ---- q176: streaming ANN retrieval (r16) ----------------------------
+  //
+  // Retrieval AS A SERVICE — the matrix cell the streaming surface still
+  // lacked: queries arrive as a stream and probe a STANDING index. The
+  // shape is q157's (stream-static probe of a standing pin) applied to
+  // search: each arriving query pays one stateless fused LshSignature
+  // pass (the SAME kernel that banded the corpus — one definition, no
+  // drift), a stream-static equi-join on (band, bucket) against the
+  // standing corpus signature table, a stream-static record join for the
+  // bucket-mates, and a stateless exact cosine; only the drained sink
+  // pays dedup + the per-query top-k cut (a mate reached through
+  // multiple bands streams once per band — dedup on a stream would be
+  // needless state). At 100 TB: the signature table and records are the
+  // static sides of broadcast-able equi-joins, per-query work is
+  // bucket-occupancy-sized, and NO state store exists — the service
+  // scales with query arrival rate, not corpus size.
+
+  private val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private val SearchCorpusN = 200L
+  private val SearchQLo = 200L
+  private val SearchQHi = 204L
+  private val SearchK = 10
+
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Ann, StandingCache}
+    val corpus = StandingCache.frame(dir, "q176_corpus") {
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") < SearchCorpusN)
+        .select(col("vec_id"), col("embedding"))
+    }
+    val corpusSigs = StandingCache.frame(dir, "q176_sigs") {
+      Ann.withBandSigs(corpus, col("embedding"))
+        .select(col("vec_id"), col("band"), col("bucket"))
+    }
+    val drained = drainToTable(spark, "graft_q176_sink", {
+      Ann.withBandSigs(
+        spark.readStream.schema(embSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .where(col("vec_id") >= SearchQLo && col("vec_id") < SearchQHi)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        col("qv"))
+        .select(col("qid"), col("qv"), col("band"), col("bucket"))
+        .join(corpusSigs, Seq("band", "bucket"))
+        .join(corpus, Seq("vec_id"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q176_sink").start()
+    })
+    Ann.rankTopK(drained.distinct(), SearchK, descending = true)
+  }
+
+  /** Full relational replay of the streaming read — the q32 oracle shape
+    * with the corpus/query split at the stream boundary: hyperplanes,
+    * corpus signatures and query signatures all recompute from the md5
+    * policy; candidates = DISTINCT bucket-mates; rerank = exact cosine
+    * rounded to 4, ranked (score DESC, id) per query. */
+  val q176Sql: String = {
+    import graft.operators.Ann
+    val nPlanes = Ann.Bands * Ann.BitsPerBand
+    val dot = graft.functions.Det.dotSql("e.embedding", "p.pl")
+    val qdot = graft.functions.Det.dotSql("q.qv", "p.pl")
+    s"""WITH planes AS (
+       |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
+       |                       / 2147483648.0 - 1.0) AS FLOAT) ORDER BY j) AS pl
+       |  FROM range($nPlanes) tp(f), range(${Ann.Dim}) td(j)
+       |  GROUP BY f),
+       |sigs AS (
+       |  SELECT e.vec_id, (p.f // ${Ann.BitsPerBand})::INT AS band,
+       |         sum(CASE WHEN $dot > 0
+       |                  THEN (1::BIGINT << (p.f % ${Ann.BitsPerBand})) ELSE 0 END) AS bucket
+       |  FROM embeddings e, planes p WHERE e.vec_id < $SearchCorpusN
+       |  GROUP BY e.vec_id, band),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id >= $SearchQLo AND vec_id < $SearchQHi),
+       |qsig AS (
+       |  SELECT q.qid, (p.f // ${Ann.BitsPerBand})::INT AS band,
+       |         sum(CASE WHEN $qdot > 0
+       |                  THEN (1::BIGINT << (p.f % ${Ann.BitsPerBand})) ELSE 0 END) AS bucket
+       |  FROM q, planes p GROUP BY q.qid, band),
+       |cand AS (
+       |  SELECT DISTINCT qs.qid, s.vec_id AS id
+       |  FROM sigs s JOIN qsig qs ON s.band = qs.band AND s.bucket = qs.bucket),
+       |sc AS (
+       |  SELECT c.qid, c.id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
+      "q176_stream_search" -> (q176 _),
       "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
@@ -556,6 +660,7 @@ object EventStream {
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,
       "q146_stream_pii" -> graft.operators.TextAnalysis.q141Sql,
+      "q176_stream_search" -> q176Sql,
       "q67_stream_dedup" -> q67Sql,
       "q70_stream_static_join" -> q70Sql,
       "q88_stream_range_join" -> q88Sql,

@@ -13,6 +13,41 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("streaming ANN retrieval (q176) equals the batch LSH probe of the same standing index") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStream.q176(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty, "the query stream drained no results")
+    // batch twin: the identical candidate policy (same kernels, same
+    // corpus/query split) computed without a stream — positional parity
+    // IS the stream/batch claim
+    val ann = graft.operators.Ann
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") < 200L)
+    val corpusSigs = ann.withBandSigs(corpus, col("embedding"))
+      .select(col("vec_id"), col("band"), col("bucket"))
+    val qs = emb.where(col("vec_id") >= 200L && col("vec_id") < 204L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = ann.rankTopK(
+      ann.withBandSigs(qs, col("qv"))
+        .select(col("qid"), col("qv"), col("band"), col("bucket"))
+        .join(corpusSigs, Seq("band", "bucket"))
+        .join(corpus, Seq("vec_id"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .distinct(),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served retrieval diverged from the batch probe")
+    // every query got answered and hits rank within [1, k]
+    assert(streamed.map(_._1).distinct.length == 4)
+    assert(streamed.forall(x => x._2 >= 1 && x._2 <= 10))
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals the batch q28 answer") {
     val q = EventStream.startSessionsToMemory(spark, dir, "stream_sessions")
     try {
