@@ -292,6 +292,64 @@ object Hnsw {
       while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
       searchLayer(q, Array(ep), ef, 0).map(_._2)
     }
+
+    /** Predicate-aware beam (the ACORN-1 discipline, Patel et al. 2024):
+      * the walk TRAVERSES the unfiltered graph — expansion and the
+      * candidate frontier ignore `allow`, so connectivity is the graph
+      * the builder tuned — but the RESULT heap admits matching nodes
+      * only, so the beam returns up to ef MATCHING winners instead of
+      * ef winners that a later filter decimates. The stop rule is the
+      * standard one applied to the filtered heap (frontier farther than
+      * the worst matching result), plus a hard `maxVisit` budget that
+      * bounds the sweep under vanishing selectivity — beyond it the
+      * caller's starved fallback carries the k contract, by design.
+      * With `allow = always` and maxVisit ≥ n this IS [[search]]. */
+    def searchFiltered(q: Array[Float], ef: Int, allow: Int => Boolean,
+                       maxVisit: Int): Array[Int] = {
+      if (n == 0) return Array.empty
+      var ep = entry
+      var lev = maxLevel
+      while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
+      val visited = new java.util.BitSet(n)
+      val cand = new java.util.PriorityQueue[(Double, Int)](asc)
+      val res = new java.util.PriorityQueue[(Double, Int)](asc.reverse)
+      visited.set(ep)
+      val e0 = (d2(q, ep), ep)
+      cand.add(e0)
+      if (allow(ep)) res.add(e0)
+      var visits = 1
+      var done = false
+      while (!done && !cand.isEmpty && visits < maxVisit) {
+        val c = cand.poll()
+        if (res.size >= ef && asc.compare(c, res.peek()) > 0) done = true
+        else {
+          val around = adj(c._2)(0)
+          var i = 0
+          while (i < around.length) {
+            val e = around(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              visits += 1
+              val d = d2(q, e)
+              // frontier admission ignores allow (non-matching nodes are
+              // the bridges); result admission requires it
+              if (res.size < ef || asc.compare((d, e), res.peek()) < 0) {
+                cand.add((d, e))
+                if (allow(e)) {
+                  res.add((d, e))
+                  if (res.size > ef) res.poll()
+                }
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = new Array[(Double, Int)](res.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = res.poll(); i -= 1 }
+      out.map(_._2)
+    }
   }
 
   private[graft] object ShardGraph {
@@ -671,12 +729,41 @@ object Hnsw {
     invalidateGraphs(aux)
   }
 
+  /** Visit budget for the predicate-aware beam: bounds the traversal
+    * sweep under vanishing selectivity (the caller's starved fallback
+    * carries the k contract beyond it). */
+  private[graft] val FilteredVisitFactor = 16
+
+  /** The per-node flat-filter test the predicate-aware beam runs inside
+    * the shard task — metadata-map equality, the exact semantics
+    * `metaPredicate`'s flat half applies at the rerank (which stays
+    * authoritative; this only shapes the candidate pool). */
+  private def allowFor(nodes: Array[StoredNodeD],
+                       flatFilter: Map[String, String]): Int => Boolean =
+    i => flatFilter.forall { case (k, v) =>
+      nodes(i).metadata.get(k).contains(v) }
+
+  private def beamD(loaded: (Array[StoredNodeD], ShardGraph),
+                    qv: Array[Float],
+                    flatFilter: Map[String, String]): Array[Int] =
+    if (flatFilter.isEmpty) loaded._2.search(qv, EfSearch)
+    else loaded._2.searchFiltered(qv, EfSearch,
+      allowFor(loaded._1, flatFilter), EfSearch * FilteredVisitFactor)
+
   /** Durable-mount candidate scan: per-shard beams over the resident
     * graphs, emitting the winners' FULL record fields (id, values,
     * metadata, metadataJson) — the caller applies kill-set/delta-tail
-    * and reranks without another layout touch. */
+    * and reranks without another layout touch. A non-empty `flatFilter`
+    * switches each shard to the PREDICATE-AWARE beam
+    * ([[ShardGraph.searchFiltered]]): up to EfSearch MATCHING winners
+    * per shard instead of EfSearch winners a later filter decimates —
+    * the ACORN upgrade that keeps selective tenant gates off the
+    * starved-fallback path. JSONPath filters stay caller-side (their
+    * evaluation belongs to the SQL engine; the rerank predicate is
+    * authoritative either way). */
   private[graft] def shardCandidatesD(spark: SparkSession, aux: String,
-                                      query: Array[Float]): DataFrame = {
+                                      query: Array[Float],
+                                      flatFilter: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     refreshCacheBound(spark)
     val qv = normalize(query)
@@ -686,7 +773,7 @@ object Hnsw {
         .flatMap { s =>
           val loaded = residentGraph(aux, s)
             .asInstanceOf[(Array[StoredNodeD], ShardGraph)]
-          loaded._2.search(qv, EfSearch).iterator.map { i =>
+          beamD(loaded, qv, flatFilter).iterator.map { i =>
             val n = loaded._1(i)
             (n.id, n.vec, n.metadata, n.metadataJson)
           }
@@ -714,7 +801,7 @@ object Hnsw {
               }
             }
           if (loaded == null) Iterator.empty
-          else loaded._2.search(qv, EfSearch).iterator.map { i =>
+          else beamD(loaded, qv, flatFilter).iterator.map { i =>
             val n = loaded._1(i)
             (n.id, n.vec, n.metadata, n.metadataJson)
           }
@@ -731,7 +818,8 @@ object Hnsw {
     * record fields riding in the graph rows are not re-emitted Q
     * times. */
   private[graft] def shardCandidatesBatchD(spark: SparkSession, aux: String,
-                                           queries: Seq[Seq[Float]]): DataFrame = {
+                                           queries: Seq[Seq[Float]],
+                                           flatFilter: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     refreshCacheBound(spark)
     val qNorm = queries.zipWithIndex
@@ -743,7 +831,7 @@ object Hnsw {
           val loaded = residentGraph(aux, s)
             .asInstanceOf[(Array[StoredNodeD], ShardGraph)]
           qNorm.iterator.flatMap { case (qid, qv) =>
-            loaded._2.search(qv, EfSearch).iterator
+            beamD(loaded, qv, flatFilter).iterator
               .map(i => (qid, loaded._1(i).id))
           }
         }.toDF("__qid", "id")
@@ -771,7 +859,7 @@ object Hnsw {
             }
           if (loaded == null) Iterator.empty
           else qNorm.iterator.flatMap { case (qid, qv) =>
-            loaded._2.search(qv, EfSearch).iterator
+            beamD(loaded, qv, flatFilter).iterator
               .map(i => (qid, loaded._1(i).id))
           }
         }

@@ -1451,7 +1451,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val h = hnswLayoutFor(namespace, dim, e)
           val hits = probeBatchHnsw(queries, k, namespace, e, h,
-            persistCands, pred)
+            persistCands, pred, filter)
           if (currentGen() == e.builtGen) {
             if (!hasFilter || hits.forall(_.size >= k)) return hits
             val starved = hits.indices.filter(hits(_).size < k)
@@ -1468,9 +1468,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeBatchHnsw(queries: Seq[Seq[Float]], k: Int,
                              namespace: String, e: AnnEntry, h: HnswEntry,
                              persistCands: Boolean,
-                             pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
+                             pred: Column = lit(true),
+                             flatFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
     var beam = graft.operators.Hnsw.shardCandidatesBatchD(spark, h.aux,
-      queries)
+      queries, flatFilter)
     if (persistCands) {
       beam.coalesce(1).write.mode("overwrite").parquet(s"${h.aux}/batch_cands")
       beam = spark.read.parquet(s"${h.aux}/batch_cands")
@@ -2922,13 +2923,18 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                          filter: Map[String, String] = Map.empty,
                          jsonFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    // filtered HNSW (r16): the beam frontier carries full record fields
-    // (graph rows ARE layout rows), so the predicate evaluates on the
-    // frontier BEFORE ranking — the live mount's filtered-graph
-    // contract. The beam is geometry-cut (EfSearch per shard), so a
-    // selective filter starves more readily here than on the scan-backed
-    // mounts; the q164 exact-filtered fallback is what makes the
-    // min(k, matching-live-rows) contract hold regardless.
+    // filtered HNSW (r16): FLAT filters ride INSIDE the beam — the
+    // predicate-aware traversal ([[graft.operators.Hnsw.ShardGraph
+    // .searchFiltered]], the ACORN-1 discipline) walks the unfiltered
+    // graph but admits only matching nodes to the result heap, so each
+    // shard returns up to EfSearch MATCHING winners and a selective
+    // tenant gate no longer decimates a geometry-cut frontier. JSONPath
+    // filters evaluate on the emitted frontier (their semantics belong
+    // to the SQL engine); the rerank predicate below is authoritative
+    // for BOTH. The starved fallback still backstops the k contract —
+    // it now fires only when the namespace genuinely runs dry of
+    // matches near the query (or the traversal hits its visit budget
+    // under vanishing selectivity).
     val pred = metaPredicate(filter, jsonFilter)
     val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     var attempt = 0
@@ -2938,7 +2944,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val h = hnswLayoutFor(namespace, query.length, e)
           val hits = probeHnsw(query, k, namespace, e, h, persistCands,
-            pred)
+            pred, filter)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
               return searchOver(live().filter(pred), query, k, "cosine",
@@ -2954,14 +2960,15 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeHnsw(query: Seq[Float], k: Int, namespace: String,
                         e: AnnEntry, h: HnswEntry,
                         persistCands: Boolean,
-                        pred: Column = lit(true)): Seq[SearchHit] = {
+                        pred: Column = lit(true),
+                        flatFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
     val cand = graft.operators.Hnsw.shardCandidatesD(spark, h.aux,
-      query.toArray)
+      query.toArray, flatFilter)
     if (persistCands)
       // h.aux is already process-suffixed under shared roots
-      // (derivedAux), so cands/ can live directly inside it — the RAW
-      // beam, pre-filter, so a filtered oracle replays the predicate
-      // itself
+      // (derivedAux), so cands/ can live directly inside it — the beam
+      // AS EMITTED (predicate-aware under a flat filter), the candidate
+      // policy the oracle replays
       cand.select(col("id")).coalesce(1)
         .write.mode("overwrite").parquet(s"${h.aux}/cands")
     val cols = Seq(col("id"), col("values"), col("metadata"),

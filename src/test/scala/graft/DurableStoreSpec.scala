@@ -1068,6 +1068,44 @@ class DurableStoreSpec extends AnyFunSuite {
       }
     }
 
+  test("filtered hnsw: the predicate-aware beam answers a selective filter without the rescue") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    // 290 common rows + 10 rare rows SPREAD across the space (so the
+    // traversal must walk past common nodes to collect them); a plain
+    // frontier-filter of a 96-wide beam over 300 rows at 1/30
+    // selectivity would keep ~3 matching rows — the predicate-aware
+    // traversal must return ALL 10, ranked, off the graph itself
+    val rows =
+      (0 until 290).map { i =>
+        (s"c$i", Seq((i % 17).toFloat / 17f, (i % 13).toFloat / 13f,
+          (i % 7).toFloat / 7f, 1f), Map("grp" -> "common"))
+      } ++ (0 until 10).map { i =>
+        (s"r$i", Seq((i * 29 % 17).toFloat / 17f + 0.03f,
+          (i * 31 % 13).toFloat / 13f, (i * 37 % 7).toFloat / 7f, 1f),
+          Map("grp" -> "rare"))
+      }
+    d.loadFrame(rows.toDF("id", "values", "metadata"), "acorn")
+    val q = Seq(0.4f, 0.5f, 0.6f, 1f)
+    d.findSimilar(q, k = 5, namespace = "acorn", approx = true,
+      index = "hnsw") // build records + graphs
+    val hits = d.findSimilarHnswGraded(q, k = 10, namespace = "acorn",
+      filter = Map("grp" -> "rare"))
+    val exact = d.findSimilar(q, k = 10, namespace = "acorn",
+      filter = Map("grp" -> "rare"))
+    assert(hits.map(h => (h.id, h.score)) == exact.map(h => (h.id, h.score)),
+      "predicate-aware beam must recover the full filtered top-k")
+    assert(hits.size == 10 && hits.forall(_.id.startsWith("r")))
+    // the MECHANISM pin: the persisted beam itself holds every matching
+    // row — k hits came off the graph, not the starved rescue
+    val aux = d.hnswLayoutDir("acorn", 4).get
+    val beam = spark.read.parquet(s"$aux/cands")
+      .collect().map(_.getString(0)).toSet
+    assert(beam.count(_.startsWith("r")) == 10,
+      s"the beam should carry all 10 matching rows, got $beam")
+  }
+
   test("as-of indexed search: both horizons bound at the snapshot; young layouts fall back exact") {
     val sp = spark
     import sp.implicits._
