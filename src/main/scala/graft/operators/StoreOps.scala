@@ -3115,6 +3115,8 @@ object StoreOps {
   private val q175Stores =
     new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
   private val q175Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q175ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** (layout dir, probe dir) of the most recent q175 run — oracle hook. */
   @volatile private var lastDurableAsOfAux: Option[(String, String)] = None
@@ -3178,6 +3180,22 @@ object StoreOps {
       "q175's combined mutation window crossed the staleness ratio — the " +
         "oracle replays the first layout's candidates at the wave-1 horizon")
     require(hits.size == K, s"q175 expected $K as-of hits, got ${hits.size}")
+    if (q175ParityChecked.add(dir)) {
+      // the batched as-of form must agree positionally with the singles
+      // (the q133 convention — one assertion closes the single/batch
+      // consistency question for the snapshot read)
+      val q2 = e.where(col("vec_id") === 2L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+      val qs = Seq(qv, q2)
+      val batch = store.findSimilarBatchAsOf(qs, asOf, k = K,
+        namespace = DAsOfNs, approx = true)
+      qs.indices.foreach { i =>
+        val single = store.findSimilarAsOf(qs(i), asOf, k = K,
+          namespace = DAsOfNs, approx = true).map(h => (h.id, h.score))
+        require(batch(i).map(h => (h.id, h.score)) == single,
+          s"as-of batch result $i diverged from the single as-of search")
+      }
+    }
     lastDurableAsOfAux = store.annLayoutDir(DAsOfNs, qv.length)
       .map { case (a, _) => (a, store.annProbesDir(a)) }
     hits.zipWithIndex

@@ -978,6 +978,67 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     exactAsOf()
   }
 
+  /** Batched [[findSimilarAsOf]] — the q107 one-scan thesis at a
+    * snapshot: all Q probe lists union into one partition-pruned layout
+    * scan, per-query candidates = probed cells' ids ∪ the asOf-bounded
+    * delta tail, and the batch kernel reranks against [[liveAsOf]] —
+    * layout rows tombstoned in (builtSeq, asOf] die at that join, rows
+    * stamped after asOf never enter it, so both horizons bound exactly
+    * as in the single-query form (q175; positional parity asserted
+    * in-script there). A layout younger than the snapshot falls back to
+    * the exact as-of batch. */
+  def findSimilarBatchAsOf(queries: Seq[Seq[Float]], asOf: Long,
+                           k: Int = 10, metric: String = "cosine",
+                           namespace: String = "default",
+                           approx: Boolean = false): Seq[Seq[SearchHit]] = {
+    val dim = requireBatch(queries, k)
+    def exactAsOf(): Seq[Seq[SearchHit]] =
+      Scoring.batchSearch(
+        liveAsOf(asOf).filter(col("namespace") === namespace),
+        queries, k, metric)
+    if (!approx) return exactAsOf()
+    require(metric == "cosine" || metric == "l2",
+      s"approx as-of batch search supports cosine|l2, got metric '$metric'")
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, dim) match {
+        case None => return exactAsOf()
+        case Some(e) =>
+          if (e.builtSeq > asOf) return exactAsOf()
+          val hits = probeBatchAsOf(queries, asOf, k, metric, namespace, e)
+          if (currentGen() == e.builtGen) return hits
+      }
+      attempt += 1
+    }
+    exactAsOf()
+  }
+
+  private def probeBatchAsOf(queries: Seq[Seq[Float]], asOf: Long, k: Int,
+                             metric: String, namespace: String,
+                             e: AnnEntry): Seq[Seq[SearchHit]] = {
+    import spark.implicits._
+    val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
+    val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
+      graft.operators.Ann.rankCells(q.toArray, e.centers, nProbe)
+        .map(c => (i, c))
+    }
+    val probeDf = probeRows.toDF("__qid", "cell")
+    val allCells = probeRows.map(_._2).distinct
+    val layoutCand = layoutFrame(s"${e.aux}/index")
+      .where(col("cell").isin(allCells: _*))
+      .join(broadcast(probeDf), Seq("cell"))
+      .select(col("__qid"), col("id"))
+    val deltaCand = liveAsOf(asOf)
+      .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
+      .select(col("id"))
+      .crossJoin(broadcast(queries.indices.toDF("__qid")))
+      .select(col("__qid"), col("id"))
+    val cand = layoutCand.unionByName(deltaCand).distinct()
+    Scoring.batchSearchCandidates(
+      liveAsOf(asOf).filter(col("namespace") === namespace),
+      queries, cand, k, metric)
+  }
+
   private def probeIvfAsOf(query: Seq[Float], asOf: Long, k: Int,
                            namespace: String, metric: String, e: AnnEntry,
                            persistProbes: Boolean,

@@ -1134,6 +1134,12 @@ class DurableStoreSpec extends AnyFunSuite {
     // the CURRENT indexed read sees the opposite world
     val now = d.findSimilar(q, k = 5, namespace = "ao", approx = true)
     assert(now.head.id == "zz" && !now.map(_.id).contains(top))
+    // the batched as-of form serves the same snapshot positionally
+    val bat = d.findSimilarBatchAsOf(Seq(q), h, k = 5, namespace = "ao",
+      approx = true)
+    assert(bat.head.map(x => (x.id, x.score)) ==
+      asOfIdx.map(x => (x.id, x.score)),
+      "batched as-of read diverged from the single-query snapshot")
     // young layout: a second store whose only layout postdates the
     // horizon must answer the snapshot from the exact as-of scan —
     // identical to the exact form, never a post-horizon candidate set
