@@ -362,6 +362,61 @@ object QualityClassifier {
       .orderBy(col("stage"))
   }
 
+  /** q177: the FULL curation funnel — q161 with BOTH decontamination
+    * modalities in sequence, the shape a production pre-training
+    * pipeline actually ships (verbatim leakage AND paraphrase leakage
+    * are different failure modes; q174 measured the two gates' flag
+    * sets differing in both directions):
+    *
+    *   corpus → model quality gate → exact dedup → n-gram decontam
+    *   (q63) → SEMANTIC decontam (q174, embedding cosine vs the bench
+    *   set) → surviving token mass.
+    *
+    * Same 100 TB shape as q161 — every stage an id-sized semi-join on
+    * the previous survivor set, text never re-shuffles; the semantic
+    * stage adds one fused feature-hash scan + a broadcast argmax (the
+    * q174 cost, already linear). The oracle composes the component
+    * gates' graded SQL verbatim (chainSql + q16Sql + q63Sql + q174Sql),
+    * so the funnel passes only if the four-gate composition matches
+    * end-to-end. */
+  def q177(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wv = standingModel(spark, dir)
+    val feat = standingFeat(spark, dir)
+    val n0 = feat.count()
+    val quality = feat
+      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
+      .where(col("p") >= 0.5).select(col("doc_id"))
+      .persist()
+    val n1 = quality.count()
+    val keepers = Dedup.q16(spark, dir).select(col("keeper").as("doc_id"))
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi").persist()
+    val n2 = deduped.count()
+    val clean = TextAnalysis.q63(spark, dir)
+      .where(!col("contaminated")).select(col("doc_id"))
+    val s3 = deduped.join(clean, Seq("doc_id"), "left_semi").persist()
+    val n3 = s3.count()
+    val semClean = TextAnalysis.q174(spark, dir)
+      .where(!col("contaminated")).select(col("doc_id"))
+    val survivors = s3.join(semClean, Seq("doc_id"), "left_semi").persist()
+    val n4 = survivors.count()
+    val tokens = feat.join(survivors, Seq("doc_id"), "left_semi")
+      .agg(sum(col("ntok"))).head().getLong(0)
+    quality.unpersist(blocking = false)
+    deduped.unpersist(blocking = false)
+    s3.unpersist(blocking = false)
+    survivors.unpersist(blocking = false)
+    Seq(
+      (0, "corpus", n0),
+      (1, "model_quality", n1),
+      (2, "exact_dedup", n2),
+      (3, "ngram_decontam", n3),
+      (4, "semantic_decontam", n4),
+      (5, "survivor_tokens", tokens))
+      .toDF("stage", "name", "n")
+      .orderBy(col("stage"))
+  }
+
   // ---- q162: quality-gated retrieval -------------------------------------
 
   private val Q162Ns = "q162"
@@ -652,6 +707,39 @@ object QualityClassifier {
          |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s3))
          |ORDER BY stage""".stripMargin
 
+  /** q177's oracle: [[q161Sql]]'s composition with the semantic gate's
+    * graded SQL ([[TextAnalysis.q174Sql]]) nested verbatim as the fourth
+    * stage. */
+  def q177Sql: String =
+    chainSql("doc_id % 2 = 0", "TRUE") +
+      s""",
+         |q AS MATERIALIZED (SELECT doc_id FROM pf WHERE p >= 0.5),
+         |k AS MATERIALIZED (SELECT keeper AS doc_id FROM (${Dedup.q16Sql})),
+         |s2 AS MATERIALIZED (SELECT doc_id FROM q WHERE doc_id IN (SELECT doc_id FROM k)),
+         |cln AS MATERIALIZED (
+         |  SELECT doc_id FROM (${TextAnalysis.q63Sql}) WHERE NOT contaminated),
+         |s3 AS MATERIALIZED (
+         |  SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM cln)),
+         |sem AS MATERIALIZED (
+         |  SELECT doc_id FROM (${TextAnalysis.q174Sql}) WHERE NOT contaminated),
+         |s4 AS MATERIALIZED (
+         |  SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM sem))
+         |SELECT * FROM (
+         |  SELECT 0 AS stage, 'corpus' AS name, count(*)::BIGINT AS n FROM documents
+         |  UNION ALL
+         |  SELECT 1, 'model_quality', count(*)::BIGINT FROM q
+         |  UNION ALL
+         |  SELECT 2, 'exact_dedup', count(*)::BIGINT FROM s2
+         |  UNION ALL
+         |  SELECT 3, 'ngram_decontam', count(*)::BIGINT FROM s3
+         |  UNION ALL
+         |  SELECT 4, 'semantic_decontam', count(*)::BIGINT FROM s4
+         |  UNION ALL
+         |  SELECT 5, 'survivor_tokens',
+         |         sum(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')))::BIGINT
+         |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM s4))
+         |ORDER BY stage""".stripMargin
+
   /** The q162 oracle rides chainSql's own CTEs: `hv` already holds each
     * document's raw 64-dim signed-count vector (the loaded embedding —
     * integer-valued, so the store's float32 cast is lossless and both
@@ -683,6 +771,7 @@ object QualityClassifier {
     "q159_quality_holdout" -> (q159 _),
     "q160_stream_quality_score" -> (q160 _),
     "q161_curation_funnel" -> (q161 _),
+    "q177_full_curation_funnel" -> (q177 _),
     "q162_quality_gated_retrieval" -> (q162 _),
     "q163_durable_quality_retrieval" -> (q163 _))
 
@@ -691,6 +780,7 @@ object QualityClassifier {
     "q159_quality_holdout" -> q159Sql,
     "q160_stream_quality_score" -> q160Sql,
     "q161_curation_funnel" -> q161Sql,
+    "q177_full_curation_funnel" -> q177Sql,
     "q162_quality_gated_retrieval" -> q162Sql,
     // graded by the LIVE mount's oracle text verbatim — the equality IS
     // the live/durable parity claim (the q157 contract)

@@ -113,6 +113,24 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(rows(4)._3 > 0, "survivors carry no tokens")
   }
 
+  test("q177 full funnel: monotone stages, the semantic gate removes docs the n-gram gate kept") {
+    val rows = QualityClassifier.q177(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("corpus", "model_quality",
+      "exact_dedup", "ngram_decontam", "semantic_decontam",
+      "survivor_tokens"))
+    val n = rows.map(_._3)
+    // doc-count stages shrink monotonically
+    (0 until 4).foreach(i => assert(n(i) >= n(i + 1),
+      s"stage ${i + 1} grew: ${n(i)} -> ${n(i + 1)}"))
+    // the semantic gate earns its place IN the funnel: it removes docs
+    // every earlier gate (incl. the n-gram decontam) kept
+    assert(n(4) < n(3),
+      "semantic decontam removed nothing the n-gram gate kept at this sf")
+    assert(n(5) > 0, "survivors carry no tokens")
+  }
+
   test("driver-side feature kernel is bit-identical to the distributed frame") {
     val docs = graft.sources.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
