@@ -35,10 +35,15 @@ import graft.store.DurableVectorStore
   * grows with the corpus.
   *
   * r16 second wave adds the PQ point (the semi-join-before-CandN
-  * mechanism): filtered/unfiltered pq ratio 1.46 (0.741 vs 0.509 s) —
+  * mechanism): filtered/unfiltered pq ratio ~1.5 (0.74 vs 0.51 s) —
   * the filtered form pays ~0.23 s, one id-projected pruned records
   * scan (the semi-join feed), matching the mechanism's stated cost:
-  * the SAME cells the exact rerank reads anyway, id column only.
+  * the SAME cells the exact rerank reads anyway, id column only. The
+  * quality side: filtered recall@10 = 1.000 on BOTH ivf and pq at 25 %
+  * selectivity (5 queries × 64k corpus) vs the exact filtered top-k —
+  * candidate-time filtering costs no recall here because the cut ranks
+  * matching rows only; timing alone could have hidden a collapse, so
+  * the bench measures both.
   *
   * Run: `sbt 'runMain graft.examples.FilteredAnnBench'`. */
 object FilteredAnnBench {
@@ -131,6 +136,25 @@ object FilteredAnnBench {
       f"pq filtered/unfiltered ratio: ${tPqFiltered / tPqPlain}%.2f " +
       "(claim: bounded — the semi-join adds one id-projected pruned " +
       "records scan, the same cells the rerank reads anyway)")
+    // filtered RECALL@K vs the exact filtered top-k — the quality side
+    // of the hybrid query's candidate-time claim (timing alone could
+    // hide a recall collapse)
+    def recall(tag: String)(probe: Seq[Float] => Seq[String]): Unit = {
+      val r = queries.map { q =>
+        val truth = store.findSimilar(q, k = K, namespace = "fb",
+          filter = Map("tenant" -> "t1")).map(_.id).toSet
+        probe(q).count(truth) / K.toDouble
+      }
+      println(f"$tag%-34s recall@$K ${r.sum / r.size}%.3f")
+    }
+    recall("filtered ivf recall") { q =>
+      store.findSimilar(q, k = K, namespace = "fb",
+        approx = true, index = "ivf", filter = Map("tenant" -> "t1")).map(_.id)
+    }
+    recall("filtered pq recall") { q =>
+      store.findSimilar(q, k = K, namespace = "fb",
+        approx = true, index = "pq", filter = Map("tenant" -> "t1")).map(_.id)
+    }
     println(f"filtered/unfiltered probe ratio: ${tFiltered / tPlain}%.2f " +
       "(claim: ~1 - the candidate-time filter is free on the probe); " +
       f"starved ${tStarved}%.3f ~= probe ${tFiltered}%.3f + exact " +
