@@ -406,6 +406,31 @@ class RestServer(store: VectorStore, port: Int = 0,
             // metadata filters serve on the durable batch EXACT path and
             // all six indexed batch mounts (r16 — the q164 candidate-time
             // semantics batched, per-query starved rescue)
+            //
+            // optional `as_of` (r16): the /search contract batched —
+            // exact or index:'ivf' (findSimilarBatchAsOf; filters do not
+            // compose with the batched snapshot yet, so that combination
+            // refuses rather than silently ignoring one of the two)
+            val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
+            asOfNode.foreach { n =>
+              if (!n.isIntegralNumber)
+                throw new IllegalArgumentException(
+                  "as_of must be an integral commit stamp (see /seq)")
+            }
+            asOfNode.map(_.asLong()) match {
+              case Some(h) =>
+                if (wantApprox && batchIndex != "ivf")
+                  throw new IllegalArgumentException(
+                    "durable as-of batch search serves exact (approx: " +
+                      "false) or index:'ivf' — the graded as-of indexed path")
+                if (stringMapOf(body, "filter").nonEmpty ||
+                    stringMapOf(body, "json_filter").nonEmpty)
+                  throw new IllegalArgumentException(
+                    "as_of does not compose with filters on the batch " +
+                      "route yet; drop the filter or use /search")
+                d.findSimilarBatchAsOf(qs, h, k, metric, ns,
+                  approx = wantApprox)
+              case None =>
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the
               // code/graph mounts are cosine (their training geometry)
@@ -438,6 +463,7 @@ class RestServer(store: VectorStore, port: Int = 0,
               }
             } else d.findSimilarBatch(qs, k, metric, ns,
               stringMapOf(body, "filter"), stringMapOf(body, "json_filter"))
+            }
           } else if (wantApprox) {
             if (metric != "cosine")
               throw new IllegalArgumentException(

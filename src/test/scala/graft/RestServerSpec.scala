@@ -669,6 +669,25 @@ class RestServerSpec extends AnyFunSuite {
       assert(send("POST", s"$base/search?namespace=ans",
         s"""{"query": [1.0, 0.0], "durable": true, "as_of": $h,
            | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
+      // the BATCH route serves the snapshot too (exact + ivf), with the
+      // same strict 422s; as_of+filter refuses rather than half-applying
+      for (approxBody <- Seq(""""approx": false""",
+                             """"approx": true, "index": "ivf"""")) {
+        val (bc, bb) = send("POST", s"$base/search/batch?namespace=ans",
+          s"""{"queries": [[1.0, 0.0]], "top_k": 2, "durable": true,
+             | "as_of": $h, $approxBody}""".stripMargin)
+        assert(bc == 200, bb)
+        val bt = mapper.readTree(bb).get(0)
+        val bids = (0 until bt.size()).map(bt.get(_).get("id").asText())
+        assert(bids.head == "a" && !bids.contains("z"),
+          s"batch as-of read must serve the snapshot ($approxBody): $bb")
+      }
+      assert(send("POST", s"$base/search/batch?namespace=ans",
+        s"""{"queries": [[1.0, 0.0]], "durable": true, "as_of": $h,
+           | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
+      assert(send("POST", s"$base/search/batch?namespace=ans",
+        s"""{"queries": [[1.0, 0.0]], "durable": true, "as_of": $h,
+           | "filter": {"x": "1"}}""".stripMargin)._1 == 422)
     } finally server.stop()
   }
 
