@@ -1163,8 +1163,14 @@ object StoreOps {
   /** SQL replay of the durable ANN read path: candidates = (probed
     * cells' assigned ids ∪ the script's delta batch), live set =
     * load-minus-deletes plus the delta batch, rerank = exact cosine with
-    * the store's string-id tie-break. */
-  def q87Sql(aux: String, probesDir: String): String =
+    * the store's string-id tie-break. One parameterized builder serves
+    * the unfiltered read (q87), the hybrid read (q164, `tenantPred`),
+    * the product-grid hybrid (q172 — the grid's own assign/probes), and
+    * the as-of read (q175, `delMod` = its wave-1 delete modulus) — the
+    * dlshSql discipline: graded variants of one policy share one
+    * replay, so they cannot drift. */
+  private def dannSql(aux: String, probesDir: String, delMod: Long,
+                      tenantPred: String): String =
     s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
        |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |cand AS (
@@ -1174,8 +1180,9 @@ object StoreOps {
        |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
        |sc AS (
        |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -1186,6 +1193,9 @@ object StoreOps {
        |  FROM sc)
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  def q87Sql(aux: String, probesDir: String): String =
+    dannSql(aux, probesDir, FacadeDelMod, "TRUE")
 
   // ---- q164: FILTERED ANN on the durable mount (r16) -------------------
 
@@ -1267,34 +1277,13 @@ object StoreOps {
   }
 
   /** SQL replay of the filtered durable ANN read path: q87's candidate
-    * replay with the tenant predicate re-derived relationally — the live
-    * set is (load − deletes ∪ delta) ∩ `vec_id % $DFTenantMod = 1`, so
-    * candidates and rerank both see matching rows only, exactly the
-    * candidate-time filter the store evaluates inside the probed-cell
-    * scan. */
+    * replay ([[dannSql]]) with the tenant predicate re-derived
+    * relationally — the live set is (load − deletes ∪ delta) ∩
+    * `vec_id % $DFTenantMod = 1`, so candidates and rerank both see
+    * matching rows only, exactly the candidate-time filter the store
+    * evaluates inside the probed-cell scan. */
   def q164Sql(aux: String, probesDir: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
-       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
-       |cand AS (
-       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
-       |  UNION
-       |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
-       |base AS (
-       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
-       |    AND vec_id % $DFTenantMod = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
-       |sc AS (
-       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
-       |  FROM cand c JOIN base b ON b.id = c.id, q),
-       |r AS (
-       |  SELECT id, raw,
-       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
-       |  FROM sc)
-       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
-       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+    dannSql(aux, probesDir, FacadeDelMod, s"vec_id % $DFTenantMod = 1")
 
   // ---- q123: the durable store's HNSW (graph) read path ----------------
 
@@ -1366,7 +1355,12 @@ object StoreOps {
     * persisted beam winners ∪ the script's delta batch), live set =
     * load-minus-deletes plus the delta batch, rerank = exact cosine
     * with the store's string-id tie-break. */
-  def q123Sql(aux: String): String =
+  /** One builder for the unfiltered (q123) and hybrid (q173) graph
+    * reads: candidates = persisted beam ∪ delta, joined to the
+    * (optionally tenant-restricted) base — under a flat filter the beam
+    * is already predicate-aware (ACORN), so the restricted join is the
+    * candidate-then-filter-then-rank order the store executes. */
+  private def dhnswSql(aux: String, tenantPred: String): String =
     s"""WITH cand AS (
        |  SELECT DISTINCT id FROM read_parquet('$aux/cands/*.parquet')
        |  UNION
@@ -1374,8 +1368,9 @@ object StoreOps {
        |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
        |sc AS (
        |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -1386,6 +1381,8 @@ object StoreOps {
        |  FROM sc)
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  def q123Sql(aux: String): String = dhnswSql(aux, "TRUE")
 
   // ---- q92: the durable store's COMPRESSED (PQ / IVFADC) read path ----
 
@@ -1459,8 +1456,13 @@ object StoreOps {
     * `codes_flat` ⋈ `lut` summed and rounded, candidates = top-CandN on
     * (ADC, string id) ∪ the script's delta ids, live set =
     * load-minus-deletes plus the delta, rerank = exact cosine with the
-    * store's tie-break. */
-  def q92Sql(aux: String): String =
+    * store's tie-break. `candPred` cuts the ADC population BEFORE the
+    * CandN rank (the q170 semi-join semantics — a post-filtering
+    * implementation would rank non-matching rows into the cut and break
+    * the hash); one builder serves the unfiltered (q92) and hybrid
+    * (q170) reads, the dlshSql discipline. */
+  private def dpqSql(aux: String, candPred: String,
+                     tenantPred: String): String =
     s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
        |lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
        |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
@@ -1468,6 +1470,7 @@ object StoreOps {
        |  SELECT c.id, round(sum(l.d), 6) AS adc
        |  FROM cf c JOIN probes p ON p.cell = c.cell
        |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE ($candPred)
        |  GROUP BY c.id),
        |cand AS (
        |  SELECT id FROM (
@@ -1475,11 +1478,13 @@ object StoreOps {
        |  WHERE cr <= ${Pq.CandN}
        |  UNION
        |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
+       |    AND ($tenantPred)),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
        |sc AS (
        |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -1490,6 +1495,8 @@ object StoreOps {
        |  FROM sc)
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+
+  def q92Sql(aux: String): String = dpqSql(aux, "TRUE", "TRUE")
 
   // ---- q149: the durable mount's OPQ path, rotation-GRADED (r14) ------
 
@@ -2501,7 +2508,12 @@ object StoreOps {
     * rerank = exact cosine over load-minus-deletes with the store's
     * tie-break. `ann` is the records layout dir (holds `assign/`);
     * `aux` the codes dir (holds `probes/`). */
-  def q101Sql(ann: String, aux: String): String = {
+  /** One builder for the unfiltered (q101) and hybrid (q171) BQ reads —
+    * `candPred` cuts the hamming population BEFORE the CandN rank (the
+    * semi-join semantics), `tenantPred` restricts delta and base; the
+    * dlshSql discipline. */
+  private def dbqSql(ann: String, aux: String, candPred: String,
+                     tenantPred: String): String = {
     val dim = 64
     val bit =
       """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
@@ -2524,7 +2536,8 @@ object StoreOps {
        |  SELECT c.id, bit_count(xor(c.code, qc.qcode)) AS ham
        |  FROM codes c
        |  JOIN a ON a.id = c.id
-       |  JOIN probes p ON p.cell = a.cell, qc),
+       |  JOIN probes p ON p.cell = a.cell, qc
+       |  WHERE ($candPred)),
        |cut AS (
        |  SELECT id FROM (
        |    SELECT id, row_number() OVER (ORDER BY ham, id) AS cr FROM ham)
@@ -2533,11 +2546,13 @@ object StoreOps {
        |  SELECT id FROM cut
        |  UNION
        |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
+       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
+       |    AND ($tenantPred)),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
        |sc AS (
        |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -2549,6 +2564,9 @@ object StoreOps {
        |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
   }
+
+  def q101Sql(ann: String, aux: String): String =
+    dbqSql(ann, aux, "TRUE", "TRUE")
 
   // ---- q155: the durable store's LSH band-signature read path (r15) ----
 
@@ -2856,41 +2874,11 @@ object StoreOps {
     dfFrame(spark, hits)
   }
 
-  /** q92's replay with the tenant predicate INSIDE the adc CTE (the
-    * semi-join-before-CandN semantics) and on the delta/base. */
+  /** q92's replay ([[dpqSql]]) with the tenant predicate INSIDE the adc
+    * CTE (the semi-join-before-CandN semantics) and on the delta/base. */
   def q170Sql(aux: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
-       |lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
-       |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
-       |adc AS (
-       |  SELECT c.id, round(sum(l.d), 6) AS adc
-       |  FROM cf c JOIN probes p ON p.cell = c.cell
-       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
-       |  WHERE CAST(c.id AS BIGINT) % $DFTenantMod = 1
-       |  GROUP BY c.id),
-       |cand AS (
-       |  SELECT id FROM (
-       |    SELECT id, row_number() OVER (ORDER BY adc, id) AS cr FROM adc)
-       |  WHERE cr <= ${Pq.CandN}
-       |  UNION
-       |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
-       |    AND vec_id % $DFTenantMod = 1),
-       |base AS (
-       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
-       |    AND vec_id % $DFTenantMod = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
-       |sc AS (
-       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
-       |  FROM cand c JOIN base b ON b.id = c.id, q),
-       |r AS (
-       |  SELECT id, raw,
-       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
-       |  FROM sc)
-       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
-       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+    dpqSql(aux, s"CAST(c.id AS BIGINT) % $DFTenantMod = 1",
+      s"vec_id % $DFTenantMod = 1")
 
   private val DFBqNs = "q171"
   private val q171Stores =
@@ -2939,59 +2927,14 @@ object StoreOps {
     dfFrame(spark, hits)
   }
 
-  /** q101's whole-policy replay with the tenant predicate before the
-    * hamming CandN cut and on the delta/base. */
-  def q171Sql(ann: String, aux: String): String = {
-    val dim = 64
-    val bit =
-      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
-        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
-       |a AS (SELECT id, cell FROM read_parquet('$ann/assign/*.parquet')),
-       |st AS (
-       |  SELECT g.i,
-       |         (min(embedding[g.i + 1])::DOUBLE
-       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
-       |  FROM embeddings, range($dim) g(i)
-       |  WHERE vec_id < $FacadeN GROUP BY 1),
-       |codes AS (
-       |  SELECT e.vec_id::VARCHAR AS id,
-       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
-       |                     THEN $bit ELSE 0::BIGINT END) AS code
-       |  FROM embeddings e, st WHERE e.vec_id < $FacadeN GROUP BY 1),
-       |qc AS (SELECT code AS qcode FROM codes WHERE id = '$QueryId'),
-       |ham AS (
-       |  SELECT c.id, bit_count(xor(c.code, qc.qcode)) AS ham
-       |  FROM codes c
-       |  JOIN a ON a.id = c.id
-       |  JOIN probes p ON p.cell = a.cell, qc
-       |  WHERE CAST(c.id AS BIGINT) % $DFTenantMod = 1),
-       |cut AS (
-       |  SELECT id FROM (
-       |    SELECT id, row_number() OVER (ORDER BY ham, id) AS cr FROM ham)
-       |  WHERE cr <= ${graft.operators.Bq.CandN}),
-       |cand AS (
-       |  SELECT id FROM cut
-       |  UNION
-       |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}
-       |    AND vec_id % $DFTenantMod = 1),
-       |base AS (
-       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
-       |    AND vec_id % $DFTenantMod = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
-       |sc AS (
-       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
-       |  FROM cand c JOIN base b ON b.id = c.id, q),
-       |r AS (
-       |  SELECT id, raw,
-       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
-       |  FROM sc)
-       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
-       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
-  }
+  /** q101's whole-policy replay ([[dbqSql]]) with the tenant predicate
+    * before the hamming CandN cut and on the delta/base; the grid
+    * itself stays trained on ALL layout rows, as the store trains it —
+    * a filtered grid would be a different codebook and the hash would
+    * say so. */
+  def q171Sql(ann: String, aux: String): String =
+    dbqSql(ann, aux, s"CAST(c.id AS BIGINT) % $DFTenantMod = 1",
+      s"vec_id % $DFTenantMod = 1")
 
   private val DFImiNs = "q172"
   private val q172Stores =
@@ -3081,29 +3024,12 @@ object StoreOps {
     dfFrame(spark, hits)
   }
 
-  /** q123's replay with the tenant predicate at the rerank (the beam is
-    * persisted pre-filter; candidate-then-filter-then-rank). */
+  /** q123's replay ([[dhnswSql]]) with the tenant predicate at the
+    * rerank; the persisted beam is already predicate-aware under the
+    * flat filter (ACORN), and joining the restricted base replays the
+    * store's candidate-then-filter-then-rank order either way. */
   def q173Sql(aux: String): String =
-    s"""WITH cand AS (
-       |  SELECT DISTINCT id FROM read_parquet('$aux/cands/*.parquet')
-       |  UNION
-       |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
-       |base AS (
-       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
-       |    AND vec_id % $DFTenantMod = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
-       |sc AS (
-       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
-       |  FROM cand c JOIN base b ON b.id = c.id, q),
-       |r AS (
-       |  SELECT id, raw,
-       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
-       |  FROM sc)
-       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
-       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+    dhnswSql(aux, s"vec_id % $DFTenantMod = 1")
 
   // ---- q175: TIME-TRAVEL ANN — the as-of snapshot through the index ---
 
@@ -3205,31 +3131,12 @@ object StoreOps {
       .orderBy("rank")
   }
 
-  /** SQL replay of the as-of indexed read: q87's candidate contract at
-    * the WAVE-1 horizon — wave-2 deletes and the second delta batch
-    * appear nowhere (the invisibility IS the grade). */
+  /** SQL replay of the as-of indexed read: q87's candidate contract
+    * ([[dannSql]]) at the WAVE-1 horizon — wave-2 deletes and the
+    * second delta batch appear nowhere (the invisibility IS the
+    * grade). */
   def q175Sql(aux: String, probesDir: String): String =
-    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
-       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
-       |cand AS (
-       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
-       |  UNION
-       |  SELECT vec_id::VARCHAR FROM embeddings
-       |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
-       |base AS (
-       |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $AsOfDelMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
-       |sc AS (
-       |  SELECT b.id, ${cosSql("b.v", "q.qv")} AS raw
-       |  FROM cand c JOIN base b ON b.id = c.id, q),
-       |r AS (
-       |  SELECT id, raw,
-       |         row_number() OVER (ORDER BY raw DESC, id) AS rank
-       |  FROM sc)
-       |SELECT rank::INT AS rank, id, ${Det.r4Sql("raw")} AS score
-       |FROM r WHERE rank <= $K ORDER BY rank""".stripMargin
+    dannSql(aux, probesDir, AsOfDelMod, "TRUE")
 
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //

@@ -787,7 +787,16 @@ class VectorStore(val spark: SparkSession) {
   /** Candidates via the store-attached HNSW shard graphs: per-shard
     * beam searches (shuffle-free coalesced scans of the persisted
     * layout), candidate ids semi-joined back to the live rows — layout
-    * PROPOSES, live store decides, exactly the IVF path's contract. */
+    * PROPOSES, live store decides, exactly the IVF path's contract.
+    * Filters here apply at the `filteredLive` join (frontier-filter +
+    * the uniform starved rescue): this mount's graph nodes are
+    * record-LIGHT by design (id/vec/level/nbrs — the cache serves a
+    * mutable store, re-reading records per epoch), so the durable
+    * mount's predicate-aware ACORN beam
+    * ([[graft.operators.Hnsw.ShardGraph.searchFiltered]]) does not
+    * apply; a deployment running selective filters against a graph
+    * index serves them from the durable mount, where the nodes carry
+    * metadata. */
   private def hnswCandidates(query: Seq[Float], namespace: String,
                              filter: Map[String, String],
                              jsonFilter: Map[String, String],
