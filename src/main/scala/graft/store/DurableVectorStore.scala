@@ -1139,18 +1139,30 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         case Some(e) =>
           val hits = probeBatch(queries, k, metric, namespace, e,
             persistProbes, pred)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
     exactFiltered(queries)
   }
+
+  /** The q168 per-query starved rescue, shared by every filtered batch
+    * mount: saturated queries keep their probe results; starved ones
+    * (< k hits under a filter) are re-answered by ONE exact filtered
+    * batch over just the starved queries — never the whole batch. Free
+    * when unfiltered or fully saturated. */
+  private def rescueStarved(hits: Seq[Seq[SearchHit]],
+                            queries: Seq[Seq[Float]], k: Int,
+                            hasFilter: Boolean,
+                            exactFiltered: Seq[Seq[Float]] => Seq[Seq[SearchHit]]): Seq[Seq[SearchHit]] =
+    if (!hasFilter || hits.forall(_.size >= k)) hits
+    else {
+      val starved = hits.indices.filter(hits(_).size < k)
+      val rescued = exactFiltered(starved.map(queries))
+      val byIdx = starved.zip(rescued).toMap
+      hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
+    }
 
   private def probeBatch(queries: Seq[Seq[Float]], k: Int, metric: String,
                          namespace: String, e: AnnEntry,
@@ -1255,13 +1267,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val pq = pqLayoutFor(namespace, dim, e)
           val hits = probeBatchPq(queries, k, namespace, e, pq, persistLuts,
             pred, hasFilter)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
@@ -1352,13 +1359,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val bq = bqLayoutFor(namespace, dim, e)
           val hits = probeBatchBq(queries, k, namespace, e, bq, persistCodes,
             pred, hasFilter)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
@@ -1444,13 +1446,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val imi = imiLayoutFor(namespace, dim, e)
           val hits = probeBatchImi(queries, k, namespace, e, imi,
             persistProbes, pred)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
@@ -1513,13 +1510,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val h = hnswLayoutFor(namespace, dim, e)
           val hits = probeBatchHnsw(queries, k, namespace, e, h,
             persistCands, pred, filter)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
@@ -2725,13 +2717,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val lsh = lshLayoutFor(namespace, dim, e)
           val hits = probeBatchLsh(queries, k, namespace, e, lsh,
             persistSigs, pred)
-          if (currentGen() == e.builtGen) {
-            if (!hasFilter || hits.forall(_.size >= k)) return hits
-            val starved = hits.indices.filter(hits(_).size < k)
-            val rescued = exactFiltered(starved.map(queries))
-            val byIdx = starved.zip(rescued).toMap
-            return hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
-          }
+          if (currentGen() == e.builtGen)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
       }
       attempt += 1
     }
