@@ -641,10 +641,130 @@ object EventStream {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- q178: streaming retrieval against the PRUNING mount (r16) ------
+  //
+  // q176 closed the streaming-retrieval cell with the signature mount
+  // and MEASURED that mount's envelope (StreamSearchBench: the 16-band ×
+  // 4-bit banding recalls ~the whole namespace beyond ~256 rows). This
+  // entry is the promised transfer: the SAME streaming shape — stateless
+  // per-row probe derivation → stream-static equi-join against a
+  // standing layout → stateless exact scoring → sink-side cut — with the
+  // IVF inverted file (q33's own persisted layout) as the standing
+  // index, so per-query candidate volume is the PROBED CELLS' occupancy,
+  // not the namespace. The per-row probe ranking runs as a fused
+  // HOF column whose arithmetic is operation-for-operation
+  // [[graft.operators.Ann.rankCells]] (double-cast diffs, index-ordered
+  // sums, (distance, cell) ties) — asserted in-script: the drained
+  // sink's (qid, cell) set must EQUAL the driver kernel's probe table,
+  // which is then persisted for the oracle (candidates-are-policy, the
+  // q33 contract with a qid key).
+
+  private val IvfQLo = 5L
+  private val IvfQHi = 9L
+
+  def q178(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ann = graft.operators.Ann
+    val aux = ann.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$aux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val nProbe = ann.ivfProbeFor(centers.length)
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    // nProbe nearest cells per stream row: distances in DOUBLE, summed
+    // in index order, sorted on (distance, cell) — rankCells' arithmetic
+    // as a codegen-planned column (array_sort on the struct is the
+    // stable (d, cell) order; rankCells' stable sortBy ties the same way)
+    val probed = expr(
+      s"""slice(transform(array_sort(zip_with(
+         |  transform(__centers, c -> aggregate(zip_with(qv, c,
+         |    (x, y) -> (cast(x AS double) - cast(y AS double))
+         |            * (cast(x AS double) - cast(y AS double))),
+         |    cast(0.0 AS double), (acc, v) -> acc + v)),
+         |  sequence(0, ${centers.length - 1}),
+         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
+    val layout = spark.read.parquet(s"$aux/index")
+    val drained = drainToTable(spark, "graft_q178_sink", {
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("__centers", centersLit)
+        .withColumn("cell", explode(probed))
+        .drop("__centers")
+        .join(layout, Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("cell"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q178_sink").start()
+    })
+    // the driver kernel derives the SAME probe table; equality pins the
+    // stream's fused probe ranking to rankCells bit-for-bit, and the
+    // persisted table is the oracle's candidate policy
+    val qs = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+      ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
+    }
+    val streamed = drained.select(col("qid"), col("cell")).distinct()
+      .as[(Long, Int)].collect().toSet
+    // a probed cell with no non-self member emits no sink row — the
+    // stream set must be the kernel's minus empty probes, and never more
+    require(streamed.subsetOf(probeRows.toSet),
+      "the stream's probe ranking diverged from the driver kernel")
+    require((probeRows.toSet -- streamed).forall { case (qid, cell) =>
+      layout.where(col("cell") === cell && col("vec_id") =!= qid)
+        .limit(1).count() == 0L
+    }, "the stream missed a non-empty probed cell")
+    probeRows.toDF("qid", "cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$aux/stream_probes")
+    graft.operators.Ann.rankTopK(
+      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
+      SearchK, descending = true)
+  }
+
+  /** The q33 replay with a parameterized probe table and query set:
+    * candidates = the persisted (qid, cell) probes' members, rerank =
+    * exact cosine rounded to 4, ranked (score DESC, id) per query. */
+  def q178Sql(aux: String): String =
+    s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/stream_probes/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= $IvfQLo AND vec_id < $IvfQHi),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS id
+       |  FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |sc AS (
+       |  SELECT c.qid, c.id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Aux dir of the most recent q178 run — oracle hook (the layout is
+    * q33's own cached build; the probe table is q178's). */
+  @volatile private var lastStreamIvfAux: Option[String] = None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
       "q176_stream_search" -> (q176 _),
+      "q178_stream_search_ivf" -> ((s: SparkSession, d: String) => {
+        val out = q178(s, d)
+        lastStreamIvfAux = Some(graft.operators.Ann.ensureLayout(s, d))
+        out
+      }),
       "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
@@ -655,7 +775,8 @@ object EventStream {
 
   /** q46/q47 reuse the batch twins' oracle texts — that equality IS the
     * parity claim. */
-  val oracles: Map[String, String] =
+  def oracles: Map[String, String] =
+    lastStreamIvfAux.map(aux => "q178_stream_search_ivf" -> q178Sql(aux)).toMap ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,

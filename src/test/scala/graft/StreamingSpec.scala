@@ -48,6 +48,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(x => x._2 >= 1 && x._2 <= 10))
   }
 
+  test("streaming IVF retrieval (q178) equals the batch probe of the same layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.q178(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // batch twin over the SAME persisted layout: driver-ranked probes,
+    // pruned cell join, exact rerank — positional parity IS the claim
+    val ann = graft.operators.Ann
+    val aux = ann.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$aux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val qs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= 5L && col("vec_id") < 9L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeRows = qs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .flatMap { case (qid, qv) =>
+        ann.rankCells(qv, centers, ann.ivfProbeFor(centers.length))
+          .map(c => (qid, c))
+      }
+    val batch = ann.rankTopK(
+      spark.read.parquet(s"$aux/index")
+        .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .distinct(),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served IVF retrieval diverged from the batch probe")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals the batch q28 answer") {
     val q = EventStream.startSessionsToMemory(spark, dir, "stream_sessions")
     try {
