@@ -148,6 +148,32 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ---- WALL BUDGET (r17 — VERDICT r16 "What's wrong" #1) ----
+    // The r16 committed bench is rc=124/parsed:null: 178 queries × (2
+    // scheduled + 2 rescue passes) outgrew the driver's wall limit, the
+    // SIGTERM killed sbt mid-pass-4, and the headline JSON never
+    // printed — the round's bench gate had NO committed evidence despite
+    // flat advisory numbers. Two independent defenses land here:
+    //  1. FIT: an internal wall budget (SPARK_GRAFT_BENCH_WALL_SEC,
+    //     default 3000 s ≈ 50 min — r15's 163-query 3-pass run took
+    //     57:11 against what is evidently a ~60 min driver limit, and
+    //     sbt launch/compile eats more of it). Pass scheduling is
+    //     budget-aware: a scheduled or rescue pass only starts if the
+    //     previous pass's measured wall time (×1.1) still fits, and a
+    //     pass that overruns mid-flight stops at the next query
+    //     boundary. Fewer clean passes beat a dead artifact — per-query
+    //     comparables are cross-pass mins, so extra passes only refine.
+    //  2. DEGRADE: the headline is emitted by a JVM shutdown hook when
+    //     the normal path hasn't printed it (SIGTERM runs hooks; only
+    //     SIGKILL doesn't), from whatever passes completed — a timeout
+    //     can never again zero out the round's evidence.
+    // Both printed lines carry wall_sec + budget_margin_sec so the next
+    // budget approach is visible in the committed artifact BEFORE a
+    // timeout eats it (VERDICT r16 "Next round" #6).
+    val benchT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchT0) / 1e9
+    val wallBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "3000").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32]
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
@@ -316,21 +342,42 @@ object Bench {
       (median(samples), samples, gcD, jitD)
     }
 
-    def benchPass(): Seq[(String, Double)] =
-      selected.toSeq.map { case (name, fn) =>
-        val (med, samples, gcD, jitD) = measureQuery(name, fn, record = true)
-        sampleCounts.updateWith(name)(prev =>
-          Some(prev.getOrElse(Nil) :+ samples.size))
-        // per-pass min alongside the median (audit only): median ≫ min is
-        // the storm signature — it lets a future round adjudicate a
-        // pass-N inflation from the audit file alone, without re-running
-        // the isolated instrument
-        sampleMins.updateWith(name)(prev =>
-          Some(prev.getOrElse(Nil) :+ (if (samples.isEmpty) -1.0 else samples.min)))
-        gcTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ gcD))
-        jitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ jitD))
-        name -> med
+    /** One timed pass. Wall-aware (r17): once `elapsed()` crosses the
+      * budget, the remaining queries are SKIPPED at the query boundary —
+      * their count is returned so the scheduler can decide whether the
+      * pass is usable (a truncated pass never enters pair/deviation
+      * math; its completed measurements still feed the cross-pass min).
+      */
+    // completed (name, median) entries of the pass CURRENTLY running —
+    // non-empty only while benchPass is mid-flight, so the shutdown hook
+    // can fold a killed pass's finished queries into the emitted mins
+    val inflightPass =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    def benchPass(): (Seq[(String, Double)], Int) = {
+      inflightPass.clear()
+      var skipped = 0
+      val out = selected.toSeq.flatMap { case (name, fn) =>
+        if (elapsed() > wallBudget) { skipped += 1; None }
+        else {
+          val (med, samples, gcD, jitD) = measureQuery(name, fn, record = true)
+          sampleCounts.updateWith(name)(prev =>
+            Some(prev.getOrElse(Nil) :+ samples.size))
+          // per-pass min alongside the median (audit only): median ≫ min is
+          // the storm signature — it lets a future round adjudicate a
+          // pass-N inflation from the audit file alone, without re-running
+          // the isolated instrument
+          sampleMins.updateWith(name)(prev =>
+            Some(prev.getOrElse(Nil) :+ (if (samples.isEmpty) -1.0 else samples.min)))
+          gcTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ gcD))
+          jitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ jitD))
+          inflightPass += (name -> med)
+          Some(name -> med)
+        }
       }
+      inflightPass.clear() // the scheduler owns a returned pass
+      (out, skipped)
+    }
 
     // Streaming-startup floor (r12, VERDICT r11 #6): the 7 drained
     // streaming queries carry per-invocation query startup + source
@@ -355,7 +402,9 @@ object Bench {
     }
     val startupFloor = streamStartupFloor()
 
+    val sweepT0 = elapsed()
     warmSweep()
+    val sweepWall = elapsed() - sweepT0
     // settle at the sweep→pass boundary: the sweep just ran every query
     // back-to-back and its broadcast/shuffle cleanup debt lands on the
     // EARLIEST pass-1 queries otherwise (part of the r11 pass-1
@@ -393,15 +442,82 @@ object Bench {
       } yield (i, j, if (lo <= 0) 0.0 else (hi - lo) / lo * 100.0))
         .minBy { case (i, j, d) => (d, -j, -i) }
 
+    // ---- WALL-AWARE PASS SCHEDULING (r17) ----
+    // passBuf holds only COMPLETE passes (pair/deviation math compares
+    // like with like); partialMins holds measurements from a pass the
+    // wall budget truncated mid-flight — they still sharpen the
+    // cross-pass per-query min, which is THE comparable. Exception: if
+    // the FIRST pass truncates, its prefix enters passBuf padded with
+    // -1.0 so the headline still carries every query name.
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
-    (1 to passes).foreach { _ => passBuf += benchPass(); settle() }
-    if (passes >= 2) {
-      var extraRuns = 0
-      while (extraRuns < rescue &&
-             closestPair(commonTotalsOf(passBuf.toSeq))._3 > PairAgreePct) {
-        passBuf += benchPass(); settle(); extraRuns += 1
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val partialMins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var wallTruncated = false
+
+    // a pass costs ~what the last one cost; before any timed pass, the
+    // sweep (1 warm run/query) bounds it from below — timed passes add
+    // 3–11 samples/query, hence the 3× first estimate
+    def estNextPassWall(): Double = passWalls.lastOption.getOrElse(sweepWall * 3.0)
+
+    /** Run one pass if the budget allows (always allows the first).
+      * Returns true iff a complete pass was added. */
+    def tryPass(force: Boolean): Boolean = {
+      if (!force && elapsed() + estNextPassWall() * 1.1 > wallBudget) {
+        wallTruncated = true; false
+      } else {
+        val t0 = elapsed()
+        val (res, skipped) = benchPass()
+        passWalls += elapsed() - t0
+        val complete = skipped == 0
+        if (complete) passBuf += res
+        else {
+          wallTruncated = true
+          if (passBuf.isEmpty) {
+            val done = res.map(_._1).toSet
+            passBuf += (res ++ selected.keys.toSeq.filterNot(done).map(_ -> -1.0))
+          } else res.foreach { case (n, v) =>
+            if (v >= 0) partialMins.updateWith(n)(p => Some(p.fold(v)(math.min(v, _))))
+          }
+        }
+        settle()
+        complete
       }
     }
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Compute and print the artifact from whatever complete passes
+      * exist (r17). Called exactly once: by the normal path after
+      * scheduling, or by the shutdown hook if a SIGTERM arrives first —
+      * so a driver timeout degrades to a shorter-but-valid artifact
+      * instead of rc=124/parsed:null (the r16 failure). The hook path
+      * passes runAdj=false (no Spark jobs during shutdown). */
+    def emit(runAdj: Boolean, emittedBy: String): Unit = {
+      if (!emitted.compareAndSet(false, true)) return
+      // fold a killed pass's finished queries into the emitted data:
+      // inflightPass is non-empty only when benchPass died mid-flight
+      if (inflightPass.nonEmpty) {
+        if (passBuf.isEmpty) {
+          val done = inflightPass.map(_._1).toSet
+          passBuf += (inflightPass.toSeq ++
+            selected.keys.toSeq.filterNot(done).map(_ -> -1.0))
+        } else inflightPass.foreach { case (n, v) =>
+          if (v >= 0)
+            partialMins.updateWith(n)(p => Some(p.fold(v)(math.min(v, _))))
+        }
+      }
+      if (passBuf.isEmpty) {
+        // killed before any query completed — still print parseable JSON
+        val stub = s"""{"metric":"total","value":-1.0,"unit":"sec","sf":"$sfDir","error":"killed before the first query completed","wall_sec":${math.round(elapsed() * 1000) / 1000.0},"budget_sec":$wallBudget,"emitted_by":"$emittedBy"}"""
+        println(stub)
+        try {
+          val ap = java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_AUDIT", "target/bench_audit.json"))
+          Option(ap.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(ap.resolveSibling("bench_headline.json"),
+            (stub + "\n").getBytes("UTF-8"))
+        } catch { case _: Throwable => () }
+        return
+      }
     val allPasses: Seq[Seq[(String, Double)]] = passBuf.toSeq
     val names = allPasses.head.map(_._1)
 
@@ -415,9 +531,13 @@ object Bench {
     val totals = allPasses.map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
 
     // THE COMPARABLE: per-query min of the per-pass medians (see scaladoc);
-    // a query with no valid median in any pass stays -1.0
+    // a query with no valid median in any pass stays -1.0. Measurements
+    // from a wall-truncated pass (partialMins) still sharpen the min —
+    // they are real medians from the shared measureQuery procedure, just
+    // from a pass that can't enter pair/deviation math.
     val minQueries = names.map { name =>
-      val vs = allPasses.flatMap(_.collectFirst { case (`name`, v) if v >= 0 => v })
+      val vs = allPasses.flatMap(_.collectFirst { case (`name`, v) if v >= 0 => v }) ++
+        partialMins.get(name)
       name -> (if (vs.isEmpty) -1.0 else vs.min)
     }
 
@@ -487,7 +607,7 @@ object Bench {
     // instrument itself on a cheap subset without a full-suite run)
     val adjForce = sys.env.get("SPARK_GRAFT_BENCH_ADJ_FORCE").contains("1")
     val adjTargets =
-      if (passes < 2 || (only.nonEmpty && !adjForce)) Seq.empty
+      if (!runAdj || passes < 2 || (only.nonEmpty && !adjForce)) Seq.empty
       else devs.filter { case (name, d) =>
         d > adjThresholdPct && comparableOf(name) >= 0.3
       }.sortBy(-_._2).take(3)
@@ -526,7 +646,12 @@ object Bench {
         .flatMap { n =>
           devs.collectFirst { case (`n`, d) if d > adjThresholdPct => d }
             .map { d =>
-              n -> s"""{"trigger_dev_pct":${math.round(d * 10) / 10.0},"comparable":${r3(comparableOf(n))},"verdict":"below the 0.3 s adjudication floor - the sub-300 ms cohort's deviations are single GC pauses, adjudicated as a class (see notes r12_pass1_inflation); absolute swing ~${r3(comparableOf(n) * d / 100.0)} s"}"""
+              val why =
+                if (!runAdj && comparableOf(n) >= 0.3)
+                  "isolated instrument skipped - bench wall budget exhausted; adjudicate with SPARK_GRAFT_BENCH_ONLY"
+                else
+                  s"below the 0.3 s adjudication floor - the sub-300 ms cohort's deviations are single GC pauses, adjudicated as a class (see notes r12_pass1_inflation); absolute swing ~${r3(comparableOf(n) * d / 100.0)} s"
+              n -> s"""{"trigger_dev_pct":${math.round(d * 10) / 10.0},"comparable":${r3(comparableOf(n))},"verdict":"$why"}"""
             }
         }
     val adjJson = (adjResults ++ adjSkipped)
@@ -611,7 +736,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcTimes)},"queries_pass_jit_ms":${longsJson(jitTimes)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcTimes)},"queries_pass_jit_ms":${longsJson(jitTimes)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${passWalls.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialMins.size},"emitted_by":"$emittedBy","notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -638,13 +763,56 @@ object Bench {
     // artifacts alone (the r15 regeneration was only discoverable via
     // the uncommitted audit file). Same sig → totals comparable;
     // different sig → compare within-round evidence only.
-    println(s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","setup_cost_total_sec":$setupTotal,"audit":"$auditPath"}""")
+    // wall_sec + budget_margin_sec ride BOTH lines (r17 — VERDICT r16
+    // #6): the next budget approach must be visible in the committed
+    // artifact before a timeout eats it. A shrinking margin says "trim
+    // passes or raise the budget" a round before rc=124 would.
+    val wallNow = r3(elapsed())
+    val wallMargin = r3(wallBudget - elapsed())
+    val line1 = s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","setup_cost_total_sec":$setupTotal,"wall_sec":$wallNow,"budget_margin_sec":$wallMargin,"audit":"$auditPath"}"""
+    println(line1)
     // SECOND, SHORT line (r9, per advice): if the tail window clips the
     // per-query line above, it stops being parseable JSON at all — the
     // opening brace is gone. This headline-only line always fits inside
     // any plausible tail window, so at least one guaranteed-valid JSON
     // object survives for a strict parser. Per-query data: audit file.
-    println(s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errors.size}$extra$onlyJson,"audit":"$auditPath"}""")
+    val line2 = s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errors.size},"passes_run":${allPasses.size},"wall_sec":$wallNow,"budget_sec":$wallBudget,"budget_margin_sec":$wallMargin,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy"$extra$onlyJson,"audit":"$auditPath"}"""
+    println(line2)
+    // sidecar copy of the headline (r17): the driver launches this main
+    // through sbt with run/fork=true, so the fork's stdout crosses TWO
+    // pipes — a kill that takes sbt down first can eat the hook's
+    // println even though the hook ran (observed while testing the r16
+    // fix). A file write has no intermediary; committed, it is the
+    // headline of record when the stdout capture is clipped or lost.
+    try {
+      val hp = java.nio.file.Paths.get(auditPath).resolveSibling("bench_headline.json")
+      java.nio.file.Files.write(hp, (line1 + "\n" + line2 + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"headline write failed: $e") }
+    } // emit
+
+    // SIGTERM runs shutdown hooks (only SIGKILL doesn't): a driver
+    // timeout now degrades to a valid artifact from completed passes
+    // instead of the r16 rc=124/parsed:null. No Spark work in the hook
+    // (the context is concurrently shutting down) — emit only reads
+    // already-collected driver-side state and prints/writes files.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try emit(runAdj = false, emittedBy = "shutdown_hook")
+      catch { case _: Throwable => () }
+    }))
+
+    tryPass(force = true)
+    var scheduled = 1
+    while (scheduled < passes && tryPass(force = false)) scheduled += 1
+    if (passes >= 2 && passBuf.size >= 2) {
+      var extraRuns = 0
+      while (extraRuns < rescue &&
+             closestPair(commonTotalsOf(passBuf.toSeq))._3 > PairAgreePct &&
+             tryPass(force = false)) extraRuns += 1
+    }
+
+    // the inline adjudication instrument runs Spark jobs — only if the
+    // budget still has headroom for its up-to-3 × 4 solo passes
+    emit(runAdj = wallBudget - elapsed() > 180, emittedBy = "main")
     spark.stop()
   }
 }
