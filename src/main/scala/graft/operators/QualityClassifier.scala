@@ -485,9 +485,17 @@ object QualityClassifier {
   }
 
   /** One durable q163 store per sf dir per JVM (the q87 pattern: load +
-    * layout once, serve many). */
+    * layout once, serve many). Keyed by the RESOLVED root (conf included),
+    * not the data dir alone — see the root construction in [[q163]]. */
   private val q163Stores =
     new java.util.concurrent.ConcurrentHashMap[String, graft.store.DurableVectorStore]()
+  private val q163Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  // per-process disambiguator for shared conf roots (the StoreOps
+  // facadeToken pattern): two JVMs grading against one cluster mount must
+  // not append onto each other's layout
+  private lazy val q163Token: String =
+    ProcessHandle.current().pid().toString + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   /** q163: q162 on the DURABLE mount — the same gated load frame
     * appended to the LSM layout (metadata rides the append), the same
@@ -497,15 +505,27 @@ object QualityClassifier {
     * text VERBATIM: that equality IS the cross-mount parity claim (the
     * q157 contract applied to stores). */
   def q163(spark: SparkSession, dir: String): DataFrame = {
-    val store = q163Stores.computeIfAbsent(dir, d => {
-      // durable layout lands on the configured mount when set (the
-      // StoreOps.DurableDirConf pattern — on a cluster a driver-local
-      // temp dir would not survive, let alone serve executors)
-      val root = spark.conf.getOption(StoreOps.DurableDirConf)
-        .map(_ + "/q163").getOrElse(java.nio.file.Files
-          .createTempDirectory("graft_q163_").toString)
+    // durable layout lands on the configured mount when set (the
+    // StoreOps.DurableDirConf pattern — on a cluster a driver-local
+    // temp dir would not survive, let alone serve executors). The base
+    // mangles in the DATA dir + a per-process token, and each build gets
+    // a fresh /a<attempt> subdir (the StoreOps dfStoreFor discipline):
+    // a bare conf+"/q163" root was one fixed path shared across every
+    // corpus dir and every JVM run, so two dirs in one process — or a
+    // corpus regeneration across runs — would load DIFFERENT gated
+    // vector sets into the SAME persisted namespace and serve rows from
+    // the other corpus (ADVICE r16).
+    val base = spark.conf.getOption(StoreOps.DurableDirConf)
+      .map(_ + "/q163_" + q163Token + "_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      .getOrElse("tmp:" + dir) // no conf: per-dir temp root, made below
+    val store = q163Stores.computeIfAbsent(base, b => {
+      val root =
+        if (b.startsWith("tmp:"))
+          java.nio.file.Files.createTempDirectory("graft_q163_").toString
+        else b + "/a" + q163Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
-      s.loadFrame(gatedVectorFrame(spark, d), Q162Ns)
+      s.loadFrame(gatedVectorFrame(spark, dir), Q162Ns)
       s
     })
     emitHits(spark, store.findSimilar(q162QueryVec(spark, dir), k = Q162K,

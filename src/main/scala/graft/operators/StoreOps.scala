@@ -1257,16 +1257,21 @@ object StoreOps {
       s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFAnnNs)
       s
     })
+    val rescues0 = store.exactRescues.get()
     val hits = store.findSimilarIvfFilteredGraded(qv, k = K,
       namespace = DFAnnNs, filter = Map("tenant" -> "1"))
     require(store.annBuilds.get() == 1,
       "q164's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    require(hits.size == K,
-      s"q164's filtered probe returned ${hits.size} < $K hits — the " +
-        "starved-selectivity fallback fired, which the oracle does not " +
-        "replay (the fallback is DurableStoreSpec-pinned; retune the " +
-        "filter or probe breadth if the corpus shape changed)")
+    // the branch indicator, not an inference from hits.size (ADVICE r16:
+    // the rescue ALSO returns exactly k when ≥ k rows match, so a size
+    // guard cannot detect it firing)
+    require(store.exactRescues.get() == rescues0 && hits.size == K,
+      s"q164's filtered probe did not serve from the probe branch " +
+        s"(${hits.size} hits, ${store.exactRescues.get() - rescues0} " +
+        "rescues) — the starved-selectivity fallback fired, which the " +
+        "oracle does not replay (the fallback is DurableStoreSpec-pinned; " +
+        "retune the filter or probe breadth if the corpus shape changed)")
     lastDurableFilteredAux = store.annLayoutDir(DFAnnNs, qv.length)
       .map { case (a, _) => (a, store.annProbesDir(a)) }
     hits.zipWithIndex
@@ -2115,14 +2120,17 @@ object StoreOps {
       s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFBatchNs)
       s
     })
+    val rescues0 = store.exactRescues.get()
     val res = store.findSimilarBatchApprox(qs, k = K, namespace = DFBatchNs,
       persistProbes = true, filter = tenantFilter)
     require(store.annBuilds.get() == 1,
       "q168's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    require(res.forall(_.size == K),
-      "q168's filtered batch starved below k — the fallback branch fired, " +
-        "which the oracle does not replay (DurableStoreSpec pins it)")
+    require(store.exactRescues.get() == rescues0 && res.forall(_.size == K),
+      "q168's filtered batch did not serve every query from the probe " +
+        s"branch (${store.exactRescues.get() - rescues0} rescues) — the " +
+        "fallback fired, which the oracle does not replay " +
+        "(DurableStoreSpec pins it)")
     if (q168ParityChecked.add(dir))
       qs.indices.foreach { i =>
         val single = store.findSimilar(qs(i), k = K, namespace = DFBatchNs,
@@ -2730,14 +2738,17 @@ object StoreOps {
       s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DFLshNs)
       s
     })
+    val rescues0 = store.exactRescues.get()
     val hits = store.findSimilarLshGraded(qv, k = K, namespace = DFLshNs,
       filter = Map("tenant" -> "1"))
     require(store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
       "q169's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    require(hits.size == K,
-      s"q169's filtered probe returned ${hits.size} < $K hits — the " +
-        "starved fallback fired, which the oracle does not replay")
+    require(store.exactRescues.get() == rescues0 && hits.size == K,
+      s"q169's filtered probe did not serve from the probe branch " +
+        s"(${hits.size} hits, ${store.exactRescues.get() - rescues0} " +
+        "rescues) — the starved fallback fired, which the oracle does " +
+        "not replay")
     hits.zipWithIndex
       .map { case (h, i) => (i + 1, h.id, h.score) }
       .toDF("rank", "id", "score")
@@ -2804,18 +2815,28 @@ object StoreOps {
     })
   }
 
-  /** Post-graded-search invariants shared by q170–q173: the mutation
-    * window stayed inside the staleness ratio and the probe did not
-    * starve (the starved fallback is DurableStoreSpec-pinned; the
-    * oracle replays the probe branch only). */
-  private def dfRequire(ns: String, hits: Seq[graft.model.SearchHit],
-                        inWindow: Boolean): Unit = {
+  /** Runs a graded filtered search and asserts the invariants shared by
+    * q170–q173: the mutation window stayed inside the staleness ratio
+    * and the graded call served from the PROBE branch — asserted via
+    * the store's [[graft.store.DurableVectorStore.exactRescues]] branch
+    * indicator, not inferred from hits.size (ADVICE r16: the starved
+    * fallback ALSO returns exactly k whenever ≥ k rows match, so a size
+    * guard cannot detect it; the fallback is DurableStoreSpec-pinned,
+    * the oracle replays the probe branch only). */
+  private def dfGraded(ns: String, store: graft.store.DurableVectorStore,
+                       inWindow: => Boolean)(
+      search: => Seq[graft.model.SearchHit]): Seq[graft.model.SearchHit] = {
+    val rescues0 = store.exactRescues.get()
+    val hits = search
     require(inWindow,
       s"$ns's mutation window crossed the staleness ratio — the oracle's " +
         "delta-union replay assumes the first layout serves the graded search")
-    require(hits.size == K,
-      s"$ns's filtered probe returned ${hits.size} < $K hits — the " +
-        "starved fallback fired, which the oracle does not replay")
+    require(store.exactRescues.get() == rescues0 && hits.size == K,
+      s"$ns's filtered probe did not serve from the probe branch " +
+        s"(${hits.size} hits, ${store.exactRescues.get() - rescues0} " +
+        "rescues) — the starved fallback fired, which the oracle does " +
+        "not replay")
+    hits
   }
 
   private def dfFrame(spark: SparkSession,
@@ -2852,10 +2873,11 @@ object StoreOps {
     val store = dfStoreFor(spark, dir, DFPqNs, "dfpq", "pq",
       q170Stores, q170Attempts, qv,
       s => s.annBuilds.get() >= 1 && s.pqBuilds.get() >= 1)
-    val hits = store.findSimilarPqGraded(qv, k = K, namespace = DFPqNs,
-      filter = Map("tenant" -> "1"))
-    dfRequire(DFPqNs, hits,
-      store.annBuilds.get() == 1 && store.pqBuilds.get() == 1)
+    val hits = dfGraded(DFPqNs, store,
+      store.annBuilds.get() == 1 && store.pqBuilds.get() == 1) {
+      store.findSimilarPqGraded(qv, k = K, namespace = DFPqNs,
+        filter = Map("tenant" -> "1"))
+    }
     if (q170ParityChecked.add(dir)) {
       val q2 = e.where(col("vec_id") === 2L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -2902,10 +2924,11 @@ object StoreOps {
     val store = dfStoreFor(spark, dir, DFBqNs, "dfbq", "bq",
       q171Stores, q171Attempts, qv,
       s => s.annBuilds.get() >= 1 && s.bqBuilds.get() >= 1)
-    val hits = store.findSimilarBqGraded(qv, k = K, namespace = DFBqNs,
-      filter = Map("tenant" -> "1"))
-    dfRequire(DFBqNs, hits,
-      store.annBuilds.get() == 1 && store.bqBuilds.get() == 1)
+    val hits = dfGraded(DFBqNs, store,
+      store.annBuilds.get() == 1 && store.bqBuilds.get() == 1) {
+      store.findSimilarBqGraded(qv, k = K, namespace = DFBqNs,
+        filter = Map("tenant" -> "1"))
+    }
     if (q171ParityChecked.add(dir)) {
       val q2 = e.where(col("vec_id") === 2L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -2956,10 +2979,11 @@ object StoreOps {
     val store = dfStoreFor(spark, dir, DFImiNs, "dfimi", "imi",
       q172Stores, q172Attempts, qv,
       s => s.annBuilds.get() >= 1 && s.imiBuilds.get() >= 1)
-    val hits = store.findSimilarImiGraded(qv, k = K, namespace = DFImiNs,
-      filter = Map("tenant" -> "1"))
-    dfRequire(DFImiNs, hits,
-      store.annBuilds.get() == 1 && store.imiBuilds.get() == 1)
+    val hits = dfGraded(DFImiNs, store,
+      store.annBuilds.get() == 1 && store.imiBuilds.get() == 1) {
+      store.findSimilarImiGraded(qv, k = K, namespace = DFImiNs,
+        filter = Map("tenant" -> "1"))
+    }
     if (q172ParityChecked.add(dir)) {
       val q2 = e.where(col("vec_id") === 2L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -3002,10 +3026,11 @@ object StoreOps {
     val store = dfStoreFor(spark, dir, DFHnswNs, "dfhnsw", "hnsw",
       q173Stores, q173Attempts, qv,
       s => s.annBuilds.get() >= 1 && s.hnswBuilds.get() >= 1)
-    val hits = store.findSimilarHnswGraded(qv, k = K, namespace = DFHnswNs,
-      filter = Map("tenant" -> "1"))
-    dfRequire(DFHnswNs, hits,
-      store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1)
+    val hits = dfGraded(DFHnswNs, store,
+      store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1) {
+      store.findSimilarHnswGraded(qv, k = K, namespace = DFHnswNs,
+        filter = Map("tenant" -> "1"))
+    }
     if (q173ParityChecked.add(dir)) {
       val q2 = e.where(col("vec_id") === 2L)
         .select(col("embedding")).collect()(0).getSeq[Float](0)

@@ -1159,6 +1159,7 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     if (!hasFilter || hits.forall(_.size >= k)) hits
     else {
       val starved = hits.indices.filter(hits(_).size < k)
+      exactRescues.addAndGet(starved.size.toLong)
       val rescued = exactFiltered(starved.map(queries))
       val byIdx = starved.zip(rescued).toMap
       hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
@@ -1535,6 +1536,34 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     Scoring.batchSearchCandidates(
       live().filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
+  }
+
+  /** Count of exact-scan rescues served in place of an index probe —
+    * starved filtered probes and generation-race exhaustions both land
+    * here (single + batch, all six mounts). Graded queries snapshot it
+    * around the graded search to assert the PROBE branch served: a
+    * `hits.size == k` guard alone cannot detect the rescue, which also
+    * returns exactly k whenever the namespace holds ≥ k matching rows
+    * (ADVICE r16) — a silently-rescued run would only surface as a
+    * downstream oracle hash mismatch with a misleading message. */
+  private[graft] val exactRescues = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** COST NOTE (ADVICE r16): a namespace that legitimately holds fewer
+    * than k matching rows is a STEADY state, and every filtered indexed
+    * query against it pays probe + this exact scan — per query, forever.
+    * The live store short-circuits that with an epoch-keyed starvation
+    * cache ([[graft.store.VectorStore]] starvedFilters); here the
+    * analogue would be unsound: other PROCESSES mutate a shared durable
+    * root (marker-claimed seqs), so a driver-local "nothing changed"
+    * fact can go stale without any local signal short of re-reading the
+    * manifest — which costs what the probe costs. Callers with a
+    * known-permanently-starved filter should use the exact path
+    * (approx=false): same plan this rescue runs, minus the wasted
+    * probe. */
+  private def exactRescue(pred: Column, query: Seq[Float], k: Int,
+                          metric: String, namespace: String): Seq[SearchHit] = {
+    exactRescues.incrementAndGet()
+    searchOver(live().filter(pred), query, k, metric, namespace)
   }
 
   private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
@@ -2094,13 +2123,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             // filtered scan so the k contract holds regardless of how
             // the filter intersects the cell geometry
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, metric, namespace)
+              return exactRescue(pred, query, k, metric, namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, metric, namespace)
+    exactRescue(pred, query, k, metric, namespace)
   }
 
   private def probeIvf(query: Seq[Float], k: Int, namespace: String,
@@ -2307,14 +2336,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             pred, hasFilter)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, "cosine",
-                namespace)
+              return exactRescue(pred, query, k, "cosine", namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, "cosine", namespace)
+    exactRescue(pred, query, k, "cosine", namespace)
   }
 
   private def probePq(query: Seq[Float], k: Int, namespace: String,
@@ -2490,14 +2518,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             pred, hasFilter)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, "cosine",
-                namespace)
+              return exactRescue(pred, query, k, "cosine", namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, "cosine", namespace)
+    exactRescue(pred, query, k, "cosine", namespace)
   }
 
   private def probeBq(query: Seq[Float], k: Int, namespace: String,
@@ -2649,14 +2676,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeLsh(query, k, namespace, e, lsh, persistSig, pred)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, "cosine",
-                namespace)
+              return exactRescue(pred, query, k, "cosine", namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, "cosine", namespace)
+    exactRescue(pred, query, k, "cosine", namespace)
   }
 
   private def probeLsh(query: Seq[Float], k: Int, namespace: String,
@@ -2870,14 +2896,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             pred)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, "cosine",
-                namespace)
+              return exactRescue(pred, query, k, "cosine", namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, "cosine", namespace)
+    exactRescue(pred, query, k, "cosine", namespace)
   }
 
   private def probeImi(query: Seq[Float], k: Int, namespace: String,
@@ -2995,14 +3020,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
             pred, filter)
           if (currentGen() == e.builtGen) {
             if (hasFilter && hits.size < k)
-              return searchOver(live().filter(pred), query, k, "cosine",
-                namespace)
+              return exactRescue(pred, query, k, "cosine", namespace)
             return hits
           }
       }
       attempt += 1
     }
-    searchOver(live().filter(pred), query, k, "cosine", namespace)
+    exactRescue(pred, query, k, "cosine", namespace)
   }
 
   private def probeHnsw(query: Seq[Float], k: Int, namespace: String,

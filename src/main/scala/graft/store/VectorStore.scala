@@ -1237,6 +1237,25 @@ class VectorStore(val spark: SparkSession) {
                   approx: Boolean = false,
                   index: String = "lsh"): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
+    // pre-probe epoch snapshot: starvation facts recorded below are
+    // valid only for the store state the probe observed
+    val epoch0 = epoch
+    // permanently-starved short-circuit (see the fallback note below): a
+    // recorded < k matching-row count for this (namespace, filter) at
+    // the CURRENT epoch means the probe cannot saturate and the rescue
+    // would run anyway — serve the exact filtered scan directly, paying
+    // one scan instead of probe + scan on every query of a steady state
+    if (approx && (filter.nonEmpty || jsonFilter.nonEmpty)) {
+      Option(starvedFilters.get((namespace, filterKey(filter, jsonFilter))))
+        .foreach { case (ep, m) =>
+          if (ep == epoch0 && m < k) {
+            starvedProbeSkips.incrementAndGet()
+            return collectHits(ranked(
+              scored(query, metric, namespace, filter, jsonFilter), metric)
+              .limit(k))
+          }
+        }
+    }
     val base =
       if (!approx) scored(query, metric, namespace, filter, jsonFilter)
       else {
@@ -1263,13 +1282,54 @@ class VectorStore(val spark: SparkSession) {
     // cuts choose candidates by geometry before the filter; probed
     // cells/buckets may simply not hold the matching rows). When that
     // happens, serve the exact filtered scan — the caller always gets
-    // min(k, matching-live-rows); the fallback costs one scan and fires
-    // only in the starved case.
-    if (approx && (filter.nonEmpty || jsonFilter.nonEmpty) && hits.size < k)
-      collectHits(ranked(
+    // min(k, matching-live-rows).
+    //
+    // COST (ADVICE r16): "fires only in the starved case" is per-QUERY,
+    // not transient per-STORE — a namespace that legitimately holds
+    // fewer than k matching rows is a STEADY state, and every filtered
+    // approx query against it would pay probe + exact scan forever. The
+    // starvation cache breaks that: when the rescue itself returns < k
+    // hits, the exact scan has PROVED the namespace holds < k matching
+    // rows, a fact about (namespace, filter) alone — valid until the
+    // next mutation — so it is recorded against the pre-probe epoch and
+    // [[findSimilar]] skips the probe (serving the exact scan directly,
+    // the same plan approx=false runs) while the epoch stands. A
+    // geometry-starved probe whose rescue DOES find k hits is
+    // query-dependent and is deliberately not cached.
+    if (approx && (filter.nonEmpty || jsonFilter.nonEmpty) && hits.size < k) {
+      val rescued = collectHits(ranked(
         scored(query, metric, namespace, filter, jsonFilter), metric).limit(k))
-    else hits
+      if (rescued.size < k)
+        starvedFilters.put((namespace, filterKey(filter, jsonFilter)),
+          (epoch0, rescued.size))
+      rescued
+    } else hits
   }
+
+  /** Starvation facts: (namespace, canonical filter) → (epoch, matching
+    * rows observed by a rescue that itself returned < k). A rescue
+    * proves the namespace holds exactly that many matching rows — a
+    * STEADY state, not a transient (ADVICE r16) — so while the epoch
+    * stands, [[findSimilar]] routes such filters straight to the exact
+    * scan instead of paying probe + scan per query forever. Any
+    * mutation bumps the epoch and naturally invalidates every entry
+    * (epoch equality is required at read); no explicit eviction. Batch
+    * reads record here too but do not short-circuit (six entry points,
+    * each already paying one shared probe per batch — the steady-state
+    * double cost is per batch, not per query, there). */
+  private val starvedFilters =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Int)]()
+
+  /** Probe skips served by the starvation cache — the branch indicator
+    * for specs (the [[graft.store.DurableVectorStore.exactRescues]]
+    * pattern). */
+  private[graft] val starvedProbeSkips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def filterKey(filter: Map[String, String],
+                        jsonFilter: Map[String, String]): String =
+    (filter.toSeq.sorted.mkString("&") + "|" +
+      jsonFilter.toSeq.sorted.mkString("&"))
 
   /** The batch form of the starved-selectivity fallback (see
     * [[findSimilar]]): queries whose filtered indexed candidates came up
@@ -1284,10 +1344,17 @@ class VectorStore(val spark: SparkSession) {
     if ((filter.isEmpty && jsonFilter.isEmpty) || hits.forall(_.size >= k))
       hits
     else {
+      val epoch0 = epoch // before the rescue scan — see starvedFilters
       val starved = hits.indices.filter(hits(_).size < k)
       val rescued = Scoring.batchSearch(
         filteredLive(namespace, filter, jsonFilter),
         starved.map(queries), k, "cosine")
+      // a rescue that still came up short proves < k matching rows —
+      // record the steady state so single-query reads skip their probes
+      val short = rescued.filter(_.size < k)
+      if (short.nonEmpty)
+        starvedFilters.put((namespace, filterKey(filter, jsonFilter)),
+          (epoch0, short.map(_.size).max))
       val byIdx = starved.zip(rescued).toMap
       hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
     }

@@ -749,4 +749,49 @@ class VectorStoreSpec extends AnyFunSuite {
       approx = true, index = "pq", filter = Map("grp" -> "common"))
     assert(common.size == 10 && common.forall(h => !rareIds(h.id)))
   }
+
+  test("permanently-starved filters skip the probe while the epoch stands") {
+    val s = newStore
+    // 60 near-origin rows, 3 'rare' far rows: any filtered approx query
+    // for grp=rare with k=10 is PERMANENTLY starved (only 3 matching
+    // rows exist) — the steady state ADVICE r16 flagged as paying
+    // probe + exact scan on every query, forever
+    val rows =
+      (0 until 60).map { i =>
+        (Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f, 1f, 0f),
+          Map("grp" -> "common"))
+      } ++ (0 until 3).map { i =>
+        (Seq(50f + i, 50f, 50f, 50f), Map("grp" -> "rare"))
+      }
+    s.upsertMany(rows, "perm")
+    val q = Seq(0.4f, 0.3f, 1f, 0f)
+    val rare = Map("grp" -> "rare")
+    // first query: probe → rescue (< k) → records the starvation fact
+    val first = s.findSimilar(q, k = 10, namespace = "perm",
+      approx = true, index = "ivf", filter = rare)
+    assert(first.size == 3)
+    assert(s.starvedProbeSkips.get() == 0, "first query must really probe")
+    // second query, same filter, no mutation: the cache routes straight
+    // to the exact scan — the branch indicator proves the probe was
+    // skipped, and the answer is unchanged
+    val second = s.findSimilar(q, k = 10, namespace = "perm",
+      approx = true, index = "ivf", filter = rare)
+    assert(second.map(h => (h.id, h.score)) == first.map(h => (h.id, h.score)))
+    assert(s.starvedProbeSkips.get() == 1, "steady-state query must skip the probe")
+    // smaller k that the matching rows CAN saturate: no short-circuit
+    // (m=3 is not < k=2), the probe serves
+    val small = s.findSimilar(q, k = 2, namespace = "perm",
+      approx = true, index = "ivf", filter = rare)
+    assert(small.size == 2 && s.starvedProbeSkips.get() == 1)
+    // a mutation bumps the epoch and invalidates the fact: the next
+    // query probes again (and re-records, now 4 matching rows)
+    s.insert(Seq(51f, 51f, 51f, 51f), Map("grp" -> "rare"), namespace = "perm")
+    val third = s.findSimilar(q, k = 10, namespace = "perm",
+      approx = true, index = "ivf", filter = rare)
+    assert(third.size == 4)
+    assert(s.starvedProbeSkips.get() == 1, "post-mutation query must re-probe")
+    val fourth = s.findSimilar(q, k = 10, namespace = "perm",
+      approx = true, index = "ivf", filter = rare)
+    assert(fourth.size == 4 && s.starvedProbeSkips.get() == 2)
+  }
 }
