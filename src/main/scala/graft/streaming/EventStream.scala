@@ -717,10 +717,19 @@ object EventStream {
     // stream set must be the kernel's minus empty probes, and never more
     require(streamed.subsetOf(probeRows.toSet),
       "the stream's probe ranking diverged from the driver kernel")
-    require((probeRows.toSet -- streamed).forall { case (qid, cell) =>
-      layout.where(col("cell") === cell && col("vec_id") =!= qid)
-        .limit(1).count() == 0L
-    }, "the stream missed a non-empty probed cell")
+    // completeness in ONE job (VERDICT r16 #5 — was a driver-side loop
+    // firing one limit(1).count() per missing pair, O(probes) sequential
+    // jobs): the kernel's (qid, cell) probes anti-joined against the
+    // streamed set, then inner-joined to the layout with the self-row
+    // excluded — any surviving row is a non-empty probed cell the
+    // stream failed to emit
+    val missedNonEmpty = probeRows.toDF("qid", "cell")
+      .join(drained.select(col("qid"), col("cell")).distinct(),
+        Seq("qid", "cell"), "left_anti")
+      .join(layout, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .limit(1).count()
+    require(missedNonEmpty == 0L, "the stream missed a non-empty probed cell")
     probeRows.toDF("qid", "cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$aux/stream_probes")
     graft.operators.Ann.rankTopK(
