@@ -407,10 +407,11 @@ class RestServer(store: VectorStore, port: Int = 0,
             // all six indexed batch mounts (r16 — the q164 candidate-time
             // semantics batched, per-query starved rescue)
             //
-            // optional `as_of` (r16): the /search contract batched —
-            // exact or index:'ivf' (findSimilarBatchAsOf; filters do not
-            // compose with the batched snapshot yet, so that combination
-            // refuses rather than silently ignoring one of the two)
+            // optional `as_of` (r16; filters compose r17 — q179's graded
+            // path): the /search contract batched — exact or index:'ivf'
+            // (findSimilarBatchAsOf), metadata filters at candidate time
+            // with the per-query starved rescue answering from the exact
+            // filtered as-of scan
             val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
             asOfNode.foreach { n =>
               if (!n.isIntegralNumber)
@@ -423,13 +424,10 @@ class RestServer(store: VectorStore, port: Int = 0,
                   throw new IllegalArgumentException(
                     "durable as-of batch search serves exact (approx: " +
                       "false) or index:'ivf' — the graded as-of indexed path")
-                if (stringMapOf(body, "filter").nonEmpty ||
-                    stringMapOf(body, "json_filter").nonEmpty)
-                  throw new IllegalArgumentException(
-                    "as_of does not compose with filters on the batch " +
-                      "route yet; drop the filter or use /search")
                 d.findSimilarBatchAsOf(qs, h, k, metric, ns,
-                  approx = wantApprox)
+                  approx = wantApprox,
+                  filter = stringMapOf(body, "filter"),
+                  jsonFilter = stringMapOf(body, "json_filter"))
               case None =>
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the

@@ -1175,6 +1175,63 @@ class DurableStoreSpec extends AnyFunSuite {
       "a layout younger than the snapshot must fall back to the exact as-of scan")
   }
 
+  test("filtered batch as-of: candidate-time filter at the snapshot, starved rescue serves the as-of matching set") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    // 60 common rows near the origin, 4 'rare' rows in a far cluster —
+    // the q164 starved-cluster shape at a snapshot
+    val rows = (0 until 60).map { i =>
+      (s"c$i", Seq((i % 7).toFloat / 7f, (i % 5).toFloat / 5f,
+        (i % 3).toFloat / 3f, 1f), Map("grp" -> "common"))
+    } ++ (0 until 4).map { i =>
+      (s"r$i", Seq(40f + i, 40f, 40f, 40f), Map("grp" -> "rare"))
+    }
+    d.loadFrame(rows.toDF("id", "values", "metadata"), "fao")
+    val qNear = Seq(0.6f, 0.5f, 0.4f, 1f)
+    val qFar = Seq(41f, 40f, 40f, 40f)
+    d.findSimilar(qNear, k = 5, namespace = "fao", approx = true) // layout
+    val h = d.currentSeq()
+    // wave 2, all post-horizon: two rare rows die, a new rare row arrives
+    assert(d.delete(Seq("r0", "r1"), "fao") == Seq("r0", "r1"))
+    d.loadFrame(Seq(("zr", Seq(41f, 41f, 41f, 41f), Map("grp" -> "rare")))
+      .toDF("id", "values", "metadata"), "fao")
+    // STARVED at the snapshot: only 4 rare rows existed at h (< k=10) —
+    // the per-query rescue must answer from the exact FILTERED AS-OF
+    // scan: all four as-of rare rows (the post-horizon deletes still
+    // visible), the post-horizon append invisible
+    val r0 = d.exactRescues.get()
+    val bat = d.findSimilarBatchAsOf(Seq(qNear, qFar), h, k = 10,
+      namespace = "fao", approx = true, filter = Map("grp" -> "rare"))
+    assert(d.exactRescues.get() > r0, "the starved rescue should have fired")
+    bat.foreach { hits =>
+      assert(hits.map(_.id).sorted == Seq("r0", "r1", "r2", "r3"),
+        s"filtered as-of batch must serve the as-of matching set, got ${hits.map(_.id)}")
+    }
+    // positional parity with the filtered as-of singles
+    Seq(qNear, qFar).zipWithIndex.foreach { case (q, i) =>
+      val single = d.findSimilarAsOf(q, h, k = 10, namespace = "fao",
+        approx = true, filter = Map("grp" -> "rare"))
+      assert(bat(i).map(x => (x.id, x.score)) ==
+        single.map(x => (x.id, x.score)),
+        s"filtered as-of batch result $i diverged from the single form")
+    }
+    // SATURATED at the snapshot: k=2 from inside the rare cluster — the
+    // probed cell holds ≥ 2 matching rows, so the probe serves without
+    // the rescue, and the result is still snapshot-bounded
+    val r1 = d.exactRescues.get()
+    val sat = d.findSimilarBatchAsOf(Seq(qFar), h, k = 2,
+      namespace = "fao", approx = true, filter = Map("grp" -> "rare"))
+    assert(d.exactRescues.get() == r1,
+      "a saturated filtered as-of probe must not rescue")
+    assert(sat.head.size == 2 && sat.head.forall(x =>
+      x.id.startsWith("r") && x.id != "zr"))
+    // the CURRENT filtered batch sees the opposite world
+    val now = d.findSimilarBatchApprox(Seq(qFar), k = 10,
+      namespace = "fao", filter = Map("grp" -> "rare"))
+    assert(now.head.map(_.id).sorted == Seq("r2", "r3", "zr"))
+  }
+
   test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
     val d = new DurableVectorStore(spark, tmp())
     d.loadFrame(frame(vecs), "cc")

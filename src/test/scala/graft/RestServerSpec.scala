@@ -626,8 +626,10 @@ class RestServerSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_rest_asof_").toString
     val d = new graft.store.DurableVectorStore(spark, root)
     d.loadFrame(
-      Seq(("a", Seq(1f, 0f)), ("b", Seq(0.9f, 0.1f)), ("c", Seq(0f, 1f)))
-        .toDF("id", "values"),
+      Seq(("a", Seq(1f, 0f), Map("t" -> "1")),
+          ("b", Seq(0.9f, 0.1f), Map("t" -> "1")),
+          ("c", Seq(0f, 1f), Map("t" -> "2")))
+        .toDF("id", "values", "metadata"),
       "ans")
     // build the layout so the approx as-of path has a pre-horizon index
     d.findSimilar(Seq(1f, 0f), k = 2, namespace = "ans", approx = true)
@@ -685,9 +687,21 @@ class RestServerSpec extends AnyFunSuite {
       assert(send("POST", s"$base/search/batch?namespace=ans",
         s"""{"queries": [[1.0, 0.0]], "durable": true, "as_of": $h,
            | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
-      assert(send("POST", s"$base/search/batch?namespace=ans",
-        s"""{"queries": [[1.0, 0.0]], "durable": true, "as_of": $h,
-           | "filter": {"x": "1"}}""".stripMargin)._1 == 422)
+      // as_of COMPOSES with filters on the batch route (r17 — q179's
+      // graded composition): the tenant predicate cuts candidates at
+      // the snapshot; 'a' (t=1) serves, 'c' (t=2) never ranks, and the
+      // post-horizon 'z' stays invisible
+      for (approxBody <- Seq(""""approx": false""",
+                             """"approx": true, "index": "ivf"""")) {
+        val (fc, fb) = send("POST", s"$base/search/batch?namespace=ans",
+          s"""{"queries": [[1.0, 0.0]], "top_k": 3, "durable": true,
+             | "as_of": $h, "filter": {"t": "1"}, $approxBody}""".stripMargin)
+        assert(fc == 200, fb)
+        val ft = mapper.readTree(fb).get(0)
+        val fids = (0 until ft.size()).map(ft.get(_).get("id").asText())
+        assert(fids == Seq("a", "b"),
+          s"filtered batch as-of must serve the filtered snapshot ($approxBody): $fb")
+      }
     } finally server.stop()
   }
 
