@@ -133,11 +133,18 @@ object IvfPq {
     Pq.rerank(spark, dir, cand)
   }
 
+  /** Build-or-reuse the IVFADC layout for `dir` (the [[Ann.ensureLayout]]
+    * contract) — shared by q60 and the streaming retrieval cell (q180),
+    * which sweeps this layout's cell-partitioned codes as the static
+    * side of its stream-static join. */
+  private[graft] def ensureLayout(spark: SparkSession, dir: String): String =
+    layoutCache.computeIfAbsent(auxDir(spark, dir),
+      _ => buildLayout(spark, dir))
+
   /** q60 = cached build + probe (build once per JVM; bench repeats
     * measure probe + rerank, the serving path). */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val aux = layoutCache.computeIfAbsent(auxDir(spark, dir),
-      _ => buildLayout(spark, dir))
+    val aux = ensureLayout(spark, dir)
     lastAux = Some((aux, Pq.ensureLayout(spark, dir)))
     probe(spark, dir, aux, persistAux = true)
   }

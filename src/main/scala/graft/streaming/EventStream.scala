@@ -765,6 +765,188 @@ object EventStream {
     * q33's own cached build; the probe table is q178's). */
   @volatile private var lastStreamIvfAux: Option[String] = None
 
+  // ---- q180: streaming retrieval through the PQ CODES (r17) -----------
+  //
+  // VERDICT r16 "What's missing" #3 / "Next round" #4: q176/q178 proved
+  // streaming retrieval on the signature and pruning mounts; this is the
+  // CODE mount — the 100 TB sweep geometry SCALING.md recommends (a
+  // table-lookup 8-term sum per candidate, no float vectors in the
+  // scan). Same architecture: a STATELESS fused per-query pass computes
+  // the probed cells AND the ADC LUT as columns (both from
+  // broadcast-sized literals — centroids ~KBs, codebook ~KBs), a
+  // stream-static equi-join sweeps the STANDING cell-partitioned codes
+  // table (the IvfPq layout), and the CandN cut + exact rerank run on
+  // the drained sink. NO state store anywhere — the service scales with
+  // query arrival rate, not corpus size; at 100 TB the codes table is
+  // the static side of a partition-prunable join and each query touches
+  // only its probed cells' codes.
+
+  private val PqQLo = 5L
+  private val PqQHi = 9L
+
+  def q180(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ann = graft.operators.Ann
+    val pqOps = graft.operators.Pq
+    val aux = graft.operators.IvfPq.ensureLayout(spark, dir)
+    val pqAux = pqOps.ensureLayout(spark, dir)
+    val ivfAux = ann.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$ivfAux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val nProbe = ann.ivfProbeFor(centers.length)
+    val codebook = pqOps.readCodebook(spark, pqAux)
+    val m = codebook.length
+    val subDim = codebook(0)(0).length
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    // nProbe nearest cells per stream row — q178's fused ranking
+    val probed = expr(
+      s"""slice(transform(array_sort(zip_with(
+         |  transform(__centers, c -> aggregate(zip_with(qv, c,
+         |    (x, y) -> (cast(x AS double) - cast(y AS double))
+         |            * (cast(x AS double) - cast(y AS double))),
+         |    cast(0.0 AS double), (acc, v) -> acc + v)),
+         |  sequence(0, ${centers.length - 1}),
+         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
+    // the ADC LUT as a COLUMN — Pq.lutFor's arithmetic exactly: the
+    // query double-normalized then cast per-coordinate to float
+    // (PqEncode's space), zero-padded to m×subDim, and entry (mi, k) =
+    // ascending-j Σ (sub_j − centroid_j)² in double; ADC bit-parity
+    // with the batch kernel is asserted post-drain
+    val lutExpr = expr(
+      s"""transform(__cb, (mcb, mi) -> transform(mcb, cb ->
+         |  aggregate(zip_with(slice(__qnp, mi * $subDim + 1, $subDim), cb,
+         |    (x, y) -> (cast(x AS double) - cast(y AS double))
+         |            * (cast(x AS double) - cast(y AS double))),
+         |    cast(0.0 AS double), (acc, v) -> acc + v)))""".stripMargin)
+    val layout = spark.read.parquet(s"$aux/index")
+    val drained = drainToTable(spark, "graft_q180_sink", {
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("__sq", expr(
+          "aggregate(qv, cast(0.0 AS double), " +
+            "(acc, x) -> acc + cast(x AS double) * cast(x AS double))"))
+        .withColumn("__qn", expr(
+          "transform(qv, x -> cast(cast(x AS double) * " +
+            "(CASE WHEN __sq > 0.0D THEN 1.0D / sqrt(__sq) ELSE 1.0D END) AS float))"))
+        .withColumn("__qnp", expr(
+          s"concat(__qn, array_repeat(cast(0.0 AS float), ${m * subDim} - size(__qn)))"))
+        .withColumn("__cb", cbLit)
+        .withColumn("lut", lutExpr)
+        .withColumn("__centers", centersLit)
+        .withColumn("cell", explode(probed))
+        .drop("__centers", "__cb", "__sq", "__qn", "__qnp", "qv")
+        .join(layout, Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("adc", pqOps.adcCol)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adc"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q180_sink").start()
+    })
+    // driver kernel: the same probes and LUTs, for the parity pins and
+    // the persisted oracle policy
+    val queries = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
+      ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
+    }
+    val luts = queries.toSeq.map { case (qid, qv) =>
+      (qid, pqOps.lutFor(qv, codebook))
+    }
+    val streamedProbes = drained.select(col("qid"), col("cell")).distinct()
+      .as[(Long, Int)].collect().toSet
+    require(streamedProbes.subsetOf(probeRows.toSet),
+      "the stream's probe ranking diverged from the driver kernel")
+    // completeness in one anti-join (the q178 audit shape)
+    val missedNonEmpty = probeRows.toDF("qid", "cell")
+      .join(drained.select(col("qid"), col("cell")).distinct(),
+        Seq("qid", "cell"), "left_anti")
+      .join(layout, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .limit(1).count()
+    require(missedNonEmpty == 0L, "the stream missed a non-empty probed cell")
+    // ADC bit-parity: the stream's fused LUT pass must score every
+    // candidate exactly as the batch kernel does (round-6 doubles) —
+    // the strongest stream ≡ batch pin available before the cut
+    val allCells = probeRows.map(_._2).distinct
+    val batchAdc = layout.where(col("cell").isin(allCells: _*))
+      .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(pqOps.lutFrame(spark, luts)), Seq("qid"))
+      .withColumn("adc", pqOps.adcCol)
+      .select(col("qid"), col("vec_id"), col("adc"))
+    val streamAdc = drained.select(col("qid"), col("vec_id"), col("adc"))
+      .distinct()
+    require(streamAdc.exceptAll(batchAdc).isEmpty &&
+      batchAdc.exceptAll(streamAdc).isEmpty,
+      "the stream's ADC scores diverged from the batch kernel")
+    // the persisted candidate policy is the driver kernel's — stream
+    // divergence would already have tripped the pins above, and the
+    // drained ADC feeds the graded cut below either way
+    probeRows.toDF("qid", "cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$aux/stream_probes")
+    pqOps.writeLuts(spark, luts, s"$aux/stream_lut")
+    val cand = pqOps.candCut(
+      streamAdc.select(col("qid"), col("adc"), col("vec_id")))
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val qFrame = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    ann.rankTopK(
+      cand.join(emb, Seq("vec_id"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      SearchK, descending = true)
+  }
+
+  /** q60's ADC replay with the stream's probe/LUT tables and query set:
+    * candidates = probed cells' codes ranked by the summed LUT (CandN
+    * cut on ascending (adc, id)), rerank = exact cosine rounded to 4. */
+  def q180Sql(aux: String, pqAux: String): String =
+    s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/stream_probes/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |lut AS (SELECT qid, sub, code, d FROM read_parquet('$aux/stream_lut/*.parquet')),
+       |cf AS (SELECT vec_id, sub, code FROM read_parquet('$pqAux/codes_flat/*.parquet')),
+       |cells AS (
+       |  SELECT p.qid, a.vec_id FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT cl.qid, cl.vec_id, round(sum(l.d), 6) AS adc
+       |  FROM cells cl
+       |  JOIN cf c ON c.vec_id = cl.vec_id
+       |  JOIN lut l ON l.qid = cl.qid AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY cl.qid, cl.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS cr
+       |    FROM adc) WHERE cr <= ${graft.operators.Pq.CandN}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= $PqQLo AND vec_id < $PqQHi),
+       |sc AS (
+       |  SELECT c.qid, c.vec_id AS id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** (IVFADC aux, PQ aux) of the most recent q180 run — oracle hook. */
+  @volatile private var lastStreamPqAux: Option[(String, String)] = None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -772,6 +954,12 @@ object EventStream {
       "q178_stream_search_ivf" -> ((s: SparkSession, d: String) => {
         val out = q178(s, d)
         lastStreamIvfAux = Some(graft.operators.Ann.ensureLayout(s, d))
+        out
+      }),
+      "q180_stream_search_pq" -> ((s: SparkSession, d: String) => {
+        val out = q180(s, d)
+        lastStreamPqAux = Some((graft.operators.IvfPq.ensureLayout(s, d),
+          graft.operators.Pq.ensureLayout(s, d)))
         out
       }),
       "q146_stream_pii" -> (q146 _),
@@ -786,6 +974,8 @@ object EventStream {
     * parity claim. */
   def oracles: Map[String, String] =
     lastStreamIvfAux.map(aux => "q178_stream_search_ivf" -> q178Sql(aux)).toMap ++
+    lastStreamPqAux.map { case (aux, pqAux) =>
+      "q180_stream_search_pq" -> q180Sql(aux, pqAux) }.toMap ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,

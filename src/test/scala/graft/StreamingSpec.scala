@@ -86,6 +86,57 @@ class StreamingSpec extends AnyFunSuite {
       "stream-served IVF retrieval diverged from the batch probe")
   }
 
+  test("streaming PQ retrieval (q180) equals the batch ADC probe of the same codes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.q180(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // batch twin over the SAME standing artifacts: driver LUTs + ranked
+    // probes, the pruned codes sweep, CandN cut, exact rerank
+    val ann = graft.operators.Ann
+    val pq = graft.operators.Pq
+    val aux = graft.operators.IvfPq.ensureLayout(spark, dir)
+    val pqAux = pq.ensureLayout(spark, dir)
+    val ivfAux = ann.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$ivfAux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val codebook = pq.readCodebook(spark, pqAux)
+    val queries = graft.sources.Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= 5L && col("vec_id") < 9L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      ann.rankCells(qv, centers, ann.ivfProbeFor(centers.length))
+        .map(c => (qid, c))
+    }
+    val luts = queries.map { case (qid, qv) => (qid, pq.lutFor(qv, codebook)) }
+    val cand = pq.candCut(spark.read.parquet(s"$aux/index")
+      .where(col("cell").isin(probeRows.map(_._2).distinct: _*))
+      .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(pq.lutFrame(spark, luts)), Seq("qid"))
+      .withColumn("adc", pq.adcCol)
+      .select(col("qid"), col("adc"), col("vec_id")))
+    val qs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= 5L && col("vec_id") < 9L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val batch = ann.rankTopK(
+      cand.join(emb, Seq("vec_id"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served PQ retrieval diverged from the batch ADC probe")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals the batch q28 answer") {
     val q = EventStream.startSessionsToMemory(spark, dir, "stream_sessions")
     try {
