@@ -947,6 +947,139 @@ object EventStream {
   /** (IVFADC aux, PQ aux) of the most recent q180 run — oracle hook. */
   @volatile private var lastStreamPqAux: Option[(String, String)] = None
 
+  // ---- q182: FILTERED streaming retrieval (r17) ------------------------
+  //
+  // q178's stream composed with the hybrid-query discipline (VERDICT r16
+  // "Next round" #7): the tenant predicate evaluates on the
+  // stream-static record join at CANDIDATE time — before scoring or any
+  // cut — so the sink ranks matching rows only, never a post-filtered
+  // geometry top-k. The predicate is relational (`vec_id % 3 = 1`, the
+  // q164 oracle discipline) because the offline layout carries no
+  // metadata map; the metadata-equality form of the same semantics is
+  // graded on the durable mounts (q164/q168–q173).
+  //
+  // RECALL ENVELOPE (stated, not silent): a streaming sink has NO
+  // starved-query rescue — re-scanning the corpus per starved query
+  // would couple stream latency to corpus size, exactly what the
+  // stateless architecture exists to avoid — so each query receives
+  // min(k, matching rows IN ITS PROBED CELLS). The batch hybrid paths'
+  // min(k, matching-live-rows) floor does NOT hold here; a consumer
+  // needing that floor runs q164/q168's mounts instead. The in-script
+  // audit asserts the envelope exactly: per query, the sink's hit count
+  // equals min(k, the kernel's matching candidate count).
+
+  private val StreamTenantMod = 3
+
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ann = graft.operators.Ann
+    val aux = ann.ensureLayout(spark, dir)
+    val centers = spark.read.parquet(s"$aux/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val nProbe = ann.ivfProbeFor(centers.length)
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    val probed = expr(
+      s"""slice(transform(array_sort(zip_with(
+         |  transform(__centers, c -> aggregate(zip_with(qv, c,
+         |    (x, y) -> (cast(x AS double) - cast(y AS double))
+         |            * (cast(x AS double) - cast(y AS double))),
+         |    cast(0.0 AS double), (acc, v) -> acc + v)),
+         |  sequence(0, ${centers.length - 1}),
+         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
+    val layout = spark.read.parquet(s"$aux/index")
+    val drained = drainToTable(spark, "graft_q182_sink", {
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("__centers", centersLit)
+        .withColumn("cell", explode(probed))
+        .drop("__centers")
+        .join(layout, Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        // the hybrid predicate, at candidate time on the record join
+        .where(col("vec_id") % StreamTenantMod === 1)
+        .select(col("qid"), col("cell"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q182_sink").start()
+    })
+    val qs = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+      ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
+    }
+    val streamed = drained.select(col("qid"), col("cell")).distinct()
+      .as[(Long, Int)].collect().toSet
+    require(streamed.subsetOf(probeRows.toSet),
+      "the stream's probe ranking diverged from the driver kernel")
+    // completeness in one anti-join: a kernel probe absent from the
+    // stream must have no MATCHING non-self member
+    val missedNonEmpty = probeRows.toDF("qid", "cell")
+      .join(drained.select(col("qid"), col("cell")).distinct(),
+        Seq("qid", "cell"), "left_anti")
+      .join(layout, Seq("cell"))
+      .where(col("vec_id") =!= col("qid") &&
+        col("vec_id") % StreamTenantMod === 1)
+      .limit(1).count()
+    require(missedNonEmpty == 0L,
+      "the stream missed a probed cell holding matching rows")
+    probeRows.toDF("qid", "cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$aux/stream_probes_f")
+    val out = ann.rankTopK(
+      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
+      SearchK, descending = true)
+    // the ENVELOPE, asserted exactly: per query, hits =
+    // min(k, matching candidates in the probed cells) — no rescue
+    val expected = probeRows.toDF("qid", "cell")
+      .join(layout, Seq("cell"))
+      .where(col("vec_id") =!= col("qid") &&
+        col("vec_id") % StreamTenantMod === 1)
+      .select(col("qid"), col("vec_id")).distinct()
+      .groupBy(col("qid")).count()
+      .as[(Long, Long)].collect().toMap
+    val served = out.groupBy(col("qid")).count()
+      .as[(Long, Long)].collect().toMap
+    qs.foreach { case (qid, _) =>
+      val want = math.min(SearchK.toLong, expected.getOrElse(qid, 0L))
+      require(served.getOrElse(qid, 0L) == want,
+        s"query $qid served ${served.getOrElse(qid, 0L)} hits, envelope says $want")
+    }
+    out
+  }
+
+  /** q178's replay with the tenant predicate inside the candidate CTE —
+    * a post-filtering implementation would rank non-matching rows and
+    * break the hash. */
+  def q182Sql(aux: String): String =
+    s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/stream_probes_f/*.parquet')),
+       |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= $IvfQLo AND vec_id < $IvfQHi),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS id
+       |  FROM probes p JOIN a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.qid AND a.vec_id % $StreamTenantMod = 1),
+       |sc AS (
+       |  SELECT c.qid, c.id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Aux dir of the most recent q182 run — oracle hook. */
+  @volatile private var lastStreamFilteredAux: Option[String] = None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -960,6 +1093,11 @@ object EventStream {
         val out = q180(s, d)
         lastStreamPqAux = Some((graft.operators.IvfPq.ensureLayout(s, d),
           graft.operators.Pq.ensureLayout(s, d)))
+        out
+      }),
+      "q182_stream_search_filtered" -> ((s: SparkSession, d: String) => {
+        val out = q182(s, d)
+        lastStreamFilteredAux = Some(graft.operators.Ann.ensureLayout(s, d))
         out
       }),
       "q146_stream_pii" -> (q146 _),
@@ -976,6 +1114,8 @@ object EventStream {
     lastStreamIvfAux.map(aux => "q178_stream_search_ivf" -> q178Sql(aux)).toMap ++
     lastStreamPqAux.map { case (aux, pqAux) =>
       "q180_stream_search_pq" -> q180Sql(aux, pqAux) }.toMap ++
+    lastStreamFilteredAux.map(aux =>
+      "q182_stream_search_filtered" -> q182Sql(aux)).toMap ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,
