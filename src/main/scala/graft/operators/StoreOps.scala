@@ -1366,6 +1366,12 @@ object StoreOps {
     * is already predicate-aware (ACORN), so the restricted join is the
     * candidate-then-filter-then-rank order the store executes. */
   private def dhnswSql(aux: String, tenantPred: String): String =
+    dhnswSqlAt(aux, tenantPred, FacadeDelMod)
+
+  /** [[dhnswSql]] with the delete modulus parameterized (q185 — the
+    * as-of graph read at the wave-1 horizon). */
+  private def dhnswSqlAt(aux: String, tenantPred: String,
+                         delMod: Long): String =
     s"""WITH cand AS (
        |  SELECT DISTINCT id FROM read_parquet('$aux/cands/*.parquet')
        |  UNION
@@ -1373,7 +1379,7 @@ object StoreOps {
        |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
        |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
@@ -2540,7 +2546,17 @@ object StoreOps {
     * semi-join semantics), `tenantPred` restricts delta and base; the
     * dlshSql discipline. */
   private def dbqSql(ann: String, aux: String, candPred: String,
-                     tenantPred: String): String = {
+                     tenantPred: String): String =
+    dbqSqlAt(ann, aux, candPred, tenantPred, FacadeDelMod)
+
+  /** [[dbqSql]] with the delete modulus parameterized (q183 — the
+    * as-of sign-bit read at the wave-1 horizon). The relational code
+    * re-derivation stays over the FULL original load (vec_id <
+    * FacadeN): the store's code table was built from the pre-mutation
+    * layout, and horizon deletes die in `base`, not in the hamming
+    * cut — exactly the store's kill-join order. */
+  private def dbqSqlAt(ann: String, aux: String, candPred: String,
+                       tenantPred: String, delMod: Long): String = {
     val dim = 64
     val bit =
       """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
@@ -2577,7 +2593,7 @@ object StoreOps {
        |    AND ($tenantPred)),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
        |    AND ($tenantPred)),
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryId),
@@ -2667,7 +2683,13 @@ object StoreOps {
     * the live set — "TRUE" is q155's unfiltered read; q169 passes the
     * tenant predicate (candidates ⋈ filtered base ≡ the store's
     * candidate-time filter at the record join). */
-  private def dlshSql(tenantPred: String): String = {
+  private def dlshSql(tenantPred: String): String =
+    dlshSqlAt(tenantPred, FacadeDelMod)
+
+  /** [[dlshSql]] with the delete modulus parameterized (q186 — the
+    * as-of signature read at the wave-1 horizon). Signatures re-derive
+    * over the FULL original load, horizon deletes die in `base`. */
+  private def dlshSqlAt(tenantPred: String, delMod: Long): String = {
     val nPlanes = ApproxBands * ApproxBits
     s"""WITH planes AS (
        |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
@@ -2696,7 +2718,7 @@ object StoreOps {
        |  WHERE vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE ((vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
        |    AND ($tenantPred)),
        |sc AS (
@@ -3309,42 +3331,54 @@ object StoreOps {
     * delete anywhere breaks the hash. The exact as-of scan's agreement
     * is asserted in-script at k=1 (the nearest neighbor survives every
     * CandN cut), pinning the probe against the authoritative snapshot. */
-  def q181(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.table(spark, dir, "embeddings")
+  /** Shared q181/q183–q186 script: build the mount (first search on
+    * `index` derives records + the mount's structure, so builtSeq ≤ h
+    * by construction), run q175's TWO mutation waves with the
+    * reproducibility horizon recorded between them, return (store, h).
+    * Everything in wave 2 must be invisible at h — that invisibility
+    * IS each query's graded claim. */
+  private def dAsOfStoreFor(spark: SparkSession, dir: String, ns: String,
+                            prefix: String, index: String,
+                            stores: java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)],
+                            attempts: java.util.concurrent.atomic.AtomicInteger,
+                            qv: Seq[Float],
+                            builtCheck: graft.store.DurableVectorStore => Boolean): (graft.store.DurableVectorStore, Long) = {
     def slice(lo: Long, hi: Long) =
       Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= lo && col("vec_id") < hi)
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dpqasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val qv = e.where(col("vec_id") === QueryId)
-      .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val (store, asOf) = q181Stores.computeIfAbsent(base, b => {
-      val root = b + "/a" + q181Attempts.incrementAndGet()
+      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
-      s.loadFrame(slice(0L, FacadeN), DPqAsOfNs)
-      // records + codes NOW: the mutations below are post-layout, and
-      // builtSeq ≤ h holds by construction
-      s.findSimilar(qv, k = K, namespace = DPqAsOfNs, approx = true,
-        index = "pq")
-      require(s.pqBuilds.get() >= 1, "q181 code-table build did not run")
+      s.loadFrame(slice(0L, FacadeN), ns)
+      s.findSimilar(qv, k = K, namespace = ns, approx = true, index = index)
+      require(builtCheck(s), s"$ns derived-structure build did not run")
       val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
         .map(_.toString)
-      val deleted = s.delete(expect, DPqAsOfNs)
+      val deleted = s.delete(expect, ns)
       require(deleted.sorted == expect.sorted,
         s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
-      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DPqAsOfNs)
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), ns)
       val h = s.currentSeq()
-      // wave 2 — invisible at h by the graded claim
-      val d2 = s.delete(AsOfDel2, DPqAsOfNs)
+      val d2 = s.delete(AsOfDel2, ns)
       require(d2.sorted == AsOfDel2.sorted,
         s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
       s.loadFrame(slice(FacadeN + DAnnDeltaN,
-        FacadeN + DAnnDeltaN + AsOfDelta2), DPqAsOfNs)
+        FacadeN + DAnnDeltaN + AsOfDelta2), ns)
       (s, h)
     })
+  }
+
+  def q181(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = dAsOfStoreFor(spark, dir, DPqAsOfNs, "dpqasof",
+      "pq", q181Stores, q181Attempts, qv, _.pqBuilds.get() >= 1)
     val rescues0 = store.exactRescues.get()
     val hits = store.findSimilarPqAsOfGraded(qv, asOf = asOf, k = K,
       namespace = DPqAsOfNs)
@@ -3375,6 +3409,167 @@ object StoreOps {
     * nowhere. */
   def q181Sql(aux: String): String =
     dpqSqlAt(aux, "TRUE", "TRUE", AsOfDelMod)
+
+  // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
+  //
+  // q181 proved the structural fact on PQ; these four finish it: every
+  // derived structure (sign bits, product grid, shard graphs, band
+  // signatures) derives from the layout, so each candidate policy is
+  // snapshot-safe AS BUILT and only the kill/delta horizons move. One
+  // shared script (dAsOfStoreFor), one shared post-search guard
+  // (dAsOfGraded), each oracle = the mount's existing replay builder at
+  // the wave-1 horizon — graded as-of variants of one policy share one
+  // replay text with their live forms, so they cannot drift.
+
+  /** Post-graded-search invariants shared by q181/q183–q186: one build
+    * per structure (the oracle replays the first one), the probe branch
+    * served (counter, not size inference), and the probe's top-1 agrees
+    * with the authoritative exact as-of scan. */
+  private def dAsOfGraded(spark: SparkSession, ns: String,
+                          store: graft.store.DurableVectorStore,
+                          asOf: Long, qv: Seq[Float],
+                          inWindow: => Boolean,
+                          parityGate: java.util.Set[String], dir: String)(
+      search: => Seq[graft.model.SearchHit]): DataFrame = {
+    val rescues0 = store.exactRescues.get()
+    val hits = search
+    require(inWindow,
+      s"$ns's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first derived structure at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 && hits.size == K,
+      s"$ns did not serve from the probe branch (${hits.size} hits, " +
+        s"${store.exactRescues.get() - rescues0} rescues)")
+    if (parityGate.add(dir)) {
+      val exact1 = store.findSimilarAsOf(qv, asOf, k = 1,
+        namespace = ns).map(h => (h.id, h.score))
+      require(hits.take(1).map(h => (h.id, h.score)) == exact1,
+        s"$ns's as-of probe top-1 diverged from the exact as-of scan")
+    }
+    dfFrame(spark, hits)
+  }
+
+  private val DBqAsOfNs = "q183"
+  private val q183Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q183Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q183ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDBqAsOfAux: Option[(String, String)] = None
+
+  /** q183: the q175 snapshot contract on the SIGN-BIT mount — hamming
+    * cut over codes derived from the pre-horizon layout, kills/delta
+    * bounded at the recorded stamp; oracle = q101's relational code
+    * re-derivation at the wave-1 horizon. */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = dAsOfStoreFor(spark, dir, DBqAsOfNs, "dbqasof",
+      "bq", q183Stores, q183Attempts, qv, _.bqBuilds.get() >= 1)
+    val out = dAsOfGraded(spark, DBqAsOfNs, store, asOf, qv,
+      store.annBuilds.get() == 1 && store.bqBuilds.get() == 1,
+      q183ParityChecked, dir) {
+      store.findSimilarBqAsOfGraded(qv, asOf = asOf, k = K,
+        namespace = DBqAsOfNs)
+    }
+    lastDBqAsOfAux = for {
+      ann <- store.annLayoutDir(DBqAsOfNs, qv.length).map(_._1)
+      bq <- store.bqLayoutDir(DBqAsOfNs, qv.length)
+    } yield (ann, bq)
+    out
+  }
+
+  def q183Sql(ann: String, aux: String): String =
+    dbqSqlAt(ann, aux, "TRUE", "TRUE", AsOfDelMod)
+
+  private val DImiAsOfNs = "q184"
+  private val q184Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q184Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q184ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDImiAsOfAux: Option[(String, String)] = None
+
+  /** q184: the snapshot contract on the PRODUCT-GRID mount — the grid's
+    * own assign/ is the candidate policy (q110's contract), replayed at
+    * the wave-1 horizon through [[dannSql]]. */
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = dAsOfStoreFor(spark, dir, DImiAsOfNs, "dimiasof",
+      "imi", q184Stores, q184Attempts, qv, _.imiBuilds.get() >= 1)
+    val out = dAsOfGraded(spark, DImiAsOfNs, store, asOf, qv,
+      store.annBuilds.get() == 1 && store.imiBuilds.get() == 1,
+      q184ParityChecked, dir) {
+      store.findSimilarImiAsOfGraded(qv, asOf = asOf, k = K,
+        namespace = DImiAsOfNs)
+    }
+    lastDImiAsOfAux = store.imiLayoutDir(DImiAsOfNs, qv.length)
+      .map(a => (a, s"$a/probes"))
+    out
+  }
+
+  def q184Sql(aux: String, probesDir: String): String =
+    dannSql(aux, probesDir, AsOfDelMod, "TRUE")
+
+  private val DHnswAsOfNs = "q185"
+  private val q185Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q185Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q185ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDHnswAsOfAux: Option[String] = None
+
+  /** q185: the snapshot contract on the GRAPH mount — the persisted
+    * beam (run on graphs derived from the pre-horizon layout) is the
+    * candidate policy; kills/delta bound at the stamp; oracle = q123's
+    * replay at the wave-1 horizon. */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = dAsOfStoreFor(spark, dir, DHnswAsOfNs, "dhnswasof",
+      "hnsw", q185Stores, q185Attempts, qv, _.hnswBuilds.get() >= 1)
+    val out = dAsOfGraded(spark, DHnswAsOfNs, store, asOf, qv,
+      store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1,
+      q185ParityChecked, dir) {
+      store.findSimilarHnswAsOfGraded(qv, asOf = asOf, k = K,
+        namespace = DHnswAsOfNs)
+    }
+    lastDHnswAsOfAux = store.hnswLayoutDir(DHnswAsOfNs, qv.length)
+    out
+  }
+
+  def q185Sql(aux: String): String = dhnswSqlAt(aux, "TRUE", AsOfDelMod)
+
+  private val DLshAsOfNs = "q186"
+  private val q186Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q186Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q186ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q186: the snapshot contract on the SIGNATURE mount — band
+    * signatures derive from the pre-horizon layout; the oracle
+    * re-derives hyperplanes, signatures, and the bucket join
+    * relationally at the wave-1 horizon (q155's replay, nothing taken
+    * from the store). */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(spark, dir, "embeddings")
+    val qv = e.where(col("vec_id") === QueryId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (store, asOf) = dAsOfStoreFor(spark, dir, DLshAsOfNs, "dlshasof",
+      "lsh", q186Stores, q186Attempts, qv, _.lshBuilds.get() >= 1)
+    dAsOfGraded(spark, DLshAsOfNs, store, asOf, qv,
+      store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
+      q186ParityChecked, dir) {
+      store.findSimilarLshAsOfGraded(qv, asOf = asOf, k = K,
+        namespace = DLshAsOfNs)
+    }
+  }
+
+  def q186Sql: String = dlshSqlAt("TRUE", AsOfDelMod)
 
   // ---- q133–q137: the COMPLETE batch matrix (r13) ---------------------
   //
@@ -3892,7 +4087,11 @@ object StoreOps {
       "q173_durable_filtered_hnsw" -> (q173 _),
       "q175_durable_asof_ann" -> (q175 _),
       "q179_durable_filtered_asof_batch" -> (q179 _),
-      "q181_durable_asof_pq" -> (q181 _))
+      "q181_durable_asof_pq" -> (q181 _),
+      "q183_durable_asof_bq" -> (q183 _),
+      "q184_durable_asof_imi" -> (q184 _),
+      "q185_durable_asof_hnsw" -> (q185 _),
+      "q186_durable_asof_lsh" -> (q186 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -3967,5 +4166,11 @@ object StoreOps {
         "q175_durable_asof_ann" -> q175Sql(aux, p) } ++
       lastDFAsOfBatchAux.map { case (aux, p) =>
         "q179_durable_filtered_asof_batch" -> q179Sql(aux, p) } ++
-      lastDPqAsOfAux.map(aux => "q181_durable_asof_pq" -> q181Sql(aux))
+      lastDPqAsOfAux.map(aux => "q181_durable_asof_pq" -> q181Sql(aux)) ++
+      lastDBqAsOfAux.map { case (ann, aux) =>
+        "q183_durable_asof_bq" -> q183Sql(ann, aux) } ++
+      lastDImiAsOfAux.map { case (aux, p) =>
+        "q184_durable_asof_imi" -> q184Sql(aux, p) } ++
+      lastDHnswAsOfAux.map(aux => "q185_durable_asof_hnsw" -> q185Sql(aux)) ++
+      Map("q186_durable_asof_lsh" -> q186Sql)
 }

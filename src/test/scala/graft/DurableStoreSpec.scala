@@ -1210,12 +1210,17 @@ class DurableStoreSpec extends AnyFunSuite {
     val now = d.findSimilar(q, k = 5, namespace = "pao", approx = true,
       index = "pq")
     assert(now.head.id == "zz" && !now.map(_.id).contains(top))
-    // mounts without a graded as-of form refuse rather than serve
-    for (idx <- Seq("bq", "imi", "hnsw", "lsh"))
-      intercept[IllegalArgumentException] {
-        d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
-          approx = true, index = idx)
-      }
+    // EVERY derived mount serves the snapshot (r17 closes the matrix):
+    // same structural fact — codes/grids/graphs/signatures derive from
+    // the pre-horizon layout, only the kill/delta horizons move
+    for (idx <- Seq("bq", "imi", "hnsw", "lsh")) {
+      val hits = d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
+        approx = true, index = idx)
+      assert(hits.head.id == top,
+        s"$idx: wave-2 delete leaked into the snapshot")
+      assert(!hits.map(_.id).contains("zz"),
+        s"$idx: wave-2 append leaked into the snapshot")
+    }
     // young codes: a store whose only layout (and codes) postdate the
     // horizon answers from the exact as-of scan
     val d2 = new DurableVectorStore(spark, tmp())

@@ -665,26 +665,27 @@ class RestServerSpec extends AnyFunSuite {
       assert(cc == 200, cb)
       val cur = mapper.readTree(cb)
       assert(cur.get(0).get("id").asText() == "z", cb)
-      // strict validation: non-integral as_of 422s; so do the derived
-      // mounts WITHOUT a graded as-of form (bq here — pq gained one r17)
+      // strict validation: non-integral as_of 422s; a typo'd index too
       assert(send("POST", s"$base/search?namespace=ans",
         s"""{"query": [1.0, 0.0], "durable": true, "as_of": "later"}""")._1 == 422)
       assert(send("POST", s"$base/search?namespace=ans",
         s"""{"query": [1.0, 0.0], "durable": true, "as_of": $h,
-           | "approx": true, "index": "bq"}""".stripMargin)._1 == 422)
-      // the COMPRESSED mount serves the snapshot (r17 — q181's graded
-      // path): the dead top hit still first, the post-horizon append
-      // invisible
-      val (pc, pb) = send("POST", s"$base/search?namespace=ans",
-        s"""{"query": [1.0, 0.0], "top_k": 2, "durable": true,
-           | "as_of": $h, "approx": true, "index": "pq"}""".stripMargin)
-      assert(pc == 200, pb)
-      val pids = {
-        val t = mapper.readTree(pb)
-        (0 until t.size()).map(t.get(_).get("id").asText())
+           | "approx": true, "index": "nope"}""".stripMargin)._1 == 422)
+      // EVERY derived mount serves the snapshot (r17 — q181/q183–q186's
+      // graded paths): the dead top hit still first, the post-horizon
+      // append invisible
+      for (idx <- Seq("pq", "bq", "imi", "hnsw", "lsh")) {
+        val (pc, pb) = send("POST", s"$base/search?namespace=ans",
+          s"""{"query": [1.0, 0.0], "top_k": 2, "durable": true,
+             | "as_of": $h, "approx": true, "index": "$idx"}""".stripMargin)
+        assert(pc == 200, s"$idx: $pb")
+        val pids = {
+          val t = mapper.readTree(pb)
+          (0 until t.size()).map(t.get(_).get("id").asText())
+        }
+        assert(pids.head == "a" && !pids.contains("z"),
+          s"as-of $idx read must serve the snapshot: $pb")
       }
-      assert(pids.head == "a" && !pids.contains("z"),
-        s"as-of pq read must serve the snapshot: $pb")
       // the BATCH route serves the snapshot too (exact + ivf), with the
       // same strict 422s; as_of+filter refuses rather than half-applying
       for (approxBody <- Seq(""""approx": false""",
