@@ -1291,6 +1291,19 @@ class DurableStoreSpec extends AnyFunSuite {
     val now = d.findSimilarBatchApprox(Seq(qFar), k = 10,
       namespace = "fao", filter = Map("grp" -> "rare"))
     assert(now.head.map(_.id).sorted == Seq("r2", "r3", "zr"))
+    // filtered as-of composes on EVERY derived mount (r17 — the router
+    // threads the predicate through the shared as-of driver): 4 matching
+    // rows < k=10 starves each probe, and the counted rescue serves the
+    // exact FILTERED as-of set — post-horizon deletes visible, the
+    // post-horizon rare append invisible. The derived structures build
+    // lazily here (post-horizon) from the PRE-horizon layout, which is
+    // exactly why they remain snapshot-safe.
+    for (idx <- Seq("pq", "bq", "imi", "hnsw", "lsh")) {
+      val f = d.findSimilarAsOf(qNear, h, k = 10, namespace = "fao",
+        approx = true, index = idx, filter = Map("grp" -> "rare"))
+      assert(f.map(_.id).sorted == Seq("r0", "r1", "r2", "r3"),
+        s"$idx filtered as-of must serve the as-of matching set, got ${f.map(_.id)}")
+    }
   }
 
   test("concurrent compact: the second claimant fails loudly, recovery re-runs the fold") {
