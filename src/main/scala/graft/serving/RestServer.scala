@@ -406,10 +406,12 @@ class RestServer(store: VectorStore, port: Int = 0,
             // all six indexed batch mounts (r16 — the q164 candidate-time
             // semantics batched, per-query starved rescue)
             //
-            // optional `as_of` (r16; filters compose r17 — q179's graded
-            // path): the /search contract batched — exact or index:'ivf'
-            // (findSimilarBatchAsOf), metadata filters at candidate time
-            // with the per-query starved rescue answering from the exact
+            // optional `as_of` (r16; filters compose + the full index
+            // matrix r17): the /search contract batched — exact or ANY
+            // of the six indexes (findSimilarBatchAsOf routes to the
+            // same one-sweep batch probes with the horizons bounded at
+            // the stamp), metadata filters at candidate time with the
+            // per-query starved rescue answering from the exact
             // filtered as-of scan
             val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
             asOfNode.foreach { n =>
@@ -419,14 +421,11 @@ class RestServer(store: VectorStore, port: Int = 0,
             }
             asOfNode.map(_.asLong()) match {
               case Some(h) =>
-                if (wantApprox && batchIndex != "ivf")
-                  throw new IllegalArgumentException(
-                    "durable as-of batch search serves exact (approx: " +
-                      "false) or index:'ivf' — the graded as-of indexed path")
                 d.findSimilarBatchAsOf(qs, h, k, metric, ns,
                   approx = wantApprox,
                   filter = stringMapOf(body, "filter"),
-                  jsonFilter = stringMapOf(body, "json_filter"))
+                  jsonFilter = stringMapOf(body, "json_filter"),
+                  index = if (wantApprox) batchIndex else "ivf")
               case None =>
             if (wantApprox) {
               // ivf serves cosine|l2 (raw-space cell geometry); the

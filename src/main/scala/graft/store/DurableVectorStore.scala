@@ -1088,7 +1088,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                            approx: Boolean = false,
                            filter: Map[String, String] = Map.empty,
                            jsonFilter: Map[String, String] = Map.empty,
-                           persistProbes: Boolean = false): Seq[Seq[SearchHit]] = {
+                           persistProbes: Boolean = false,
+                           index: String = "ivf"): Seq[Seq[SearchHit]] = {
     val dim = requireBatch(queries, k)
     // filtered batch as-of (r17 — VERDICT r16 "What's missing" #1): the
     // one composition a training-eval pipeline runs nightly — a batch
@@ -1097,67 +1098,61 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     // starved rescue) composed with the q175 snapshot contract (both
     // mutation horizons bounded at asOf); the rescue answers from the
     // exact FILTERED AS-OF scan, so min(k, matching-at-asOf) holds.
+    // Since the single-query as-of matrix closed (q181/q183–q186), the
+    // batch forms route to every mount too — the same horizon
+    // parameters on the same one-sweep batch probes.
     val pred = metaPredicate(filter, jsonFilter)
     val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
     def exactAsOf(qs: Seq[Seq[Float]]): Seq[Seq[SearchHit]] =
       Scoring.batchSearch(
         liveAsOf(asOf).filter(col("namespace") === namespace).filter(pred),
         qs, k, metric)
-    if (!approx) return exactAsOf(queries)
-    require(metric == "cosine" || metric == "l2",
-      s"approx as-of batch search supports cosine|l2, got metric '$metric'")
-    var attempt = 0
-    while (attempt < 3) {
-      annEntryFresh(namespace, dim) match {
-        case None => return exactAsOf(queries)
-        case Some(e) =>
-          if (e.builtSeq > asOf) return exactAsOf(queries)
-          val hits = probeBatchAsOf(queries, asOf, k, metric, namespace, e,
-            persistProbes, pred)
-          if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactAsOf)
+    def drive(probe: AnnEntry => Seq[Seq[SearchHit]]): Seq[Seq[SearchHit]] = {
+      var attempt = 0
+      while (attempt < 3) {
+        annEntryFresh(namespace, dim) match {
+          case None => return exactAsOf(queries)
+          case Some(e) =>
+            if (e.builtSeq > asOf) return exactAsOf(queries)
+            val hits = probe(e)
+            if (currentGen() == e.builtGen)
+              return rescueStarved(hits, queries, k, hasFilter, exactAsOf)
+        }
+        attempt += 1
       }
-      attempt += 1
+      exactAsOf(queries)
     }
-    exactAsOf(queries)
-  }
-
-  private def probeBatchAsOf(queries: Seq[Seq[Float]], asOf: Long, k: Int,
-                             metric: String, namespace: String,
-                             e: AnnEntry,
-                             persistProbes: Boolean = false,
-                             pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
-    import spark.implicits._
-    val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
-    val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
-      graft.operators.Ann.rankCells(q.toArray, e.centers, nProbe)
-        .map(c => (i, c))
+    if (!approx) return exactAsOf(queries)
+    index match {
+      case "ivf" =>
+        require(metric == "cosine" || metric == "l2",
+          s"approx as-of batch search supports cosine|l2, got metric '$metric'")
+        drive(e => probeBatch(queries, k, metric, namespace, e,
+          persistProbes, pred, Some(asOf)))
+      case "pq" | "bq" | "imi" | "hnsw" | "lsh" =>
+        require(metric == "cosine",
+          s"as-of durable batch '$index' search is cosine only, got metric '$metric'")
+        index match {
+          case "pq" => drive(e => probeBatchPq(queries, k, namespace, e,
+            pqLayoutFor(namespace, dim, e), persistProbes, pred, hasFilter,
+            Some(asOf)))
+          case "bq" => drive(e => probeBatchBq(queries, k, namespace, e,
+            bqLayoutFor(namespace, dim, e), persistProbes, pred, hasFilter,
+            Some(asOf)))
+          case "imi" => drive(e => probeBatchImi(queries, k, namespace, e,
+            imiLayoutFor(namespace, dim, e), persistProbes, pred,
+            Some(asOf)))
+          case "hnsw" => drive(e => probeBatchHnsw(queries, k, namespace, e,
+            hnswLayoutFor(namespace, dim, e), persistProbes, pred, filter,
+            Some(asOf)))
+          case _ => drive(e => probeBatchLsh(queries, k, namespace, e,
+            lshLayoutFor(namespace, dim, e), persistProbes, pred,
+            Some(asOf)))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
     }
-    val probeDf = probeRows.toDF("__qid", "cell")
-    if (persistProbes)
-      probeDf.coalesce(1)
-        .write.mode("overwrite").parquet(annProbesDir(e.aux, "batch_probes"))
-    val allCells = probeRows.map(_._2).distinct
-    // the predicate cuts candidates at candidate time (probeBatch's
-    // discipline) — inside the probed-cell scan, on the asOf-bounded
-    // delta tail, and again at the as-of rerank join (authoritative)
-    val layoutCand = layoutFrame(s"${e.aux}/index")
-      .where(col("cell").isin(allCells: _*))
-      .where(pred)
-      .join(broadcast(probeDf), Seq("cell"))
-      .select(col("__qid"), col("id"))
-    val deltaCand = liveAsOf(asOf)
-      .filter(col("namespace") === namespace && col("seq") > e.builtSeq)
-      .filter(pred)
-      .select(col("id"))
-      .crossJoin(broadcast(queries.indices.toDF("__qid")))
-      .select(col("__qid"), col("id"))
-    val cand = layoutCand.unionByName(deltaCand).distinct()
-    Scoring.batchSearchCandidates(
-      liveAsOf(asOf).filter(col("namespace") === namespace).filter(pred),
-      queries, cand, k, metric)
   }
-
   /** Batched exact search over the durable layout: result(i) answers
     * queries(i) — one partition-pruned scan for the whole batch via
     * [[Scoring.batchSearch]], the same contract as
@@ -1251,7 +1246,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeBatch(queries: Seq[Seq[Float]], k: Int, metric: String,
                          namespace: String, e: AnnEntry,
                          persistProbes: Boolean,
-                         pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
+                         pred: Column = lit(true),
+                         asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1273,12 +1269,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .join(broadcast(probeDf), Seq("cell"))
       .select(col("__qid"), col("id"))
     val qids = queries.indices.toDF("__qid")
-    val deltaCand = deltaTail(namespace, e.builtSeq, Seq(col("id")), pred)
+    val deltaCand = horizonDelta(namespace, e.builtSeq, Seq(col("id")), pred,
+        asOf)
       .crossJoin(broadcast(qids))
       .select(col("__qid"), col("id"))
     val cand = layoutCand.unionByName(deltaCand).distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, metric)
   }
 
@@ -1306,17 +1303,26 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     dim
   }
 
-  /** The exact delta tail as (__qid, id) candidates for EVERY query —
+  /** The delta tail as (__qid, id) candidates for EVERY query —
     * post-build appends must be candidates regardless of which cells /
-    * codes / shards a query probed (the q107 union). */
+    * codes / shards a query probed (the q107 union). With `asOf` the
+    * tail bounds at the snapshot ([[horizonDelta]]). */
   private def batchDeltaCand(queries: Seq[Seq[Float]], namespace: String,
                              builtSeq: Long,
-                             pred: Column = lit(true)): DataFrame = {
+                             pred: Column = lit(true),
+                             asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    deltaTail(namespace, builtSeq, Seq(col("id")), pred)
+    horizonDelta(namespace, builtSeq, Seq(col("id")), pred, asOf)
       .crossJoin(broadcast(queries.indices.toDF("__qid")))
       .select(col("__qid"), col("id"))
   }
+
+  /** The authoritative rerank base at a horizon: the current live set,
+    * or the as-of snapshot — rows tombstoned inside the horizon die at
+    * this join, which is why the batch probes need no explicit kill
+    * anti-join. */
+  private def baseAt(asOf: Option[Long]): DataFrame =
+    asOf.map(liveAsOf).getOrElse(live())
 
   /** Batched APPROX search through the durable PQ codes: all Q probe
     * lists and ADC LUTs broadcast as qid-keyed frames, ONE
@@ -1363,7 +1369,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                            namespace: String, e: AnnEntry, pq: PqEntry,
                            persistLuts: Boolean,
                            pred: Column = lit(true),
-                           hasFilter: Boolean = false): Seq[Seq[SearchHit]] = {
+                           hasFilter: Boolean = false,
+                           asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1405,10 +1412,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         graft.operators.Pq.CandN, descending = false).as("top"))
       .select(col("__qid"), explode(col("top.id")).as("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred,
+        asOf))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
   }
 
@@ -1455,7 +1463,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                            namespace: String, e: AnnEntry, bq: BqEntry,
                            persistCodes: Boolean,
                            pred: Column = lit(true),
-                           hasFilter: Boolean = false): Seq[Seq[SearchHit]] = {
+                           hasFilter: Boolean = false,
+                           asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val nProbe = graft.operators.Ann.ivfProbeFor(e.centers.length)
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
@@ -1494,10 +1503,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
         col("id"), graft.operators.Bq.CandN, descending = false).as("top"))
       .select(col("__qid"), explode(col("top.id")).as("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred,
+        asOf))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
   }
 
@@ -1541,7 +1551,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeBatchImi(queries: Seq[Seq[Float]], k: Int,
                             namespace: String, e: AnnEntry, imi: ImiEntry,
                             persistProbes: Boolean,
-                            pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
+                            pred: Column = lit(true),
+                            asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
       graft.operators.Ann.imiProbeCells(q.toArray, imi.cLo, imi.cHi)
@@ -1558,10 +1569,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .join(broadcast(probeDf), Seq("cell"))
       .select(col("__qid"), col("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred,
+        asOf))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
   }
 
@@ -1606,7 +1618,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
                              namespace: String, e: AnnEntry, h: HnswEntry,
                              persistCands: Boolean,
                              pred: Column = lit(true),
-                             flatFilter: Map[String, String] = Map.empty): Seq[Seq[SearchHit]] = {
+                             flatFilter: Map[String, String] = Map.empty,
+                             asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     var beam = graft.operators.Hnsw.shardCandidatesBatchD(spark, h.aux,
       queries, flatFilter)
     if (persistCands) {
@@ -1614,10 +1627,11 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       beam = spark.read.parquet(s"${h.aux}/batch_cands")
     }
     val cand = beam
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq, pred,
+        asOf))
       .distinct()
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
   }
 
@@ -2906,7 +2920,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def probeBatchLsh(queries: Seq[Seq[Float]], k: Int,
                             namespace: String, e: AnnEntry, lsh: LshEntry,
                             persistSigs: Boolean,
-                            pred: Column = lit(true)): Seq[Seq[SearchHit]] = {
+                            pred: Column = lit(true),
+                            asOf: Option[Long] = None): Seq[Seq[SearchHit]] = {
     import spark.implicits._
     val probeRows = queries.zipWithIndex.flatMap { case (q, i) =>
       graft.operators.Ann.bandBuckets(q.toArray)
@@ -2920,12 +2935,13 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       .join(broadcast(probeDf), Seq("band", "bucket"))
       .select(col("__qid"), col("id"))
     val cand = layoutCand
-      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq))
+      .unionByName(batchDeltaCand(queries, namespace, e.builtSeq,
+        asOf = asOf))
       .distinct()
     // the predicate cuts at the record join — candidate-time (the
     // bucket-mate set is not k-cut)
     Scoring.batchSearchCandidates(
-      live().filter(col("namespace") === namespace).filter(pred),
+      baseAt(asOf).filter(col("namespace") === namespace).filter(pred),
       queries, cand, k, "cosine")
   }
 

@@ -1221,6 +1221,18 @@ class DurableStoreSpec extends AnyFunSuite {
       assert(!hits.map(_.id).contains("zz"),
         s"$idx: wave-2 append leaked into the snapshot")
     }
+    // ... and so does every BATCH form, positionally equal to the
+    // singles (the same horizon parameters on the same one-sweep batch
+    // probes — the q133 single/batch consistency convention)
+    for (idx <- Seq("ivf", "pq", "bq", "imi", "hnsw", "lsh")) {
+      val b = d.findSimilarBatchAsOf(Seq(q), h, k = 5, namespace = "pao",
+        approx = true, index = idx)
+      val single = d.findSimilarAsOf(q, h, k = 5, namespace = "pao",
+        approx = true, index = idx)
+      assert(b.head.map(x => (x.id, x.score)) ==
+        single.map(x => (x.id, x.score)),
+        s"$idx batch as-of diverged from the single as-of search")
+    }
     // young codes: a store whose only layout (and codes) postdate the
     // horizon answers from the exact as-of scan
     val d2 = new DurableVectorStore(spark, tmp())

@@ -699,9 +699,17 @@ class RestServerSpec extends AnyFunSuite {
         assert(bids.head == "a" && !bids.contains("z"),
           s"batch as-of read must serve the snapshot ($approxBody): $bb")
       }
-      assert(send("POST", s"$base/search/batch?namespace=ans",
-        s"""{"queries": [[1.0, 0.0]], "durable": true, "as_of": $h,
-           | "approx": true, "index": "pq"}""".stripMargin)._1 == 422)
+      // the batch route serves every index at the snapshot too (r17)
+      for (idx <- Seq("pq", "bq", "imi", "hnsw", "lsh")) {
+        val (ic, ib) = send("POST", s"$base/search/batch?namespace=ans",
+          s"""{"queries": [[1.0, 0.0]], "top_k": 2, "durable": true,
+             | "as_of": $h, "approx": true, "index": "$idx"}""".stripMargin)
+        assert(ic == 200, s"$idx: $ib")
+        val it = mapper.readTree(ib).get(0)
+        val iids = (0 until it.size()).map(it.get(_).get("id").asText())
+        assert(iids.head == "a" && !iids.contains("z"),
+          s"batch as-of $idx read must serve the snapshot: $ib")
+      }
       // as_of COMPOSES with filters on the batch route (r17 — q179's
       // graded composition): the tenant predicate cuts candidates at
       // the snapshot; 'a' (t=1) serves, 'c' (t=2) never ranks, and the
