@@ -709,10 +709,16 @@ object Ann {
       K, descending = true)
   }
 
+  /** Build-or-reuse the persisted IMI layout for `dir` (the
+    * [[ensureLayout]] pattern; the streaming retrieval cell q187 probes
+    * this same standing grid). */
+  private[graft] def ensureImiLayout(spark: SparkSession, dir: String): String =
+    imiLayoutCache.computeIfAbsent(imiAuxDir(spark, dir),
+      _ => buildImiIndex(spark, dir))
+
   /** q94 = cached build + probe (the q33 lifecycle). */
   def q94(spark: SparkSession, dir: String): DataFrame = {
-    val aux = imiLayoutCache.computeIfAbsent(imiAuxDir(spark, dir),
-      _ => buildImiIndex(spark, dir))
+    val aux = ensureImiLayout(spark, dir)
     lastImiAux = Some(aux)
     imiProbe(spark, dir, aux, persistProbes = true)
   }

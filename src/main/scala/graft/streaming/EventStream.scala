@@ -739,12 +739,15 @@ object EventStream {
 
   /** The q33 replay with a parameterized probe table and query set:
     * candidates = the persisted (qid, cell) probes' members, rerank =
-    * exact cosine rounded to 4, ranked (score DESC, id) per query. */
-  def q178Sql(aux: String): String =
+    * exact cosine rounded to 4, ranked (score DESC, id) per query.
+    * Shared by the IVF (q178) and IMI (q187) streaming cells — both
+    * persist a q33-shaped layout (`assign/`) and a `stream_probes`
+    * table, so one replay text grades either grid. */
+  private def streamProbeReplaySql(aux: String, qlo: Long, qhi: Long): String =
     s"""WITH probes AS (SELECT qid, cell FROM read_parquet('$aux/stream_probes/*.parquet')),
        |a AS (SELECT vec_id, cell FROM read_parquet('$aux/assign/*.parquet')),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-       |      WHERE vec_id >= $IvfQLo AND vec_id < $IvfQHi),
+       |      WHERE vec_id >= $qlo AND vec_id < $qhi),
        |cand AS (
        |  SELECT DISTINCT p.qid, a.vec_id AS id
        |  FROM probes p JOIN a ON a.cell = p.cell
@@ -760,6 +763,8 @@ object EventStream {
        |  FROM sc)
        |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
        |ORDER BY qid, rank""".stripMargin
+
+  def q178Sql(aux: String): String = streamProbeReplaySql(aux, IvfQLo, IvfQHi)
 
   /** Aux dir of the most recent q178 run — oracle hook (the layout is
     * q33's own cached build; the probe table is q178's). */
@@ -1089,6 +1094,363 @@ object EventStream {
   /** Aux dir of the most recent q182 run — oracle hook. */
   @volatile private var lastStreamFilteredAux: Option[String] = None
 
+  // ---- q187: streaming retrieval on the GRID mount (r17 closes the
+  // streaming × mount matrix, part 1 of 3) ------------------------------
+  //
+  // The q178 shape transferred to the inverted MULTI-index: the two-level
+  // grid decomposes d(q, cell(i,j)) = d_lo(q_lo, c_i) + d_hi(q_hi, c_j),
+  // so the per-query stateless pass computes 2k sub-distances as two
+  // fused HOF columns over broadcast-sized codebook literals, merges the
+  // pair sums to the top nProbe (distance, cell) grid cells — the
+  // operation-for-operation twin of [[graft.operators.Ann.imiProbeCells]]
+  // (double diffs, ascending-j sums, (d, cell) ties), asserted in-script
+  // — then sweeps the standing cell-partitioned grid layout through the
+  // same stream-static equi-join as q178. At 100 TB the grid's k² cells
+  // come from 2k trained centroids (the IMI thesis), so the broadcast
+  // literal stays KBs while the partition-pruned sweep sharpens.
+
+  private val ImiQLo = 9L
+  private val ImiQHi = 13L
+  private val q187ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ann = graft.operators.Ann
+    val aux = ann.ensureImiLayout(spark, dir)
+    def readCenters(name: String): Array[Array[Float]] =
+      spark.read.parquet(s"$aux/$name").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+    val cLo = readCenters("centroids_lo")
+    val cHi = readCenters("centroids_hi")
+    val kHi = cHi.length
+    val half = cLo.headOption.map(_.length).getOrElse(0)
+    val dim = half + cHi.headOption.map(_.length).getOrElse(0)
+    val nProbe = ann.ivfProbeFor(cLo.length * kHi)
+    val cLoLit = typedLit(cLo.map(_.toSeq).toSeq)
+    val cHiLit = typedLit(cHi.map(_.toSeq).toSeq)
+    // the two sub-distance vectors, then the merged (d, cell) ranking —
+    // imiProbeCells' arithmetic as codegen-planned columns (array_sort
+    // on struct(d, c) is the (distance, cell) tie order)
+    def subDistExpr(loCol: String, sliceFrom: Int, sliceLen: Int): String =
+      s"""transform($loCol, c -> aggregate(zip_with(
+         |  slice(qv, $sliceFrom, $sliceLen), c,
+         |  (x, y) -> (cast(x AS double) - cast(y AS double))
+         |          * (cast(x AS double) - cast(y AS double))),
+         |  cast(0.0 AS double), (acc, v) -> acc + v))""".stripMargin
+    val probed = expr(
+      s"""slice(transform(array_sort(flatten(
+         |  transform(sequence(0, ${cLo.length - 1}), i ->
+         |    transform(sequence(0, ${kHi - 1}), j ->
+         |      struct(element_at(__dlo, i + 1) + element_at(__dhi, j + 1) AS d,
+         |             i * $kHi + j AS c))))), s -> s.c), 1, $nProbe)""".stripMargin)
+    val layout = spark.read.parquet(s"$aux/index")
+    val drained = drainToTable(spark, "graft_q187_sink", {
+      spark.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("__clo", cLoLit)
+        .withColumn("__chi", cHiLit)
+        .withColumn("__dlo", expr(subDistExpr("__clo", 1, half)))
+        .withColumn("__dhi", expr(subDistExpr("__chi", half + 1, dim - half)))
+        .withColumn("cell", explode(probed))
+        .drop("__clo", "__chi", "__dlo", "__dhi")
+        .join(layout, Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("cell"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q187_sink").start()
+    })
+    val qs = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+      ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c))
+    }
+    // parity pins are invariants of the deterministic plans — once per
+    // dir (the q180 convention), so bench repeats measure the stream
+    if (q187ParityChecked.add(dir)) {
+      val streamed = drained.select(col("qid"), col("cell")).distinct()
+        .as[(Long, Int)].collect().toSet
+      require(streamed.subsetOf(probeRows.toSet),
+        "the stream's grid-cell ranking diverged from imiProbeCells")
+      val missedNonEmpty = probeRows.toDF("qid", "cell")
+        .join(drained.select(col("qid"), col("cell")).distinct(),
+          Seq("qid", "cell"), "left_anti")
+        .join(layout, Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .limit(1).count()
+      require(missedNonEmpty == 0L,
+        "the stream missed a non-empty probed grid cell")
+      probeRows.toDF("qid", "cell").coalesce(1)
+        .write.mode("overwrite").parquet(s"$aux/stream_probes")
+    }
+    graft.operators.Ann.rankTopK(
+      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
+      SearchK, descending = true)
+  }
+
+  def q187Sql(aux: String): String = streamProbeReplaySql(aux, ImiQLo, ImiQHi)
+
+  /** IMI aux dir of the most recent q187 run — oracle hook. */
+  @volatile private var lastStreamImiAux: Option[String] = None
+
+  // ---- q188: streaming retrieval on the SIGN-BIT mount (part 2) -------
+  //
+  // BQ is the one geometry with NO pruning key: the hamming kernel ranks
+  // EVERY 8-byte code against the query, and its CandN cut must
+  // therefore run INSIDE the micro-batch — an append-mode streaming
+  // aggregation would demand a watermark the query stream doesn't have,
+  // and draining pre-cut rows to the sink would ship corpus-sized
+  // hamming rows per query. So this cell streams through Spark's
+  // foreachBatch route — the standard pattern for kernels a stream-
+  // static join can't express: each micro-batch runs the BATCH kernel
+  // (one standing-codes sweep amortized over the batch's queries, the
+  // q106 one-scan thesis; TopKAgg's map-side bounded heap keeps the
+  // exchange at partitions × Q × CandN rows) and emits only the
+  // CandN-sized candidate cut; the exact rerank runs post-drain like
+  // q180's. NO state store; per-batch cost = the batch kernel's, which
+  // IS the 100 TB sweep economics (8 bytes/vector, popcount per
+  // candidate). The driver-side buffer holds candidate ids only —
+  // CandN × Q rows per batch, never corpus-sized.
+
+  private val BqQLo = 13L
+  private val BqQHi = 17L
+  private val q188ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val q188MidsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  def q188(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.StandingCache
+    val e = Tables.table(spark, dir, "embeddings")
+    // the per-dim midpoint grid (q95's threshold policy — exact min/max,
+    // order-independent, dim-sized): standing per dir
+    val mids = q188MidsCache.computeIfAbsent(dir, _ =>
+      e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .orderBy(col("i")).collect()
+        .map(r => (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0))
+    def packExpr(valuesCol: String): String =
+      s"""aggregate(
+         |  zip_with($valuesCol, sequence(0, ${mids.length - 1}), (x, i) ->
+         |    IF(CAST(x AS DOUBLE) > element_at(__mids, i + 1),
+         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin
+    // the standing 8-byte code table — what the per-batch sweep reads
+    val codes = StandingCache.frame(dir, "q188_codes") {
+      e.withColumn("__mids", typedLit(mids.toSeq))
+        .withColumn("code", expr(packExpr("embedding")))
+        .select(col("vec_id"), col("code"))
+    }
+    // the batch kernel's candidate cut (q95's): one codes sweep per
+    // query frame, integer hamming, bounded-heap CandN on (ham, id)
+    def candCut(qframe: DataFrame): DataFrame =
+      codes.crossJoin(broadcast(qframe))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("CAST(bit_count(code ^ qcode) AS DOUBLE)"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk(col("ham"), col("vec_id"),
+          graft.operators.Bq.CandN, descending = false).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("__mids", typedLit(mids.toSeq))
+      .withColumn("qcode", expr(packExpr("qv")))
+      .select(col("qid"), col("qcode"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // CandN × Q candidate ids only — never corpus-sized
+        candCut(batch).collect()
+          .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // explicit element type: Java's toArray would refine it to
+    // `(Long, Long) with Object`, which the encoder reflection rejects
+    val streamCand: Seq[(Long, Long)] =
+      buf.toArray(Array.empty[(Long, Long)]).toSeq
+    // stream ≡ batch: micro-batching splits QUERIES, whose cuts are
+    // independent, so the union must equal the one-shot batch kernel's
+    // candidate set exactly (integer hamming — no float tie boundary)
+    if (q188ParityChecked.add(dir)) {
+      val allQ = e.where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("__mids", typedLit(mids.toSeq))
+        .withColumn("qcode", expr(packExpr("qv")))
+        .select(col("qid"), col("qcode"))
+      val batchCand = candCut(allQ).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(streamCand.toSet == batchCand,
+        "the stream's hamming cut diverged from the batch kernel")
+    }
+    val qFrame = e.where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.Ann.rankTopK(
+      streamCand.toDF("qid", "vec_id")
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      SearchK, descending = true)
+  }
+
+  /** q95's replay with the streaming query range and k: the midpoint
+    * grid, codes, hamming CandN cut and exact rerank all rebuild from
+    * the base table — integer hamming has no float boundary at the cut,
+    * so no persisted layout is needed (the q95 property). */
+  val q188Sql: String = {
+    val dim = graft.operators.Ann.Dim
+    val bit =
+      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
+    s"""WITH st AS (
+       |  SELECT g.i,
+       |         (min(embedding[g.i + 1])::DOUBLE
+       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
+       |  FROM embeddings, range($dim) g(i) GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
+       |                     THEN $bit ELSE 0::BIGINT END) AS code
+       |  FROM embeddings e, st GROUP BY 1),
+       |q AS (
+       |  SELECT c.vec_id AS qid, c.code AS qcode, e.embedding AS qv
+       |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  WHERE c.vec_id >= $BqQLo AND c.vec_id < $BqQHi),
+       |ham AS (
+       |  SELECT q.qid, c.vec_id, bit_count(xor(c.code, q.qcode)) AS ham
+       |  FROM codes c, q WHERE c.vec_id <> q.qid),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY ham, vec_id) AS crank
+       |    FROM ham) WHERE crank <= ${graft.operators.Bq.CandN}),
+       |r AS (
+       |  SELECT c.qid, c.vec_id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid)
+       |SELECT qid, rank::INT AS rank, vec_id AS id, score FROM (
+       |  SELECT qid, vec_id, score,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY score DESC, vec_id) AS rank
+       |  FROM r)
+       |WHERE rank <= $SearchK ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---- q189: streaming retrieval on the GRAPH mount (part 3 — the
+  // streaming × mount matrix is CLOSED) ----------------------------------
+  //
+  // The HNSW beam is ITERATIVE — each hop's frontier depends on the
+  // last — so no stream-static join can express it (q178/q180/q187's
+  // stateless probe columns derive from broadcast literals in one pass;
+  // a beam needs the graph). It streams through the same foreachBatch
+  // route as q188: each micro-batch's queries (a Q-sized collect —
+  // queries, never corpus) beam-search the STANDING shard graphs via
+  // the batch kernel itself ([[graft.operators.Hnsw.shardCandidates]]:
+  // per-shard coalesced scans, resident-graph cache, no corpus
+  // shuffle), and only the ≤ shards × ef candidate ids per query reach
+  // the buffer. micro-batch = the batch kernel, so stream ≡ batch
+  // parity is structural; the candidate set persists as the oracle's
+  // policy (the q118 contract — traversal is policy, exact rerank is
+  // contract).
+
+  private val HnswQLo = 17L
+  private val HnswQHi = 21L
+  private val q189ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hnsw = graft.operators.Hnsw
+    val aux = hnsw.ensureLayout(spark, dir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") >= HnswQLo && col("vec_id") < HnswQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        if (qs.nonEmpty)
+          hnsw.shardCandidates(spark, aux, qs).collect()
+            .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamCand: Seq[(Long, Long)] =
+      buf.toArray(Array.empty[(Long, Long)]).toSeq.distinct
+    val qs = Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= HnswQLo && col("vec_id") < HnswQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (q189ParityChecked.add(dir)) {
+      // beam determinism makes this structural: the union of per-batch
+      // kernel calls must equal the one-shot kernel over all queries
+      val batchCand = hnsw.shardCandidates(spark, aux, qs.toSeq).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(streamCand.toSet == batchCand,
+        "the stream's beam candidates diverged from the batch kernel")
+      streamCand.toDF("qid", "id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$aux/stream_cands")
+    }
+    val e = Tables.table(spark, dir, "embeddings")
+    val qFrame = e.where(col("vec_id") >= HnswQLo && col("vec_id") < HnswQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.Ann.rankTopK(
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(streamCand.toDF("qid", "id")),
+          col("vec_id") === col("id"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      SearchK, descending = true)
+  }
+
+  /** The q118 contract with the stream's persisted candidates and query
+    * range: traversal is the candidate POLICY, the exact cosine rerank
+    * with the id tie-break is the replayed contract. */
+  def q189Sql(aux: String): String =
+    s"""WITH cand AS (
+       |  SELECT qid, id FROM read_parquet('$aux/stream_cands/*.parquet')
+       |  WHERE id <> qid),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= $HnswQLo AND vec_id < $HnswQHi),
+       |sc AS (
+       |  SELECT c.qid, c.id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** HNSW aux dir of the most recent q189 run — oracle hook. */
+  @volatile private var lastStreamHnswAux: Option[String] = None
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1109,6 +1471,17 @@ object EventStream {
         lastStreamFilteredAux = Some(graft.operators.Ann.ensureLayout(s, d))
         out
       }),
+      "q187_stream_search_imi" -> ((s: SparkSession, d: String) => {
+        val out = q187(s, d)
+        lastStreamImiAux = Some(graft.operators.Ann.ensureImiLayout(s, d))
+        out
+      }),
+      "q188_stream_search_bq" -> (q188 _),
+      "q189_stream_search_hnsw" -> ((s: SparkSession, d: String) => {
+        val out = q189(s, d)
+        lastStreamHnswAux = Some(graft.operators.Hnsw.ensureLayout(s, d))
+        out
+      }),
       "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
@@ -1125,6 +1498,11 @@ object EventStream {
       "q180_stream_search_pq" -> q180Sql(aux, pqAux) }.toMap ++
     lastStreamFilteredAux.map(aux =>
       "q182_stream_search_filtered" -> q182Sql(aux)).toMap ++
+    lastStreamImiAux.map(aux =>
+      "q187_stream_search_imi" -> q187Sql(aux)).toMap ++
+    lastStreamHnswAux.map(aux =>
+      "q189_stream_search_hnsw" -> q189Sql(aux)).toMap ++
+    Map("q188_stream_search_bq" -> q188Sql) ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,

@@ -86,6 +86,122 @@ class StreamingSpec extends AnyFunSuite {
       "stream-served IVF retrieval diverged from the batch probe")
   }
 
+  test("streaming IMI retrieval (q187) equals the batch grid probe of the same layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.q187(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // batch twin over the SAME persisted grid: imiProbeCells-ranked
+    // pairs, pruned cell join, exact rerank — positional parity
+    val ann = graft.operators.Ann
+    val aux = ann.ensureImiLayout(spark, dir)
+    def centers(name: String) = spark.read.parquet(s"$aux/$name").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val cLo = centers("centroids_lo")
+    val cHi = centers("centroids_hi")
+    val qs = graft.sources.Tables.table(spark, dir, "embeddings")
+      .where(col("vec_id") >= 9L && col("vec_id") < 13L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val probeRows = qs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .flatMap { case (qid, qv) =>
+        ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c))
+      }
+    val batch = ann.rankTopK(
+      spark.read.parquet(s"$aux/index")
+        .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qs), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id"))
+        .distinct(),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served IMI retrieval diverged from the batch grid probe")
+  }
+
+  test("streaming BQ retrieval (q188) equals the batch hamming kernel over the same codes") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.EventStream.q188(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // batch twin rebuilt from the base table (the q95 property): midpoint
+    // grid, one-BIGINT codes, CandN hamming cut, exact rerank
+    val e = graft.sources.Tables.table(spark, dir, "embeddings")
+    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mids = stats.map(r =>
+      (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0)
+    val packExpr =
+      s"""aggregate(
+         |  zip_with(embedding, sequence(0, ${mids.length - 1}), (x, i) ->
+         |    IF(CAST(x AS DOUBLE) > element_at(mids, i + 1),
+         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin
+    val coded = e.withColumn("mids", typedLit(mids.toSeq))
+      .withColumn("code", expr(packExpr))
+      .select(col("vec_id"), col("embedding"), col("code"))
+    val q = coded.where(col("vec_id") >= 13L && col("vec_id") < 17L)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"),
+        col("embedding").as("qv"))
+    val cand = coded.crossJoin(broadcast(q.select(col("qid"), col("qcode"))))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("ham", expr("CAST(bit_count(code ^ qcode) AS DOUBLE)"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("ham"), col("vec_id"),
+        graft.operators.Bq.CandN, descending = false).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+    val batch = graft.operators.Ann.rankTopK(
+      cand.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served BQ retrieval diverged from the batch hamming kernel")
+  }
+
+  test("streaming HNSW retrieval (q189) equals the batch beam of the same shard graphs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.q189(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    val hnsw = graft.operators.Hnsw
+    val aux = hnsw.ensureLayout(spark, dir)
+    val e = graft.sources.Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") >= 17L && col("vec_id") < 21L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val cand = hnsw.shardCandidates(spark, aux, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val qFrame = e.where(col("vec_id") >= 17L && col("vec_id") < 21L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = graft.operators.Ann.rankTopK(
+      e.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand.toDF("qid", "id")), col("vec_id") === col("id"))
+        .where(col("vec_id") =!= col("qid"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served HNSW retrieval diverged from the batch beam")
+  }
+
   test("streaming PQ retrieval (q180) equals the batch ADC probe of the same codes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
