@@ -3234,8 +3234,15 @@ object StoreOps {
     * parity with the filtered as-of SINGLES is asserted in-script (the
     * q133 convention), closing the single/batch consistency question
     * for the filtered snapshot read. */
-  def q179(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Shared q179/q190 fixture: the filtered-as-of store (tenant-tagged
+    * load, two mutation waves with the horizon recorded between them),
+    * its query set in vec_id order, and the tenant predicate. q190
+    * STREAMS the same store q179 batches, so both compositions grade
+    * one script and one replay text. Returns
+    * (store, horizon, queries, filter, namespace, k). */
+  private[graft] def dfAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]],
+         Map[String, String], String, Int) = {
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
       "/dfasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -3269,6 +3276,12 @@ object StoreOps {
         FacadeN + DAnnDeltaN + AsOfDelta2), DFAsOfNs)
       (s, h)
     })
+    (store, asOf, qs, tenantFilter, DFAsOfNs, K)
+  }
+
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (store, asOf, qs, tenantFilter, _, _) = dfAsOfFixture(spark, dir)
     val rescues0 = store.exactRescues.get()
     val res = store.findSimilarBatchAsOf(qs, asOf, k = K,
       namespace = DFAsOfNs, approx = true, filter = tenantFilter,

@@ -1451,6 +1451,91 @@ object EventStream {
   /** HNSW aux dir of the most recent q189 run — oracle hook. */
   @volatile private var lastStreamHnswAux: Option[String] = None
 
+  // ---- q190: snapshot-pinned streaming retrieval over the DURABLE
+  // store — the FULL composition (r17 capstone) --------------------------
+  //
+  // Every serving dimension this engine grades, in ONE cell: a query
+  // STREAM (arrival-batched, any split) served by the DURABLE LSM
+  // store's indexed read at a RECORDED horizon with a tenant FILTER —
+  // the q179 nightly-eval composition as a service instead of a job.
+  // The store keeps mutating AFTER the horizon (q179's wave-2 deletes +
+  // appends land before any micro-batch arrives), and the graded claim
+  // is REPRODUCIBILITY: because each micro-batch replays the same
+  // snapshot (kills and delta both bounded at asOf), the drained
+  // stream's answers are positionally identical to the one-shot batch
+  // twin — arrival batching cannot change a snapshot read. It streams
+  // via the foreachBatch route (the q188/q189 rationale: the durable
+  // probe is a multi-stage kernel — layout sweep, kill anti-join,
+  // delta union, per-query rescue — not a stateless column), each
+  // micro-batch paying ONE one-scan batch probe for its queries; only
+  // k × Q hit rows leave the batch. At 100 TB this is the serving
+  // deployment: ingestion appends continuously, evaluation streams
+  // reproducibly against the stamp it recorded at job start.
+
+  private val q190ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (layout dir, batch-probe dir) of the most recent q190 run. */
+  @volatile private var lastStreamDurAsOfAux: Option[(String, String)] = None
+
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, tenant, ns, k) = so.dfAsOfFixture(spark, dir)
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    val q = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") < qs.length)
+      .select(col("vec_id"), col("embedding"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // qid = vec_id = position in the fixture's vec_id-ordered query
+        // set (contiguous from 0); k × Q hit rows only
+        val rows = batch.collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+        if (rows.nonEmpty) {
+          val res = store.findSimilarBatchAsOf(rows.map(_._2).toSeq, asOf,
+            k = k, namespace = ns, approx = true, filter = tenant)
+          rows.map(_._1).zip(res).foreach { case (qid, hits) =>
+            hits.zipWithIndex.foreach { case (h, r) =>
+              buf.add((qid, r + 1, h.id, h.score))
+            }
+          }
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    // the reproducibility pin AND the oracle anchor: the one-shot batch
+    // twin at the same horizon (persisting its probes for the replay)
+    // must equal the drained stream positionally — score-exact, since
+    // the per-query probe is independent of its batch-mates (the q179
+    // single ≡ batch parity, transitively)
+    val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+      namespace = ns, approx = true, filter = tenant, persistProbes = true)
+    if (q190ParityChecked.add(dir)) {
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
+    lastStreamDurAsOfAux = store.annLayoutDir(ns, qs.head.length)
+      .map { case (a, _) => (a, store.annProbesDir(a, "batch_probes")) }
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  /** q179's replay verbatim — the stream is pinned positionally equal
+    * to the batch twin in-script, so one replay text grades both. */
+  def q190Sql(aux: String, probesDir: String): String =
+    graft.operators.StoreOps.q179Sql(aux, probesDir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1482,6 +1567,7 @@ object EventStream {
         lastStreamHnswAux = Some(graft.operators.Hnsw.ensureLayout(s, d))
         out
       }),
+      "q190_stream_search_durable_asof" -> (q190 _),
       "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
@@ -1502,6 +1588,8 @@ object EventStream {
       "q187_stream_search_imi" -> q187Sql(aux)).toMap ++
     lastStreamHnswAux.map(aux =>
       "q189_stream_search_hnsw" -> q189Sql(aux)).toMap ++
+    lastStreamDurAsOfAux.map { case (aux, probesDir) =>
+      "q190_stream_search_durable_asof" -> q190Sql(aux, probesDir) }.toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,

@@ -202,6 +202,29 @@ class StreamingSpec extends AnyFunSuite {
       "stream-served HNSW retrieval diverged from the batch beam")
   }
 
+  test("snapshot-pinned streaming retrieval (q190) equals the one-shot filtered as-of batch") {
+    val streamed = graft.streaming.EventStream.q190(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // the fixture's store keeps post-horizon mutations live; the batch
+    // twin at the recorded horizon must reproduce the stream exactly
+    val (store, asOf, qs, tenant, ns, k) =
+      graft.operators.StoreOps.dfAsOfFixture(spark, dir)
+    val batch = store.findSimilarBatchAsOf(qs, asOf, k = k, namespace = ns,
+      approx = true, filter = tenant)
+      .zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) =>
+          // Det.r4's floor-based rounding, driver-side
+          (qi, r + 1, h.id, math.floor(h.score * 10000.0 + 0.5) / 10000.0)
+        }
+      }.sortBy(x => (x._1, x._2))
+    assert(streamed.toSeq == batch,
+      "stream-served snapshot retrieval diverged from the batch as-of twin")
+    // every query answered from the snapshot, full k, ranks in [1, k]
+    assert(streamed.map(_._1).distinct.length == qs.length)
+    assert(streamed.forall(x => x._2 >= 1 && x._2 <= k))
+  }
+
   test("streaming PQ retrieval (q180) equals the batch ADC probe of the same codes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
