@@ -1513,10 +1513,12 @@ object EventStream {
     // twin at the same horizon (persisting its probes for the replay)
     // must equal the drained stream positionally — score-exact, since
     // the per-query probe is independent of its batch-mates (the q179
-    // single ≡ batch parity, transitively)
-    val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
-      namespace = ns, approx = true, filter = tenant, persistProbes = true)
+    // single ≡ batch parity, transitively). Once per dir (the q180
+    // convention), so bench repeats measure the serving stream; the
+    // probes it persists are idempotent (same store, horizon, queries).
     if (q190ParityChecked.add(dir)) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, filter = tenant, persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
         hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
       }.sortBy(x => (x._1, x._2))
