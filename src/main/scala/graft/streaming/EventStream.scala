@@ -1451,6 +1451,120 @@ object EventStream {
   /** HNSW aux dir of the most recent q189 run — oracle hook. */
   @volatile private var lastStreamHnswAux: Option[String] = None
 
+  // ---- q191: streaming retrieval on the ROTATED code mount (OPQ) ------
+  //
+  // The seventh and last ANN family gets its streaming cell: OPQ is
+  // flat PQ behind a learned rotation, and its codes table — like
+  // BQ's — has NO pruning key, so the CandN ADC cut must run inside
+  // the micro-batch (the q188 rationale). foreachBatch route: per
+  // micro-batch, rotate each query (the RotateVec arithmetic,
+  // driver-side — queries are arrival-rate-sized), derive its ADC LUT
+  // against the rotated-space codebook, run the batch kernel's one
+  // codes sweep + bounded-heap cut, and emit only CandN × Q candidate
+  // ids; exact rerank in the ORIGINAL space post-drain (rotation
+  // preserves cosine — the q138 contract). Every ANN family in the
+  // repo now serves queries as a stream.
+
+  private val OpqQLo = 21L
+  private val OpqQHi = 25L
+  private val q191ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pqOps = graft.operators.Pq
+    val opq = graft.operators.Opq
+    val aux = opq.ensureLayout(spark, dir)
+    val codebook = pqOps.readCodebook(spark, aux)
+    val rot = opq.readRotation(spark, aux)
+    val codes = spark.read.parquet(s"$aux/codes")
+    def lutsFor(rows: Seq[(Long, Array[Float])]) =
+      rows.map { case (qid, qv) =>
+        (qid, pqOps.lutFor(opq.rotateQuery(rot, qv), codebook))
+      }
+    def cutFor(luts: Seq[(Long, Seq[Seq[Double]])]): DataFrame =
+      pqOps.candCut(codes
+        .crossJoin(broadcast(pqOps.lutFrame(spark, luts)))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("adc", pqOps.adcCol)
+        .select(col("qid"), col("adc"), col("vec_id")))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") >= OpqQLo && col("vec_id") < OpqQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        if (rows.nonEmpty)
+          cutFor(lutsFor(rows)).collect()
+            .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamCand: Seq[(Long, Long)] =
+      buf.toArray(Array.empty[(Long, Long)]).toSeq
+    val e = Tables.table(spark, dir, "embeddings")
+    val allQs = e.where(col("vec_id") >= OpqQLo && col("vec_id") < OpqQHi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val allLuts = lutsFor(allQs)
+    if (q191ParityChecked.add(dir)) {
+      // stream ≡ batch: per-query cuts are independent, so the union
+      // must equal the one-shot kernel's candidate set (round-6 ADC —
+      // the same persisted-LUT doubles both engines replay)
+      val batchCand = cutFor(allLuts).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(streamCand.toSet == batchCand,
+        "the stream's ADC cut diverged from the batch OPQ kernel")
+      pqOps.writeLuts(spark, allLuts, s"$aux/stream_lut")
+    }
+    val qFrame = e.where(col("vec_id") >= OpqQLo && col("vec_id") < OpqQHi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.Ann.rankTopK(
+      streamCand.toDF("qid", "vec_id")
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      SearchK, descending = true)
+  }
+
+  /** The q58/q138 ADC contract with the stream's persisted LUTs and
+    * query range: the rotation lives entirely inside the `codes_flat/`
+    * + `stream_lut/` policy artifacts, so the replay is rotation-free. */
+  def q191Sql(aux: String): String =
+    s"""WITH lut AS (SELECT qid, sub, code, d FROM read_parquet('$aux/stream_lut/*.parquet')),
+       |cf AS (SELECT vec_id, sub, code FROM read_parquet('$aux/codes_flat/*.parquet')),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, round(sum(l.d), 6) AS adc
+       |  FROM cf c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  GROUP BY l.qid, c.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS cr
+       |    FROM adc WHERE vec_id <> qid) WHERE cr <= ${graft.operators.Pq.CandN}),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id >= $OpqQLo AND vec_id < $OpqQHi),
+       |sc AS (
+       |  SELECT c.qid, c.vec_id AS id,
+       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid),
+       |r AS (
+       |  SELECT qid, id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, rank::INT AS rank, id, score FROM r WHERE rank <= $SearchK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** OPQ aux dir of the most recent q191 run — oracle hook. */
+  @volatile private var lastStreamOpqAux: Option[String] = None
+
   // ---- q190: snapshot-pinned streaming retrieval over the DURABLE
   // store — the FULL composition (r17 capstone) --------------------------
   //
@@ -1570,6 +1684,11 @@ object EventStream {
         out
       }),
       "q190_stream_search_durable_asof" -> (q190 _),
+      "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
+        val out = q191(s, d)
+        lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
+        out
+      }),
       "q146_stream_pii" -> (q146 _),
       "q47_stream_sessionize" -> (q47 _),
       "q67_stream_dedup" -> (q67 _),
@@ -1592,6 +1711,8 @@ object EventStream {
       "q189_stream_search_hnsw" -> q189Sql(aux)).toMap ++
     lastStreamDurAsOfAux.map { case (aux, probesDir) =>
       "q190_stream_search_durable_asof" -> q190Sql(aux, probesDir) }.toMap ++
+    lastStreamOpqAux.map(aux =>
+      "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,

@@ -202,6 +202,46 @@ class StreamingSpec extends AnyFunSuite {
       "stream-served HNSW retrieval diverged from the batch beam")
   }
 
+  test("streaming OPQ retrieval (q191) equals the rotated batch ADC kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val streamed = graft.streaming.EventStream.q191(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    // batch twin: rotate queries, LUTs from the rotated-space codebook,
+    // one codes sweep, CandN cut, exact rerank in the ORIGINAL space
+    val pq = graft.operators.Pq
+    val opq = graft.operators.Opq
+    val aux = opq.ensureLayout(spark, dir)
+    val codebook = pq.readCodebook(spark, aux)
+    val rot = opq.readRotation(spark, aux)
+    val e = graft.sources.Tables.table(spark, dir, "embeddings")
+    val qs = e.where(col("vec_id") >= 21L && col("vec_id") < 25L)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val luts = qs.map { case (qid, qv) =>
+      (qid, pq.lutFor(opq.rotateQuery(rot, qv), codebook))
+    }
+    val cand = pq.candCut(spark.read.parquet(s"$aux/codes")
+      .crossJoin(broadcast(pq.lutFrame(spark, luts)))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", pq.adcCol)
+      .select(col("qid"), col("adc"), col("vec_id")))
+    val qFrame = e.where(col("vec_id") >= 21L && col("vec_id") < 25L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = graft.operators.Ann.rankTopK(
+      cand.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qFrame), Seq("qid"))
+        .select(col("qid"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+          col("vec_id")),
+      10, descending = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq,
+      "stream-served OPQ retrieval diverged from the rotated batch kernel")
+  }
+
   test("snapshot-pinned streaming retrieval (q190) equals the one-shot filtered as-of batch") {
     val streamed = graft.streaming.EventStream.q190(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3)))
