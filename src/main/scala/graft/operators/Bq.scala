@@ -87,36 +87,32 @@ object Bq {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "embeddings")
 
-  def q95(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-    // per-dim midpoint grid: dim-sized and order-independent — safe to collect
-    val stats = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+  /** Per-dim midpoint grid — dim-sized and order-independent (exact
+    * min/max), safe to collect. Shared by q95 and the streaming cell
+    * (q188), so the threshold policy lives in one place. */
+  private[graft] def midpointGrid(e: DataFrame): Array[Double] =
+    e.select(posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("i")).collect()
-    val mids = stats.map(r =>
-      (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0)
-    // encode: fold 64 sign bits into one BIGINT; at 100 TB this 8-byte
-    // column is what the candidate scan stores and reads — the raw
-    // embedding is touched only by the rerank's candidate-sized fetch
-    val packExpr =
-      s"""aggregate(
-         |  zip_with(embedding, sequence(0, ${Dim - 1}), (x, i) ->
-         |    IF(CAST(x AS DOUBLE) > element_at(mids, i + 1),
-         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin
-    val coded = e
-      .withColumn("mids", typedLit(mids.toSeq))
-      .withColumn("code", expr(packExpr))
-      .select(col("vec_id"), col("embedding"), col("code"))
-    val q = coded
-      .where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("code").as("qcode"),
-        col("embedding").as("qv"))
-    // hamming cut on the 8-byte codes; TopKAgg keeps the exchange at
-    // partitions × Q × CandN heap entries (ham is integer-valued — the
-    // (ham, id) cut has no float tie boundary)
-    val cand = coded.crossJoin(broadcast(q.select(col("qid"), col("qcode"))))
+      .map(r => (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0)
+
+  /** The 64-dim one-BIGINT sign-bit pack against a `midsCol` threshold
+    * array (strict-greater; bit i = dim i). q95's oracle replays this
+    * exact text's arithmetic — one definition, every consumer. */
+  private[graft] def packExpr64(valuesCol: String, midsCol: String): String =
+    s"""aggregate(
+       |  zip_with($valuesCol, sequence(0, ${Dim - 1}), (x, i) ->
+       |    IF(CAST(x AS DOUBLE) > element_at($midsCol, i + 1),
+       |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin
+
+  /** The hamming candidate cut: codes × broadcast query codes, integer
+    * popcount, bounded-heap CandN on (ham, id) — partitions × Q × CandN
+    * heap entries in the exchange, no float tie boundary. Emits
+    * (qid, vec_id). */
+  private[graft] def hammingCut(coded: DataFrame, qcodes: DataFrame): DataFrame =
+    coded.crossJoin(broadcast(qcodes))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("ham",
         expr("CAST(bit_count(code ^ qcode) AS DOUBLE)"))
@@ -124,6 +120,22 @@ object Bq {
       .agg(graft.functions.TopKAgg.topk(col("ham"), col("vec_id"), CandN,
         descending = false).as("top"))
       .select(col("qid"), explode(col("top.id")).as("vec_id"))
+
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val mids = midpointGrid(e)
+    // encode: fold 64 sign bits into one BIGINT; at 100 TB this 8-byte
+    // column is what the candidate scan stores and reads — the raw
+    // embedding is touched only by the rerank's candidate-sized fetch
+    val coded = e
+      .withColumn("mids", typedLit(mids.toSeq))
+      .withColumn("code", expr(packExpr64("embedding", "mids")))
+      .select(col("vec_id"), col("embedding"), col("code"))
+    val q = coded
+      .where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"),
+        col("embedding").as("qv"))
+    val cand = hammingCut(coded, q.select(col("qid"), col("qcode")))
     Ann.rankTopK(
       cand
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -134,7 +146,13 @@ object Bq {
       K, descending = true)
   }
 
-  val q95Sql: String = {
+  /** The full BQ replay (grid → codes → hamming CandN cut → exact
+    * rerank), parameterized by the query predicate and k so q95 and the
+    * streaming cell (q188) grade through ONE text — a threshold-policy
+    * or sign-bit change cannot drift between them. Everything rebuilds
+    * from the base table: integer hamming has no float boundary at the
+    * cut, so no persisted layout is needed. */
+  private[graft] def bqReplaySql(qWhere: String, k: Int): String = {
     // DuckDB overflows on 1<<63: spell the sign bit as min-long directly
     val bit =
       """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
@@ -152,7 +170,7 @@ object Bq {
        |q AS (
        |  SELECT c.vec_id AS qid, c.code AS qcode, e.embedding AS qv
        |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
-       |  WHERE c.vec_id < $NumQueries),
+       |  WHERE $qWhere),
        |ham AS (
        |  SELECT q.qid, c.vec_id, bit_count(xor(c.code, q.qcode)) AS ham
        |  FROM codes c, q WHERE c.vec_id <> q.qid),
@@ -173,8 +191,10 @@ object Bq {
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY score DESC, vec_id) AS rank
        |  FROM r)
-       |WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  val q95Sql: String = bqReplaySql(s"c.vec_id < $NumQueries", K)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_bq_hamming_ann" -> (q95 _))

@@ -3217,28 +3217,13 @@ object StoreOps {
   /** (layout dir, batch-probe dir) of the most recent q179 run. */
   @volatile private var lastDFAsOfBatchAux: Option[(String, String)] = None
 
-  /** q179: FILTERED BATCH AS-OF — a batch of queries, a tenant
-    * predicate, a recorded stamp: the exact composition a
-    * reproducibility-pinned RAG evaluation runs nightly (VERDICT r16
-    * "What's missing" #1 — the single-query path served it, the batch
-    * facade 422'd). The q168 filter discipline (predicate at candidate
-    * time inside the one layout sweep and on the delta tail; per-query
-    * starved rescue, here answering from the exact FILTERED AS-OF scan)
-    * composed with the q175 snapshot contract (kills in
-    * (builtSeq, asOf], delta in (builtSeq, asOf], later mutations
-    * invisible). Script: tenant-tagged load → layout via an unfiltered
-    * batch search → wave-1 mutations → record `h = currentSeq()` →
-    * wave-2 mutations → graded
-    * `findSimilarBatchAsOf(asOf = h, filter = tenant)`. The oracle
-    * replays candidates ∩ tenant at the WAVE-1 horizon only; positional
-    * parity with the filtered as-of SINGLES is asserted in-script (the
-    * q133 convention), closing the single/batch consistency question
-    * for the filtered snapshot read. */
   /** Shared q179/q190 fixture: the filtered-as-of store (tenant-tagged
     * load, two mutation waves with the horizon recorded between them),
     * its query set in vec_id order, and the tenant predicate. q190
     * STREAMS the same store q179 batches, so both compositions grade
-    * one script and one replay text. Returns
+    * one script and one replay text. Script: tenant-tagged load →
+    * layout via an unfiltered batch search → wave-1 mutations → record
+    * `h = currentSeq()` → wave-2 mutations. Returns
     * (store, horizon, queries, filter, namespace, k). */
   private[graft] def dfAsOfFixture(spark: SparkSession, dir: String)
       : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]],
@@ -3279,6 +3264,20 @@ object StoreOps {
     (store, asOf, qs, tenantFilter, DFAsOfNs, K)
   }
 
+  /** q179: FILTERED BATCH AS-OF — a batch of queries, a tenant
+    * predicate, a recorded stamp: the exact composition a
+    * reproducibility-pinned RAG evaluation runs nightly (VERDICT r16
+    * "What's missing" #1 — the single-query path served it, the batch
+    * facade 422'd). The q168 filter discipline (predicate at candidate
+    * time inside the one layout sweep and on the delta tail; per-query
+    * starved rescue, here answering from the exact FILTERED AS-OF scan)
+    * composed with the q175 snapshot contract (kills in
+    * (builtSeq, asOf], delta in (builtSeq, asOf], later mutations
+    * invisible), over the [[dfAsOfFixture]] store. The oracle replays
+    * candidates ∩ tenant at the WAVE-1 horizon only; positional parity
+    * with the filtered as-of SINGLES is asserted in-script (the q133
+    * convention), closing the single/batch consistency question for
+    * the filtered snapshot read. */
   def q179(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (store, asOf, qs, tenantFilter, _, _) = dfAsOfFixture(spark, dir)

@@ -1166,16 +1166,17 @@ object EventStream {
         .writeStream.outputMode("append").format("memory")
         .queryName("graft_q187_sink").start()
     })
-    val qs = Tables.table(spark, dir, "embeddings")
-      .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-      ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c))
-    }
     // parity pins are invariants of the deterministic plans — once per
     // dir (the q180 convention), so bench repeats measure the stream
+    // (the driver kernel's probes are computed inside the gate too)
     if (q187ParityChecked.add(dir)) {
+      val qs = Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
+        ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c))
+      }
       val streamed = drained.select(col("qid"), col("cell")).distinct()
         .as[(Long, Int)].collect().toSet
       require(streamed.subsetOf(probeRows.toSet),
@@ -1229,50 +1230,31 @@ object EventStream {
 
   def q188(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.operators.StandingCache
+    import graft.operators.{Bq, StandingCache}
     val e = Tables.table(spark, dir, "embeddings")
-    // the per-dim midpoint grid (q95's threshold policy — exact min/max,
-    // order-independent, dim-sized): standing per dir
-    val mids = q188MidsCache.computeIfAbsent(dir, _ =>
-      e.select(posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("i"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .orderBy(col("i")).collect()
-        .map(r => (r.getFloat(1).toDouble + r.getFloat(2).toDouble) / 2.0))
-    def packExpr(valuesCol: String): String =
-      s"""aggregate(
-         |  zip_with($valuesCol, sequence(0, ${mids.length - 1}), (x, i) ->
-         |    IF(CAST(x AS DOUBLE) > element_at(__mids, i + 1),
-         |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin
-    // the standing 8-byte code table — what the per-batch sweep reads
+    // the per-dim midpoint grid (q95's threshold policy — Bq's shared
+    // kernel): standing per dir
+    val mids = q188MidsCache.computeIfAbsent(dir, _ => Bq.midpointGrid(e))
+    // the standing 8-byte code table — what the per-batch sweep reads;
+    // pack/cut are Bq's own kernels, so engine and oracle share one
+    // definition of the threshold and sign-bit arithmetic
     val codes = StandingCache.frame(dir, "q188_codes") {
       e.withColumn("__mids", typedLit(mids.toSeq))
-        .withColumn("code", expr(packExpr("embedding")))
+        .withColumn("code", expr(Bq.packExpr64("embedding", "__mids")))
         .select(col("vec_id"), col("code"))
     }
-    // the batch kernel's candidate cut (q95's): one codes sweep per
-    // query frame, integer hamming, bounded-heap CandN on (ham, id)
-    def candCut(qframe: DataFrame): DataFrame =
-      codes.crossJoin(broadcast(qframe))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("ham", expr("CAST(bit_count(code ^ qcode) AS DOUBLE)"))
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg.topk(col("ham"), col("vec_id"),
-          graft.operators.Bq.CandN, descending = false).as("top"))
-        .select(col("qid"), explode(col("top.id")).as("vec_id"))
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val q = spark.readStream.schema(embSchema)
       .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
       .where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("__mids", typedLit(mids.toSeq))
-      .withColumn("qcode", expr(packExpr("qv")))
+      .withColumn("qcode", expr(Bq.packExpr64("qv", "__mids")))
       .select(col("qid"), col("qcode"))
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // CandN × Q candidate ids only — never corpus-sized
-        candCut(batch).collect()
+        Bq.hammingCut(codes, batch).collect()
           .foreach(r => buf.add((r.getLong(0), r.getLong(1))))
         ()
       }.start()
@@ -1283,14 +1265,15 @@ object EventStream {
       buf.toArray(Array.empty[(Long, Long)]).toSeq
     // stream ≡ batch: micro-batching splits QUERIES, whose cuts are
     // independent, so the union must equal the one-shot batch kernel's
-    // candidate set exactly (integer hamming — no float tie boundary)
+    // candidate set exactly (integer hamming — no float tie boundary);
+    // once per dir, so bench repeats measure the stream
     if (q188ParityChecked.add(dir)) {
       val allQ = e.where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("__mids", typedLit(mids.toSeq))
-        .withColumn("qcode", expr(packExpr("qv")))
+        .withColumn("qcode", expr(Bq.packExpr64("qv", "__mids")))
         .select(col("qid"), col("qcode"))
-      val batchCand = candCut(allQ).collect()
+      val batchCand = Bq.hammingCut(codes, allQ).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       require(streamCand.toSet == batchCand,
         "the stream's hamming cut diverged from the batch kernel")
@@ -1308,51 +1291,10 @@ object EventStream {
       SearchK, descending = true)
   }
 
-  /** q95's replay with the streaming query range and k: the midpoint
-    * grid, codes, hamming CandN cut and exact rerank all rebuild from
-    * the base table — integer hamming has no float boundary at the cut,
-    * so no persisted layout is needed (the q95 property). */
-  val q188Sql: String = {
-    val dim = graft.operators.Ann.Dim
-    val bit =
-      """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
-        |     ELSE (1::BIGINT << st.i::INT) END""".stripMargin
-    s"""WITH st AS (
-       |  SELECT g.i,
-       |         (min(embedding[g.i + 1])::DOUBLE
-       |          + max(embedding[g.i + 1])::DOUBLE) / 2 AS mid
-       |  FROM embeddings, range($dim) g(i) GROUP BY 1),
-       |codes AS (
-       |  SELECT e.vec_id,
-       |         bit_or(CASE WHEN e.embedding[st.i + 1]::DOUBLE > st.mid
-       |                     THEN $bit ELSE 0::BIGINT END) AS code
-       |  FROM embeddings e, st GROUP BY 1),
-       |q AS (
-       |  SELECT c.vec_id AS qid, c.code AS qcode, e.embedding AS qv
-       |  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
-       |  WHERE c.vec_id >= $BqQLo AND c.vec_id < $BqQHi),
-       |ham AS (
-       |  SELECT q.qid, c.vec_id, bit_count(xor(c.code, q.qcode)) AS ham
-       |  FROM codes c, q WHERE c.vec_id <> q.qid),
-       |cand AS (
-       |  SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |           row_number() OVER (PARTITION BY qid
-       |                              ORDER BY ham, vec_id) AS crank
-       |    FROM ham) WHERE crank <= ${graft.operators.Bq.CandN}),
-       |r AS (
-       |  SELECT c.qid, c.vec_id,
-       |         round(${graft.functions.Det.cosSql("e.embedding", "q.qv")}, 4) AS score
-       |  FROM cand c
-       |  JOIN embeddings e ON e.vec_id = c.vec_id
-       |  JOIN q ON q.qid = c.qid)
-       |SELECT qid, rank::INT AS rank, vec_id AS id, score FROM (
-       |  SELECT qid, vec_id, score,
-       |         row_number() OVER (PARTITION BY qid
-       |                            ORDER BY score DESC, vec_id) AS rank
-       |  FROM r)
-       |WHERE rank <= $SearchK ORDER BY qid, rank""".stripMargin
-  }
+  /** q95's replay at the streaming query range and k — Bq's shared
+    * parameterized text, so the two graded BQ cells cannot drift. */
+  val q188Sql: String = graft.operators.Bq.bqReplaySql(
+    s"c.vec_id >= $BqQLo AND c.vec_id < $BqQHi", SearchK)
 
   // ---- q189: streaming retrieval on the GRAPH mount (part 3 — the
   // streaming × mount matrix is CLOSED) ----------------------------------
@@ -1397,13 +1339,14 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     val streamCand: Seq[(Long, Long)] =
       buf.toArray(Array.empty[(Long, Long)]).toSeq.distinct
-    val qs = Tables.table(spark, dir, "embeddings")
-      .where(col("vec_id") >= HnswQLo && col("vec_id") < HnswQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     if (q189ParityChecked.add(dir)) {
       // beam determinism makes this structural: the union of per-batch
-      // kernel calls must equal the one-shot kernel over all queries
+      // kernel calls must equal the one-shot kernel over all queries;
+      // once per dir, so bench repeats measure the stream
+      val qs = Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= HnswQLo && col("vec_id") < HnswQHi)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val batchCand = hnsw.shardCandidates(spark, aux, qs.toSeq).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       require(streamCand.toSet == batchCand,
@@ -1506,14 +1449,15 @@ object EventStream {
     val streamCand: Seq[(Long, Long)] =
       buf.toArray(Array.empty[(Long, Long)]).toSeq
     val e = Tables.table(spark, dir, "embeddings")
-    val allQs = e.where(col("vec_id") >= OpqQLo && col("vec_id") < OpqQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    val allLuts = lutsFor(allQs)
     if (q191ParityChecked.add(dir)) {
       // stream ≡ batch: per-query cuts are independent, so the union
       // must equal the one-shot kernel's candidate set (round-6 ADC —
-      // the same persisted-LUT doubles both engines replay)
+      // the same persisted-LUT doubles both engines replay); once per
+      // dir, so bench repeats measure the stream
+      val allQs = e.where(col("vec_id") >= OpqQLo && col("vec_id") < OpqQHi)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val allLuts = lutsFor(allQs)
       val batchCand = cutFor(allLuts).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       require(streamCand.toSet == batchCand,
