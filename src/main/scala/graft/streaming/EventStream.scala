@@ -782,9 +782,13 @@ object EventStream {
   // stream-static equi-join sweeps the STANDING cell-partitioned codes
   // table (the IvfPq layout), and the CandN cut + exact rerank run on
   // the drained sink. NO state store anywhere — the service scales with
-  // query arrival rate, not corpus size; at 100 TB the codes table is
-  // the static side of a partition-prunable join and each query touches
-  // only its probed cells' codes.
+  // query arrival rate, not corpus size: one static-side sweep per
+  // micro-batch, amortized over its queries (the q106 one-scan thesis).
+  // NOTE (r17 plan audit, SCALING.md): Spark does not dynamic-
+  // partition-prune streaming joins, so this inline shape's sweep is
+  // NOT cell-pruned once the codes outgrow broadcast — a 100 TB
+  // deployment of a pruned mount streams through the foreachBatch
+  // route instead (q190), whose batch kernel prunes with isin.
 
   private val PqQLo = 5L
   private val PqQHi = 9L
@@ -1107,7 +1111,9 @@ object EventStream {
   // — then sweeps the standing cell-partitioned grid layout through the
   // same stream-static equi-join as q178. At 100 TB the grid's k² cells
   // come from 2k trained centroids (the IMI thesis), so the broadcast
-  // literal stays KBs while the partition-pruned sweep sharpens.
+  // literal stays KBs; the sweep itself is one static-side scan per
+  // micro-batch (see the q180 note — streaming joins are never
+  // cell-pruned; the foreachBatch route restores exact pruning).
 
   private val ImiQLo = 9L
   private val ImiQHi = 13L
