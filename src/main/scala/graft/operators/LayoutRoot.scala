@@ -38,5 +38,5 @@ private[graft] final class LayoutRoot(confKey: String, tmpPrefix: String) {
     * the oracle SQL. */
   def auxDir(spark: SparkSession, dir: String): String =
     spark.conf.getOption(confKey).getOrElse(privateRoot) +
-      "/" + processToken + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/" + processToken + "/" + graft.PathToken.token(dir)
 }

@@ -517,7 +517,7 @@ object QualityClassifier {
     // the other corpus (ADVICE r16).
     val base = spark.conf.getOption(StoreOps.DurableDirConf)
       .map(_ + "/q163_" + q163Token + "_" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        graft.PathToken.token(dir))
       .getOrElse("tmp:" + dir) // no conf: per-dir temp root, made below
     val store = q163Stores.computeIfAbsent(base, b => {
       val root =

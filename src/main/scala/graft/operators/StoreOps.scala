@@ -324,7 +324,7 @@ object StoreOps {
     // concurrent processes sharing one conf root from overwriting each
     // other's layout mid-read (same hazard Ann.ivfAuxDir tokens against).
     val path = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/search_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/search_" + facadeToken + "_" + graft.PathToken.token(dir)
     searchLayouts.computeIfAbsent(path, p => {
       val v = Tables.vectors(spark, dir)
       graft.sources.VectorParquet.write(v, p)
@@ -403,7 +403,7 @@ object StoreOps {
     // retried onto the same append-only layout, where the re-run's rows
     // would double every score
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/facade_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/facade_" + facadeToken + "_" + graft.PathToken.token(dir)
     val store = q54Stores.computeIfAbsent(base, b => {
       val root = b + "/a" + q54Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -469,7 +469,7 @@ object StoreOps {
     import spark.implicits._
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/compact_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/compact_" + facadeToken + "_" + graft.PathToken.token(dir)
     val store = q56Stores.computeIfAbsent(base, b => {
       val root = b + "/a" + q56Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -831,7 +831,7 @@ object StoreOps {
     import spark.implicits._
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/ingest_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/ingest_" + facadeToken + "_" + graft.PathToken.token(dir)
     val store = q57Stores.computeIfAbsent(base, b => {
       val root = b + "/a" + q57Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -906,7 +906,7 @@ object StoreOps {
       : (graft.store.DurableVectorStore, Long, Long) = {
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/asof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/asof_" + facadeToken + "_" + graft.PathToken.token(dir)
     q72Stores.computeIfAbsent(base, b => {
       val root = b + "/a" + q72Attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -1128,7 +1128,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dann_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dann_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q87Stores.computeIfAbsent(base, b => {
@@ -1238,7 +1238,7 @@ object StoreOps {
           map(lit("tenant"),
             (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dfann_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dfann_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q164Stores.computeIfAbsent(base, b => {
@@ -1325,7 +1325,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dhnsw_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dhnsw_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q123Stores.computeIfAbsent(base, b => {
@@ -1432,7 +1432,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dpq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dpq_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q92Stores.computeIfAbsent(base, b => {
@@ -1545,7 +1545,7 @@ object StoreOps {
     import spark.implicits._
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dopq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dopq_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === DOpqQueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q149Stores.computeIfAbsent(base, b => {
@@ -1649,7 +1649,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dl2_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dl2_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q93Stores.computeIfAbsent(base, b => {
@@ -2011,7 +2011,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dbatch_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dbatch_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qs = e.where(col("vec_id") < BatchQn)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -2117,7 +2117,7 @@ object StoreOps {
           map(lit("tenant"),
             (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dfbatch_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dfbatch_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qs = e.where(col("vec_id") < BatchQn)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -2335,7 +2335,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dimi_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dimi_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q110Stores.computeIfAbsent(base, b => {
@@ -2401,7 +2401,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dip_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dip_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q102Stores.computeIfAbsent(base, b => {
@@ -2496,7 +2496,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dbq_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dbq_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q101Stores.computeIfAbsent(base, b => {
@@ -2639,7 +2639,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dlsh_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dlsh_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q155Stores.computeIfAbsent(base, b => {
@@ -2761,7 +2761,7 @@ object StoreOps {
           map(lit("tenant"),
             (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dflsh_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dflsh_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val store = q169Stores.computeIfAbsent(base, b => {
@@ -2837,7 +2837,7 @@ object StoreOps {
                          qv: Seq[Float],
                          builtCheck: graft.store.DurableVectorStore => Boolean): graft.store.DurableVectorStore = {
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      s"/${prefix}_" + facadeToken + "_" + graft.PathToken.token(dir)
     stores.computeIfAbsent(base, b => {
       val root = b + "/a" + attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -3141,7 +3141,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dasof_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qv = e.where(col("vec_id") === QueryId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
     val (store, asOf) = q175Stores.computeIfAbsent(base, b => {
@@ -3230,7 +3230,7 @@ object StoreOps {
          Map[String, String], String, Int) = {
     val e = Tables.table(spark, dir, "embeddings")
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      "/dfasof_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      "/dfasof_" + facadeToken + "_" + graft.PathToken.token(dir)
     val qs = e.where(col("vec_id") < BatchQn)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -3361,7 +3361,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      s"/${prefix}_" + facadeToken + "_" + graft.PathToken.token(dir)
     stores.computeIfAbsent(base, b => {
       val root = b + "/a" + attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)
@@ -3665,7 +3665,7 @@ object StoreOps {
         .select(col("vec_id").cast("string").as("id"),
           col("embedding").as("values"))
     val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
-      s"/${prefix}_" + facadeToken + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      s"/${prefix}_" + facadeToken + "_" + graft.PathToken.token(dir)
     stores.computeIfAbsent(base, b => {
       val root = b + "/a" + attempts.incrementAndGet()
       val s = new graft.store.DurableVectorStore(spark, root)

@@ -495,7 +495,7 @@ class VectorStore(val spark: SparkSession) {
                 rows, "id", "values", total,
                 graft.operators.Ann.ivfCellsFor(total), IvfSeed)
               val aux = ivfRoot + "/" +
-                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+                graft.PathToken.token(namespace) + s"_e${e}_d$dim"
               graft.operators.Ann.writeInvertedFile(rows, "id", "values",
                 centers, aux)
               ivfCache.put(key, (e, aux, centers))
@@ -557,7 +557,7 @@ class VectorStore(val spark: SparkSession) {
               val loSeq: Seq[Seq[Float]] = cLo.map(_.toSeq).toSeq
               val hiSeq: Seq[Seq[Float]] = cHi.map(_.toSeq).toSeq
               val aux = imiStoreRoot + "/" +
-                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+                graft.PathToken.token(namespace) + s"_e${e}_d$dim"
               rows.withColumn("cell",
                   graft.functions.NearestCell(
                     slice(col("values"), 1, half), loSeq) * lit(k) +
@@ -732,7 +732,7 @@ class VectorStore(val spark: SparkSession) {
             val s = graft.operators.Hnsw.shardsFor(total,
               graft.operators.Hnsw.shardRows(spark))
             val aux = hnswStoreRoot + "/" +
-              namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+              graft.PathToken.token(namespace) + s"_e${e}_d$dim"
             import spark.implicits._
             rows.withColumn("shard",
                 pmod(xxhash64(col("id")), lit(s)).cast("int"))
@@ -974,7 +974,7 @@ class VectorStore(val spark: SparkSession) {
             if (total == 0) None
             else {
               val aux = pqRoot + "/" +
-                namespace.replaceAll("[^A-Za-z0-9._-]", "_") + s"_e${e}_d$dim"
+                graft.PathToken.token(namespace) + s"_e${e}_d$dim"
               // OPQ rotation first (when enabled and the dim divides),
               // then the ONE codebook recipe, shared with the offline
               // q58 path (Pq.buildPqIndex) so the policy cannot drift —
@@ -1237,6 +1237,16 @@ class VectorStore(val spark: SparkSession) {
                   approx: Boolean = false,
                   index: String = "lsh"): Seq[SearchHit] = {
     require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]") // rest_api.py:24
+    // argument validation runs BEFORE the starvation short-circuit: the
+    // same invalid request must fail identically whether or not a
+    // starvation fact happens to be cached (cache state must never turn
+    // a 422-class error into a served result)
+    if (approx) {
+      require(metric == "cosine",
+        s"approx search is cosine only (sign-LSH buckets / cosine rerank), got metric '$metric'")
+      require(ApproxIndexes.contains(index),
+        s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
+    }
     // pre-probe epoch snapshot: starvation facts recorded below are
     // valid only for the store state the probe observed
     val epoch0 = epoch
@@ -1259,8 +1269,6 @@ class VectorStore(val spark: SparkSession) {
     val base =
       if (!approx) scored(query, metric, namespace, filter, jsonFilter)
       else {
-        require(metric == "cosine",
-          s"approx search is cosine only (sign-LSH buckets / cosine rerank), got metric '$metric'")
         val cands = index match {
           case "lsh" => approxCandidates(query, namespace, filter, jsonFilter)
           case "ivf" => ivfCandidates(query, namespace, filter, jsonFilter)
@@ -1326,10 +1334,23 @@ class VectorStore(val spark: SparkSession) {
   private[graft] val starvedProbeSkips =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  private[graft] val ApproxIndexes =
+    Set("lsh", "ivf", "pq", "bq", "imi", "hnsw")
+
+  /** Canonical cache key for a (filter, jsonFilter) pair. Components are
+    * LENGTH-PREFIXED: a plain `mkString` of tuple toStrings is ambiguous
+    * (Map("a" -> "x)&(b,y") and Map("a" -> "x", "b" -> "y") would
+    * collide), and a collision would route a saturated filter through
+    * the other filter's starvation skip — correct results, but the probe
+    * permanently forfeited. */
   private def filterKey(filter: Map[String, String],
-                        jsonFilter: Map[String, String]): String =
-    (filter.toSeq.sorted.mkString("&") + "|" +
-      jsonFilter.toSeq.sorted.mkString("&"))
+                        jsonFilter: Map[String, String]): String = {
+    def enc(m: Map[String, String]): String =
+      m.toSeq.sorted
+        .map { case (k, v) => s"${k.length}:$k=${v.length}:$v" }
+        .mkString("&")
+    enc(filter) + "|" + enc(jsonFilter)
+  }
 
   /** The batch form of the starved-selectivity fallback (see
     * [[findSimilar]]): queries whose filtered indexed candidates came up

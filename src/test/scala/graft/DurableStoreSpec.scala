@@ -766,8 +766,10 @@ class DurableStoreSpec extends AnyFunSuite {
       // a LIVE peer already claimed this rebuild (same epoch key —
       // adopted stamps agree across processes): this store must defer,
       // keep serving the old entry, and stay correct via the delta tail
+      // the claim name derives the namespace token the way the store
+      // does (PathToken: sanitized + content hash — collision-free)
       val marker = new java.io.File(
-        s"${s.annSharedRootDir.get}/claims/rebuild_ttl_d3_g0_s${builtSeq}_raw")
+        s"${s.annSharedRootDir.get}/claims/rebuild_${graft.PathToken.token("ttl")}_d3_g0_s${builtSeq}_raw")
       marker.getParentFile.mkdirs()
       assert(marker.createNewFile())
       val hits = s.findSimilar(q, k = 50, namespace = "ttl", approx = true)
