@@ -177,19 +177,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // brief: local[32]
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // ---- TIER SIZES vs PASS COUNT (r18 — VERDICT r17 "What's wrong"
+    // #2) ----
+    // At 191 queries only 2 passes fit the 3000 s budget and the r17
+    // committed pair deviated 18.9 % (pass 1 carries ~24 s of first-pass
+    // setup; with 2 passes the "closest pair" IS the setup-skewed pair).
+    // The wall lever is the resample tiers, not the base runs: the r17
+    // audit decomposes a 944 s steady pass as fast-cohort 613 s
+    // (125 queries × 8 units at 7 samples + warm), tiny 123 s
+    // (46 × 12 units), slow 208 s (20 × 4 units). Cutting fast 7→5 and
+    // tiny 11→8 saves ~185 s/pass, so THREE passes + the sweep fit:
+    // 390 + 3×~760 ≈ 2670 s, leaving margin for the inline
+    // adjudication. The comparable loses nothing: the per-query
+    // cross-pass MIN now draws from 3×5=15 fast samples (vs 2×7=14),
+    // and the closest-pair selection has 3 candidate pairs, two of
+    // which exclude the setup-skewed pass 1 — restoring a clean steady
+    // pair (the r15 regime) at suite sizes where 2×7 could not.
     // sub-1.5s queries take extra samples up to this total (see scaladoc);
     // r10 raised the threshold from 1.0 s: q71 (~0.9-1.1 s) sat ON the
     // boundary and flipped between 3- and 7-sample medians across passes,
     // which read as a 137 % "inversion" the isolated instrument then
     // failed to reproduce (monotone 1.117/0.901/0.879/0.922 s)
-    val fastRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FAST", "7").toInt.max(runs)
+    val fastRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_FAST", "5").toInt.max(runs)
     val FastThresholdSec = 1.5
     // the sub-300 ms cohort is where one ~0.1 s GC pause reads as a
     // hundreds-of-percent deviation (r10 max_dev 551 % on a 0.19 s
     // query); it is also where samples are cheapest — take more of them
-    val tinyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_TINY", "11").toInt.max(fastRuns)
+    val tinyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_TINY", "8").toInt.max(fastRuns)
     val TinyThresholdSec = 0.3
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     // adjudication filter: run only queries whose name contains one of
     // the comma-separated tokens (empty/unset = all)
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
@@ -209,6 +225,18 @@ object Bench {
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!base.contains(id)) rdd.unpersist(blocking = false)
       }
+
+    // guards every mutable collection the shutdown hook reads
+    // (errors/inflightPass/passBuf/passWalls/partialMins/sampleMins/
+    // sampleCounts/gcTimes/jitTimes): SIGTERM runs the hook CONCURRENTLY
+    // with the still-executing main thread, and an ArrayBuffer resize or
+    // map rehash observed mid-mutation would throw inside emit — after
+    // the emitted flag was taken — silently losing the artifact the hook
+    // exists to save. Mutations and emit's snapshot synchronize here;
+    // emit releases the monitor before its adjudication/I-O (r18, ADVICE
+    // r17: holding it through multi-minute Spark jobs made a SIGTERM
+    // hook block long enough to invite a supervisor SIGKILL).
+    val benchState = new Object
 
     // first error per query, across all passes (insertion-ordered)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -230,7 +258,7 @@ object Bench {
         case e: Throwable =>
           val msg = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
             .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
-          if (record) errors.getOrElseUpdate(name, msg)
+          if (record) benchState.synchronized { errors.getOrElseUpdate(name, msg) }
           None
       }
     }
@@ -354,16 +382,6 @@ object Bench {
     val inflightPass =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
-    // guards every mutable collection the shutdown hook reads
-    // (inflightPass/passBuf/passWalls/partialMins/sampleMins/sampleCounts/
-    // gcTimes/jitTimes): SIGTERM runs the hook CONCURRENTLY with the
-    // still-executing main thread, and an ArrayBuffer resize or map
-    // rehash observed mid-mutation would throw inside emit — after the
-    // emitted flag was taken — silently losing the artifact the hook
-    // exists to save. Mutations and emit's reads synchronize here;
-    // same-thread reentry (main's emit running the adjudication) is fine.
-    val benchState = new Object
-
     def benchPass(): (Seq[(String, Double)], Int) = {
       benchState.synchronized { inflightPass.clear() }
       var skipped = 0
@@ -387,9 +405,10 @@ object Bench {
           Some(name -> med)
         }
       }
-      benchState.synchronized {
-        inflightPass.clear() // the scheduler owns a returned pass
-      }
+      // inflightPass stays populated until the CALLER lands the returned
+      // pass in passBuf/partialMins (r18, ADVICE r17: clearing here left
+      // a window where a finished pass was in NEITHER collection and a
+      // shutdown-hook emit silently dropped it)
       (out, skipped)
     }
 
@@ -494,6 +513,12 @@ object Bench {
               if (v >= 0) partialMins.updateWith(n)(p => Some(p.fold(v)(math.min(v, _))))
             }
           }
+          // handoff complete — the pass lives in passBuf/partialMins, so
+          // only now may the in-flight buffer drop it (atomic under the
+          // same monitor emit snapshots with; a hook firing between
+          // benchPass's return and this block still sees the pass via
+          // inflightPass, and one folded twice is a no-op on the mins)
+          inflightPass.clear()
         }
         settle()
         complete
@@ -506,13 +531,14 @@ object Bench {
       * scheduling, or by the shutdown hook if a SIGTERM arrives first —
       * so a driver timeout degrades to a shorter-but-valid artifact
       * instead of rc=124/parsed:null (the r16 failure). The hook path
-      * passes runAdj=false (no Spark jobs during shutdown). The whole
-      * body holds [[benchState]]: emit reads every mutable collection,
-      * and a hook firing while the main thread still appends must see
-      * consistent state (the hook blocking until a main-thread emit's
-      * writes land is exactly the wanted order — the JVM waits for
-      * hooks before exiting). */
-    def emit(runAdj: Boolean, emittedBy: String): Unit = benchState.synchronized {
+      * passes runAdj=false (no Spark jobs during shutdown). Shared
+      * mutable state is SNAPSHOTTED under [[benchState]] and the
+      * monitor released before the adjudication's Spark jobs and the
+      * artifact I/O (r18, ADVICE r17: holding it for the emit's whole
+      * body meant a SIGTERM hook blocked on the lock for the
+      * multi-minute adjudication — delaying JVM exit into supervisor
+      * SIGKILL territory, which loses everything but the sidecar). */
+    def emit(runAdj: Boolean, emittedBy: String): Unit = {
       if (!emitted.compareAndSet(false, true)) return
       // FIRST ACTION: a minimal sidecar, microseconds after entry. A
       // SIGTERM shutdown races Spark's own hooks, which can halt the VM
@@ -529,19 +555,31 @@ object Bench {
         java.nio.file.Files.write(p0.resolveSibling("bench_headline.json"),
           (pre + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
-      // fold a killed pass's finished queries into the emitted data:
-      // inflightPass is non-empty only when benchPass died mid-flight
-      if (inflightPass.nonEmpty) {
-        if (passBuf.isEmpty) {
-          val done = inflightPass.map(_._1).toSet
-          passBuf += (inflightPass.toSeq ++
-            selected.keys.toSeq.filterNot(done).map(_ -> -1.0))
-        } else inflightPass.foreach { case (n, v) =>
-          if (v >= 0)
-            partialMins.updateWith(n)(p => Some(p.fold(v)(math.min(v, _))))
+      // SNAPSHOT under the lock, then release it: everything below works
+      // on immutable copies, so the main thread (or the hook) never
+      // contends with the adjudication's Spark jobs or the file writes
+      val (allPasses, partialSnap, wallsSnap, countsSnap, minSampleSnap,
+           gcSnap, jitSnap, errsSnap) = benchState.synchronized {
+        // fold a killed pass's finished queries into the emitted data:
+        // inflightPass is non-empty only when benchPass died mid-flight
+        // (or a hook raced the scheduler's handoff — folding a pass that
+        // also landed in passBuf only re-mins identical values)
+        if (inflightPass.nonEmpty) {
+          if (passBuf.isEmpty) {
+            val done = inflightPass.map(_._1).toSet
+            passBuf += (inflightPass.toSeq ++
+              selected.keys.toSeq.filterNot(done).map(_ -> -1.0))
+          } else inflightPass.foreach { case (n, v) =>
+            if (v >= 0)
+              partialMins.updateWith(n)(p => Some(p.fold(v)(math.min(v, _))))
+          }
         }
+        (passBuf.toList, partialMins.toList, passWalls.toList,
+          sampleCounts.toList, sampleMins.toList, gcTimes.toList,
+          jitTimes.toList, errors.toList)
       }
-      if (passBuf.isEmpty) {
+      val partialSnapMap = partialSnap.toMap
+      if (allPasses.isEmpty) {
         // killed before any query completed — still print parseable JSON
         val stub = s"""{"metric":"total","value":-1.0,"unit":"sec","sf":"$sfDir","error":"killed before the first query completed","wall_sec":${math.round(elapsed() * 1000) / 1000.0},"budget_sec":$wallBudget,"emitted_by":"$emittedBy"}"""
         println(stub)
@@ -554,7 +592,6 @@ object Bench {
         } catch { case _: Throwable => () }
         return
       }
-    val allPasses: Seq[Seq[(String, Double)]] = passBuf.toSeq
     val names = allPasses.head.map(_._1)
 
     // the stdout line is size-budgeted (driver tail window); 1 ms
@@ -573,7 +610,7 @@ object Bench {
     // from a pass that can't enter pair/deviation math.
     val minQueries = names.map { name =>
       val vs = allPasses.flatMap(_.collectFirst { case (`name`, v) if v >= 0 => v }) ++
-        partialMins.get(name)
+        partialSnapMap.get(name)
       name -> (if (vs.isEmpty) -1.0 else vs.min)
     }
 
@@ -658,7 +695,7 @@ object Bench {
         val ap0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_AUDIT", "target/bench_audit.json")
         val p0 = java.nio.file.Paths.get(ap0)
         Option(p0.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        val pre = s"""{"metric":"total","value":${math.round(totals(pairB) * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"n_errors":${errors.size},"passes_run":${allPasses.size},"wall_sec":${math.round(elapsed() * 1000) / 1000.0},"budget_sec":$wallBudget,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy","preliminary":"adjudication in flight"}"""
+        val pre = s"""{"metric":"total","value":${math.round(totals(pairB) * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${names.size},"n_errors":${errsSnap.size},"passes_run":${allPasses.size},"wall_sec":${math.round(elapsed() * 1000) / 1000.0},"budget_sec":$wallBudget,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy","preliminary":"adjudication in flight"}"""
         java.nio.file.Files.write(p0.resolveSibling("bench_headline.json"),
           (pre + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
@@ -709,7 +746,7 @@ object Bench {
     val adjJson = (adjResults ++ adjSkipped)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val errJson = errors
+    val errJson = errsSnap
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val passJson = allPasses.zipWithIndex
@@ -730,7 +767,7 @@ object Bench {
     val onlyJson =
       if (only.isEmpty) ""
       else s""","subset":true,"only":[${only.map("\"" + _ + "\"").mkString(",")}]"""
-    val samplesJson = sampleCounts
+    val samplesJson = countsSnap
       .map { case (k, ns) => "\"" + k + "\":[" + ns.mkString(",") + "]" }
       .mkString("{", ",", "}")
 
@@ -763,7 +800,7 @@ object Bench {
         s"${files.map(java.nio.file.Files.size).sum}b_${files.length}f"
       } finally walk.close()
     } catch { case _: Throwable => "unknown" }
-    val minsJson = sampleMins
+    val minsJson = minSampleSnap
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     // per-query SETUP COST (r16 — VERDICT r15 #5): pass-1 median minus
@@ -784,11 +821,11 @@ object Bench {
     val setupJson = setupCosts.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val setupTotal = r3(setupCosts.map(_._2).sum)
-    def longsJson(m: scala.collection.Map[String, List[Long]]): String = m
+    def longsJson(m: Seq[(String, List[Long])]): String = m
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcTimes)},"queries_pass_jit_ms":${longsJson(jitTimes)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${passWalls.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialMins.size},"emitted_by":"$emittedBy","notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","notes":$notesJson,"stat":"value=later pass of closest pair; queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -828,7 +865,7 @@ object Bench {
     // opening brace is gone. This headline-only line always fits inside
     // any plausible tail window, so at least one guaranteed-valid JSON
     // object survives for a strict parser. Per-query data: audit file.
-    val line2 = s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errors.size},"passes_run":${allPasses.size},"wall_sec":$wallNow,"budget_sec":$wallBudget,"budget_margin_sec":$wallMargin,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy"$extra$onlyJson,"audit":"$auditPath"}"""
+    val line2 = s"""{"metric":"total","value":${r3(totals(pairB))},"unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errsSnap.size},"passes_run":${allPasses.size},"wall_sec":$wallNow,"budget_sec":$wallBudget,"budget_margin_sec":$wallMargin,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy"$extra$onlyJson,"audit":"$auditPath"}"""
     println(line2)
     // sidecar copy of the headline (r17): the driver launches this main
     // through sbt with run/fork=true, so the fork's stdout crosses TWO

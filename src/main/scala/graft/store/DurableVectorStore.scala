@@ -1809,18 +1809,14 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * sanitization alone is not injective (`/a/b_c` and `/a_b/c` both
     * flatten to `a_b_c`), and two distinct stores colliding on one root
     * could adopt each other's epochs — layouts carry full rows, so that
-    * would serve another store's records. Without the conf, layouts fall
-    * back to a process-private temp root (local/test only; nothing to
-    * adopt). */
+    * would serve another store's records; [[graft.PathToken.token]]
+    * already ends in that 8-char sha1 suffix, so the token alone is the
+    * injective name (r18 — the r17 form appended the identical hash
+    * twice). Without the conf, layouts fall back to a process-private
+    * temp root (local/test only; nothing to adopt). */
   private lazy val annSharedRoot: Option[String] =
     spark.conf.getOption(AnnDirConf)
-      .map(_ + "/ann_" + graft.PathToken.token(path) +
-        "_" + sha1Hex(path).take(8))
-
-  private def sha1Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+      .map(_ + "/ann_" + graft.PathToken.token(path))
 
   /** The resolved shared layout root — spec hook (the name carries a
     * path hash, so tests must not rebuild it by hand). */
