@@ -3422,6 +3422,61 @@ object StoreOps {
   def q181Sql(aux: String): String =
     dpqSqlAt(aux, "TRUE", "TRUE", AsOfDelMod)
 
+  // ---- q192 fixture: the STREAMING as-of × derived-mount cell (r18) ---
+
+  private val DSPqAsOfNs = "q192"
+  private val q192Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q192Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Shared fixture for the streaming as-of read on the COMPRESSED
+    * mount ([[graft.streaming.EventStream.q192]] — VERDICT r17 "What's
+    * missing" #3: q190 composed stream × durable × as-of × filter on the
+    * IVF route only; this generalizes the composition to a DERIVED
+    * mount). Script: bulk load → first batch pq search (builds records
+    * + codes, so builtSeq ≤ h by construction) → q175's two mutation
+    * waves with the reproducibility horizon recorded between them.
+    * Returns (store, horizon, queries in vec_id order, namespace, k). */
+  private[graft] def dspqAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]], String, Int) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dspqasof_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = q192Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q192Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DSPqAsOfNs)
+      // records + codes NOW (the q134 builder call), so every mutation
+      // below is post-layout — q87's discipline
+      s.findSimilarBatchPq(qs, k = K, namespace = DSPqAsOfNs)
+      require(s.pqBuilds.get() >= 1, "q192 code-table build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DSPqAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DSPqAsOfNs)
+      // the reproducibility horizon a pipeline records at job start
+      val h = s.currentSeq()
+      // wave 2 — invisible at h by the graded claim
+      val d2 = s.delete(AsOfDel2, DSPqAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DSPqAsOfNs)
+      (s, h)
+    })
+    (store, asOf, qs, DSPqAsOfNs, K)
+  }
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every
@@ -3687,7 +3742,8 @@ object StoreOps {
     * the family's per-query policy ids ∪ the script's delta ids, base =
     * load-minus-deletes plus the delta, exact cosine rerank per query
     * with the string-id tie-break. `candSql` must yield (qid, id). */
-  private def durableBatchOracleTail(candSql: String): String =
+  private def durableBatchOracleTail(candSql: String,
+                                     delMod: Long = FacadeDelMod): String =
     s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |       WHERE vec_id < $BatchQn),
        |cand AS (
@@ -3697,7 +3753,7 @@ object StoreOps {
        |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE (vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
        |sc AS (
        |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -3764,8 +3820,11 @@ object StoreOps {
 
   /** SQL replay of the durable batched PQ read: per-query ADC = probed
     * cells' `codes_flat` ⋈ that query's `batch_lut` rows, candidates =
-    * top-CandN per qid on (rounded ADC, id) ∪ delta. */
-  def q134Sql(aux: String): String =
+    * top-CandN per qid on (rounded ADC, id) ∪ delta. `delMod`
+    * parameterizes the delete horizon: FacadeDelMod replays the live
+    * read (q134), AsOfDelMod the wave-1 snapshot (q192 — wave-2
+    * mutations appear nowhere; that invisibility IS the grade). */
+  private def dpqBatchSqlAt(aux: String, delMod: Long): String =
     s"""WITH probes AS (
        |  SELECT __qid AS qid, cell
        |  FROM read_parquet('$aux/batch_probes/*.parquet')),
@@ -3784,7 +3843,15 @@ object StoreOps {
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY adc, id) AS cr FROM adc)
        |  WHERE cr <= ${Pq.CandN}),
-       |${durableBatchOracleTail("SELECT qid, id FROM cut")}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod)}""".stripMargin
+
+  def q134Sql(aux: String): String = dpqBatchSqlAt(aux, FacadeDelMod)
+
+  /** q134's replay at the wave-1 horizon — the [[dpqSqlAt]] relationship
+    * batched ([[EventStream.q192]]'s oracle; the streamed snapshot read
+    * and the one-shot batch twin are pinned positionally equal
+    * in-script, so one replay text grades both). */
+  def q192Sql(aux: String): String = dpqBatchSqlAt(aux, AsOfDelMod)
 
   private val DBatchBqNs = "q135"
   private val q135Stores =

@@ -1576,6 +1576,78 @@ object EventStream {
   def q190Sql(aux: String, probesDir: String): String =
     graft.operators.StoreOps.q179Sql(aux, probesDir)
 
+  // ---- q192: streaming as-of on the COMPRESSED durable mount (r18) ----
+  //
+  // VERDICT r17 "What's missing" #3 / "Next round" #3: q190 composed
+  // stream × durable store × as-of (× filter) through the IVF route
+  // only; this carries the streaming snapshot read onto a DERIVED mount
+  // — the PQ code table — through the same foreachBatch route. Each
+  // micro-batch's queries (arrival-rate-sized) run the BATCH as-of
+  // kernel (`findSimilarBatchAsOf(index = "pq")`, the q134 one-sweep
+  // batch probe with both horizons bounded at the stamp: kills in
+  // (builtSeq, asOf], delta in (builtSeq, asOf], wave-2 mutations
+  // invisible). The code table itself is snapshot-safe AS BUILT (every
+  // code row stamped ≤ builtSeq ≤ asOf — the q181 structural fact), so
+  // arrival batching cannot change a snapshot answer: the drained
+  // stream is pinned positionally equal to the one-shot batch twin,
+  // whose persisted qid-keyed probes/LUTs are the oracle's candidate
+  // policy (q134's replay at the wave-1 horizon — one replay text
+  // grades the live and snapshot batched PQ reads).
+
+  private val q192ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** PQ codes dir of the most recent q192 run — oracle hook. */
+  @volatile private var lastStreamDurPqAsOfAux: Option[String] = None
+
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, ns, k) = so.dspqAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      // qid = vec_id = position in the fixture's vec_id-ordered query
+      // set (contiguous from 0); k × Q hit rows only
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, index = "pq")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      "q192's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first code table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q192 did not serve every streamed query from the PQ probe branch " +
+        s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
+    // stream ≡ batch, once per dir (the q190 convention): the one-shot
+    // batch twin at the same horizon must equal the drained stream
+    // positionally — score-exact; its persisted probes/LUTs are the
+    // oracle's policy (idempotent: same store, horizon, queries)
+    if (q192ParityChecked.add(dir)) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, index = "pq", persistProbes = true)
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
+    lastStreamDurPqAsOfAux = store.pqLayoutDir(ns, qs.head.length)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1608,6 +1680,7 @@ object EventStream {
         out
       }),
       "q190_stream_search_durable_asof" -> (q190 _),
+      "q192_stream_durable_pq_asof" -> (q192 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1635,6 +1708,8 @@ object EventStream {
       "q189_stream_search_hnsw" -> q189Sql(aux)).toMap ++
     lastStreamDurAsOfAux.map { case (aux, probesDir) =>
       "q190_stream_search_durable_asof" -> q190Sql(aux, probesDir) }.toMap ++
+    lastStreamDurPqAsOfAux.map(aux =>
+      "q192_stream_durable_pq_asof" -> graft.operators.StoreOps.q192Sql(aux)).toMap ++
     lastStreamOpqAux.map(aux =>
       "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
