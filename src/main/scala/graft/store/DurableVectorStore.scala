@@ -833,39 +833,54 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       // the search FALLS BACK to the exact filtered scan — the caller
       // always receives min(k, matching-live-rows) hits; the fallback
       // costs one pruned scan and only fires in the starved case.
-      index match {
-        case "ivf" =>
-          require(metric == "cosine" || metric == "l2" || metric == "ip",
-            s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
-          searchApprox(query, k, namespace, metric, persistProbes = false,
-            filter, jsonFilter)
-        case "lsh" =>
-          require(metric == "cosine",
-            s"durable LSH search is cosine only, got metric '$metric'")
-          searchLsh(query, k, namespace, persistSig = false,
-            filter, jsonFilter)
-        case "pq" =>
-          require(metric == "cosine",
-            s"durable PQ search is cosine only, got metric '$metric'")
-          searchPq(query, k, namespace, persistLut = false,
-            filter, jsonFilter)
-        case "bq" =>
-          require(metric == "cosine",
-            s"durable BQ search is cosine only, got metric '$metric'")
-          searchBq(query, k, namespace, persistProbes = false,
-            filter, jsonFilter)
-        case "imi" =>
-          require(metric == "cosine",
-            s"durable IMI search is cosine only, got metric '$metric'")
-          searchImi(query, k, namespace, persistProbes = false,
-            filter, jsonFilter)
-        case "hnsw" =>
-          require(metric == "cosine",
-            s"durable HNSW search is cosine only, got metric '$metric'")
-          searchHnsw(query, k, namespace, persistCands = false,
-            filter, jsonFilter)
-        case other => throw new IllegalArgumentException(
-          s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
+      //
+      // PERMANENT STARVATION (r18): a rescue that itself returns < k
+      // proves the namespace holds < k matching rows — a steady state
+      // until some commit changes it. The fact is cached keyed to the
+      // observed-max stamp and revalidated against the commits/ markers
+      // on each hit (see the starvation-cache section), so steady
+      // starved queries skip the probe and pay the exact scan alone;
+      // ANY commit by any process moves the stamp and resumes probing.
+      requireDurableIndexMetric(index, metric)
+      require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+      val skey = (namespace, durableFilterKey(filter, jsonFilter))
+      val validHit = Option(starvedFilters.get(skey)).exists { s =>
+        val still = observedMaxSeq(fresh = false) == s
+        if (!still) starvedFilters.remove(skey)
+        still
+      }
+      if (validHit) {
+        starvedProbeSkips.incrementAndGet()
+        searchOver(live().filter(metaPredicate(filter, jsonFilter)),
+          query, k, metric, namespace)
+      } else {
+        // proof-time stamp BEFORE the probe (fresh listing): a commit
+        // landing mid-probe then invalidates the fact on its first hit
+        val seq0 = observedMaxSeq(fresh = true)
+        val hits = index match {
+          case "ivf" =>
+            searchApprox(query, k, namespace, metric, persistProbes = false,
+              filter, jsonFilter)
+          case "lsh" =>
+            searchLsh(query, k, namespace, persistSig = false,
+              filter, jsonFilter)
+          case "pq" =>
+            searchPq(query, k, namespace, persistLut = false,
+              filter, jsonFilter)
+          case "bq" =>
+            searchBq(query, k, namespace, persistProbes = false,
+              filter, jsonFilter)
+          case "imi" =>
+            searchImi(query, k, namespace, persistProbes = false,
+              filter, jsonFilter)
+          case _ =>
+            searchHnsw(query, k, namespace, persistCands = false,
+              filter, jsonFilter)
+        }
+        // < k after the internal rescue ⇔ < k matching live rows at
+        // proof time — the whole filtered dispatch's stated envelope
+        if (hits.size < k) starvedFilters.put(skey, seq0)
+        hits
       }
     } else {
       index match {
@@ -1668,23 +1683,102 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     * downstream oracle hash mismatch with a misleading message. */
   private[graft] val exactRescues = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** COST NOTE (ADVICE r16): a namespace that legitimately holds fewer
-    * than k matching rows is a STEADY state, and every filtered indexed
-    * query against it pays probe + this exact scan — per query, forever.
-    * The live store short-circuits that with an epoch-keyed starvation
-    * cache ([[graft.store.VectorStore]] starvedFilters); here the
-    * analogue would be unsound: other PROCESSES mutate a shared durable
-    * root (marker-claimed seqs), so a driver-local "nothing changed"
-    * fact can go stale without any local signal short of re-reading the
-    * manifest — which costs what the probe costs. Callers with a
-    * known-permanently-starved filter should use the exact path
-    * (approx=false): same plan this rescue runs, minus the wasted
-    * probe. */
   private def exactRescue(pred: Column, query: Seq[Float], k: Int,
                           metric: String, namespace: String): Seq[SearchHit] = {
     exactRescues.incrementAndGet()
     searchOver(live().filter(pred), query, k, metric, namespace)
   }
+
+  // ---- the durable permanent-starvation cache (r18) --------------------
+  //
+  // A namespace that legitimately holds fewer than k matching rows is a
+  // STEADY state, and every filtered indexed query against it pays
+  // probe + rescue — per query, forever. The live store short-circuits
+  // that with an epoch-keyed cache ([[graft.store.VectorStore]]
+  // starvedFilters); through r17 the durable analogue was documented
+  // unsound (other PROCESSES mutate a shared root via marker-claimed
+  // seqs, so a driver-local "nothing changed" fact can go stale with no
+  // local signal). r18 makes the fact VALIDATED instead of trusted:
+  // each starvation fact is keyed to the highest commit stamp observed
+  // ANYWHERE when it was proven (this process's counter ∨ the max
+  // `commits/` marker — every commit by every process claims a marker,
+  // so stamp inequality catches every cross-process mutation), and a
+  // cache hit revalidates that stamp against the marker directory. The
+  // revalidation is ONE directory listing — orders of magnitude cheaper
+  // than the probe + exact rescue the hit skips, though it grows with
+  // marker count, which is why it is TTL-amortized
+  // ([[StarvedCheckMsConf]], default 1000 ms; 0 lists on every hit).
+  // Staleness inside one TTL window is benign BY CONSTRUCTION: the skip
+  // serves the exact scan over [[live]] — the authoritative read — so
+  // answers are never wrong; a filter un-starved by a fresh commit just
+  // resumes probing at most one TTL late.
+
+  val StarvedCheckMsConf = "spark.graft.durable.starvedCheckMs"
+  private def starvedCheckMs: Long =
+    spark.conf.getOption(StarvedCheckMsConf).map(_.toLong).getOrElse(1000L)
+
+  /** (namespace, filter key) → the observed-max stamp at proof time. */
+  private val starvedFilters =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Probe skips served by the starvation cache — the branch indicator
+    * (mirrors the live store's counter). */
+  private[graft] val starvedProbeSkips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  @volatile private var markerCheckAt = 0L
+  @volatile private var markerCheckVal = -1L
+
+  /** Highest commit stamp observed anywhere: this process's counter ∨
+    * the `commits/` markers. `fresh` bypasses the TTL (proof-time
+    * stamps must not be stale-LOW, or the fact would self-invalidate
+    * on its first revalidation and never serve). */
+  private def observedMaxSeq(fresh: Boolean): Long = {
+    val now = System.currentTimeMillis()
+    val ttl = starvedCheckMs
+    val mk =
+      if (!fresh && ttl > 0 && markerCheckVal >= 0 && now - markerCheckAt <= ttl)
+        markerCheckVal
+      else {
+        val v = maxMarker()
+        markerCheckVal = v
+        markerCheckAt = now
+        v
+      }
+    math.max(seq.get(), mk)
+  }
+
+  private def durableFilterKey(filter: Map[String, String],
+                               jsonFilter: Map[String, String]): String =
+    (filter.toSeq.sorted.map { case (a, b) => s"m:$a=$b" } ++
+      jsonFilter.toSeq.sorted.map { case (a, b) => s"j:$a=$b" }).mkString("&")
+
+  /** Argument validation for the durable indexed dispatch — runs BEFORE
+    * the starvation short-circuit (cache state must never turn an
+    * invalid request into a served one, the live store's discipline). */
+  private def requireDurableIndexMetric(index: String, metric: String): Unit =
+    index match {
+      case "ivf" =>
+        require(metric == "cosine" || metric == "l2" || metric == "ip",
+          s"approx durable IVF search supports cosine|l2|ip, got metric '$metric'")
+      case "lsh" =>
+        require(metric == "cosine",
+          s"durable LSH search is cosine only, got metric '$metric'")
+      case "pq" =>
+        require(metric == "cosine",
+          s"durable PQ search is cosine only, got metric '$metric'")
+      case "bq" =>
+        require(metric == "cosine",
+          s"durable BQ search is cosine only, got metric '$metric'")
+      case "imi" =>
+        require(metric == "cosine",
+          s"durable IMI search is cosine only, got metric '$metric'")
+      case "hnsw" =>
+        require(metric == "cosine",
+          s"durable HNSW search is cosine only, got metric '$metric'")
+      case other => throw new IllegalArgumentException(
+        s"unknown durable index '$other' (expected ivf | pq | bq | imi | hnsw | lsh)")
+    }
 
   // ---- the mutation-horizon algebra, shared by every probe (r17) ------
   //

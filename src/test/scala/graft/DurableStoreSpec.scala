@@ -925,6 +925,58 @@ class DurableStoreSpec extends AnyFunSuite {
     assert(common.size == 10 && common.forall(_.id.startsWith("c")))
   }
 
+  test("durable starvation cache: steady skips, cross-process commit re-enables the probe") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmp()
+    // strict validation: list the commits/ markers on every cache hit
+    spark.conf.set("spark.graft.durable.starvedCheckMs", "0")
+    try {
+      val a = new DurableVectorStore(spark, root)
+      // the starved-selectivity fixture: matching rows live in cells the
+      // near-origin probe never reads, and there are fewer than k of them
+      val rows =
+        (0 until 120).map { i =>
+          (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+            (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+        } ++ (0 until 5).map { i =>
+          (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+        }
+      a.loadFrame(rows.toDF("id", "values", "metadata"), "sc")
+      val q = Seq(0.5f, 0.3f, 0.2f, 1f)
+      a.findSimilar(q, k = 5, namespace = "sc", approx = true, index = "ivf")
+      val rescues0 = a.exactRescues.get()
+      val skips0 = a.starvedProbeSkips.get()
+      // proof: probe starves, rescue returns < k — the fact is recorded
+      val r1 = a.findSimilar(q, k = 10, namespace = "sc", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      assert(r1.size == 5 && a.exactRescues.get() == rescues0 + 1)
+      // steady state: the validated fact skips the probe (counted as a
+      // skip, not another rescue) and serves the same exact answer
+      val r2 = a.findSimilar(q, k = 10, namespace = "sc", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      assert(r2.map(h => (h.id, h.score)) == r1.map(h => (h.id, h.score)))
+      assert(a.starvedProbeSkips.get() == skips0 + 1)
+      assert(a.exactRescues.get() == rescues0 + 1)
+      // writer B — a second store instance on the SAME root (another
+      // process's view of the shared LSM) — commits a matching row;
+      // its claim lands in the shared commits/ marker directory
+      val b = new DurableVectorStore(spark, root)
+      b.loadFrame(Seq(("rnew", Seq(0.55f, 0.3f, 0.2f, 1f),
+        Map("grp" -> "rare"))).toDF("id", "values", "metadata"), "sc")
+      // reader A's next filtered query revalidates, sees the moved
+      // stamp, drops the fact, and probes again — the fresh row serves
+      val skips1 = a.starvedProbeSkips.get()
+      val r3 = a.findSimilar(q, k = 10, namespace = "sc", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      assert(a.starvedProbeSkips.get() == skips1,
+        "a stale starvation fact must not serve after a cross-process commit")
+      assert(r3.exists(_.id == "rnew"),
+        "the cross-process matching row must be visible to the re-probe")
+      assert(r3.size == 6)
+    } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
+  }
+
   test("filtered LSH: candidate-time filter at the record join, starved fallback exact") {
     val sp = spark
     import sp.implicits._
