@@ -75,6 +75,16 @@ object IndexedTopK {
     * THIS rewrite probed). */
   @volatile private[graft] var lastProbed: Option[Seq[Int]] = None
 
+  /** Plan-time saturation verdicts for FILTERED rewrites, keyed by
+    * (layout, probed cells, canonical predicates, k) — valid for the
+    * attachment's lifetime because the layout is a static snapshot. */
+  private[graft] val saturationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Rewrites DECLINED by the starved check — the branch indicator. */
+  private[graft] val starvedDeclines =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def normPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
@@ -222,12 +232,108 @@ object IndexedTopK {
        |SELECT rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $Q112K ORDER BY rank""".stripMargin
 
+  // ---- q193: the rewrite composed with the hybrid predicate (r18 —
+  // VERDICT r17 "Next round" #5) -----------------------------------------
+
+  private val Q193K = 10
+  private val Q193QueryId = 11L
+  private val Q193Label = 3
+
+  /** (layout dir, probes dir) of the most recent q193 run — oracle
+    * hook. */
+  @volatile private var lastQ193Aux: Option[(String, String)] = None
+
+  /** q193: the DECLARATIVE hybrid read — `WHERE label = c ORDER BY l2sq
+    * LIMIT k` over the attached table, rewritten onto the cell-pruned
+    * probe with the predicate evaluating at CANDIDATE time (the Filter
+    * rides above the substituted layout scan, before the sort — never a
+    * post-filtered top-k), exactly the composition q164 serves
+    * imperatively on the store facade. The rule's plan-time saturation
+    * probe has already certified ≥ k matching candidates, or the
+    * rewrite would have DECLINED and left the exact filtered scan (the
+    * starved fallback — pinned by IndexedTopKSpec with a selective
+    * predicate); the in-script requires assert the rewrite fired AND
+    * that the label predicate reached the layout scan as a pushed
+    * filter. Oracle: candidates = probed cells' assigned ids ∩ label,
+    * exact ascending-l2 rerank. */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcPath = s"$dir/embeddings.parquet"
+    val layout = attachIvf(spark, srcPath, "vec_id", "embedding")
+    install(spark)
+    val qv = spark.read.parquet(srcPath)
+      .where(col("vec_id") === Q193QueryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qlit = array(qv.map(v => lit(v)): _*).cast("array<float>")
+    spark.conf.set(EnabledConf, "true")
+    val ids = try {
+      val df = spark.read.parquet(srcPath)
+        .where(col("label") === Q193Label)
+        .orderBy(graft.functions.VectorFunctions.l2sq(col("embedding"), qlit),
+          col("vec_id"))
+        .limit(Q193K)
+        .select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("idx_"),
+        "q193's filtered top-k did not rewrite onto the index - the graded " +
+          "result would be the exact scan, not the hybrid probe path")
+      require(plan.contains(s"EqualTo(label,$Q193Label)"),
+        "q193's predicate did not reach the rewritten candidate scan - a " +
+          "post-filtered top-k would break the hybrid contract\n" +
+          plan.take(1200))
+      df.collect().map(_.getLong(0)).toSeq
+    } finally spark.conf.unset(EnabledConf)
+    require(ids.size == Q193K,
+      s"q193 returned ${ids.size} rows - the saturation probe certified " +
+        s"$Q193K matching candidates, so a short result is a rewrite bug")
+    val probed = lastProbed.getOrElse(
+      throw new IllegalStateException("q193 rewrite left no probe list"))
+    probed.toDF("cell").coalesce(1)
+      .write.mode("overwrite").parquet(s"$layout/probes_f")
+    lastQ193Aux = Some((layout, s"$layout/probes_f"))
+    val scores = spark.read.parquet(srcPath)
+      .where(col("vec_id").isInCollection(ids))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"), qlit).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ids.zipWithIndex
+      .map { case (id, i) => (i + 1, id, scores(id)) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Oracle: q112's replay with the predicate inside the candidate CTE
+    * (a post-filtering implementation would rank non-matching rows and
+    * break the hash). */
+  def q193Sql(aux: String, probesDir: String): String =
+    s"""WITH probes AS (SELECT cell FROM read_parquet('$probesDir/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.id FROM a JOIN probes USING (cell)
+       |  JOIN embeddings e ON e.vec_id = a.id
+       |  WHERE e.label = $Q193Label),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q193QueryId),
+       |sc AS (
+       |  SELECT c.id, ${graft.functions.Det.l2sqSql("e.embedding", "q.qv")} AS raw
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.id, q),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $Q193K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_indexed_topk_rewrite" -> (q112 _))
+    "q112_indexed_topk_rewrite" -> (q112 _),
+    "q193_indexed_topk_filtered" -> (q193 _))
 
   def oracles: Map[String, String] =
     lastQ112Aux.map { case (aux, p) =>
       "q112_indexed_topk_rewrite" -> q112Sql(aux, p)
+    }.toMap ++
+    lastQ193Aux.map { case (aux, p) =>
+      "q193_indexed_topk_filtered" -> q193Sql(aux, p)
     }.toMap
 }
 
@@ -247,18 +353,18 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // column pruning may slide a Project between the limit and the
       // sort (a trailing `.select(id)` lands there), so both shapes
       // must match — the Project is preserved above the rewritten sort
-      case lim @ GlobalLimit(IntegerLiteral(_), ll @ LocalLimit(_, inner)) =>
+      case lim @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, inner)) =>
         inner match {
           case sort @ Sort(SortOrder(dist, direction, _, _) +: _,
               true, child, _) =>
-            rewrite(dist, direction, child) match {
+            rewrite(dist, direction, child, k) match {
               case Some(nc) => GlobalLimit(lim.limitExpr,
                 LocalLimit(ll.limitExpr, sort.copy(child = nc)))
               case None => lim
             }
           case proj @ Project(_, sort @ Sort(
               SortOrder(dist, direction, _, _) +: _, true, child, _)) =>
-            rewrite(dist, direction, child) match {
+            rewrite(dist, direction, child, k) match {
               case Some(nc) => GlobalLimit(lim.limitExpr,
                 LocalLimit(ll.limitExpr,
                   proj.copy(child = sort.copy(child = nc))))
@@ -311,8 +417,8 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def rewrite(dist: Expression, direction: SortDirection,
-                      child: LogicalPlan): Option[LogicalPlan] =
-    for {
+                      child: LogicalPlan, k: Int): Option[LogicalPlan] =
+    (for {
       rel <- relationUnder(child)
       info <- infoFor(rel)
       (attr, qv, metric) <- distParts(dist)
@@ -322,7 +428,6 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     } yield {
       val probed = Ann.rankCells(qv, info.centers,
         Ann.ivfProbeFor(info.centers.length))
-      IndexedTopK.lastProbed = Some(probed)
       // cell-pruned candidate scan of the full-record layout, re-aliased
       // to the relation's attribute ids so the untouched Sort/Limit (and
       // any Project/Filter in between) bind unchanged
@@ -335,10 +440,41 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
           qualifier = o.qualifier)
       }
       val remapped = Project(aliases, candPlan)
-      child.transformUp {
+      val rewritten = child.transformUp {
         case l: LogicalRelation if l.eq(rel) => remapped
       }
-    }
+      // THE STARVED FALLBACK, decided at plan time (r18 — the q164
+      // discipline reaching the declarative path): with a Filter in the
+      // stack, the rewritten top-k ranks MATCHING CANDIDATES — a
+      // selective predicate can starve the probed cells below k even
+      // when the table holds ≥ k matching rows, and a facade probe
+      // would rescue to the exact filtered scan. A Catalyst rule cannot
+      // bolt a runtime fallback onto one plan, but it sits exactly
+      // where the decision belongs: count the matching candidates
+      // (limit-k over the pruned filtered scan — k rows, one cheap
+      // nested job) and DECLINE the rewrite when they cannot reach k,
+      // leaving the exact scan to serve min(k, matching) — "the index
+      // proposes, the filtered scan decides", now literally. Sound for
+      // the attachment's lifetime because the layout is a static
+      // snapshot of the source (the attach contract); memoized per
+      // (layout, probes, predicate, k) so optimizer re-runs and bench
+      // repeats pay the count once.
+      val hasFilter = child.collectFirst { case f: Filter => f }.isDefined
+      val saturated = !hasFilter || {
+        val preds = child.collect { case Filter(c, _) => c.canonicalized.toString }
+        val key = s"${info.layoutDir}|${probed.mkString(",")}|${preds.mkString("&")}|$k"
+        IndexedTopK.saturationCache.computeIfAbsent(key, _ =>
+          org.apache.spark.sql.graft.CatalystBridge.ofRows(spark, rewritten)
+            .limit(k).count() >= k)
+      }
+      if (saturated) {
+        IndexedTopK.lastProbed = Some(probed)
+        Some(rewritten)
+      } else {
+        IndexedTopK.starvedDeclines.incrementAndGet()
+        None
+      }
+    }).flatten
 }
 
 /** `spark.sql.extensions` entry point: registers the rewrite at session

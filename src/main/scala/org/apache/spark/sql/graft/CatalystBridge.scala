@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge over the `private[sql]` Column ⇄ Expression seam in
@@ -13,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Execute a resolved [[LogicalPlan]] as a DataFrame — the
+    * `Dataset.ofRows` seam, `private[sql]` in Spark 4. Used by the
+    * IndexedTopK rule's plan-time saturation probe. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
 }

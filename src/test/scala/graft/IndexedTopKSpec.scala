@@ -126,6 +126,31 @@ class IndexedTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered rewrite declines when matching candidates cannot reach k") {
+    attached
+    val qv = q(5)
+    withRewrite {
+      val declines0 = IndexedTopK.starvedDeclines.get()
+      // vid % 97 == 1 matches vids 1, 98, 195 — 3 rows in the whole
+      // table, so no probe can reach k=10: the plan-time saturation
+      // check must DECLINE the rewrite and leave the exact scan, whose
+      // answer is min(k, matching) over the WHOLE table — the same
+      // starved fallback the store facades serve imperatively (q164)
+      val df = spark.read.parquet(srcPath)
+        .where(col("vid") % 97 === 1)
+        .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+        .limit(10)
+      val plan = physical(df)
+      assert(!plan.contains("idx_"),
+        s"a starved filtered top-k must not ride the index\n${plan.take(900)}")
+      assert(IndexedTopK.starvedDeclines.get() > declines0,
+        "the decline was not taken through the starved branch")
+      val got = df.select(col("vid")).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 98L, 195L),
+        s"the exact fallback must serve every matching row, got $got")
+    }
+  }
+
   test("opt-in is real: disabled conf and unattached tables keep the exact scan") {
     attached
     val qv = q(5)
