@@ -39,7 +39,9 @@ import graft.store.DurableVectorStore
   * Run: `sbt 'runMain graft.examples.AsOfBench'`. */
 object AsOfBench {
 
-  private val N = 65536L
+  // default 64k; SPARK_GRAFT_ASOF_N=655360 is the 10× point recorded in
+  // SCALING.md r18 (two measured points beat one extrapolation)
+  private val N = sys.env.getOrElse("SPARK_GRAFT_ASOF_N", "65536").toLong
   private val Dim = 64
   private val K = 10
   private val Runs = 5

@@ -28,7 +28,9 @@ import graft.operators.Bq
   * lower bound the stream approaches as arrival batches widen. */
 object ForeachBatchBench {
 
-  private val N = 8192L
+  // default 8k; SPARK_GRAFT_FB_N=655360 is the 10×-scale point (80× this
+  // default) recorded in SCALING.md r18
+  private val N = sys.env.getOrElse("SPARK_GRAFT_FB_N", "8192").toLong
   private val Dim = 64
   private val Q = 128L
 

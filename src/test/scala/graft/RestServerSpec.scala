@@ -621,6 +621,34 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("/stats exposes the serving-branch counters; durable section behind the flag") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_stats_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    d.loadFrame(
+      (0 until 40).map(i => (s"v$i", Seq(i.toFloat / 40f, 1f)))
+        .toDF("id", "values"), "st")
+    d.findSimilar(Seq(0.5f, 1f), k = 3, namespace = "st", approx = true)
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // live-only form: counters present, durable section absent
+      val (c0, b0) = send("GET", s"$base/stats")
+      assert(c0 == 200, b0)
+      val t0 = mapper.readTree(b0)
+      assert(t0.get("store").has("starved_probe_skips") && !t0.has("durable"))
+      // durable form: builds reflect the layout the search above paid
+      val (c1, b1) = send("GET", s"$base/stats?durable=true")
+      assert(c1 == 200, b1)
+      val t1 = mapper.readTree(b1)
+      assert(t1.get("durable").get("builds").get("ann").asInt() == 1, b1)
+      assert(t1.get("durable").get("seq").asLong() == d.currentSeq())
+      assert(t1.get("durable").get("exact_rescues").asLong() ==
+        d.exactRescues.get())
+    } finally server.stop()
+  }
+
   test("/seq + as_of: the reproducibility read over HTTP serves the snapshot") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_rest_asof_").toString
