@@ -36,6 +36,18 @@ import graft.store.DurableVectorStore
   * invisible, top-1 parity with the exact snapshot) is asserted
   * in-run, not assumed.
   *
+  * The 10× point (r18, SPARK_GRAFT_ASOF_N=655360 — 640k×64d, same
+  * 1k+1k wave): as-of/live ratio **ivf 1.08, pq 0.97** (0.882 vs
+  * 0.817 s; 1.360 vs 1.395 s) — the horizon claim holds at both
+  * measured scales. The exact as-of scan (0.213 s) grew 1.8× on 10×
+  * the data while the probes grew ~1.9× — BOTH are floor-bound at
+  * local[32] (the probe pays a multi-job dispatch floor, the exact
+  * scan is one codegen'd scan of 164 MB), so the wall-clock crossover
+  * is still above this scale; the claim that transfers to 100 TB is
+  * the BYTES one (probes read ~2/√cells of the snapshot, the exact
+  * scan reads all of it) plus the measured fact that the HORIZON
+  * itself stays free at 10×.
+  *
   * Run: `sbt 'runMain graft.examples.AsOfBench'`. */
 object AsOfBench {
 
