@@ -1228,6 +1228,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, metric)
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1236,7 +1238,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatch(queries, k, metric, namespace, e,
             persistProbes, pred)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }
@@ -1255,15 +1258,47 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
   private def rescueStarved(hits: Seq[Seq[SearchHit]],
                             queries: Seq[Seq[Float]], k: Int,
                             hasFilter: Boolean,
-                            exactFiltered: Seq[Seq[Float]] => Seq[Seq[SearchHit]]): Seq[Seq[SearchHit]] =
+                            exactFiltered: Seq[Seq[Float]] => Seq[Seq[SearchHit]],
+                            cacheKey: Option[(String, String)] = None): Seq[Seq[SearchHit]] =
     if (!hasFilter || hits.forall(_.size >= k)) hits
     else {
+      // proof-time stamp BEFORE the rescue scan (the single-path
+      // discipline) — a commit landing mid-scan invalidates the fact on
+      // its first revalidation
+      val seq0 = if (cacheKey.isDefined) observedMaxSeq(fresh = true) else 0L
       val starved = hits.indices.filter(hits(_).size < k)
       exactRescues.addAndGet(starved.size.toLong)
       val rescued = exactFiltered(starved.map(queries))
+      // a rescued query still short of k proves the namespace holds
+      // < k matching rows — a QUERY-INDEPENDENT fact (the matching
+      // count doesn't involve the query vector), recordable from any
+      // one starved entry. Live-horizon callers only: an as-of caller
+      // passes no key, because a live fact says nothing about an
+      // arbitrary snapshot (rows deleted after the snapshot still match
+      // there).
+      if (cacheKey.isDefined && rescued.exists(_.size < k))
+        starvedFilters.put(cacheKey.get, seq0)
       val byIdx = starved.zip(rescued).toMap
       hits.indices.map(i => byIdx.getOrElse(i, hits(i)))
     }
+
+  /** Pre-probe short-circuit for the LIVE batch filtered paths: a
+    * VALIDATED starvation fact (see the starvation-cache section)
+    * answers the whole batch from the exact filtered scan — min(k,
+    * matching) per query, the rescue's own envelope — without paying
+    * the probe. Counted per query, mirroring the rescue counter. */
+  private def starvedSkip(namespace: String, filter: Map[String, String],
+                          jsonFilter: Map[String, String],
+                          batchSize: Int): Boolean = {
+    val skey = (namespace, durableFilterKey(filter, jsonFilter))
+    val hit = Option(starvedFilters.get(skey)).exists { s =>
+      val still = observedMaxSeq(fresh = false) == s
+      if (!still) starvedFilters.remove(skey)
+      still
+    }
+    if (hit) starvedProbeSkips.addAndGet(batchSize.toLong)
+    hit
+  }
 
   private def probeBatch(queries: Seq[Seq[Float]], k: Int, metric: String,
                          namespace: String, e: AnnEntry,
@@ -1371,6 +1406,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, "cosine")
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1380,7 +1417,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatchPq(queries, k, namespace, e, pq, persistLuts,
             pred, hasFilter)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }
@@ -1469,6 +1507,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, "cosine")
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1478,7 +1518,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatchBq(queries, k, namespace, e, bq, persistCodes,
             pred, hasFilter)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }
@@ -1562,6 +1603,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, "cosine")
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1571,7 +1614,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatchImi(queries, k, namespace, e, imi,
             persistProbes, pred)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }
@@ -1632,6 +1676,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, "cosine")
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -1641,7 +1687,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatchHnsw(queries, k, namespace, e, h,
             persistCands, pred, filter)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }
@@ -3014,6 +3061,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       Scoring.batchSearch(
         live().filter(col("namespace") === namespace).filter(pred),
         qs, k, "cosine")
+    if (hasFilter && starvedSkip(namespace, filter, jsonFilter, queries.size))
+      return exactFiltered(queries)
     var attempt = 0
     while (attempt < 3) {
       annEntryFresh(namespace, dim) match {
@@ -3023,7 +3072,8 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
           val hits = probeBatchLsh(queries, k, namespace, e, lsh,
             persistSigs, pred)
           if (currentGen() == e.builtGen)
-            return rescueStarved(hits, queries, k, hasFilter, exactFiltered)
+            return rescueStarved(hits, queries, k, hasFilter, exactFiltered,
+              Some((namespace, durableFilterKey(filter, jsonFilter))))
       }
       attempt += 1
     }

@@ -977,6 +977,52 @@ class DurableStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
   }
 
+  test("batch filtered paths share the starvation cache: skip, then re-probe after a commit") {
+    val sp = spark
+    import sp.implicits._
+    spark.conf.set("spark.graft.durable.starvedCheckMs", "0")
+    try {
+      val d = new DurableVectorStore(spark, tmp())
+      val rows =
+        (0 until 120).map { i =>
+          (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+            (i % 5).toFloat / 10f, 1f), Map("grp" -> "common"))
+        } ++ (0 until 5).map { i =>
+          (s"r$i", Seq(100f + i, 100f, 100f, 1f), Map("grp" -> "rare"))
+        }
+      d.loadFrame(rows.toDF("id", "values", "metadata"), "sb")
+      val qs = Seq(Seq(0.5f, 0.3f, 0.2f, 1f), Seq(0.1f, 0.6f, 0.4f, 1f))
+      d.findSimilarBatchApprox(qs, k = 5, namespace = "sb") // layout
+      val rescues0 = d.exactRescues.get()
+      val skips0 = d.starvedProbeSkips.get()
+      // proof through the BATCH path: both queries starve, rescue < k
+      val r1 = d.findSimilarBatchApprox(qs, k = 10, namespace = "sb",
+        filter = Map("grp" -> "rare"))
+      assert(r1.forall(_.size == 5) && d.exactRescues.get() == rescues0 + 2)
+      // steady batch: the whole batch skips the probe (counted per query)
+      val r2 = d.findSimilarBatchApprox(qs, k = 10, namespace = "sb",
+        filter = Map("grp" -> "rare"))
+      assert(r2.map(_.map(h => (h.id, h.score))) ==
+        r1.map(_.map(h => (h.id, h.score))))
+      assert(d.starvedProbeSkips.get() == skips0 + 2)
+      assert(d.exactRescues.get() == rescues0 + 2)
+      // the pq batch mount consults the same fact
+      val r3 = d.findSimilarBatchPq(qs, k = 10, namespace = "sb",
+        filter = Map("grp" -> "rare"))
+      assert(d.starvedProbeSkips.get() == skips0 + 4)
+      assert(r3.map(_.map(_.id)) == r1.map(_.map(_.id)))
+      // any commit moves the stamp: the next batch probes again
+      d.loadFrame(Seq(("rnew", Seq(0.52f, 0.3f, 0.2f, 1f),
+        Map("grp" -> "rare"))).toDF("id", "values", "metadata"), "sb")
+      val skips1 = d.starvedProbeSkips.get()
+      val r4 = d.findSimilarBatchApprox(qs, k = 10, namespace = "sb",
+        filter = Map("grp" -> "rare"))
+      assert(d.starvedProbeSkips.get() == skips1,
+        "a stale batch fact must not serve after a commit")
+      assert(r4.forall(h => h.exists(_.id == "rnew") && h.size == 6))
+    } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
+  }
+
   test("filtered LSH: candidate-time filter at the record join, starved fallback exact") {
     val sp = spark
     import sp.implicits._
