@@ -155,6 +155,13 @@ object EventStream {
     spark.catalog.dropTempView(name) // idempotent; frees the prior run
     val q = start
     try q.processAllAvailable() finally q.stop()
+    // a finite drain is DONE with its state: unload the providers this
+    // query loaded (and the shared maintenance task — it restarts
+    // lazily), or a harness draining thousands of short stateful
+    // streams in one JVM accumulates provider/maintenance debt that
+    // progressively taxes later drains (measured: ~3× per-drain by
+    // ~250 drains; see CatalystBridge.resetStateStores)
+    org.apache.spark.sql.graft.CatalystBridge.resetStateStores()
     spark.table(name)
   }
 

@@ -21,4 +21,17 @@ object CatalystBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** Unload every loaded state-store provider and stop the shared
+    * maintenance task (both restart lazily on the next stateful query —
+    * Spark's own state-store test suites cycle stop() the same way).
+    * For a process that drains MANY short-lived stateful streams
+    * (finite replays: correctness gates, benches, specs), the
+    * JVM-global provider registry and its maintenance work otherwise
+    * accumulate across drains and progressively tax later ones — a
+    * measured 3× per-drain inflation by ~250 drains (SCALING.md r18).
+    * A production standing stream never hits this: it loads its
+    * providers once and keeps them. */
+  def resetStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
