@@ -22,16 +22,18 @@ object CatalystBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
 
-  /** Unload every loaded state-store provider and stop the shared
-    * maintenance task (both restart lazily on the next stateful query —
-    * Spark's own state-store test suites cycle stop() the same way).
-    * For a process that drains MANY short-lived stateful streams
-    * (finite replays: correctness gates, benches, specs), the
-    * JVM-global provider registry and its maintenance work otherwise
-    * accumulate across drains and progressively tax later ones — a
-    * measured 3× per-drain inflation by ~250 drains (SCALING.md r18).
-    * A production standing stream never hits this: it loads its
-    * providers once and keeps them. */
+  /** Unload every loaded state-store provider (reloaded lazily by the
+    * next stateful query). For a process that drains MANY short-lived
+    * stateful streams (finite replays: correctness gates, benches,
+    * specs), the JVM-global provider registry and its maintenance work
+    * otherwise accumulate across drains and progressively tax later
+    * ones — a measured 3× per-drain inflation by ~250 drains
+    * (SCALING.md r18). Deliberately NOT `StateStore.stop()`: tearing
+    * down the shared maintenance pool + coordinator per drain measured
+    * ~+0.5 s per drain on the same suite — emptying the registry alone
+    * removes the accumulation without paying a rebuild. A production
+    * standing stream never hits either side: it loads its providers
+    * once and keeps them. */
   def resetStateStores(): Unit =
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
