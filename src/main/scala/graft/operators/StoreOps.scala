@@ -3477,6 +3477,51 @@ object StoreOps {
     (store, asOf, qs, DSPqAsOfNs, K)
   }
 
+  private val DSBqAsOfNs = "q194"
+  private val q194Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q194Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The [[dspqAsOfFixture]] script on the SIGN-BIT mount — builder =
+    * the first batch bq search (records + midpoint grid + codes, so
+    * builtSeq ≤ h), then q175's two waves around the recorded horizon.
+    * Returns (store, horizon, queries, namespace, k). */
+  private[graft] def dsbqAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]], String, Int) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dsbqasof_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = q194Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q194Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DSBqAsOfNs)
+      s.findSimilarBatchBq(qs, k = K, namespace = DSBqAsOfNs)
+      require(s.bqBuilds.get() >= 1, "q194 sign-bit build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DSBqAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DSBqAsOfNs)
+      val h = s.currentSeq()
+      val d2 = s.delete(AsOfDel2, DSBqAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DSBqAsOfNs)
+      (s, h)
+    })
+    (store, asOf, qs, DSBqAsOfNs, K)
+  }
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every
@@ -3903,7 +3948,16 @@ object StoreOps {
     * query's code taken from the same derivation (batch queries are
     * corpus rows), hamming cut per qid over that query's probed
     * cells. */
-  def q135Sql(ann: String, aux: String): String = {
+  def q135Sql(ann: String, aux: String): String =
+    bqBatchSqlAt(ann, aux, FacadeDelMod)
+
+  /** [[q135Sql]] with the delete horizon parameterized — FacadeDelMod
+    * replays the live batched BQ read (q135), AsOfDelMod the wave-1
+    * snapshot ([[graft.streaming.EventStream.q194]]'s oracle). */
+  def q194Sql(ann: String, aux: String): String =
+    bqBatchSqlAt(ann, aux, AsOfDelMod)
+
+  private def bqBatchSqlAt(ann: String, aux: String, delMod: Long): String = {
     val dim = 64
     val bit =
       """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
@@ -3935,7 +3989,7 @@ object StoreOps {
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY ham, id) AS cr FROM ham)
        |  WHERE cr <= ${graft.operators.Bq.CandN}),
-       |${durableBatchOracleTail("SELECT qid, id FROM cut")}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod)}""".stripMargin
   }
 
   private val DBatchImiNs = "q136"

@@ -1655,6 +1655,68 @@ object EventStream {
       .orderBy("qid", "rank")
   }
 
+  // ---- q194: streaming as-of on the SIGN-BIT durable mount (r18) ------
+  //
+  // q192's composition on the BQ mount — the same foreachBatch route,
+  // the same batched as-of kernel (`findSimilarBatchAsOf(index = "bq")`:
+  // all Q query codes pack against the STANDING midpoint grid, one
+  // pruned sweep of the stamped code words, integer hamming CandN cut,
+  // kills and delta bounded at the stamp). The grid and codes derive
+  // from the pre-horizon layout (builtSeq ≤ h by construction), so the
+  // candidate policy is snapshot-safe as built; the oracle is q135's
+  // replay at the wave-1 delete modulus.
+
+  private val q194ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** (ann dir, bq dir) of the most recent q194 run — oracle hook. */
+  @volatile private var lastStreamDurBqAsOfAux: Option[(String, String)] = None
+
+  def q194(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, ns, k) = so.dsbqAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, index = "bq")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.bqBuilds.get() == 1,
+      "q194's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first code table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q194 did not serve every streamed query from the BQ probe branch " +
+        s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
+    if (q194ParityChecked.add(dir)) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, index = "bq", persistProbes = true)
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
+    lastStreamDurBqAsOfAux = for {
+      a <- store.annLayoutDir(ns, qs.head.length).map(_._1)
+      b <- store.bqLayoutDir(ns, qs.head.length)
+    } yield (a, b)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1688,6 +1750,7 @@ object EventStream {
       }),
       "q190_stream_search_durable_asof" -> (q190 _),
       "q192_stream_durable_pq_asof" -> (q192 _),
+      "q194_stream_durable_bq_asof" -> (q194 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1717,6 +1780,8 @@ object EventStream {
       "q190_stream_search_durable_asof" -> q190Sql(aux, probesDir) }.toMap ++
     lastStreamDurPqAsOfAux.map(aux =>
       "q192_stream_durable_pq_asof" -> graft.operators.StoreOps.q192Sql(aux)).toMap ++
+    lastStreamDurBqAsOfAux.map { case (ann, aux) =>
+      "q194_stream_durable_bq_asof" -> graft.operators.StoreOps.q194Sql(ann, aux) }.toMap ++
     lastStreamOpqAux.map(aux =>
       "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
