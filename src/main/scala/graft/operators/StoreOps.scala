@@ -2058,6 +2058,18 @@ object StoreOps {
     * load-minus-deletes plus the delta, rerank = exact cosine per query
     * with the string-id tie-break. */
   def q107Sql(aux: String, probesDir: String): String =
+    q107SqlAt(aux, probesDir, FacadeDelMod)
+
+  /** [[q107Sql]] with the delete horizon parameterized — FacadeDelMod
+    * replays the live batched probe reads (q107/q136), AsOfDelMod the
+    * wave-1 snapshot ([[graft.streaming.EventStream.q195]]'s oracle on
+    * the product grid). */
+  /** q136's replay at the wave-1 horizon —
+    * [[graft.streaming.EventStream.q195]]'s oracle. */
+  def q195Sql(aux: String): String =
+    q107SqlAt(aux, s"$aux/batch_probes", AsOfDelMod)
+
+  def q107SqlAt(aux: String, probesDir: String, delMod: Long): String =
     s"""WITH probes AS (
        |  SELECT __qid AS qid, cell
        |  FROM read_parquet('$probesDir/*.parquet')),
@@ -2071,7 +2083,7 @@ object StoreOps {
        |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $FacadeDelMod <> 0)
+       |  WHERE (vec_id < $FacadeN AND vec_id % $delMod <> 0)
        |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
        |sc AS (
        |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
@@ -3520,6 +3532,48 @@ object StoreOps {
       (s, h)
     })
     (store, asOf, qs, DSBqAsOfNs, K)
+  }
+
+  private val DSImiAsOfNs = "q195"
+  private val q195Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q195Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The [[dspqAsOfFixture]] script on the PRODUCT-GRID mount. */
+  private[graft] def dsimiAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]], String, Int) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dsimiasof_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = q195Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q195Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DSImiAsOfNs)
+      s.findSimilarBatchImi(qs, k = K, namespace = DSImiAsOfNs)
+      require(s.imiBuilds.get() >= 1, "q195 product-grid build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DSImiAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DSImiAsOfNs)
+      val h = s.currentSeq()
+      val d2 = s.delete(AsOfDel2, DSImiAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DSImiAsOfNs)
+      (s, h)
+    })
+    (store, asOf, qs, DSImiAsOfNs, K)
   }
 
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------

@@ -1717,6 +1717,65 @@ object EventStream {
       .orderBy("qid", "rank")
   }
 
+  // ---- q195: streaming as-of on the PRODUCT-GRID durable mount (r18) --
+  //
+  // The q192/q194 composition on IMI: per micro-batch the batched as-of
+  // kernel merges each query's 2k sub-distances to its top grid cells,
+  // unions them into ONE pruned sweep of the stamped grid layout with
+  // both horizons bounded at the stamp. Oracle = q136's replay (q107's
+  // candidate contract over the grid's assign/) at the wave-1 modulus.
+  // With pq (q192) and bq (q194) this leaves only hnsw/lsh of the
+  // derived mounts without a graded streaming-as-of cell — each the
+  // same fixture + oracle-modulus parameterization.
+
+  private val q195ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** IMI grid dir of the most recent q195 run — oracle hook. */
+  @volatile private var lastStreamDurImiAsOfAux: Option[String] = None
+
+  def q195(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, ns, k) = so.dsimiAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, index = "imi")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.imiBuilds.get() == 1,
+      "q195's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first grid at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q195 did not serve every streamed query from the IMI probe branch " +
+        s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
+    if (q195ParityChecked.add(dir)) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, index = "imi", persistProbes = true)
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
+    lastStreamDurImiAsOfAux = store.imiLayoutDir(ns, qs.head.length)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1751,6 +1810,7 @@ object EventStream {
       "q190_stream_search_durable_asof" -> (q190 _),
       "q192_stream_durable_pq_asof" -> (q192 _),
       "q194_stream_durable_bq_asof" -> (q194 _),
+      "q195_stream_durable_imi_asof" -> (q195 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1782,6 +1842,9 @@ object EventStream {
       "q192_stream_durable_pq_asof" -> graft.operators.StoreOps.q192Sql(aux)).toMap ++
     lastStreamDurBqAsOfAux.map { case (ann, aux) =>
       "q194_stream_durable_bq_asof" -> graft.operators.StoreOps.q194Sql(ann, aux) }.toMap ++
+    lastStreamDurImiAsOfAux.map(aux =>
+      "q195_stream_durable_imi_asof" ->
+        graft.operators.StoreOps.q195Sql(aux)).toMap ++
     lastStreamOpqAux.map(aux =>
       "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
