@@ -3576,6 +3576,48 @@ object StoreOps {
     (store, asOf, qs, DSImiAsOfNs, K)
   }
 
+  private val DSHnswAsOfNs = "q196"
+  private val q196Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q196Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The [[dspqAsOfFixture]] script on the GRAPH mount. */
+  private[graft] def dshnswAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]], String, Int) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dshnswasof_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = q196Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q196Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DSHnswAsOfNs)
+      s.findSimilarBatchHnsw(qs, k = K, namespace = DSHnswAsOfNs)
+      require(s.hnswBuilds.get() >= 1, "q196 shard-graph build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DSHnswAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DSHnswAsOfNs)
+      val h = s.currentSeq()
+      val d2 = s.delete(AsOfDel2, DSHnswAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DSHnswAsOfNs)
+      (s, h)
+    })
+    (store, asOf, qs, DSHnswAsOfNs, K)
+  }
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every
@@ -4132,11 +4174,17 @@ object StoreOps {
 
   /** SQL replay of the durable batched HNSW read: per-query candidates =
     * the persisted qid-keyed beam output ∪ delta. */
-  def q137Sql(aux: String): String =
+  def q137Sql(aux: String): String = hnswBatchSqlAt(aux, FacadeDelMod)
+
+  /** q137's replay at the wave-1 horizon —
+    * [[graft.streaming.EventStream.q196]]'s oracle. */
+  def q196Sql(aux: String): String = hnswBatchSqlAt(aux, AsOfDelMod)
+
+  private def hnswBatchSqlAt(aux: String, delMod: Long): String =
     s"""WITH beam AS (
        |  SELECT DISTINCT __qid AS qid, id
        |  FROM read_parquet('$aux/batch_cands/*.parquet')),
-       |${durableBatchOracleTail("SELECT qid, id FROM beam")}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM beam", delMod)}""".stripMargin
 
   private val BatchBqNs = "q140"
   private val q140Stores =

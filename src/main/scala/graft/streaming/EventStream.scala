@@ -1776,6 +1776,65 @@ object EventStream {
       .orderBy("qid", "rank")
   }
 
+  // ---- q196: streaming as-of on the GRAPH durable mount (r18) ---------
+  //
+  // The composition on HNSW closes the derived-mount streaming-as-of
+  // sweep to all but lsh: per micro-batch the batched as-of kernel
+  // beam-searches the STANDING pre-horizon shard graphs (snapshot-safe
+  // as built — the q185 structural fact), unions each query's ≤
+  // shards × ef beam output with the stamp-bounded delta, and reranks
+  // over the as-of live set. Oracle = q137's replay (persisted
+  // qid-keyed beam output as the candidate policy) at the wave-1
+  // modulus.
+
+  private val q196ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** HNSW layout dir of the most recent q196 run — oracle hook. */
+  @volatile private var lastStreamDurHnswAsOfAux: Option[String] = None
+
+  def q196(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, ns, k) = so.dshnswAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, index = "hnsw")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1,
+      "q196's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first shard graphs at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q196 did not serve every streamed query from the beam branch " +
+        s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
+    if (q196ParityChecked.add(dir)) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, index = "hnsw", persistProbes = true)
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
+    lastStreamDurHnswAsOfAux = store.hnswLayoutDir(ns, qs.head.length)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1811,6 +1870,7 @@ object EventStream {
       "q192_stream_durable_pq_asof" -> (q192 _),
       "q194_stream_durable_bq_asof" -> (q194 _),
       "q195_stream_durable_imi_asof" -> (q195 _),
+      "q196_stream_durable_hnsw_asof" -> (q196 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1845,6 +1905,9 @@ object EventStream {
     lastStreamDurImiAsOfAux.map(aux =>
       "q195_stream_durable_imi_asof" ->
         graft.operators.StoreOps.q195Sql(aux)).toMap ++
+    lastStreamDurHnswAsOfAux.map(aux =>
+      "q196_stream_durable_hnsw_asof" ->
+        graft.operators.StoreOps.q196Sql(aux)).toMap ++
     lastStreamOpqAux.map(aux =>
       "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
