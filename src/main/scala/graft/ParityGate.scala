@@ -1,0 +1,18 @@
+package graft
+
+/** Once-per-key execution of an in-script parity assertion that
+  * RE-ARMS on failure (r19 — ADVICE r18: every graded query's
+  * stream≡batch / probe≡exact parity gate added its dir to the checked
+  * set BEFORE the requires ran, so a thrown assertion left the gate
+  * consumed and a same-JVM retry of the query silently skipped the
+  * parity check — able to grade a divergent answer). `once` removes the
+  * key when `body` throws, so a retry re-runs the gate; a passed gate
+  * stays consumed (the once-per-process-per-dir bench economics are
+  * unchanged).
+  */
+object ParityGate {
+  def once(gate: java.util.Set[String], key: String)(body: => Unit): Unit =
+    if (gate.add(key))
+      try body
+      catch { case t: Throwable => gate.remove(key); throw t }
+}

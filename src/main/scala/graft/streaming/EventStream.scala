@@ -772,7 +772,7 @@ object EventStream {
     // repeats measure the stream): micro-batching splits QUERIES, whose
     // probes and cuts are independent, so the drained union must equal
     // the one-shot kernel positionally — score-exact
-    if (q178ParityChecked.add(dir)) {
+    graft.ParityGate.once(q178ParityChecked, dir) {
       val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
         .select(col("vec_id"), col("embedding")).collect()
@@ -901,7 +901,7 @@ object EventStream {
     // equal the one-shot kernel's set exactly (the ADC is rounded to
     // 1e-6 and the cut ties on id, so the per-query cut is deterministic
     // and independent of its batch-mates)
-    if (q180ParityChecked.add(dir)) {
+    graft.ParityGate.once(q180ParityChecked, dir) {
       val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= PqQLo && col("vec_id") < PqQHi)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1043,7 +1043,7 @@ object EventStream {
         .sortBy(x => (x._1, x._2))
     // stream ≡ batch + the ENVELOPE, asserted once per dir (both are
     // invariants of deterministic plans; bench repeats measure the stream)
-    if (q182ParityChecked.add(dir)) {
+    graft.ParityGate.once(q182ParityChecked, dir) {
       val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= IvfQLo && col("vec_id") < IvfQHi)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1168,7 +1168,7 @@ object EventStream {
     val hitRows: Seq[(Long, Int, Long, Double)] =
       hitBuf.toArray(Array.empty[(Long, Int, Long, Double)]).toSeq
         .sortBy(x => (x._1, x._2))
-    if (q187ParityChecked.add(dir)) {
+    graft.ParityGate.once(q187ParityChecked, dir) {
       val all = Tables.table(spark, dir, "embeddings")
         .where(col("vec_id") >= ImiQLo && col("vec_id") < ImiQHi)
         .select(col("vec_id"), col("embedding")).collect()
@@ -1254,7 +1254,7 @@ object EventStream {
     // independent, so the union must equal the one-shot batch kernel's
     // candidate set exactly (integer hamming — no float tie boundary);
     // once per dir, so bench repeats measure the stream
-    if (q188ParityChecked.add(dir)) {
+    graft.ParityGate.once(q188ParityChecked, dir) {
       val allQ = e.where(col("vec_id") >= BqQLo && col("vec_id") < BqQHi)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         .withColumn("__mids", typedLit(mids.toSeq))
@@ -1326,7 +1326,7 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     val streamCand: Seq[(Long, Long)] =
       buf.toArray(Array.empty[(Long, Long)]).toSeq.distinct
-    if (q189ParityChecked.add(dir)) {
+    graft.ParityGate.once(q189ParityChecked, dir) {
       // beam determinism makes this structural: the union of per-batch
       // kernel calls must equal the one-shot kernel over all queries;
       // once per dir, so bench repeats measure the stream
@@ -1436,7 +1436,7 @@ object EventStream {
     val streamCand: Seq[(Long, Long)] =
       buf.toArray(Array.empty[(Long, Long)]).toSeq
     val e = Tables.table(spark, dir, "embeddings")
-    if (q191ParityChecked.add(dir)) {
+    graft.ParityGate.once(q191ParityChecked, dir) {
       // stream ≡ batch: per-query cuts are independent, so the union
       // must equal the one-shot kernel's candidate set (round-6 ADC —
       // the same persisted-LUT doubles both engines replay); once per
@@ -1561,7 +1561,7 @@ object EventStream {
     // single ≡ batch parity, transitively). Once per dir (the q180
     // convention), so bench repeats measure the serving stream; the
     // probes it persists are idempotent (same store, horizon, queries).
-    if (q190ParityChecked.add(dir)) {
+    graft.ParityGate.once(q190ParityChecked, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, filter = tenant, persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
@@ -1639,7 +1639,7 @@ object EventStream {
     // batch twin at the same horizon must equal the drained stream
     // positionally — score-exact; its persisted probes/LUTs are the
     // oracle's policy (idempotent: same store, horizon, queries)
-    if (q192ParityChecked.add(dir)) {
+    graft.ParityGate.once(q192ParityChecked, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, index = "pq", persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
@@ -1698,7 +1698,7 @@ object EventStream {
         streamRows.size == qs.length * k,
       s"q194 did not serve every streamed query from the BQ probe branch " +
         s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
-    if (q194ParityChecked.add(dir)) {
+    graft.ParityGate.once(q194ParityChecked, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, index = "bq", persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
@@ -1760,7 +1760,7 @@ object EventStream {
         streamRows.size == qs.length * k,
       s"q195 did not serve every streamed query from the IMI probe branch " +
         s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
-    if (q195ParityChecked.add(dir)) {
+    graft.ParityGate.once(q195ParityChecked, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, index = "imi", persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
@@ -1819,7 +1819,7 @@ object EventStream {
         streamRows.size == qs.length * k,
       s"q196 did not serve every streamed query from the beam branch " +
         s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
-    if (q196ParityChecked.add(dir)) {
+    graft.ParityGate.once(q196ParityChecked, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, index = "hnsw", persistProbes = true)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
@@ -1830,6 +1830,64 @@ object EventStream {
           "batch as-of twin — arrival batching changed a snapshot read")
     }
     lastStreamDurHnswAsOfAux = store.hnswLayoutDir(ns, qs.head.length)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
+  // ---- q197: streaming as-of on the SIGNATURE durable mount (r19) -----
+  //
+  // The q192/q194/q195/q196 composition on LSH CLOSES the streaming ×
+  // as-of matrix (6/6 durable mounts): per micro-batch the batched
+  // as-of kernel hashes each arriving query through the md5 hyperplane
+  // family, joins the bucket probe frame against the STANDING stamped
+  // signature table (snapshot-safe as built — every signature row
+  // stamped ≤ builtSeq ≤ h), unions the stamp-bounded delta, and
+  // reranks over the as-of live set. The candidate policy is fully
+  // deterministic (no trained artifact), so the oracle re-derives
+  // hyperplanes, corpus signatures, AND every query's band buckets
+  // relationally — StoreOps.q197Sql, the qid-keyed dlshSqlAt text
+  // VERDICT r18 named as this cell's only blocker.
+
+  private val q197ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def q197(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, ns, k) = so.dslshAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, index = "lsh")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
+      "q197's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first signature table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q197 did not serve every streamed query from the signature branch " +
+        s"(${streamRows.size} rows, ${store.exactRescues.get() - rescues0} rescues)")
+    graft.ParityGate.once(q197ParityChecked, dir) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, index = "lsh")
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's snapshot answers diverged from the one-shot " +
+          "batch as-of twin — arrival batching changed a snapshot read")
+    }
     streamRows.toDF("qid", "rank", "id", "score")
       .withColumn("score", graft.functions.Det.r4(col("score")))
       .orderBy("qid", "rank")
@@ -1871,6 +1929,7 @@ object EventStream {
       "q194_stream_durable_bq_asof" -> (q194 _),
       "q195_stream_durable_imi_asof" -> (q195 _),
       "q196_stream_durable_hnsw_asof" -> (q196 _),
+      "q197_stream_durable_lsh_asof" -> (q197 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1911,6 +1970,7 @@ object EventStream {
     lastStreamOpqAux.map(aux =>
       "q191_stream_search_opq" -> q191Sql(aux)).toMap ++
     Map("q188_stream_search_bq" -> q188Sql) ++
+    Map("q197_stream_durable_lsh_asof" -> graft.operators.StoreOps.q197Sql) ++
     Map("q46_stream_event_window" -> graft.operators.EventOps.q29Sql,
       "q47_stream_sessionize" -> graft.operators.EventOps.q28Sql,
       "q132_stream_embed" -> graft.operators.TextAnalysis.q129Sql,
