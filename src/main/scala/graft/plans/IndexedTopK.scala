@@ -56,6 +56,22 @@ object IndexedTopK {
     * contract above). */
   val EnabledConf = "spark.graft.index.topkRewrite.enabled"
 
+  /** Kill-switch for the FILTERED rewrite's plan-time saturation probe
+    * (default on). The probe executes a bounded Spark job (limit-k
+    * count over the pruned filtered candidate scan) INSIDE the
+    * optimizer rule — so merely PLANNING a filtered top-k over an
+    * attached table (`explain()`, UI plan rendering, plan-change
+    * validation) runs driver-blocking jobs, and a caller embedding the
+    * extension whose planner threads must never execute jobs (custom
+    * schedulers, planning under locks) can be surprised by the
+    * reentrancy. Setting this to `false` removes every plan-time job:
+    * filtered rewrites then DECLINE unconditionally (fail closed — an
+    * uncertified rewrite could return fewer than min(k, matching) rows,
+    * which no conf may risk) and the exact filtered scan serves.
+    * Unfiltered rewrites never probe regardless (spec-pinned): an
+    * unfiltered top-k over a total layout cannot starve. */
+  val SaturationProbeConf = "spark.graft.index.topkRewrite.saturationProbe"
+
   /** Root for attached layouts — the `spark.graft.ivf.dir` cluster
     * contract (shared FS on a real deployment); mkdtemp fallback for
     * local/test use. */
@@ -77,9 +93,24 @@ object IndexedTopK {
 
   /** Plan-time saturation verdicts for FILTERED rewrites, keyed by
     * (layout, probed cells, canonical predicates, k) — valid for the
-    * attachment's lifetime because the layout is a static snapshot. */
+    * attachment's lifetime because the layout is a static snapshot.
+    * Invalidation (r19 — ADVICE r18): [[detach]] and an [[attachIvf]]
+    * rebuild clear the layout's entries — attachIvf derives the layout
+    * dir deterministically from the source path, so a detach →
+    * source-change → re-attach sequence rebuilds under the SAME dir and
+    * stale `saturated=true` verdicts would otherwise ride the rewrite
+    * into under-k answers. Bounded: one entry per distinct (query
+    * vector, predicate, k) would grow without limit in a long-lived
+    * session, so inserts past [[SaturationCacheMax]] clear the map —
+    * coarse, but the entries are pure memoization of a cheap bounded
+    * count, so the cost of a flush is re-probing, never correctness. */
   private[graft] val saturationCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] val SaturationCacheMax = 4096
+
+  private def invalidateSaturation(layoutDir: String): Unit =
+    saturationCache.keySet.removeIf(_.startsWith(layoutDir + "|"))
 
   /** Rewrites DECLINED by the starved check — the branch indicator. */
   private[graft] val starvedDeclines =
@@ -127,6 +158,10 @@ object IndexedTopK {
       // lesson)
       val layout = root + "/idx_" +
         key.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + sha1Hex(key).take(8)
+      // the layout dir is deterministic from the source path, so a
+      // rebuild (re-attach after detach) reuses it — any saturation
+      // verdicts proven against the PREVIOUS build are stale now
+      invalidateSaturation(layout)
       val centerSeqs: Seq[Seq[Float]] = centers.map(_.toSeq).toSeq
       src.withColumn("cell",
           graft.functions.NearestCell(col(vecCol), centerSeqs))
@@ -140,9 +175,13 @@ object IndexedTopK {
   }
 
   /** Drop the attachment for `sourcePath` (the layout dir is left on
-    * disk — probes holding it keep serving, like every facade epoch). */
+    * disk — probes holding it keep serving, like every facade epoch).
+    * The layout's saturation verdicts go with it: they certified the
+    * DETACHED build's candidate counts, and a re-attach after the
+    * source changed rebuilds under the same deterministic dir. */
   def detach(sourcePath: String): Unit =
-    registry.remove(normPath(sourcePath))
+    Option(registry.remove(normPath(sourcePath)))
+      .foreach(info => invalidateSaturation(info.layoutDir))
 
   /** Inject [[IndexedTopKRule]] into a LIVE session via
     * `experimental.extraOptimizations` (idempotent). For sessions built
@@ -324,9 +363,89 @@ object IndexedTopK {
        |SELECT rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
        |FROM r WHERE rank <= $Q193K ORDER BY rank""".stripMargin
 
+  // ---- q198: the DECLINE branch graded (r19 — VERDICT r18 "What's
+  // missing" #3) ---------------------------------------------------------
+
+  private val Q198K = 10
+
+  /** Starving modulus of the most recent q198 run — oracle hook. */
+  @volatile private var lastQ198Mod: Option[Long] = None
+
+  /** q198: q193's starved complement — the same declarative hybrid
+    * shape (`WHERE pred ORDER BY l2sq LIMIT k`) with a predicate the
+    * plan-time saturation probe CANNOT certify: `vec_id % mod = 1` with
+    * `mod = ceil(n/5)` matches ~5 rows of the whole table (scale-proof
+    * by construction — vec_id is dense 0..n-1), so the probed cells
+    * hold < k matching candidates and the rule DECLINES, leaving the
+    * exact filtered scan to serve min(k, matching) rows. In-script
+    * pins: the decline counter moved, the executed plan scans the
+    * SOURCE (no `idx_` path anywhere), and the probe's verdict was
+    * memoized `false`. The oracle is the exact filtered top-k replay
+    * (q164's filtered-exact form) — the answer the decline exists to
+    * protect. */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcPath = s"$dir/embeddings.parquet"
+    attachIvf(spark, srcPath, "vec_id", "embedding")
+    install(spark)
+    val src = spark.read.parquet(srcPath)
+    val n = src.count()
+    val mod = (n + 4) / 5 // ~5 matching rows at any scale, always < k
+    val qv = src.where(col("vec_id") === Q193QueryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qlit = array(qv.map(v => lit(v)): _*).cast("array<float>")
+    val declines0 = starvedDeclines.get()
+    spark.conf.set(EnabledConf, "true")
+    val rows = try {
+      val df = src
+        .where(col("vec_id") % mod === 1)
+        .orderBy(graft.functions.VectorFunctions.l2sq(col("embedding"), qlit),
+          col("vec_id"))
+        .limit(Q198K)
+        .select(col("vec_id"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("idx_"),
+        "q198's starved top-k rewrote onto the index - the saturation " +
+          "probe certified a filter that cannot reach k, an under-k " +
+          "answer would have served\n" + plan.take(1200))
+      df.collect().map(_.getLong(0)).toSeq
+    } finally spark.conf.unset(EnabledConf)
+    require(starvedDeclines.get() > declines0,
+      "q198 planned without a starved decline - the exact plan came from " +
+        "some other non-match, not the certified starvation branch")
+    require(rows.size < Q198K && rows.nonEmpty,
+      s"q198 expected an under-k exact answer (~${n / mod} rows), got " +
+        s"${rows.size} - the starving modulus no longer starves at n=$n")
+    lastQ198Mod = Some(mod)
+    val scores = src.where(col("vec_id").isInCollection(rows))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.l2sq(col("embedding"), qlit).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.zipWithIndex
+      .map { case (id, i) => (i + 1, id, scores(id)) }
+      .toDF("rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("rank")
+  }
+
+  /** Oracle: the EXACT filtered top-k — no layout, no probes; the
+    * decline's whole point is that this is the answer the user gets. */
+  def q198Sql(mod: Long): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $Q193QueryId),
+       |sc AS (
+       |  SELECT e.vec_id AS id, ${graft.functions.Det.l2sqSql("e.embedding", "q.qv")} AS raw
+       |  FROM embeddings e, q WHERE e.vec_id % $mod = 1),
+       |r AS (
+       |  SELECT id, raw,
+       |         row_number() OVER (ORDER BY raw, id) AS rank
+       |  FROM sc)
+       |SELECT rank::INT AS rank, id, ${graft.functions.Det.r4Sql("raw")} AS score
+       |FROM r WHERE rank <= $Q198K ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_indexed_topk_rewrite" -> (q112 _),
-    "q193_indexed_topk_filtered" -> (q193 _))
+    "q193_indexed_topk_filtered" -> (q193 _),
+    "q198_indexed_topk_declined" -> (q198 _))
 
   def oracles: Map[String, String] =
     lastQ112Aux.map { case (aux, p) =>
@@ -334,7 +453,8 @@ object IndexedTopK {
     }.toMap ++
     lastQ193Aux.map { case (aux, p) =>
       "q193_indexed_topk_filtered" -> q193Sql(aux, p)
-    }.toMap
+    }.toMap ++
+    lastQ198Mod.map(mod => "q198_indexed_topk_declined" -> q198Sql(mod)).toMap
 }
 
 /** The rewrite itself — see [[IndexedTopK]] for the contract. Runs in
@@ -459,14 +579,27 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // snapshot of the source (the attach contract); memoized per
       // (layout, probes, predicate, k) so optimizer re-runs and bench
       // repeats pay the count once.
+      // NOTE the probe below executes a bounded nested Spark job AT PLAN
+      // TIME (see [[IndexedTopK.SaturationProbeConf]] for the
+      // reentrancy contract and the kill-switch); it never runs for an
+      // unfiltered rewrite, and with the probe disabled a filtered
+      // rewrite declines unconditionally (fail closed). Counting the
+      // full rewritten plan (not assign/ ⋈ filter) is deliberate: the
+      // predicate may reference any source column, and assign/ carries
+      // only (id, cell) — the limit-k count is bounded at k rows either
+      // way.
       val hasFilter = child.collectFirst { case f: Filter => f }.isDefined
-      val saturated = !hasFilter || {
+      val probeEnabled =
+        !spark.conf.getOption(IndexedTopK.SaturationProbeConf).contains("false")
+      val saturated = !hasFilter || (probeEnabled && {
         val preds = child.collect { case Filter(c, _) => c.canonicalized.toString }
         val key = s"${info.layoutDir}|${probed.mkString(",")}|${preds.mkString("&")}|$k"
+        if (IndexedTopK.saturationCache.size > IndexedTopK.SaturationCacheMax)
+          IndexedTopK.saturationCache.clear()
         IndexedTopK.saturationCache.computeIfAbsent(key, _ =>
           org.apache.spark.sql.graft.CatalystBridge.ofRows(spark, rewritten)
             .limit(k).count() >= k)
-      }
+      })
       if (saturated) {
         IndexedTopK.lastProbed = Some(probed)
         Some(rewritten)

@@ -151,6 +151,104 @@ class IndexedTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("the saturation probe never fires for unfiltered rewrites") {
+    attached
+    val qv = q(13)
+    withRewrite {
+      val cache0 = IndexedTopK.saturationCache.size()
+      val declines0 = IndexedTopK.starvedDeclines.get()
+      val df = spark.read.parquet(srcPath)
+        .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+        .limit(10)
+      assert(physical(df).contains("idx_"), "unfiltered top-k did not rewrite")
+      assert(IndexedTopK.saturationCache.size() == cache0,
+        "an unfiltered rewrite executed (and memoized) a saturation probe — " +
+          "plan-time jobs must be filtered-only")
+      assert(IndexedTopK.starvedDeclines.get() == declines0)
+    }
+  }
+
+  test("saturation-probe kill-switch: filtered rewrites decline unconditionally, no plan-time job") {
+    attached
+    val qv = q(33)
+    withRewrite {
+      spark.conf.set(IndexedTopK.SaturationProbeConf, "false")
+      try {
+        val cache0 = IndexedTopK.saturationCache.size()
+        val declines0 = IndexedTopK.starvedDeclines.get()
+        // tag0 matches 80 of 240 rows — the probe WOULD certify it; with
+        // the probe disabled the rule must fail closed (decline) rather
+        // than risk an uncertified under-k rewrite
+        val df = spark.read.parquet(srcPath)
+          .where(col("tag") === "tag0")
+          .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+          .limit(8)
+        assert(!physical(df).contains("idx_"),
+          "filtered top-k rewrote with the saturation probe disabled")
+        assert(IndexedTopK.saturationCache.size() == cache0,
+          "the kill-switch did not suppress the plan-time probe job")
+        assert(IndexedTopK.starvedDeclines.get() > declines0,
+          "the disabled-probe decline was not taken through the counted branch")
+        assert(df.count() == 8, "the exact filtered scan must still serve")
+      } finally spark.conf.unset(IndexedTopK.SaturationProbeConf)
+    }
+  }
+
+  test("detach clears the layout's saturation verdicts: a re-attach after source change cannot ride them") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_reat_").toString
+    val p = s"$dir/r.parquet"
+    def write(nMatching: Int): Unit =
+      ((0 until 60).map { i =>
+        // tag "hit" on the first nMatching ids — the predicate under test
+        (i.toLong, Seq(math.cos(i * 0.29).toFloat, math.sin(i * 0.29).toFloat,
+          (i % 4).toFloat / 4f, (i % 6).toFloat / 6f,
+          math.cos(i * 0.07).toFloat, math.sin(i * 0.07).toFloat,
+          (i % 3).toFloat / 3f, (i % 8).toFloat / 8f),
+          if (i < nMatching) "hit" else "miss")
+      }).toDF("vid", "vec", "tag").write.mode("overwrite").parquet(p)
+    write(40) // plenty of matches: the filtered rewrite saturates
+    // the deterministic-collision scenario needs the shared-root
+    // cluster contract: under the mkdtemp fallback every attach gets a
+    // fresh root and stale keys can never match
+    spark.conf.set(IndexedTopK.DirConf,
+      java.nio.file.Files.createTempDirectory("graft_topk_root_").toString)
+    val layout = IndexedTopK.attachIvf(spark, p, "vid", "vec")
+    IndexedTopK.install(spark)
+    val qv = spark.read.parquet(p).where(col("vid") === 2)
+      .select(col("vec")).head().getSeq[Float](0)
+    def topk = spark.read.parquet(p)
+      .where(col("tag") === "hit")
+      .orderBy(l2sq(col("vec"), litVec(qv)), col("vid"))
+      .limit(10)
+    withRewrite {
+      assert(physical(topk).contains("idx_"),
+        "the saturated filtered rewrite did not fire on the first build")
+      assert(IndexedTopK.saturationCache.keySet.stream()
+          .anyMatch(_.startsWith(layout + "|")),
+        "the saturated verdict was not memoized under the layout key")
+      // source changes: the same predicate now matches only 3 rows —
+      // fewer than k. detach + re-attach rebuilds under the SAME
+      // deterministic layout dir; a stale saturated=true verdict would
+      // let the rewrite serve an under-k answer silently.
+      IndexedTopK.detach(p)
+      assert(!IndexedTopK.saturationCache.keySet.stream()
+          .anyMatch(_.startsWith(layout + "|")),
+        "detach left stale saturation verdicts for the layout")
+      write(3)
+      val layout2 = IndexedTopK.attachIvf(spark, p, "vid", "vec")
+      assert(layout2 == layout, "re-attach moved the deterministic layout dir")
+      val df = topk
+      assert(!physical(df).contains("idx_"),
+        "the re-attached rewrite rode a stale saturation verdict")
+      assert(df.count() == 3,
+        "the exact filtered scan must serve every matching row")
+    }
+    spark.conf.unset(IndexedTopK.DirConf)
+    IndexedTopK.detach(p)
+  }
+
   test("opt-in is real: disabled conf and unattached tables keep the exact scan") {
     attached
     val qv = q(5)
