@@ -144,12 +144,25 @@ object EventStream {
 
   // ---- q46: the streaming path behind the correctness gate -------------
 
+  /** Gate for the post-drain state-store unload below (default on).
+    * `StateStore.unloadAll()` is JVM-GLOBAL: a process hosting a
+    * STANDING stateful stream (e.g. behind RestServer) concurrently
+    * with finite drains would have that stream's providers closed
+    * mid-execution — forcing snapshot reload/recompute or transient
+    * task failures on its next batch. Such a host sets this to `false`
+    * and accepts the (drain-count-proportional) maintenance
+    * accumulation instead, or drains in a separate session/process. */
+  val DrainUnloadConf = "spark.graft.stream.drainUnloadStateStores"
+
   /** One fixed sink name per graded query, dropped before each restart:
     * per-invocation unique names would leak a full result copy + stopped
     * query registration into the driver catalog on every run (bench runs
     * each query 4×; its unpersist hygiene clears RDD blocks, not temp
     * views). Consequence: invocations of the same graded query are
-    * serialized — the Verify/Bench contract, not a serving path. */
+    * serialized — the Verify/Bench contract, not a serving path; the
+    * same assumption (no OTHER stateful streaming query running in this
+    * JVM during a drain) covers the post-drain unload, see
+    * [[DrainUnloadConf]]. */
   private[graft] def drainToTable(spark: SparkSession, name: String,
                            start: => StreamingQuery): DataFrame = {
     spark.catalog.dropTempView(name) // idempotent; frees the prior run
@@ -160,8 +173,10 @@ object EventStream {
     // lazily), or a harness draining thousands of short stateful
     // streams in one JVM accumulates provider/maintenance debt that
     // progressively taxes later drains (measured: ~3× per-drain by
-    // ~250 drains; see CatalystBridge.resetStateStores)
-    org.apache.spark.sql.graft.CatalystBridge.resetStateStores()
+    // ~250 drains; see CatalystBridge.resetStateStores). JVM-global —
+    // gated for hosts with standing stateful streams ([[DrainUnloadConf]])
+    if (!spark.conf.getOption(DrainUnloadConf).contains("false"))
+      org.apache.spark.sql.graft.CatalystBridge.resetStateStores()
     spark.table(name)
   }
 

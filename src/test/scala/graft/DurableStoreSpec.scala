@@ -977,6 +977,79 @@ class DurableStoreSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
   }
 
+  test("starvation facts are k-aware and the filter key is injective; commits maintain the _MAX sidecar") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmp()
+    spark.conf.set("spark.graft.durable.starvedCheckMs", "0")
+    try {
+      val d = new DurableVectorStore(spark, root)
+      // three cohorts: common (saturates any probe), rare (5 rows far
+      // from the probe cells — the starved fixture), and a cohort whose
+      // metadata COLLIDED with the rare filter under the r18 key
+      // encoding: Map("grp"->"rare&m:x=y") and Map("grp"->"rare","x"->"y")
+      // both encoded to "m:grp=rare&m:x=y"
+      val rows =
+        (0 until 120).map { i =>
+          (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f,
+            (i % 5).toFloat / 10f, 1f),
+            Map("grp" -> "rare", "x" -> "y"))
+        } ++ (0 until 5).map { i =>
+          (s"r$i", Seq(100f + i, 100f, 100f, 1f),
+            Map("grp" -> "rare&m:x=y"))
+        }
+      d.loadFrame(rows.toDF("id", "values", "metadata"), "ka")
+      val q = Seq(0.5f, 0.3f, 0.2f, 1f)
+      d.findSimilar(q, k = 5, namespace = "ka", approx = true, index = "ivf")
+      val rescues0 = d.exactRescues.get()
+      val skips0 = d.starvedProbeSkips.get()
+      // proof at k=10: 5 matching rows — fact (stamp, 5) recorded
+      val r1 = d.findSimilar(q, k = 10, namespace = "ka", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare&m:x=y"))
+      assert(r1.size == 5 && d.exactRescues.get() == rescues0 + 1)
+      // k-aware (ADVICE r18): k=3 ≤ proven 5 — the fact must NOT
+      // short-circuit (this probe is not starved by it); here the probe
+      // happens to starve geometrically too, so the counted branch is
+      // the RESCUE, never the skip
+      val r1b = d.findSimilar(q, k = 3, namespace = "ka", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare&m:x=y"))
+      assert(r1b.size == 3 &&
+        r1b.map(h => (h.id, h.score)) == r1.take(3).map(h => (h.id, h.score)))
+      assert(d.starvedProbeSkips.get() == skips0,
+        "a k=3 query rode a fact proven to hold 5 matching rows")
+      assert(d.exactRescues.get() == rescues0 + 2)
+      // k=10 again: NOW the fact applies (10 > 5) and skips the probe
+      val r2 = d.findSimilar(q, k = 10, namespace = "ka", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare&m:x=y"))
+      assert(r2.map(h => (h.id, h.score)) == r1.map(h => (h.id, h.score)))
+      assert(d.starvedProbeSkips.get() == skips0 + 1)
+      // injectivity (ADVICE r18): the r18-colliding filter — 120
+      // matching rows, fully saturating — must not ride the rare
+      // filter's starvation fact into the exact-scan skip
+      val skips1 = d.starvedProbeSkips.get()
+      val r3 = d.findSimilar(q, k = 10, namespace = "ka", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare", "x" -> "y"))
+      assert(r3.size == 10 && d.starvedProbeSkips.get() == skips1,
+        "a saturating filter rode a colliding starvation key into the skip")
+      // the _MAX sidecar (VERDICT r18 #4): every claim advanced it; it
+      // must equal the listing's max so the O(1) validation is exact
+      val fsPath = new org.apache.hadoop.fs.Path(s"$root/commits")
+      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = fs.listStatus(fsPath)
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      val sidecar = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/commits/_MAX"))
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+      assert(markers.nonEmpty && sidecar == markers.max,
+        s"commits/_MAX ($sidecar) diverged from the marker max (${markers.max})")
+    } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
+  }
+
   test("batch filtered paths share the starvation cache: skip, then re-probe after a commit") {
     val sp = spark
     import sp.implicits._
