@@ -347,6 +347,27 @@ object Bench {
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
     val jitTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
 
+    // host-contention counters (r19): the storm class that has distorted
+    // headlines since r14 is mostly UNATTRIBUTED by JVM counters (the
+    // r19 12-pass q126 hunt: gc 3 %, jit 40 % of spike excess) — on a VM
+    // host the remaining mechanism candidates are outside the JVM, and
+    // /proc/stat's steal (hypervisor withheld the vCPU) and iowait
+    // columns are the two cheaply readable per sample. Jiffies summed
+    // across all cpus; USER_HZ=100 assumed (the Linux ABI default), so
+    // jiffies × 10 = cpu-ms. Returns (stealMs, iowaitMs); (0, 0) where
+    // /proc/stat is unavailable.
+    def hostStatMs(): (Long, Long) =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        val f = txt.linesIterator.find(_.startsWith("cpu "))
+          .getOrElse("").trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        def at(i: Int): Long =
+          if (f.length > i) scala.util.Try(f(i).toLong).getOrElse(0L) else 0L
+        (at(8) * 10, at(5) * 10)
+      } catch { case _: Throwable => (0L, 0L) }
+
     /** One query's full measurement procedure — warm run, tiered timed
       * samples, per-sample cache hygiene (shared verbatim by the suite
       * passes and the r15 inline adjudication instrument, so the
@@ -355,20 +376,24 @@ object Bench {
     def measureQuery(name: String,
                      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                      record: Boolean,
-                     onSample: (Double, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long) = {
+                     onSample: (Double, Long, Long, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long) = {
       val preWarm = persistedIds()
       once(name, fn, record = false) // warm: codegen, file listing, index build — not billed
       val postWarm = persistedIds()
       val gc0 = gcMs(); val jit0 = jitMs()
       def sample(): Option[Double] = {
-        // per-SAMPLE gc/jit deltas (r19 — the adjudication instrument's
-        // storm attribution: a 20 s spike in ONE sample needs ITS
-        // bracketing counters, not the pass aggregate)
+        // per-SAMPLE gc/jit/steal/iowait deltas (r19 — the adjudication
+        // instrument's storm attribution: a 20 s spike in ONE sample
+        // needs ITS bracketing counters, not the pass aggregate)
         val sg0 = if (onSample ne null) gcMs() else 0L
         val sj0 = if (onSample ne null) jitMs() else 0L
+        val (st0, io0) = if (onSample ne null) hostStatMs() else (0L, 0L)
         val r = once(name, fn, record = record)
-        if (onSample ne null)
-          r.foreach(d => onSample(d, gcMs() - sg0, jitMs() - sj0))
+        if (onSample ne null) {
+          val (st1, io1) = hostStatMs()
+          r.foreach(d => onSample(d, gcMs() - sg0, jitMs() - sj0,
+            st1 - st0, io1 - io0))
+        }
         // Queries localCheckpoint intermediate frames per invocation and
         // never reuse them across invocations; left pinned, 50 queries ×
         // passes × runs accumulate hundreds of blocks and late queries
@@ -765,11 +790,12 @@ object Bench {
       // counters for attribution — the pass aggregate dilutes a 20 s
       // spike's 4 s of GC across every sample taken
       val isoSamples =
-        scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Long, Long)]]
+        scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Long, Long, Long, Long)]]
       val isoMedians = (1 to adjPasses).map { _ =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+        val buf =
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long, Long, Long)]
         val m = measureQuery(name, fn, record = false,
-          onSample = (d, g, j) => buf += ((d, g, j)))._1
+          onSample = (d, g, j, st, io) => buf += ((d, g, j, st, io)))._1
         isoSamples += buf.toSeq
         m
       }
@@ -797,9 +823,17 @@ object Bench {
             val excessMs = spikes.map(s => (s._1 - floor) * 1000.0).sum
             val gcShare = spikes.map(_._2).sum / excessMs
             val jitShare = spikes.map(_._3).sum / excessMs
+            // steal/iowait are machine-wide cpu-ms: normalize by the
+            // cpus the suite can occupy, so share 1.0 ≈ "the whole
+            // machine was withheld/blocked for the excess duration"
+            val nCpu = Runtime.getRuntime.availableProcessors().max(1)
+            val stealShare = spikes.map(_._4).sum / (excessMs * nCpu)
+            val ioShare = spikes.map(_._5).sum / (excessMs * nCpu)
             if (gcShare >= 0.5) f"gc-driven (gc=${gcShare * 100}%.0f%% of spike excess)"
             else if (jitShare >= 0.5) f"jit-driven (jit=${jitShare * 100}%.0f%% of spike excess)"
-            else f"unattributed by gc/jit (gc=${gcShare * 100}%.0f%%, jit=${jitShare * 100}%.0f%% of excess) - scheduling/IO class"
+            else if (stealShare >= 0.3) f"host-steal-driven (steal=${stealShare * 100}%.0f%% of excess x cpus - the hypervisor withheld vCPUs)"
+            else if (ioShare >= 0.3) f"iowait-driven (iowait=${ioShare * 100}%.0f%% of excess x cpus)"
+            else f"unattributed (gc=${gcShare * 100}%.0f%%, jit=${jitShare * 100}%.0f%% of excess; steal=${stealShare * 100}%.0f%%, iowait=${ioShare * 100}%.0f%% of excess x cpus) - in-VM scheduling class"
           }
         }
       }
@@ -819,8 +853,12 @@ object Bench {
         "[" + p.map(_._2).mkString(",") + "]").mkString("[", ",", "]")
       val jitJson = isoSamples.map(p =>
         "[" + p.map(_._3).mkString(",") + "]").mkString("[", ",", "]")
+      val stealJson = isoSamples.map(p =>
+        "[" + p.map(_._4).mkString(",") + "]").mkString("[", ",", "]")
+      val ioJson = isoSamples.map(p =>
+        "[" + p.map(_._5).mkString(",") + "]").mkString("[", ",", "]")
       val body =
-        s"""{"trigger_dev_pct":${math.round(trigDev * 10) / 10.0},"suite_pair_medians":[${suitePair.map(r3).mkString(",")}],"comparable":${r3(cmp)},"isolated_medians":[${isoMedians.map(r3).mkString(",")}],"isolated_samples":$samplesJson,"isolated_gc_ms":$gcJson,"isolated_jit_ms":$jitJson,"verdict":"$verdict"}"""
+        s"""{"trigger_dev_pct":${math.round(trigDev * 10) / 10.0},"suite_pair_medians":[${suitePair.map(r3).mkString(",")}],"comparable":${r3(cmp)},"isolated_medians":[${isoMedians.map(r3).mkString(",")}],"isolated_samples":$samplesJson,"isolated_gc_ms":$gcJson,"isolated_jit_ms":$jitJson,"isolated_steal_ms":$stealJson,"isolated_iowait_ms":$ioJson,"verdict":"$verdict"}"""
       name -> body
     }
     // a flagged query SKIPPED by the floor still gets an entry saying
