@@ -660,10 +660,7 @@ object Dedup {
       f.count()
       f
     })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); df.count()
-    }
-    df
+    StandingCache.ensurePinned(df) // heals BOTH unpersist forms (r19)
   }
 
   def q71(spark: SparkSession, dir: String): DataFrame = {

@@ -75,10 +75,7 @@ object Retrieval {
       f.count()
       f
     })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); df.count()
-    }
-    df
+    StandingCache.ensurePinned(df) // heals BOTH unpersist forms (r19)
   }
 
   private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {

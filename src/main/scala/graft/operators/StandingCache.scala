@@ -61,13 +61,31 @@ object StandingCache {
     * materialized) on first use per JVM; re-pinned if something
     * external unpersisted it. The dir must be immutable while cached —
     * see the object scaladoc; evict with [[invalidate]]/[[clear]]. */
-  def frame(dir: String, tag: String)(build: => DataFrame): DataFrame = {
-    val df = frames.computeIfAbsent((dir, tag), _ => {
+  def frame(dir: String, tag: String)(build: => DataFrame): DataFrame =
+    ensurePinned(frames.computeIfAbsent((dir, tag), _ => {
       val f = build.persist()
       f.count()
       f
-    })
+    }))
+
+  /** Heal a standing pin against BOTH external-unpersist forms (r19 —
+    * the dead-pin find): `Dataset.unpersist()` removes the CacheManager
+    * entry, so `storageLevel == NONE` and a plain re-persist heals; but
+    * an RDD-level `unpersist()` (what `getPersistentRDDs`-walking cache
+    * hygiene — the bench's own sweep included — actually does) leaves
+    * the entry while zeroing the buffer RDD's storage, a DEAD pin that
+    * re-evaluates the whole child plan per use and never re-stores.
+    * The pre-r19 heal was blind to that state: every StandingCache-
+    * backed query has been measured on dead-pin recompute since the
+    * first sweep dropped its blocks (q113 0.51 s pinned vs 1.57 s dead,
+    * q158 0.90 vs 2.02 — the r19 bench exposed it by skipping the
+    * sweep, making pass 1 the only pinned pass). Shared by every
+    * self-healing pin site in the library. */
+  def ensurePinned(df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(); df.count()
+    } else if (org.apache.spark.sql.graft.CatalystBridge.cacheDead(df)) {
+      df.unpersist(blocking = false) // drop the dead entry, then re-pin
       df.persist(); df.count()
     }
     df

@@ -887,10 +887,7 @@ object TextAnalysis {
       v.count()
       v
     })
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(); df.count()
-    }
-    df
+    StandingCache.ensurePinned(df) // heals BOTH unpersist forms (r19)
   }
 
   def q127(spark: SparkSession, dir: String): DataFrame = {

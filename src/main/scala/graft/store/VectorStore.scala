@@ -377,11 +377,7 @@ class VectorStore(val spark: SparkSession) {
         // script). The cache contract is "signature pass paid once per
         // epoch", so re-pin and re-materialize rather than silently
         // recomputing signatures on every subsequent search.
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-          df.persist()
-          df.count()
-        }
-        df
+        graft.operators.StandingCache.ensurePinned(df) // both forms (r19)
       case _ =>
         // Snapshot (epoch, live) under the lock, but run the build — a
         // full Spark job — OUTSIDE it: holding the store monitor across
@@ -1084,11 +1080,8 @@ class VectorStore(val spark: SparkSession) {
   private def bqIndex(namespace: String, dim: Int): Option[(Array[Double], DataFrame)] = {
     val key = (namespace, dim)
     def healed(mids: Array[Double], df: DataFrame) = {
-      // heal an external unpersist, like indexSigs
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        df.persist(); df.count()
-      }
-      Some((mids, df))
+      // heal an external unpersist, like indexSigs (both forms, r19)
+      Some((mids, graft.operators.StandingCache.ensurePinned(df)))
     }
     Option(bqCache.get(key)) match {
       case Some((e, mids, df)) if e == epoch => healed(mids, df)

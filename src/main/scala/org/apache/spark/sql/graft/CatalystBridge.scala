@@ -22,6 +22,26 @@ object CatalystBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
 
+  /** True iff `df` has a CacheManager entry whose COLUMN-BUFFER RDD has
+    * been unpersisted out from under it (r19 — the dead-pin state): an
+    * RDD-level `unpersist()` (what `sc.getPersistentRDDs`-walking cache
+    * hygiene does) drops the blocks AND zeroes the buffer RDD's storage
+    * level, but leaves the CacheManager entry — so `Dataset.storageLevel`
+    * still reports the DECLARED level, every later use re-evaluates the
+    * child plan through the in-memory relation (columnar encode
+    * included), and nothing ever re-stores: strictly worse than no
+    * cache, forever. `Dataset.unpersist()` by contrast removes the
+    * entry and the storageLevel==NONE heal catches it. Reading
+    * `cachedColumnBuffers` builds the RDD holder if absent (no job);
+    * a fresh holder carries the declared level, so a never-used entry
+    * classifies healthy. */
+  def cacheDead(df: DataFrame): Boolean = {
+    val ds = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds)
+      .exists(_.cachedRepresentation.cacheBuilder.cachedColumnBuffers
+        .getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   /** Unload every loaded state-store provider (reloaded lazily by the
     * next stateful query). For a process that drains MANY short-lived
     * stateful streams (finite replays: correctness gates, benches,
