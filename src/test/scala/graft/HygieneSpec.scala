@@ -108,14 +108,19 @@ class HygieneSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def build = spark.range(2000).select(col("id"),
       (col("id") * 3 % 7).as("v")).toDF()
+    // scope the adversary to THIS pin's RDDs: suites share the session
+    // and run in parallel, so unpersisting EVERYTHING here can race
+    // another suite's pins (observed flaking one full run)
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
     val df = StandingCache.frame(dir, tag)(build)
     val bridge = org.apache.spark.sql.graft.CatalystBridge
     assert(!bridge.cacheDead(df), "fresh pin classified dead")
     // the adversary: RDD-level unpersist (what getPersistentRDDs-walking
     // hygiene does) — blocks drop, the CacheManager entry SURVIVES, so
     // Dataset.storageLevel still reports the declared level
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!pre.contains(id)) rdd.unpersist(blocking = true) }
     assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
       "test premise: the dataset-level storageLevel must survive an " +
         "RDD-level unpersist (else the old heal would have caught this)")
