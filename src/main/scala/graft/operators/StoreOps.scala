@@ -3671,6 +3671,96 @@ object StoreOps {
     (store, asOf, qs, DSLshAsOfNs, K)
   }
 
+  private val DSLshFAsOfNs = "q199"
+  private val q199Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q199Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q199ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[dslshAsOfFixture]] with tenant metadata on every load (the q169
+    * slice shape) — the fixture for the FILTERED batched as-of read on
+    * the signature mount (q199: filter × batch × as-of composed on a
+    * derived mount beyond q179's ivf cell). */
+  private[graft] def dslshfAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]], String, Int) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"),
+          map(lit("tenant"),
+            (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      "/dslshfasof_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = q199Stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + q199Attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), DSLshFAsOfNs)
+      s.findSimilarBatchLsh(qs, k = K, namespace = DSLshFAsOfNs)
+      require(s.lshBuilds.get() >= 1, "q199 signature build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, DSLshFAsOfNs)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), DSLshFAsOfNs)
+      val h = s.currentSeq()
+      val d2 = s.delete(AsOfDel2, DSLshFAsOfNs)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), DSLshFAsOfNs)
+      (s, h)
+    })
+    (store, asOf, qs, DSLshFAsOfNs, K)
+  }
+
+  /** q199: the HYBRID query composed with BOTH remaining serving
+    * dimensions on a derived mount — a BATCH of queries, a tenant
+    * predicate, a recorded stamp, served by the durable SIGNATURE mount
+    * (q179 graded this composition on ivf; this closes it onto the md5
+    * band-signature geometry). Per query: bucket-mates join the
+    * horizon-bounded record set with the predicate at candidate time
+    * (never a post-filtered top-k), delta tail unioned, exact cosine
+    * rerank over the as-of live set. In-script: probe-branch guards
+    * (one build, zero rescues, k hits per query) and positional parity
+    * with Q single filtered as-of searches, once per dir. Oracle =
+    * [[dlshBatchSqlAt]] at the wave-1 horizon with the tenant predicate
+    * re-derived relationally — the q197 text × the q169 predicate. */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val (store, asOf, qs, ns, k) = dslshfAsOfFixture(spark, dir)
+    val tenant = Map("tenant" -> "1")
+    val rescues0 = store.exactRescues.get()
+    val res = store.findSimilarBatchAsOf(qs, asOf, k = k, namespace = ns,
+      approx = true, index = "lsh", filter = tenant)
+    require(store.annBuilds.get() == 1 && store.lshBuilds.get() == 1,
+      "q199's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first signature table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 && res.forall(_.size == k),
+      s"q199's filtered batch did not serve every query from the " +
+        s"signature branch (${res.map(_.size).mkString(",")} hits, " +
+        s"${store.exactRescues.get() - rescues0} rescues)")
+    graft.ParityGate.once(q199ParityChecked, dir) {
+      qs.indices.foreach { i =>
+        val single = store.findSimilarAsOf(qs(i), asOf, k = k,
+          namespace = ns, approx = true, index = "lsh", filter = tenant)
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"q199 batch result $i diverged from the single filtered " +
+            "as-of search")
+      }
+    }
+    batchHitsFrame(spark, res)
+  }
+
+  def q199Sql: String =
+    dlshBatchSqlAt(AsOfDelMod, s"vec_id % $DFTenantMod = 1")
+
   /** qid-keyed durable LSH replay — [[dlshSqlAt]] with [[q148Sql]]'s
     * qid dimension, the missing text VERDICT r18 named as q197's only
     * blocker: hyperplanes, corpus signatures, and EVERY query's band
@@ -3681,7 +3771,8 @@ object StoreOps {
     * cosine rerank per qid over the horizon-bounded base via
     * [[durableBatchOracleTail]]. `delMod` parameterizes the delete
     * horizon exactly as in [[dlshSqlAt]]. */
-  private def dlshBatchSqlAt(delMod: Long): String = {
+  private def dlshBatchSqlAt(delMod: Long,
+                             tenantPred: String = "TRUE"): String = {
     val nPlanes = ApproxBands * ApproxBits
     s"""WITH planes AS (
        |  SELECT f, list(CAST((('0x' || substr(md5('graft_lsh_' || f || '_' || j), 1, 8))::BIGINT
@@ -3706,7 +3797,7 @@ object StoreOps {
        |bm AS (
        |  SELECT DISTINCT g.qid, s.id FROM sigs s
        |  JOIN qsig g ON s.band = g.band AND s.bucket = g.bucket),
-       |${durableBatchOracleTail("SELECT qid, id FROM bm", delMod)}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM bm", delMod, tenantPred)}""".stripMargin
   }
 
   /** [[graft.streaming.EventStream.q197]]'s oracle: the batched durable
@@ -3981,9 +4072,13 @@ object StoreOps {
   /** The shared (qid-keyed) tail of every durable batch oracle: cand =
     * the family's per-query policy ids ∪ the script's delta ids, base =
     * load-minus-deletes plus the delta, exact cosine rerank per query
-    * with the string-id tie-break. `candSql` must yield (qid, id). */
+    * with the string-id tie-break. `candSql` must yield (qid, id);
+    * `tenantPred` re-derives a metadata filter relationally on the base
+    * (the q164 discipline — candidates ⋈ filtered base ≡ the store's
+    * candidate-time filter at the record join; "TRUE" = unfiltered). */
   private def durableBatchOracleTail(candSql: String,
-                                     delMod: Long = FacadeDelMod): String =
+                                     delMod: Long = FacadeDelMod,
+                                     tenantPred: String = "TRUE"): String =
     s"""qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
        |       WHERE vec_id < $BatchQn),
        |cand AS (
@@ -3993,8 +4088,9 @@ object StoreOps {
        |  WHERE e.vec_id >= $FacadeN AND e.vec_id < ${FacadeN + DAnnDeltaN}),
        |base AS (
        |  SELECT vec_id::VARCHAR AS id, embedding AS v FROM embeddings
-       |  WHERE (vec_id < $FacadeN AND vec_id % $delMod <> 0)
-       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN})),
+       |  WHERE ((vec_id < $FacadeN AND vec_id % $delMod <> 0)
+       |     OR (vec_id >= $FacadeN AND vec_id < ${FacadeN + DAnnDeltaN}))
+       |    AND ($tenantPred)),
        |sc AS (
        |  SELECT c.qid, b.id, ${cosSql("b.v", "q.qv")} AS raw
        |  FROM cand c JOIN base b ON b.id = c.id JOIN qs q ON q.qid = c.qid),
@@ -4430,7 +4526,8 @@ object StoreOps {
       "q183_durable_asof_bq" -> (q183 _),
       "q184_durable_asof_imi" -> (q184 _),
       "q185_durable_asof_hnsw" -> (q185 _),
-      "q186_durable_asof_lsh" -> (q186 _))
+      "q186_durable_asof_lsh" -> (q186 _),
+      "q199_durable_filtered_lsh_batch_asof" -> (q199 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -4511,5 +4608,6 @@ object StoreOps {
       lastDImiAsOfAux.map { case (aux, p) =>
         "q184_durable_asof_imi" -> q184Sql(aux, p) } ++
       lastDHnswAsOfAux.map(aux => "q185_durable_asof_hnsw" -> q185Sql(aux)) ++
-      Map("q186_durable_asof_lsh" -> q186Sql)
+      Map("q186_durable_asof_lsh" -> q186Sql) ++
+      Map("q199_durable_filtered_lsh_batch_asof" -> q199Sql)
 }
