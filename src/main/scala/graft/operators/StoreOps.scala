@@ -3807,6 +3807,232 @@ object StoreOps {
     * hyperplane family. */
   def q197Sql: String = dlshBatchSqlAt(AsOfDelMod)
 
+  // ---- q200–q203: filter × batch × as-of CLOSED on all six mounts ------
+  //
+  // VERDICT r19 "What's missing" #1: findSimilarBatchAsOf SERVES the
+  // metadata-predicate × snapshot composition on every index and REST
+  // exposes it, but only ivf (q179) and lsh (q199) were graded — the
+  // nightly tenant-filtered reproducible-eval ran on an unverified path
+  // on the four derived mounts. These close the matrix: one tenant-
+  // tagged fixture per mount (the q199 script with the mount's own
+  // first-batch builder), the graded batch read with its probe
+  // artifacts persisted, in-script probe-branch guards (one build per
+  // structure, zero rescues, k hits per query), positional parity with
+  // Q single filtered as-of searches, and each oracle = the mount's
+  // existing batch replay at the wave-1 horizon with the tenant
+  // predicate in the engine's own slot — BEFORE the CandN cut on the
+  // code mounts (the q170/q171 semi-join semantics), relational at the
+  // record join on grid/graph (the q164 discipline).
+
+  /** Shared q200–q203 fixture: [[dAsOfStoreFor]]'s two-wave script with
+    * tenant metadata on every load (the q169 slice shape) and the
+    * mount's BATCH builder as the first call, so builtSeq ≤ h by
+    * construction. Everything in wave 2 must be invisible at h — that
+    * invisibility IS each query's graded claim. */
+  private def dfAsOfBatchFixture(spark: SparkSession, dir: String,
+      ns: String, prefix: String,
+      stores: java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)],
+      attempts: java.util.concurrent.atomic.AtomicInteger,
+      firstBatch: (graft.store.DurableVectorStore, Seq[Seq[Float]]) => Unit,
+      builtCheck: graft.store.DurableVectorStore => Boolean)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]]) = {
+    val e = Tables.table(spark, dir, "embeddings")
+    def slice(lo: Long, hi: Long) =
+      e.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("values"),
+          map(lit("tenant"),
+            (col("vec_id") % DFTenantMod).cast("string")).as("metadata"))
+    val base = spark.conf.getOption(DurableDirConf).getOrElse(durableRoot) +
+      s"/${prefix}_" + facadeToken + "_" + graft.PathToken.token(dir)
+    val qs = e.where(col("vec_id") < BatchQn)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0)).toSeq
+    val (store, asOf) = stores.computeIfAbsent(base, b => {
+      val root = b + "/a" + attempts.incrementAndGet()
+      val s = new graft.store.DurableVectorStore(spark, root)
+      s.loadFrame(slice(0L, FacadeN), ns)
+      firstBatch(s, qs)
+      require(builtCheck(s), s"$ns derived-structure build did not run")
+      val expect = (0L until FacadeN).filter(_ % AsOfDelMod == 0)
+        .map(_.toString)
+      val deleted = s.delete(expect, ns)
+      require(deleted.sorted == expect.sorted,
+        s"durable delete reported ${deleted.length} ids, expected ${expect.length}")
+      s.loadFrame(slice(FacadeN, FacadeN + DAnnDeltaN), ns)
+      val h = s.currentSeq()
+      val d2 = s.delete(AsOfDel2, ns)
+      require(d2.sorted == AsOfDel2.sorted,
+        s"wave-2 delete reported ${d2.length} ids, expected ${AsOfDel2.length}")
+      s.loadFrame(slice(FacadeN + DAnnDeltaN,
+        FacadeN + DAnnDeltaN + AsOfDelta2), ns)
+      (s, h)
+    })
+    (store, asOf, qs)
+  }
+
+  /** Shared graded read for q200–q203: the filtered batch as-of search
+    * on `index` with its probe artifacts persisted, probe-branch guards
+    * (one build per structure so the oracle replays the FIRST one; the
+    * probe branch served every query — counter, not size inference),
+    * and positional parity with Q single filtered as-of searches, once
+    * per dir (the q199 gates on the remaining mounts). */
+  private def dfAsOfBatchGraded(spark: SparkSession, dir: String,
+      ns: String, index: String, store: graft.store.DurableVectorStore,
+      asOf: Long, qs: Seq[Seq[Float]], inWindow: => Boolean,
+      parityGate: java.util.Set[String]): DataFrame = {
+    val tenant = Map("tenant" -> "1")
+    val rescues0 = store.exactRescues.get()
+    val res = store.findSimilarBatchAsOf(qs, asOf, k = K, namespace = ns,
+      approx = true, filter = tenant, persistProbes = true, index = index)
+    require(inWindow,
+      s"$ns's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first derived structure at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 && res.forall(_.size == K),
+      s"$ns's filtered batch did not serve every query from the $index " +
+        s"probe branch (${res.map(_.size).mkString(",")} hits, " +
+        s"${store.exactRescues.get() - rescues0} rescues)")
+    graft.ParityGate.once(parityGate, dir) {
+      qs.indices.foreach { i =>
+        val single = store.findSimilarAsOf(qs(i), asOf, k = K,
+          namespace = ns, approx = true, index = index, filter = tenant)
+          .map(h => (h.id, h.score))
+        require(res(i).map(h => (h.id, h.score)) == single,
+          s"$ns batch result $i diverged from the single filtered " +
+            "as-of search")
+      }
+    }
+    batchHitsFrame(spark, res)
+  }
+
+  private val DFPqBAsOfNs = "q200"
+  private val q200Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q200Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q200ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFPqBAsOfAux: Option[String] = None
+
+  /** q200: filter × batch × as-of on the COMPRESSED mount — the q199
+    * composition served by the PQ codes. The tenant predicate cuts the
+    * one pruned codes sweep BEFORE each query's ADC CandN heap (the
+    * q170 semi-join discipline batched), both mutation horizons bound
+    * at the recorded stamp. */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, DFPqBAsOfNs,
+      "dfpqbasof", q200Stores, q200Attempts,
+      (s, q) => s.findSimilarBatchPq(q, k = K, namespace = DFPqBAsOfNs),
+      _.pqBuilds.get() >= 1)
+    val out = dfAsOfBatchGraded(spark, dir, DFPqBAsOfNs, "pq", store, asOf,
+      qs, store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      q200ParityChecked)
+    lastDFPqBAsOfAux = store.pqLayoutDir(DFPqBAsOfNs, qs.head.length)
+    out
+  }
+
+  def q200Sql(aux: String): String =
+    dpqBatchSqlAt(aux, AsOfDelMod,
+      s"CAST(c.id AS BIGINT) % $DFTenantMod = 1",
+      s"vec_id % $DFTenantMod = 1")
+
+  private val DFBqBAsOfNs = "q201"
+  private val q201Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q201Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q201ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFBqBAsOfAux: Option[(String, String)] = None
+
+  /** q201: filter × batch × as-of on the SIGN-BIT mount — the tenant
+    * predicate cuts the one xor+popcount sweep BEFORE each query's
+    * integer hamming CandN heap (the q171 discipline batched); the
+    * midpoint grid stays trained on ALL layout rows, as the store
+    * trains it. */
+  def q201(spark: SparkSession, dir: String): DataFrame = {
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, DFBqBAsOfNs,
+      "dfbqbasof", q201Stores, q201Attempts,
+      (s, q) => s.findSimilarBatchBq(q, k = K, namespace = DFBqBAsOfNs),
+      _.bqBuilds.get() >= 1)
+    val out = dfAsOfBatchGraded(spark, dir, DFBqBAsOfNs, "bq", store, asOf,
+      qs, store.annBuilds.get() == 1 && store.bqBuilds.get() == 1,
+      q201ParityChecked)
+    lastDFBqBAsOfAux = for {
+      ann <- store.annLayoutDir(DFBqBAsOfNs, qs.head.length)
+      bq <- store.bqLayoutDir(DFBqBAsOfNs, qs.head.length)
+    } yield (ann._1, bq)
+    out
+  }
+
+  def q201Sql(ann: String, aux: String): String =
+    bqBatchSqlAt(ann, aux, AsOfDelMod,
+      s"CAST(c.id AS BIGINT) % $DFTenantMod = 1",
+      s"vec_id % $DFTenantMod = 1")
+
+  private val DFImiBAsOfNs = "q202"
+  private val q202Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q202Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q202ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFImiBAsOfAux: Option[String] = None
+
+  /** q202: filter × batch × as-of on the PRODUCT-GRID mount — the grid
+    * rows ARE records, so the predicate evaluates inside the one pruned
+    * grid scan (the q172 discipline batched); the oracle's candidates
+    * stay unfiltered and the tenant cut binds relationally at the
+    * record join — the same final set, because the grid has no rank
+    * cut between probe and rerank. */
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, DFImiBAsOfNs,
+      "dfimibasof", q202Stores, q202Attempts,
+      (s, q) => s.findSimilarBatchImi(q, k = K, namespace = DFImiBAsOfNs),
+      _.imiBuilds.get() >= 1)
+    val out = dfAsOfBatchGraded(spark, dir, DFImiBAsOfNs, "imi", store,
+      asOf, qs, store.annBuilds.get() == 1 && store.imiBuilds.get() == 1,
+      q202ParityChecked)
+    lastDFImiBAsOfAux = store.imiLayoutDir(DFImiBAsOfNs, qs.head.length)
+    out
+  }
+
+  /** The grid replays through its own `assign/` ⋈ `batch_probes/` (the
+    * q136 artifact pair) with the tenant predicate on the rerank base. */
+  def q202Sql(aux: String): String =
+    s"""WITH probes AS (
+       |  SELECT __qid AS qid, cell
+       |  FROM read_parquet('$aux/batch_probes/*.parquet')),
+       |a AS (SELECT id, cell FROM read_parquet('$aux/assign/*.parquet')),
+       |grid AS (SELECT DISTINCT p.qid, a.id FROM a JOIN probes p USING (cell)),
+       |${durableBatchOracleTail("SELECT qid, id FROM grid", AsOfDelMod,
+           s"vec_id % $DFTenantMod = 1")}""".stripMargin
+
+  private val DFHnswBAsOfNs = "q203"
+  private val q203Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q203Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q203ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastDFHnswBAsOfAux: Option[String] = None
+
+  /** q203: filter × batch × as-of on the GRAPH mount — the ACORN-1
+    * filter-aware beam proposes per query in ONE pass of the resident
+    * shard graphs, the predicate binds again at the record join (the
+    * q173 discipline batched), both horizons at the recorded stamp. */
+  def q203(spark: SparkSession, dir: String): DataFrame = {
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, DFHnswBAsOfNs,
+      "dfhnswbasof", q203Stores, q203Attempts,
+      (s, q) => s.findSimilarBatchHnsw(q, k = K, namespace = DFHnswBAsOfNs),
+      _.hnswBuilds.get() >= 1)
+    val out = dfAsOfBatchGraded(spark, dir, DFHnswBAsOfNs, "hnsw", store,
+      asOf, qs, store.annBuilds.get() == 1 && store.hnswBuilds.get() == 1,
+      q203ParityChecked)
+    lastDFHnswBAsOfAux = store.hnswLayoutDir(DFHnswBAsOfNs, qs.head.length)
+    out
+  }
+
+  def q203Sql(aux: String): String =
+    hnswBatchSqlAt(aux, AsOfDelMod, s"vec_id % $DFTenantMod = 1")
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every
@@ -4160,8 +4386,13 @@ object StoreOps {
     * top-CandN per qid on (rounded ADC, id) ∪ delta. `delMod`
     * parameterizes the delete horizon: FacadeDelMod replays the live
     * read (q134), AsOfDelMod the wave-1 snapshot (q192 — wave-2
-    * mutations appear nowhere; that invisibility IS the grade). */
-  private def dpqBatchSqlAt(aux: String, delMod: Long): String =
+    * mutations appear nowhere; that invisibility IS the grade).
+    * `candPred` cuts the ADC population BEFORE the per-qid CandN rank
+    * (the q170 semi-join semantics batched — q200); `tenantPred`
+    * re-derives the metadata filter on the rerank base. */
+  private def dpqBatchSqlAt(aux: String, delMod: Long,
+                            candPred: String = "TRUE",
+                            tenantPred: String = "TRUE"): String =
     s"""WITH probes AS (
        |  SELECT __qid AS qid, cell
        |  FROM read_parquet('$aux/batch_probes/*.parquet')),
@@ -4173,6 +4404,7 @@ object StoreOps {
        |  SELECT p.qid, c.id, round(sum(l.d), 6) AS adc
        |  FROM cf c JOIN probes p ON p.cell = c.cell
        |  JOIN lut l ON l.qid = p.qid AND l.sub = c.sub AND l.code = c.code
+       |  WHERE ($candPred)
        |  GROUP BY p.qid, c.id),
        |cut AS (
        |  SELECT qid, id FROM (
@@ -4180,7 +4412,7 @@ object StoreOps {
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY adc, id) AS cr FROM adc)
        |  WHERE cr <= ${Pq.CandN}),
-       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod)}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod, tenantPred)}""".stripMargin
 
   def q134Sql(aux: String): String = dpqBatchSqlAt(aux, FacadeDelMod)
 
@@ -4250,7 +4482,13 @@ object StoreOps {
   def q194Sql(ann: String, aux: String): String =
     bqBatchSqlAt(ann, aux, AsOfDelMod)
 
-  private def bqBatchSqlAt(ann: String, aux: String, delMod: Long): String = {
+  /** `candPred` cuts the hamming population BEFORE the per-qid CandN
+    * rank (the q171 semi-join semantics batched — q201); `tenantPred`
+    * re-derives the metadata filter on the rerank base. The midpoint
+    * grid stays trained on ALL layout rows, as the store trains it. */
+  private def bqBatchSqlAt(ann: String, aux: String, delMod: Long,
+                           candPred: String = "TRUE",
+                           tenantPred: String = "TRUE"): String = {
     val dim = 64
     val bit =
       """CASE WHEN st.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
@@ -4275,14 +4513,15 @@ object StoreOps {
        |  FROM codes c
        |  JOIN a ON a.id = c.id
        |  JOIN probes p ON p.cell = a.cell
-       |  JOIN codes qc ON qc.id = p.qid::VARCHAR),
+       |  JOIN codes qc ON qc.id = p.qid::VARCHAR
+       |  WHERE ($candPred)),
        |cut AS (
        |  SELECT qid, id FROM (
        |    SELECT qid, id,
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY ham, id) AS cr FROM ham)
        |  WHERE cr <= ${graft.operators.Bq.CandN}),
-       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod)}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM cut", delMod, tenantPred)}""".stripMargin
   }
 
   private val DBatchImiNs = "q136"
@@ -4379,11 +4618,16 @@ object StoreOps {
     * [[graft.streaming.EventStream.q196]]'s oracle. */
   def q196Sql(aux: String): String = hnswBatchSqlAt(aux, AsOfDelMod)
 
-  private def hnswBatchSqlAt(aux: String, delMod: Long): String =
+  /** `tenantPred` re-derives the metadata filter on the rerank base
+    * (q203) — the persisted beam is already the filter-aware ACORN
+    * proposal, so the predicate binds only at the record join, exactly
+    * the store's candidate-time contract. */
+  private def hnswBatchSqlAt(aux: String, delMod: Long,
+                             tenantPred: String = "TRUE"): String =
     s"""WITH beam AS (
        |  SELECT DISTINCT __qid AS qid, id
        |  FROM read_parquet('$aux/batch_cands/*.parquet')),
-       |${durableBatchOracleTail("SELECT qid, id FROM beam", delMod)}""".stripMargin
+       |${durableBatchOracleTail("SELECT qid, id FROM beam", delMod, tenantPred)}""".stripMargin
 
   private val BatchBqNs = "q140"
   private val q140Stores =
@@ -4527,7 +4771,11 @@ object StoreOps {
       "q184_durable_asof_imi" -> (q184 _),
       "q185_durable_asof_hnsw" -> (q185 _),
       "q186_durable_asof_lsh" -> (q186 _),
-      "q199_durable_filtered_lsh_batch_asof" -> (q199 _))
+      "q199_durable_filtered_lsh_batch_asof" -> (q199 _),
+      "q200_durable_filtered_pq_batch_asof" -> (q200 _),
+      "q201_durable_filtered_bq_batch_asof" -> (q201 _),
+      "q202_durable_filtered_imi_batch_asof" -> (q202 _),
+      "q203_durable_filtered_hnsw_batch_asof" -> (q203 _))
 
   /** q53's oracle reads the layout the last q53 run persisted — a def,
     * evaluated by Verify after all queries have executed (same pattern as
@@ -4609,5 +4857,13 @@ object StoreOps {
         "q184_durable_asof_imi" -> q184Sql(aux, p) } ++
       lastDHnswAsOfAux.map(aux => "q185_durable_asof_hnsw" -> q185Sql(aux)) ++
       Map("q186_durable_asof_lsh" -> q186Sql) ++
-      Map("q199_durable_filtered_lsh_batch_asof" -> q199Sql)
+      Map("q199_durable_filtered_lsh_batch_asof" -> q199Sql) ++
+      lastDFPqBAsOfAux.map(aux =>
+        "q200_durable_filtered_pq_batch_asof" -> q200Sql(aux)) ++
+      lastDFBqBAsOfAux.map { case (ann, aux) =>
+        "q201_durable_filtered_bq_batch_asof" -> q201Sql(ann, aux) } ++
+      lastDFImiBAsOfAux.map(aux =>
+        "q202_durable_filtered_imi_batch_asof" -> q202Sql(aux)) ++
+      lastDFHnswBAsOfAux.map(aux =>
+        "q203_durable_filtered_hnsw_batch_asof" -> q203Sql(aux))
 }
