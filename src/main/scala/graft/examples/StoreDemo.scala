@@ -54,8 +54,8 @@ object StoreDemo {
 
     // explain: the documented-but-unimplemented reference surface, made real
     val explain = store.explainSearch(Seq(1f, 0f, 0f), k = 2, namespace = "demo")
-    println("[demo] explain (first 2 lines): " +
-      explain.linesIterator.filter(_.nonEmpty).take(2).mkString(" | "))
+    println(s"[demo] explain: branch=${explain.branch} (first 2 plan lines): " +
+      explain.plan.linesIterator.filter(_.nonEmpty).take(2).mkString(" | "))
 
     // durable form: persist the embeddings corpus partitioned by namespace,
     // read it back with a namespace predicate (pruned to one partition dir)

@@ -46,3 +46,28 @@ final case class StorageInfo(
     totalVectors: Long,
     namespaces: Map[String, Long],
     estBytes: Long)
+
+/** Plan-time disclosure of the branch a search WOULD take — the
+  * reference's documented-but-unimplemented `POST /query/explain`
+  * (`README.md:332,481-487`; its QueryProcessor protocol lists
+  * `explain_query`, `README.md:317`; `examples/api_client.py:76-81`
+  * already calls it). Produced WITHOUT executing the search: the
+  * stores' explainSearch peeks their layout/starvation caches and
+  * plans (never runs) the authoritative scan, so explaining a query
+  * costs no Spark job. `branch` ∈ exact | exact-asof | indexed-probe |
+  * starved-skip-exact; `notes` carries the caveats that keep the
+  * disclosure honest (cold caches, staleness election at search time). */
+final case class SearchExplain(
+    mount: String,
+    branch: String,
+    index: Option[String],
+    metric: String,
+    k: Int,
+    filtered: Boolean,
+    asOf: Option[Long],
+    layoutCached: Boolean,
+    layoutBuiltSeq: Option[Long],
+    probedCells: Seq[Int],
+    starvedSkip: Boolean,
+    plan: String,
+    notes: Seq[String])

@@ -311,8 +311,42 @@ class RestServer(store: VectorStore, port: Int = 0,
         // store (read-only; see class doc) — the q51 partition-pruned
         // plan over HTTP
         val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
+        // the reference's RANGE and SIMILARITY query types (README.md:
+        // 296-298, /query/range and /query/similarity — documented,
+        // never implemented) over the one /search route: optional
+        // `radius` serves all vectors within distance r, optional
+        // `min_similarity` serves cosine sim ≥ t descending — both
+        // exact thresholded scans on the live mount (rangeSearch /
+        // thresholdSearch; a threshold has no k-cut for an index to
+        // saturate, so approx would be a different query, not a faster
+        // one — 422, never a silent exact run)
+        val radiusNode = Option(body.get("radius")).filterNot(_.isNull)
+        val minSimNode = Option(body.get("min_similarity")).filterNot(_.isNull)
+        if (radiusNode.isDefined || minSimNode.isDefined) {
+          if (radiusNode.isDefined && minSimNode.isDefined)
+            throw new IllegalArgumentException(
+              "pass radius (range query) or min_similarity (similarity threshold), not both")
+          if (wantDurable || approx)
+            throw new IllegalArgumentException(
+              "range/similarity-threshold queries serve as exact scans on the live mount; drop 'durable'/'approx'")
+          if (stringMapOf(body, "json_filter").nonEmpty)
+            throw new IllegalArgumentException(
+              "range/similarity-threshold queries support the flat 'filter' only")
+          val thr = radiusNode.getOrElse(minSimNode.get)
+          if (!thr.isNumber || thr.doubleValue().isNaN || thr.doubleValue().isInfinite)
+            throw new IllegalArgumentException(
+              "radius/min_similarity must be a finite number")
+        }
         val hits =
-          if (wantDurable) {
+          if (radiusNode.isDefined)
+            store.rangeSearch(floats(required(body, "query")),
+              radiusNode.get.doubleValue(), metric, ns,
+              stringMapOf(body, "filter"))
+          else if (minSimNode.isDefined)
+            store.thresholdSearch(floats(required(body, "query")),
+              minSimNode.get.doubleValue(), ns,
+              stringMapOf(body, "filter"))
+          else if (wantDurable) {
             val d = durableStore
             // the durable approx paths: the IVF layout and its derived
             // PQ/BQ codes, IMI grid, HNSW graphs (r10-r12) and — since
@@ -591,6 +625,129 @@ class RestServer(store: VectorStore, port: Int = 0,
           b.put("hnsw", d.hnswBuilds.get())
           b.put("lsh", d.lshBuilds.get())
         }
+        respond(ex, 200, o)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
+  })
+
+  // The reference's last documented-but-unimplemented REST pair
+  // (README.md:332,451; examples/api_client.py:76-92): GET /query-types
+  // enumerates the supported query-type matrix with per-type
+  // descriptions (the client iterates `descriptions`,
+  // api_client.py:112-113); POST /query/explain returns the branch a
+  // /search with the same body WOULD take, without running it (the
+  // stores' plan-time explainSearch — layout/starvation cache peeks +
+  // the authoritative scan's Spark plan string, zero Spark jobs).
+  server.createContext("/query-types", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "GET" =>
+        val o = mapper.createObjectNode()
+        val types = o.putArray("supported_types")
+        Seq("knn", "range", "similarity", "metadata", "hybrid")
+          .foreach(types.add)
+        val d = o.putObject("descriptions") // reference QueryType set, README.md:293-298
+        d.put("knn",
+          "k-nearest neighbors: POST /search {query, top_k, metric} — exact scan, or any of the six indexes with approx=true + index")
+        d.put("range",
+          "all vectors within distance r: POST /search {query, radius[, metric, filter]} — exact thresholded scan, live mount")
+        d.put("similarity",
+          "similarity threshold: POST /search {query, min_similarity[, filter]} — cosine sim >= t descending, live mount")
+        d.put("metadata",
+          "metadata filtering: filter (top-level equality) and json_filter (JSONPath -> value) compose with every search route at candidate time")
+        d.put("hybrid",
+          "vector + metadata composed: POST /search {query, filter[, json_filter]} on either mount, any index, single or batch, optionally as_of")
+        val idx = o.putArray("indexes")
+        Seq("lsh", "ivf", "pq", "bq", "imi", "hnsw").foreach(idx.add)
+        val m = o.putObject("metrics")
+        m.put("cosine", "similarity, descending")
+        m.put("l2", "squared euclidean distance, ascending")
+        m.put("ip", "1 - dot product, ascending (indexed via the durable MIPS layout)")
+        val mounts = o.putArray("mounts")
+        mounts.add("live")
+        if (durable.isDefined) mounts.add("durable")
+        val f = o.putObject("features")
+        f.put("batch", "POST /search/batch — positional results, one layout sweep per batch")
+        f.put("as_of", "durable reproducibility reads at a commit stamp (GET /seq) — exact or any index, filters compose")
+        f.put("explain", "POST /query/explain — plan-time branch disclosure, no Spark job")
+        respond(ex, 200, o)
+      case m => error(ex, 405, s"method $m not allowed")
+    }
+  })
+
+  server.createContext("/query/explain", ex => handle(ex) {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val ns = queryParam(ex, "namespace", "default")
+        val body = readJson(ex)
+        // reference explain envelope: {"type","vector","k"} (README.md:
+        // 481-487); the /search envelope ({"query","top_k",...}) is
+        // accepted too so any search body can be explained verbatim
+        val tpe = Option(body.get("type")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("knn")
+        if (!Seq("knn", "range", "similarity", "metadata", "hybrid").contains(tpe))
+          throw new IllegalArgumentException(
+            s"unknown query type '$tpe' (see GET /query-types)")
+        val qNode = Option(body.get("vector")).filterNot(_.isNull)
+          .orElse(Option(body.get("query")).filterNot(_.isNull))
+          .getOrElse(throw new IllegalArgumentException(
+            if (tpe == "metadata")
+              "this engine serves metadata filtering composed with a vector search; provide 'vector' (or 'query') plus 'filter'"
+            else "field 'vector' (or 'query') is required"))
+        val qv = floats(qNode)
+        val k = Option(body.get("k")).filterNot(_.isNull).map(_.asInt())
+          .orElse(Option(body.get("top_k")).filterNot(_.isNull).map(_.asInt()))
+          .getOrElse(10)
+        val metric =
+          if (tpe == "similarity") "cosine"
+          else Option(body.get("metric")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse("cosine")
+        val approx = Option(body.get("approx")).exists(_.asBoolean(false))
+        if (approx && (tpe == "range" || tpe == "similarity"))
+          throw new IllegalArgumentException(
+            s"'$tpe' queries serve as exact thresholded scans; drop 'approx'")
+        val index = Option(body.get("index")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("lsh")
+        val filterM = stringMapOf(body, "filter")
+        val jsonF = stringMapOf(body, "json_filter")
+        if (tpe == "hybrid" && filterM.isEmpty && jsonF.isEmpty)
+          throw new IllegalArgumentException(
+            "hybrid queries require 'filter' or 'json_filter'")
+        val wantDurable = Option(body.get("durable")).exists(_.asBoolean(false))
+        val asOfNode = Option(body.get("as_of")).filterNot(_.isNull)
+        asOfNode.foreach { n =>
+          if (!n.isIntegralNumber)
+            throw new IllegalArgumentException(
+              "as_of must be an integral commit stamp (see /seq)")
+          if (!wantDurable)
+            throw new IllegalArgumentException(
+              "as_of is a durable-store concept; pass \"durable\": true")
+        }
+        val e =
+          if (wantDurable)
+            durableStore.explainSearch(qv, k, metric, ns, approx,
+              if (approx) index else "ivf", filterM, jsonF,
+              asOfNode.map(_.asLong()))
+          else store.explainSearch(qv, k, metric, ns, filterM, jsonF,
+            approx, index)
+        val o = mapper.createObjectNode()
+        o.put("type", tpe)
+        o.put("mount", e.mount)
+        o.put("branch", e.branch)
+        e.index.foreach(o.put("index", _))
+        o.put("metric", e.metric)
+        o.put("k", e.k)
+        o.put("filtered", e.filtered)
+        e.asOf.foreach(o.put("as_of", _))
+        o.put("layout_cached", e.layoutCached)
+        e.layoutBuiltSeq.foreach(o.put("layout_built_seq", _))
+        val cells = o.putArray("probed_cells")
+        e.probedCells.foreach(cells.add)
+        o.put("starved_skip", e.starvedSkip)
+        o.put("plan", e.plan)
+        val notes = o.putArray("notes")
+        e.notes.foreach(notes.add)
+        if (tpe == "range" || tpe == "similarity")
+          notes.add(s"'$tpe' serves as a distance-thresholded scan over the same plan (no k-cut)")
         respond(ex, 200, o)
       case m => error(ex, 405, s"method $m not allowed")
     }

@@ -1873,6 +1873,88 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
     enc(filter) + "|" + enc(jsonFilter)
   }
 
+  /** Plan-time disclosure of the branch [[findSimilar]] /
+    * [[findSimilarAsOf]] WOULD take for these arguments, without
+    * executing the search — the reference's documented-but-
+    * unimplemented `POST /query/explain` (`README.md:332,481-487`;
+    * `examples/api_client.py:76-81`), served from state the engine
+    * already tracks. Side-effect-light by design: it PEEKS the layout
+    * and starvation caches (no build, no staleness election, no
+    * counters advanced) and PLANS (never runs) the authoritative scan,
+    * so one explain costs no Spark job. Consequence, stated in `notes`:
+    * a cold cache explains as "first search builds the layout", and a
+    * search run immediately after may additionally pay a staleness
+    * re-election the explain could not see — the disclosed branch is
+    * exact whenever the layout cache is warm, the steady serving
+    * state. Argument validation is [[findSimilar]]'s, so an invalid
+    * request 422s identically on both routes. */
+  def explainSearch(query: Seq[Float], k: Int, metric: String,
+                    namespace: String, approx: Boolean, index: String,
+                    filter: Map[String, String],
+                    jsonFilter: Map[String, String],
+                    asOf: Option[Long]): graft.model.SearchExplain = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    if (approx) requireDurableIndexMetric(index, metric)
+    val pred = metaPredicate(filter, jsonFilter)
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entry = Option(annCache.get(
+      (namespace, query.length, spaceOf(metric))))
+    val starved = approx && hasFilter && asOf.isEmpty && {
+      val skey = (namespace, durableFilterKey(filter, jsonFilter))
+      Option(starvedFilters.get(skey)).exists { case (s, m) =>
+        observedMaxSeq(fresh = false) == s && m < k
+      }
+    }
+    val youngLayout = asOf.exists(h => entry.exists(_.builtSeq > h))
+    val branch =
+      if (!approx) { if (asOf.isDefined) "exact-asof" else "exact" }
+      else if (starved) "starved-skip-exact"
+      else if (asOf.isDefined && (entry.isEmpty || youngLayout)) {
+        notes += (if (youngLayout)
+          "serving layout is younger than the snapshot (builtSeq > as_of); the exact as-of scan answers"
+        else
+          "no cached layout in this process; the as-of read answers from the exact snapshot scan")
+        "exact-asof"
+      } else {
+        if (entry.isEmpty)
+          notes += "no cached layout in this process; the first search builds it at the current commit stamp"
+        if (hasFilter)
+          notes += "predicate binds at candidate time; a probe starved below k rescues from the exact filtered scan"
+        notes += "layout staleness is re-elected at search time; a crossed ratio rebuilds before serving"
+        "indexed-probe"
+      }
+    val probedCells =
+      if (approx && !starved && !youngLayout &&
+          (index == "ivf" || index == "pq" || index == "bq"))
+        entry.map { e =>
+          val qv = if (e.space == "mips") query.toArray :+ 0f
+                   else query.toArray
+          graft.operators.Ann.rankCells(qv, e.centers,
+            graft.operators.Ann.ivfProbeFor(e.centers.length)).toSeq
+        }.getOrElse(Seq.empty)
+      else Seq.empty
+    if (approx && (index == "imi" || index == "hnsw" || index == "lsh") &&
+        branch == "indexed-probe")
+      notes += s"'$index' derives its own candidate geometry (grid cells / shard beams / band buckets) from the layout at probe time"
+    val base = asOf.map(liveAsOf).getOrElse(live())
+      .filter(col("namespace") === namespace).filter(pred)
+    graft.model.SearchExplain(
+      mount = "durable", branch = branch,
+      index = if (approx) Some(index) else None,
+      metric = metric, k = k, filtered = hasFilter, asOf = asOf,
+      layoutCached = entry.isDefined,
+      layoutBuiltSeq = entry.map(_.builtSeq),
+      probedCells = probedCells, starvedSkip = starved,
+      // the authoritative scan's formatted physical plan (namespace
+      // partition pruning visible as PartitionFilters) — for an indexed
+      // probe this is the rerank/rescue shape; the probe's own pruning
+      // is disclosed via probedCells/notes
+      plan = base.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      notes = notes.toSeq)
+  }
+
   /** Argument validation for the durable indexed dispatch — runs BEFORE
     * the starvation short-circuit (cache state must never turn an
     * invalid request into a served one, the live store's discipline). */

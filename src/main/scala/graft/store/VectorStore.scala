@@ -1223,6 +1223,73 @@ class VectorStore(val spark: SparkSession) {
     *    search, NO trained state (the index never drifts from the data
     *    distribution); the reference's own structure
     *    (`implementations/index.py:17-165`) as a serving mount. */
+  /** Plan-time disclosure of the branch [[findSimilar]] WOULD take for
+    * these arguments, without executing the search — the live half of
+    * the reference's documented-but-unimplemented `POST /query/explain`
+    * (`README.md:332`; see [[DurableVectorStore.explainSearch]] for the
+    * durable half and the design notes). Peeks the starvation and IVF
+    * caches (no derivation, no counters advanced) and PLANS (never
+    * runs) the authoritative scan. Live-store structures are
+    * epoch-cached, so a mutation since the last probe means the next
+    * search re-derives them — disclosed in `notes`, not silently. */
+  def explainSearch(query: Seq[Float], k: Int = 10,
+                    metric: String = "cosine",
+                    namespace: String = "default",
+                    filter: Map[String, String] = Map.empty,
+                    jsonFilter: Map[String, String] = Map.empty,
+                    approx: Boolean = false,
+                    index: String = "lsh"): graft.model.SearchExplain = {
+    require(k >= 1 && k <= 1000, "top_k must be in [1, 1000]")
+    if (approx) {
+      require(metric == "cosine",
+        s"approx search is cosine only (sign-LSH buckets / cosine rerank), got metric '$metric'")
+      require(ApproxIndexes.contains(index),
+        s"unknown approx index '$index' (expected 'lsh', 'ivf', 'pq', 'bq', 'imi' or 'hnsw')")
+    }
+    val hasFilter = filter.nonEmpty || jsonFilter.nonEmpty
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val epoch0 = epoch
+    val starved = approx && hasFilter &&
+      Option(starvedFilters.get((namespace, filterKey(filter, jsonFilter))))
+        .exists { case (ep, m) => ep == epoch0 && m < k }
+    val ivfEntry =
+      Option(ivfCache.get((namespace, query.length)))
+        .collect { case (e, _, cs) if e == epoch0 => cs }
+    val branch =
+      if (!approx) "exact"
+      else if (starved) "starved-skip-exact"
+      else {
+        if (index == "ivf" && ivfEntry.isEmpty)
+          notes += "no epoch-current IVF layout; the first search derives it over the live namespace snapshot"
+        if (index != "ivf")
+          notes += s"'$index' structures are epoch-cached and (re)derived on demand at probe time"
+        if (hasFilter)
+          notes += "predicate binds at candidate time; a probe starved below k rescues from the exact filtered scan"
+        "indexed-probe"
+      }
+    val probedCells =
+      if (approx && !starved && index == "ivf")
+        ivfEntry.map { cs =>
+          graft.operators.Ann.rankCells(query.toArray, cs,
+            graft.operators.Ann.ivfProbeFor(cs.length)).toSeq
+        }.getOrElse(Seq.empty)
+      else Seq.empty
+    graft.model.SearchExplain(
+      mount = "live", branch = branch,
+      index = if (approx) Some(index) else None,
+      metric = metric, k = k, filtered = hasFilter, asOf = None,
+      layoutCached = ivfEntry.isDefined,
+      layoutBuiltSeq = None,
+      probedCells = probedCells, starvedSkip = starved,
+      // the authoritative exact search's formatted physical plan — for
+      // an indexed probe this is the rerank/rescue shape; the probe's
+      // own pruning is disclosed via probedCells/notes
+      plan = ranked(scored(query, metric, namespace, filter, jsonFilter),
+        metric).limit(k).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      notes = notes.toSeq)
+  }
+
   def findSimilar(query: Seq[Float], k: Int = 10, metric: String = "cosine",
                   namespace: String = "default",
                   filter: Map[String, String] = Map.empty,
@@ -1679,13 +1746,4 @@ class VectorStore(val spark: SparkSession) {
     collectHits(ranked(scored(query, "cosine", namespace, filter), "cosine")
       .where(col("score") >= t))
 
-  /** The reference documents an `explain_query` surface but never
-    * implements it (`README.md:303-318`); on Spark it is real — the
-    * Catalyst physical plan for the search this store would run. */
-  def explainSearch(query: Seq[Float], k: Int = 10, metric: String = "cosine",
-                    namespace: String = "default",
-                    filter: Map[String, String] = Map.empty): String =
-    ranked(scored(query, metric, namespace, filter), metric).limit(k)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 }

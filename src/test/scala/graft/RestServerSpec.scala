@@ -825,4 +825,122 @@ class RestServerSpec extends AnyFunSuite {
       }
     } finally server.stop()
   }
+
+  test("/query-types enumerates the matrix; radius/min_similarity serve range and similarity (r20)") {
+    withServer { (base, _) =>
+      val (tc, tb) = send("GET", s"$base/query-types")
+      assert(tc == 200, tb)
+      val t = mapper.readTree(tb)
+      val types = (0 until t.get("supported_types").size())
+        .map(t.get("supported_types").get(_).asText())
+      assert(types == Seq("knn", "range", "similarity", "metadata", "hybrid"))
+      // the reference client iterates descriptions (api_client.py:112-113)
+      types.foreach(ty => assert(t.get("descriptions").has(ty), ty))
+      assert(t.get("indexes").size() == 6)
+      assert((0 until t.get("mounts").size())
+        .map(t.get("mounts").get(_).asText()) == Seq("live")) // no durable mounted
+
+      // range + similarity over /search (README.md:296-298 made real)
+      send("PUT", s"$base/vectors/batch?namespace=rng",
+        """{"vectors": [{"values": [1.0, 0.0]}, {"values": [0.9, 0.1]},
+          |             {"values": [-1.0, 0.0]}]}""".stripMargin)
+      val (rc, rb) = send("POST", s"$base/search?namespace=rng",
+        """{"query": [1.0, 0.0], "radius": 0.5, "metric": "l2"}""")
+      assert(rc == 200, rb)
+      assert(mapper.readTree(rb).size() == 2, rb) // the far vector is outside r
+      val (mc, mb) = send("POST", s"$base/search?namespace=rng",
+        """{"query": [1.0, 0.0], "min_similarity": 0.9}""")
+      assert(mc == 200, mb)
+      val sims = mapper.readTree(mb)
+      assert(sims.size() == 2 &&
+        sims.get(0).get("score").asDouble() >= sims.get(1).get("score").asDouble(), mb)
+      // both at once / with approx: 422, never a silent pick
+      assert(send("POST", s"$base/search?namespace=rng",
+        """{"query": [1.0, 0.0], "radius": 0.5, "min_similarity": 0.9}""")._1 == 422)
+      assert(send("POST", s"$base/search?namespace=rng",
+        """{"query": [1.0, 0.0], "radius": 0.5, "approx": true}""")._1 == 422)
+    }
+  }
+
+  test("/query/explain names the branch a search would take, without running it (r20)") {
+    withServer { (base, srv) =>
+      send("PUT", s"$base/vectors/batch?namespace=exp",
+        """{"vectors": [{"values": [1.0, 0.0], "metadata": {"t": "1"}},
+          |             {"values": [0.9, 0.1], "metadata": {"t": "1"}},
+          |             {"values": [0.0, 1.0], "metadata": {"t": "2"}}]}""".stripMargin)
+      // reference envelope: {"type","vector","k"} (README.md:481-487)
+      val (kc, kb) = send("POST", s"$base/query/explain?namespace=exp",
+        """{"type": "knn", "vector": [1.0, 0.0], "k": 2}""")
+      assert(kc == 200, kb)
+      val k = mapper.readTree(kb)
+      assert(k.get("branch").asText() == "exact" && k.get("mount").asText() == "live")
+      assert(k.get("plan").asText().contains("Physical Plan"))
+      // a filtered indexed search explains as the probe branch with the
+      // rescue disclosed — the /search envelope accepted verbatim
+      val (fc, fb) = send("POST", s"$base/query/explain?namespace=exp",
+        """{"query": [1.0, 0.0], "top_k": 2, "approx": true, "index": "lsh",
+          | "filter": {"t": "1"}}""".stripMargin)
+      assert(fc == 200, fb)
+      val f = mapper.readTree(fb)
+      assert(f.get("branch").asText() == "indexed-probe", fb)
+      assert(f.get("index").asText() == "lsh" && f.get("filtered").asBoolean, fb)
+      assert(!f.get("starved_skip").asBoolean, fb)
+      val notes = (0 until f.get("notes").size()).map(f.get("notes").get(_).asText())
+      assert(notes.exists(_.contains("rescues from the exact filtered scan")), fb)
+      // hybrid without a filter, unknown type, thresholded+approx: 422s
+      assert(send("POST", s"$base/query/explain",
+        """{"type": "hybrid", "vector": [1.0]}""")._1 == 422)
+      assert(send("POST", s"$base/query/explain",
+        """{"type": "teleport", "vector": [1.0]}""")._1 == 422)
+      assert(send("POST", s"$base/query/explain",
+        """{"type": "range", "vector": [1.0], "approx": true}""")._1 == 422)
+      // as_of without durable: the same 422 /search gives
+      assert(send("POST", s"$base/query/explain",
+        """{"vector": [1.0], "as_of": 3}""")._1 == 422)
+    }
+  }
+
+  test("/query/explain on the durable mount discloses as-of and starvation branches (r20)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rest_explain_").toString
+    val d = new graft.store.DurableVectorStore(spark, root)
+    d.loadFrame(
+      Seq(("a", Seq(1f, 0f), Map("t" -> "1")),
+          ("b", Seq(0.9f, 0.1f), Map("t" -> "1")),
+          ("c", Seq(0f, 1f), Map("t" -> "2")))
+        .toDF("id", "values", "metadata"),
+      "ens")
+    d.findSimilar(Seq(1f, 0f), k = 2, namespace = "ens", approx = true)
+    val h = d.currentSeq()
+    val server = new RestServer(new VectorStore(spark), durable = Some(d))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // warm layout + snapshot at/after builtSeq: the indexed probe
+      // serves, with the probed cells disclosed
+      val (ac, ab) = send("POST", s"$base/query/explain?namespace=ens",
+        s"""{"query": [1.0, 0.0], "top_k": 2, "durable": true,
+           | "approx": true, "index": "ivf", "as_of": $h,
+           | "filter": {"t": "1"}}""".stripMargin)
+      assert(ac == 200, ab)
+      val a = mapper.readTree(ab)
+      assert(a.get("mount").asText() == "durable", ab)
+      assert(a.get("branch").asText() == "indexed-probe", ab)
+      assert(a.get("layout_cached").asBoolean && a.get("probed_cells").size() >= 1, ab)
+      assert(a.get("as_of").asLong() == h, ab)
+      // a snapshot OLDER than the layout explains as the exact as-of scan
+      val builtSeq = a.get("layout_built_seq").asLong()
+      val (yc, yb) = send("POST", s"$base/query/explain?namespace=ens",
+        s"""{"query": [1.0, 0.0], "durable": true, "approx": true,
+           | "index": "ivf", "as_of": ${builtSeq - 1}}""".stripMargin)
+      assert(yc == 200, yb)
+      assert(mapper.readTree(yb).get("branch").asText() == "exact-asof", yb)
+      // explain costs no search: the rescue counter is untouched
+      val rescues0 = d.exactRescues.get()
+      send("POST", s"$base/query/explain?namespace=ens",
+        """{"query": [1.0, 0.0], "durable": true, "approx": true,
+          | "index": "hnsw", "filter": {"t": "nope"}}""".stripMargin)
+      assert(d.exactRescues.get() == rescues0)
+    } finally server.stop()
+  }
 }

@@ -204,9 +204,32 @@ class VectorStoreSpec extends AnyFunSuite {
   test("explainSearch surfaces the physical plan (README.md:303-318 made real)") {
     val s = newStore
     s.upsertMany(crud, "ns")
-    val plan = s.explainSearch(Seq(1f, 2f, 3f), k = 2, namespace = "ns")
-    assert(plan.contains("TakeOrderedAndProject"))
-    assert(plan.contains("Physical Plan"))
+    val e = s.explainSearch(Seq(1f, 2f, 3f), k = 2, namespace = "ns")
+    assert(e.plan.contains("TakeOrderedAndProject"))
+    assert(e.plan.contains("Physical Plan"))
+    assert(e.branch == "exact" && e.mount == "live" && !e.filtered)
+  }
+
+  test("explainSearch names the branch without executing (r20)") {
+    val s = newStore
+    s.upsertMany(crud, "ns")
+    // indexed + filtered: the probe branch, with the rescue disclosed
+    val probe = s.explainSearch(Seq(1f, 2f, 3f), k = 2, namespace = "ns",
+      filter = Map("type" -> "a"), approx = true, index = "lsh")
+    assert(probe.branch == "indexed-probe" && probe.filtered)
+    assert(probe.index.contains("lsh") && !probe.starvedSkip)
+    // a proven-starved filter explains as the starvation-cache skip the
+    // search would take (the fact is recorded by a real starved search)
+    val starvedFilter = Map("type" -> "nonexistent")
+    s.findSimilar(Seq(1f, 2f, 3f), k = 2, namespace = "ns",
+      filter = starvedFilter, approx = true, index = "lsh")
+    val skipped = s.explainSearch(Seq(1f, 2f, 3f), k = 2, namespace = "ns",
+      filter = starvedFilter, approx = true, index = "lsh")
+    assert(skipped.branch == "starved-skip-exact" && skipped.starvedSkip)
+    // explain validates like the search: bad index → same failure
+    intercept[IllegalArgumentException] {
+      s.explainSearch(Seq(1f), approx = true, index = "nope")
+    }
   }
 
   test("vector equality: identical payload, different ids → unequal (test :192-200)") {
