@@ -114,7 +114,9 @@ package graft
   *    reported-pair deviation exceeds `SPARK_GRAFT_BENCH_ADJ_PCT`
   *    (default 100 %) with a ≥ 0.3 s comparable (the sub-300 ms tail's
   *    deviations are single GC pauses, already adjudicated as a class)
-  *    gets the isolated instrument run INLINE — up to 3 such queries,
+  *    gets the isolated instrument run INLINE — EVERY such query (r20;
+  *    wall-reserve + SPARK_GRAFT_BENCH_ADJ_MAX bounded, skips emitted
+  *    as `unadjudicated`),
   *    4 back-to-back solo passes each, same warm/tier/hygiene rules as
   *    a suite pass — and the result is stamped into the audit's
   *    `auto_adjudications` BEFORE the artifact is written, with a
@@ -346,6 +348,13 @@ object Bench {
     def jitMs(): Long = jitBean.map(_.getTotalCompilationTime).getOrElse(0L)
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
     val jitTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    // per-pass host-contention columns (r20 — VERDICT r19 #3: the
+    // isolated instrument had steal/iowait, the suite passes did not,
+    // and the suite passes are where the driver-environment storms
+    // actually happen); machine-wide cpu-ms bracketing each query's
+    // timed samples, same shape as the gc/jit columns
+    val stealTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    val iowaitTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
 
     // host-contention counters (r19): the storm class that has distorted
     // headlines since r14 is mostly UNATTRIBUTED by JVM counters (the
@@ -372,15 +381,20 @@ object Bench {
       * samples, per-sample cache hygiene (shared verbatim by the suite
       * passes and the r15 inline adjudication instrument, so the
       * adjudication measures exactly what the suite measured).
-      * Returns (median, samples, gcMsDelta, jitMsDelta). */
+      * Returns (median, samples, gcMsDelta, jitMsDelta, stealMsDelta,
+      * iowaitMsDelta) — the host columns bracket the TIMED samples
+      * (r20, VERDICT r19 #3: the storms live in the DRIVER
+      * environment's suite passes, where gc/jit alone left 57 % of a
+      * spike unattributed; one /proc/stat read per query per pass). */
     def measureQuery(name: String,
                      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                      record: Boolean,
-                     onSample: (Double, Long, Long, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long) = {
+                     onSample: (Double, Long, Long, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long, Long, Long) = {
       val preWarm = persistedIds()
       once(name, fn, record = false) // warm: codegen, file listing, index build — not billed
       val postWarm = persistedIds()
       val gc0 = gcMs(); val jit0 = jitMs()
+      val (steal0, io0) = hostStatMs()
       def sample(): Option[Double] = {
         // per-SAMPLE gc/jit/steal/iowait deltas (r19 — the adjudication
         // instrument's storm attribution: a 20 s spike in ONE sample
@@ -427,10 +441,11 @@ object Bench {
           withFast ++ (1 to (tinyRuns - withFast.size)).flatMap(_ => sample())
         else withFast
       val gcD = gcMs() - gc0; val jitD = jitMs() - jit0
+      val (steal1, io1) = hostStatMs()
       // warm-run leftovers go when the query is done (steady-state
       // caches that were unpersisted here heal on their next use)
       dropNewSince(preWarm)
-      (median(samples), samples, gcD, jitD)
+      (median(samples), samples, gcD, jitD, steal1 - steal0, io1 - io0)
     }
 
     /** One timed pass. Wall-aware (r17): once `elapsed()` crosses the
@@ -451,7 +466,8 @@ object Bench {
       val out = selected.toSeq.flatMap { case (name, fn) =>
         if (elapsed() > wallBudget) { skipped += 1; None }
         else {
-          val (med, samples, gcD, jitD) = measureQuery(name, fn, record = true)
+          val (med, samples, gcD, jitD, stealD, ioD) =
+            measureQuery(name, fn, record = true)
           benchState.synchronized {
             sampleCounts.updateWith(name)(prev =>
               Some(prev.getOrElse(Nil) :+ samples.size))
@@ -463,6 +479,8 @@ object Bench {
               Some(prev.getOrElse(Nil) :+ (if (samples.isEmpty) -1.0 else samples.min)))
             gcTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ gcD))
             jitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ jitD))
+            stealTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ stealD))
+            iowaitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ ioD))
             inflightPass += (name -> med)
           }
           Some(name -> med)
@@ -629,7 +647,7 @@ object Bench {
       // on immutable copies, so the main thread (or the hook) never
       // contends with the adjudication's Spark jobs or the file writes
       val (allPasses, partialSnap, wallsSnap, countsSnap, minSampleSnap,
-           gcSnap, jitSnap, errsSnap) = benchState.synchronized {
+           gcSnap, jitSnap, stealSnap, ioSnap, errsSnap) = benchState.synchronized {
         // fold a killed pass's finished queries into the emitted data:
         // inflightPass is non-empty only when benchPass died mid-flight
         // (or a hook raced the scheduler's handoff — folding a pass that
@@ -646,7 +664,8 @@ object Bench {
         }
         (passBuf.toList, partialMins.toList, passWalls.toList,
           sampleCounts.toList, sampleMins.toList, gcTimes.toList,
-          jitTimes.toList, errors.toList)
+          jitTimes.toList, stealTimes.toList, iowaitTimes.toList,
+          errors.toList)
       }
       val partialSnapMap = partialSnap.toMap
       if (allPasses.isEmpty) {
@@ -740,12 +759,21 @@ object Bench {
     val minTotal = minQueries.collect { case (_, v) if v >= 0 => v }.sum
     val degraded = allPasses.size < 3
     val headlineValue = r3(if (degraded) minTotal else totals(pairB))
+    // value_stat distinguishes every degradation grade (r20 — ADVICE
+    // r19: the sweep decision keys on SCHEDULED passes but the headline
+    // on COMPLETED ones, so a 3-scheduled run truncated after one pass
+    // used to stamp an unswept single-pass total — full JVM-global JIT
+    // warm-in included — with the same label as a genuine 2-pass min;
+    // consumers must be able to tell from the stamp alone)
     val valueStat =
-      if (degraded) "cross_pass_min_total" else "later_pass_of_closest_pair"
+      if (!degraded) "later_pass_of_closest_pair"
+      else if (allPasses.size >= 2) "cross_pass_min_total"
+      else if (runSweep) "single_pass_total"
+      else "single_pass_total_unswept"
 
     // ---- AUTO-ADJUDICATION (r15 — VERDICT r14 "Next round" #1) ----
     // Any reported-pair deviation above the threshold with a ≥ 0.3 s
-    // comparable gets the isolated instrument INLINE: up to 3 queries,
+    // comparable gets the isolated instrument INLINE: every such query,
     // `adjPasses` solo passes each (same warm/tier/hygiene procedure as
     // a suite pass via measureQuery), verdict computed against the
     // suite comparable — so the committed artifact ships with its own
@@ -761,13 +789,23 @@ object Bench {
     // ADJ_FORCE bypasses the subset-run skip (smoke-testing the
     // instrument itself on a cheap subset without a full-suite run)
     val adjForce = sys.env.get("SPARK_GRAFT_BENCH_ADJ_FORCE").contains("1")
+    // EVERY eligible deviation is adjudicated (r20 — VERDICT r19 #2:
+    // the old top-3 cap left 2 of 5 >100 % deviations unattributed in
+    // the r19 artifact while its `adjudicated` list read as complete);
+    // bounded only by the wall reserve and a generous env-tunable cap,
+    // and anything still skipped is emitted as `unadjudicated` so the
+    // artifact never implies attribution it didn't run
     val adjTargets =
       if (!runAdj || passes < 2 || (only.nonEmpty && !adjForce)) Seq.empty
       else devs.filter { case (name, d) =>
         d > adjThresholdPct && comparableOf(name) >= 0.3
-      }.sortBy(-_._2).take(3)
+      }.sortBy(-_._2)
+    val adjMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_MAX", "10").toInt
+    val adjReserveSec = 60.0
+    val adjUnrun =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
     // PRELIMINARY sidecar before the adjudication's Spark jobs (r17
-    // review): the instrument below runs up to 3 × 4 solo passes —
+    // review): the instrument below runs adjTargets × 4 solo passes —
     // minutes, not millis — and `emitted` is already taken, so a SIGTERM
     // landing inside it would otherwise leave NO artifact at all (the
     // hook's emit no-ops on the flag). A headline-only file written
@@ -782,7 +820,19 @@ object Bench {
           (pre + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
-    val adjResults: Seq[(String, String)] = adjTargets.map { case (name, trigDev) =>
+    var adjRunCount = 0
+    val adjResults: Seq[(String, String)] = adjTargets.flatMap { case (name, trigDev) =>
+      // wall-aware skip, decided per target in descending-deviation
+      // order: what doesn't run is DISCLOSED, never silently dropped
+      if (adjRunCount >= adjMax) {
+        adjUnrun += ((name, trigDev,
+          s"beyond the SPARK_GRAFT_BENCH_ADJ_MAX=$adjMax cap"))
+        None
+      } else if (elapsed() > wallBudget - adjReserveSec) {
+        adjUnrun += ((name, trigDev,
+          "wall budget exhausted before this adjudication"))
+        None
+      } else {
       settle()
       val fn = selected(name)
       // per-pass sample arrays with PER-SAMPLE gc/jit deltas (r19): a
@@ -859,7 +909,9 @@ object Bench {
         "[" + p.map(_._5).mkString(",") + "]").mkString("[", ",", "]")
       val body =
         s"""{"trigger_dev_pct":${math.round(trigDev * 10) / 10.0},"suite_pair_medians":[${suitePair.map(r3).mkString(",")}],"comparable":${r3(cmp)},"isolated_medians":[${isoMedians.map(r3).mkString(",")}],"isolated_samples":$samplesJson,"isolated_gc_ms":$gcJson,"isolated_jit_ms":$jitJson,"isolated_steal_ms":$stealJson,"isolated_iowait_ms":$ioJson,"verdict":"$verdict"}"""
-      name -> body
+      adjRunCount += 1
+      Some(name -> body)
+      }
     }
     // a flagged query SKIPPED by the floor still gets an entry saying
     // why — the artifact must explain its own max-deviation flag even
@@ -884,6 +936,13 @@ object Bench {
         }
     val adjJson = (adjResults ++ adjSkipped)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // eligible deviations the instrument did NOT run (wall/cap), with
+    // the reason — so "adjudicated: [...]" can never read as complete
+    // attribution when it isn't (r20, VERDICT r19 "What's wrong" #1)
+    val adjUnrunJson = adjUnrun
+      .map { case (n, d, why) =>
+        s"""{"query":"$n","trigger_dev_pct":${math.round(d * 10) / 10.0},"reason":"$why"}""" }
+      .mkString("[", ",", "]")
 
     val errJson = errsSnap
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -964,7 +1023,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"queries_pass_steal_ms":${longsJson(stealSnap)},"queries_pass_iowait_ms":${longsJson(ioSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"unadjudicated":$adjUnrunJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -1039,7 +1098,7 @@ object Bench {
     }
 
     // the inline adjudication instrument runs Spark jobs — only if the
-    // budget still has headroom for its up-to-3 × 4 solo passes
+    // budget still has headroom for its per-target 4 solo passes
     emit(runAdj = wallBudget - elapsed() > 180, emittedBy = "main")
     spark.stop()
   }
