@@ -9,6 +9,15 @@ package graft
   * key when `body` throws, so a retry re-runs the gate; a passed gate
   * stays consumed (the once-per-process-per-dir bench economics are
   * unchanged).
+  *
+  * Concurrency caveat (ADVICE r19, accepted): `gate.add` marks the key
+  * consumed BEFORE the body runs, so a second caller racing the same
+  * key skips the check while the first is still executing — and if the
+  * first then throws (re-arming), the second has already returned an
+  * unverified result. The bench and Verify invoke each graded query
+  * serially per JVM, which is the contract this gate is sized for; a
+  * caller that runs one query fn concurrently for one dir must bring
+  * its own per-key latch.
   */
 object ParityGate {
   def once(gate: java.util.Set[String], key: String)(body: => Unit): Unit =

@@ -99,18 +99,30 @@ object IndexedTopK {
     * dir deterministically from the source path, so a detach →
     * source-change → re-attach sequence rebuilds under the SAME dir and
     * stale `saturated=true` verdicts would otherwise ride the rewrite
-    * into under-k answers. Bounded: one entry per distinct (query
-    * vector, predicate, k) would grow without limit in a long-lived
-    * session, so inserts past [[SaturationCacheMax]] clear the map —
-    * coarse, but the entries are pure memoization of a cheap bounded
-    * count, so the cost of a flush is re-probing, never correctness. */
-  private[graft] val saturationCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-
+    * into under-k answers. Bounded as an access-ordered LRU (r20 —
+    * ADVICE r19: the old guard CLEARED the whole map at
+    * [[SaturationCacheMax]], so sustained distinct-query traffic
+    * dropped every hot layout's verdicts and re-ran the driver-blocking
+    * plan-time probe on effectively every planning; now only the
+    * least-recently-USED entry is evicted, so hot verdicts survive any
+    * number of cold inserts). Plan-time access is driver-side and
+    * low-contention, so the synchronized wrapper costs nothing real;
+    * the probe itself runs OUTSIDE the map lock (a racing duplicate
+    * probe is a bounded count, never a correctness issue). */
   private[graft] val SaturationCacheMax = 4096
 
+  private[graft] val saturationCache: java.util.Map[String, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > SaturationCacheMax
+      })
+
   private def invalidateSaturation(layoutDir: String): Unit =
-    saturationCache.keySet.removeIf(_.startsWith(layoutDir + "|"))
+    saturationCache.synchronized {
+      saturationCache.keySet.removeIf(_.startsWith(layoutDir + "|"))
+    }
 
   /** Rewrites DECLINED by the starved check — the branch indicator. */
   private[graft] val starvedDeclines =
@@ -594,11 +606,17 @@ class IndexedTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val saturated = !hasFilter || (probeEnabled && {
         val preds = child.collect { case Filter(c, _) => c.canonicalized.toString }
         val key = s"${info.layoutDir}|${probed.mkString(",")}|${preds.mkString("&")}|$k"
-        if (IndexedTopK.saturationCache.size > IndexedTopK.SaturationCacheMax)
-          IndexedTopK.saturationCache.clear()
-        IndexedTopK.saturationCache.computeIfAbsent(key, _ =>
-          org.apache.spark.sql.graft.CatalystBridge.ofRows(spark, rewritten)
-            .limit(k).count() >= k)
+        // get-then-put, probe OUTSIDE the map lock: a racing duplicate
+        // probe costs one bounded count; holding the LRU's mutex across
+        // a plan-time Spark job would serialize planning instead
+        val cached = IndexedTopK.saturationCache.get(key)
+        if (cached != null) cached.booleanValue()
+        else {
+          val v = org.apache.spark.sql.graft.CatalystBridge.ofRows(spark, rewritten)
+            .limit(k).count() >= k
+          IndexedTopK.saturationCache.put(key, v)
+          v
+        }
       })
       if (saturated) {
         IndexedTopK.lastProbed = Some(probed)

@@ -403,8 +403,28 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       try out.write(s.toString.getBytes("UTF-8")) finally out.close()
     } catch { case _: Throwable => () } // the listing fallback still serves
 
+  /** How often [[maxMarkerFast]] reconciles the sidecar against the
+    * authoritative marker listing (ms; 0 disables). ADVICE r19: the
+    * sidecar is best-effort — a writer crashing between marker claim
+    * and sidecar write, a last-writer-wins inversion with no later
+    * commit, or a pre-r19 writer sharing the root can leave it
+    * permanently behind, and a purely sidecar-trusting read would pin
+    * starvation-fact revalidation to the stale stamp FOREVER (answers
+    * stay correct — the skip serves the authoritative exact scan — but
+    * the probe never resumes and identical calls route differently
+    * across processes). A periodic listing reconcile bounds that window
+    * to this interval, and a successful reconcile HEALS the sidecar so
+    * every process's fast path recovers. */
+  val StarvedReconcileMsConf = "spark.graft.durable.starvedReconcileMs"
+  private def starvedReconcileMs: Long =
+    spark.conf.getOption(StarvedReconcileMsConf).map(_.toLong).getOrElse(30000L)
+  @volatile private var lastSidecarReconcileAt = 0L
+
   /** O(1)-in-commit-count observed-max read for the starvation cache's
-    * revalidation path; any read problem degrades to the listing. */
+    * revalidation path; any read problem degrades to the listing, and
+    * every [[starvedReconcileMs]] the listing is consulted anyway (and
+    * the sidecar healed forward) so a lost sidecar advance can delay
+    * probe resumption by at most one reconcile window, never forever. */
   private def maxMarkerFast(): Long =
     try {
       val fs = hadoopFs(commitsPath)
@@ -412,12 +432,32 @@ class DurableVectorStore(val spark: SparkSession, val path: String) {
       if (!fs.exists(p)) maxMarker()
       else {
         val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          if (n <= 0) maxMarker()
-          else new String(buf, 0, n, "UTF-8").trim.toLong
-        } finally in.close()
+        val sidecar =
+          try {
+            // read to EOF: the FS contract lets a single read return a
+            // partial prefix, and a truncated "1" of "123" would
+            // silently under-report the stamp (ADVICE r19)
+            val buf = new Array[Byte](32)
+            var n = 0
+            var r = in.read(buf, 0, buf.length)
+            while (r > 0) {
+              n += r
+              r = if (n < buf.length) in.read(buf, n, buf.length - n) else 0
+            }
+            if (n <= 0) -1L
+            else new String(buf, 0, n, "UTF-8").trim.toLong
+          } finally in.close()
+        if (sidecar < 0) maxMarker()
+        else {
+          val now = System.currentTimeMillis()
+          val rec = starvedReconcileMs
+          if (rec > 0 && now - lastSidecarReconcileAt > rec) {
+            lastSidecarReconcileAt = now
+            val listed = maxMarker()
+            if (listed > sidecar) { writeMaxSidecar(listed); listed }
+            else sidecar
+          } else sidecar
+        }
       }
     } catch { case _: Throwable => maxMarker() }
 

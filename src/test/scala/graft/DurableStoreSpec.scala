@@ -1040,14 +1040,91 @@ class DurableStoreSpec extends AnyFunSuite {
       val sidecar = {
         val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/commits/_MAX"))
         try {
+          // read to EOF, not one read() — the store's own discipline
           val buf = new Array[Byte](32)
-          val n = in.read(buf)
+          var n = 0
+          var r = in.read(buf, 0, buf.length)
+          while (r > 0) {
+            n += r
+            r = if (n < buf.length) in.read(buf, n, buf.length - n) else 0
+          }
           new String(buf, 0, n, "UTF-8").trim.toLong
         } finally in.close()
       }
       assert(markers.nonEmpty && sidecar == markers.max,
         s"commits/_MAX ($sidecar) diverged from the marker max (${markers.max})")
     } finally spark.conf.unset("spark.graft.durable.starvedCheckMs")
+  }
+
+  test("a lost sidecar advance cannot pin starvation facts forever: the reconcile heals it (ADVICE r19)") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmp()
+    spark.conf.set("spark.graft.durable.starvedCheckMs", "0")
+    spark.conf.set("spark.graft.durable.starvedReconcileMs", "1")
+    try {
+      val d = new DurableVectorStore(spark, root)
+      val rows =
+        (0 until 60).map { i =>
+          (s"c$i", Seq((i % 11).toFloat / 10f, (i % 7).toFloat / 10f, 1f),
+            Map("grp" -> "common"))
+        } ++ (0 until 3).map { i =>
+          (s"r$i", Seq(100f + i, 100f, 1f), Map("grp" -> "rare"))
+        }
+      d.loadFrame(rows.toDF("id", "values", "metadata"), "rk")
+      val q = Seq(0.5f, 0.3f, 1f)
+      d.findSimilar(q, k = 5, namespace = "rk", approx = true, index = "ivf")
+      // prove the starvation fact (3 matching < k=10), then confirm the
+      // skip serves while nothing moves
+      d.findSimilar(q, k = 10, namespace = "rk", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      val skips0 = d.starvedProbeSkips.get()
+      d.findSimilar(q, k = 10, namespace = "rk", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      assert(d.starvedProbeSkips.get() == skips0 + 1, "the fact should skip")
+      // a CRASHED WRITER's footprint: a higher marker claimed, sidecar
+      // NEVER advanced (the exact shape ADVICE r19 names — with a
+      // sidecar-only read the fact revalidates against the stale stamp
+      // forever and the probe never resumes)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val commits = new org.apache.hadoop.fs.Path(s"$root/commits")
+      val maxNow = fs.listStatus(commits).iterator
+        .map(st => scala.util.Try(st.getPath.getName.toLong).getOrElse(0L))
+        .foldLeft(0L)(math.max)
+      fs.create(new org.apache.hadoop.fs.Path(
+        f"$root/commits/${maxNow + 1}%020d"), true).close()
+      Thread.sleep(5) // past the 1 ms reconcile interval
+      // the reconcile consults the listing: stamp moved → fact dies →
+      // the probe branch resumes (no new skip; the geometric starvation
+      // re-proves via the counted RESCUE instead)
+      val rescues0 = d.exactRescues.get()
+      val r = d.findSimilar(q, k = 10, namespace = "rk", approx = true,
+        index = "ivf", filter = Map("grp" -> "rare"))
+      assert(r.size == 3)
+      assert(d.starvedProbeSkips.get() == skips0 + 1,
+        "the stale fact must not skip after a cross-process claim the sidecar missed")
+      assert(d.exactRescues.get() == rescues0 + 1)
+      // and the reconcile HEALED the sidecar forward for every process
+      val healed = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/commits/_MAX"))
+        try {
+          val buf = new Array[Byte](32)
+          var n = 0
+          var rd = in.read(buf, 0, buf.length)
+          while (rd > 0) {
+            n += rd
+            rd = if (n < buf.length) in.read(buf, n, buf.length - n) else 0
+          }
+          new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+      assert(healed >= maxNow + 1,
+        s"reconcile must heal commits/_MAX forward (got $healed, want >= ${maxNow + 1})")
+    } finally {
+      spark.conf.unset("spark.graft.durable.starvedCheckMs")
+      spark.conf.unset("spark.graft.durable.starvedReconcileMs")
+    }
   }
 
   test("batch filtered paths share the starvation cache: skip, then re-probe after a commit") {

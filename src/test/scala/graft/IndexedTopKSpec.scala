@@ -307,4 +307,32 @@ class IndexedTopKSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cell"))
   }
+
+  test("a hot saturation verdict survives cold-insert pressure past the cache bound (ADVICE r19)") {
+    // The pre-r20 overflow guard CLEARED the whole map at the bound, so
+    // every hot layout's memoized verdict died with the flood and the
+    // next planning re-ran a driver-blocking plan-time job. The
+    // access-ordered LRU must instead evict only least-recently-USED
+    // entries: a verdict that keeps being consulted outlives any number
+    // of distinct cold keys, and the map never exceeds its bound.
+    val cache = IndexedTopK.saturationCache
+    val before = new java.util.HashMap[String, java.lang.Boolean]()
+    cache.synchronized { before.putAll(cache) } // other suites share the map
+    try {
+      cache.synchronized { cache.clear() }
+      val hot = "lru-spec-hot-layout|0,1|pred|10"
+      cache.put(hot, java.lang.Boolean.TRUE)
+      val floods = IndexedTopK.SaturationCacheMax * 2
+      for (i <- 0 until floods) {
+        cache.put(s"lru-spec-cold-$i|c|p|5", java.lang.Boolean.FALSE)
+        // the hot verdict is consulted between cold plannings — the
+        // exact traffic shape the old clear() punished
+        if (i % 512 == 0) assert(cache.get(hot) != null)
+      }
+      assert(cache.get(hot) != null,
+        s"hot verdict evicted after $floods cold inserts — the LRU is not access-ordered")
+      assert(cache.size() <= IndexedTopK.SaturationCacheMax,
+        s"cache grew past its bound: ${cache.size()}")
+    } finally cache.synchronized { cache.clear(); cache.putAll(before) }
+  }
 }
