@@ -4033,6 +4033,38 @@ object StoreOps {
   def q203Sql(aux: String): String =
     hnswBatchSqlAt(aux, AsOfDelMod, s"vec_id % $DFTenantMod = 1")
 
+  // ---- q204 (fixture + oracle): filter × as-of on the COMPRESSED
+  // mount SERVED AS A STREAM — the route itself lives in
+  // [[graft.streaming.EventStream.q204]] -------------------------------
+
+  private val DFPqSAsOfNs = "q204"
+  private val q204Stores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val q204Attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture for [[graft.streaming.EventStream.q204]]: the q200 two-wave
+    * tenant-tagged script on its OWN namespace and store root — the
+    * stream route's build/rescue counters and persisted probe artifacts
+    * must never interfere with q200's graded batch read (and vice
+    * versa; bench passes interleave them). Returns everything the
+    * foreachBatch route needs: store, recorded horizon, vec_id-ordered
+    * query set, the tenant predicate, namespace, k. */
+  def dfPqStreamAsOfFixture(spark: SparkSession, dir: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]],
+         Map[String, String], String, Int) = {
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, DFPqSAsOfNs,
+      "dfpqsasof", q204Stores, q204Attempts,
+      (s, q) => s.findSimilarBatchPq(q, k = K, namespace = DFPqSAsOfNs),
+      _.pqBuilds.get() >= 1)
+    (store, asOf, qs, Map("tenant" -> "1"), DFPqSAsOfNs, K)
+  }
+
+  /** q200's replay verbatim — the drained stream is pinned positionally
+    * equal to the one-shot filtered batch as-of twin in-script, and the
+    * twin persists the probes/LUTs the replay reads, so one replay text
+    * grades the streamed and one-shot forms of the composition. */
+  def q204Sql(aux: String): String = q200Sql(aux)
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every

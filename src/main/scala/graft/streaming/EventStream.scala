@@ -1908,6 +1908,82 @@ object EventStream {
       .orderBy("qid", "rank")
   }
 
+  // ---- q204: streaming FILTERED as-of on the COMPRESSED mount (r20) ---
+  //
+  // VERDICT r19 optional #6: q190 composed filter × as-of × stream on
+  // the IVF route only; with q200–q203 grading the filtered batch as-of
+  // kernel on every derived mount, this pins that the composition
+  // SURVIVES ARRIVAL BATCHING on a code mount too. Per micro-batch the
+  // arriving queries run `findSimilarBatchAsOf(index = "pq",
+  // filter = tenant)` — the q200 kernel: tenant predicate cuts the one
+  // pruned codes sweep BEFORE each query's ADC CandN heap (the q170
+  // semi-join discipline), kills and delta both bounded at the recorded
+  // stamp. The code table is snapshot-safe AS BUILT (q181's structural
+  // fact), and the per-query probe is independent of its batch-mates,
+  // so the drained stream is pinned positionally equal to the one-shot
+  // filtered batch twin, whose persisted qid-keyed probes/LUTs feed the
+  // oracle replay (StoreOps.q204Sql = q200's text). At 100 TB this is
+  // the nightly tenant eval AS A SERVICE: evaluation queries stream in,
+  // every answer reproducible against the stamp recorded at job start.
+
+  private val q204ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** PQ codes dir of the most recent q204 run — oracle hook. */
+  @volatile private var lastStreamDurPqFAsOfAux: Option[String] = None
+
+  def q204(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = graft.operators.StoreOps
+    val (store, asOf, qs, tenant, ns, k) = so.dfPqStreamAsOfFixture(spark, dir)
+    val rescues0 = store.exactRescues.get()
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
+    drainQueryBatches(spark, dir, 0L, qs.length.toLong) { rows =>
+      // qid = vec_id = position in the fixture's vec_id-ordered query
+      // set (contiguous from 0); k × Q hit rows only
+      val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
+        k = k, namespace = ns, approx = true, filter = tenant, index = "pq")
+      rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
+        hits.zipWithIndex.foreach { case (h, r) =>
+          buf.add((qid, r + 1, h.id, h.score))
+        }
+      }
+    }
+    val streamRows: Seq[(Int, Int, String, Double)] =
+      buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
+        .sortBy(x => (x._1, x._2))
+    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
+      "q204's combined mutation window crossed the staleness ratio — the " +
+        "oracle replays the first code table at the wave-1 horizon")
+    require(store.exactRescues.get() == rescues0 &&
+        streamRows.size == qs.length * k,
+      s"q204 did not serve every streamed query from the filtered PQ " +
+        s"probe branch (${streamRows.size} rows, " +
+        s"${store.exactRescues.get() - rescues0} rescues)")
+    // stream ≡ batch, once per dir (the q190 convention): the one-shot
+    // FILTERED batch twin at the same horizon must equal the drained
+    // stream positionally — score-exact; its persisted probes/LUTs are
+    // the oracle's candidate policy (idempotent: same store, horizon,
+    // queries, predicate)
+    graft.ParityGate.once(q204ParityChecked, dir) {
+      val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
+        namespace = ns, approx = true, filter = tenant,
+        persistProbes = true, index = "pq")
+      val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
+      }.sortBy(x => (x._1, x._2))
+      require(streamRows == oneRows,
+        "the drained stream's filtered snapshot answers diverged from the " +
+          "one-shot batch as-of twin — arrival batching changed a " +
+          "snapshot read")
+    }
+    lastStreamDurPqFAsOfAux = store.pqLayoutDir(ns, qs.head.length)
+    streamRows.toDF("qid", "rank", "id", "score")
+      .withColumn("score", graft.functions.Det.r4(col("score")))
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q46_stream_event_window" -> (q46 _),
       "q132_stream_embed" -> (q132 _),
@@ -1945,6 +2021,7 @@ object EventStream {
       "q195_stream_durable_imi_asof" -> (q195 _),
       "q196_stream_durable_hnsw_asof" -> (q196 _),
       "q197_stream_durable_lsh_asof" -> (q197 _),
+      "q204_stream_durable_pq_filtered_asof" -> (q204 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -1974,6 +2051,9 @@ object EventStream {
       "q190_stream_search_durable_asof" -> q190Sql(aux, probesDir) }.toMap ++
     lastStreamDurPqAsOfAux.map(aux =>
       "q192_stream_durable_pq_asof" -> graft.operators.StoreOps.q192Sql(aux)).toMap ++
+    lastStreamDurPqFAsOfAux.map(aux =>
+      "q204_stream_durable_pq_filtered_asof" ->
+        graft.operators.StoreOps.q204Sql(aux)).toMap ++
     lastStreamDurBqAsOfAux.map { case (ann, aux) =>
       "q194_stream_durable_bq_asof" -> graft.operators.StoreOps.q194Sql(ann, aux) }.toMap ++
     lastStreamDurImiAsOfAux.map(aux =>
