@@ -4065,6 +4065,75 @@ object StoreOps {
     * grades the streamed and one-shot forms of the composition. */
   def q204Sql(aux: String): String = q200Sql(aux)
 
+  // ---- q205–q208 (fixtures + oracles): the streaming × filtered ×
+  // as-of matrix CLOSED 6/6 — routes in [[graft.streaming.EventStream
+  // .q205]]–[[q208]]; with q190 (ivf) and q204 (pq) every durable mount
+  // serves the tenant-filtered snapshot stream ----------------------------
+
+  /** One shared stores map for the four remaining stream fixtures —
+    * safe because [[dfAsOfBatchFixture]] keys by base path and each
+    * query's prefix makes its base unique; one shared attempt counter —
+    * it only uniquifies rebuild roots, never crosses fixtures. */
+  private val streamFAsOfStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.store.DurableVectorStore, Long)]()
+  private val streamFAsOfAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fixture for [[graft.streaming.EventStream.q205]]–[[q208]]: the
+    * q200 two-wave tenant-tagged script with `index`'s own first-batch
+    * builder, on the query's own namespace and store root (the q204
+    * isolation rationale — stream-route counters and probe artifacts
+    * never interfere with the q201–q203 graded batches). */
+  def dfStreamAsOfFixture(spark: SparkSession, dir: String, index: String)
+      : (graft.store.DurableVectorStore, Long, Seq[Seq[Float]],
+         Map[String, String], String, Int) = {
+    val ns = index match {
+      case "bq" => "q205"
+      case "imi" => "q206"
+      case "hnsw" => "q207"
+      case "lsh" => "q208"
+    }
+    val firstBatch: (graft.store.DurableVectorStore, Seq[Seq[Float]]) => Unit =
+      index match {
+        case "bq" => (s, q) =>
+          { s.findSimilarBatchBq(q, k = K, namespace = ns); () }
+        case "imi" => (s, q) =>
+          { s.findSimilarBatchImi(q, k = K, namespace = ns); () }
+        case "hnsw" => (s, q) =>
+          { s.findSimilarBatchHnsw(q, k = K, namespace = ns); () }
+        case "lsh" => (s, q) =>
+          { s.findSimilarBatchLsh(q, k = K, namespace = ns); () }
+      }
+    val builtCheck: graft.store.DurableVectorStore => Boolean = index match {
+      case "bq" => _.bqBuilds.get() >= 1
+      case "imi" => _.imiBuilds.get() >= 1
+      case "hnsw" => _.hnswBuilds.get() >= 1
+      case "lsh" => _.lshBuilds.get() >= 1
+    }
+    val (store, asOf, qs) = dfAsOfBatchFixture(spark, dir, ns,
+      s"df${index}sasof", streamFAsOfStores, streamFAsOfAttempts,
+      firstBatch, builtCheck)
+    (store, asOf, qs, Map("tenant" -> "1"), ns, K)
+  }
+
+  /** One build per structure — the stream routes' staleness guard per
+    * mount (the oracle replays the FIRST derived structure). */
+  def dfStreamAsOfInWindow(store: graft.store.DurableVectorStore,
+                           index: String): Boolean =
+    store.annBuilds.get() == 1 && (index match {
+      case "bq" => store.bqBuilds.get() == 1
+      case "imi" => store.imiBuilds.get() == 1
+      case "hnsw" => store.hnswBuilds.get() == 1
+      case "lsh" => store.lshBuilds.get() == 1
+    })
+
+  /** The q201–q203/q199 replays verbatim (the q204 rationale: stream ≡
+    * one-shot is pinned in-script, so each mount's existing filtered
+    * batch as-of text grades its streamed form too). */
+  def q205Sql(ann: String, aux: String): String = q201Sql(ann, aux)
+  def q206Sql(aux: String): String = q202Sql(aux)
+  def q207Sql(aux: String): String = q203Sql(aux)
+  def q208Sql: String = q199Sql
+
   // ---- q183–q186: the as-of × index matrix CLOSED ----------------------
   //
   // q181 proved the structural fact on PQ; these four finish it: every

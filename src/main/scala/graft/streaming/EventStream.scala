@@ -1932,10 +1932,22 @@ object EventStream {
   /** PQ codes dir of the most recent q204 run — oracle hook. */
   @volatile private var lastStreamDurPqFAsOfAux: Option[String] = None
 
-  def q204(spark: SparkSession, dir: String): DataFrame = {
+  /** THE shared streaming filtered-as-of route (q204–q208 call this one
+    * definition — no per-mount twin loop to drift): drain the query
+    * stream, serve each micro-batch from `findSimilarBatchAsOf(index,
+    * filter)`, guard the probe branch (staleness window per mount, zero
+    * rescues, k hits per query), and pin the drained stream positionally
+    * equal to the one-shot filtered batch twin — whose persisted
+    * probes/LUTs are the oracle's candidate policy (idempotent: same
+    * store, horizon, queries, predicate). */
+  private def streamDurFilteredAsOf(spark: SparkSession, dir: String,
+      qname: String, index: String,
+      fixture: (graft.store.DurableVectorStore, Long, Seq[Seq[Float]],
+                Map[String, String], String, Int),
+      inWindow: => Boolean,
+      gate: java.util.Set[String]): DataFrame = {
     import spark.implicits._
-    val so = graft.operators.StoreOps
-    val (store, asOf, qs, tenant, ns, k) = so.dfPqStreamAsOfFixture(spark, dir)
+    val (store, asOf, qs, tenant, ns, k) = fixture
     val rescues0 = store.exactRescues.get()
     val buf =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String, Double)]()
@@ -1943,7 +1955,7 @@ object EventStream {
       // qid = vec_id = position in the fixture's vec_id-ordered query
       // set (contiguous from 0); k × Q hit rows only
       val res = store.findSimilarBatchAsOf(rows.map(_._2.toSeq), asOf,
-        k = k, namespace = ns, approx = true, filter = tenant, index = "pq")
+        k = k, namespace = ns, approx = true, filter = tenant, index = index)
       rows.map(_._1.toInt).zip(res).foreach { case (qid, hits) =>
         hits.zipWithIndex.foreach { case (h, r) =>
           buf.add((qid, r + 1, h.id, h.score))
@@ -1953,23 +1965,19 @@ object EventStream {
     val streamRows: Seq[(Int, Int, String, Double)] =
       buf.toArray(Array.empty[(Int, Int, String, Double)]).toSeq
         .sortBy(x => (x._1, x._2))
-    require(store.annBuilds.get() == 1 && store.pqBuilds.get() == 1,
-      "q204's combined mutation window crossed the staleness ratio — the " +
-        "oracle replays the first code table at the wave-1 horizon")
+    require(inWindow,
+      s"$qname's combined mutation window crossed the staleness ratio — " +
+        "the oracle replays the first derived structure at the wave-1 horizon")
     require(store.exactRescues.get() == rescues0 &&
         streamRows.size == qs.length * k,
-      s"q204 did not serve every streamed query from the filtered PQ " +
-        s"probe branch (${streamRows.size} rows, " +
+      s"$qname did not serve every streamed query from the filtered " +
+        s"$index probe branch (${streamRows.size} rows, " +
         s"${store.exactRescues.get() - rescues0} rescues)")
-    // stream ≡ batch, once per dir (the q190 convention): the one-shot
-    // FILTERED batch twin at the same horizon must equal the drained
-    // stream positionally — score-exact; its persisted probes/LUTs are
-    // the oracle's candidate policy (idempotent: same store, horizon,
-    // queries, predicate)
-    graft.ParityGate.once(q204ParityChecked, dir) {
+    // stream ≡ batch, once per dir (the q190 convention)
+    graft.ParityGate.once(gate, dir) {
       val oneShot = store.findSimilarBatchAsOf(qs, asOf, k = k,
         namespace = ns, approx = true, filter = tenant,
-        persistProbes = true, index = "pq")
+        persistProbes = true, index = index)
       val oneRows = oneShot.zipWithIndex.flatMap { case (hits, qi) =>
         hits.zipWithIndex.map { case (h, r) => (qi, r + 1, h.id, h.score) }
       }.sortBy(x => (x._1, x._2))
@@ -1978,10 +1986,77 @@ object EventStream {
           "one-shot batch as-of twin — arrival batching changed a " +
           "snapshot read")
     }
-    lastStreamDurPqFAsOfAux = store.pqLayoutDir(ns, qs.head.length)
     streamRows.toDF("qid", "rank", "id", "score")
       .withColumn("score", graft.functions.Det.r4(col("score")))
       .orderBy("qid", "rank")
+  }
+
+  def q204(spark: SparkSession, dir: String): DataFrame = {
+    val so = graft.operators.StoreOps
+    val fx = so.dfPqStreamAsOfFixture(spark, dir)
+    val out = streamDurFilteredAsOf(spark, dir, "q204", "pq", fx,
+      fx._1.annBuilds.get() == 1 && fx._1.pqBuilds.get() == 1,
+      q204ParityChecked)
+    lastStreamDurPqFAsOfAux = fx._1.pqLayoutDir(fx._5, fx._3.head.length)
+    out
+  }
+
+  // ---- q205–q208: the streaming × filtered × as-of matrix CLOSED 6/6
+  // (r20) — with q190 (ivf) and q204 (pq), every durable mount now
+  // serves the tenant-filtered snapshot stream; same route, same
+  // fixture script, each mount's existing filtered batch as-of replay
+  // grading its streamed form (the q204 one-text rationale) -------------
+
+  private val q205ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastStreamDurBqFAsOfAux: Option[(String, String)] = None
+
+  def q205(spark: SparkSession, dir: String): DataFrame = {
+    val so = graft.operators.StoreOps
+    val fx = so.dfStreamAsOfFixture(spark, dir, "bq")
+    val out = streamDurFilteredAsOf(spark, dir, "q205", "bq", fx,
+      so.dfStreamAsOfInWindow(fx._1, "bq"), q205ParityChecked)
+    lastStreamDurBqFAsOfAux = for {
+      ann <- fx._1.annLayoutDir(fx._5, fx._3.head.length)
+      bq <- fx._1.bqLayoutDir(fx._5, fx._3.head.length)
+    } yield (ann._1, bq)
+    out
+  }
+
+  private val q206ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastStreamDurImiFAsOfAux: Option[String] = None
+
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val so = graft.operators.StoreOps
+    val fx = so.dfStreamAsOfFixture(spark, dir, "imi")
+    val out = streamDurFilteredAsOf(spark, dir, "q206", "imi", fx,
+      so.dfStreamAsOfInWindow(fx._1, "imi"), q206ParityChecked)
+    lastStreamDurImiFAsOfAux = fx._1.imiLayoutDir(fx._5, fx._3.head.length)
+    out
+  }
+
+  private val q207ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var lastStreamDurHnswFAsOfAux: Option[String] = None
+
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    val so = graft.operators.StoreOps
+    val fx = so.dfStreamAsOfFixture(spark, dir, "hnsw")
+    val out = streamDurFilteredAsOf(spark, dir, "q207", "hnsw", fx,
+      so.dfStreamAsOfInWindow(fx._1, "hnsw"), q207ParityChecked)
+    lastStreamDurHnswFAsOfAux = fx._1.hnswLayoutDir(fx._5, fx._3.head.length)
+    out
+  }
+
+  private val q208ParityChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def q208(spark: SparkSession, dir: String): DataFrame = {
+    val so = graft.operators.StoreOps
+    val fx = so.dfStreamAsOfFixture(spark, dir, "lsh")
+    streamDurFilteredAsOf(spark, dir, "q208", "lsh", fx,
+      so.dfStreamAsOfInWindow(fx._1, "lsh"), q208ParityChecked)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2022,6 +2097,10 @@ object EventStream {
       "q196_stream_durable_hnsw_asof" -> (q196 _),
       "q197_stream_durable_lsh_asof" -> (q197 _),
       "q204_stream_durable_pq_filtered_asof" -> (q204 _),
+      "q205_stream_durable_bq_filtered_asof" -> (q205 _),
+      "q206_stream_durable_imi_filtered_asof" -> (q206 _),
+      "q207_stream_durable_hnsw_filtered_asof" -> (q207 _),
+      "q208_stream_durable_lsh_filtered_asof" -> (q208 _),
       "q191_stream_search_opq" -> ((s: SparkSession, d: String) => {
         val out = q191(s, d)
         lastStreamOpqAux = Some(graft.operators.Opq.ensureLayout(s, d))
@@ -2054,6 +2133,17 @@ object EventStream {
     lastStreamDurPqFAsOfAux.map(aux =>
       "q204_stream_durable_pq_filtered_asof" ->
         graft.operators.StoreOps.q204Sql(aux)).toMap ++
+    lastStreamDurBqFAsOfAux.map { case (ann, aux) =>
+      "q205_stream_durable_bq_filtered_asof" ->
+        graft.operators.StoreOps.q205Sql(ann, aux) }.toMap ++
+    lastStreamDurImiFAsOfAux.map(aux =>
+      "q206_stream_durable_imi_filtered_asof" ->
+        graft.operators.StoreOps.q206Sql(aux)).toMap ++
+    lastStreamDurHnswFAsOfAux.map(aux =>
+      "q207_stream_durable_hnsw_filtered_asof" ->
+        graft.operators.StoreOps.q207Sql(aux)).toMap ++
+    Map("q208_stream_durable_lsh_filtered_asof" ->
+      graft.operators.StoreOps.q208Sql) ++
     lastStreamDurBqAsOfAux.map { case (ann, aux) =>
       "q194_stream_durable_bq_asof" -> graft.operators.StoreOps.q194Sql(ann, aux) }.toMap ++
     lastStreamDurImiAsOfAux.map(aux =>
