@@ -574,6 +574,11 @@ object Bench {
     val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val partialMins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var wallTruncated = false
+    // a RESCUE pass (requested past the schedule because the closest
+    // pair disagreed) declined by the wall is NOT truncation — the
+    // scheduled data is complete; conflating the two made a fully
+    // healthy 3-of-3 artifact read as cut (r20). Stamped separately.
+    var rescueDeclinedByWall = false
 
     // a pass costs ~what the last one cost; before any timed pass, the
     // sweep (1 warm run/query) bounds it from below — timed passes add
@@ -581,10 +586,13 @@ object Bench {
     def estNextPassWall(): Double = passWalls.lastOption.getOrElse(sweepWall * 3.0)
 
     /** Run one pass if the budget allows (always allows the first).
-      * Returns true iff a complete pass was added. */
-    def tryPass(force: Boolean): Boolean = {
+      * Returns true iff a complete pass was added. `rescue` marks a
+      * past-the-schedule pair-agreement retry: declining one is stamped
+      * `rescue_declined_by_wall`, never `wall_truncated`. */
+    def tryPass(force: Boolean, rescue: Boolean = false): Boolean = {
       if (!force && elapsed() + estNextPassWall() * 1.1 > wallBudget) {
-        wallTruncated = true; false
+        if (rescue) rescueDeclinedByWall = true else wallTruncated = true
+        false
       } else {
         val t0 = elapsed()
         val (res, skipped) = benchPass()
@@ -1023,7 +1031,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"queries_pass_steal_ms":${longsJson(stealSnap)},"queries_pass_iowait_ms":${longsJson(ioSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"unadjudicated":$adjUnrunJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"queries_pass_steal_ms":${longsJson(stealSnap)},"queries_pass_iowait_ms":${longsJson(ioSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"unadjudicated":$adjUnrunJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"rescue_declined_by_wall":$rescueDeclinedByWall,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -1063,7 +1071,7 @@ object Bench {
     // opening brace is gone. This headline-only line always fits inside
     // any plausible tail window, so at least one guaranteed-valid JSON
     // object survives for a strict parser. Per-query data: audit file.
-    val line2 = s"""{"metric":"total","value":$headlineValue,"value_stat":"$valueStat","unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errsSnap.size},"passes_run":${allPasses.size},"wall_sec":$wallNow,"budget_sec":$wallBudget,"budget_margin_sec":$wallMargin,"wall_truncated":$wallTruncated,"emitted_by":"$emittedBy"$extra$onlyJson,"audit":"$auditPath"}"""
+    val line2 = s"""{"metric":"total","value":$headlineValue,"value_stat":"$valueStat","unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","n_queries":${names.size},"n_errors":${errsSnap.size},"passes_run":${allPasses.size},"wall_sec":$wallNow,"budget_sec":$wallBudget,"budget_margin_sec":$wallMargin,"wall_truncated":$wallTruncated,"rescue_declined_by_wall":$rescueDeclinedByWall,"emitted_by":"$emittedBy"$extra$onlyJson,"audit":"$auditPath"}"""
     println(line2)
     // sidecar copy of the headline (r17): the driver launches this main
     // through sbt with run/fork=true, so the fork's stdout crosses TWO
@@ -1094,7 +1102,7 @@ object Bench {
       var extraRuns = 0
       while (extraRuns < rescue &&
              closestPair(commonTotalsOf(passBuf.toSeq))._3 > PairAgreePct &&
-             tryPass(force = false)) extraRuns += 1
+             tryPass(force = false, rescue = true)) extraRuns += 1
     }
 
     // the inline adjudication instrument runs Spark jobs — only if the
