@@ -482,6 +482,23 @@ object Ann {
     aux
   }
 
+  /** Centroid table at `path`, collected once per layout path and cached
+    * (r20 — the [[Pq.readCodebook]]/[[IvfPq]] centroidCache discipline
+    * extended to every probe site): layout dirs are immutable
+    * (ensureLayout dirs build once; store layouts are epoch-suffixed
+    * fresh dirs), so a probe must never re-read ~KBs of centroids as a
+    * fresh Spark job + file listing per request — measured at 40–80 ms
+    * per invocation on the stream-search cells, pure serving overhead. */
+  private val centersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  private[graft] def centersAt(spark: SparkSession,
+                               path: String): Array[Array[Float]] =
+    centersCache.computeIfAbsent(path, p =>
+      spark.read.parquet(p).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2))
+
   /** PROBE phase: rank the persisted centroids per query (driver-side —
     * both tables are request-sized), read only the probed partitions of
     * the inverted file (partition pruning pinned by PlanSpec), rerank
@@ -492,9 +509,7 @@ object Ann {
     * write to the query hot path). */
   def ivfProbe(spark: SparkSession, dir: String, aux: String,
                persistProbes: Boolean = false): DataFrame = {
-    val centers = spark.read.parquet(s"$aux/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centers = centersAt(spark, s"$aux/centroids")
     val queries = queryFrame(spark, dir).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
@@ -664,12 +679,8 @@ object Ann {
     * partitions only, exact cosine rerank through [[rankTopK]]. */
   def imiProbe(spark: SparkSession, dir: String, aux: String,
                persistProbes: Boolean = false): DataFrame = {
-    def readCenters(name: String): Array[Array[Float]] =
-      spark.read.parquet(s"$aux/$name").collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).map(_._2)
-    val cLo = readCenters("centroids_lo")
-    val cHi = readCenters("centroids_hi")
+    val cLo = centersAt(spark, s"$aux/centroids_lo")
+    val cHi = centersAt(spark, s"$aux/centroids_hi")
     val k = cHi.length
     val half = cLo.headOption.map(_.length).getOrElse(0)
     val nProbe = ivfProbeFor(cLo.length * k)

@@ -77,21 +77,37 @@ object Graph {
     // by src and let the rank frame shuffle — AQE picks per size.)
     // Loop pins are persist + explicit free of the superseded round
     // (r12 left one never-unpersisted localCheckpoint per round).
-    val adj = edges.join(broadcast(outdeg), "src").persist()
+    //
+    // Edges into SINK-ONLY nodes (dst with no out-edges) are dropped at
+    // build (r20): the result is keyed by the out-degree node set, so
+    // their in-mass was computed and then discarded by the old per-round
+    // left join — pruning them once here lets every round run as ONE
+    // aggregation with zero joins after the broadcast (guide §2.4:
+    // remove the per-round exchange+join outright). On q126's symmetric
+    // trade graph the semi-join drops nothing.
+    val adj = edges.join(broadcast(outdeg), "src")
+      .join(broadcast(nodes.withColumnRenamed("node", "dst")),
+        Seq("dst"), "left_semi")
+      .persist()
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
     var pinned: DataFrame = null
     for (_ <- 1 to rounds) {
-      val inMass = adj.join(broadcast(ranks), adj("src") === ranks("node"))
-        .select(col("dst"),
+      // r′(v) = 0.15·r₀ + 0.85·Σ in-contrib, computed as one union +
+      // one integer-sum aggregate: the teleport term rides in as one
+      // row per node, so source-only nodes keep their mass WITHOUT the
+      // old nodes-LEFT-JOIN-inMass round-trip (r20 — one Exchange per
+      // round where the join form paid the aggregate's exchange plus a
+      // node-sized join; integer sums are order-independent, so the
+      // regrouping is byte-exact)
+      val next = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(col("dst").as("node"),
           expr("((pr * 17) div 20) div outdeg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("in_mass"))
+        .unionByName(nodes.select(col("node"), lit(150000L).as("contrib")))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("pr"))
+        .persist()
       // node-sized; materialize so the next round's broadcast build
       // doesn't re-execute the whole prior chain
-      val next = nodes.join(inMass, nodes("node") === inMass("dst"), "left")
-        .select(nodes("node"),
-          (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("pr"))
-        .persist()
       next.count()
       if (pinned != null) pinned.unpersist(blocking = false)
       pinned = next

@@ -154,6 +154,27 @@ object EventStream {
     * accumulation instead, or drains in a separate session/process. */
   val DrainUnloadConf = "spark.graft.stream.drainUnloadStateStores"
 
+  /** Shuffle-partition pin for the graded finite drains (r20, the q88
+    * precedent generalized — guide §2.4/§2.2: state-store count is sized
+    * to STATE VOLUME, not to the batch engine's parallelism). Every
+    * stateful operator keeps one state store PER SHUFFLE PARTITION and
+    * every micro-batch pays a per-store commit; at the session's
+    * cores-sized partition count (32 here) a single-operator drain
+    * commits 32 stores per batch for state that fits in a handful —
+    * measured on q88 (4 stores/partition, stream-stream join): 6.5 s at
+    * 32 partitions vs ~2 s at 4. This is the standard
+    * streaming-deployment knob and is BAKED into a production checkpoint
+    * at first start; the graded drains use a fresh ephemeral checkpoint
+    * per invocation, so pinning it per drain mirrors that one-time
+    * sizing. A production deployment with large keyspaces raises it via
+    * this conf (state volume / target store size), exactly like it would
+    * size `spark.sql.shuffle.partitions` for its own checkpoint. The
+    * session default is restored right after query START — the stream
+    * executes on a cloned session, so the pin never leaks into batch
+    * plans (q47/q67/q88's post-drain reductions keep the session's
+    * scale-adaptive setting). */
+  val DrainShufflePartitionsConf = "spark.graft.stream.drainShufflePartitions"
+
   /** One fixed sink name per graded query, dropped before each restart:
     * per-invocation unique names would leak a full result copy + stopped
     * query registration into the driver catalog on every run (bench runs
@@ -166,7 +187,15 @@ object EventStream {
   private[graft] def drainToTable(spark: SparkSession, name: String,
                            start: => StreamingQuery): DataFrame = {
     spark.catalog.dropTempView(name) // idempotent; frees the prior run
-    val q = start
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.getOption(DrainShufflePartitionsConf).getOrElse("4"))
+    // the pin only needs to cover .start(): StreamExecution clones the
+    // session in its constructor, so the drain keeps the pinned value
+    // for its whole lifetime while the caller's session gets its
+    // scale-adaptive default back before any post-drain batch plan
+    val q = try start finally spark.conf.set(key, prev)
     try q.processAllAvailable() finally q.stop()
     // a finite drain is DONE with its state: unload the providers this
     // query loaded (and the shared maintenance task — it restarts
@@ -359,21 +388,16 @@ object EventStream {
     * join keeps FOUR state stores per shuffle partition, and every
     * micro-batch pays a per-store commit — at the session's 32
     * partitions that is 128 store commits per batch for join state that
-    * fits in a handful (measured 6.5 s → ~2 s at 4). This is the
-    * standard streaming-deployment knob (state-store count is sized to
-    * state volume, not to the batch engine's parallelism) and is BAKED
-    * into a production checkpoint at first start; the graded drain uses
-    * a fresh ephemeral checkpoint per invocation, so setting it per
-    * drain mirrors that one-time sizing. Restored after the drain so
-    * batch queries keep the session default. */
+    * fits in a handful (measured 6.5 s → ~2 s at 4). Since r20 the pin
+    * lives in [[drainToTable]] ([[DrainShufflePartitionsConf]]) and
+    * covers every graded drain — see its scaladoc for the sizing
+    * contract. */
   def q88(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    val sunk =
-      try drainToTable(spark, "graft_q88_sink",
-        startRangeJoinToMemory(spark, dir, "graft_q88_sink"))
-      finally spark.conf.set(key, prev)
+    // the 4-store pin this query measured and documented now lives in
+    // drainToTable itself ([[DrainShufflePartitionsConf]], r20) — every
+    // graded drain gets the same state-volume sizing
+    val sunk = drainToTable(spark, "graft_q88_sink",
+      startRangeJoinToMemory(spark, dir, "graft_q88_sink"))
     sunk
       .groupBy(col("event_id"), col("p_us"))
       .agg(count(col("err_id")).as("n_nearby"))
@@ -738,9 +762,7 @@ object EventStream {
     import spark.implicits._
     val ann = graft.operators.Ann
     val aux = ann.ensureLayout(spark, dir)
-    val centers = spark.read.parquet(s"$aux/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centers = ann.centersAt(spark, s"$aux/centroids")
     val nProbe = ann.ivfProbeFor(centers.length)
     // the BATCH kernel, applied per micro-batch AND (once per dir) to
     // the full query set as the one-shot parity twin — one definition,
@@ -869,9 +891,7 @@ object EventStream {
     val aux = graft.operators.IvfPq.ensureLayout(spark, dir)
     val pqAux = pqOps.ensureLayout(spark, dir)
     val ivfAux = ann.ensureLayout(spark, dir)
-    val centers = spark.read.parquet(s"$ivfAux/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centers = ann.centersAt(spark, s"$ivfAux/centroids")
     val nProbe = ann.ivfProbeFor(centers.length)
     val codebook = pqOps.readCodebook(spark, pqAux)
     // the BATCH kernel — per micro-batch and (once per dir) the one-shot
@@ -1016,9 +1036,7 @@ object EventStream {
     import spark.implicits._
     val ann = graft.operators.Ann
     val aux = ann.ensureLayout(spark, dir)
-    val centers = spark.read.parquet(s"$aux/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
+    val centers = ann.centersAt(spark, s"$aux/centroids")
     val nProbe = ann.ivfProbeFor(centers.length)
     def kernel(qs: Seq[(Long, Array[Float])])
         : (Seq[(Long, Int)], Seq[(Long, Int, Long, Double)]) = {
@@ -1143,12 +1161,8 @@ object EventStream {
     import spark.implicits._
     val ann = graft.operators.Ann
     val aux = ann.ensureImiLayout(spark, dir)
-    def readCenters(name: String): Array[Array[Float]] =
-      spark.read.parquet(s"$aux/$name").collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).map(_._2)
-    val cLo = readCenters("centroids_lo")
-    val cHi = readCenters("centroids_hi")
+    val cLo = ann.centersAt(spark, s"$aux/centroids_lo")
+    val cHi = ann.centersAt(spark, s"$aux/centroids_hi")
     def kernel(qs: Seq[(Long, Array[Float])])
         : (Seq[(Long, Int)], Seq[(Long, Int, Long, Double)]) = {
       val probeRows = qs.flatMap { case (qid, qv) =>
