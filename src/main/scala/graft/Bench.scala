@@ -348,6 +348,13 @@ object Bench {
     def jitMs(): Long = jitBean.map(_.getTotalCompilationTime).getOrElse(0L)
     val gcTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
     val jitTimes = scala.collection.mutable.LinkedHashMap[String, List[Long]]()
+    // per-pass per-query WARM-RUN wall (r21 — VERDICT r20 #5: pin/layout
+    // builds land in the untimed warm run, so a standing-cache hit could
+    // read as a plan win; the pass-1 warm run IS the cold execution when
+    // no sweep ran, and publishing it as `queries_cold` alongside the
+    // steady comparable makes pin economics visible in the committed
+    // artifact itself). -1.0 where the warm run errored.
+    val warmTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     // per-pass host-contention columns (r20 — VERDICT r19 #3: the
     // isolated instrument had steal/iowait, the suite passes did not,
     // and the suite passes are where the driver-environment storms
@@ -382,16 +389,21 @@ object Bench {
       * passes and the r15 inline adjudication instrument, so the
       * adjudication measures exactly what the suite measured).
       * Returns (median, samples, gcMsDelta, jitMsDelta, stealMsDelta,
-      * iowaitMsDelta) — the host columns bracket the TIMED samples
-      * (r20, VERDICT r19 #3: the storms live in the DRIVER
+      * iowaitMsDelta, warmSec) — the host columns bracket the TIMED
+      * samples (r20, VERDICT r19 #3: the storms live in the DRIVER
       * environment's suite passes, where gc/jit alone left 57 % of a
-      * spike unattributed; one /proc/stat read per query per pass). */
+      * spike unattributed; one /proc/stat read per query per pass);
+      * warmSec is the un-billed warm run's wall (r21 — the cold cost:
+      * pin/layout builds happen there, see `queries_cold`). */
     def measureQuery(name: String,
                      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
                      record: Boolean,
-                     onSample: (Double, Long, Long, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long, Long, Long) = {
+                     onSample: (Double, Long, Long, Long, Long) => Unit = null): (Double, Seq[Double], Long, Long, Long, Long, Double) = {
       val preWarm = persistedIds()
-      once(name, fn, record = false) // warm: codegen, file listing, index build — not billed
+      // warm: codegen, file listing, index build — not billed, but
+      // RECORDED (r21): this is where standing pins are built, i.e. the
+      // cold cost the steady comparable amortizes away
+      val warmSec = once(name, fn, record = false).getOrElse(-1.0)
       val postWarm = persistedIds()
       val gc0 = gcMs(); val jit0 = jitMs()
       val (steal0, io0) = hostStatMs()
@@ -445,7 +457,7 @@ object Bench {
       // warm-run leftovers go when the query is done (steady-state
       // caches that were unpersisted here heal on their next use)
       dropNewSince(preWarm)
-      (median(samples), samples, gcD, jitD, steal1 - steal0, io1 - io0)
+      (median(samples), samples, gcD, jitD, steal1 - steal0, io1 - io0, warmSec)
     }
 
     /** One timed pass. Wall-aware (r17): once `elapsed()` crosses the
@@ -466,7 +478,7 @@ object Bench {
       val out = selected.toSeq.flatMap { case (name, fn) =>
         if (elapsed() > wallBudget) { skipped += 1; None }
         else {
-          val (med, samples, gcD, jitD, stealD, ioD) =
+          val (med, samples, gcD, jitD, stealD, ioD, warmSec) =
             measureQuery(name, fn, record = true)
           benchState.synchronized {
             sampleCounts.updateWith(name)(prev =>
@@ -479,6 +491,7 @@ object Bench {
               Some(prev.getOrElse(Nil) :+ (if (samples.isEmpty) -1.0 else samples.min)))
             gcTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ gcD))
             jitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ jitD))
+            warmTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ warmSec))
             stealTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ stealD))
             iowaitTimes.updateWith(name)(prev => Some(prev.getOrElse(Nil) :+ ioD))
             inflightPass += (name -> med)
@@ -580,10 +593,18 @@ object Bench {
     // healthy 3-of-3 artifact read as cut (r20). Stamped separately.
     var rescueDeclinedByWall = false
 
-    // a pass costs ~what the last one cost; before any timed pass, the
-    // sweep (1 warm run/query) bounds it from below — timed passes add
-    // 3–11 samples/query, hence the 3× first estimate
-    def estNextPassWall(): Double = passWalls.lastOption.getOrElse(sweepWall * 3.0)
+    // a pass costs ~what a CLEAN pass cost: the estimate is the MIN of
+    // the observed pass walls, not the last one (r21 — VERDICT r20 #2:
+    // the r20 run's pass 2 was storm-inflated 217 vs 152 s, the last-
+    // pass estimate ×1.1 then vetoed the rescue pass with 550 s of
+    // margin left — the rescue exists precisely to wash out a storm
+    // pass, so a storm pass must not price it). A rescue that starts
+    // and overruns degrades safely: it truncates at a query boundary
+    // and its finished measurements still sharpen the cross-pass mins.
+    // Before any timed pass, the sweep (1 warm run/query) bounds from
+    // below — timed passes add 3–11 samples/query, hence 3× the sweep.
+    def estNextPassWall(): Double =
+      if (passWalls.isEmpty) sweepWall * 3.0 else passWalls.min
 
     /** Run one pass if the budget allows (always allows the first).
       * Returns true iff a complete pass was added. `rescue` marks a
@@ -655,7 +676,7 @@ object Bench {
       // on immutable copies, so the main thread (or the hook) never
       // contends with the adjudication's Spark jobs or the file writes
       val (allPasses, partialSnap, wallsSnap, countsSnap, minSampleSnap,
-           gcSnap, jitSnap, stealSnap, ioSnap, errsSnap) = benchState.synchronized {
+           gcSnap, jitSnap, stealSnap, ioSnap, errsSnap, warmSnap) = benchState.synchronized {
         // fold a killed pass's finished queries into the emitted data:
         // inflightPass is non-empty only when benchPass died mid-flight
         // (or a hook raced the scheduler's handoff — folding a pass that
@@ -673,7 +694,7 @@ object Bench {
         (passBuf.toList, partialMins.toList, passWalls.toList,
           sampleCounts.toList, sampleMins.toList, gcTimes.toList,
           jitTimes.toList, stealTimes.toList, iowaitTimes.toList,
-          errors.toList)
+          errors.toList, warmTimes.toList)
       }
       val partialSnapMap = partialSnap.toMap
       if (allPasses.isEmpty) {
@@ -1032,6 +1053,20 @@ object Bench {
     val minsJson = minSampleSnap
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // COLD vs STEADY (r21 — VERDICT r20 #5): cold = the pass-1 warm-run
+    // wall (the first-ever execution of the query in this JVM — pin
+    // builds, layout builds, codegen, file listing all land there when
+    // no sweep ran); steady = the existing cross-pass-min comparable.
+    // Published per query in the HEADLINE artifact (queries_cold, line 1)
+    // so a standing-cache hit can never read as a plan improvement —
+    // the audit additionally carries every pass's warm wall.
+    val warmSnapMap = warmSnap.toMap
+    val coldQueries = names.map { name =>
+      name -> warmSnapMap.get(name).flatMap(_.headOption).getOrElse(-1.0)
+    }
+    val warmJson = warmSnap
+      .map { case (k, vs) => "\"" + k + "\":[" + vs.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     // per-query SETUP COST (r16 — VERDICT r15 #5): pass-1 median minus
     // the cross-pass min. The committed all-pass spread is dominated by
     // first-pass amortization the warm sweep cannot fully reach
@@ -1054,7 +1089,7 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":[" + vs.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val auditJson =
-      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"queries_pass_steal_ms":${longsJson(stealSnap)},"queries_pass_iowait_ms":${longsJson(ioSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"unadjudicated":$adjUnrunJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"rescue_declined_by_wall":$rescueDeclinedByWall,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
+      s"""{"pass_totals_full":[${totals.mkString(",")}],$passJson,"queries_pass_min":$minsJson,"queries_pass_warm_sec":$warmJson,"queries_pass_gc_ms":${longsJson(gcSnap)},"queries_pass_jit_ms":${longsJson(jitSnap)},"queries_pass_steal_ms":${longsJson(stealSnap)},"queries_pass_iowait_ms":${longsJson(ioSnap)},"samples":$samplesJson,"errors":$errJson,"runs_per_query":$runs,"fast_runs":$fastRuns,"tiny_runs":$tinyRuns,"passes":$passes,"passes_run":${allPasses.size},"reported_pair":[${pairA + 1},${pairB + 1}],"all_pass_dev_pct":${math.round(allPassDevPct * 10) / 10.0},"queries_setup_cost":$setupJson,"setup_cost_total_sec":$setupTotal,"auto_adjudications":$adjJson,"unadjudicated":$adjUnrunJson,"corpus_sig":"$corpusSig","stream_startup_floor_sec":$startupFloor,"wall_sec":${r3(elapsed())},"budget_sec":$wallBudget,"sweep_wall_sec":${r3(sweepWall)},"pass_wall_secs":[${wallsSnap.map(r3).mkString(",")}],"wall_truncated":$wallTruncated,"rescue_declined_by_wall":$rescueDeclinedByWall,"partial_pass_queries":${partialSnap.size},"emitted_by":"$emittedBy","value_stat":"$valueStat","notes":$notesJson,"stat":"value=later pass of closest pair when >=3 complete passes, else the storm-immune cross-pass-min total (r19); queries=cross-pass min over all passes"}"""
     try {
       val p = java.nio.file.Paths.get(auditPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -1087,7 +1122,11 @@ object Bench {
     // passes or raise the budget" a round before rc=124 would.
     val wallNow = r3(elapsed())
     val wallMargin = r3(wallBudget - elapsed())
-    val line1 = s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":$headlineValue,"value_stat":"$valueStat","unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","setup_cost_total_sec":$setupTotal,"wall_sec":$wallNow,"budget_margin_sec":$wallMargin,"audit":"$auditPath"}"""
+    // queries_cold rides line 1 directly after queries (both in the
+    // clippable zone per the truncation policy): steady + cold per query
+    // in the committed artifact, so pin-build costs are visible where
+    // the steady numbers are read (r21 — VERDICT r20 #5)
+    val line1 = s"""{"queries":${fmtQueries(minQueries.sortBy(_._2), round = true)},"queries_cold":${fmtQueries(coldQueries.sortBy(_._2), round = true)},"errors":$errJson$extra$onlyJson,"metric":"total","value":$headlineValue,"value_stat":"$valueStat","unit":"sec","sf":"$sfDir","corpus_sig":"$corpusSig","setup_cost_total_sec":$setupTotal,"wall_sec":$wallNow,"budget_margin_sec":$wallMargin,"audit":"$auditPath"}"""
     println(line1)
     // SECOND, SHORT line (r9, per advice): if the tail window clips the
     // per-query line above, it stops being parseable JSON at all — the

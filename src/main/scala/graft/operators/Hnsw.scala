@@ -546,6 +546,13 @@ object Hnsw {
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, String, Int), DataFrame]()
 
+  // corpus-epoch eviction (r21, per advice — the Ann.centersCache wiring;
+  // scanCache holds PINNED frames, so unpersist before dropping the refs)
+  StandingCache.registerEvictHook(() => {
+    scanCache.values().forEach(_.unpersist(false))
+    scanCache.clear(); layoutCache.clear()
+  })
+
   private def shardScan(spark: SparkSession, aux: String, s: Int,
                         schema: org.apache.spark.sql.types.StructType): DataFrame =
     scanCache.computeIfAbsent(

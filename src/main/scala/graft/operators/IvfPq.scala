@@ -77,6 +77,10 @@ object IvfPq {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  // corpus-epoch eviction (r21, per advice — the Ann.centersCache wiring)
+  StandingCache.registerEvictHook(() =>
+    { centroidCache.clear(); layoutCache.clear(); opqLayoutCache.clear() })
+
   def probe(spark: SparkSession, dir: String, aux: String,
             persistAux: Boolean = false): DataFrame =
     probeWith(spark, dir, aux, Pq.ensureLayout(spark, dir), rot = None,

@@ -246,6 +246,9 @@ object Opq {
   private val rotCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  // corpus-epoch eviction (r21, per advice — the Ann.centersCache wiring)
+  StandingCache.registerEvictHook(() => { rotCache.clear(); layoutCache.clear() })
+
   private[graft] def readRotation(spark: SparkSession,
                                   aux: String): Array[Array[Float]] =
     rotCache.computeIfAbsent(aux, a => {

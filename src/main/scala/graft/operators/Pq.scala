@@ -164,6 +164,9 @@ object Pq {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
 
+  // corpus-epoch eviction (r21, per advice — the Ann.centersCache wiring)
+  StandingCache.registerEvictHook(() => { codebookCache.clear(); layoutCache.clear() })
+
   private[graft] def readCodebook(spark: SparkSession,
                                   aux: String): Array[Array[Array[Float]]] =
     codebookCache.computeIfAbsent(aux, a => {

@@ -325,39 +325,43 @@ object QualityClassifier {
     import spark.implicits._
     val wv = standingModel(spark, dir)
     val feat = standingFeat(spark, dir)
-    val n0 = feat.count()
-
-    // id-sized survivor sets over the standing pin; each is pinned for
-    // its two downstream reuses and freed at the end
-    val quality = feat
-      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
-      .where(col("p") >= 0.5).select(col("doc_id"))
-      .persist()
-    val n1 = quality.count()
-
-    val keepers = Dedup.q16(spark, dir).select(col("keeper").as("doc_id"))
-    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi").persist()
-    val n2 = deduped.count()
-
+    // ONE flag-conjunction pass (r21 — guide §2.4/§1.2: don't run six
+    // jobs for numbers one plan derives). The pre-r21 form materialized
+    // each stage as persist+count over chained left_semi joins — five
+    // actions per invocation, each re-dispatching over the same pinned
+    // frame. Every gate set is keyed 1:1 by doc_id (q16 keepers are the
+    // per-digest min — one row per doc; q63 emits one row per non-bench
+    // doc), so a LEFT join cannot fan out and flag conjunction is
+    // exactly the chained semi-join: all four stage counts AND the
+    // survivor token mass are sums over ONE plan, one action.
+    val keepers = Dedup.q16(spark, dir)
+      .select(col("keeper").as("doc_id"), lit(true).as("k"))
     val clean = TextAnalysis.q63(spark, dir)
-      .where(!col("contaminated")).select(col("doc_id"))
-    val survivors = deduped.join(clean, Seq("doc_id"), "left_semi").persist()
-    val n3 = survivors.count()
-
-    // the standing pin already carries the raw token count — no fourth
-    // text scan
-    val tokens = feat.join(survivors, Seq("doc_id"), "left_semi")
-      .agg(sum(col("ntok"))).head().getLong(0)
-    quality.unpersist(blocking = false)
-    deduped.unpersist(blocking = false)
-    survivors.unpersist(blocking = false)
+      .where(!col("contaminated"))
+      .select(col("doc_id"), lit(true).as("c"))
+    val row = feat
+      .withColumn("q",
+        sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))) >= 0.5)
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("q"),
+        (col("q") && coalesce(col("k"), lit(false))).as("qk"),
+        (col("q") && coalesce(col("k"), lit(false))
+          && coalesce(col("c"), lit(false))).as("qkc"),
+        col("ntok"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("qk"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("qkc"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("qkc"), col("ntok")).otherwise(0L)).as("toks"))
+      .head()
 
     Seq(
-      (0, "corpus", n0),
-      (1, "model_quality", n1),
-      (2, "exact_dedup", n2),
-      (3, "decontaminated", n3),
-      (4, "survivor_tokens", tokens))
+      (0, "corpus", row.getLong(0)),
+      (1, "model_quality", row.getLong(1)),
+      (2, "exact_dedup", row.getLong(2)),
+      (3, "decontaminated", row.getLong(3)),
+      (4, "survivor_tokens", row.getLong(4)))
       .toDF("stage", "name", "n")
       .orderBy(col("stage"))
   }
@@ -383,36 +387,45 @@ object QualityClassifier {
     import spark.implicits._
     val wv = standingModel(spark, dir)
     val feat = standingFeat(spark, dir)
-    val n0 = feat.count()
-    val quality = feat
-      .withColumn("p", sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))))
-      .where(col("p") >= 0.5).select(col("doc_id"))
-      .persist()
-    val n1 = quality.count()
-    val keepers = Dedup.q16(spark, dir).select(col("keeper").as("doc_id"))
-    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi").persist()
-    val n2 = deduped.count()
+    // ONE flag-conjunction pass — the q161 rework (see its comment) with
+    // the semantic gate as a fourth 1:1-keyed flag: seven actions become
+    // one (r21, guide §2.4/§1.2).
+    val keepers = Dedup.q16(spark, dir)
+      .select(col("keeper").as("doc_id"), lit(true).as("k"))
     val clean = TextAnalysis.q63(spark, dir)
-      .where(!col("contaminated")).select(col("doc_id"))
-    val s3 = deduped.join(clean, Seq("doc_id"), "left_semi").persist()
-    val n3 = s3.count()
+      .where(!col("contaminated"))
+      .select(col("doc_id"), lit(true).as("c"))
     val semClean = TextAnalysis.q174(spark, dir)
-      .where(!col("contaminated")).select(col("doc_id"))
-    val survivors = s3.join(semClean, Seq("doc_id"), "left_semi").persist()
-    val n4 = survivors.count()
-    val tokens = feat.join(survivors, Seq("doc_id"), "left_semi")
-      .agg(sum(col("ntok"))).head().getLong(0)
-    quality.unpersist(blocking = false)
-    deduped.unpersist(blocking = false)
-    s3.unpersist(blocking = false)
-    survivors.unpersist(blocking = false)
+      .where(!col("contaminated"))
+      .select(col("doc_id"), lit(true).as("s"))
+    val row = feat
+      .withColumn("q",
+        sigmoid(AdcKernels.dotDD(col("x"), wlit(wv))) >= 0.5)
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .join(semClean, Seq("doc_id"), "left")
+      .select(col("q"),
+        (col("q") && coalesce(col("k"), lit(false))).as("qk"),
+        (col("q") && coalesce(col("k"), lit(false))
+          && coalesce(col("c"), lit(false))).as("qkc"),
+        (col("q") && coalesce(col("k"), lit(false))
+          && coalesce(col("c"), lit(false))
+          && coalesce(col("s"), lit(false))).as("qkcs"),
+        col("ntok"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("qk"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("qkc"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("qkcs"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("qkcs"), col("ntok")).otherwise(0L)).as("toks"))
+      .head()
     Seq(
-      (0, "corpus", n0),
-      (1, "model_quality", n1),
-      (2, "exact_dedup", n2),
-      (3, "ngram_decontam", n3),
-      (4, "semantic_decontam", n4),
-      (5, "survivor_tokens", tokens))
+      (0, "corpus", row.getLong(0)),
+      (1, "model_quality", row.getLong(1)),
+      (2, "exact_dedup", row.getLong(2)),
+      (3, "ngram_decontam", row.getLong(3)),
+      (4, "semantic_decontam", row.getLong(4)),
+      (5, "survivor_tokens", row.getLong(5)))
       .toDF("stage", "name", "n")
       .orderBy(col("stage"))
   }

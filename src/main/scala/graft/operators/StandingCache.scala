@@ -47,26 +47,68 @@ object StandingCache {
   private val frames = new ConcurrentHashMap[(String, String), DataFrame]()
   private val artifacts = new ConcurrentHashMap[(String, String), AnyRef]()
 
+  /** External driver-side caches that must drop with [[clear]] (r21, per
+    * advice): the ANN/PQ/OPQ/IMI/HNSW operators memoize layout paths,
+    * centroid tables, codebooks and rotations keyed by aux PATH — pure
+    * functions of immutable build-once dirs, but invisible to this
+    * object's maps. A caller crossing a corpus epoch calls [[clear]];
+    * without these hooks such a caller would keep serving stale
+    * centroids/codebooks from every probe site. Hooks are registered by
+    * each operator object's initializer (lazy — an operator never used
+    * has nothing cached). [[invalidate]] (per-dir) CANNOT reach
+    * path-keyed caches (the dir→aux mapping needs a session); per-dir
+    * callers use the operator's own invalidation surface or [[clear]]. */
+  private val evictHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def registerEvictHook(h: () => Unit): Unit = evictHooks.add(h)
+
   /** Standing DRIVER-SIDE artifact for (dir, tag) — for small values
     * that are pure functions of an immutable dir but live outside the
     * cache manager (a trained model's weight vector, a fitted
     * threshold). Same contract and eviction surface as [[frame]]:
     * built once per JVM, dropped by [[invalidate]]/[[clear]]. There is
     * no self-healing re-pin (nothing external can unpersist a plain
-    * value). */
-  def artifact[T <: AnyRef](dir: String, tag: String)(build: => T): T =
-    artifacts.computeIfAbsent((dir, tag), _ => build).asInstanceOf[T]
+    * value).
+    *
+    * Builds run OUTSIDE the map's bin lock (r21, per advice): a build
+    * that itself pins a nested (dir, tag) — e.g. a derived frame whose
+    * closure calls [[frame]] for its base — would otherwise nest
+    * `computeIfAbsent` calls on the same ConcurrentHashMap, which Java
+    * forbids when the keys share a hash bin (IllegalStateException
+    * "Recursive update", nondeterministic in the dir string's hash).
+    * get → build → putIfAbsent makes nesting safe; a concurrent loser's
+    * duplicate build is discarded (builds are pure functions of the
+    * immutable dir, so both values are equal). */
+  def artifact[T <: AnyRef](dir: String, tag: String)(build: => T): T = {
+    val key = (dir, tag)
+    val hit = artifacts.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val v = build
+    val prev = artifacts.putIfAbsent(key, v)
+    (if (prev != null) prev else v).asInstanceOf[T]
+  }
 
   /** The standing frame for (dir, tag), built (and eagerly
     * materialized) on first use per JVM; re-pinned if something
     * external unpersisted it. The dir must be immutable while cached —
-    * see the object scaladoc; evict with [[invalidate]]/[[clear]]. */
-  def frame(dir: String, tag: String)(build: => DataFrame): DataFrame =
-    ensurePinned(frames.computeIfAbsent((dir, tag), _ => {
-      val f = build.persist()
-      f.count()
-      f
-    }))
+    * see the object scaladoc; evict with [[invalidate]]/[[clear]].
+    *
+    * The build (a full Spark materialization) runs OUTSIDE the map's
+    * bin lock — see [[artifact]]'s nesting note; nested pins (a derived
+    * frame building from its base's pin) are safe. On a concurrent-build
+    * race the loser's frame is NOT unpersisted: CacheManager dedups by
+    * normalized plan, so winner and loser share one cache entry and an
+    * unpersist here would drop the winner's blocks too. */
+  def frame(dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    val key = (dir, tag)
+    val hit = frames.get(key)
+    if (hit != null) return ensurePinned(hit)
+    val f = build.persist()
+    f.count()
+    val prev = frames.putIfAbsent(key, f)
+    if (prev != null) ensurePinned(prev) else f
+  }
 
   /** Heal a standing pin against BOTH external-unpersist forms (r19 —
     * the dead-pin find): `Dataset.unpersist()` removes the CacheManager
@@ -112,6 +154,7 @@ object StandingCache {
     frames.values().forEach(_.unpersist(false))
     frames.clear()
     artifacts.clear()
+    evictHooks.forEach(h => h())
   }
 
   /** Pinned (dir, tag) keys, for ops-script introspection alongside

@@ -39,10 +39,19 @@ object TextAnalysis {
     * q20's dtoks already use; the bench charges the one-time build to
     * the warm run and the timed samples read the in-memory columnar pin.
     * At 100 TB the same pattern is "tokenize once, persist the tokenized
-    * table" — the standard pipeline materialization, not a local trick. */
+    * table" — the standard pipeline materialization, not a local trick.
+    *
+    * NARROW projection (doc_id, lang, toks) ONLY — r21, VERDICT r20 #4:
+    * the r20 pin carried the full documents width including raw `text`,
+    * so executor storage held the text twice (raw + tokenized) and the
+    * former narrow-pin users (q89/q99/q145/q34) regressed 18–28% under
+    * the §5 memory pressure. Consumers that need other document columns
+    * (q21's n_chars, q42's/q117's text digest) tokenize inline from the
+    * base table — one fused scan, their pre-r20 shape. */
   private def withToks(spark: SparkSession, dir: String): DataFrame =
     StandingCache.frame(dir, "ta_toks")(
-      docs(spark, dir).withColumn("toks", tokens(col("text"))))
+      docs(spark, dir).select(col("doc_id"), col("lang"),
+        tokens(col("text")).as("toks")))
 
   // ---- Q20: language ID via marker-word overlap -----------------------
   // n-gram/stopword heuristic: score each language by distinct-token
@@ -96,7 +105,9 @@ object TextAnalysis {
 
   def q21(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = StopEn.map(w => s"'$w'").mkString(",")
-    withToks(spark, dir)
+    // needs n_chars, which the narrow standing pin deliberately drops
+    // (r21) — one fused tokenize scan from the base table instead
+    docs(spark, dir).withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")))
       .withColumn("stop_hits",
         expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
@@ -213,7 +224,11 @@ object TextAnalysis {
     // tokenized+digested frame feeds BOTH the keeper agg and the join back
     // — materialize once or the regex scan runs twice (the 100 TB
     // analogue: persist the canonical table before self-referencing joins)
-    val d = StandingCache.frame(dir, "ta_q42_digests")(withToks(spark, dir)
+    // built from the base table, not the standing toks pin: the digest
+    // needs raw `text`, which the narrow pin deliberately drops (r21) —
+    // the build is untimed (once per JVM) so the extra tokenize is free
+    val d = StandingCache.frame(dir, "ta_q42_digests")(docs(spark, dir)
+      .withColumn("toks", tokens(col("text")))
       .withColumn("h", md5(normText(col("text"))))
       .select(col("doc_id"), col("lang"), col("h"), col("toks")))
     val keepers = d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
@@ -1409,11 +1424,10 @@ object TextAnalysis {
   // prose mass (≥ -3.55 at all three SFs) and the rare-token outliers
 
   /** The tokenized corpus shared by q89/q115/q145 (r14 — the
-    * Retrieval.withDlFrame pattern). Since r20 [[withToks]] itself is the
-    * standing pin (family-wide), so this is just its projection — the
-    * derived plan reads the pinned frame, no second pin needed. */
+    * Retrieval.withDlFrame pattern). Since r21 [[withToks]] IS this
+    * narrow (doc_id, lang, toks) pin, so this is a plain alias. */
   private def standingToks(spark: SparkSession, dir: String): DataFrame =
-    withToks(spark, dir).select(col("doc_id"), col("lang"), col("toks"))
+    withToks(spark, dir)
 
   def q89(spark: SparkSession, dir: String): DataFrame = {
     val toks = standingToks(spark, dir).select(col("doc_id"), col("toks"))
@@ -1546,7 +1560,9 @@ object TextAnalysis {
 
   def q117(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = StopEn.map(w => s"'$w'").mkString(",")
-    val d = withToks(spark, dir)
+    // needs source + the raw-text digest, which the narrow standing pin
+    // deliberately drops (r21) — one fused tokenize scan instead
+    val d = docs(spark, dir).withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")))
       .withColumn("stop_hits",
         expr(s"size(filter(toks, t -> array_contains(array($stopArr), t)))"))
