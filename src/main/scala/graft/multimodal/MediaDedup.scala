@@ -66,6 +66,12 @@ import graft.operators.LayoutRoot
   */
 object MediaDedup {
 
+  // in-memory ImageIO stream cache — see [[Multimodal]]'s initializer
+  // (the default FileCacheImageInputStream writes a temp file to disk
+  // per decode); executors may touch this object without loading
+  // Multimodal, so the switch is set from both entry objects
+  locally { javax.imageio.ImageIO.setUseCache(false) }
+
   private val root = new LayoutRoot("spark.graft.mediadedup.root", "graft-mdd-")
 
   private val fixtureFor = new ConcurrentHashMap[String, String]()

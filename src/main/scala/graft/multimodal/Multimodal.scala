@@ -57,7 +57,19 @@ final case class FrameSample(
   */
 object Multimodal {
 
-  locally { System.setProperty("java.awt.headless", "true") }
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    // in-memory ImageIO stream cache (r21 — guide §1.2 step 2: fix the
+    // per-task work). ImageIO.read(InputStream) defaults to a
+    // FileCacheImageInputStream: every single decode creates, writes and
+    // deletes a TEMP FILE on java.io.tmpdir — per 2 KB payload, per row,
+    // and under a parallel scan all tasks hammer the same disk-backed
+    // /tmp. The payloads already sit in memory (parquet BLOB column), so
+    // the disk round-trip is pure overhead; this JVM-global switch makes
+    // ImageIO wrap streams in MemoryCacheImageInputStream instead.
+    // Byte-identical decode output — only the staging location changes.
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   // ---- real decoders (JDK codecs, no new dependencies) ----------------
 

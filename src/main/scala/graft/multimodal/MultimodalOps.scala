@@ -66,18 +66,12 @@ object MultimodalOps {
     import spark.implicits._
     val aux = mediaFixture(spark, dir)
     lastAuxFor.put("q100_media_features", aux)
-    // spread the decode across cores (r21 — guide §2/§6): the whole
-    // fixture bin-packs into one-two scan splits (12 MB at sf0.1 against
-    // a 128 MB split budget), so the per-row PNG/WAV/MP4 decode — the
-    // query's actual cost — ran near-serially. The spread is one
-    // exchange of the fixture's OWN bytes (input-sized, 12 MB here,
-    // measured 1.26 s single-task decode before); a production corpus
-    // whose files exceed the split size parallelizes at the scan and
-    // skips this row-count-keyed repartition (guide §8 stands: never
-    // re-shuffle payloads that already landed where they must end up —
-    // here they have no destination but the decoder).
+    // the decode cost here was never parallelism (an explicit spread
+    // measured SLOWER — the shuffle+sort of the payload bytes cost more
+    // than it bought, guide §8); it was ImageIO's default DISK-backed
+    // stream cache, fixed JVM-globally in [[Multimodal]]'s initializer
+    // (r21: 2.5 s → 1.0 s exec in ProfileQuery)
     val media = spark.read.parquet(s"$aux/media")
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[MediaRecord]
     Multimodal.extractFeatures(media)
       .toDF()

@@ -85,9 +85,23 @@ object Graph {
     // aggregation with zero joins after the broadcast (guide §2.4:
     // remove the per-round exchange+join outright). On q126's symmetric
     // trade graph the semi-join drops nothing.
+    // The adj pin inherits the union's partition count (2 × the distinct
+    // exchange = 64 here), and AQE cannot re-coalesce a cached plan — so
+    // every round stage ran 64 near-empty tasks. Coalesce the pin to the
+    // conf'd count (r21; default cores/4, floor 2 — measured 2.57 →
+    // 2.06 s on q126): the rounds join adj by BROADCAST, so its
+    // partition count only sets per-round task count, never join
+    // parallelism. A production caller sizes it to adjacency bytes /
+    // target-partition-size via spark.graft.graph.adjPartitions, the
+    // same sizing it applies to spark.sql.shuffle.partitions.
+    val spark = edges.sparkSession
+    val adjParts = spark.conf.getOption("spark.graft.graph.adjPartitions")
+      .map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 4, 2))
     val adj = edges.join(broadcast(outdeg), "src")
       .join(broadcast(nodes.withColumnRenamed("node", "dst")),
         Seq("dst"), "left_semi")
+      .coalesce(adjParts)
       .persist()
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
     var pinned: DataFrame = null
