@@ -795,10 +795,27 @@ object TextAnalysis {
       withToks(spark, dir)
         .select(explode(col("toks")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+    // the vocabulary frame is corpus-mass-independent (distinct words) —
+    // at the local SFs it is tens of rows riding the histogram's
+    // 32-partition shuffle layout, so every round's jobs ran ~16
+    // near-empty tasks; coalesce the loop's working frame to the conf'd
+    // count (r21; production sizes it to vocabulary rows / target
+    // partition size, the adjPartitions convention)
+    val vocabParts = spark.conf
+      .getOption("spark.graft.bpe.vocabPartitions").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 8, 1))
     var vocabLazy = w0
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
         col("cnt"))
-    var vocab = vocabLazy.localCheckpoint(eager = true)
+    // LAZY checkpoints (r21 — guide §1.2: the per-round eager-checkpoint
+    // job is free if the round's OWN stats job materializes it): each
+    // round's pair aggregate is the first action over the lazily
+    // checkpointed merge, so lineage truncation rides the job the round
+    // already pays — 8 checkpoint jobs disappear (ProfileQuery: 42 →
+    // see OPTIMIZATION_r21.md). The superseded round is freed only
+    // AFTER its successor materialized (a truncated plan cannot be
+    // recomputed once its blocks are dropped).
+    var vocab = vocabLazy.coalesce(vocabParts).localCheckpoint(eager = false)
     // Per-round job budget (r20 — guide §1.2: the per-round TOTAL job is
     // derivable). total_toks(v) = Σ|symbols|·cnt = Σ_pairs(v) + Σcnt:
     // each row's symbol count is its adjacent-pair count + 1, and Σcnt
@@ -815,6 +832,27 @@ object TextAnalysis {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     var pending: Option[(Int, String, String, Long)] = None
+    // the round before the current one — freed once the current round's
+    // stats job has materialized the current checkpoint
+    var prevRound: DataFrame = null
+    // AQE off for the LOOP only (r21): on the vocabulary-sized frames
+    // its stage-wise materialization turns each round's one collect into
+    // ~4 scheduler round-trips while its coalescing has nothing to do at
+    // vocabParts partitions (ProfileQuery: 33 → 10 jobs/invocation).
+    // Save/restore under the bench's single-threaded contract (the
+    // drainToTable conf-pin convention); the corpus-sized histogram
+    // build above runs BEFORE this and keeps AQE.
+    // with AQE off nothing coalesces the loop's exchanges, so the
+    // shuffle-partition count is pinned to the vocab sizing for the
+    // same block (state volume, not engine parallelism — the
+    // drainToTable discipline)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.get(aqeKey)
+    val shufPrev = spark.conf.get(shufKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, vocabParts.toString)
+    try {
     for (r <- 1 to BpeRounds) {
       val stats = vocab
         .select(split(col("sym"), " ").as("li"), col("cnt"))
@@ -829,6 +867,9 @@ object TextAnalysis {
             struct((-col("c")).as("nc"), col("a"), col("b"))).as("win"),
           sum(col("c")).as("allc"))
         .collect()(0)
+      // `vocab` is now materialized (the stats job was its first
+      // action), so the round it superseded can drop its blocks
+      if (prevRound != null) freeCheckpoint(prevRound)
       val win = stats.getStruct(0)
       val (a, b, c) = (win.getString(0), win.getString(1), win.getLong(2))
       // complete the PREVIOUS round's row: this round's Σc is the pair
@@ -846,21 +887,26 @@ object TextAnalysis {
           s = replace(s, lit(s" $a $b "), lit(s" $a$b "))
         v.select(trim(s).as("sym"), col("cnt"))
       }
-      val prev = vocab
-      vocab = merge(vocab).localCheckpoint(eager = true)
-      freeCheckpoint(prev)
+      prevRound = vocab
+      vocab = merge(vocab).localCheckpoint(eager = false)
       vocabLazy = merge(vocabLazy)
     }
     // the final vocabulary is scanned by no later pair job — its total
-    // keeps the dedicated pass (the only one left of the original eight)
+    // keeps the dedicated pass (the only one left of the original eight),
+    // which doubles as the last lazy checkpoint's materializing action
     val lastTotal = vocab
       .select(sum(size(split(col("sym"), " ")).cast("long") * col("cnt")))
       .collect()(0).getLong(0)
+    if (prevRound != null) freeCheckpoint(prevRound)
     pending.foreach { case (pr, pa, pb, pc) =>
       out += ((pr, pa, pb, pc, lastTotal))
     }
     freeCheckpoint(vocab)
     (out.toSeq, vocabLazy)
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(shufKey, shufPrev)
+    }
   }
 
   /** Free a localCheckpoint'ed frame's blocks once it is superseded —
